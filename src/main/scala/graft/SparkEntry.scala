@@ -1,13 +1,420 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextAnalysis
+import graft.ingest.IngestTransform
+import graft.model.Schemas
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.query.LogsTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (venus parity) plus the training-data-pipeline operators
+  * (dedup / similarity / text analysis / multimodal).
+  *
+  * Oracle notes (driver compares vs DuckDB on the same parquet):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - double aggregates go through DECIMAL(18,2) so both engines sum
+  *    exactly and convert to double once (bit-identical, order-free);
+  *  - timestamps never appear raw in output (ns-vs-us precision) — they are
+  *    cast to DATE or kept internal;
+  *  - every query has a total deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q13_star_join")(spark, "/root/testdata/sf0.001")
+
+  // decimal-exact sum of a 2-decimal double column, emitted as double
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- venus parity: scans / filters / projections (SURVEY §2.3) ----
+
+    "q01_point_lookup" -> ((s, dir) => {
+      // correlation-id point lookup analog (reference: json_tricks.rst:28)
+      Tables(s, dir, "events")
+        .filter(col("user_id") === 42)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q02_time_range" -> ((s, dir) => {
+      // time-range pruned scan + agg (reference: README.rst:74, hypertable)
+      Tables(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-20"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- venus parity: JSON surface (SURVEY §2.4) ----
+
+    "q03_json_extract" -> ((s, dir) => {
+      // data->>'k' (reference: README.rst:88)
+      Tables(s, dir, "events")
+        .filter(col("user_id") === 7)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q04_json_decompose" -> ((s, dir) => {
+      // jsonb_to_record ascribed-schema decomposition (reference: README.rst:90-100)
+      val logsShaped = Tables(s, dir, "events")
+        .select(col("event_id"), col("props").as("data_raw"))
+      LogsTable(logsShaped)
+        .decompose(StructType(Seq(StructField("k", IntegerType))))
+        .filter(col("k") >= 50)
+        .orderBy(col("event_id"))
+    }),
+
+    "q05_key_discovery" -> ((s, dir) => {
+      // jsonb_object_keys + DISTINCT (reference: json_tricks.rst:52-76)
+      Tables(s, dir, "events")
+        .select(explode(json_object_keys(col("props"))).as("key"))
+        .distinct()
+        .orderBy(col("key"))
+    }),
+
+    "q06_search_ilike" -> ((s, dir) => {
+      // message ILIKE ANY(...) (reference: conftest.py:169-174)
+      val docs = Tables(s, dir, "documents")
+      val lt = LogsTable(docs)
+      docs.filter(lt.ilikeAny(col("text"), Seq("%spark%", "%merge%")))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- venus parity: top-k / distinct / time-bucket (SURVEY §2.6-2.7) ----
+
+    "q07_recent_topk" -> ((s, dir) => {
+      // ORDER BY time DESC LIMIT 10 (reference: README.rst:102-103);
+      // plans as TakeOrderedAndProject, no global sort
+      Tables(s, dir, "events")
+        .orderBy(col("ts").desc)
+        .limit(10)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q08_time_bucket" -> ((s, dir) => {
+      // time_bucket dashboard agg (reference: metabase-instructions.rst:18-22)
+      Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          (dsum(col("value")) / count(lit(1))).as("avg_value"))
+        .orderBy(col("day"))
+    }),
+
+    "q14_distinct" -> ((s, dir) => {
+      Tables(s, dir, "events").select("event_type").distinct()
+        .orderBy("event_type")
+    }),
+
+    // ---- venus parity: joins (SURVEY §2.5) ----
+
+    "q09_enrich_join" -> ((s, dir) => {
+      // logs ⋈ context enrichment analog: broadcast the dimension
+      Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q10_interval_join" -> ((s, dir) => {
+      // span ⋈ logs interval association analog (reference: migration:54-64):
+      // equi-key join with the range as post-join filter — no cross product
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q13_star_join" -> ((s, dir) => {
+      // star-schema revenue rollup: dims broadcast, one fact shuffle
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      val revenue = sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(4, 2)))))
+        .cast("double")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- venus parity: aggregation (SURVEY §2.6, TPC-H Q1 shape) ----
+
+    "q11_agg_pricing" -> ((s, dir) => {
+      val disc = lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))
+      val charge = lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2))
+      val base = col("l_extendedprice").cast(DecimalType(18, 2))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(base * disc).cast("double").as("sum_disc_price"),
+          sum(base * disc * charge).cast("double").as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast(DecimalType(4, 2))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q12_topk_orders" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- dedup operators ----
+
+    "q15_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables(s, dir, "documents"))
+        .select(col("fp"), col("doc_id"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q20_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(Tables(s, dir, "documents"), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q21_simhash" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q22_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), n = 3, threshold = 0.1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q25_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(Tables(s, dir, "embeddings"),
+        planes = 4, threshold = 0.25)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search ----
+
+    "q23_knn_brute" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, 10)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q24_ann_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val index = Similarity.bucketedIndex(emb.filter(col("vec_id") =!= 0), planes = 4)
+      Similarity.lshTopK(index, q, 10, planes = 4)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- text analysis ----
+
+    "q16_token_count" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q17_quality" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.alphaRatio(col("text")), 4).as("alpha_ratio"),
+          round(TextAnalysis.meanWordLength(col("text")), 4).as("mean_wlen"),
+          round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q18_lang_id" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q19_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal (binary columns; codec stubbed, plumbing real) ----
+
+    "q26_multimodal_bytes" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text").cast("binary")).as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q27_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        Tables(s, dir, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("media")),
+        "doc_id", "media")
+      Multimodal.extractMeta(media).toDF().orderBy(col("id"))
+    }),
+
+    // ---- streaming-ingest transform (batch-equivalent path) ----
+
+    "q28_ingest" -> ((s, dir) => {
+      // wire-format round trip: events -> LogRecord-shaped JSON -> ingest
+      // transform (parse, extract/coerce, pop, date partition col)
+      val wire = Tables(s, dir, "events").select(
+        to_json(struct(
+          (unix_micros(col("ts").cast("timestamp")) / lit(1000000.0)).as("created"),
+          col("event_type").as("message"),
+          concat(lit("00000000-0000-0000-0000-"), lpad(col("user_id").cast("string"), 12, "0")).as("correlation_id"),
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))).as("value"))
+      IngestTransform(wire)
+        .select(col("message"), col("correlation_id"), col("data_raw"), col("date"))
+        .orderBy(get_json_object(col("data_raw"), "$.event_id").cast("long"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same aliases, same ORDER BY).
+    * Omitted for non-SQL-expressible ops (LSH/simhash/rolling-hash/codec
+    * stubs) -> driver records a rows-only check for those.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_point_lookup" ->
+      "SELECT event_id, event_type, value FROM events WHERE user_id = 42 ORDER BY event_id",
+
+    "q02_time_range" ->
+      ("SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20' " +
+        "GROUP BY event_type ORDER BY event_type"),
+
+    "q03_json_extract" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+        "FROM events WHERE user_id = 7 ORDER BY event_id"),
+
+    "q04_json_decompose" ->
+      ("SELECT event_id, k FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+        "FROM events) WHERE k >= 50 ORDER BY event_id"),
+
+    "q05_key_discovery" ->
+      "SELECT DISTINCT unnest(json_keys(props)) AS key FROM events ORDER BY key",
+
+    "q06_search_ilike" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE lower(text) LIKE '%spark%' OR lower(text) LIKE '%merge%' ORDER BY doc_id"),
+
+    "q07_recent_topk" ->
+      ("SELECT event_id, event_type, value FROM " +
+        "(SELECT * FROM events ORDER BY ts DESC LIMIT 10) ORDER BY event_id"),
+
+    "q08_time_bucket" ->
+      ("SELECT CAST(ts AS DATE) AS day, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value " +
+        "FROM events GROUP BY 1 ORDER BY day"),
+
+    "q09_enrich_join" ->
+      ("SELECT c_mktsegment, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    "q10_interval_join" ->
+      ("SELECT l_returnflag, count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q11_agg_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge, " +
+        "sum(l_quantity) / count(*) AS avg_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price, " +
+        "CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc, " +
+        "count(*) AS n " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "q12_topk_orders" ->
+      ("SELECT o_orderkey, o_totalprice, o_orderstatus FROM " +
+        "(SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) ORDER BY o_orderkey"),
+
+    "q13_star_join" ->
+      ("SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+
+    "q14_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q15_dedup_exact" ->
+      ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
+        "min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY doc_id"),
+
+    "q16_token_count" ->
+      ("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_subwords " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q17_quality" ->
+      ("SELECT doc_id, " +
+        "round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio, " +
+        "round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS mean_wlen, " +
+        "round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> list_contains(" + duckStopwords + ", t))) AS DOUBLE) / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 4) AS stopword_ratio " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q19_fingerprint" -> null, // rolling hash not DuckDB-expressible; rows-only
+    "q23_knn_brute" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, round(cos, 4) AS cos FROM (" +
+        "SELECT vec_id, list_sum(list_transform(list_zip(embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos " +
+        "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) ORDER BY vec_id"),
+
+    "q26_multimodal_bytes" ->
+      "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents ORDER BY doc_id"
+  ).filter(_._2 != null)
+
+  private def duckStopwords: String =
+    TextAnalysis.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 }

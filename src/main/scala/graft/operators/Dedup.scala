@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus-scale pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant is a map-side signature computation followed
+  * by ONE shuffle on a compact key (hash / band / bucket). Candidate
+  * verification only ever touches rows that collided, so the quadratic
+  * pairwise step never materializes at corpus scale.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the lowest-id row per normalized-text fingerprint.
+    * One hash-aggregate shuffle on a 128-bit key; at 100 TB this is the
+    * cheapest possible dedup (shuffle carries only (fingerprint, id)).
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles of a document, lowercased, distinct. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature: k independent permutations approximated by
+    * xxhash64(shingle, seed_i); signature element i = min over shingles.
+    * Pure expressions -> codegen'd, per-row, shuffle-free.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
+    val sh = shingles(text, shingleSize)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs: signatures are banded;
+    * documents sharing any band bucket are candidates; candidates are
+    * verified by estimated Jaccard (signature agreement rate) >= threshold.
+    *
+    * Shuffle profile: one exchange on (band_id, band_hash) — the classic
+    * LSH bucket join — then a per-bucket self-join whose cost is bounded by
+    * bucket skew, not corpus size. Returns (id_a, id_b, est_jaccard) with
+    * id_a < id_b.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+
+    // band -> (band_id, hash of the band's signature slice)
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash over word tokens: per-bit weighted majority of token
+    * hashes. Near-duplicates have small Hamming distance. Pure expressions.
+    */
+  def simhash(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hashes = transform(toks, t => crc32(t.cast("binary")))
+    val bits = (0 until 32).map { i =>
+      // +1 when bit i set, -1 otherwise; majority -> bit set in the result
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup candidates: exact-match on simhash value (Hamming
+    * distance 0 buckets). For distance<=k at scale, index each of the k+1
+    * hash segments as its own bucket key (pigeonhole) — segment variant
+    * below via `simhashBands`.
+    */
+  def simhashDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("simhash", simhash(col(textCol)))
+      .groupBy("simhash")
+      .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** Pigeonhole segments of a simhash for Hamming-distance-k LSH:
+    * two docs within distance k share at least one of k+1 segments exactly.
+    */
+  def simhashBands(sim: Column, segments: Int = 4): Column =
+    array((0 until segments).map { i =>
+      struct(lit(i).as("seg"),
+        sim.bitwiseAND(lit(0xFFL << (i * 8))).as("val"))
+    }: _*)
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard similarity between two text columns. */
+  def jaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = shingles(a, n)
+    val sb = shingles(b, n)
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** N-gram Jaccard near-dup pairs with LSH prefiltering: MinHash bands
+    * generate candidates (one shuffle), exact Jaccard verifies them.
+    * This is the scale-correct shape: exact set intersection only on
+    * collided pairs.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val cands = minhashLsh(docs, textCol, idCol,
+      numHashes = 16, bands = 8, shingleSize = n, threshold = 0.0)
+    val txt = docs.select(col(idCol), col(textCol))
+    cands
+      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
+      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("text_a"), col("text_b"), n).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: random-hyperplane
+    * signs bucket the vectors (map-side), exact cosine verifies within
+    * buckets. See [[Similarity.cosine]] for the distance kernel.
+    */
+  def embeddingNearDup(
+      emb: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      planes: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
+    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,33 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Date-partitioned Parquet storage for the event tables — the TimescaleDB
+  * hypertable equivalent (reference: migration:39-43,74-78): appends route
+  * rows to `date=YYYY-MM-DD/` directories by event-time value, and readers
+  * get partition pruning for any time-range predicate.
+  *
+  * At cluster scale the same layout holds: each micro-batch append writes
+  * only the dates it touches; bloom filters on `correlation_id` give
+  * point-lookup row-group skipping (the btree-index analog,
+  * reference: migration:35).
+  */
+final class LogStore(root: String) {
+
+  private def path(table: String) = s"$root/$table"
+
+  /** Append-mode partitioned write (reference insert path:
+    * venus/db/write.py:78-79 `executemany INSERT`).
+    */
+  def append(table: String, df: DataFrame): Unit = {
+    val writer = df.write
+      .mode("append")
+      .option("parquet.bloom.filter.enabled#correlation_id", "true")
+    val partitioned =
+      if (df.columns.contains("date")) writer.partitionBy("date") else writer
+    partitioned.parquet(path(table))
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+}

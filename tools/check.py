@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables, compare to the Spark outputs written by
+graft.Verify (rows, schema-ish, and values with column names sorted).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(rows, cols):
+    # sort columns by name, then rows; stringify with exact repr
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                vals.append(repr(v))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    import glob
+    all_queries = sorted(x.split('/')[-1] for x in glob.glob(f"{out_dir}/q*"))
+    for name in all_queries:
+        got = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        grows, gcols = got.fetchall(), [d[0] for d in got.description]
+        if name not in oracle:
+            status = f"rows-only ({len(grows)} rows)" if grows else "rows-only EMPTY (0 rows) <-- WEAK"
+            print(f"  ~ {name}: {status}")
+            if not grows:
+                failures += 1
+            continue
+        try:
+            exp = con.execute(oracle[name])
+            erows, ecols = exp.fetchall(), [d[0] for d in exp.description]
+        except Exception as e:
+            print(f"  X {name}: oracle SQL failed: {e}")
+            failures += 1
+            continue
+        if sorted(gcols) != sorted(ecols):
+            print(f"  X {name}: column mismatch spark={sorted(gcols)} oracle={sorted(ecols)}")
+            failures += 1
+            continue
+        cg, ce = canon(grows, gcols), canon(erows, ecols)
+        if len(cg) != len(ce):
+            print(f"  X {name}: row count spark={len(cg)} oracle={len(ce)}")
+            failures += 1
+        elif cg != ce:
+            bad = next(i for i, (a, b) in enumerate(zip(cg, ce)) if a != b)
+            print(f"  X {name}: VALUE mismatch at sorted-row {bad}:\n      spark : {cg[bad]}\n      oracle: {ce[bad]}")
+            failures += 1
+        else:
+            print(f"  + {name}: MATCH ({len(cg)} rows)")
+    print(f"\n{'FAIL' if failures else 'PASS'}: {failures} failures / {len(all_queries)} queries")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
