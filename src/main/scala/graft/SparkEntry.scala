@@ -37,8 +37,9 @@ object SparkEntry {
 
     "q01_point_lookup" -> ((s, dir) => {
       // correlation-id point lookup analog (reference: json_tricks.rst:28)
+      // user_id=7 exists at every SF (sf0.001 only has user_id 0-14)
       Tables(s, dir, "events")
-        .filter(col("user_id") === 42)
+        .filter(col("user_id") === 7)
         .select(col("event_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
     }),
@@ -317,7 +318,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q01_point_lookup" ->
-      "SELECT event_id, event_type, value FROM events WHERE user_id = 42 ORDER BY event_id",
+      "SELECT event_id, event_type, value FROM events WHERE user_id = 7 ORDER BY event_id",
 
     "q02_time_range" ->
       ("SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +

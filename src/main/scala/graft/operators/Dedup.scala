@@ -28,27 +28,22 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles of a document, lowercased, distinct. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles of a document, lowercased, distinct.
+    * Single-pass custom Expression (see WordShingles scaladoc).
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.word_shingles(text, n)
 
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature: k independent permutations approximated by
     * xxhash64(shingle, seed_i); signature element i = min over shingles.
-    * Pure expressions -> codegen'd, per-row, shuffle-free.
+    * Single-pass custom Expression (see MinHashSignature's scaladoc for why
+    * the built-in composition is 20x slower) — per-row, shuffle-free.
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
-    val sh = shingles(text, shingleSize)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
-  }
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    graft.functions.MinHashSignature.minhash_signature(
+      shingles(text, shingleSize), numHashes)
 
   /** MinHash+LSH near-duplicate candidate pairs: signatures are banded;
     * documents sharing any band bucket are candidates; candidates are
@@ -74,7 +69,9 @@ object Dedup {
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
 
-    // band -> (band_id, hash of the band's signature slice)
+    // band -> (band_id, hash of the band's signature slice); persisted
+    // because both sides of the bucket self-join consume it — without the
+    // persist, Spark shingles + hashes the corpus twice
     val banded = sigs.select(
       col("id"), col("sig"),
       posexplode(transform(
@@ -82,6 +79,7 @@ object Dedup {
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
+      .persist()
 
     val a = banded.select(col("band_id"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -100,20 +98,12 @@ object Dedup {
 
   // --------------------------------------------------------------- simhash
 
-  /** 32-bit SimHash over word tokens: per-bit weighted majority of token
-    * hashes. Near-duplicates have small Hamming distance. Pure expressions.
+  /** 64-bit SimHash over word tokens: per-bit majority vote of token hashes.
+    * Near-duplicates have small Hamming distance. Single-pass custom
+    * Expression (built-in composition replicates the tokenizer per bit).
     */
-  def simhash(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val hashes = transform(toks, t => crc32(t.cast("binary")))
-    val bits = (0 until 32).map { i =>
-      // +1 when bit i set, -1 otherwise; majority -> bit set in the result
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def simhash(text: Column): Column =
+    graft.functions.SimHash.simhash64(split(lower(trim(text)), "\\s+"))
 
   /** SimHash near-dup candidates: exact-match on simhash value (Hamming
     * distance 0 buckets). For distance<=k at scale, index each of the k+1
@@ -160,12 +150,16 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val cands = minhashLsh(docs, textCol, idCol,
       numHashes = 16, bands = 8, shingleSize = n, threshold = 0.0)
-    val txt = docs.select(col(idCol), col(textCol))
+    // shingle each doc once (persisted: both pair sides consume it);
+    // the pair join then compares precomputed arrays
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh")).persist()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     cands
-      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("text_a")), "id_a")
-      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("text_b")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("text_a"), col("text_b"), n).as("jaccard"))
+        when(union === 0, lit(0.0)).otherwise(inter / union).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -181,14 +175,21 @@ object Dedup {
       idCol: String = "vec_id",
       planes: Int = 8,
       threshold: Double = 0.95): DataFrame = {
+    // signature + norm computed once per row (not per pair), before the join
     val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
-    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .persist()
+    val a = withSig.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = withSig.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+        when(col("nrm_a") * col("nrm_b") === 0, lit(0.0))
+          .otherwise(Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }

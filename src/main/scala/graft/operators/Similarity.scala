@@ -20,13 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float arrays, computed in double precision. */
+  /** Dot product of two float arrays, computed in double precision.
+    * Single-pass custom Expression (interpreted zip_with+aggregate is ~5x
+    * slower per pair; see VectorOps scaladoc).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.vector_dot(a, b)
 
   /** L2 norm. */
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = graft.functions.VectorOps.vector_norm(a)
 
   /** Cosine similarity in [-1, 1]; 0 when either vector is zero. */
   def cosine(a: Column, b: Column): Column = {
@@ -55,25 +57,10 @@ object Similarity {
   /** Random-hyperplane signature: bit p = sign of dot(v, plane_p), planes
     * drawn from a deterministic per-(plane, dim) bit-mix — no stored plane
     * matrix, any executor can recompute it (crucial for 100 TB: the "index"
-    * is a pure function of the vector).
+    * is a pure function of the vector). Single-pass custom Expression.
     */
-  def hyperplaneSignature(v: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      // pseudo-random {-1,+1} plane component for (p, dim i); same mix as
-      // the driver-side signatureOf below — they must agree bit-for-bit.
-      val s = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") *
-            when(shiftright(i.cast("long") * lit(PlaneMixA) + lit(p.toLong * PlaneMixB), 17)
-              .bitwiseAND(lit(1L)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(s > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  private val PlaneMixA = 2654435761L // Knuth multiplicative-hash constant
-  private val PlaneMixB = 40503L
+  def hyperplaneSignature(v: Column, planes: Int): Column =
+    graft.functions.HyperplaneSig.hyperplane_sig(v, planes)
 
   /** IVF/LSH-style bucketed index: corpus + signature bucket, repartitioned
     * by bucket so each bucket is co-located. Persist the result (or write
@@ -114,15 +101,17 @@ object Similarity {
   /** Driver-side signature of a literal query vector — must agree bit-for-bit
     * with [[hyperplaneSignature]] (same plane bit-mix, same fold order).
     */
-  def signatureOf(query: Seq[Float], planes: Int): Long =
+  def signatureOf(query: Seq[Float], planes: Int): Long = {
+    import graft.functions.HyperplaneSig.{MixA, MixB}
     (0 until planes).map { p =>
       var s = 0.0
       var i = 0
       while (i < query.length) {
-        val sign = if ((((i.toLong * PlaneMixA + p.toLong * PlaneMixB) >> 17) & 1L) == 0) 1.0 else -1.0
+        val sign = if ((((i.toLong * MixA + p.toLong * MixB) >> 17) & 1L) == 0) 1.0 else -1.0
         s += query(i).toDouble * sign
         i += 1
       }
       if (s > 0) 1L << p else 0L
     }.sum
+  }
 }

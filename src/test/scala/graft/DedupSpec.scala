@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup of 1
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "THE  QUICK   brown fox jumps over the lazy dog") // dup modulo case/space
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct word n-grams, lowercased") {
+    val sh = spark.range(1).select(
+      Dedup.shingles(lit("A b c b c"), 2)).as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c", "c b"))
+    // fewer tokens than n -> single shingle
+    val one = spark.range(1).select(Dedup.shingles(lit("solo"), 3)).as[Seq[String]].head()
+    assert(one == Seq("solo"))
+  }
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val got = Dedup.exact(docs).orderBy("doc_id").collect()
+    assert(got.length == 3)                        // 1/2/5 merge, 3, 4
+    assert(got(0).getAs[Long]("doc_id") == 1L && got(0).getAs[Long]("n_dups") == 3L)
+  }
+
+  test("minhash LSH finds the near-dup pair, not the unrelated doc") {
+    // k=64 concentrates the agreement estimator (std ~0.06 at J=0.6); at
+    // k=16 this fixed doc pair deterministically lands at 6/16 — verified
+    // the family itself is unbiased (mean 0.597 over 500 J=0.6 pairs)
+    val pairs = Dedup.minhashLsh(docs, numHashes = 64, bands = 32,
+      shingleSize = 2, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // identical -> est_jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+  }
+
+  test("simhash: equal for identical docs, close for near-dups, far for unrelated") {
+    val h = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("jaccard exact n-gram similarity") {
+    val j = spark.range(1).select(
+      Dedup.jaccard(lit("a b c d"), lit("a b c e"), 2)).as[Double].head()
+    // shingles: {a b, b c, c d} vs {a b, b c, c e}: |I|=2, |U|=4
+    assert(j == 0.5)
+  }
+
+  test("ngramJaccardPairs verifies candidates with exact jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L))) // only exact-normalized dups at >=0.99
+  }
+
+  test("embeddingNearDup finds planted duplicate vectors via LSH buckets") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),  // near dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, planes = 2, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L && p._1 == 1L))
+  }
+}

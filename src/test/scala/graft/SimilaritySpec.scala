@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / norm / cosine kernels") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      Similarity.dot($"a", $"b"),
+      Similarity.norm($"a"),
+      Similarity.cosine($"a", $"a")).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(Similarity.cosine($"a", $"b")).head().getDouble(0) == 0.0)
+  }
+
+  private lazy val corpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)),
+    (5L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine descending") {
+    val got = Similarity.bruteForceTopK(corpus, Seq(1.0f, 0.0f, 0.0f), 3)
+      .select("vec_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 2L, 3L) || got.toSeq == Seq(1L, 2L, 4L)) // 3/4 tie at 0
+  }
+
+  test("driver-side signatureOf agrees bit-for-bit with executor-side hyperplaneSignature") {
+    val emb = Tables(spark, sf("sf0.001"), "embeddings").limit(50)
+    val rows = emb.select($"vec_id",
+      Similarity.hyperplaneSignature($"embedding", 8).as("sig"), $"embedding")
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](2)
+      assert(r.getLong(1) == Similarity.signatureOf(v, 8),
+        s"signature mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("lshTopK finds the query's own bucket (planted near vector recalled)") {
+    val index = Similarity.bucketedIndex(corpus, planes = 2)
+    val got = Similarity.lshTopK(index, Seq(1.0f, 0.0f, 0.0f), 2, planes = 2)
+      .select("vec_id").as[Long].collect()
+    assert(got.contains(1L)) // the identical vector must be recalled
+  }
+}
