@@ -3,7 +3,7 @@ package graft
 import graft.functions.TextAnalysis
 import graft.ingest.IngestTransform
 import graft.model.Schemas
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity}
 import graft.query.LogsTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -294,6 +294,105 @@ object SparkEntry {
       Multimodal.extractMeta(media).toDF().orderBy(col("id"))
     }),
 
+    // ---- as-of join (training-pipeline addition; SURVEY §2.11) ----
+
+    "q29_asof_join" -> ((s, dir) => {
+      // each click joined to the user's most recent error at-or-before it;
+      // one shuffle, window-fill — no range-join explosion (see AsofJoin)
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.backward(clicks, errors, Seq("user_id"), "ts", "ts", Seq("value"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          count(col("asof_ts")).as("n_matched"),
+          sum(unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us_total"),
+          dsum(col("asof_value")).as("sum_err_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- Variant JSON path (Spark 4 native semi-structured type) ----
+
+    "q30_variant_extract" -> ((s, dir) => {
+      // same surface as q03 but through VariantType: parse once, typed get
+      // (SURVEY §1.2 primary JSON representation)
+      Tables(s, dir, "events")
+        .filter(col("user_id") === 7)
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- window / ranking ----
+
+    "q31_window_rank" -> ((s, dir) => {
+      // top-3 events per user by value: one shuffle on user_id, per-key sort
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // ---- set operations ----
+
+    "q32_set_ops" -> ((s, dir) => {
+      // users who hit errors but never made a big purchase (filters chosen
+      // to be non-empty at every SF)
+      val ev = Tables(s, dir, "events")
+      val errored = ev.filter(col("event_type") === "error")
+        .select(col("user_id")).distinct()
+      val bigBuyers = ev.filter(col("event_type") === "purchase" && col("value") > 90)
+        .select(col("user_id")).distinct()
+      errored.except(bigBuyers).orderBy(col("user_id"))
+    }),
+
+    // ---- grouping sets / rollup ----
+
+    "q33_rollup" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    // ---- percentiles ----
+
+    "q34_percentile" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- semi / anti joins ----
+
+    "q35_anti_join" -> ((s, dir) => {
+      // customers with no order above 300k — left_anti: one shuffle, no
+      // payload carried (filter chosen to be non-empty at every SF)
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q36_semi_join" -> ((s, dir) => {
+      // suppliers that shipped at least one line — left_semi
+      Tables(s, dir, "supplier")
+        .join(Tables(s, dir, "lineitem"),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // ---- streaming-ingest transform (batch-equivalent path) ----
 
     "q28_ingest" -> ((s, dir) => {
@@ -413,7 +512,51 @@ object SparkEntry {
         "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10) ORDER BY vec_id"),
 
     "q26_multimodal_bytes" ->
-      "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents ORDER BY doc_id"
+      "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents ORDER BY doc_id",
+
+    "q29_asof_join" ->
+      ("SELECT user_id, count(*) AS n_clicks, count(asof_ts) AS n_matched, " +
+        "sum(epoch_us(ts) - epoch_us(asof_ts)) AS lag_us_total, " +
+        "CAST(sum(CAST(asof_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_err_value " +
+        "FROM (SELECT a.user_id, a.ts, b.ts AS asof_ts, b.value AS asof_value " +
+        "FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') a " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') b " +
+        "ON a.user_id = b.user_id AND a.ts >= b.ts) " +
+        "GROUP BY user_id ORDER BY user_id"),
+
+    "q30_variant_extract" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+        "FROM events WHERE user_id = 7 ORDER BY event_id"),
+
+    "q31_window_rank" ->
+      ("SELECT user_id, event_id, rn FROM (SELECT user_id, event_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn " +
+        "FROM events) WHERE rn <= 3 ORDER BY user_id, rn"),
+
+    "q32_set_ops" ->
+      ("SELECT DISTINCT user_id FROM events WHERE event_type = 'error' " +
+        "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 90 " +
+        "ORDER BY user_id"),
+
+    "q33_rollup" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST"),
+
+    "q34_percentile" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
+        "round(quantile_cont(value, 0.9), 4) AS p90 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q35_anti_join" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
+        "ORDER BY c_custkey"),
+
+    "q36_semi_join" ->
+      ("SELECT s_suppkey, s_name FROM supplier " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey) " +
+        "ORDER BY s_suppkey")
   ).filter(_._2 != null)
 
   private def duckStopwords: String =

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming analytics over the ingested `logs`/`metric` envelope — the
+  * dashboard aggregations of SURVEY §2.6 (reference:
+  * doc/metabase-instructions.rst:18-22, `metric` hypertable migration:66-78)
+  * as live Structured-Streaming queries instead of poll-the-warehouse.
+  *
+  * All three are declarative compositions of built-in stateful operators
+  * (windowed agg, session_window, dropDuplicatesWithinWatermark), so Spark
+  * manages state stores, watermark GC, and shuffle partitioning; the same
+  * code runs in batch mode for backfills (Spark treats the window exprs
+  * identically on a static DataFrame).
+  *
+  * Scale notes: state is partitioned by group key across executors; the
+  * watermark bounds state size (old windows/sessions are evicted), which is
+  * the difference between "runs forever at 100 TB/day" and OOM.
+  */
+object StreamAggregates {
+
+  /** Tumbling-window event counts + value stats — `time_bucket` live.
+    * Watermark bounds lateness: events older than `lateness` vs the max seen
+    * event time are dropped (the reference has no late-data policy at all —
+    * SURVEY §1.4 — so any bound is strictly additive).
+    */
+  def timeBucketCounts(
+      logs: DataFrame,
+      bucket: String = "1 hour",
+      lateness: String = "10 minutes",
+      timeCol: String = "time"): DataFrame =
+    logs
+      .withWatermark(timeCol, lateness)
+      .groupBy(window(col(timeCol), bucket))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"),
+        col("window.end").as("bucket_end"), col("n"))
+
+  /** Gap-based sessionization per correlation id: consecutive events closer
+    * than `gap` merge into one session row (start, end, event count).
+    * `session_window` is Spark's native session operator — state merges
+    * partial sessions across micro-batches and closes them at
+    * watermark + gap.
+    */
+  def sessionize(
+      logs: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes",
+      keyCol: String = "correlation_id",
+      timeCol: String = "time"): DataFrame =
+    logs
+      .withWatermark(timeCol, lateness)
+      .groupBy(session_window(col(timeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming exact dedup on a key (e.g. a message fingerprint): keeps the
+    * first occurrence, drops re-deliveries arriving within the watermark
+    * horizon. State = one entry per key inside the horizon, GC'd by the
+    * watermark — bounded regardless of stream length.
+    */
+  def dedupFirstSeen(
+      logs: DataFrame,
+      keyCols: Seq[String],
+      lateness: String = "10 minutes",
+      timeCol: String = "time"): DataFrame =
+    logs
+      .withWatermark(timeCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.StreamAggregates
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StreamAggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("timeBucketCounts: tumbling windows in batch mode (backfill path)") {
+    val logs = Seq(
+      (ts("2024-01-01 10:05:00"), "a"),
+      (ts("2024-01-01 10:55:00"), "b"),
+      (ts("2024-01-01 11:05:00"), "c")
+    ).toDF("time", "message")
+    val got = StreamAggregates.timeBucketCounts(logs)
+      .orderBy("bucket_start")
+      .select($"bucket_start", $"n").as[(Timestamp, Long)].collect().toSeq
+    assert(got == Seq((ts("2024-01-01 10:00:00"), 2L), (ts("2024-01-01 11:00:00"), 1L)))
+  }
+
+  test("sessionize: gap-based sessions per correlation id (batch mode)") {
+    val logs = Seq(
+      (ts("2024-01-01 10:00:00"), "cid1"),
+      (ts("2024-01-01 10:10:00"), "cid1"), // within 30m gap -> same session
+      (ts("2024-01-01 12:00:00"), "cid1"), // > gap -> new session
+      (ts("2024-01-01 10:00:00"), "cid2")
+    ).toDF("time", "correlation_id")
+    val got = StreamAggregates.sessionize(logs)
+      .orderBy("correlation_id", "session_start")
+      .select($"correlation_id", $"n_events").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("cid1", 2L), ("cid1", 1L), ("cid2", 1L)))
+  }
+
+  test("streaming: windowed counts accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val counts = StreamAggregates.timeBucketCounts(
+      stream.toDF().toDF("time", "message"), bucket = "1 hour")
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      stream.addData((ts("2024-01-01 10:05:00"), "a"))
+      stream.addData((ts("2024-01-01 10:20:00"), "b"), (ts("2024-01-01 11:01:00"), "c"))
+      q.processAllAvailable()
+      val got = spark.table("win_counts").orderBy("bucket_start")
+        .select($"n").as[Long].collect().toSeq
+      assert(got == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("streaming: dedupFirstSeen drops redelivered keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val deduped = StreamAggregates.dedupFirstSeen(
+      stream.toDF().toDF("time", "fp"), Seq("fp"))
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      stream.addData((ts("2024-01-01 10:00:00"), "k1"), (ts("2024-01-01 10:00:01"), "k1"))
+      stream.addData((ts("2024-01-01 10:00:02"), "k1"), (ts("2024-01-01 10:00:00"), "k2"))
+      q.processAllAvailable()
+      val got = spark.table("deduped").select($"fp").as[String].collect().toSeq
+      assert(got.sorted == Seq("k1", "k2"))
+    } finally q.stop()
+  }
+}
