@@ -45,9 +45,10 @@ object SparkEntry {
     }),
 
     "q02_time_range" -> ((s, dir) => {
-      // time-range pruned scan + agg (reference: README.rst:74, hypertable)
-      Tables(s, dir, "events")
-        .filter(col("ts") >= lit("2024-01-10") && col("ts") < lit("2024-01-20"))
+      // time-range pruned scan + agg (reference: README.rst:74, hypertable);
+      // eventsRange pushes the bounds to the parquet scan as raw-nano
+      // comparisons (row-group pruning — see Tables.eventsRange)
+      Tables.eventsRange(s, dir, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("event_type"))
@@ -393,6 +394,38 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    // ---- approximate aggregates (HLL) ----
+
+    "q37_approx_distinct" -> ((s, dir) => {
+      // HLL++ distinct users per event type — sketches merge map-side, so
+      // the shuffle carries one sketch per group, not the key universe.
+      // Approx values are engine-specific -> rows-only check; exact_users
+      // pins the cardinality the sketch estimates.
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- raw SQL surface (CTE + subquery; Metabase-analog entry point) ----
+
+    "q38_sql_cte" -> ((s, dir) => {
+      // the reference's whole query surface is SQL (README.rst:84-103);
+      // spark.sql over registered views is our equivalent entry point
+      Tables(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql(
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n
+          |  FROM events_v GROUP BY 1, 2
+          |)
+          |SELECT day, count(*) AS active_users, sum(n) AS total_events
+          |FROM daily
+          |WHERE n > (SELECT avg(n) FROM daily)
+          |GROUP BY day ORDER BY day""".stripMargin)
+    }),
+
     // ---- streaming-ingest transform (batch-equivalent path) ----
 
     "q28_ingest" -> ((s, dir) => {
@@ -556,7 +589,13 @@ object SparkEntry {
     "q36_semi_join" ->
       ("SELECT s_suppkey, s_name FROM supplier " +
         "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey) " +
-        "ORDER BY s_suppkey")
+        "ORDER BY s_suppkey"),
+
+    "q38_sql_cte" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT day, count(*) AS active_users, sum(n) AS total_events FROM daily " +
+        "WHERE n > (SELECT avg(n) FROM daily) GROUP BY day ORDER BY day")
   ).filter(_._2 != null)
 
   private def duckStopwords: String =

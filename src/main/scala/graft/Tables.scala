@@ -22,4 +22,32 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Time-range-pruned events scan. A predicate on the *converted* `ts`
+    * column cannot reach the parquet scan (it sits on a computed
+    * expression), so range queries must constrain the RAW nano long before
+    * conversion — those comparisons push down to row-group stats, the
+    * 100 TB equivalent of hypertable chunk exclusion. Bounds are
+    * `[fromIncl, toExcl)` ISO timestamps interpreted in UTC.
+    */
+  def eventsRange(
+      spark: SparkSession,
+      sfDir: String,
+      fromIncl: String,
+      toExcl: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    if (df.schema("ts").dataType == LongType) {
+      def nanos(s: String): Long = {
+        val i = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000000L + i.getNano
+      }
+      df.filter(col("ts") >= nanos(fromIncl) && col("ts") < nanos(toExcl))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      df.filter(col("ts") >= lit(fromIncl).cast("timestamp") &&
+        col("ts") < lit(toExcl).cast("timestamp"))
+    }
+  }
 }
