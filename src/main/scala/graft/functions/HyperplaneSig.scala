@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -13,36 +13,22 @@ import org.apache.spark.sql.types._
   *
   * MUST stay bit-for-bit in agreement with
   * [[graft.operators.Similarity.signatureOf]] (driver-side literal variant).
+  * Kernel in [[ExprKernels.hyperplaneSig]]; codegen emits the same call.
   */
 case class HyperplaneSig(child: Expression, planes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    var sig = 0L
-    var p = 0
-    while (p < planes) {
-      var s = 0.0
-      var i = 0
-      while (i < n) {
-        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        val sign =
-          if ((((i.toLong * HyperplaneSig.MixA + p.toLong * HyperplaneSig.MixB) >> 17) & 1L) == 0L) 1.0
-          else -1.0
-        s += x * sign
-        i += 1
-      }
-      if (s > 0) sig |= (1L << p)
-      p += 1
-    }
-    java.lang.Long.valueOf(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.hyperplaneSig(input.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprKernels.hyperplaneSig($c, $planes, $isFloat)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -12,55 +12,46 @@ import org.apache.spark.sql.types._
   * aggregate) evaluate an interpreted lambda per element with boxing — at
   * 64 dims x millions of pairs that dominates similarity-search runtime
   * (measured ~5x on the embedding near-dup operator). These evaluate as a
-  * primitive while-loop over the ArrayData. Math is float->double
-  * accumulation in index order, bit-identical to the sequential definition
-  * (keeps DuckDB-oracle parity).
+  * primitive while-loop over the ArrayData (see [[ExprKernels]]), and
+  * participate in whole-stage codegen via `doGenCode` emitting a static
+  * call. Math is float->double accumulation in index order, bit-identical
+  * to the sequential definition (keeps DuckDB-oracle parity).
   */
-private object VecEval {
-  /** Sum of products in index order; null if either side is null handled
-    * upstream. Lengths must match (enforced by the caller's data contract).
-    */
-  def dot(a: ArrayData, b: ArrayData, dt: DataType): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    dt match {
-      case FloatType =>
-        while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-      case _ =>
-        while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    }
-    acc
-  }
-}
-
-/** dot(a, b) — inner product in double precision. */
 case class VectorDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
-  private lazy val elemType: DataType =
-    left.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def kernel: String = if (isFloat) "dotFloat" else "dotDouble"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecEval.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], elemType)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isFloat) ExprKernels.dotFloat(x, y) else ExprKernels.dotDouble(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.$kernel($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 /** norm(a) — L2 norm in double precision. */
-case class VectorNorm(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class VectorNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_norm"
-  private lazy val elemType: DataType =
-    child.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def kernel: String = if (isFloat) "normFloat" else "normDouble"
 
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
-    math.sqrt(VecEval.dot(arr, arr, elemType))
+    if (isFloat) ExprKernels.normFloat(arr) else ExprKernels.normDouble(arr)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.$kernel($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -1,41 +1,35 @@
 package graft.tools
 
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-import org.apache.spark.sql.types.StringType
-import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{MinHashSignature, SimHash, VectorOps, WordShingles, HyperplaneSig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway diagnostics main for interactive debugging. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    // Estimator sanity: over many random set pairs with known Jaccard J,
-    // mean minhash agreement should approach J.
-    val rnd = new scala.util.Random(7)
-    val k = 16
-    def sig(items: Seq[String]): Array[Long] = {
-      val mins = Array.fill(k)(Long.MaxValue)
-      items.foreach { it =>
-        val s = UTF8String.fromString(it)
-        var h = 0
-        while (h < k) {
-          val v = XxHash64Function.hash(s, StringType,
-            h.toLong * graft.functions.MinHashSignature.SeedMix)
-          if (v < mins(h)) mins(h) = v
-          h += 1
-        }
-      }
-      mins
-    }
-    var totalAgree = 0.0
-    var totalJ = 0.0
-    val trials = 500
-    (0 until trials).foreach { t =>
-      val base = (0 until 10).map(i => s"tok${t}_$i")
-      val a = base.take(8)
-      val b = base.drop(2) // overlap 6, union 10 -> J = 0.6
-      val (sa, sb) = (sig(a), sig(b))
-      totalAgree += sa.zip(sb).count { case (x, y) => x == y } / k.toDouble
-      totalJ += 0.6
-    }
-    println(f"mean agreement ${totalAgree / trials}%.4f vs true J ${totalJ / trials}%.4f")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      // fail loudly if the generated Java for our Expressions doesn't
+      // compile, instead of silently dropping to interpreted mode
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox", Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "text", "vec")
+    val out = docs.select(
+      WordShingles.word_shingles(col("text"), 2).as("sh"),
+      MinHashSignature.minhash_signature(
+        WordShingles.word_shingles(col("text"), 2), 8).as("mh"),
+      SimHash.simhash64(split(col("text"), " ")).as("simhash"),
+      VectorOps.vector_dot(col("vec"), col("vec")).as("dot"),
+      VectorOps.vector_norm(col("vec")).as("norm"),
+      HyperplaneSig.hyperplane_sig(col("vec"), 4).as("sig"))
+    out.collect().foreach(println)
+    println("CODEGEN_OK")
+    spark.stop()
   }
 }
