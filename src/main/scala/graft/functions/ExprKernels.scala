@@ -121,6 +121,27 @@ object ExprKernels {
     out
   }
 
+  // --------------------------------------------------------- json drop keys
+
+  // Jackson ObjectMapper is thread-safe after configuration
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Remove top-level keys from a JSON object, preserving remaining fields'
+    * types/order; null for malformed or non-object input.
+    */
+  def jsonDropKeys(input: UTF8String, keys: Array[String]): UTF8String = {
+    try {
+      mapper.readTree(input.toString) match {
+        case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
+          var i = 0
+          while (i < keys.length) { obj.remove(keys(i)); i += 1 }
+          UTF8String.fromString(mapper.writeValueAsString(obj))
+        case _ => null
+      }
+    } catch { case _: Exception => null }
+  }
+
   // -------------------------------------------------------- hyperplane LSH
 
   /** Bit p of the result = sign of dot(v, plane_p); planes are a

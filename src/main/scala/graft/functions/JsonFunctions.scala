@@ -1,10 +1,8 @@
 package graft.functions
 
-import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,28 +15,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * stringifies numbers/booleans, breaking the reference's contract that the
   * retained payload keeps e.g. `random_timing_data` as a double —
   * reference: tests/test_sender.py:133-136), hence a custom Expression.
+  * Kernel in [[ExprKernels.jsonDropKeys]]; codegen-capable (it sits in the
+  * per-record ingest hot path).
   *
   * Returns NULL for malformed input or non-object documents (those rows are
   * dead-lettered upstream anyway).
   */
 case class JsonDropKeys(child: Expression, keys: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_drop_keys"
 
-  @transient private lazy val mapper = new ObjectMapper()
+  private lazy val keysArray: Array[String] = keys.toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    try {
-      mapper.readTree(input.toString) match {
-        case obj: ObjectNode =>
-          keys.foreach(obj.remove)
-          UTF8String.fromString(mapper.writeValueAsString(obj))
-        case _ => null
-      }
-    } catch { case _: Exception => null }
+  override def nullSafeEval(input: Any): Any =
+    ExprKernels.jsonDropKeys(input.asInstanceOf[UTF8String], keysArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the key list is a reference object: embedded once per generated class,
+    // not re-built per row
+    val keysRef = ctx.addReferenceObj("dropKeys", keysArray, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ExprKernels.jsonDropKeys($c, $keysRef);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
