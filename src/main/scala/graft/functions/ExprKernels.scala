@@ -36,6 +36,22 @@ object ExprKernels {
     acc
   }
 
+  /** Mixed float/double sides (e.g. a FLOAT column against DOUBLE literal
+    * centroids) — per-side accessor chosen by flag.
+    */
+  def dotMixed(a: ArrayData, aIsFloat: Boolean, b: ArrayData, bIsFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
   def normFloat(a: ArrayData): Double = math.sqrt(dotFloat(a, a))
   def normDouble(a: ArrayData): Double = math.sqrt(dotDouble(a, a))
 
@@ -69,11 +85,24 @@ object ExprKernels {
 
   // --------------------------------------------------------------- minhash
 
-  /** Element h of the result = min over the array of
-    * xxhash64(value, seed = h * SeedMix). Plain consecutive integer seeds
-    * give correlated xxHash64 families (biased Jaccard estimates — measured
-    * 5/16 agreement on a J=0.6 pair); the golden-ratio multiply decorrelates
-    * them (validated: mean agreement 0.597 over 500 J=0.6 pairs).
+  /** SplitMix64 finalizer — full-avalanche 64-bit mixer (public constants). */
+  private def mix64(x0: Long): Long = {
+    var z = x0
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^= z >>> 31
+    z
+  }
+
+  /** Element h of the result = min over the array of family-h hashes.
+    * The family is ONE xxhash64 per element followed by k cheap SplitMix64
+    * remixes (`mix64(base ^ h*SeedMix)`) — O(n) string hashing + O(n*k)
+    * integer mixes, instead of k full string hashes per element (the
+    * dominant cost at k=16 over 1000-shingle documents). Full-avalanche
+    * remixing keeps the k families independent; naive consecutive-integer
+    * seeding measurably biased the Jaccard estimator (5/16 agreement on a
+    * J=0.6 pair), so the mixer quality is load-bearing — validated unbiased
+    * via the 500-pair agreement check in tools/Scratch.
     */
   def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -81,10 +110,10 @@ object ExprKernels {
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
+        val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
         var h = 0
         while (h < numHashes) {
-          val v = XxHash64Function.hash(s, StringType, h.toLong * MinHashSignature.SeedMix)
+          val v = mix64(base ^ (h.toLong * MinHashSignature.SeedMix))
           if (v < mins(h)) mins(h) = v
           h += 1
         }
@@ -144,9 +173,23 @@ object ExprKernels {
 
   // -------------------------------------------------------- hyperplane LSH
 
-  /** Bit p of the result = sign of dot(v, plane_p); planes are a
-    * deterministic per-(plane, dim) bit-mix — must stay bit-for-bit with
-    * [[graft.operators.Similarity.signatureOf]].
+  /** Rademacher (+1/-1) plane component for (plane p, dim i), via the
+    * SplitMix64 finalizer (public constant mixer) — a weak linear mix here
+    * correlates the planes and collapses LSH recall (measured 0.36
+    * recall@10 with `(i*A + p*B) >> 17 & 1`). Single source of truth for
+    * executor expression AND driver-side [[graft.operators.Similarity.signatureOf]].
+    */
+  def planeSign(i: Long, p: Long): Double = {
+    var z = i * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^= z >>> 31
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Bit p of the result = sign of dot(v, plane_p); planes are the
+    * deterministic [[planeSign]] Rademacher matrix — no stored planes, any
+    * executor recomputes them.
     */
   def hyperplaneSig(arr: ArrayData, planes: Int, isFloat: Boolean): Long = {
     val n = arr.numElements()
@@ -157,10 +200,7 @@ object ExprKernels {
       var i = 0
       while (i < n) {
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        val sign =
-          if ((((i.toLong * HyperplaneSig.MixA + p.toLong * HyperplaneSig.MixB) >> 17) & 1L) == 0L) 1.0
-          else -1.0
-        s += x * sign
+        s += x * planeSign(i.toLong, p.toLong)
         i += 1
       }
       if (s > 0) sig |= (1L << p)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 /** Random-hyperplane LSH signature of a float/double vector: bit p = sign of
   * dot(v, plane_p), planes drawn from a deterministic per-(plane, dim)
-  * bit-mix (Knuth multiplicative constants) — no stored plane matrix, any
+  * SplitMix64-mixed Rademacher matrix — no stored plane matrix, any
   * executor recomputes it, so the "index" is a pure function of the vector.
   *
   * MUST stay bit-for-bit in agreement with
@@ -35,9 +35,6 @@ case class HyperplaneSig(child: Expression, planes: Int)
 }
 
 object HyperplaneSig {
-  val MixA = 2654435761L // Knuth multiplicative-hash constant
-  val MixB = 40503L
-
   import org.apache.spark.sql.GraftBridge
 
   def hyperplane_sig(v: Column, planes: Int): Column =

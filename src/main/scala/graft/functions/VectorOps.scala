@@ -21,17 +21,23 @@ case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
-  private lazy val isFloat: Boolean =
+  private lazy val lFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  private def kernel: String = if (isFloat) "dotFloat" else "dotDouble"
+  private lazy val rFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (isFloat) ExprKernels.dotFloat(x, y) else ExprKernels.dotDouble(x, y)
+    if (lFloat && rFloat) ExprKernels.dotFloat(x, y)
+    else if (!lFloat && !rFloat) ExprKernels.dotDouble(x, y)
+    else ExprKernels.dotMixed(x, lFloat, y, rFloat)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.$kernel($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) =>
+      if (lFloat && rFloat) s"graft.functions.ExprKernels.dotFloat($a, $b)"
+      else if (!lFloat && !rFloat) s"graft.functions.ExprKernels.dotDouble($a, $b)"
+      else s"graft.functions.ExprKernels.dotMixed($a, $lFloat, $b, $rFloat)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -98,17 +98,113 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Spherical k-means centroids via Lloyd iterations, all distributed:
+    * assignment is a per-row argmax of codegen'd dot products against
+    * centroid literals (k*dim doubles — plan constants, broadcast with the
+    * task binaries); the update step computes dimension-wise means with
+    * posexplode + groupBy(cluster, dim). Centroids are L2-normalized after
+    * every update (search is cosine, so assignment must rank by angle, not
+    * by centroid magnitude). The driver only ever holds k*dim doubles.
+    *
+    * Seeding is deterministic and spread: every (n/k)-th row by id —
+    * adjacent-id rows are often correlated, so a strided sample seeds more
+    * diverse clusters than the first k rows (swap for kmeans|| if cluster
+    * quality ever matters more than reproducibility).
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      k: Int = 16,
+      iters: Int = 2,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Array[Array[Double]] = {
+    val n = corpus.count()
+    val stride = math.max(n / k, 1L)
+    var centroids: Array[Array[Double]] = corpus
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus.withColumn("_c", nearestCentroid(col(vecCol), centroids))
+      val means = assigned
+        .select(col("_c"), posexplode(col(vecCol)).as(Seq("_dim", "_x")))
+        .groupBy(col("_c"), col("_dim"))
+        .agg(avg(col("_x")).as("_m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("_c"))(r.getAs[Int]("_dim")) = r.getAs[Double]("_m")
+      }
+      centroids = next.map(normalize)
+      it += 1
+    }
+    centroids
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    if (nrm == 0) v else v.map(_ / nrm)
+  }
+
+  /** Argmax-dot cluster assignment against literal centroids: an array of
+    * (dot, id) structs, array_max picks the best — every dot is the
+    * codegen'd [[dot]] kernel, no UDF.
+    */
+  private def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(v, array(c.map(lit(_)): _*)).as("s"), lit(i).as("i"))
+    }
+    array_max(array(scored: _*)).getField("i")
+  }
+
+  /** IVF index: cluster id per row, repartitioned so each inverted list is
+    * co-located. Persist (or write partitioned by `cluster`); queries scan
+    * `nprobe` lists out of k — the classic recall/latency dial.
+    */
+  def ivfIndex(
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame =
+    corpus
+      .withColumn("cluster", nearestCentroid(col(vecCol), centroids))
+      .repartition(col("cluster"))
+
+  /** IVF top-k: rank centroids by dot with the query (driver-side, k*dim
+    * flops), scan the nprobe best inverted lists, exact-rescore only those.
+    */
+  def ivfTopK(
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      query: Seq[Float],
+      k: Int,
+      nprobe: Int = 4,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (c.zip(query).map { case (a, b) => a * b.toDouble }.sum, i)
+      }
+      .sortBy(-_._1).take(nprobe).map(_._2)
+    val q = array(query.map(lit(_)): _*)
+    index
+      .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Driver-side signature of a literal query vector — must agree bit-for-bit
     * with [[hyperplaneSignature]] (same plane bit-mix, same fold order).
     */
   def signatureOf(query: Seq[Float], planes: Int): Long = {
-    import graft.functions.HyperplaneSig.{MixA, MixB}
     (0 until planes).map { p =>
       var s = 0.0
       var i = 0
       while (i < query.length) {
-        val sign = if ((((i.toLong * MixA + p.toLong * MixB) >> 17) & 1L) == 0) 1.0 else -1.0
-        s += query(i).toDouble * sign
+        s += query(i).toDouble * graft.functions.ExprKernels.planeSign(i.toLong, p.toLong)
         i += 1
       }
       if (s > 0) 1L << p else 0L

@@ -48,6 +48,24 @@ final case class LogsTable(df: DataFrame) {
   def jsonField(path: String): Column =
     get_json_object(col("data_raw"), "$." + path)
 
+  /** Parse `data_raw` into a native VariantType `data` column — Spark 4's
+    * binary-encoded semi-structured type (SURVEY §1.2 primary JSON
+    * representation). Parse once, then every `variantField` access reads the
+    * binary encoding instead of re-parsing JSON text; Parquet stores Variant
+    * natively (shredding-ready), the long-term analog of the reference's
+    * jsonb_path_ops GIN indexes (reference: migration:37).
+    */
+  def withVariantPayload(): LogsTable =
+    LogsTable(df.withColumn("data", parse_json(col("data_raw"))))
+
+  /** `data->>'path'` over the Variant column (requires
+    * [[withVariantPayload]]). `targetType` ascribes the result type;
+    * mismatches yield NULL (`try_variant_get`), matching `jsonb_to_record`
+    * NULL semantics (reference: doc/json_tricks.rst:97-99).
+    */
+  def variantField(path: String, targetType: String = "string"): Column =
+    try_variant_get(col("data"), "$." + path, targetType)
+
   /** `jsonb_to_record(data) AS x(col type, ...)` — decompose the payload into
     * typed columns via an ascribed schema (reference: README.rst:90-100;
     * doc/json_tricks.rst:18-26). Missing or type-mismatched fields yield

@@ -1,35 +1,30 @@
 package graft.tools
 
-import graft.functions.{MinHashSignature, SimHash, VectorOps, WordShingles, HyperplaneSig}
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import graft.functions.ExprKernels
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Throwaway diagnostics main for interactive debugging. */
+/** Throwaway diagnostics main for interactive debugging.
+  * Currently: MinHash estimator sanity — over many random set pairs with
+  * known Jaccard J, mean signature agreement must approach J.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      // fail loudly if the generated Java for our Expressions doesn't
-      // compile, instead of silently dropping to interpreted mode
-      .config("spark.sql.codegen.fallback", "false")
-      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val docs = Seq((1L, "the quick brown fox", Array(1.0f, 2.0f, 3.0f)))
-      .toDF("id", "text", "vec")
-    val out = docs.select(
-      WordShingles.word_shingles(col("text"), 2).as("sh"),
-      MinHashSignature.minhash_signature(
-        WordShingles.word_shingles(col("text"), 2), 8).as("mh"),
-      SimHash.simhash64(split(col("text"), " ")).as("simhash"),
-      VectorOps.vector_dot(col("vec"), col("vec")).as("dot"),
-      VectorOps.vector_norm(col("vec")).as("norm"),
-      HyperplaneSig.hyperplane_sig(col("vec"), 4).as("sig"))
-    out.collect().foreach(println)
-    println("CODEGEN_OK")
-    spark.stop()
+    val k = 16
+    def sig(items: Seq[String]): Seq[Long] = {
+      val arr = new GenericArrayData(
+        items.map(UTF8String.fromString).toArray.asInstanceOf[Array[Any]])
+      ExprKernels.minhash(arr, k).toLongArray().toSeq
+    }
+    var totalAgree = 0.0
+    val trials = 500
+    (0 until trials).foreach { t =>
+      val base = (0 until 10).map(i => s"tok${t}_$i")
+      val a = base.take(8)
+      val b = base.drop(2) // overlap 6, union 10 -> J = 0.6
+      val (sa, sb) = (sig(a), sig(b))
+      totalAgree += sa.zip(sb).count { case (x, y) => x == y } / k.toDouble
+    }
+    println(f"mean agreement ${totalAgree / trials}%.4f vs true J 0.6000")
   }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Measures ANN quality on the driver's real embeddings table: recall@10 of
+  * the LSH-bucketed index (multi-probe, planes=4 -> scans 5/16 of the
+  * corpus) against the exact brute-force top-10, averaged over queries.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  test("lshTopK recall@10 vs brute force on sf0.001 embeddings") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val planes = 4
+    val index = Similarity.bucketedIndex(emb, planes).persist()
+    val queryIds = Seq(0L, 17L, 93L, 211L, 404L)
+    val recalls = queryIds.map { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val rest = col("vec_id") =!= qid
+      val exact = Similarity.bruteForceTopK(emb.filter(rest), q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = Similarity.lshTopK(index.filter(rest), q, 10, planes)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@10 over ${queryIds.size} queries: $mean%.2f (per-query: ${recalls.mkString(", ")})")
+    // multi-probe at planes=4 scans ~5/16 of the corpus; recall must beat
+    // that scan fraction by a wide margin to be worth calling an index
+    assert(mean >= 0.5, f"mean recall $mean%.2f below 0.5")
+    index.unpersist()
+  }
+
+  test("ivfTopK recall@10 vs brute force on sf0.001 embeddings") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+    val index = Similarity.ivfIndex(emb, centroids).persist()
+    val queryIds = Seq(0L, 17L, 93L, 211L, 404L)
+    val recalls = queryIds.map { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val rest = col("vec_id") =!= qid
+      val exact = Similarity.bruteForceTopK(emb.filter(rest), q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfTopK(index.filter(rest), centroids, q, 10, nprobe = 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@10 (nprobe=4/16): $mean%.2f (per-query: ${recalls.mkString(", ")})")
+    assert(mean >= 0.6, f"IVF mean recall $mean%.2f below 0.6")
+    index.unpersist()
+  }
+}
