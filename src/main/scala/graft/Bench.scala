@@ -24,6 +24,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // dedup/similarity operators persist intra-query intermediates
+      // (caller-visible lifecycle, see their scaladoc) — drop them so 39
+      // back-to-back queries don't accumulate cached blocks
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

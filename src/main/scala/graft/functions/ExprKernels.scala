@@ -20,40 +20,31 @@ object ExprKernels {
 
   // ------------------------------------------------------------ vector ops
 
-  def dotFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-    acc
-  }
-
-  def dotDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    acc
-  }
-
-  /** Mixed float/double sides (e.g. a FLOAT column against DOUBLE literal
-    * centroids) — per-side accessor chosen by flag.
+  /** Inner product in double precision; per-side element type by flag
+    * (e.g. a FLOAT column against DOUBLE literal centroids). Returns null
+    * (boxed) on length mismatch or any null element — matching the NULL
+    * propagation of the zip_with+aggregate form it replaces, so a corrupt
+    * truncated embedding can never rank with a plausible partial score.
     */
-  def dotMixed(a: ArrayData, aIsFloat: Boolean, b: ArrayData, bIsFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dot(a: ArrayData, aIsFloat: Boolean, b: ArrayData, bIsFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
-  def normFloat(a: ArrayData): Double = math.sqrt(dotFloat(a, a))
-  def normDouble(a: ArrayData): Double = math.sqrt(dotDouble(a, a))
+  def norm(a: ArrayData, isFloat: Boolean): java.lang.Double = {
+    val d = dot(a, isFloat, a, isFloat)
+    if (d == null) null else java.lang.Double.valueOf(math.sqrt(d.doubleValue()))
+  }
 
   // -------------------------------------------------------------- shingles
 
@@ -61,7 +52,10 @@ object ExprKernels {
     * each n-window with single spaces; < n tokens -> one all-token shingle.
     */
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toString.trim.toLowerCase.split("\\s+")
+    // Locale.ROOT: default-locale toLowerCase is JVM-dependent (Turkish
+    // dotless-i etc.) — executors with different locales would shingle the
+    // same document differently
+    val toks = text.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (toks.length < n) {
       out.add(UTF8String.fromString(toks.mkString(" ")))
@@ -179,13 +173,9 @@ object ExprKernels {
     * recall@10 with `(i*A + p*B) >> 17 & 1`). Single source of truth for
     * executor expression AND driver-side [[graft.operators.Similarity.signatureOf]].
     */
-  def planeSign(i: Long, p: Long): Double = {
-    var z = i * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL
-    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
-    z ^= z >>> 27; z *= 0x94D049BB133111EBL
-    z ^= z >>> 31
-    if ((z & 1L) == 0L) 1.0 else -1.0
-  }
+  def planeSign(i: Long, p: Long): Double =
+    if ((mix64(i * 0x9E3779B97F4A7C15L + p * 0xC2B2AE3D27D4EB4FL) & 1L) == 0L) 1.0
+    else -1.0
 
   /** Bit p of the result = sign of dot(v, plane_p); planes are the
     * deterministic [[planeSign]] Rademacher matrix — no stored planes, any

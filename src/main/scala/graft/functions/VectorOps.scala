@@ -21,43 +21,45 @@ case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
+  override def nullable: Boolean = true
   private lazy val lFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
   private lazy val rFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    if (lFloat && rFloat) ExprKernels.dotFloat(x, y)
-    else if (!lFloat && !rFloat) ExprKernels.dotDouble(x, y)
-    else ExprKernels.dotMixed(x, lFloat, y, rFloat)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.dot(a.asInstanceOf[ArrayData], lFloat, b.asInstanceOf[ArrayData], rFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      if (lFloat && rFloat) s"graft.functions.ExprKernels.dotFloat($a, $b)"
-      else if (!lFloat && !rFloat) s"graft.functions.ExprKernels.dotDouble($a, $b)"
-      else s"graft.functions.ExprKernels.dotMixed($a, $lFloat, $b, $rFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_boxed =
+        graft.functions.ExprKernels.dot($a, $lFloat, $b, $rFloat);
+      if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
-/** norm(a) — L2 norm in double precision. */
+/** norm(a) — L2 norm in double precision; null on null elements. */
 case class VectorNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_norm"
+  override def nullable: Boolean = true
   private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  private def kernel: String = if (isFloat) "normFloat" else "normDouble"
 
-  override def nullSafeEval(a: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
-    if (isFloat) ExprKernels.normFloat(arr) else ExprKernels.normDouble(arr)
-  }
+  override def nullSafeEval(a: Any): Any =
+    ExprKernels.norm(a.asInstanceOf[ArrayData], isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.$kernel($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double ${ev.value}_boxed =
+        graft.functions.ExprKernels.norm($c, $isFloat);
+      if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }
+    """)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -70,7 +70,13 @@ object AsofJoin {
         else lit(null).cast(left.schema(c).dataType).as(c))
         ++ Seq(col("_ts"), col("_side"), col("_payload")): _*)
 
-    val w = Window.partitionBy(key: _*).orderBy(col("_ts"), col("_side"))
+    // hash(_payload) as final tiebreaker: right rows sharing (key, ts) would
+    // otherwise be ordered arbitrarily and last() would pick a
+    // run-dependent match; the hash makes the pick stable across runs and
+    // partitionings (still an arbitrary member of the tie, as in any ASOF
+    // implementation, but a deterministic one)
+    val w = Window.partitionBy(key: _*)
+      .orderBy(col("_ts"), col("_side"), xxhash64(col("_payload")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_filled", last(col("_payload"), ignoreNulls = true).over(w))

@@ -53,6 +53,12 @@ object Dedup {
     * LSH bucket join — then a per-bucket self-join whose cost is bounded by
     * bucket skew, not corpus size. Returns (id_a, id_b, est_jaccard) with
     * id_a < id_b.
+    *
+    * Caching note (applies to every pair operator here): the banded/
+    * shingled intermediate is `persist()`ed because both sides of the
+    * self-join consume it; Spark evicts it LRU under pressure, but a
+    * long-lived session running many dedup calls should
+    * `spark.catalog.clearCache()` between them (Bench/Verify do).
     */
   def minhashLsh(
       docs: DataFrame,
@@ -117,14 +123,22 @@ object Dedup {
       .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
-  /** Pigeonhole segments of a simhash for Hamming-distance-k LSH:
+  /** Pigeonhole segments of a 64-bit simhash for Hamming-distance-k LSH:
     * two docs within distance k share at least one of k+1 segments exactly.
+    * Segments tile the FULL 64 bits (width 64/segments) — a narrower mask
+    * would leave high bits outside every bucket key, letting unrelated
+    * documents (differing only in the unmasked bits) collide in all
+    * segments.
     */
-  def simhashBands(sim: Column, segments: Int = 4): Column =
+  def simhashBands(sim: Column, segments: Int = 4): Column = {
+    require(64 % segments == 0, "segments must divide 64")
+    val width = 64 / segments
+    val mask = if (width == 64) -1L else (1L << width) - 1
     array((0 until segments).map { i =>
       struct(lit(i).as("seg"),
-        sim.bitwiseAND(lit(0xFFL << (i * 8))).as("val"))
+        shiftright(sim, i * width).bitwiseAND(lit(mask)).as("val"))
     }: _*)
+  }
 
   // ------------------------------------------------------- n-gram jaccard
 

@@ -108,10 +108,11 @@ object Similarity {
     * every update (search is cosine, so assignment must rank by angle, not
     * by centroid magnitude). The driver only ever holds k*dim doubles.
     *
-    * Seeding is deterministic and spread: every (n/k)-th row by id —
-    * adjacent-id rows are often correlated, so a strided sample seeds more
-    * diverse clusters than the first k rows (swap for kmeans|| if cluster
-    * quality ever matters more than reproducibility).
+    * Seeding is deterministic and spread, for any id space: pull a 8k-row
+    * pseudo-random sample (smallest xxhash64(id) — reproducible, no
+    * dependence on id density), then greedy farthest-point selection on the
+    * driver picks k maximally-dispersed seeds (k-means++-flavored; the pool
+    * is k*8 vectors, so the quadratic driver step is trivial).
     */
   def kmeansCentroids(
       corpus: DataFrame,
@@ -119,13 +120,13 @@ object Similarity {
       iters: Int = 2,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): Array[Array[Double]] = {
-    val n = corpus.count()
-    val stride = math.max(n / k, 1L)
-    var centroids: Array[Array[Double]] = corpus
-      .filter(pmod(col(idCol), lit(stride)) === 0)
-      .orderBy(col(idCol)).limit(k)
+    val pool: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(k * 8)
       .select(col(vecCol)).collect()
       .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    require(pool.nonEmpty, "kmeansCentroids: empty corpus")
+    var centroids = farthestPoints(pool, math.min(k, pool.length))
     var it = 0
     while (it < iters) {
       val assigned = corpus.withColumn("_c", nearestCentroid(col(vecCol), centroids))
@@ -149,6 +150,21 @@ object Similarity {
     if (nrm == 0) v else v.map(_ / nrm)
   }
 
+  /** Greedy farthest-point selection over unit vectors (cosine metric):
+    * start from the pool head, repeatedly add the candidate whose maximum
+    * similarity to the already-chosen set is smallest.
+    */
+  private def farthestPoints(pool: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+    while (chosen.length < k) {
+      val next = pool.maxBy { c =>
+        -chosen.map(s => c.zip(s).map { case (a, b) => a * b }.sum).max
+      }
+      chosen += next
+    }
+    chosen.toArray
+  }
+
   /** Argmax-dot cluster assignment against literal centroids: an array of
     * (dot, id) structs, array_max picks the best — every dot is the
     * codegen'd [[dot]] kernel, no UDF.
@@ -163,14 +179,26 @@ object Similarity {
   /** IVF index: cluster id per row, repartitioned so each inverted list is
     * co-located. Persist (or write partitioned by `cluster`); queries scan
     * `nprobe` lists out of k — the classic recall/latency dial.
+    *
+    * `replicas` > 1 spills each vector into its top-R closest lists
+    * (multi-assignment): R× index size for a large recall gain at the same
+    * nprobe, because boundary vectors — whose true neighbors straddle two
+    * lists — become reachable from both. Queries must dedupe by id
+    * ([[ivfTopK]] does).
     */
   def ivfIndex(
       corpus: DataFrame,
       centroids: Array[Array[Double]],
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding",
+      replicas: Int = 2): DataFrame = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(col(vecCol), array(c.map(lit(_)): _*)).as("s"), lit(i).as("i"))
+    }: _*)
+    val top = slice(sort_array(scored, asc = false), 1, math.min(replicas, centroids.length))
     corpus
-      .withColumn("cluster", nearestCentroid(col(vecCol), centroids))
+      .withColumn("cluster", explode(transform(top, t => t.getField("i"))))
       .repartition(col("cluster"))
+  }
 
   /** IVF top-k: rank centroids by dot with the query (driver-side, k*dim
     * flops), scan the nprobe best inverted lists, exact-rescore only those.
@@ -191,7 +219,10 @@ object Similarity {
     val q = array(query.map(lit(_)): _*)
     index
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+      // multi-assignment replicas: the same id can surface from several
+      // probed lists — dedupe before ranking
       .select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .dropDuplicates(idCol)
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Random row salt in [0, n). Correctness never depends on WHICH salt a
-    * row gets (each salted group is merged in phase 2 / joined against a
-    * full replica set), so `rand` is safe under task retries.
+  /** Deterministic row salt in [0, n): hash of the full row content.
+    * A `rand`-based salt is NOT retry-safe — if a map task re-executes
+    * after some reducers already fetched its output, rows re-assigned to
+    * different salts get double-counted or lost (the SPARK-23207 hazard
+    * class). A content hash re-derives the same salt on every attempt.
+    * Degenerate case: bit-identical duplicate rows of a hot key all land
+    * on one salt bucket — acceptable (identical rows carry no per-row
+    * variance to spread; dedupe first if that pattern dominates).
     */
-  private def salt(n: Int): Column = (rand(42) * n).cast("int")
+  private def salt(df: DataFrame, n: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(n)).cast("int")
 
   /** Two-phase salted sum/count: phase 1 aggregates (key, salt) — spreading
     * a hot key over n reducers — phase 2 merges the partials per key.
@@ -31,7 +37,7 @@ object Skew {
       valueCol: String,
       buckets: Int = 16): DataFrame = {
     val keys = keyCols.map(col)
-    df.withColumn("_salt", salt(buckets))
+    df.withColumn("_salt", salt(df, buckets))
       .groupBy(keys :+ col("_salt"): _*)
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(keys: _*)
@@ -52,7 +58,7 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       "salted join supports inner/left only")
-    val b = big.withColumn("_salt", salt(buckets))
+    val b = big.withColumn("_salt", salt(big, buckets))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     b.join(r, keyCols :+ "_salt", joinType).drop("_salt")

@@ -4,6 +4,19 @@ import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
+
+  test("dot/norm propagate NULL for length-mismatched or null-element arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit}
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val mismatch = df.select(Similarity.dot($"a", $"b")).collect()(0)
+    assert(mismatch.isNullAt(0), "length mismatch must yield NULL, not a partial dot")
+    val withNullElem = spark.sql("SELECT array(1.0D, NULL) AS v")
+    assert(withNullElem.select(Similarity.norm(org.apache.spark.sql.functions.col("v")))
+      .collect()(0).isNullAt(0))
+    val ok = df.select(Similarity.dot($"a", array(lit(2.0f), lit(0.5f)))).collect()(0)
+    assert(ok.getDouble(0) == 3.0)
+  }
   import spark.implicits._
 
   test("dot / norm / cosine kernels") {
