@@ -53,4 +53,32 @@ class StreamIngestSpec extends SparkSpec {
     assert(dead.select("reason").as[String].collect().toSet ==
       Set("malformed_json", "missing_created"))
   }
+
+  test("checkpointed restart resumes without loss or duplication") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-restart").toString
+    val store = new LogStore(s"$root/store")
+    val stream = MemoryStream[String]
+    val batch1 = (1 to 10).map(i => record(s"pre-$i"))
+    val q1 = StreamIngest.start(stream.toDF(), store, s"$root/ckpt")
+    try {
+      stream.addData(batch1)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // same checkpoint, new query instance — the recovery path the
+    // reference approximates with retained-batch retry (write.py:80-84)
+    val batch2 = (1 to 10).map(i => record(s"post-$i"))
+    val q2 = StreamIngest.start(stream.toDF(), store, s"$root/ckpt")
+    try {
+      stream.addData(batch2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val messages = store.read(spark, "logs")
+      .select("message").as[String].collect().toSeq
+    assert(messages.length == 20, s"expected 20, got ${messages.length}")
+    assert(messages.toSet == ((1 to 10).map(i => s"pre-$i") ++
+      (1 to 10).map(i => s"post-$i")).toSet)
+  }
 }
