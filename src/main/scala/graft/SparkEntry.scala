@@ -549,6 +549,8 @@ object SparkEntry {
         "round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> list_contains(" + duckStopwords + ", t))) AS DOUBLE) / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 4) AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
 
+    "q18_lang_id" -> langIdOracleSql,
+
     "q19_fingerprint" -> null, // rolling hash not DuckDB-expressible; rows-only
     "q23_knn_brute" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
@@ -614,4 +616,23 @@ object SparkEntry {
 
   private def duckStopwords: String =
     TextAnalysis.DefaultStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB replica of [[TextAnalysis.langId]], generated from the same
+    * LangProfiles so the two can't drift: per-language distinct-token hit
+    * counts, argmax with the exact tie-break Spark's array_max over
+    * struct(hits, lang) applies (greatest hits, then lexicographically
+    * greatest language code), 'und' on zero hits.
+    */
+  private def langIdOracleSql: String = {
+    val toks = "list_distinct(regexp_split_to_array(lower(trim(text)), '[\\s[:punct:]]+'))"
+    val hitExprs = TextAnalysis.LangProfiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($toks, t -> list_contains($list, t))) AS h_$lang"
+    }
+    val langsDesc = TextAnalysis.LangProfiles.map(_._1).sorted.reverse
+    val g = langsDesc.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val cases = langsDesc.map(l => s"WHEN h_$l = $g THEN '$l'").mkString(" ")
+    s"SELECT doc_id, CASE WHEN $g = 0 THEN 'und' $cases END AS lang_pred " +
+      s"FROM (SELECT doc_id, ${hitExprs.mkString(", ")} FROM documents) ORDER BY doc_id"
+  }
 }
