@@ -376,6 +376,31 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first)
     }),
 
+    "q40_cube" -> ((s, dir) => {
+      // full cube over (event_type, month): all 4 grouping combinations in
+      // one pass — partial aggregation keeps the shuffle at group
+      // cardinality x 4, not row count x 4
+      Tables(s, dir, "events")
+        .cube(col("event_type"), month(col("ts")).as("mon"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("mon").asc_nulls_first)
+    }),
+
+    "q41_union_all" -> ((s, dir) => {
+      // UNION ALL of two disjoint slices then re-aggregate (the classic
+      // "combine backfill + live" shape); unionByName is a zero-shuffle
+      // concatenation of lineages
+      val ev = Tables(s, dir, "events")
+      val a = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("value"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"))
+      a.unionByName(b)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- percentiles ----
 
     "q34_percentile" -> ((s, dir) => {
@@ -611,7 +636,19 @@ object SparkEntry {
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n " +
         "FROM events GROUP BY 1, 2) " +
         "SELECT day, count(*) AS active_users, sum(n) AS total_events FROM daily " +
-        "WHERE n > (SELECT avg(n) FROM daily) GROUP BY day ORDER BY day")
+        "WHERE n > (SELECT avg(n) FROM daily) GROUP BY day ORDER BY day"),
+
+    "q40_cube" ->
+      ("SELECT event_type, CAST(month(ts) AS INTEGER) AS mon, count(*) AS n FROM events " +
+        "GROUP BY CUBE(event_type, CAST(month(ts) AS INTEGER)) " +
+        "ORDER BY event_type NULLS FIRST, mon NULLS FIRST"),
+
+    "q41_union_all" ->
+      ("SELECT user_id, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
+        "SELECT user_id, value FROM events WHERE event_type = 'error' " +
+        "UNION ALL SELECT user_id, value FROM events WHERE event_type = 'purchase') " +
+        "GROUP BY user_id ORDER BY user_id")
   ).filter(_._2 != null)
 
   private def duckStopwords: String =
