@@ -21,19 +21,27 @@ object Bench {
     // Warm the session (codegen, file listing, scheduler) so per-query
     // timings measure the queries, not JVM startup.
     Tables(spark, sfDir, "lineitem").count()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+          failed += name
+          false
+      }
       // dedup/similarity operators persist intra-query intermediates
-      // (caller-visible lifecycle, see their scaladoc) — drop them so 39
+      // (caller-visible lifecycle, see their scaladoc) — drop them so 40+
       // back-to-back queries don't accumulate cached blocks
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      // a broken query must not masquerade as a fast one: -1 sentinel
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -590,7 +590,10 @@ object SparkEntry {
 
     "q29_asof_join" ->
       ("SELECT user_id, count(*) AS n_clicks, count(asof_ts) AS n_matched, " +
-        "sum(epoch_us(ts) - epoch_us(asof_ts)) AS lag_us_total, " +
+        // CAST to BIGINT: DuckDB sums BIGINT into HUGEINT, which pandas/arrow
+        // render as float64 ("5.0") and the driver's value hash then differs
+        // from Spark's int64 — r1's only q29/q38 mismatches were exactly this
+        "CAST(sum(epoch_us(ts) - epoch_us(asof_ts)) AS BIGINT) AS lag_us_total, " +
         "CAST(sum(CAST(asof_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_err_value " +
         "FROM (SELECT a.user_id, a.ts, b.ts AS asof_ts, b.value AS asof_value " +
         "FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') a " +
@@ -635,7 +638,7 @@ object SparkEntry {
     "q38_sql_cte" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n " +
         "FROM events GROUP BY 1, 2) " +
-        "SELECT day, count(*) AS active_users, sum(n) AS total_events FROM daily " +
+        "SELECT day, count(*) AS active_users, CAST(sum(n) AS BIGINT) AS total_events FROM daily " +
         "WHERE n > (SELECT avg(n) FROM daily) GROUP BY day ORDER BY day"),
 
     "q40_cube" ->

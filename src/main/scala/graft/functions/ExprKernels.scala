@@ -49,13 +49,18 @@ object ExprKernels {
   // -------------------------------------------------------------- shingles
 
   /** Distinct word n-gram shingles: lowercase, whitespace tokenize, join
-    * each n-window with single spaces; < n tokens -> one all-token shingle.
+    * each n-window with single spaces; < n tokens -> one all-token shingle;
+    * empty/whitespace-only text -> EMPTY array (not [""]) so two unrelated
+    * blank documents don't share a shingle set and surface as perfect
+    * near-duplicates (Jaccard of two empty sets is 0 by the uni===0 guard).
     */
   def shingles(text: UTF8String, n: Int): ArrayData = {
     // Locale.ROOT: default-locale toLowerCase is JVM-dependent (Turkish
     // dotless-i etc.) — executors with different locales would shingle the
     // same document differently
-    val toks = text.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val trimmed = text.toString.trim
+    if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (toks.length < n) {
       out.add(UTF8String.fromString(toks.mkString(" ")))
@@ -179,9 +184,11 @@ object ExprKernels {
 
   /** Bit p of the result = sign of dot(v, plane_p); planes are the
     * deterministic [[planeSign]] Rademacher matrix — no stored planes, any
-    * executor recomputes them.
+    * executor recomputes them. Null (boxed) on any null element — same
+    * NULL-propagation discipline as [[dot]]/[[norm]]: a corrupt vector gets
+    * no bucket at all rather than an arbitrary silent one.
     */
-  def hyperplaneSig(arr: ArrayData, planes: Int, isFloat: Boolean): Long = {
+  def hyperplaneSig(arr: ArrayData, planes: Int, isFloat: Boolean): java.lang.Long = {
     val n = arr.numElements()
     var sig = 0L
     var p = 0
@@ -189,6 +196,7 @@ object ExprKernels {
       var s = 0.0
       var i = 0
       while (i < n) {
+        if (arr.isNullAt(i)) return null
         val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
         s += x * planeSign(i.toLong, p.toLong)
         i += 1
@@ -196,6 +204,6 @@ object ExprKernels {
       if (s > 0) sig |= (1L << p)
       p += 1
     }
-    sig
+    java.lang.Long.valueOf(sig)
   }
 }

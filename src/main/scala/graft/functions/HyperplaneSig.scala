@@ -20,6 +20,7 @@ case class HyperplaneSig(child: Expression, planes: Int)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
+  override def nullable: Boolean = true
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -27,8 +28,12 @@ case class HyperplaneSig(child: Expression, planes: Int)
     ExprKernels.hyperplaneSig(input.asInstanceOf[ArrayData], planes, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.ExprKernels.hyperplaneSig($c, $planes, $isFloat)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_boxed =
+        graft.functions.ExprKernels.hyperplaneSig($c, $planes, $isFloat);
+      if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_boxed.longValue(); }
+    """)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

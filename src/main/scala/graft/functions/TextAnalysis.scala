@@ -62,7 +62,8 @@ object TextAnalysis {
 
   /** Language ID via stopword-hit voting: for each candidate language,
     * count how many of its top function words appear as tokens; pick the
-    * argmax (ties -> lexicographically first, 'und' if no hits).
+    * argmax (ties -> lexicographically GREATEST language code, the order
+    * array_max over struct(hits, lang) induces; 'und' if no hits).
     *
     * An n-gram/function-word heuristic in pure Spark SQL expressions —
     * per-row, no shuffle, no UDF. Precision is what a 40-word-per-language

@@ -71,7 +71,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
+    // blank/whitespace-only docs have an EMPTY shingle set (Jaccard 0 vs
+    // everything, including each other) — exclude them up front; their
+    // all-sentinel minhash signatures would otherwise collide in every band
+    // and report unrelated blank docs as perfect near-duplicates
     val sigs = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
 

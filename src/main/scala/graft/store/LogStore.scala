@@ -28,6 +28,27 @@ final class LogStore(root: String) {
     partitioned.parquet(path(table))
   }
 
+  /** Idempotent per-epoch write for streaming `foreachBatch`: rows land in
+    * `batch_id=<epoch>` partitions written with DYNAMIC partition overwrite,
+    * so a retried epoch (checkpoint replay after a mid-batch failure)
+    * REPLACES its own partitions instead of appending duplicates. Appends
+    * from other epochs are untouched — the observable result is
+    * exactly-once into the file sink (reference's retained-batch retry is
+    * at-least-once: venus/db/write.py:80-84).
+    */
+  def appendIdempotent(table: String, df: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val parts =
+      if (df.columns.contains("date")) Seq("date", "batch_id") else Seq("batch_id")
+    df.withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("parquet.bloom.filter.enabled#correlation_id", "true")
+      .partitionBy(parts: _*)
+      .parquet(path(table))
+  }
+
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(path(table))
 }

@@ -15,7 +15,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    -> `Trigger.ProcessingTime(maxBatchAgeSeconds)`; per-trigger size caps
   *    are source options (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`).
   *  - at-least-once retained-batch retry (reference: write.py:80-84)
-  *    -> checkpointed exactly-once-into-file-sink (strictly stronger).
+  *    -> checkpointed + IDEMPOTENT epoch writes: each batch lands in its own
+  *    `batch_id=<epoch>` partitions via dynamic partition overwrite
+  *    ([[LogStore.appendIdempotent]]), so a replayed epoch overwrites itself
+  *    instead of re-appending — observably exactly-once into the file sink
+  *    (strictly stronger than the reference).
   *  - dead-letter of malformed records (reference: write.py:34-36)
   *    -> side output via [[IngestTransform.deadLetter]] in the same batch.
   *  - graceful-shutdown final flush (reference: write.py:60-62)
@@ -42,12 +46,15 @@ object StreamIngest {
     raw.writeStream
       .trigger(Trigger.ProcessingTime(s"${config.maxBatchAgeSeconds} seconds"))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
         try {
-          store.append("logs", IngestTransform(cached, config))
+          // epoch-keyed overwrite: if the logs write succeeds and the
+          // dead-letter write fails, the replayed epoch rewrites BOTH
+          // batch_id=<epoch> partition sets in place — no duplicate rows
+          store.appendIdempotent("logs", IngestTransform(cached, config), batchId)
           val dead = IngestTransform.deadLetter(cached)
-          if (!dead.isEmpty) store.append("dead_letter", dead)
+          if (!dead.isEmpty) store.appendIdempotent("dead_letter", dead, batchId)
         } finally cached.unpersist()
         ()
       }

@@ -13,11 +13,22 @@ class ShinglesPropSpec extends SparkSpec {
   import spark.implicits._
 
   private def reference(text: String, n: Int): Seq[String] = {
+    if (text.trim.isEmpty) return Seq.empty // blank doc -> empty shingle set
     val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
     val all =
       if (toks.length < n) Seq(toks.mkString(" "))
       else toks.sliding(n).map(_.mkString(" ")).toSeq
     all.distinct
+  }
+
+  test("blank and whitespace-only text shingle to the empty set") {
+    for (t <- Seq("", "   ", "\t\n ")) {
+      for (n <- Seq(1, 3)) {
+        val got = spark.range(1)
+          .select(Dedup.shingles(lit(t), n)).as[Seq[String]].head()
+        assert(got == Seq.empty, s"n=$n text=${t.replace("\n", "\\n")}")
+      }
+    }
   }
 
   private val wordGen = Gen.oneOf(

@@ -17,6 +17,17 @@ class SimilaritySpec extends SparkSpec {
     val ok = df.select(Similarity.dot($"a", array(lit(2.0f), lit(0.5f)))).collect()(0)
     assert(ok.getDouble(0) == 3.0)
   }
+
+  test("hyperplane signature propagates NULL for null-element vectors") {
+    // same discipline as dot/norm: a corrupt vector gets NO bucket, not an
+    // arbitrary silent one (ADVICE r1)
+    val withNullElem = spark.sql("SELECT array(1.0D, NULL) AS v")
+    assert(withNullElem.select(Similarity.hyperplaneSignature(col("v"), 4))
+      .collect()(0).isNullAt(0))
+    val clean = spark.sql("SELECT array(1.0D, 2.0D) AS v")
+    assert(!clean.select(Similarity.hyperplaneSignature(col("v"), 4))
+      .collect()(0).isNullAt(0))
+  }
   import spark.implicits._
 
   test("dot / norm / cosine kernels") {

@@ -81,4 +81,22 @@ class StreamIngestSpec extends SparkSpec {
     assert(messages.toSet == ((1 to 10).map(i => s"pre-$i") ++
       (1 to 10).map(i => s"post-$i")).toSet)
   }
+
+  test("replayed epoch overwrites itself — exactly-once into the file sink") {
+    // simulate the failure mode from ADVICE r1: logs append succeeds, the
+    // dead-letter append fails, the epoch re-runs. With epoch-keyed dynamic
+    // partition overwrite the second run must REPLACE the first run's rows.
+    val root = Files.createTempDirectory("graft-idem").toString
+    val store = new LogStore(s"$root/store")
+    val df = Seq(("a", "2024-01-01"), ("b", "2024-01-02"))
+      .toDF("message", "date")
+    store.appendIdempotent("logs", df, batchId = 7L)
+    store.appendIdempotent("logs", df, batchId = 7L) // the retry
+    store.appendIdempotent("logs", df.filter($"message" === "a"), batchId = 8L)
+
+    val got = store.read(spark, "logs")
+      .select("message", "batch_id")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(got == Seq(("a", 7L), ("a", 8L), ("b", 7L)), got.toString)
+  }
 }
