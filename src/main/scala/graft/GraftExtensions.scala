@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+/** SQL surface for the custom Catalyst expressions: every graft Expression
+  * becomes a SQL function, so `spark.sql("SELECT word_shingles(text, 3) ...")`
+  * works exactly like the Column API — the reference's whole query surface is
+  * SQL (reference: README.rst:84-103, doc/metabase-instructions.rst), so SQL
+  * parity for our additions is part of capability parity.
+  *
+  * Two registration paths, same builders:
+  *  - build-time: `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  *    or `.withExtensions(new GraftExtensions)` on the session builder;
+  *  - runtime: [[GraftSqlFunctions.register]] on an already-built session
+  *    (what SparkEntry uses — the driver owns its SparkSession).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSqlFunctions.registrations.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
+        builder))
+    }
+}
+
+object GraftSqlFunctions {
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be an INT literal, got $other")
+  }
+
+  private def litStrings(args: Seq[Expression], fn: String): Seq[String] =
+    args.map {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: arguments must be STRING literals, got $other")
+    }
+
+  /** (name, usage, builder) for every exposed function. */
+  val registrations: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("word_shingles",
+      "word_shingles(text, n) - distinct lowercase word n-gram shingles",
+      (args: Seq[Expression]) => WordShingles(args(0), litInt(args(1), "word_shingles"))),
+    ("minhash_signature",
+      "minhash_signature(shingles, k) - k-element MinHash signature",
+      (args: Seq[Expression]) => MinHashSignature(args(0), litInt(args(1), "minhash_signature"))),
+    ("simhash64",
+      "simhash64(tokens) - 64-bit SimHash of a token array",
+      (args: Seq[Expression]) => SimHash(args(0))),
+    ("vector_dot",
+      "vector_dot(a, b) - inner product of float/double arrays (NULL-safe)",
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+    ("vector_norm",
+      "vector_norm(a) - L2 norm of a float/double array (NULL-safe)",
+      (args: Seq[Expression]) => VectorNorm(args(0))),
+    ("hyperplane_sig",
+      "hyperplane_sig(v, planes) - random-hyperplane LSH signature bits",
+      (args: Seq[Expression]) => HyperplaneSig(args(0), litInt(args(1), "hyperplane_sig"))),
+    ("json_drop_keys",
+      "json_drop_keys(json, k1, k2, ...) - remove top-level keys from a JSON object",
+      (args: Seq[Expression]) => JsonDropKeys(args.head, litStrings(args.tail, "json_drop_keys")))
+  )
+
+  /** Runtime registration on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, _, builder) =>
+      GraftBridge.registerTempFunction(spark, name, builder)
+    }
+}

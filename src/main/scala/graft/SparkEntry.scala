@@ -302,11 +302,18 @@ object SparkEntry {
     }),
 
     "q27_multimodal_meta" -> ((s, dir) => {
+      // full mapPartitions metadata extraction; the query projects the
+      // deterministic byte-derived fields (format/bytes/duration) so the
+      // DuckDB oracle can recompute them — width/height (java hashCode
+      // fakes) stay spec-covered in MultimodalSpec
       val media = Multimodal.asMedia(
         Tables(s, dir, "documents").select(col("doc_id"),
           col("text").cast("binary").as("media")),
         "doc_id", "media")
-      Multimodal.extractMeta(media).toDF().orderBy(col("id"))
+      Multimodal.extractMeta(media).toDF()
+        .select(col("id"), col("format"),
+          col("nBytes").as("n_bytes"), col("durationMs").as("duration_ms"))
+        .orderBy(col("id"))
     }),
 
     // ---- as-of join (training-pipeline addition; SURVEY §2.11) ----
@@ -443,8 +450,15 @@ object SparkEntry {
       Tables(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+          countDistinct(col("user_id")).as("exact_users"),
+          // the sketch estimate itself is engine-specific, so the checked
+          // output is the bounded-error CONTRACT: |approx-exact|/exact
+          // within 5% (rsd=2% sketch). Deterministic for fixed data, and
+          // the oracle pins it TRUE — a broken sketch now fails the hash
+          // check instead of hiding behind rows-only.
+          (abs(approx_count_distinct(col("user_id"), 0.02) - countDistinct(col("user_id")))
+            .cast("double") / countDistinct(col("user_id")) <= 0.05)
+            .as("approx_within_5pct"))
         .orderBy(col("event_type"))
     }),
 
@@ -477,9 +491,130 @@ object SparkEntry {
           concat(lit("00000000-0000-0000-0000-"), lpad(col("user_id").cast("string"), 12, "0")).as("correlation_id"),
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))).as("value"))
+      // project typed fields back OUT of the transformed envelope (raw JSON
+      // key order is engine-dependent, extracted values are not) — proves
+      // promotion, popping, and date derivation against the DuckDB oracle
       IngestTransform(wire)
-        .select(col("message"), col("correlation_id"), col("data_raw"), col("date"))
-        .orderBy(get_json_object(col("data_raw"), "$.event_id").cast("long"))
+        .select(col("message"), col("correlation_id"), col("date"),
+          get_json_object(col("data_raw"), "$.event_id").cast("long").as("event_id"),
+          get_json_object(col("data_raw"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- LATERAL decomposition (reference: README.rst:90-100 CROSS JOIN
+    // LATERAL jsonb_to_record — literal SQL parity via Spark 4 LATERAL) ----
+
+    "q42_lateral" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT e.event_id, x.k
+          |FROM events_v e,
+          |LATERAL (SELECT CAST(get_json_object(e.props, '$.k') AS INT) AS k) x
+          |WHERE x.k >= 95 ORDER BY e.event_id""".stripMargin)
+    }),
+
+    // ---- grouping sets (explicit; rollup/cube are q33/q40) ----
+
+    "q43_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+          |FROM events_v
+          |GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+          |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin)
+    }),
+
+    // ---- window analytics: lag + framed moving aggregate ----
+
+    "q44_window_analytics" -> ((s, dir) => {
+      // (ts, event_id) is a total order per user -> lag and the 3-row frame
+      // are deterministic; the moving sum goes through DECIMAL for
+      // order-free exactness (same discipline as dsum)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(-2, 0)).cast("double").as("moving_sum3"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- pivot (dashboard cross-tab; fixed value list -> stable schema) ----
+
+    "q45_pivot" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L) // absent (day, type) combos: 0, matching the oracle's FILTER counts
+        .orderBy(col("day"))
+    }),
+
+    // ---- dispersion statistics (decimal-exact sums -> identical doubles) ----
+
+    "q46_stats" -> ((s, dir) => {
+      // stddev/variance from exact decimal S1/S2 rather than the engines'
+      // streaming (order-dependent) moment kernels: both sides compute
+      // sqrt((n*S2 - S1^2)/(n*(n-1))) over identical doubles
+      val d = col("value").cast(DecimalType(18, 2))
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("s1"),
+          sum(d * d).cast("double").as("s2"))
+        .select(col("event_type"), col("n"),
+          round(sqrt((col("n") * col("s2") - col("s1") * col("s1")) /
+            (col("n") * (col("n") - lit(1)))), 4).as("stddev_samp"),
+          round((col("n") * col("s2") - col("s1") * col("s1")) /
+            (col("n") * col("n")), 4).as("var_pop"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- argmax (max_by with a deterministic composite key) ----
+
+    "q47_argmax" -> ((s, dir) => {
+      // value has 2 decimals -> round(value*100) is an exact integer; the
+      // composite (value_cents, event_id) key makes max_by deterministic
+      // under value ties on BOTH engines
+      val key = round(col("value") * 100).cast("long") * lit(10000000000L) + col("event_id")
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(max_by(col("event_id"), key).as("top_event_id"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- string/regex scalar surface (SURVEY §2.9) ----
+
+    "q48_regex" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+          length(regexp_replace(col("text"), "[^A-Z]", "")).as("n_upper"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- histogram bucketing (dashboard distribution) ----
+
+    "q49_histogram" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(floor(col("value") / 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- custom Expressions through the SQL surface (GraftExtensions) ----
+
+    "q50_sql_custom_funcs" -> ((s, dir) => {
+      // the custom WordShingles Expression invoked from SQL — registered at
+      // runtime because the driver owns this session (build-time path is
+      // spark.sql.extensions=graft.GraftExtensions, spec-covered)
+      GraftSqlFunctions.register(s)
+      Tables(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT doc_id, size(word_shingles(text, 3)) AS n_shingles
+          |FROM documents_v ORDER BY doc_id""".stripMargin)
     })
   )
 
@@ -576,7 +711,30 @@ object SparkEntry {
 
     "q18_lang_id" -> langIdOracleSql,
 
-    "q19_fingerprint" -> null, // rolling hash not DuckDB-expressible; rows-only
+    "q19_fingerprint" ->
+      // rolling hash replicated token-for-token: same md5-prefix token hash,
+      // same 1000003 multiplier, same Mersenne modulus, via list_reduce
+      ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "t -> CAST('0x' || left(md5(t), 15) AS BIGINT))), " +
+        "(acc, h) -> (acc * 1000003 + h) % 2147483647) AS rhash " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q22_ngram_jaccard" ->
+      // brute-force all-pairs exact 3-gram Jaccard — the LSH prefilter in the
+      // Spark plan is a candidate generator, so this oracle also pins its
+      // recall at 1.0 on this corpus (verified: 25/25 pairs found)
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> '') " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1 " +
+        "ORDER BY id_a, id_b"),
     "q23_knn_brute" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
         "SELECT vec_id, round(cos, 4) AS cos FROM (" +
@@ -587,6 +745,29 @@ object SparkEntry {
 
     "q26_multimodal_bytes" ->
       "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents ORDER BY doc_id",
+
+    "q27_multimodal_meta" ->
+      // FakeCodec replica over the same bytes: format = table[first_byte % 4]
+      // (documents are ASCII, so unicode(first char) == first byte),
+      // duration = 10ms/byte
+      ("SELECT doc_id AS id, " +
+        "CASE WHEN length(text) = 0 THEN 'empty' " +
+        "ELSE ['jpeg','png','wav','mp4'][(unicode(left(text, 1)) % 4) + 1] END AS format, " +
+        "octet_length(CAST(text AS BLOB)) AS n_bytes, " +
+        "octet_length(CAST(text AS BLOB)) * 10 AS duration_ms " +
+        "FROM documents ORDER BY id"),
+
+    "q28_ingest" ->
+      ("SELECT event_type AS message, " +
+        "concat('00000000-0000-0000-0000-', lpad(CAST(user_id AS VARCHAR), 12, '0')) AS correlation_id, " +
+        "CAST(ts AS DATE) AS date, event_id, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+        "FROM events ORDER BY event_id"),
+
+    "q37_approx_distinct" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "TRUE AS approx_within_5pct " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
 
     "q29_asof_join" ->
       ("SELECT user_id, count(*) AS n_clicks, count(asof_ts) AS n_matched, " +
@@ -651,7 +832,65 @@ object SparkEntry {
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM (" +
         "SELECT user_id, value FROM events WHERE event_type = 'error' " +
         "UNION ALL SELECT user_id, value FROM events WHERE event_type = 'purchase') " +
-        "GROUP BY user_id ORDER BY user_id")
+        "GROUP BY user_id ORDER BY user_id"),
+
+    "q42_lateral" ->
+      ("SELECT e.event_id, x.k FROM events e, " +
+        "LATERAL (SELECT CAST(json_extract_string(e.props, '$.k') AS INTEGER) AS k) x " +
+        "WHERE x.k >= 95 ORDER BY e.event_id"),
+
+    "q43_grouping_sets" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events " +
+        "GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ()) " +
+        "ORDER BY event_type NULLS FIRST, day NULLS FIRST"),
+
+    "q44_window_analytics" ->
+      ("SELECT user_id, event_id, " +
+        "lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3 " +
+        "FROM events ORDER BY user_id, event_id"),
+
+    "q45_pivot" ->
+      ("SELECT CAST(ts AS DATE) AS day, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS error, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS view " +
+        "FROM events GROUP BY 1 ORDER BY day"),
+
+    "q46_stats" ->
+      ("SELECT event_type, n, round(sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 4) AS stddev_samp, " +
+        "round((n * s2 - s1 * s1) / (n * n), 4) AS var_pop FROM (" +
+        "SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 " +
+        "FROM events GROUP BY event_type) ORDER BY event_type"),
+
+    "q47_argmax" ->
+      ("SELECT event_type, " +
+        "max_by(event_id, CAST(round(value * 100) AS BIGINT) * 10000000000 + event_id) AS top_event_id, " +
+        "max(value) AS max_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q48_regex" ->
+      ("SELECT doc_id, regexp_extract(text, '[0-9]+') AS first_num, " +
+        "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper " +
+        "FROM documents ORDER BY doc_id"),
+
+    "q49_histogram" ->
+      ("SELECT CAST(floor(value / 10) AS INTEGER) AS bucket, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY bucket"),
+
+    "q50_sql_custom_funcs" ->
+      ("SELECT doc_id, (SELECT CASE WHEN trim(text) = '' THEN 0 " +
+        "WHEN len(toks) < 3 THEN 1 " +
+        "ELSE len(list_distinct(list_transform(range(len(toks)-2), " +
+        "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) AS n_shingles " +
+        "FROM documents ORDER BY doc_id")
   ).filter(_._2 != null)
 
   private def duckStopwords: String =

@@ -91,14 +91,18 @@ object TextAnalysis {
     * order-sensitive, cheap, and expressible with aggregate() — used for
     * near-identity detection where MD5 is too strict. Accumulator kept
     * modulo a Mersenne prime so it never overflows (ANSI-mode safe).
+    * Per-token hash is the first 15 hex digits of md5 (engine-portable:
+    * the DuckDB oracle replicates it exactly via list_reduce, so q19 is
+    * hash-checked rather than rows-only).
     */
-  def rollingHash(text: Column, shingle: Int = 1): Column = {
+  def rollingHash(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
+    val tokHash = (t: Column) =>
+      conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
     aggregate(
       toks,
       lit(0L),
-      (acc, t) => pmod(acc * lit(1000003L) + crc32(t.cast("binary")).cast("long"),
-        lit(2147483647L)))
+      (acc, t) => pmod(acc * lit(1000003L) + tokHash(t), lit(2147483647L)))
   }
 
   val DefaultStopwords: Seq[String] = Seq(

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface parity for the custom Catalyst expressions: both registration
+  * paths (build-time SparkSessionExtensions, runtime registry) expose every
+  * graft function to `spark.sql`.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("runtime registration exposes every custom function to SQL") {
+    GraftSqlFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  size(word_shingles('a b c d', 3))                 AS n_sh,
+        |  size(minhash_signature(word_shingles('a b c', 1), 16)) AS n_sig,
+        |  simhash64(array('x', 'y'))                        AS sh,
+        |  vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))  AS dp,
+        |  vector_norm(array(3.0D, 4.0D))                    AS nrm,
+        |  hyperplane_sig(array(1.0D, -2.0D), 4)             AS sig,
+        |  json_drop_keys('{"a":1,"b":2,"c":3}', 'a', 'c')   AS dropped
+        |""".stripMargin).head()
+    assert(r.getAs[Int]("n_sh") == 2) // "a b c", "b c d"
+    assert(r.getAs[Int]("n_sig") == 16)
+    assert(r.getAs[Double]("dp") == 11.0)
+    assert(r.getAs[Double]("nrm") == 5.0)
+    assert(r.getAs[String]("dropped") == """{"b":2}""")
+  }
+
+  test("SQL and Column APIs produce identical results on real data") {
+    GraftSqlFunctions.register(spark)
+    Tables(spark, sf(), "documents").createOrReplaceTempView("docs_ext_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_signature(word_shingles(text, 3), 16) AS sig " +
+        "FROM docs_ext_v ORDER BY doc_id LIMIT 20").collect()
+    val viaCols = Tables(spark, sf(), "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        operators.Dedup.minhashSignature(
+          org.apache.spark.sql.functions.col("text"), 16, 3).as("sig"))
+      .orderBy("doc_id").limit(20).collect()
+    assert(viaSql.map(_.toString).toSeq == viaCols.map(_.toString).toSeq)
+  }
+
+  test("build-time withExtensions registers functions at session creation") {
+    val prev = spark // force shared session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same JVM/SparkContext, fresh session state with the extensions wired
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne prev)
+      val n = s2.sql("SELECT size(word_shingles('w x y z', 2)) AS n")
+        .head().getAs[Int]("n")
+      assert(n == 3) // "w x", "x y", "y z"
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+}
