@@ -604,6 +604,15 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- simhash Hamming-distance near-dup (pigeonhole LSH) ----
+
+    "q51_simhash_neardup" -> ((s, dir) => {
+      // guaranteed-recall distance<=3 pairs: 4 segment buckets (pigeonhole),
+      // popcount verify — no pairwise pass (see Dedup.simhashNearDup)
+      Dedup.simhashNearDup(Tables(s, dir, "documents"), k = 3, segments = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- custom Expressions through the SQL surface (GraftExtensions) ----
 
     "q50_sql_custom_funcs" -> ((s, dir) => {

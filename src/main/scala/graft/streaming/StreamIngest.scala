@@ -60,4 +60,28 @@ object StreamIngest {
       }
       .start()
   }
+
+  /** Streaming ingest for the `metric` table (reference's second hypertable,
+    * migration:66-78) — same trigger/checkpoint/idempotence contract as
+    * [[start]], leaner envelope ([[graft.ingest.MetricIngest]]).
+    */
+  def startMetric(
+      raw: DataFrame,
+      store: LogStore,
+      checkpoint: String,
+      config: IngestConfig = IngestConfig()): StreamingQuery = {
+    raw.writeStream
+      .trigger(Trigger.ProcessingTime(s"${config.maxBatchAgeSeconds} seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try {
+          store.appendIdempotent("metric", graft.ingest.MetricIngest(cached), batchId)
+          val dead = IngestTransform.deadLetter(cached)
+          if (!dead.isEmpty) store.appendIdempotent("dead_letter", dead, batchId)
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+  }
 }

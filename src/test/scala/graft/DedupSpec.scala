@@ -62,6 +62,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L))) // only exact-normalized dups at >=0.99
   }
 
+  test("simhashNearDup == brute-force pairs within Hamming k (pigeonhole recall)") {
+    // guaranteed-recall property: with segments >= k+1, the segment
+    // equi-join must surface EVERY pair within distance k
+    val sims = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .as[(Long, Long)].collect()
+    for (k <- Seq(0, 3, 15)) {
+      val want = (for {
+        (ia, ha) <- sims; (ib, hb) <- sims if ia < ib
+        if java.lang.Long.bitCount(ha ^ hb) <= k
+      } yield (ia, ib)).toSet
+      val got = Dedup.simhashNearDup(docs, k = k, segments = k + 1)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"k=$k")
+    }
+  }
+
   test("embeddingNearDup finds planted duplicate vectors via LSH buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

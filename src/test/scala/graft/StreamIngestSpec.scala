@@ -82,6 +82,35 @@ class StreamIngestSpec extends SparkSpec {
       (1 to 10).map(i => s"post-$i")).toSet)
   }
 
+  test("metric stream ingests and supports dashboard time-bucket aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-metric").toString
+    val store = new LogStore(s"$root/store")
+    val stream = MemoryStream[String]
+    val q = StreamIngest.startMetric(stream.toDF(), store, s"$root/ckpt")
+    try {
+      // metric wire shape: created + free-form numeric payload
+      // (reference: metric table, migration:66-78)
+      stream.addData((1 to 30).map(i =>
+        s"""{"created":${1700000000 + i * 60},"cpu":${i % 10},"host":"h${i % 3}"}"""))
+      stream.addData(Seq("{broken"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val metric = store.read(spark, "metric")
+    assert(metric.count() == 30)
+    assert(metric.columns.toSet.contains("data_raw"))
+    // created popped from the payload, like logs promotion
+    assert(!metric.head().getAs[String]("data_raw").contains("created"))
+    // the Metabase-style line chart: avg cpu per 10-minute bucket
+    val series = metric
+      .groupBy(window(col("time"), "10 minutes"))
+      .agg(avg(get_json_object(col("data_raw"), "$.cpu").cast("double")).as("avg_cpu"))
+    assert(series.count() == 4) // 30 minutes of data at 60s spacing -> 4 buckets
+    assert(store.read(spark, "dead_letter").count() == 1)
+  }
+
   test("replayed epoch overwrites itself — exactly-once into the file sink") {
     // simulate the failure mode from ADVICE r1: logs append succeeds, the
     // dead-letter append fails, the epoch re-runs. With epoch-keyed dynamic
