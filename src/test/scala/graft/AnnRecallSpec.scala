@@ -49,7 +49,9 @@ class AnnRecallSpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     info(f"IVF mean recall@10 (nprobe=4/16): $mean%.2f (per-query: ${recalls.mkString(", ")})")
-    assert(mean >= 0.6, f"IVF mean recall $mean%.2f below 0.6")
+    // 3-way multi-assignment measured at 0.84 here (RecallSweep); the
+    // floor leaves slack for centroid drift, not for regressions to R=2
+    assert(mean >= 0.7, f"IVF mean recall $mean%.2f below 0.7")
     index.unpersist()
   }
 }
