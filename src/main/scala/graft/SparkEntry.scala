@@ -75,6 +75,27 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q52_dynamic_widen" -> ((s, dir) => {
+      // the doc's two-step strategy (json_tricks.rst:77-95): discover the
+      // key universe under the constraint (distributed explode+distinct),
+      // then build the wide `data->>'k' AS k` projection from the result
+      val shaped = Tables(s, dir, "events")
+        .filter(col("user_id") === 7)
+        .select(col("event_id"), col("props").as("data_raw"))
+      LogsTable(shaped).dynamicWiden().orderBy(col("event_id"))
+    }),
+
+    "q53_json_contains" -> ((s, dir) => {
+      // jsonb containment `props @> '{"k": 42}'` analog (SURVEY §2.3;
+      // reference: jsonb_path_ops GIN migration:37)
+      val shaped = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("props").as("data_raw"))
+      val lt = LogsTable(shaped)
+      shaped.filter(lt.jsonContains(Map("k" -> "42")))
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
     "q05_key_discovery" -> ((s, dir) => {
       // jsonb_object_keys + DISTINCT (reference: json_tricks.rst:52-76)
       Tables(s, dir, "events")
@@ -892,6 +913,14 @@ object SparkEntry {
       ("SELECT CAST(floor(value / 10) AS INTEGER) AS bucket, count(*) AS n, " +
         "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY 1 ORDER BY bucket"),
+
+    "q52_dynamic_widen" ->
+      ("SELECT event_id, json_extract_string(props, '$.k') AS k " +
+        "FROM events WHERE user_id = 7 ORDER BY event_id"),
+
+    "q53_json_contains" ->
+      ("SELECT event_id, user_id FROM events " +
+        "WHERE json_extract_string(props, '$.k') = '42' ORDER BY event_id"),
 
     "q50_sql_custom_funcs" ->
       ("SELECT doc_id, (SELECT CASE WHEN trim(text) = '' THEN 0 " +

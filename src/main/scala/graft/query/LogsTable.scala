@@ -102,6 +102,18 @@ final case class LogsTable(df: DataFrame) {
     df.select(envelope ++ keys.map(k => jsonField(k).as(k)): _*)
   }
 
+  /** JSONB containment `data @> '{"k": v, ...}'` — the query the reference's
+    * three `jsonb_path_ops` GIN indexes exist to serve
+    * (reference: migration:37,52,73): does the payload contain every given
+    * top-level key/value pair? Expressed as a conjunction of extraction
+    * equalities (SURVEY §2.3) — each conjunct is a codegen'd
+    * `get_json_object`, and once fields are promoted/shredded the same
+    * predicate becomes a parquet column-stat pushdown (the index analog).
+    * Values are matched by their `->>`-style text form.
+    */
+  def jsonContains(pairs: Map[String, String]): Column =
+    pairs.map { case (k, v) => jsonField(k) === lit(v) }.reduce(_ && _)
+
   /** `message ILIKE ANY(ARRAY[...])` — case-insensitive multi-pattern
     * substring search (reference: tests/conftest.py:169-174; trigram GIN
     * migration:36). Patterns are SQL LIKE patterns (`%x%`). Index-free:

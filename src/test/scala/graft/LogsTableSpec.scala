@@ -49,6 +49,15 @@ class LogsTableSpec extends SparkSpec {
     assert(rows(2).isNullAt(rows(2).fieldIndex("a")))      // "not-an-int" -> NULL
   }
 
+  test("jsonContains: conjunction of top-level key/value matches (@> analog)") {
+    assert(logs.df.filter(logs.jsonContains(Map("a" -> "1"))).count() == 1)
+    // multi-pair containment: ALL pairs must match
+    assert(logs.df.filter(logs.jsonContains(Map("a" -> "1", "rtd" -> "1.5"))).count() == 1)
+    assert(logs.df.filter(logs.jsonContains(Map("a" -> "1", "rtd" -> "2.5"))).count() == 0)
+    // absent key -> NULL extraction -> no match
+    assert(logs.df.filter(logs.jsonContains(Map("nope" -> "x"))).count() == 0)
+  }
+
   test("searchMessage ILIKE ANY semantics") {
     // matches the conftest.py:169-174 pattern shape
     assert(logs.searchMessage(Seq("%ALPHA%", "%gam%")).df.count() == 2)
