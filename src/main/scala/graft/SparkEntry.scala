@@ -634,6 +634,35 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- skew-salted aggregation (two-phase; must equal the plain agg) ----
+
+    "q54_salted_agg" -> ((s, dir) => {
+      // event_type is a 5-key universe — exactly the hot-key shape salting
+      // exists for; the decimal value column keeps the two-phase sum exact,
+      // so the salted result is bit-identical to the plain GROUP BY
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("value").cast(DecimalType(18, 2)).as("v"))
+      operators.Skew.saltedSumCount(ev, Seq("event_type"), "v")
+        .select(col("event_type"), col("n"), col("sum_v").cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- scalar function breadth: date / math / string (SURVEY §2.9) ----
+
+    "q55_scalar_funcs" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(col("user_id") === 3)
+        .select(col("event_id"),
+          year(col("ts")).as("y"), month(col("ts")).as("mon"),
+          dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+          round(sqrt(abs(col("value"))), 4).as("sqrt_v"),
+          round(log(abs(col("value")) + 1), 4).as("ln1p_v"),
+          upper(substring(col("event_type"), 1, 3)).as("typ3"),
+          concat_ws("-", col("event_type"), col("user_id")).as("tag"),
+          coalesce(get_json_object(col("props"), "$.missing"), lit("none")).as("fallback"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- custom Expressions through the SQL surface (GraftExtensions) ----
 
     "q50_sql_custom_funcs" -> ((s, dir) => {
@@ -921,6 +950,20 @@ object SparkEntry {
     "q53_json_contains" ->
       ("SELECT event_id, user_id FROM events " +
         "WHERE json_extract_string(props, '$.k') = '42' ORDER BY event_id"),
+
+    "q54_salted_agg" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q55_scalar_funcs" ->
+      ("SELECT event_id, year(ts) AS y, month(ts) AS mon, day(ts) AS d, hour(ts) AS h, " +
+        "round(sqrt(abs(value)), 4) AS sqrt_v, " +
+        "round(ln(abs(value) + 1), 4) AS ln1p_v, " +
+        "upper(substr(event_type, 1, 3)) AS typ3, " +
+        "concat_ws('-', event_type, user_id) AS tag, " +
+        "coalesce(json_extract_string(props, '$.missing'), 'none') AS fallback " +
+        "FROM events WHERE user_id = 3 ORDER BY event_id"),
 
     "q50_sql_custom_funcs" ->
       ("SELECT doc_id, (SELECT CASE WHEN trim(text) = '' THEN 0 " +
