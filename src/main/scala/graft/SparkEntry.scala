@@ -663,6 +663,37 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- training-pipeline dataset management (Sampling) ----
+
+    "q56_hash_split" -> ((s, dir) => {
+      // deterministic md5 train/test split: same row -> same split on every
+      // run/engine/retry (rand() splits silently reshuffle under retries)
+      Tables(s, dir, "documents")
+        .withColumn("split", operators.Sampling.splitLabel(col("doc_id"), 90))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))
+    }),
+
+    "q57_split_leakage" -> ((s, dir) => {
+      // decontamination report: near-dup pairs straddling the split — every
+      // row is a test doc whose near-duplicate leaked into train
+      operators.Sampling.crossSplitLeakage(Tables(s, dir, "documents"),
+        threshold = 0.1, trainPct = 90)
+        .select(col("id_a"), col("id_b"), col("jaccard"), col("split_a"), col("split_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q58_corpus_stats" -> ((s, dir) => {
+      // the corpus budget report: docs / chars / tokens per (lang, source)
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // ---- custom Expressions through the SQL surface (GraftExtensions) ----
 
     "q50_sql_custom_funcs" -> ((s, dir) => {
@@ -964,6 +995,35 @@ object SparkEntry {
         "concat_ws('-', event_type, user_id) AS tag, " +
         "coalesce(json_extract_string(props, '$.missing'), 'none') AS fallback " +
         "FROM events WHERE user_id = 3 ORDER BY event_id"),
+
+    "q56_hash_split" ->
+      ("SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 " +
+        "THEN 'train' ELSE 'test' END AS split, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY 1 ORDER BY split"),
+
+    "q57_split_leakage" ->
+      // brute-force near-dup pairs (as q22) + the md5 split labels; the LSH
+      // path must find exactly the straddling pairs
+      ("WITH sh AS (SELECT doc_id, " +
+        "CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 " +
+        "THEN 'train' ELSE 'test' END AS split, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> '') " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard, " +
+        "a.split AS split_a, b.split AS split_b " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.split <> b.split " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1 " +
+        "ORDER BY id_a, id_b"),
+
+    "q58_corpus_stats" ->
+      ("SELECT lang, source, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens " +
+        "FROM documents GROUP BY lang, source ORDER BY lang, source"),
 
     "q50_sql_custom_funcs" ->
       ("SELECT doc_id, (SELECT CASE WHEN trim(text) = '' THEN 0 " +
