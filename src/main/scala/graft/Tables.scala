@@ -10,18 +10,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized logical plans per (session, path): spark.read.parquet lists
+  // files and reads footers on EVERY call — across ~60 back-to-back gate
+  // queries that redundant planning I/O is pure fixed overhead. DataFrames
+  // are immutable lineages, so sharing one per table is safe; keyed by
+  // session so Verify/Bench/test sessions don't cross-pollinate.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Load a table. `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4
     * refuses by default (PARQUET_TYPE_ILLEGAL): read it as raw nanos via the
     * legacy conf and normalize to TimestampType (microsecond, UTC) — same
     * truncation DuckDB applies when casting TIMESTAMP_NS down.
     */
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (s, path) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = s.read.parquet(path)
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
 
   /** Time-range-pruned events scan. A predicate on the *converted* `ts`
     * column cannot reach the parquet scan (it sits on a computed
