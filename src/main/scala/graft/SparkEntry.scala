@@ -395,6 +395,28 @@ object SparkEntry {
       errored.except(bigBuyers).orderBy(col("user_id"))
     }),
 
+    "q59_intersect" -> ((s, dir) => {
+      // INTERSECT completes the set-op family (EXCEPT=q32, UNION ALL=q41)
+      val ev = Tables(s, dir, "events")
+      val clickers = ev.filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+      val buyers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      clickers.intersect(buyers).orderBy(col("user_id"))
+    }),
+
+    "q60_ntile" -> ((s, dir) => {
+      // quartile assignment + per-group leader via one window pass; the
+      // (value desc, event_id) total order makes both deterministic
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value").desc, col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          first_value(col("event_id")).over(w).as("leader_id"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     // ---- grouping sets / rollup ----
 
     "q33_rollup" -> ((s, dir) => {
@@ -995,6 +1017,17 @@ object SparkEntry {
         "concat_ws('-', event_type, user_id) AS tag, " +
         "coalesce(json_extract_string(props, '$.missing'), 'none') AS fallback " +
         "FROM events WHERE user_id = 3 ORDER BY event_id"),
+
+    "q59_intersect" ->
+      ("SELECT DISTINCT user_id FROM events WHERE event_type = 'click' " +
+        "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' " +
+        "ORDER BY user_id"),
+
+    "q60_ntile" ->
+      ("SELECT event_type, event_id, " +
+        "ntile(4) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS quartile, " +
+        "first_value(event_id) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS leader_id " +
+        "FROM events ORDER BY event_type, event_id"),
 
     "q56_hash_split" ->
       ("SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 " +
