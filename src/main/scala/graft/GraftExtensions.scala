@@ -64,7 +64,10 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => HyperplaneSig(args(0), litInt(args(1), "hyperplane_sig"))),
     ("json_drop_keys",
       "json_drop_keys(json, k1, k2, ...) - remove top-level keys from a JSON object",
-      (args: Seq[Expression]) => JsonDropKeys(args.head, litStrings(args.tail, "json_drop_keys")))
+      (args: Seq[Expression]) => JsonDropKeys(args.head, litStrings(args.tail, "json_drop_keys"))),
+    ("misra_gries",
+      "misra_gries(key, k) - heavy-hitters sketch aggregate: ~top-k keys with counts",
+      (args: Seq[Expression]) => MisraGries(args(0), litInt(args(1), "misra_gries")))
   )
 
   /** Runtime registration on an existing session (idempotent). */

@@ -716,6 +716,19 @@ object SparkEntry {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // ---- heavy-hitters sketch (custom TypedImperativeAggregate) ----
+
+    "q61_heavy_hitters" -> ((s, dir) => {
+      // Misra-Gries with k=8 over a 5-key universe: counters never evict,
+      // so the sketch is EXACT and the oracle pins it against GROUP BY;
+      // the eviction/error-bound regime is property-tested in the spec
+      Tables(s, dir, "events")
+        .agg(graft.functions.HeavyHitters.heavy_hitters(col("event_type"), 8).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key").as("key"), col("e.est_count").as("est_count"))
+        .orderBy(col("key"))
+    }),
+
     // ---- custom Expressions through the SQL surface (GraftExtensions) ----
 
     "q50_sql_custom_funcs" -> ((s, dir) => {
@@ -1057,6 +1070,10 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+
+    "q61_heavy_hitters" ->
+      ("SELECT event_type AS key, count(*) AS est_count FROM events " +
+        "GROUP BY event_type ORDER BY key"),
 
     "q50_sql_custom_funcs" ->
       ("SELECT doc_id, (SELECT CASE WHEN trim(text) = '' THEN 0 " +
