@@ -357,6 +357,24 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "q62_asof_forward" -> ((s, dir) => {
+      // forward twin of q29: each click joined to the user's NEXT error
+      // at-or-after it (same single-shuffle union+window, reversed axis)
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.forward(clicks, errors, Seq("user_id"), "ts", "ts", Seq("value"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          count(col("asof_ts")).as("n_matched"),
+          sum(unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("lead_us_total"),
+          dsum(col("asof_value")).as("sum_err_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- Variant JSON path (Spark 4 native semi-structured type) ----
 
     "q30_variant_extract" -> ((s, dir) => {
@@ -905,6 +923,16 @@ object SparkEntry {
         "FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') a " +
         "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') b " +
         "ON a.user_id = b.user_id AND a.ts >= b.ts) " +
+        "GROUP BY user_id ORDER BY user_id"),
+
+    "q62_asof_forward" ->
+      ("SELECT user_id, count(*) AS n_clicks, count(asof_ts) AS n_matched, " +
+        "CAST(sum(epoch_us(asof_ts) - epoch_us(ts)) AS BIGINT) AS lead_us_total, " +
+        "CAST(sum(CAST(asof_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_err_value " +
+        "FROM (SELECT a.user_id, a.ts, b.ts AS asof_ts, b.value AS asof_value " +
+        "FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') a " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') b " +
+        "ON a.user_id = b.user_id AND a.ts <= b.ts) " +
         "GROUP BY user_id ORDER BY user_id"),
 
     "q30_variant_extract" ->

@@ -45,7 +45,33 @@ object AsofJoin {
       keyCols: Seq[String],
       leftTs: String = "ts",
       rightTs: String = "ts",
-      rightPayload: Seq[String] = Seq.empty): DataFrame = {
+      rightPayload: Seq[String] = Seq.empty): DataFrame =
+    joinImpl(left, right, keyCols, leftTs, rightTs, rightPayload, forwardDir = false)
+
+  /** Forward as-of: for each left row, attach the single EARLIEST right row
+    * with `right.ts >= left.ts` within the key group ("next state change
+    * at-or-after this event"). Same single-shuffle union+window machinery as
+    * [[backward]], running on the reversed time axis: the window orders by
+    * `_ts` DESCENDING, so `last(..., ignoreNulls)` over the preceding frame
+    * holds the nearest right row at-or-after each left row.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      rightPayload: Seq[String] = Seq.empty): DataFrame =
+    joinImpl(left, right, keyCols, leftTs, rightTs, rightPayload, forwardDir = true)
+
+  private def joinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      forwardDir: Boolean): DataFrame = {
     val payload = if (rightPayload.nonEmpty) rightPayload
       else right.columns.filterNot(keyCols.contains).filterNot(_ == rightTs).toSeq
 
@@ -75,8 +101,12 @@ object AsofJoin {
     // run-dependent match; the hash makes the pick stable across runs and
     // partitionings (still an arbitrary member of the tie, as in any ASOF
     // implementation, but a deterministic one)
+    // backward: ascending ts — the frame holds all right rows at-or-before;
+    // forward: descending ts — the frame holds all right rows at-or-after;
+    // either way side 0 sorts first at equal ts, keeping the bound inclusive
+    val tsOrder = if (forwardDir) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy(key: _*)
-      .orderBy(col("_ts"), col("_side"), xxhash64(col("_payload")))
+      .orderBy(tsOrder, col("_side"), xxhash64(col("_payload")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_filled", last(col("_payload"), ignoreNulls = true).over(w))

@@ -44,4 +44,19 @@ class AsofJoinSpec extends SparkSpec {
       .as[(String, Option[Int])].collect().toSeq
     assert(got == Seq(("early", None), ("late", Some(3))))
   }
+
+  test("forward as-of join picks earliest right row at-or-after left ts") {
+    val l = Seq((1L, ts("2024-01-01 00:00:00"), "early"),
+                (1L, ts("2024-01-01 06:00:00"), "same"),
+                (1L, ts("2024-01-01 12:00:00"), "late")).toDF("key", "ts", "tag")
+    val r = Seq((1L, ts("2024-01-01 06:00:00"), 1),
+                (1L, ts("2024-01-01 07:00:00"), 2)).toDF("key", "ts", "v")
+    val got = AsofJoin.forward(l, r, Seq("key"))
+      .orderBy("ts").select("tag", "asof_v")
+      .as[(String, Option[Int])].collect().toSeq
+    assert(got == Seq(
+      ("early", Some(1)), // earliest at-or-after 00:00
+      ("same", Some(1)),  // equal ts: inclusive
+      ("late", None)))    // nothing after 12:00
+  }
 }
