@@ -111,6 +111,31 @@ class StreamIngestSpec extends SparkSpec {
     assert(store.read(spark, "dead_letter").count() == 1)
   }
 
+  test("file source with maxFilesPerTrigger rate cap: multiple epochs, no loss") {
+    // the reference's size-capped micro-batcher (MAX_BATCH_SIZE,
+    // write.py:24-28) maps to source-side rate limiting: 1 file per
+    // trigger -> one epoch per file, proven by distinct batch_id partitions
+    val root = Files.createTempDirectory("graft-filesrc").toString
+    val srcDir = Files.createDirectory(java.nio.file.Paths.get(s"$root/in"))
+    (0 until 3).foreach { f =>
+      val lines = (0 until 10).map(i => record(s"f$f-r$i"))
+      Files.write(srcDir.resolve(s"part-$f.json"),
+        String.join("\n", lines: _*).getBytes)
+    }
+    val store = new LogStore(s"$root/store")
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(srcDir.toString)
+      .withColumnRenamed("value", "value")
+    val q = StreamIngest.start(raw, store, s"$root/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val logs = store.read(spark, "logs")
+    assert(logs.count() == 30)
+    // 1 file per trigger -> at least 3 distinct epochs wrote
+    assert(logs.select("batch_id").distinct().count() >= 3)
+  }
+
   test("replayed epoch overwrites itself — exactly-once into the file sink") {
     // simulate the failure mode from ADVICE r1: logs append succeeds, the
     // dead-letter append fails, the epoch re-runs. With epoch-keyed dynamic
