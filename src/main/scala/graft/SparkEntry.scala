@@ -136,6 +136,17 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    "q63_time_bucket_hour" -> ((s, dir) => {
+      // LogsTable.timeBucket driven through the gate: hour-grain dashboard
+      // series with payload-field stats (metric-table shape). Hour-truncated
+      // timestamps have zero sub-second, so the value hashes identically
+      // despite the ns-vs-us storage difference.
+      val shaped = Tables(s, dir, "events")
+        .select(col("ts").as("time"), col("props").as("data_raw"))
+      LogsTable(shaped).timeBucket("hour", Some("k"))
+        .orderBy(col("bucket"))
+    }),
+
     "q14_distinct" -> ((s, dir) => {
       Tables(s, dir, "events").select("event_type").distinct()
         .orderBy("event_type")
@@ -835,6 +846,14 @@ object SparkEntry {
 
     "q14_distinct" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q63_time_bucket_hour" ->
+      // avg spelled as sum/count: k is integer-valued, so the double sum is
+      // exact in any order and the division is bit-identical on both engines
+      ("SELECT date_trunc('hour', ts) AS bucket, count(*) AS n, " +
+        "sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) / count(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS avg_value, " +
+        "sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY bucket"),
 
     "q15_dedup_exact" ->
       ("SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, " +
