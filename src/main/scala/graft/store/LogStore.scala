@@ -18,6 +18,11 @@ final class LogStore(root: String) {
 
   /** Append-mode partitioned write (reference insert path:
     * venus/db/write.py:78-79 `executemany INSERT`).
+    *
+    * Do not mix with [[appendIdempotent]] on the SAME table: the idempotent
+    * path adds a `batch_id` partition column, and a table written both ways
+    * has inconsistent partitioning. Streaming tables use the idempotent
+    * path; this is the batch/backfill path.
     */
   def append(table: String, df: DataFrame): Unit = {
     val writer = df.write

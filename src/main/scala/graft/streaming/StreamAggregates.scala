@@ -71,4 +71,31 @@ object StreamAggregates {
     logs
       .withWatermark(timeCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermarked stream-stream interval join: each left event joined to
+    * right events of the same key with `right.ts` in
+    * `[left.ts, left.ts + within]` — the streaming twin of the span-interval
+    * association (SURVEY §2.5, reference: migration:54-64), e.g. "errors
+    * within 10 minutes after each click, live".
+    *
+    * Both sides carry a watermark AND the join condition bounds the time
+    * delta, so Spark can GC both state stores (without the time bound the
+    * state grows forever — the condition is load-bearing at 100 TB/day,
+    * not an optimization).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String = "time",
+      rightTs: String = "r_time",
+      within: String = "10 minutes",
+      lateness: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness).alias("r")
+    l.join(r, expr(
+      s"l.$keyCol = r.$keyCol AND " +
+        s"r.$rightTs >= l.$leftTs AND r.$rightTs <= l.$leftTs + INTERVAL $within"))
+      .drop(r(keyCol))
+  }
 }

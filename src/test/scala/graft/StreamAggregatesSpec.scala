@@ -51,6 +51,33 @@ class StreamAggregatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: intervalJoin matches right events within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String)]
+    val errors = MemoryStream[(Timestamp, String)]
+    val joined = StreamAggregates.intervalJoin(
+      clicks.toDF().toDF("time", "user"),
+      errors.toDF().toDF("r_time", "user"),
+      keyCol = "user", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ijoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 10:00:00"), "u1"), (ts("2024-01-01 10:00:00"), "u2"))
+      errors.addData(
+        (ts("2024-01-01 10:05:00"), "u1"),  // within 10 min -> match
+        (ts("2024-01-01 10:20:00"), "u1"),  // outside -> no match
+        (ts("2024-01-01 09:59:00"), "u2"))  // before the click -> no match
+      // advance both watermarks so results flush in append mode (distinct
+      // keys so the advancer rows can't join with anything)
+      clicks.addData((ts("2024-01-01 12:00:00"), "wm-l"))
+      errors.addData((ts("2024-01-01 12:00:00"), "wm-r"))
+      q.processAllAvailable()
+      val got = spark.table("ijoin")
+        .select($"user", $"r_time").as[(String, Timestamp)].collect().toSet
+      assert(got == Set(("u1", ts("2024-01-01 10:05:00"))))
+    } finally q.stop()
+  }
+
   test("streaming: dedupFirstSeen drops redelivered keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)]
