@@ -860,7 +860,9 @@ object SparkEntry {
         "min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY doc_id"),
 
     "q16_token_count" ->
-      ("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, " +
+      // blank guard mirrors TextAnalysis.tokenCount: DuckDB splits '' to
+      // [''] (len 1) where tokenCount returns 0
+      ("SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, " +
         "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_subwords " +
         "FROM documents ORDER BY doc_id"),
 
@@ -1115,7 +1117,7 @@ object SparkEntry {
     "q58_corpus_stats" ->
       ("SELECT lang, source, count(*) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
-        "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens " +
+        "CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens " +
         "FROM documents GROUP BY lang, source ORDER BY lang, source"),
 
     "q61_heavy_hitters" ->

@@ -23,7 +23,10 @@ object Tables {
     * legacy conf and normalize to TimestampType (microsecond, UTC) — same
     * truncation DuckDB applies when casting TIMESTAMP_NS down.
     */
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // bound the memo: long-lived drivers creating sessions over time must
+    // not pin dead sessions (map values reference their session) forever
+    if (cache.size > 128) cache.clear()
     cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (s, path) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = s.read.parquet(path)
@@ -31,6 +34,7 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     })
+  }
 
   /** Time-range-pruned events scan. A predicate on the *converted* `ts`
     * column cannot reach the parquet scan (it sits on a computed

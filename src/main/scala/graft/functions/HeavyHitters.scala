@@ -43,6 +43,15 @@ case class MisraGries(
 
   require(k > 0, "misra_gries: k must be positive")
 
+  // declare the string input contract so misra_gries(user_id, 8) fails at
+  // ANALYSIS time instead of a mid-job ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"misra_gries requires a STRING key column, got ${child.dataType.sql}")
+
   override def prettyName: String = "misra_gries"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

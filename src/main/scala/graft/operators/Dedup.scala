@@ -164,7 +164,10 @@ object Dedup {
       k: Int = 3,
       segments: Int = 4): DataFrame = {
     require(segments >= k + 1, s"need >= k+1 segments for distance-$k recall")
+    // blank docs tokenize to [""] -> identical simhash -> Hamming-0 "perfect
+    // duplicates"; exclude them, same invariant as minhashLsh
     val withSeg = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
       .withColumn("seg", explode(simhashBands(col("sim"), segments)))
       .persist() // both sides of the bucket self-join consume it

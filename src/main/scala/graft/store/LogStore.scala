@@ -34,18 +34,26 @@ final class LogStore(root: String) {
   }
 
   /** Idempotent per-epoch write for streaming `foreachBatch`: rows land in
-    * `batch_id=<epoch>` partitions written with DYNAMIC partition overwrite,
-    * so a retried epoch (checkpoint replay after a mid-batch failure)
-    * REPLACES its own partitions instead of appending duplicates. Appends
-    * from other epochs are untouched — the observable result is
-    * exactly-once into the file sink (reference's retained-batch retry is
-    * at-least-once: venus/db/write.py:80-84).
+    * `batch_id=<writerId>-<epoch>` partitions written with DYNAMIC partition
+    * overwrite, so a retried epoch (checkpoint replay after a mid-batch
+    * failure) REPLACES its own partitions instead of appending duplicates.
+    * Appends from other epochs — and other writers — are untouched: the
+    * observable result is exactly-once into the file sink (reference's
+    * retained-batch retry is at-least-once: venus/db/write.py:80-84).
+    *
+    * `writerId` scopes the epoch namespace per streaming query. Epoch ids
+    * are only unique WITHIN one query's checkpoint, so two queries feeding
+    * the same table (e.g. the logs and metric streams both dead-lettering)
+    * would otherwise overwrite each other's same-numbered epochs.
+    * Contract (same as any Spark file sink): a writerId is bound to its
+    * checkpoint — resetting the checkpoint restarts epochs at 0, so pair a
+    * fresh checkpoint with a fresh writerId or store path.
     */
-  def appendIdempotent(table: String, df: DataFrame, batchId: Long): Unit = {
+  def appendIdempotent(table: String, df: DataFrame, writerId: String, batchId: Long): Unit = {
     import org.apache.spark.sql.functions.lit
     val parts =
       if (df.columns.contains("date")) Seq("date", "batch_id") else Seq("batch_id")
-    df.withColumn("batch_id", lit(batchId))
+    df.withColumn("batch_id", lit(s"$writerId-$batchId"))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

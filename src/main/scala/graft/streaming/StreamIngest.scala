@@ -42,24 +42,9 @@ object StreamIngest {
       raw: DataFrame,
       store: LogStore,
       checkpoint: String,
-      config: IngestConfig = IngestConfig()): StreamingQuery = {
-    raw.writeStream
-      .trigger(Trigger.ProcessingTime(s"${config.maxBatchAgeSeconds} seconds"))
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cached = batch.persist()
-        try {
-          // epoch-keyed overwrite: if the logs write succeeds and the
-          // dead-letter write fails, the replayed epoch rewrites BOTH
-          // batch_id=<epoch> partition sets in place — no duplicate rows
-          store.appendIdempotent("logs", IngestTransform(cached, config), batchId)
-          val dead = IngestTransform.deadLetter(cached)
-          if (!dead.isEmpty) store.appendIdempotent("dead_letter", dead, batchId)
-        } finally cached.unpersist()
-        ()
-      }
-      .start()
-  }
+      config: IngestConfig = IngestConfig()): StreamingQuery =
+    startIngest(raw, store, checkpoint, config,
+      writerId = "logs", table = "logs", transform = IngestTransform(_, config))
 
   /** Streaming ingest for the `metric` table (reference's second hypertable,
     * migration:66-78) — same trigger/checkpoint/idempotence contract as
@@ -69,16 +54,36 @@ object StreamIngest {
       raw: DataFrame,
       store: LogStore,
       checkpoint: String,
-      config: IngestConfig = IngestConfig()): StreamingQuery = {
+      config: IngestConfig = IngestConfig()): StreamingQuery =
+    startIngest(raw, store, checkpoint, config,
+      writerId = "metric", table = "metric", transform = graft.ingest.MetricIngest(_))
+
+  /** Shared batch lifecycle for every ingest stream: one persist of the raw
+    * micro-batch feeding both the table write and the dead-letter side
+    * output, both idempotent under the stream's own writer id — if the main
+    * write succeeds and the dead-letter write fails, the replayed epoch
+    * rewrites BOTH of its partition sets in place, no duplicates. The
+    * writer id also keeps concurrent streams (logs + metric) from
+    * overwriting each other's same-numbered epochs in the shared
+    * `dead_letter` table.
+    */
+  private def startIngest(
+      raw: DataFrame,
+      store: LogStore,
+      checkpoint: String,
+      config: IngestConfig,
+      writerId: String,
+      table: String,
+      transform: DataFrame => DataFrame): StreamingQuery = {
     raw.writeStream
       .trigger(Trigger.ProcessingTime(s"${config.maxBatchAgeSeconds} seconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
         try {
-          store.appendIdempotent("metric", graft.ingest.MetricIngest(cached), batchId)
+          store.appendIdempotent(table, transform(cached), writerId, batchId)
           val dead = IngestTransform.deadLetter(cached)
-          if (!dead.isEmpty) store.appendIdempotent("dead_letter", dead, batchId)
+          if (!dead.isEmpty) store.appendIdempotent("dead_letter", dead, writerId, batchId)
         } finally cached.unpersist()
         ()
       }

@@ -39,7 +39,12 @@ class BucketedStoreSpec extends SparkSpec {
 
   test("aggregation on the bucket key is also exchange-free") {
     val store = new BucketedStore(spark)
-    val agg = store.table("ev_b").groupBy("user_id")
+    // self-contained: write our own table rather than depending on the
+    // join test having run first
+    store.writeBucketed(
+      Tables(spark, sf(), "events").select($"user_id", $"value"),
+      "ev_agg_b", "user_id", buckets = 4)
+    val agg = store.table("ev_agg_b").groupBy("user_id")
       .agg(sum($"value").as("s"))
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("ShuffleExchange"), s"expected shuffle-free agg, got:\n$plan")

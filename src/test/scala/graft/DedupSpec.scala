@@ -62,6 +62,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L))) // only exact-normalized dups at >=0.99
   }
 
+  test("simhashNearDup excludes blank docs (no Hamming-0 phantom pairs)") {
+    val withBlanks = docs.unionByName(Seq(
+      (100L, ""), (101L, "   \t")).toDF("doc_id", "text"))
+    val pairs = Dedup.simhashNearDup(withBlanks, k = 0, segments = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L), pairs.toString)
+  }
+
   test("simhashNearDup == brute-force pairs within Hamming k (pigeonhole recall)") {
     // guaranteed-recall property: with segments >= k+1, the segment
     // equi-join must surface EVERY pair within distance k

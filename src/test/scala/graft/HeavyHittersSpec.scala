@@ -41,6 +41,15 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.contains("k0"))
   }
 
+  test("non-string input fails at analysis, not mid-job") {
+    GraftSqlFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT misra_gries(id, 4) FROM range(10)").collect()
+    }
+    assert(e.getMessage.contains("misra_gries requires a STRING key column"),
+      e.getMessage)
+  }
+
   test("misra_gries is callable from SQL") {
     GraftSqlFunctions.register(spark)
     val r = spark.sql(

@@ -144,13 +144,26 @@ class StreamIngestSpec extends SparkSpec {
     val store = new LogStore(s"$root/store")
     val df = Seq(("a", "2024-01-01"), ("b", "2024-01-02"))
       .toDF("message", "date")
-    store.appendIdempotent("logs", df, batchId = 7L)
-    store.appendIdempotent("logs", df, batchId = 7L) // the retry
-    store.appendIdempotent("logs", df.filter($"message" === "a"), batchId = 8L)
+    store.appendIdempotent("logs", df, "logs", batchId = 7L)
+    store.appendIdempotent("logs", df, "logs", batchId = 7L) // the retry
+    store.appendIdempotent("logs", df.filter($"message" === "a"), "logs", batchId = 8L)
 
     val got = store.read(spark, "logs")
       .select("message", "batch_id")
-      .as[(String, Long)].collect().toSeq.sorted
-    assert(got == Seq(("a", 7L), ("a", 8L), ("b", 7L)), got.toString)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(got == Seq(("a", "logs-7"), ("a", "logs-8"), ("b", "logs-7")), got.toString)
+  }
+
+  test("two writers sharing a table keep same-numbered epochs separate") {
+    // the logs and metric streams both dead-letter into one table; epoch
+    // ids are per-checkpoint, so without writer scoping the second
+    // stream's epoch 3 would dynamic-overwrite the first's
+    val root = Files.createTempDirectory("graft-writers").toString
+    val store = new LogStore(s"$root/store")
+    store.appendIdempotent("dead_letter", Seq(("x1", "r1")).toDF("raw", "reason"), "logs", 3L)
+    store.appendIdempotent("dead_letter", Seq(("x2", "r2")).toDF("raw", "reason"), "metric", 3L)
+    val got = store.read(spark, "dead_letter")
+      .select("raw", "batch_id").as[(String, String)].collect().toSet
+    assert(got == Set(("x1", "logs-3"), ("x2", "metric-3")), got.toString)
   }
 }
