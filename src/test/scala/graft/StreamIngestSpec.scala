@@ -154,6 +154,28 @@ class StreamIngestSpec extends SparkSpec {
     assert(got == Seq(("a", "logs-7"), ("a", "logs-8"), ("b", "logs-7")), got.toString)
   }
 
+  test("IngestMetricsListener captures per-batch rows and latency") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-metrics").toString
+    val store = new LogStore(s"$root/store")
+    val stream = MemoryStream[String]
+    val listener = new graft.streaming.IngestMetricsListener
+    spark.streams.addListener(listener)
+    val q = StreamIngest.start(stream.toDF(), store, s"$root/ckpt")
+    try {
+      stream.addData((1 to 20).map(i => record(s"m$i")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // progress events are delivered asynchronously — wait for them
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (listener.totalRows < 20 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    spark.streams.removeListener(listener)
+    assert(listener.totalRows == 20, listener.metrics.toString)
+    assert(listener.metrics.exists(m => m.rows > 0 && m.durationMs > 0))
+    assert(listener.meanRate > 0.0)
+  }
+
   test("two writers sharing a table keep same-numbered epochs separate") {
     // the logs and metric streams both dead-letter into one table; epoch
     // ids are per-checkpoint, so without writer scoping the second
