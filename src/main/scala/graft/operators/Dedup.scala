@@ -196,15 +196,24 @@ object Dedup {
     * generate candidates (one shuffle), exact Jaccard verifies them.
     * This is the scale-correct shape: exact set intersection only on
     * collided pairs.
+    *
+    * `bands` is the recall/cost dial (numHashes=16 fixed). Measured at
+    * threshold 0.1 on the sf0.1 corpus: default bands=8 (r=2, per-pair
+    * collision 1-(1-j^2)^8) finds 257/260 true pairs at ~1s; bands=16
+    * (r=1, collision 1-(1-j)^16) finds 260/260 but admits ~8x the
+    * candidate volume (~8s) — r=1 is the setting for guaranteed-recall
+    * sweeps at low thresholds, r=2 for routine dedup where j>=0.3 pairs
+    * (collision >=54% per band set) are the target.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      bands: Int = 8): DataFrame = {
     val cands = minhashLsh(docs, textCol, idCol,
-      numHashes = 16, bands = 8, shingleSize = n, threshold = 0.0)
+      numHashes = 16, bands = bands, shingleSize = n, threshold = 0.0)
     // shingle each doc once (persisted: both pair sides consume it);
     // the pair join then compares precomputed arrays
     val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh")).persist()
