@@ -34,6 +34,9 @@ object Export {
       .write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      // zstd: ~30% smaller than snappy at comparable decode speed — at
+      // 100 TB the export is read many times by trainers, so size wins
+      .option("compression", "zstd")
       .parquet(outDir)
 
   /** Read back an export and report per-shard row counts (file-level). */

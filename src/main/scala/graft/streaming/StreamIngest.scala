@@ -42,9 +42,11 @@ object StreamIngest {
       raw: DataFrame,
       store: LogStore,
       checkpoint: String,
-      config: IngestConfig = IngestConfig()): StreamingQuery =
+      config: IngestConfig = IngestConfig(),
+      availableNow: Boolean = false): StreamingQuery =
     startIngest(raw, store, checkpoint, config,
-      writerId = "logs", table = "logs", transform = IngestTransform(_, config))
+      writerId = "logs", table = "logs", transform = IngestTransform(_, config),
+      availableNow = availableNow)
 
   /** Streaming ingest for the `metric` table (reference's second hypertable,
     * migration:66-78) — same trigger/checkpoint/idempotence contract as
@@ -54,9 +56,11 @@ object StreamIngest {
       raw: DataFrame,
       store: LogStore,
       checkpoint: String,
-      config: IngestConfig = IngestConfig()): StreamingQuery =
+      config: IngestConfig = IngestConfig(),
+      availableNow: Boolean = false): StreamingQuery =
     startIngest(raw, store, checkpoint, config,
-      writerId = "metric", table = "metric", transform = graft.ingest.MetricIngest(_))
+      writerId = "metric", table = "metric", transform = graft.ingest.MetricIngest(_),
+      availableNow = availableNow)
 
   /** Shared batch lifecycle for every ingest stream: one persist of the raw
     * micro-batch feeding both the table write and the dead-letter side
@@ -74,9 +78,16 @@ object StreamIngest {
       config: IngestConfig,
       writerId: String,
       table: String,
-      transform: DataFrame => DataFrame): StreamingQuery = {
+      transform: DataFrame => DataFrame,
+      availableNow: Boolean = false): StreamingQuery = {
+    // AvailableNow = the catch-up/backfill mode: drain everything currently
+    // in the source in rate-capped batches, then stop — same checkpoint, so
+    // a nightly catch-up run and the live stream share one epoch lineage
+    val trigger =
+      if (availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(s"${config.maxBatchAgeSeconds} seconds")
     raw.writeStream
-      .trigger(Trigger.ProcessingTime(s"${config.maxBatchAgeSeconds} seconds"))
+      .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()

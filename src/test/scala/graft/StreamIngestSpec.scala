@@ -154,6 +154,19 @@ class StreamIngestSpec extends SparkSpec {
     assert(got == Seq(("a", "logs-7"), ("a", "logs-8"), ("b", "logs-7")), got.toString)
   }
 
+  test("AvailableNow catch-up run drains the source and terminates itself") {
+    val root = Files.createTempDirectory("graft-catchup").toString
+    val srcDir = Files.createDirectory(java.nio.file.Paths.get(s"$root/in"))
+    val lines = (0 until 15).map(i => record(s"c$i"))
+    Files.write(srcDir.resolve("backlog.json"),
+      String.join("\n", lines: _*).getBytes)
+    val store = new LogStore(s"$root/store")
+    val raw = spark.readStream.text(srcDir.toString)
+    val q = StreamIngest.start(raw, store, s"$root/ckpt", availableNow = true)
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(store.read(spark, "logs").count() == 15)
+  }
+
   test("IngestMetricsListener captures per-batch rows and latency") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-metrics").toString
