@@ -758,6 +758,143 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // ---- session / funnel / cohort analytics (operators.Sessions) ----
+
+    "q64_sessionize" -> ((s, dir) => {
+      // gap-based batch sessionization (12 h gap = the reference's
+      // hypertable chunk interval); one shuffle for lag+running-sum+agg
+      operators.Sessions.sessionize(Tables(s, dir, "events"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    "q65_funnel" -> ((s, dir) => {
+      // earliest-entry ordered funnel: signup -> click-after -> purchase-after
+      operators.Sessions.funnel(Tables(s, dir, "events"),
+        Seq("signup", "click", "purchase"))
+        .orderBy(col("stage"))
+    }),
+
+    "q74_cohort_retention" -> ((s, dir) => {
+      // weekly signup-cohort x weeks-elapsed activity matrix
+      operators.Sessions.cohortRetention(Tables(s, dir, "events"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // ---- corpus analytics (operators.CorpusAnalytics) ----
+
+    "q66_word_freq" -> ((s, dir) => {
+      // corpus term frequencies, distributed top-k (TakeOrderedAndProject)
+      operators.CorpusAnalytics.wordFrequencies(Tables(s, dir, "documents"), k = 20)
+        .orderBy(col("token"))
+    }),
+
+    "q67_tfidf" -> ((s, dir) => {
+      // most-salient term per doc; deterministic (score desc, term) top-1
+      operators.CorpusAnalytics.tfidfTopTerm(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("top_term"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q70_repetition" -> ((s, dir) => {
+      // Gopher-style duplicate-bigram quality signal (map-side scalar)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(operators.CorpusAnalytics.repetitionRatio(col("text")), 4).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q71_pii_redact" -> ((s, dir) => {
+      // PII scrub over a synthesized wire string (the corpus has no PII, so
+      // build a deterministic one: uid + email + numeric ref); emails
+      // first, then 4+-digit runs on the email-free text
+      val wire = Tables(s, dir, "events").filter(col("user_id") === 3)
+        .select(col("event_id"),
+          concat(lit("uid "), col("user_id").cast("string"),
+            lit(" contact u"), col("user_id").cast("string"),
+            lit("@example.com ref "), (col("event_id") * 137).cast("string"),
+            lit(" t "), col("event_type")).as("msg"))
+      wire.select(col("event_id"),
+          operators.CorpusAnalytics.redactPii(col("msg")).as("r"))
+        .select(col("event_id"), col("r.redacted").as("redacted"),
+          col("r.n_emails").as("n_emails"), col("r.n_nums").as("n_nums"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q72_stratified_sample" -> ((s, dir) => {
+      // deterministic md5-ranked 5-per-lang sample (no rand(): stable
+      // across runs/engines/retries, same discipline as q56)
+      operators.CorpusAnalytics.stratifiedSample(
+        Tables(s, dir, "documents"), "lang", "doc_id", perStratum = 5)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // ---- near-dup clustering (connected components over the pair graph) ----
+
+    "q73_neardup_clusters" -> ((s, dir) => {
+      // collapse near-dup groups: cluster_id = min reachable doc id through
+      // jaccard>=0.1 edges (LSH candidates, recall pinned 1.0 by q22's
+      // brute-force oracle); is_canonical marks the doc to keep
+      Dedup.neardupClusters(Tables(s, dir, "documents"), threshold = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- scalar breadth: edit distance + array higher-order funcs ----
+
+    "q68_levenshtein" -> ((s, dir) => {
+      // pairwise edit distances over the (tiny, distinct) type universe
+      val t = Tables(s, dir, "events").select(col("event_type")).distinct()
+      t.select(col("event_type").as("type_a"))
+        .crossJoin(t.select(col("event_type").as("type_b")))
+        .filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          levenshtein(col("type_a"), col("type_b")).as("dist"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    "q69_higher_order" -> ((s, dir) => {
+      // transform/filter/aggregate over the token array — all codegen'd
+      // higher-order functions, no UDF
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        t => length(t) > 0)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(toks, t => length(t) > 6)).as("n_long_words"),
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("sum_token_chars"),
+          array_max(transform(toks, t => length(t))).as("max_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- approximate quantile (contract-pinned, like q37) ----
+
+    "q75_approx_quantile" -> ((s, dir) => {
+      // approx_percentile vs exact within 2%: sketch values are
+      // engine-specific, the bounded-error CONTRACT is the checked output
+      // (robust at sf>=0.01 group sizes; see q37 for the same pattern)
+      val exact = expr("percentile(value, 0.5)")
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(exact, 4).as("exact_p50"),
+          (abs(expr("approx_percentile(value, 0.5, 10000)") - exact) <= exact * 0.02)
+            .as("approx_close"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- embedding centroids (per-label elementwise mean) ----
+
+    "q76_embed_centroid" -> ((s, dir) => {
+      // posexplode -> (label, dim) agg: the distributed centroid kernel
+      // kmeans is built from; decimal-exact sums make the mean order-free
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("v").cast(DecimalType(20, 7))).cast("double").as("sum_v"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          round(col("sum_v") / col("n"), 4).as("centroid"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // ---- custom Expressions through the SQL surface (GraftExtensions) ----
 
     "q50_sql_custom_funcs" -> ((s, dir) => {
@@ -1130,7 +1267,132 @@ object SparkEntry {
         "ELSE len(list_distinct(list_transform(range(len(toks)-2), " +
         "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) END " +
         "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) AS n_shingles " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+
+    "q64_sessionize" ->
+      // session boundary at >12h inter-event gap; session_idx is a running
+      // sum of boundary flags (CAST: DuckDB window sum -> HUGEINT)
+      ("WITH x AS (SELECT user_id, epoch_us(ts) AS us, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000 THEN 1 ELSE 0 END AS is_new " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "y AS (SELECT user_id, us, CAST(sum(is_new) OVER " +
+        "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM x) " +
+        "SELECT user_id, session_idx, count(*) AS n_events, " +
+        "min(us) AS start_us, max(us) AS end_us " +
+        "FROM y GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+
+    "q65_funnel" ->
+      // earliest-entry funnel: stage k = first step-k event at-or-after
+      // stage k-1's time
+      ("WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 ON e.user_id = s0.user_id " +
+        "AND e.ts >= s0.t0 WHERE e.event_type = 'click' GROUP BY e.user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id " +
+        "AND e.ts >= s1.t1 WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT 0 AS stage, 'signup' AS path, count(*) AS n_users FROM s0 " +
+        "UNION ALL SELECT 1, 'signup>click', count(*) FROM s1 " +
+        "UNION ALL SELECT 2, 'signup>click>purchase', count(*) FROM s2 " +
+        "ORDER BY stage"),
+
+    "q74_cohort_retention" ->
+      ("WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY user_id) " +
+        "SELECT CAST(f.cw AS DATE) AS cohort_week, " +
+        "CAST(floor((epoch_us(e.ts) - epoch_us(f.cw)) / 604800000000.0) AS BIGINT) AS week_offset, " +
+        "count(DISTINCT e.user_id) AS n_users " +
+        "FROM events e JOIN f ON e.user_id = f.user_id " +
+        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset"),
+
+    "q66_word_freq" ->
+      ("WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "t -> length(t) > 0)) AS token FROM documents) " +
+        "SELECT token, n FROM (SELECT token, count(*) AS n FROM toks GROUP BY token " +
+        "ORDER BY n DESC, token LIMIT 20) ORDER BY token"),
+
+    "q67_tfidf" ->
+      ("WITH tf AS (SELECT doc_id, token AS term, count(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "t -> length(t) > 0)) AS token FROM documents) GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "scored AS (SELECT doc_id, term, tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df) AS score " +
+        "FROM tf JOIN df USING (term)) " +
+        "SELECT doc_id, top_term, round(score, 4) AS score FROM " +
+        "(SELECT doc_id, term AS top_term, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored) " +
+        "WHERE rk = 1 ORDER BY doc_id"),
+
+    "q70_repetition" ->
+      // duplicate word-bigram ratio; bigram counts mirror WordShingles
+      // semantics (trim=''->0, <2 tokens->1 whole-text shingle)
+      ("SELECT doc_id, round(CASE WHEN ntok - 1 <= 0 THEN 0.0 " +
+        "ELSE 1.0 - nbg / (ntok - 1.0) END, 4) AS rep_ratio FROM (" +
+        "SELECT doc_id, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok, " +
+        "(SELECT CASE WHEN trim(text) = '' THEN 0 WHEN len(toks) < 2 THEN 1 " +
+        "ELSE len(list_distinct(list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2]))) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) AS nbg " +
+        "FROM documents) ORDER BY doc_id"),
+
+    "q71_pii_redact" ->
+      // DuckDB regexp_replace needs 'g' for replace-all (Spark default)
+      ("WITH wire AS (SELECT event_id, 'uid ' || user_id || ' contact u' || user_id || " +
+        "'@example.com ref ' || (event_id * 137) || ' t ' || event_type AS msg " +
+        "FROM events WHERE user_id = 3) " +
+        "SELECT event_id, " +
+        "regexp_replace(regexp_replace(msg, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'[0-9]{4,}', '<NUM>', 'g') AS redacted, " +
+        "len(regexp_extract_all(msg, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, " +
+        "len(regexp_extract_all(regexp_replace(msg, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'[0-9]{4,}')) AS n_nums " +
+        "FROM wire ORDER BY event_id"),
+
+    "q72_stratified_sample" ->
+      ("SELECT lang, doc_id, rk FROM (SELECT lang, doc_id, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
+        "FROM documents) WHERE rk <= 5 ORDER BY lang, rk"),
+
+    "q73_neardup_clusters" ->
+      // transitive closure over the brute-force jaccard>=0.1 pair graph
+      // (same pair universe as q22); min reachable label = cluster id
+      ("WITH RECURSIVE sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach(id, lbl) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster_id, (min(lbl) = id) AS is_canonical " +
+        "FROM reach GROUP BY id ORDER BY doc_id"),
+
+    "q68_levenshtein" ->
+      ("WITH t AS (SELECT DISTINCT event_type FROM events) " +
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "levenshtein(a.event_type, b.event_type) AS dist " +
+        "FROM t a, t b WHERE a.event_type < b.event_type ORDER BY type_a, type_b"),
+
+    "q69_higher_order" ->
+      // coalesce: DuckDB list_sum([]) is NULL where Spark's aggregate
+      // with a 0 seed yields 0; list_max([]) is NULL on both
+      ("SELECT doc_id, " +
+        "len(list_filter(toks, t -> length(t) > 6)) AS n_long_words, " +
+        "CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS INTEGER) AS sum_token_chars, " +
+        "CAST(list_max(list_transform(toks, t -> length(t))) AS INTEGER) AS max_token_len " +
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "t -> length(t) > 0) AS toks FROM documents) ORDER BY doc_id"),
+
+    "q75_approx_quantile" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS exact_p50, " +
+        "TRUE AS approx_close FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q76_embed_centroid" ->
+      // range(1,65): dims are fixed at 64; decimal-exact elementwise sums
+      ("SELECT label, i - 1 AS dim, " +
+        "round(CAST(sum(CAST(embedding[i] AS DECIMAL(20,7))) AS DOUBLE) / count(*), 4) AS centroid " +
+        "FROM embeddings, range(1, 65) t(i) " +
+        "GROUP BY label, i ORDER BY label, dim")
   ).filter(_._2 != null)
 
   private def duckStopwords: String =

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text analytics for training-data pipelines: term
+  * frequencies, TF-IDF salience, repetition-quality signals, PII
+  * redaction, and stratified sampling.
+  *
+  * All tokenization matches [[TextAnalysis]] (lower, trim, split on
+  * whitespace) so corpus stats, dedup shingles, and these reports agree on
+  * what a "token" is.
+  *
+  * Scale notes: term-level operators explode documents into tokens — at
+  * 100 TB that intermediate dwarfs the input, so every one aggregates
+  * immediately after the generator (partial aggregation collapses the
+  * token stream map-side before any shuffle) and nothing ever collects a
+  * vocabulary to the driver.
+  */
+object CorpusAnalytics {
+
+  private def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Top-`k` corpus token frequencies, ties broken lexicographically.
+    * explode → groupBy(token) with map-side combine → distributed top-k
+    * (`orderBy.limit` plans as TakeOrderedAndProject, no global sort).
+    */
+  def wordFrequencies(
+      docs: DataFrame,
+      textCol: String = "text",
+      k: Int = 20): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Most-salient term per document by TF-IDF: tf = in-doc occurrences,
+    * idf = ln(N / df) with df = documents containing the term. Returns
+    * (id, top_term, score).
+    *
+    * Three aggregations, all on the token stream: per-(doc, term) tf,
+    * per-term df, then a window top-1 per doc with a deterministic
+    * (score desc, term asc) tie-break. The df side is a term-cardinality
+    * table — broadcast-joined when small, shuffle-joined otherwise (left
+    * to AQE; both sides are already partitioned by term after their aggs).
+    */
+  def tfidfTopTerm(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val n = docs.count() // corpus size: one scalar, known before planning
+    val termFreq = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = termFreq
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val scored = termFreq.join(docFreq, "term")
+      .select(col(idCol), col("term"),
+        (col("tf") * log(lit(n.toDouble) / col("df"))).as("score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("term").as("top_term"), col("score"))
+  }
+
+  /** Duplicate word-bigram ratio — the Gopher-style repetition quality
+    * signal: 1 − distinct-bigrams / total-bigrams, 0.0 for texts of fewer
+    * than 2 tokens. Pure map-side scalar (the custom codegen'd
+    * [[graft.functions.WordShingles]] provides the distinct count).
+    */
+  def repetitionRatio(text: Column): Column = {
+    val total = TextAnalysis.tokenCount(text).cast("double") - 1.0
+    val distinctBigrams = size(Dedup.shingles(text, 2)).cast("double")
+    when(total <= 0, lit(0.0)).otherwise(lit(1.0) - distinctBigrams / total)
+  }
+
+  /** PII redaction: emails → `<EMAIL>`, long digit runs (4+) → `<NUM>`.
+    * Returns (redacted text, n_emails, n_nums) as struct fields. Map-side
+    * scalar — codegen'd regexp kernels, no UDF.
+    */
+  def redactPii(text: Column): Column = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numRe = "[0-9]{4,}"
+    val noEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    struct(
+      regexp_replace(noEmail, numRe, "<NUM>").as("redacted"),
+      regexp_count(text, lit(emailRe)).as("n_emails"),
+      regexp_count(noEmail, lit(numRe)).as("n_nums"))
+  }
+
+  /** Deterministic stratified sample: the `perStratum` smallest md5-ranked
+    * rows per stratum. Hash order (not `rand()`) makes the sample stable
+    * across runs/engines/retries — same discipline as [[Sampling]].
+    * One shuffle on the stratum key; rank via row_number window.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perStratum)
+  }
+}

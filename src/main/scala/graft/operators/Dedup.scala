@@ -257,4 +257,63 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .distinct()
   }
+
+  // ------------------------------------------------- near-dup clustering
+
+  /** Connected components over the near-duplicate pair graph: every doc
+    * that appears in at least one near-dup pair gets a `cluster_id` (the
+    * smallest doc id reachable through near-dup edges) and an
+    * `is_canonical` flag (the cluster representative to keep). This is the
+    * standard "collapse near-dup groups to one exemplar" dedup step.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbours' labels, until a
+    * fixpoint. Rounds needed = component diameter; near-dup components in
+    * real corpora are small and dense (template families), so this
+    * converges in a handful of rounds. Each round is one join + one
+    * aggregation on the edge list; `localCheckpoint` truncates the
+    * growing lineage so round N doesn't replay rounds 1..N-1 (on a
+    * cluster, a reliable `checkpoint` to the checkpoint dir does the same
+    * job). Nothing is collected to the driver except the per-round
+    * convergence count.
+    */
+  def neardupClusters(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxIters: Int = 50): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold)
+      .select(col("id_a"), col("id_b"))
+    // undirected: propagate labels both ways
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("nid"))
+        .agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.id") === col("nid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.lbl"), coalesce(col("nbr_lbl"), col("l.lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"),
+      (col("id") === col("lbl")).as("is_canonical"))
+  }
 }

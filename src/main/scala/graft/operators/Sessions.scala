@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch session / funnel / cohort analytics over an event stream.
+  *
+  * These are the batch twins of the streaming operators in
+  * `graft.streaming.StreamAggregates` (`sessionize` via `session_window`):
+  * the reference's query surface is entirely batch SQL over landed events
+  * (README.rst:84-103), so the gap-based sessionization, ordered-step
+  * funnel, and cohort-retention reports belong on the batch side too.
+  *
+  * Scale notes: every operator here is one shuffle on `user` (window or
+  * groupBy); nothing is collected to the driver and no self-join is
+  * quadratic. At 100 TB the window partition key is the user id — high
+  * cardinality, so partitions stay small and skew-free.
+  */
+object Sessions {
+
+  /** Gap-based sessionization: a new session starts when the user's
+    * inter-event gap exceeds `gapSeconds` (default 43200 s = 12 h, the
+    * reference's hypertable chunk interval, migration:39-43). Returns one
+    * row per session: (user, session_idx, n_events, start/end epoch-micros).
+    *
+    * One shuffle: lag + running sum share the same (user ⨯ time) window
+    * spec, and the per-session groupBy reuses the partitioning.
+    */
+  def sessionize(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      gapSeconds: Long = 43200L): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gap = unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w))
+    val isNew = when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L)
+    events
+      .withColumn("session_idx", sum(isNew).over(w))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"))
+  }
+
+  /** Ordered-step funnel: how many users completed step 1, step 1 then
+    * step 2 (at-or-after), step 1→2→3, ... Each stage requires the step
+    * event at-or-after the previous stage's FIRST qualifying time (the
+    * standard "earliest-entry" funnel semantics — deterministic, no
+    * per-path search).
+    *
+    * Single aggregation pass: per-user first-times are one groupBy with
+    * conditional `min`s; stage times build left-to-right inside the same
+    * row. Scale: shuffle carries one row per user.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // stage k time = min ts of step-k events at-or-after stage k-1's time.
+    // min(ts WHERE type=step AND ts >= prev) is not expressible as a single
+    // conditional agg (prev is itself an agg), so compute per-user sorted
+    // event lists once and fold client-side? No — stay distributed: one
+    // aggregation collecting each step's sorted timestamp list per user
+    // (bounded: only steps' events), then a scalar fold across stages.
+    val stepTimes = steps.zipWithIndex.map { case (s, i) =>
+      sort_array(collect_list(when(col(typeCol) === s, unix_micros(col(tsCol))))).as(s"t$i")
+    }
+    val perUser = events
+      .filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(stepTimes.head, stepTimes.tail: _*)
+    // stage0 = first step-0 time; stage k = first t_k >= stage_{k-1}
+    // (try_element_at: empty list -> NULL, no ANSI out-of-bounds error)
+    val stage0 = try_element_at(col("t0"), lit(1))
+    val stages = steps.indices.tail.scanLeft(stage0) { (prev, i) =>
+      // filter() is a codegen'd higher-order function; lists are per-user
+      // step events only, so this is a short in-memory scan
+      try_element_at(filter(col(s"t$i"), t => t >= prev), lit(1))
+    }
+    val reached = stages.zipWithIndex.map { case (st, i) =>
+      sum(when(st.isNotNull, 1L).otherwise(0L)).as(s"n_stage$i")
+    }
+    val agg = perUser.agg(reached.head, reached.tail: _*)
+    // long format: (stage name, users reaching it) — stable schema
+    val stageRows = steps.indices.map { i =>
+      agg.select(lit(i).as("stage"), lit(steps.take(i + 1).mkString(">")).as("path"),
+        col(s"n_stage$i").as("n_users"))
+    }
+    stageRows.reduce(_ unionByName _)
+  }
+
+  /** Weekly cohort retention: users bucketed by the week of their first
+    * event (cohort), counted per whole-weeks-elapsed offset in which they
+    * were active. Two aggregations: first-event per user (one shuffle on
+    * user), then distinct-user counts per (cohort_week, week_offset).
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstEvent = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("first_ts"))
+      .select(col(userCol), date_trunc("week", col("first_ts")).as("cohort_week"))
+    events
+      .join(firstEvent, userCol)
+      .select(col(userCol), col("cohort_week"),
+        floor((unix_micros(col(tsCol)) - unix_micros(col("cohort_week")))
+          / (7L * 24 * 3600 * 1000000L)).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+      .select(to_date(col("cohort_week")).as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+}

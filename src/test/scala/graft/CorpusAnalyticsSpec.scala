@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{CorpusAnalytics, Dedup}
+import org.apache.spark.sql.functions._
+
+class CorpusAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordFrequencies counts tokens and breaks count ties lexicographically") {
+    val docs = Seq(
+      (1L, "a b b c"),
+      (2L, "B c d")
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.wordFrequencies(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // b:3 (case-folded), c:2, then a/d tie at 1 -> 'a' first
+    assert(got == Seq(("b", 3L), ("c", 2L), ("a", 1L)))
+  }
+
+  test("tfidfTopTerm prefers rare terms over common ones") {
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.tfidfTopTerm(docs)
+      .orderBy("doc_id").collect()
+    // 'common' appears in all docs -> idf ln(1) = 0; rare terms win
+    assert(got.map(_.getString(1)).toSeq == Seq("rare1", "rare2", "other"))
+    assert(got.forall(_.getDouble(2) > 0))
+  }
+
+  test("repetitionRatio: 0 for all-distinct bigrams, high for repeated text") {
+    val docs = Seq(
+      (1L, "a b c d"),          // 3 bigrams, all distinct -> 0.0
+      (2L, "a b a b a b"),      // 5 bigrams, 2 distinct -> 0.6
+      (3L, "single"),           // <2 tokens -> 0.0
+      (4L, "")                  // blank -> 0.0
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        CorpusAnalytics.repetitionRatio(col("text")).as("r"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(got(0)._2 == 0.0)
+    assert(math.abs(got(1)._2 - 0.6) < 1e-9)
+    assert(got(2)._2 == 0.0 && got(3)._2 == 0.0)
+  }
+
+  test("redactPii scrubs emails before digit runs and counts both") {
+    val df = Seq(
+      (1L, "reach me at john.doe99@corp.example.org or call 5551234567"),
+      (2L, "no pii here, just 123 small numbers"),
+      (3L, "two mails a@b.co x@y.io and 1234 9999")
+    ).toDF("id", "msg")
+    val got = df.select(col("id"), CorpusAnalytics.redactPii(col("msg")).as("r"))
+      .select(col("id"), col("r.redacted"), col("r.n_emails"), col("r.n_nums"))
+      .orderBy("id").collect()
+    assert(got(0).getString(1) == "reach me at <EMAIL> or call <NUM>")
+    assert(got(0).getInt(2) == 1 && got(0).getInt(3) == 1)
+    // 3-digit run is NOT redacted (4+ threshold)
+    assert(got(1).getString(1).contains("123"))
+    assert(got(1).getInt(2) == 0 && got(1).getInt(3) == 0)
+    assert(got(2).getInt(2) == 2 && got(2).getInt(3) == 2)
+    // the email's own digits never count as a number run
+    assert(!got(0).getString(1).contains("99"))
+  }
+
+  test("stratifiedSample takes exactly min(n, perStratum) per stratum, deterministically") {
+    val docs = Tables(spark, sf(), "documents")
+    val s1 = CorpusAnalytics.stratifiedSample(docs, "lang", "doc_id", 5)
+    val s2 = CorpusAnalytics.stratifiedSample(docs, "lang", "doc_id", 5)
+    val got = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val avail = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    avail.foreach { case (lang, n) =>
+      assert(got(lang) == math.min(n, 5L), s"lang=$lang")
+    }
+    assert(s1.select("doc_id").as[Long].collect().toSet ==
+      s2.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("neardupClusters groups transitively-connected near-dups under min id") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),  // ~ 1
+      (3L, "the quick brown fox jumps over the lazy cat !"), // ~ 2 (and 1)
+      (5L, "completely unrelated text about spark engines and shuffles"),
+      (6L, "completely unrelated text about spark engines and shuffles too") // ~ 5
+    ).toDF("doc_id", "text")
+    val got = Dedup.neardupClusters(docs, threshold = 0.3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // docs 1-2-3 one component (via transitivity), 5-6 another
+    val clusters = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(clusters(1L) == Set(1L, 2L, 3L))
+    assert(clusters(5L) == Set(5L, 6L))
+    // exactly one canonical per cluster: the min id
+    assert(got.filter(_._3).map(_._1).toSet == Set(1L, 5L))
+  }
+}
