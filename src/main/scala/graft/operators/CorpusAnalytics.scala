@@ -54,10 +54,14 @@ object CorpusAnalytics {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val n = docs.count() // corpus size: one scalar, known before planning
+    // persisted: both the scoring join and the df aggregation consume it —
+    // without this the explode+agg over the full token stream runs twice
+    // (caller-visible lifecycle: unpersist via spark.catalog.clearCache)
     val termFreq = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val docFreq = termFreq
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))

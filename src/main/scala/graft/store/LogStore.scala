@@ -64,4 +64,83 @@ final class LogStore(root: String) {
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(path(table))
+
+  /** Per-date file census: (date, n_files, bytes). The observability feed
+    * for compaction policy — a date whose file count grows while its bytes
+    * don't is accumulating per-epoch small files.
+    */
+  def fileStats(spark: SparkSession, table: String): Seq[(String, Int, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path(table))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .map { d =>
+        val it = fs.listFiles(d.getPath, true)
+        var n = 0
+        var bytes = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+        }
+        (d.getPath.getName.stripPrefix("date="), n, bytes)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Small-file compaction: rewrite a date partition's accumulation of
+    * per-epoch files (one `batch_id=` dir per micro-batch from
+    * [[appendIdempotent]]) into ceil(bytes / targetFileBytes) right-sized
+    * files. Returns (files_before, files_after, rows).
+    *
+    * The rewritten rows land under a single `batch_id=compacted-<date>`
+    * partition so the directory depth stays uniform with uncompacted dates
+    * (mixed-depth layouts break Spark's partition discovery). Crash-safety
+    * order: the compacted copy is fully written and row-count-verified in a
+    * temp dir BEFORE the original is deleted, so a crash can strand a temp
+    * dir or lose the partition's availability — never its data.
+    *
+    * Contract: only compact dates the streaming writer has moved past
+    * (event-time watermark behind = closed dates). A checkpoint replay of
+    * an epoch whose files were compacted away would re-create its
+    * `batch_id` partition alongside the compacted rows — the same
+    * append-vs-rewrite race every file-format store has; table formats
+    * with ACID commit (the production choice at 100 TB) close it, a raw
+    * parquet layout closes it operationally, by compacting cold dates only.
+    */
+  def compact(
+      spark: SparkSession,
+      table: String,
+      date: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
+    val srcPath = new org.apache.hadoop.fs.Path(s"${path(table)}/date=$date")
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(srcPath), s"no partition date=$date under $table")
+    var nBefore = 0
+    var bytes = 0L
+    val it = fs.listFiles(srcPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { nBefore += 1; bytes += f.getLen }
+    }
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val rows = spark.read.parquet(srcPath.toString)
+    val data = if (rows.columns.contains("batch_id")) rows.drop("batch_id") else rows
+    val expected = data.count()
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${path(table)}.compact-tmp/date=$date/batch_id=compacted-$date")
+    data.repartition(nFiles).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#correlation_id", "true")
+      .parquet(tmp.toString)
+    val written = spark.read.parquet(tmp.toString).count()
+    require(written == expected, s"compaction row mismatch: $written != $expected")
+    fs.delete(srcPath, true)
+    fs.mkdirs(srcPath)
+    // explicit destination leaf (rename-into-existing-dir semantics differ
+    // across FileSystem implementations)
+    val dst = new org.apache.hadoop.fs.Path(srcPath, tmp.getName)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    fs.delete(tmp.getParent.getParent, true) // the .compact-tmp scaffold
+    (nBefore, nFiles, expected)
+  }
 }

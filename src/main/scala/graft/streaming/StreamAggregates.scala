@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object StreamAggregates {
 
+  /** Stream-static enrichment join — the streaming twin of the batch
+    * `logs ⋈ context ON correlation_id` lookup (SURVEY §2.5; reference:
+    * context PK migration:45-50 mirrored by the logs btree migration:35).
+    * The dimension is broadcast: each micro-batch joins against the
+    * executor-local copy, so enrichment adds ZERO shuffles to the stream
+    * (stream-static joins are stateless — nothing to watermark or GC).
+    * The static side is re-resolved per batch from its source, so a
+    * dimension refresh (new parquet snapshot) is picked up on the next
+    * trigger without restarting the query.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      key: String = "correlation_id"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Tumbling-window event counts + value stats — `time_bucket` live.
     * Watermark bounds lateness: events older than `lateness` vs the max seen
     * event time are dropped (the reference has no late-data policy at all —
