@@ -895,6 +895,99 @@ object SparkEntry {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // ---- corpus curation: composite gate + token-budget trim ----
+
+    "q82_quality_gate" -> ((s, dir) => {
+      // keep-or-reject with machine-readable reasons (one map-side pass);
+      // thresholds sit inside this corpus's distributions so every reject
+      // path actually fires (defaults would pass 100% here)
+      operators.CorpusAnalytics.qualityGate(Tables(s, dir, "documents"),
+        minTokens = 15, minAlpha = 0.81, maxRepetition = 0.05)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q83_token_budget" -> ((s, dir) => {
+      // fill each language's training mix to 5000 tokens, best-quality
+      // first; keep a doc iff the budget wasn't exhausted before it
+      operators.CorpusAnalytics.tokenBudget(
+        Tables(s, dir, "documents"), "lang", "doc_id", budgetTokens = 5000L)
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // ---- window-frame / rank-family / join / reshape breadth ----
+
+    "q77_range_frame" -> ((s, dir) => {
+      // RANGE frame over event-time micros: trailing-1h sum per user
+      // (q44 covered ROWS frames; RANGE is value-based — the time-window
+      // twin). (user_id, ts) is unique, so the frame is deterministic.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("trailing_1h_sum"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q78_rank_family" -> ((s, dir) => {
+      // rank vs dense_rank vs percent_rank vs cume_dist under real ties
+      // (value alone orders — 2-decimal values collide, which is the point);
+      // tied rows get identical ranks so output is deterministic anyway.
+      // percent_rank/cume_dist are exact rational doubles on both engines.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value").desc)
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    "q79_full_outer" -> ((s, dir) => {
+      // FULL OUTER completes the join family (left/semi/anti/cross done):
+      // reconcile two aggregated slices keeping both unmatched sides
+      val ev = Tables(s, dir, "events")
+      val e = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
+      val p = ev.filter(col("event_type") === "purchase" && col("value") > 95)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_big_buy"))
+      e.join(p, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_err"), lit(0L)).as("n_err"),
+          coalesce(col("n_big_buy"), lit(0L)).as("n_big_buy"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q80_unpivot" -> ((s, dir) => {
+      // unpivot/melt: the wide per-type day counts (q45's shape) back to
+      // long form — schema reshape without a shuffle beyond the agg's own
+      val wide = Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(Array(col("day")),
+          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+          "event_type", "n")
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    "q81_correlated_exists" -> ((s, dir) => {
+      // correlated EXISTS through the SQL surface: Catalyst decorrelates
+      // to a semi join (q35/q36 drove the DataFrame forms; this pins the
+      // subquery path the reference's analysts would write)
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment FROM customer_v c
+          |WHERE EXISTS (SELECT 1 FROM orders_v o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ---- custom Expressions through the SQL surface (GraftExtensions) ----
 
     "q50_sql_custom_funcs" -> ((s, dir) => {
@@ -1392,7 +1485,80 @@ object SparkEntry {
       ("SELECT label, i - 1 AS dim, " +
         "round(CAST(sum(CAST(embedding[i] AS DECIMAL(20,7))) AS DOUBLE) / count(*), 4) AS centroid " +
         "FROM embeddings, range(1, 65) t(i) " +
-        "GROUP BY label, i ORDER BY label, dim")
+        "GROUP BY label, i ORDER BY label, dim"),
+
+    "q77_range_frame" ->
+      ("SELECT user_id, event_id, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h_sum " +
+        "FROM events ORDER BY user_id, event_id"),
+
+    "q78_rank_family" ->
+      ("SELECT event_type, event_id, " +
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, " +
+        "percent_rank() OVER w AS prnk, cume_dist() OVER w AS cdist " +
+        "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value DESC) " +
+        "ORDER BY event_type, event_id"),
+
+    "q79_full_outer" ->
+      ("SELECT coalesce(e.user_id, p.user_id) AS user_id, " +
+        "coalesce(n_err, 0) AS n_err, coalesce(n_big_buy, 0) AS n_big_buy FROM " +
+        "(SELECT user_id, count(*) AS n_err FROM events WHERE event_type = 'error' GROUP BY user_id) e " +
+        "FULL OUTER JOIN " +
+        "(SELECT user_id, count(*) AS n_big_buy FROM events WHERE event_type = 'purchase' AND value > 95 GROUP BY user_id) p " +
+        "ON e.user_id = p.user_id ORDER BY user_id"),
+
+    "q80_unpivot" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS error, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS view " +
+        "FROM events GROUP BY 1) " +
+        "SELECT day, 'click' AS event_type, click AS n FROM daily " +
+        "UNION ALL SELECT day, 'error', error FROM daily " +
+        "UNION ALL SELECT day, 'purchase', purchase FROM daily " +
+        "UNION ALL SELECT day, 'signup', signup FROM daily " +
+        "UNION ALL SELECT day, 'view', view FROM daily " +
+        "ORDER BY day, event_type"),
+
+    "q81_correlated_exists" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) " +
+        "ORDER BY c_custkey"),
+
+    "q82_quality_gate" ->
+      // raw (unrounded) values drive the thresholds, rounded ones are
+      // displayed — mirrors qualityGate exactly; concat_ws skips NULL
+      // branches on both engines
+      ("SELECT doc_id, ntok AS n_tokens, round(alpha, 4) AS alpha_ratio, " +
+        "round(rep, 4) AS rep_ratio, (reasons = '') AS passes, reasons FROM (" +
+        "SELECT doc_id, ntok, alpha, rep, concat_ws(',', " +
+        "CASE WHEN ntok < 15 THEN 'too_short' END, " +
+        "CASE WHEN alpha < 0.81 THEN 'low_alpha' END, " +
+        "CASE WHEN rep > 0.05 THEN 'repetitive' END) AS reasons FROM (" +
+        "SELECT doc_id, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok, " +
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha, " +
+        "(SELECT CASE WHEN nt - 1 <= 0 THEN 0.0 ELSE 1.0 - nbg / (nt - 1.0) END FROM (" +
+        "SELECT CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt, " +
+        "(SELECT CASE WHEN trim(text) = '' THEN 0 WHEN len(toks) < 2 THEN 1 " +
+        "ELSE len(list_distinct(list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2]))) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) AS nbg)) AS rep " +
+        "FROM documents)) ORDER BY doc_id"),
+
+    "q83_token_budget" ->
+      ("SELECT lang, doc_id, n_tokens, quality, CAST(cum AS BIGINT) AS cum_tokens FROM (" +
+        "SELECT lang, doc_id, n_tokens, quality, " +
+        "sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM (SELECT lang, doc_id, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
+        "round(CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS quality " +
+        "FROM documents)) WHERE cum - n_tokens < 5000 ORDER BY lang, doc_id")
   ).filter(_._2 != null)
 
   private def duckStopwords: String =

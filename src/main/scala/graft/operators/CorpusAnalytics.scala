@@ -101,6 +101,57 @@ object CorpusAnalytics {
       regexp_count(noEmail, lit(numRe)).as("n_nums"))
   }
 
+  /** Composite quality gate — the "keep or reject, and say why" filter a
+    * curation pipeline runs before training: short docs, low-alpha docs,
+    * and repetitive docs are rejected with machine-readable reasons.
+    * Pure map-side scalars (one pass, no shuffle); `reasons` is a
+    * comma-joined list (concat_ws skips the NULL branches), empty = pass.
+    */
+  def qualityGate(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minTokens: Int = 5,
+      minAlpha: Double = 0.6,
+      maxRepetition: Double = 0.2): DataFrame = {
+    val nTok = TextAnalysis.tokenCount(col(textCol))
+    val alpha = TextAnalysis.alphaRatio(col(textCol))
+    val rep = repetitionRatio(col(textCol))
+    val reasons = concat_ws(",",
+      when(nTok < minTokens, lit("too_short")),
+      when(alpha < minAlpha, lit("low_alpha")),
+      when(rep > maxRepetition, lit("repetitive")))
+    docs.select(col(idCol),
+      nTok.as("n_tokens"),
+      round(alpha, 4).as("alpha_ratio"),
+      round(rep, 4).as("rep_ratio"),
+      (reasons === "").as("passes"),
+      reasons.as("reasons"))
+  }
+
+  /** Per-stratum token-budget trim: rank docs by (quality desc, id), keep
+    * each doc whose cumulative token count BEFORE it is still under the
+    * budget — the standard "fill the training mix to N tokens per
+    * language" curation step. One shuffle on the stratum key; the running
+    * sum shares the rank's window partitioning.
+    */
+  def tokenBudget(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      budgetTokens: Long,
+      textCol: String = "text"): DataFrame = {
+    val nTok = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val quality = TextAnalysis.alphaRatio(col(textCol))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("quality").desc, col(idCol))
+    docs
+      .select(col(stratumCol), col(idCol), nTok.as("n_tokens"),
+        round(quality, 6).as("quality"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+  }
+
   /** Deterministic stratified sample: the `perStratum` smallest md5-ranked
     * rows per stratum. Hash order (not `rand()`) makes the sample stable
     * across runs/engines/retries — same discipline as [[Sampling]].

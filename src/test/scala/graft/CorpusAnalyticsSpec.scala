@@ -77,6 +77,36 @@ class CorpusAnalyticsSpec extends SparkSpec {
       s2.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("qualityGate rejects with stacked reasons; clean docs pass") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "hi"),                                     // too_short
+      (3L, "1 2 3 4 5 6 7 8 9 10 11 12"),             // low_alpha
+      (4L, "go go go go go go go go go go")           // repetitive (not short)
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.qualityGate(docs)
+      .select("doc_id", "passes", "reasons")
+      .orderBy("doc_id").as[(Long, Boolean, String)].collect().toSeq
+    assert(got(0) == ((1L, true, "")))
+    assert(got(1)._3.contains("too_short"))
+    assert(got(2) == ((3L, false, "low_alpha")))
+    assert(got(3) == ((4L, false, "repetitive")))
+  }
+
+  test("tokenBudget keeps best-quality docs until the stratum budget is exhausted") {
+    val docs = Seq(
+      // lang a: qualities 1.0 > 0.5; budget 5 tokens admits the first
+      // (4 tokens) and the second (budget not yet exhausted: 4 < 5)
+      (1L, "aaaa bbbb cccc dddd", "a"),       // 4 tokens, alpha 1.0 -> ranked 1st
+      (2L, "a1 b2 c3 d4 e5 f6", "a"),         // 6 tokens, alpha ~0.35 -> 2nd
+      (3L, "x9 y8 z7 w6 v5 u4 t3 s2", "a"),   // 8 tokens, lowest alpha+id -> cut
+      (4L, "hello world", "b")                // other stratum: untouched
+    ).toDF("doc_id", "text", "lang")
+    val got = CorpusAnalytics.tokenBudget(docs, "lang", "doc_id", budgetTokens = 5L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L))
+  }
+
   test("neardupClusters groups transitively-connected near-dups under min id") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

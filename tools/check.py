@@ -5,14 +5,14 @@ graft.Verify (rows, schema-ish, and values with column names sorted).
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--skip-heavy]
 
---skip-heavy drops the brute-force all-pairs oracles (q22, q57) whose
+--skip-heavy drops the brute-force all-pairs oracles (q22, q57, q73) whose
 DuckDB side is quadratic in document count — use for sf0.1 soak runs,
 where those two would take hours (the driver's gate runs sf0.01 only).
 """
 import json, math, sys
 import duckdb
 
-HEAVY = {"q22_ngram_jaccard", "q57_split_leakage"}
+HEAVY = {"q22_ngram_jaccard", "q57_split_leakage", "q73_neardup_clusters"}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
