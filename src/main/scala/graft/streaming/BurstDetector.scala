@@ -22,11 +22,15 @@ case class BurstTimes(us: Seq[Long])
   * [[CorrelationTracker]]; requires the RocksDB state store provider).
   *
   * Per key the state is the recent error event-times, trimmed to the
-  * sliding window on every input and hard-capped at `threshold * 4`
+  * sliding window of the latest event and hard-capped at `threshold * 4`
   * entries, so state per key is O(threshold) regardless of input rate.
-  * When the trimmed window reaches `threshold` the processor emits one
-  * alert and CLEARS the key's state — re-arming the detector instead of
-  * re-alerting on every subsequent error of the same burst.
+  * Each batch is merged with prior state and scanned with two pointers,
+  * evaluating the sliding window at EVERY event (not only the latest —
+  * a burst fully contained in one micro-batch followed by a straggler
+  * still alerts). On reaching `threshold` the processor emits one alert
+  * and re-arms on the events after the alert position — re-arming the
+  * detector instead of re-alerting on every subsequent error of the
+  * same burst.
   *
   * Scale: state lives in the executor-local RocksDB store partitioned by
   * key — the hot path never shuffles more than the (key, time) pairs, and
@@ -46,17 +50,27 @@ class BurstProcessor(threshold: Int, windowUs: Long)
       rows: Iterator[ErrorEvent],
       timerValues: TimerValues): Iterator[BurstAlert] = {
     val prior = if (recent.exists()) recent.get().us else Seq.empty[Long]
-    val all = (prior ++ rows.map(_.eventUs)).sorted
-    val horizon = all.last - windowUs
-    val inWindow = all.dropWhile(_ < horizon).takeRight(threshold * 4)
-    if (inWindow.length >= threshold) {
-      recent.clear()
-      Iterator.single(
-        BurstAlert(key, inWindow.length, inWindow.head, inWindow.last))
-    } else {
-      recent.update(BurstTimes(inWindow))
-      Iterator.empty
+    val all = (prior ++ rows.map(_.eventUs)).sorted.toIndexedSeq
+    val alerts = Seq.newBuilder[BurstAlert]
+    var left = 0 // start of the window ending at event j
+    var armed = 0 // first event of the current armed segment (post-alert)
+    var j = 0
+    while (j < all.length) {
+      if (left < armed) left = armed
+      while (all(left) < all(j) - windowUs) left += 1
+      if (j - left + 1 >= threshold) {
+        alerts += BurstAlert(key, j - left + 1, all(left), all(j))
+        armed = j + 1 // re-arm: later events start a fresh window
+      }
+      j += 1
     }
+    val rem = all.drop(armed)
+    val inWindow =
+      if (rem.isEmpty) rem
+      else rem.dropWhile(_ < rem.last - windowUs).takeRight(threshold * 4)
+    if (inWindow.isEmpty) recent.clear()
+    else recent.update(BurstTimes(inWindow))
+    alerts.result().iterator
   }
 }
 
