@@ -22,7 +22,16 @@ object Bench {
     // timings measure the queries, not JVM startup.
     Tables(spark, sfDir, "lineitem").count()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // q84-q87 are contract twins: their Spark side deliberately computes
+    // BRUTE-FORCE ground truth (quadratic pair scans) to pin the
+    // approximate operators' recall. That cost is the verification
+    // artifact's, not an engine path — timing it would only measure the
+    // oracle. The operators they pin are benched via q20/q21/q24/q25/q39.
+    val contractTwins = Set(
+      "q84_lsh_contract", "q85_simhash_contract",
+      "q86_ann_recall", "q87_embed_pairs_exact")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => contractTwins(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

@@ -251,8 +251,11 @@ object SparkEntry {
     }),
 
     "q25_embed_neardup" -> ((s, dir) => {
+      // 8-table OR-amplification: a single 4-plane table catches ~11% of
+      // pairs at this low threshold; 8 independent tables ~62% (recall
+      // floor pinned by the q86 contract twin)
       Dedup.embeddingNearDup(Tables(s, dir, "embeddings"),
-        planes = 4, threshold = 0.25)
+        planes = 4, threshold = 0.25, tables = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -833,8 +836,10 @@ object SparkEntry {
 
     "q73_neardup_clusters" -> ((s, dir) => {
       // collapse near-dup groups: cluster_id = min reachable doc id through
-      // jaccard>=0.1 edges (LSH candidates, recall pinned 1.0 by q22's
-      // brute-force oracle); is_canonical marks the doc to keep
+      // jaccard>=0.1 edges; bands=16 (r=1) is the guaranteed-recall LSH
+      // setting — bands=8 measurably misses ~3/260 true pairs at this low
+      // threshold on sf0.1 (ngramJaccardPairs doc), which would split
+      // clusters; is_canonical marks the doc to keep
       Dedup.neardupClusters(Tables(s, dir, "documents"), threshold = 0.1)
         .orderBy(col("doc_id"))
     }),
@@ -986,6 +991,168 @@ object SparkEntry {
           |WHERE EXISTS (SELECT 1 FROM orders_v o
           |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
           |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // ---- contract twins for the approximate family ----
+    // q20/q21/q24/q25/q39/q51 are approximate-by-design (LSH / simhash /
+    // ANN), so their outputs are not DuckDB-expressible; each gets a
+    // CONTRACT TWIN below whose Spark side computes the approximate result
+    // AND its exact ground truth in one plan, and whose oracle re-derives
+    // the ground truth independently + pins the contract (containment /
+    // recall floor). Twin map: q20,q22→q84; q21,q51→q85; q24,q39,q25→q86;
+    // q25's verify kernel→q87.
+
+    "q84_lsh_contract" -> ((s, dir) => {
+      // minhash-LSH candidate containment: at bands=16 (r=1, per-band
+      // collision prob = j) every true pair with exact 3-gram jaccard
+      // >= 0.3 must surface as a candidate (per-pair miss prob <= 0.7^16
+      // ~ 0.3%, and deterministic given the fixed xxhash64 seeds).
+      // n_true_pairs is brute-forced BOTH here and in the DuckDB oracle;
+      // n_missed pins containment at 0.
+      val docs = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .persist()
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      val truePairs = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          when(uni === 0, lit(0.0)).otherwise(inter / uni).as("j"))
+        .filter(col("j") >= 0.3)
+        .persist()
+      val cands = Dedup.minhashLsh(Tables(s, dir, "documents"),
+        numHashes = 16, bands = 16, shingleSize = 3, threshold = 0.0)
+        .select(col("id_a"), col("id_b"))
+      val missed = truePairs.join(cands, Seq("id_a", "id_b"), "left_anti")
+      truePairs.agg(count(lit(1)).as("n_true_pairs"))
+        .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+    }),
+
+    "q85_simhash_contract" -> ((s, dir) => {
+      // simhash is not DuckDB-expressible (xxhash64 bit-mix); pin it by
+      // properties the oracle CAN ground: (1) n_norm_dup_pairs — pairs
+      // with identical normalized text, independently re-counted by the
+      // oracle from raw text; (2) among those, simhash must agree
+      // (n_simhash_mismatch = 0: it is a pure function of the token
+      // stream); (3) q51's pigeonhole segment join returns EXACTLY the
+      // brute-force Hamming<=3 pair set (lossless candidates + exact
+      // popcount verify => set equality, not an approximation)
+      val docs = Tables(s, dir, "documents")
+      val withSim = docs
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          Dedup.simhash(col("text")).as("sim"))
+        .persist()
+      val normPairs = withSim
+        .select(col("doc_id").as("id_a"), col("fp"), col("sim").as("sim_a"))
+        .join(withSim.select(col("doc_id").as("id_b"), col("fp"),
+          col("sim").as("sim_b")), "fp")
+        .filter(col("id_a") < col("id_b"))
+        .select((col("sim_a") === col("sim_b")).as("same"))
+      val brute = withSim.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+        .join(withSim.select(col("doc_id").as("id_b"), col("sim").as("sim_b")),
+          col("id_a") < col("id_b"))
+        .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+        .select(col("id_a"), col("id_b"))
+      val lsh = Dedup.simhashNearDup(docs, k = 3, segments = 4)
+        .select(col("id_a"), col("id_b"))
+      val onlyLsh = lsh.join(brute, Seq("id_a", "id_b"), "left_anti")
+      val onlyBrute = brute.join(lsh, Seq("id_a", "id_b"), "left_anti")
+      normPairs
+        .agg(count(lit(1)).as("n_norm_dup_pairs"),
+          coalesce(sum(when(!col("same"), 1L)), lit(0L)).as("n_simhash_mismatch"))
+        .crossJoin(onlyLsh.agg(count(lit(1)).as("_l"))
+          .crossJoin(onlyBrute.agg(count(lit(1)).as("_b")))
+          .select((col("_l") + col("_b") === 0).as("lsh_equals_brute")))
+    }),
+
+    "q86_ann_recall" -> ((s, dir) => {
+      // recall floors for the three approximate retrieval paths, scored
+      // in-plan against exact brute force. Floors sit well below measured
+      // recall (LSH top-10 ~0.56, IVF ~0.84, hyperplane pair recall
+      // higher still) so the assertions are scale-stable while catching
+      // structural regressions (broken signature / probe selection).
+      // n_exact_pairs grounds the twin in data: the oracle re-derives it
+      // by brute force.
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val exact = Similarity.bruteForceTopK(corpus, q, 10).select(col("vec_id"))
+      val lsh = Similarity
+        .lshTopK(Similarity.bucketedIndex(corpus, planes = 4), q, 10, planes = 4)
+        .select(col("vec_id"))
+      val cents = Similarity.kmeansCentroids(corpus)
+      val ivf = Similarity
+        .ivfTopK(Similarity.ivfIndex(corpus, cents), cents, q, 10, nprobe = 4)
+        .select(col("vec_id"))
+      // exact cosine pair ground truth (same universe as q25: all vectors)
+      val withN = emb.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      val exactPairs = withN
+        .select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("nrm").as("nrm_a"))
+        .join(withN.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+          col("nrm").as("nrm_b")), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          when(col("nrm_a") * col("nrm_b") === 0, lit(0.0))
+            .otherwise(Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+            .as("cos"))
+        .filter(col("cos") >= 0.25)
+        .select(col("id_a"), col("id_b"))
+        .persist()
+      val lshPairs = Dedup.embeddingNearDup(emb, planes = 4, threshold = 0.25, tables = 8)
+        .select(col("id_a"), col("id_b"))
+      exactPairs.agg(count(lit(1)).as("n_exact_pairs"))
+        .crossJoin(lshPairs.join(exactPairs, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("_hit")))
+        .crossJoin(lsh.join(exact, "vec_id").agg(count(lit(1)).as("_lsh")))
+        .crossJoin(ivf.join(exact, "vec_id").agg(count(lit(1)).as("_ivf")))
+        .select(col("n_exact_pairs"),
+          (col("_hit") >= col("n_exact_pairs") / 2).as("embed_pair_floor_met"),
+          (col("_ivf") >= 5).as("ivf_top10_floor_met"),
+          (col("_lsh") >= 3).as("lsh_top10_floor_met"))
+    }),
+
+    "q87_embed_pairs_exact" -> ((s, dir) => {
+      // q25's verify kernel, exact and fully hash-oracled: brute-force
+      // cosine>=0.25 pairs with NO LSH prefilter — the DuckDB oracle
+      // recomputes every pair, so the dot/norm kernels and the threshold
+      // comparison are pinned bit-for-bit (q23 pins them for top-k;
+      // this pins the pair/self-join shape q25 builds on)
+      val emb = Tables(s, dir, "embeddings")
+      val withN = emb.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      withN
+        .select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("nrm").as("nrm_a"))
+        .join(withN.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+          col("nrm").as("nrm_b")), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          when(col("nrm_a") * col("nrm_b") === 0, lit(0.0))
+            .otherwise(Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+            .as("cos"))
+        .filter(col("cos") >= 0.25)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q88_search_indexed" -> ((s, dir) => {
+      // q06's ILIKE-ANY, accelerated by the trigram sidecar index (the
+      // reference's GIN trigram analog, migration:36): write the corpus to
+      // a store, build the per-file trigram index, search through it. The
+      // oracle is the same brute-force ILIKE as q06 — hash equality proves
+      // the pruning path loses no rows
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q88-store").toString
+      Tables(s, dir, "documents")
+        .repartition(16, col("doc_id"))
+        .write.mode("overwrite").parquet(root)
+      store.SearchIndex.build(s, root, "text")
+      store.SearchIndex.search(s, root, Seq("%spark%", "%merge%"), "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- custom Expressions through the SQL surface (GraftExtensions) ----
@@ -1364,13 +1531,15 @@ object SparkEntry {
 
     "q64_sessionize" ->
       // session boundary at >12h inter-event gap; session_idx is a running
-      // sum of boundary flags (CAST: DuckDB window sum -> HUGEINT)
-      ("WITH x AS (SELECT user_id, epoch_us(ts) AS us, " +
+      // sum of boundary flags (CAST: DuckDB window sum -> HUGEINT).
+      // event_id rides along into the running-sum window so tied
+      // timestamps order identically to the (ts, event_id) Spark window
+      ("WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us, " +
         "CASE WHEN lag(ts) OVER w IS NULL " +
         "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 43200000000 THEN 1 ELSE 0 END AS is_new " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
         "y AS (SELECT user_id, us, CAST(sum(is_new) OVER " +
-        "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM x) " +
+        "(PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM x) " +
         "SELECT user_id, session_idx, count(*) AS n_events, " +
         "min(us) AS start_us, max(us) AS end_us " +
         "FROM y GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
@@ -1558,7 +1727,68 @@ object SparkEntry {
         "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
         "round(CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
         "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS quality " +
-        "FROM documents)) WHERE cum - n_tokens < 5000 ORDER BY lang, doc_id")
+        "FROM documents)) WHERE cum - n_tokens < 5000 ORDER BY lang, doc_id"),
+
+    // ---- contract-twin oracles for the approximate family ----
+    // Each twin's ground-truth side (n_true_pairs / n_norm_dup_pairs /
+    // n_exact_pairs) is re-derived by brute force HERE, independently of
+    // the Spark plan; the contract side (containment, set-equality, recall
+    // floors) is pinned to its required value — a Spark-side miss breaks
+    // the hash compare.
+
+    "q84_lsh_contract" ->
+      // brute-force 3-gram jaccard (same shingle kernel as q22's oracle),
+      // threshold 0.3; n_missed pinned to 0 = candidate containment at the
+      // guaranteed-recall bands=16 setting
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> '') " +
+        "SELECT count(*) AS n_true_pairs, CAST(0 AS BIGINT) AS n_missed " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3"),
+
+    "q85_simhash_contract" ->
+      // normalized-duplicate pair count re-derived from raw text (same
+      // normalization as q19's fingerprint oracle); simhash determinism and
+      // pigeonhole-LSH = brute-force set equality pinned
+      ("WITH d AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents WHERE trim(text) <> '') " +
+        "SELECT count(*) AS n_norm_dup_pairs, CAST(0 AS BIGINT) AS n_simhash_mismatch, " +
+        "TRUE AS lsh_equals_brute " +
+        "FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id"),
+
+    "q86_ann_recall" ->
+      // exact cosine>=0.25 pair count by brute force (same double kernels
+      // as q23's oracle); the three recall floors pinned TRUE
+      ("WITH e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings) " +
+        "SELECT count(*) AS n_exact_pairs, TRUE AS embed_pair_floor_met, " +
+        "TRUE AS ivf_top10_floor_met, TRUE AS lsh_top10_floor_met " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 " +
+        "ELSE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) END) >= 0.25"),
+
+    "q87_embed_pairs_exact" ->
+      // full brute-force pair set, hash-compared row-for-row (filter on the
+      // unrounded cosine, then round for display — same order as Spark)
+      ("WITH e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings) " +
+        "SELECT id_a, id_b, round(cos, 4) AS cos FROM (" +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 " +
+        "ELSE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) END AS cos " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+        "WHERE cos >= 0.25 ORDER BY id_a, id_b"),
+
+    "q88_search_indexed" ->
+      // identical to q06's oracle: the trigram-index path must return
+      // exactly the rows the brute-force scan returns
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE lower(text) LIKE '%spark%' OR lower(text) LIKE '%merge%' ORDER BY doc_id")
   ).filter(_._2 != null)
 
   private def duckStopwords: String =

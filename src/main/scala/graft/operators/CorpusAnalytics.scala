@@ -48,12 +48,15 @@ object CorpusAnalytics {
     * (score desc, term asc) tie-break. The df side is a term-cardinality
     * table — broadcast-joined when small, shuffle-joined otherwise (left
     * to AQE; both sides are already partitioned by term after their aggs).
+    * The corpus size N enters the plan as a broadcast one-row aggregate
+    * (a pruned count-only scan), NOT an eager `docs.count()` — no extra
+    * driver-blocking pass over the corpus before planning.
     */
   def tfidfTopTerm(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val n = docs.count() // corpus size: one scalar, known before planning
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     // persisted: both the scoring join and the df aggregation consume it —
     // without this the explode+agg over the full token stream runs twice
     // (caller-visible lifecycle: unpersist via spark.catalog.clearCache)
@@ -66,8 +69,9 @@ object CorpusAnalytics {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val scored = termFreq.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs)) // one row: a broadcast scalar, not a shuffle
       .select(col(idCol), col("term"),
-        (col("tf") * log(lit(n.toDouble) / col("df"))).as("score"))
+        (col("tf") * log(col("n_docs") / col("df"))).as("score"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
     scored

@@ -232,17 +232,33 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: random-hyperplane
     * signs bucket the vectors (map-side), exact cosine verifies within
     * buckets. See [[Similarity.cosine]] for the distance kernel.
+    *
+    * `tables` is the OR-amplification dial (the minhash-banding analog for
+    * hyperplane LSH): one signature of `planes * tables` bits is sliced
+    * into `tables` independent bucket keys, and a pair is a candidate if
+    * it collides in ANY table. Per-pair recall goes from p^planes (one
+    * table) to 1-(1-p^planes)^tables, at the cost of a `tables`-way
+    * explode before the bucket join — the standard cost/recall trade.
+    * Low thresholds need it: at cos>=0.25 a single 4-plane table catches
+    * only ~11% of true pairs, 8 tables ~62% (pinned by q86's floor).
     */
   def embeddingNearDup(
       emb: DataFrame,
       vecCol: String = "embedding",
       idCol: String = "vec_id",
       planes: Int = 8,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      tables: Int = 1): DataFrame = {
+    require(planes * tables <= 64, "planes*tables must fit the 64-bit signature")
+    val mask = if (planes == 64) -1L else (1L << planes) - 1
     // signature + norm computed once per row (not per pair), before the join
     val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Similarity.hyperplaneSignature(col("v"), planes))
+      .withColumn("sig", Similarity.hyperplaneSignature(col("v"), planes * tables))
       .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("bucket", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          shiftright(col("sig"), t * planes).bitwiseAND(lit(mask)).as("val"))
+      }: _*)))
       .persist()
     val a = withSig.select(col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
@@ -266,16 +282,24 @@ object Dedup {
     * `is_canonical` flag (the cluster representative to keep). This is the
     * standard "collapse near-dup groups to one exemplar" dedup step.
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbours' labels, until a
-    * fixpoint. Rounds needed = component diameter; near-dup components in
-    * real corpora are small and dense (template families), so this
-    * converges in a handful of rounds. Each round is one join + one
-    * aggregation on the edge list; `localCheckpoint` truncates the
+    * Algorithm: min-label propagation accelerated with pointer jumping —
+    * each round every node takes the min of its own label and its
+    * neighbours' labels (one join + one aggregation on the edge list),
+    * then chases its label's label (`lbl := lbl(lbl)`, one self-join),
+    * which compresses label chains geometrically: convergence in
+    * O(log diameter) rounds instead of O(diameter). The pair list is
+    * `localCheckpoint`ed ONCE up front so the LSH candidate pipeline runs
+    * exactly one time; each round's `localCheckpoint` truncates the
     * growing lineage so round N doesn't replay rounds 1..N-1 (on a
     * cluster, a reliable `checkpoint` to the checkpoint dir does the same
     * job). Nothing is collected to the driver except the per-round
-    * convergence count.
+    * convergence flag.
+    *
+    * `bands` defaults to 16 (r=1), the guaranteed-recall LSH setting per
+    * [[ngramJaccardPairs]]'s measurements: clustering is the one consumer
+    * where a missed edge is not a soft miss but a structurally split
+    * cluster, so it pays the wider candidate net. Routine pair listing at
+    * j>=0.3 can pass bands=8.
     */
   def neardupClusters(
       docs: DataFrame,
@@ -283,9 +307,14 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 3,
       threshold: Double = 0.8,
-      maxIters: Int = 50): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold)
+      maxIters: Int = 50,
+      bands: Int = 16): DataFrame = {
+    // materialize the pair graph ONCE: both union sides and every CC round
+    // consume it, and its lineage (the whole LSH pipeline) must not be
+    // re-derived per round
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold, bands)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     // undirected: propagate labels both ways
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -300,10 +329,17 @@ object Dedup {
         .join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("nid"))
         .agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.as("l")
+      val stepped = labels.as("l")
         .join(nbrMin, col("l.id") === col("nid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.lbl"), coalesce(col("nbr_lbl"), col("l.lbl"))).as("lbl"))
+      // pointer jump: labels are node ids, and a node's own label only ever
+      // decreases — so lbl(lbl(v)) <= lbl(v) and chasing one hop per round
+      // halves chain depth (the "hash-to-min" shortcut)
+      val next = stepped.as("c")
+        .join(stepped.as("p"), col("c.lbl") === col("p.id"), "left")
+        .select(col("c.id").as("id"),
+          coalesce(col("p.lbl"), col("c.lbl")).as("lbl"))
         .localCheckpoint()
       converged = next.as("n")
         .join(labels.as("o"), "id")

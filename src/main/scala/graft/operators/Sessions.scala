@@ -83,8 +83,10 @@ object Sessions {
       // step events only, so this is a short in-memory scan
       try_element_at(filter(col(s"t$i"), t => t >= prev), lit(1))
     }
+    // coalesce: a global sum over ZERO users (no events of any step type)
+    // is NULL, but "0 users reached this stage" is the correct answer
     val reached = stages.zipWithIndex.map { case (st, i) =>
-      sum(when(st.isNotNull, 1L).otherwise(0L)).as(s"n_stage$i")
+      coalesce(sum(when(st.isNotNull, 1L).otherwise(0L)), lit(0L)).as(s"n_stage$i")
     }
     val agg = perUser.agg(reached.head, reached.tail: _*)
     // long format: (stage name, users reaching it) — stable schema

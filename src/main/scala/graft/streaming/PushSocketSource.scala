@@ -1,0 +1,209 @@
+package graft.streaming
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Streaming source for the reference's ingest edge: a bound collector
+  * port that any number of fire-and-forget pushers connect to
+  * (reference: venus/io/__init__.py:78-108 — PULL socket `bind`, senders
+  * PUSH-connect per contrib/zmqlog/bind_collector/). The transport is a
+  * plain TCP server socket carrying newline-delimited UTF-8 frames —
+  * the ZMTP framing itself is a client-library concern (zero-dependency
+  * rule), and `contrib/zmqlog`'s forwarder pattern applies unchanged: a
+  * ZMQ PULL → socket forwarder closes the last hop for real zmq clients.
+  *
+  * Reference semantics preserved:
+  *  - bind-side collector, N connecting senders, fan-in to one stream
+  *    (io/__init__.py:85 `sock.bind`);
+  *  - bounded receive queue with DROP on overflow, never backpressure —
+  *    "the source of the data is application logging and that cannot be
+  *    slowed down" (io/__init__.py:97-104 `q.put_nowait` / QueueFull);
+  *    drops are counted and observable via [[PushSocketSource.dropped]];
+  *  - malformed frames are the DOWNSTREAM dead-letter path's problem
+  *    ([[IngestTransform]]), not the socket's (io/__init__.py:91-94 only
+  *    guards arity, not content).
+  *
+  * Schema is `value STRING` — one row per received frame — feeding the
+  * same `value`-column contract every other ingest source uses
+  * (StreamIngest.scala). Like Spark's own socket source, the buffer is
+  * driver-memory and NOT fault-tolerant across driver restarts; the
+  * exactly-once story starts at the idempotent sink (LogStore), matching
+  * the reference's at-least-once ingest.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream
+  *     .format("graft.streaming.PushSocketSourceProvider")
+  *     .option("name", "ingest")       // registry key for the bound port
+  *     .option("port", "0")            // 0 = ephemeral
+  *     .option("maxQueue", "10000")    // RCVHWM analog
+  *     .load()
+  * }}}
+  */
+object PushSocketSource {
+  val Schema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  private val ports = new ConcurrentHashMap[String, Integer]()
+  private val drops = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Port the named source actually bound (for ephemeral `port=0`). */
+  def boundPort(name: String): Option[Int] = Option(ports.get(name)).map(_.intValue)
+
+  /** Frames dropped by the named source's full queue (HWM analog). */
+  def dropped(name: String): Long = Option(drops.get(name)).map(_.longValue).getOrElse(0L)
+
+  private[streaming] def register(name: String, port: Int): Unit =
+    if (name != null) ports.put(name, port)
+  private[streaming] def countDrop(name: String): Unit =
+    if (name != null) drops.merge(name, 1L, (a, b) => a + b)
+
+  /** Minimal PUSH-side client, the `tests/sender.py` analog: connect and
+    * write one frame per message. Used by the e2e spec and usable as a
+    * contrib-style forwarder body (ZMQ PULL loop → `send`).
+    */
+  def send(host: String, port: Int, frames: Seq[String]): Unit = {
+    val sock = new Socket(host, port)
+    try {
+      val out = sock.getOutputStream
+      frames.foreach { f => out.write((f + "\n").getBytes(StandardCharsets.UTF_8)) }
+      out.flush()
+    } finally sock.close()
+  }
+}
+
+class PushSocketSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PushSocketSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new PushSocketTable(new CaseInsensitiveStringMap(properties))
+}
+
+final class PushSocketTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"push_socket(${options.getOrDefault("name", "?")})"
+  override def schema(): StructType = PushSocketSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = PushSocketSource.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new PushSocketMicroBatchStream(
+          options.getInt("port", 0),
+          options.get("name"),
+          options.getInt("maxQueue", 10000))
+    }
+}
+
+/** Row-count offsets over a driver-side buffer (the same scheme as
+  * Spark's TextSocketMicroBatchStream): `latestOffset` is the total
+  * frames admitted, `commit(n)` trims everything below n.
+  */
+final case class CountOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+final class PushSocketMicroBatchStream(requestedPort: Int, name: String, maxQueue: Int)
+    extends MicroBatchStream {
+
+  private val server = new ServerSocket(requestedPort)
+  PushSocketSource.register(name, server.getLocalPort)
+
+  @volatile private var stopped = false
+  private val lock = new Object
+  // rows [baseOffset, baseOffset + buffer.size) are retained; committed
+  // prefixes are trimmed
+  private var buffer = ListBuffer.empty[UTF8String]
+  private var baseOffset = 0L
+
+  private val acceptor = new Thread(s"push-socket-acceptor-$name") {
+    override def run(): Unit =
+      try {
+        while (!stopped) {
+          val client = server.accept()
+          val h = new Thread(() => handle(client), s"push-socket-conn-$name")
+          h.setDaemon(true)
+          h.start()
+        }
+      } catch {
+        case _: SocketException => // closed during stop()
+      }
+  }
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def handle(client: Socket): Unit =
+    try {
+      val in = new BufferedReader(
+        new InputStreamReader(client.getInputStream, StandardCharsets.UTF_8))
+      var line = in.readLine()
+      while (line != null && !stopped) {
+        lock.synchronized {
+          if (buffer.size >= maxQueue) PushSocketSource.countDrop(name)
+          else buffer += UTF8String.fromString(line)
+        }
+        line = in.readLine()
+      }
+    } catch {
+      case _: java.io.IOException => // sender went away: fire-and-forget
+    } finally client.close()
+
+  override def initialOffset(): Offset = CountOffset(0L)
+  override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
+  override def latestOffset(): Offset =
+    lock.synchronized(CountOffset(baseOffset + buffer.size))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[CountOffset].n, end.asInstanceOf[CountOffset].n)
+    val rows = lock.synchronized {
+      require(s >= baseOffset,
+        s"offset $s already committed and trimmed (base $baseOffset)")
+      buffer.slice((s - baseOffset).toInt, (e - baseOffset).toInt).toArray
+    }
+    Array(PushSocketInputPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val rows = partition.asInstanceOf[PushSocketInputPartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = InternalRow(rows(i))
+        override def close(): Unit = ()
+      }
+    }
+
+  override def commit(end: Offset): Unit = lock.synchronized {
+    val n = end.asInstanceOf[CountOffset].n
+    val trim = (n - baseOffset).toInt
+    if (trim > 0) {
+      buffer = buffer.drop(trim)
+      baseOffset = n
+    }
+  }
+
+  override def stop(): Unit = {
+    stopped = true
+    try server.close()
+    catch { case _: java.io.IOException => () }
+  }
+}
+
+final case class PushSocketInputPartition(rows: Array[UTF8String]) extends InputPartition

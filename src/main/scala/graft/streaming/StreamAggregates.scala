@@ -26,9 +26,14 @@ object StreamAggregates {
     * The dimension is broadcast: each micro-batch joins against the
     * executor-local copy, so enrichment adds ZERO shuffles to the stream
     * (stream-static joins are stateless — nothing to watermark or GC).
-    * The static side is re-resolved per batch from its source, so a
-    * dimension refresh (new parquet snapshot) is picked up on the next
-    * trigger without restarting the query.
+    * Dimension refresh contract: Spark caches the static side's file
+    * listing (FileIndex) when the DataFrame is created, so NEW files
+    * appearing under the same path are generally NOT re-listed per
+    * trigger. To pick up a dimension snapshot the caller must recreate
+    * the dim DataFrame (and restart the query), point at a Delta-style
+    * versioned source, or invalidate via `spark.catalog.refreshTable`
+    * for catalog-backed dims. Content rewritten IN-PLACE under the
+    * already-listed files is not a supported refresh path either.
     */
   def enrich(
       stream: DataFrame,

@@ -86,6 +86,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("neardupClusters: chain component collapses to one cluster, min id canonical") {
+    // docs 1..5 form a CHAIN: each shares half its words with its neighbour
+    // (jaccard ~0.27 on 2-gram shingles) but nothing with docs 2+ hops away
+    // — label propagation needs multiple rounds, exercising the pointer
+    // jump; docs 10/11 are an identical pair; doc 20 is isolated (no pairs)
+    val words = (0 until 40).map(i => s"w$i")
+    val chain = (0 until 5).map { i =>
+      (i + 1L, words.slice(4 * i, 4 * i + 8).mkString(" "))
+    }
+    val extra = Seq(
+      (10L, "identical twin document body"),
+      (11L, "identical twin document body"),
+      (20L, "zebra quokka xylophone umbrella nothing shared here"))
+    val corpus = (chain ++ extra).toDF("doc_id", "text")
+    val got = Dedup.neardupClusters(corpus, n = 2, threshold = 0.2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // chain 1..5 -> cluster 1; pair 10/11 -> cluster 10; 20 absent (no edges)
+    assert(got == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 1L, false), (5L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
   test("embeddingNearDup finds planted duplicate vectors via LSH buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

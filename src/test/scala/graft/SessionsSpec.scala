@@ -64,6 +64,16 @@ class SessionsSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).toSeq == Seq(1L, 1L))
   }
 
+  test("funnel over input with no step events yields 0 counts, not NULL") {
+    val ev = Seq((1L, ts("2024-01-01 00:00:00"), "pageview"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Sessions.funnel(ev, Seq("signup", "click"))
+      .orderBy("stage").collect()
+    // the global agg runs over ZERO users — stage counts must be 0, the
+    // same answer a COUNT(*)-style oracle gives, never NULL
+    assert(got.map(_.getLong(2)).toSeq == Seq(0L, 0L))
+  }
+
   test("cohortRetention: offset 0 always contains the cohort's full user set") {
     val ev = Tables(spark, sf(), "events")
     val got = Sessions.cohortRetention(ev)

@@ -12,7 +12,8 @@ where those two would take hours (the driver's gate runs sf0.01 only).
 import json, math, sys
 import duckdb
 
-HEAVY = {"q22_ngram_jaccard", "q57_split_leakage", "q73_neardup_clusters"}
+HEAVY = {"q22_ngram_jaccard", "q57_split_leakage", "q73_neardup_clusters",
+         "q84_lsh_contract", "q86_ann_recall", "q87_embed_pairs_exact"}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
