@@ -206,4 +206,46 @@ object ExprKernels {
     }
     java.lang.Long.valueOf(sig)
   }
+
+  // ------------------------------------------------- sorted-set intersect
+
+  /** |A ∩ B| for two SORTED long arrays: one merge scan, O(|A|+|B|), no
+    * allocation. This is the hot kernel of the exact-Jaccard verify pass —
+    * Spark's `array_intersect` builds a hash set per call, which at
+    * 100k+ candidate pairs x 100+ shingles dominates dedup runtime.
+    * Duplicate values (64-bit hash collisions within one doc — vanishingly
+    * rare) are counted once per matching run, matching set semantics as
+    * long as inputs are distinct-element arrays.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Count of positions where two equal-length long arrays agree — the
+    * MinHash signature-agreement estimator (est_jaccard numerator). The
+    * zip_with + aggregate composition evaluates an interpreted lambda per
+    * element per pair; this is one primitive loop.
+    */
+  def positionalAgreeCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
 }

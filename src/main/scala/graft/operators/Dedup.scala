@@ -45,29 +45,21 @@ object Dedup {
     graft.functions.MinHashSignature.minhash_signature(
       shingles(text, shingleSize), numHashes)
 
-  /** MinHash+LSH near-duplicate candidate pairs: signatures are banded;
-    * documents sharing any band bucket are candidates; candidates are
-    * verified by estimated Jaccard (signature agreement rate) >= threshold.
-    *
-    * Shuffle profile: one exchange on (band_id, band_hash) — the classic
-    * LSH bucket join — then a per-bucket self-join whose cost is bounded by
-    * bucket skew, not corpus size. Returns (id_a, id_b, est_jaccard) with
-    * id_a < id_b.
-    *
-    * Caching note (applies to every pair operator here): the banded/
-    * shingled intermediate is `persist()`ed because both sides of the
-    * self-join consume it; Spark evicts it LRU under pressure, but a
-    * long-lived session running many dedup calls should
-    * `spark.catalog.clearCache()` between them (Bench/Verify do).
+  /** Distinct LSH candidate pairs (id_a < id_b) plus the persisted
+    * signature frame they were banded from. The bucket self-join carries
+    * ONLY (band_id, band_hash, id) — with many bands (r=1 sweeps) a true
+    * pair collides in several buckets, and deduplicating bare id pairs
+    * BEFORE any verification payload (signatures, shingles) is joined back
+    * keeps the widest shuffle of the pipeline at 3 narrow columns. Callers
+    * own the returned `sigs` cache lifecycle (Bench/Verify clearCache).
     */
-  def minhashLsh(
+  private def lshCandidates(
       docs: DataFrame,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      numHashes: Int = 16,
-      bands: Int = 8,
-      shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
@@ -79,32 +71,61 @@ object Dedup {
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+      .persist()
 
-    // band -> (band_id, hash of the band's signature slice); persisted
-    // because both sides of the bucket self-join consume it — without the
-    // persist, Spark shingles + hashes the corpus twice
+    // band -> (band_id, hash of the band's signature slice); derived from
+    // the cached sigs, so each self-join side re-bands from memory instead
+    // of re-shingling the corpus
     val banded = sigs.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
-      .persist()
 
-    val a = banded.select(col("band_id"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_id"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-
-    a.join(b, Seq("band_id", "band_hash"))
+    val a = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
+    val cands = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    (cands, sigs)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs: signatures are banded;
+    * documents sharing any band bucket are candidates; candidates are
+    * verified by estimated Jaccard (signature agreement rate) >= threshold.
+    *
+    * Shuffle profile: one narrow exchange on (band_id, band_hash) — the
+    * classic LSH bucket join — then the per-bucket self-join (bounded by
+    * bucket skew, not corpus size), pair dedup, and a signature join-back
+    * that computes est-Jaccard once per UNIQUE pair rather than once per
+    * bucket collision. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    *
+    * Caching note (applies to every pair operator here): the signature /
+    * shingle intermediates are `persist()`ed because both sides of the
+    * self-join consume them; Spark evicts them LRU under pressure, but a
+    * long-lived session running many dedup calls should
+    * `spark.catalog.clearCache()` between them (Bench/Verify do).
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val (cands, sigs) = lshCandidates(docs, textCol, idCol, numHashes, bands, shingleSize)
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        (graft.functions.SortedIntersect
+          .positional_agree_count(col("sig_a"), col("sig_b"))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   // --------------------------------------------------------------- simhash
@@ -166,19 +187,25 @@ object Dedup {
     require(segments >= k + 1, s"need >= k+1 segments for distance-$k recall")
     // blank docs tokenize to [""] -> identical simhash -> Hamming-0 "perfect
     // duplicates"; exclude them, same invariant as minhashLsh
-    val withSeg = docs
+    val base = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
-      .withColumn("seg", explode(simhashBands(col("sim"), segments)))
-      .persist() // both sides of the bucket self-join consume it
-    val a = withSeg.select(col("seg"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = withSeg.select(col("seg"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("seg"))
+      .persist() // both self-join sides and the verify join-back consume it
+    // segment self-join on bare (seg, id); near-identical docs agree on
+    // several segments, so dedup the id pairs before the popcount verify
+    val segs = base.select(col("id"),
+      explode(simhashBands(col("sim"), segments)).as("seg"))
+    val cands = segs.select(col("seg"), col("id").as("id_a"))
+      .join(segs.select(col("seg"), col("id").as("id_b")), Seq("seg"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= k)
-      .distinct()
   }
 
   // ------------------------------------------------------- n-gram jaccard
@@ -212,16 +239,28 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       bands: Int = 8): DataFrame = {
-    val cands = minhashLsh(docs, textCol, idCol,
-      numHashes = 16, bands = bands, shingleSize = n, threshold = 0.0)
-    // shingle each doc once (persisted: both pair sides consume it);
-    // the pair join then compares precomputed arrays
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh")).persist()
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    // bare candidate ids only — the est-Jaccard of minhashLsh would be
+    // discarded here anyway (exact Jaccard is the verdict), so skip the
+    // signature join-back entirely
+    val (cands, _) = lshCandidates(docs, textCol, idCol,
+      numHashes = 16, bands = bands, shingleSize = n)
+    // verify on HASHED shingles: each doc's shingle set becomes a sorted
+    // array of xxhash64 longs (computed once, persisted); the per-pair work
+    // is then ONE allocation-free merge scan (sorted_intersect_count) and
+    // |A∪B| = |A|+|B|-|A∩B| — vs array_intersect+array_union building two
+    // hash sets of strings per pair. A cross-doc 64-bit collision altering
+    // a Jaccard value has probability ~|A||B|/2^64 per pair (zero in
+    // practice; q22's brute-force string-ngram oracle pins the values).
+    val sh = docs.select(col(idCol),
+      array_sort(transform(shingles(col(textCol), n), s => xxhash64(s))).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .persist()
+    val inter = graft.functions.SortedIntersect
+      .sorted_intersect_count(col("hs_a"), col("hs_b")).cast("double")
+    val union = (col("sz_a") + col("sz_b")).cast("double") - inter
     cands
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         when(union === 0, lit(0.0)).otherwise(inter / union).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -252,26 +291,33 @@ object Dedup {
     require(planes * tables <= 64, "planes*tables must fit the 64-bit signature")
     val mask = if (planes == 64) -1L else (1L << planes) - 1
     // signature + norm computed once per row (not per pair), before the join
-    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", Similarity.hyperplaneSignature(col("v"), planes * tables))
       .withColumn("nrm", Similarity.norm(col("v")))
-      .withColumn("bucket", explode(array((0 until tables).map { t =>
+      .persist()
+    // bucket self-join carries ONLY (bucket, id): with OR-amplification a
+    // true pair collides in several tables, so pairs are deduped as bare
+    // ids BEFORE the vectors are joined back — the cosine verify then runs
+    // once per unique pair instead of once per table collision, and the
+    // widest shuffle never carries the embedding arrays
+    val buckets = base.select(col("id"),
+      explode(array((0 until tables).map { t =>
         struct(lit(t).as("tbl"),
           shiftright(col("sig"), t * planes).bitwiseAND(lit(mask)).as("val"))
-      }: _*)))
-      .persist()
-    val a = withSig.select(col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val b = withSig.select(col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("nrm").as("nrm_b"))
-    a.join(b, "bucket")
+      }: _*)).as("bucket"))
+    val cands = buckets.select(col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("bucket"), col("id").as("id_b")), "bucket")
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         when(col("nrm_a") * col("nrm_b") === 0, lit(0.0))
           .otherwise(Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
           .as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
   }
 
   // ------------------------------------------------- near-dup clustering

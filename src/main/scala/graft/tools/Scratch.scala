@@ -1,30 +1,34 @@
 package graft.tools
 
-import graft.functions.ExprKernels
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSession
 
 /** Throwaway diagnostics main for interactive debugging.
-  * Currently: MinHash estimator sanity — over many random set pairs with
-  * known Jaccard J, mean signature agreement must approach J.
+  * Currently: time one SparkEntry query by name on a given sf dir,
+  * repeated N times (cache cleared between runs, Bench-style).
+  *   sbt "runMain graft.tools.Scratch q73_neardup_clusters /root/testdata/sf0.1 2"
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val k = 16
-    def sig(items: Seq[String]): Seq[Long] = {
-      val arr = new GenericArrayData(
-        items.map(UTF8String.fromString).toArray.asInstanceOf[Array[Any]])
-      ExprKernels.minhash(arr, k).toLongArray().toSeq
+    val name = if (args.nonEmpty) args(0) else "q73_neardup_clusters"
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables(spark, sfDir, "lineitem").count() // warm session
+    val fn = graft.SparkEntry.queries(name)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"$name run $i: $sec%.3f s ($n rows)")
     }
-    var totalAgree = 0.0
-    val trials = 500
-    (0 until trials).foreach { t =>
-      val base = (0 until 10).map(i => s"tok${t}_$i")
-      val a = base.take(8)
-      val b = base.drop(2) // overlap 6, union 10 -> J = 0.6
-      val (sa, sb) = (sig(a), sig(b))
-      totalAgree += sa.zip(sb).count { case (x, y) => x == y } / k.toDouble
-    }
-    println(f"mean agreement ${totalAgree / trials}%.4f vs true J 0.6000")
+    spark.stop()
   }
 }
