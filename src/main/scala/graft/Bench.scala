@@ -32,19 +32,29 @@ object Bench {
       "q86_ann_recall", "q87_embed_pairs_exact")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => contractTwins(q._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-          failed += name
-          false
+      // each query runs TWICE and the SECOND pass is reported: round-over-
+      // round comparison showed first-pass numbers are dominated by
+      // cold-start noise (codegen compilation, file listing, JIT) — up to
+      // 20x on queries added just before a bench run. Block cache is
+      // dropped between passes, so the second pass still re-reads parquet
+      // and re-shuffles; only process-level warmup is excluded.
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+            failed += name
+            false
+        }
+        // dedup/similarity operators persist intra-query intermediates
+        // (caller-visible lifecycle, see their scaladoc) — drop them so 40+
+        // back-to-back queries don't accumulate cached blocks
+        spark.catalog.clearCache()
+        // a broken query must not masquerade as a fast one: -1 sentinel
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      // dedup/similarity operators persist intra-query intermediates
-      // (caller-visible lifecycle, see their scaladoc) — drop them so 40+
-      // back-to-back queries don't accumulate cached blocks
-      spark.catalog.clearCache()
-      // a broken query must not masquerade as a fast one: -1 sentinel
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val first = once()
+      name -> (if (first < 0) first else once())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

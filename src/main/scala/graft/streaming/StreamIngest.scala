@@ -44,8 +44,23 @@ object StreamIngest {
       checkpoint: String,
       config: IngestConfig = IngestConfig(),
       availableNow: Boolean = false): StreamingQuery =
-    startIngest(raw, store, checkpoint, config,
-      writerId = "logs", table = "logs", transform = IngestTransform(_, config),
+    start(raw, store, checkpoint, ConfigSource.Static(config), availableNow)
+
+  /** [[start]] with live config refresh: `configSource.current()` is
+    * resolved at the top of EVERY micro-batch, so a changed ignore-list
+    * applies from the next batch onward (the reference's Consul hot-reload
+    * analog — see [[ConfigSource]] for what hot-applies vs what is pinned
+    * at query start).
+    */
+  def start(
+      raw: DataFrame,
+      store: LogStore,
+      checkpoint: String,
+      configSource: ConfigSource,
+      availableNow: Boolean): StreamingQuery =
+    startIngest(raw, store, checkpoint, configSource,
+      writerId = "logs", table = "logs",
+      transform = (df, cfg) => IngestTransform(df, cfg),
       availableNow = availableNow)
 
   /** Streaming ingest for the `metric` table (reference's second hypertable,
@@ -58,8 +73,9 @@ object StreamIngest {
       checkpoint: String,
       config: IngestConfig = IngestConfig(),
       availableNow: Boolean = false): StreamingQuery =
-    startIngest(raw, store, checkpoint, config,
-      writerId = "metric", table = "metric", transform = graft.ingest.MetricIngest(_),
+    startIngest(raw, store, checkpoint, ConfigSource.Static(config),
+      writerId = "metric", table = "metric",
+      transform = (df, _) => graft.ingest.MetricIngest(df),
       availableNow = availableNow)
 
   /** Shared batch lifecycle for every ingest stream: one persist of the raw
@@ -75,24 +91,27 @@ object StreamIngest {
       raw: DataFrame,
       store: LogStore,
       checkpoint: String,
-      config: IngestConfig,
+      configSource: ConfigSource,
       writerId: String,
       table: String,
-      transform: DataFrame => DataFrame,
+      transform: (DataFrame, IngestConfig) => DataFrame,
       availableNow: Boolean = false): StreamingQuery = {
     // AvailableNow = the catch-up/backfill mode: drain everything currently
     // in the source in rate-capped batches, then stop — same checkpoint, so
     // a nightly catch-up run and the live stream share one epoch lineage
     val trigger =
       if (availableNow) Trigger.AvailableNow()
-      else Trigger.ProcessingTime(s"${config.maxBatchAgeSeconds} seconds")
+      else Trigger.ProcessingTime(s"${configSource.current().maxBatchAgeSeconds} seconds")
     raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // live-refresh point: the freshest config applies to THIS batch
+        // (reference: settings.py:44-69 Consul hot-reload)
+        val config = configSource.current()
         val cached = batch.persist()
         try {
-          store.appendIdempotent(table, transform(cached), writerId, batchId)
+          store.appendIdempotent(table, transform(cached, config), writerId, batchId)
           val dead = IngestTransform.deadLetter(cached)
           if (!dead.isEmpty) store.appendIdempotent("dead_letter", dead, writerId, batchId)
         } finally cached.unpersist()
