@@ -924,6 +924,39 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    "q89_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 50th doc plays the held-out eval
+      // set; flag training docs sharing any word 3-gram with it (the eval
+      // gram universe broadcasts — the train stream never shuffles)
+      val docs = Tables(s, dir, "documents")
+      operators.CorpusAnalytics.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q90_token_rarity" -> ((s, dir) => {
+      // integer-exact rarity report: rare tokens (corpus freq <= 2) and
+      // mean corpus frequency per doc — the unigram-LM surprisal analog
+      operators.CorpusAnalytics.tokenRarity(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q91_pack_sequences" -> ((s, dir) => {
+      // concatenation packing into 512-token context windows per language:
+      // each doc's global offset, window id, and offset within the window
+      operators.CorpusAnalytics.packSequences(
+        Tables(s, dir, "documents"), "lang", "doc_id", windowTokens = 512L)
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    "q92_mixture_weights" -> ((s, dir) => {
+      // per-source token shares and the uniform-rebalance sampling weights
+      operators.CorpusAnalytics.mixtureWeights(
+        Tables(s, dir, "documents"), "source")
+        .orderBy(col("source"))
+    }),
+
     // ---- window-frame / rank-family / join / reshape breadth ----
 
     "q77_range_frame" -> ((s, dir) => {
@@ -1738,6 +1771,59 @@ object SparkEntry {
         "round(CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
         "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS quality " +
         "FROM documents)) WHERE cum - n_tokens < 5000 ORDER BY lang, doc_id"),
+
+    "q89_decontaminate" ->
+      // same 3-gram shingle construction as q84's oracle; eval set = every
+      // 50th doc; n_hit_grams = distinct shared grams per training doc
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "ev AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0)), " +
+        "tg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0), " +
+        "hits AS (SELECT tg.doc_id, count(*) AS n FROM tg JOIN ev USING (g) GROUP BY tg.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_hit_grams, " +
+        "COALESCE(n, 0) > 0 AS contaminated " +
+        "FROM documents d LEFT JOIN hits USING (doc_id) " +
+        "WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id"),
+
+    "q90_token_rarity" ->
+      // rare = corpus frequency <= 2; mean frequency is one double
+      // division of exact integer sums (deterministic across engines)
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY token), " +
+        "perdoc AS (SELECT doc_id, count(*) AS n_tokens, " +
+        "sum(CASE WHEN freq <= 2 THEN 1 ELSE 0 END) AS n_rare, " +
+        "round(CAST(sum(freq) AS DOUBLE) / count(*), 6) AS mtf " +
+        "FROM toks JOIN freq USING (token) GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(n_rare, 0) AS BIGINT) AS n_rare_tokens, " +
+        "COALESCE(mtf, 0.0) AS mean_token_freq " +
+        "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q91_pack_sequences" ->
+      // same token-count expression as q83's oracle; pure integer
+      // arithmetic downstream of one running sum
+      ("SELECT lang, doc_id, n_tokens, CAST(seq_start AS BIGINT) AS seq_start, " +
+        "CAST(seq_start // 512 AS BIGINT) AS window_id, " +
+        "CAST(seq_start % 512 AS BIGINT) AS window_offset FROM (" +
+        "SELECT lang, doc_id, n_tokens, " +
+        "sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS seq_start " +
+        "FROM (SELECT lang, doc_id, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +
+        "FROM documents)) ORDER BY lang, doc_id"),
+
+    "q92_mixture_weights" ->
+      ("WITH g AS (SELECT source, count(*) AS n_docs, " +
+        "sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "t AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_groups FROM g) " +
+        "SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share, " +
+        "round(CAST(total_tokens AS DOUBLE) / (n_groups * n_tokens), 6) AS uniform_weight " +
+        "FROM g, t ORDER BY source"),
 
     // ---- contract-twin oracles for the approximate family ----
     // Each twin's ground-truth side (n_true_pairs / n_norm_dup_pairs /

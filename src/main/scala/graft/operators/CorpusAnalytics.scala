@@ -171,4 +171,127 @@ object CorpusAnalytics {
     df.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= perStratum)
   }
+
+  /** Benchmark decontamination: flag every training doc sharing at least
+    * one word n-gram with the held-out evaluation set — the standard
+    * "remove eval overlap from the training mix" pass. Returns every train
+    * doc as (id, n_hit_grams, contaminated); n_hit_grams counts DISTINCT
+    * shared n-grams (shingle sets are distinct per doc).
+    *
+    * Scale shape: the eval-gram universe is tiny by definition (benchmark
+    * suites, not corpora) — it is distinct-aggregated once and BROADCAST,
+    * so the train side is one explode + broadcast-semi-hash + per-doc agg
+    * with map-side combine: no shuffle ever carries the train gram stream.
+    * Blank/whitespace-only docs have no grams and report 0 hits.
+    */
+  def decontaminate(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val nonBlank = (d: DataFrame) =>
+      d.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    val evalGrams = nonBlank(evalDocs)
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val hits = nonBlank(train)
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Token-rarity report — the integer-exact cousin of unigram-LM
+    * surprisal scoring: per doc, the token count, how many token
+    * occurrences are corpus-rare (global frequency <= `rareMaxFreq`), and
+    * the mean corpus frequency of its tokens. Rare-heavy docs are
+    * candidates for quality review; high-mean docs are boilerplate.
+    *
+    * All aggregates are integer counts; the single double division for the
+    * mean happens once per doc (deterministic across engines). Two passes
+    * over the persisted token stream (global freq agg, then the join-back
+    * per-doc agg) — the same shape and cache lifecycle as [[tfidfTopTerm]].
+    */
+  def tokenRarity(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      rareMaxFreq: Long = 2L): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .persist()
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val perDoc = toks.join(freq, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("freq") <= rareMaxFreq, 1L).otherwise(0L)).as("n_rare_tokens"),
+        round(sum(col("freq")).cast("double") / count(lit(1)), 6).as("mean_token_freq"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_rare_tokens"), lit(0L)).as("n_rare_tokens"),
+        coalesce(col("mean_token_freq"), lit(0.0)).as("mean_token_freq"))
+  }
+
+  /** Sequence-packing layout for context-window training: concatenate each
+    * stratum's docs in id order and cut the stream into fixed
+    * `windowTokens` windows. Each doc gets its global token offset
+    * (`seq_start`), the window it starts in, and its offset within that
+    * window — the metadata a packed-batch loader needs (docs MAY straddle
+    * a boundary; concatenation packing splits them, it does not pad).
+    *
+    * One shuffle on the stratum key; the running sum is a single window
+    * pass and everything downstream is integer arithmetic (exact at any
+    * scale, no float drift between engines).
+    */
+  def packSequences(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      windowTokens: Long,
+      textCol: String = "text"): DataFrame = {
+    val nTok = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+    docs
+      .select(col(stratumCol), col(idCol), nTok.as("n_tokens"))
+      .withColumn("seq_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(stratumCol), col(idCol), col("n_tokens"), col("seq_start"),
+        (col("seq_start") - pmod(col("seq_start"), lit(windowTokens)))
+          .divide(lit(windowTokens)).cast("long").as("window_id"),
+        pmod(col("seq_start"), lit(windowTokens)).as("window_offset"))
+  }
+
+  /** Domain-mixture rebalancing weights: per group (source/domain), its
+    * token share of the corpus and the sampling weight that would flatten
+    * the mixture to uniform shares — the "upsample rare domains" knob of a
+    * training-mix builder. Weights > 1 mean upsample, < 1 downsample.
+    *
+    * One agg on the group key; corpus totals enter as a broadcast one-row
+    * aggregate (no driver collect, same pattern as [[tfidfTopTerm]]'s N).
+    * Shares/weights are single double divisions of exact integer counts —
+    * deterministic across engines.
+    */
+  def mixtureWeights(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String = "text"): DataFrame = {
+    val perGroup = docs
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val totals = perGroup.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_groups"))
+    perGroup.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6)
+          .as("token_share"),
+        round(col("total_tokens").cast("double") /
+          (col("n_groups") * col("n_tokens")), 6).as("uniform_weight"))
+  }
 }

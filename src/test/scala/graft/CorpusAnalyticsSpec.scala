@@ -125,4 +125,61 @@ class CorpusAnalyticsSpec extends SparkSpec {
     // exactly one canonical per cluster: the min id
     assert(got.filter(_._3).map(_._1).toSet == Set(1L, 5L))
   }
+
+  test("decontaminate flags train docs sharing an n-gram with the eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),  // shares "the quick brown" etc.
+      (2L, "entirely different content here"),
+      (3L, "")                            // blank: no grams, not contaminated
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown fox runs")).toDF("doc_id", "text")
+    val got = CorpusAnalytics.decontaminate(train, eval_)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    // doc 1 shares 3-grams "the quick brown" and "quick brown fox"
+    assert(got == Seq((1L, 2L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
+  test("tokenRarity counts rare tokens and exact mean corpus frequency") {
+    val docs = Seq(
+      (1L, "a a b"),   // corpus freqs: a=4, b=1 -> rare(<=2): b; mean (4+4+1)/3
+      (2L, "a a c"),   // c=1 rare; mean (4+4+1)/3 = 3.0
+      (3L, "")         // no tokens
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.tokenRarity(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 3.0),
+      (2L, 3L, 1L, 3.0),
+      (3L, 0L, 0L, 0.0)))
+  }
+
+  test("packSequences assigns exact window offsets with straddling docs") {
+    val docs = Seq(
+      (1L, "en", ("w " * 3).trim),   // 3 tokens, start 0, window 0 offset 0
+      (2L, "en", ("w " * 4).trim),   // start 3, window 0 offset 3
+      (3L, "en", ("w " * 2).trim),   // start 7 -> window 1 offset 2 (budget 5)
+      (4L, "fr", ("w " * 6).trim)    // separate stratum restarts at 0
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusAnalytics.packSequences(docs, "lang", "doc_id", windowTokens = 5L)
+      .orderBy("lang", "doc_id")
+      .select("doc_id", "seq_start", "window_id", "window_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L), (2L, 3L, 0L, 3L), (3L, 7L, 1L, 2L),
+      (4L, 0L, 0L, 0L)))
+  }
+
+  test("mixtureWeights: shares sum to 1, uniform weights rebalance") {
+    val docs = Seq(
+      (1L, "web", "one two three four five six"),  // 6 tokens
+      (2L, "web", "one two"),                      // web total 8
+      (3L, "book", "one two")                      // book total 2
+    ).toDF("doc_id", "source", "text")
+    val got = CorpusAnalytics.mixtureWeights(docs, "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("book", 1L, 2L, 0.2, 2.5),   // share 2/10; weight 10/(2*2)
+      ("web", 2L, 8L, 0.8, 0.625))) // share 8/10; weight 10/(2*8)
+  }
 }
