@@ -29,7 +29,8 @@ object Bench {
     // oracle. The operators they pin are benched via q20/q21/q24/q25/q39.
     val contractTwins = Set(
       "q84_lsh_contract", "q85_simhash_contract",
-      "q86_ann_recall", "q87_embed_pairs_exact")
+      "q86_ann_recall", "q87_embed_pairs_exact",
+      "q94_batch_retrieval_lsh")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => contractTwins(q._1)).map { case (name, fn) =>
       // each query runs TWICE and the SECOND pass is reported: round-over-

@@ -894,14 +894,22 @@ object SparkEntry {
 
     "q76_embed_centroid" -> ((s, dir) => {
       // posexplode -> (label, dim) agg: the distributed centroid kernel
-      // kmeans is built from; decimal-exact sums make the mean order-free
+      // kmeans is built from; decimal-exact sums make the mean order-free.
+      // The mean itself is scaled to an INTEGER sum (x1e7) so both engines
+      // perform ONE identical double division before rounding — dividing
+      // a decimal sum per-engine rounds differently in the last ulp when a
+      // mean lands exactly on a 0.00005 boundary (seen at sf0.1)
       Tables(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("label"), col("dim"))
-        .agg(sum(col("v").cast(DecimalType(20, 7))).cast("double").as("sum_v"),
+        .agg(sum((col("v").cast(DecimalType(20, 7)) * 10000000).cast("long")).as("s7"),
           count(lit(1)).as("n"))
         .select(col("label"), col("dim"),
-          round(col("sum_v") / col("n"), 4).as("centroid"))
+          // + 0.0 normalizes IEEE negative zero: Spark's round goes through
+          // BigDecimal (no -0.0) while DuckDB's keeps the sign — a negative
+          // mean rounding to zero would stringify as -0.0 there, 0.0 here
+          (round(col("s7").cast("double") / (col("n") * 1000), 0) / 10000 + 0.0)
+            .as("centroid"))
         .orderBy(col("label"), col("dim"))
     }),
 
@@ -955,6 +963,47 @@ object SparkEntry {
       operators.CorpusAnalytics.mixtureWeights(
         Tables(s, dir, "documents"), "source")
         .orderBy(col("source"))
+    }),
+
+    "q93_batch_retrieval" -> ((s, dir) => {
+      // exact cosine top-10 corpus matches for EVERY query vector (every
+      // 100th embedding plays the query set) — scored map-side against the
+      // broadcast queries, ranked by the k-bounded top_k_pairs aggregate
+      // (partial buffers never exceed k entries; the window row_number
+      // alternative would shuffle every scored pair). Ranked on the
+      // unrounded cosine, rounded for display — same discipline as q87.
+      val emb = Tables(s, dir, "embeddings")
+      operators.Similarity.topKPerQuery(
+        emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .withColumnRenamed("vec_id", "query_id"), k = 10)
+        .select(col("query_id"), col("rnk"), col("vec_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    "q94_batch_retrieval_lsh" -> ((s, dir) => {
+      // contract twin: the IVF batch path (each query scores only its
+      // nprobe=4/16 inverted lists) must reach the recall@10 floor vs
+      // q93's exact ground truth, computed entirely in-plan; the oracle
+      // pins the floor and re-derives the query count independently.
+      // (The stateless hyperplane-LSH batch path measures ~0.5 recall on
+      // this weakly-clustered corpus — IVF is the batch scale path.)
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .withColumnRenamed("vec_id", "query_id")
+      val centroids = operators.Similarity.kmeansCentroids(emb)
+      val index = operators.Similarity.ivfIndex(emb, centroids)
+      val exact = operators.Similarity.topKPerQuery(emb, queries, k = 10)
+      val approx = operators.Similarity.ivfTopKPerQuery(
+        index, centroids, queries, k = 10, nprobe = 4)
+      val matched = exact.join(approx.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("query_id"))
+        .join(matched, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(coalesce(col("n_hit"), lit(0L))).cast("double") /
+            (count(lit(1)) * 10) >= 0.7).as("recall_floor_met"))
     }),
 
     // ---- window-frame / rank-family / join / reshape breadth ----
@@ -1693,9 +1742,11 @@ object SparkEntry {
         "TRUE AS approx_close FROM events GROUP BY event_type ORDER BY event_type"),
 
     "q76_embed_centroid" ->
-      // range(1,65): dims are fixed at 64; decimal-exact elementwise sums
+      // range(1,65): dims are fixed at 64; integer-scaled exact sums, one
+      // double division, mirroring the Spark side bit for bit
       ("SELECT label, i - 1 AS dim, " +
-        "round(CAST(sum(CAST(embedding[i] AS DECIMAL(20,7))) AS DOUBLE) / count(*), 4) AS centroid " +
+        "round(CAST(sum(CAST(CAST(embedding[i] AS DECIMAL(20,7)) * 10000000 AS BIGINT)) AS DOUBLE) " +
+        "/ (count(*) * 1000), 0) / 10000 + 0.0 AS centroid " +
         "FROM embeddings, range(1, 65) t(i) " +
         "GROUP BY label, i ORDER BY label, dim"),
 
@@ -1824,6 +1875,27 @@ object SparkEntry {
         "round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share, " +
         "round(CAST(total_tokens AS DOUBLE) / (n_groups * n_tokens), 6) AS uniform_weight " +
         "FROM g, t ORDER BY source"),
+
+    "q93_batch_retrieval" ->
+      // brute-force per-query ranking with the same double cosine kernel as
+      // q87's oracle; rank on the unrounded value, round for display
+      ("WITH e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id % 100 = 0), " +
+        "s AS (SELECT query_id, e.vec_id AS vec_id, " +
+        "CASE WHEN e.nrm * qn = 0 THEN 0.0 " +
+        "ELSE list_sum(list_transform(list_zip(e.embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * qn) END AS cos " +
+        "FROM e, q WHERE e.vec_id <> query_id), " +
+        "r AS (SELECT query_id, vec_id, cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk FROM s) " +
+        "SELECT query_id, CAST(rk AS BIGINT) AS rnk, vec_id, round(cos, 4) AS cos " +
+        "FROM r WHERE rk <= 10 ORDER BY query_id, rnk"),
+
+    "q94_batch_retrieval_lsh" ->
+      // floor pinned TRUE; query count re-derived independently
+      ("SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_floor_met " +
+        "FROM embeddings WHERE vec_id % 100 = 0"),
 
     // ---- contract-twin oracles for the approximate family ----
     // Each twin's ground-truth side (n_true_pairs / n_norm_dup_pairs /

@@ -244,4 +244,105 @@ object Similarity {
       if (s > 0) 1L << p else 0L
     }.sum
   }
+
+  // ------------------------------------------------------ batch retrieval
+
+  /** Finish a scored (query_id, struct(score, id)) stream into ranked rows
+    * via the bounded [[graft.functions.TopKPairs]] aggregate: every partial
+    * buffer holds at most k pairs, so the post-map shuffle carries
+    * k * |queries| * partitions rows — never the scored cross product
+    * (a window row_number() would shuffle ALL scores; it has no partial
+    * pruning). Output: (query_id, rnk 1..k, id, cos).
+    */
+  private def rankTopK(scored: DataFrame, k: Int, idCol: String): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.top_k_pairs(col("p"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as(idCol), col("col.score").as("cos"))
+
+  /** Exact batch retrieval: cosine top-k corpus matches for EVERY query row
+    * (self-matches excluded when ids collide). The query table broadcasts —
+    * a query/eval set is small by definition — so scoring is one map-side
+    * pass over the corpus; the shuffle after it is the k-bounded aggregate
+    * above. This is the "retrieve nearest reference docs for each eval
+    * prompt" pipeline op, and the ground-truth side of [[lshTopKPerQuery]].
+    */
+  def topKPerQuery(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"),
+        struct(cosine(col(vecCol), col("qv")).as("score"), col(idCol).as("id")).as("p"))
+    rankTopK(scored, k, idCol)
+  }
+
+  /** LSH batch retrieval: corpus and queries are hyperplane-bucketed and
+    * equi-joined on the bucket (queries explode to their own bucket plus
+    * all Hamming-1 probes), so each query scores only its probed buckets —
+    * ~ (planes+1)/2^planes of the corpus instead of all of it. Same
+    * k-bounded aggregate finisher. On weakly-clustered embeddings the IVF
+    * variant below recalls far better at the same scan fraction (measured
+    * 0.5 vs 0.8+ on the test corpus) — this one is the stateless option
+    * for when no index build is possible.
+    */
+  def lshTopKPerQuery(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 8,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.withColumn("bucket", hyperplaneSignature(col(vecCol), planes))
+    val qsig = queries
+      .select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("sig", hyperplaneSignature(col("qv"), planes))
+    val probes = col("sig") +: (0 until planes).map(b => col("sig").bitwiseXOR(lit(1L << b)))
+    val qb = qsig.withColumn("bucket", explode(array(probes: _*)))
+    val scored = c.join(broadcast(qb), "bucket")
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"),
+        struct(cosine(col(vecCol), col("qv")).as("score"), col(idCol).as("id")).as("p"))
+    rankTopK(scored, k, idCol)
+  }
+
+  /** IVF batch retrieval: every query ranks the centroid table IN-PLAN
+    * (k*dim literals, codegen'd dots), explodes to its `nprobe` best
+    * inverted lists, and equi-joins the [[ivfIndex]] on `cluster` — the
+    * batch twin of [[ivfTopK]] with no per-query driver work. Replica
+    * multi-assignment can surface the same (query, id) from two probed
+    * lists, so pairs dedupe before scoring. Same k-bounded finisher.
+    */
+  def ivfTopKPerQuery(
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+    val scoredCentroids = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(col("qv"), array(c.map(lit(_)): _*)).as("s"), lit(i).as("i"))
+    }: _*)
+    val probeTop = slice(sort_array(scoredCentroids, asc = false), 1,
+      math.min(nprobe, centroids.length))
+    val qb = q.withColumn("cluster",
+      explode(transform(probeTop, t => t.getField("i"))))
+    val scored = index.join(broadcast(qb), "cluster")
+      .filter(col(idCol) =!= col("query_id"))
+      .dropDuplicates("query_id", idCol) // replica lists overlap
+      .select(col("query_id"),
+        struct(cosine(col(vecCol), col("qv")).as("score"), col(idCol).as("id")).as("p"))
+    rankTopK(scored, k, idCol)
+  }
 }

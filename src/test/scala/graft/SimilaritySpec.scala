@@ -79,4 +79,49 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect()
     assert(got.contains(1L)) // the identical vector must be recalled
   }
+
+  test("topKPerQuery ranks each query's matches, excluding the self-match") {
+    val queries = corpus.filter($"vec_id" === 1L || $"vec_id" === 4L)
+      .withColumnRenamed("vec_id", "query_id")
+    val got = Similarity.topKPerQuery(corpus, queries, k = 2)
+      .orderBy("query_id", "rnk")
+      .select("query_id", "rnk", "vec_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // query 1 = (1,0,0): best is 2 (cos .707), then 3/4 tie at 0 -> 3
+    // query 4 = (0,0,1): best is 2 (cos .707)? no - dot((1,1,0),(0,0,1))=0;
+    //   all of 1,3,5 are orthogonal too -> rank by (cos desc, id asc) = ties
+    assert(got.filter(_._1 == 1L) == Seq((1L, 1L, 2L), (1L, 2L, 3L)))
+    assert(got.filter(_._1 == 4L).map(_._2) == Seq(1L, 2L))
+  }
+
+  test("topKPerQuery agrees with bruteForceTopK per query") {
+    val emb = Tables(spark, sf("sf0.001"), "embeddings")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .withColumnRenamed("vec_id", "query_id")
+    val batch = Similarity.topKPerQuery(emb, queries, k = 5)
+      .select("query_id", "rnk", "vec_id")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    queries.select("query_id", "embedding").as[(Long, Array[Float])]
+      .collect().foreach { case (qid, qv) =>
+        val single = Similarity.bruteForceTopK(
+          emb.filter($"vec_id" =!= qid), qv.toSeq, 5)
+          .select("vec_id").as[Long].collect().toSeq
+        assert(batch(qid) == single, s"query $qid")
+      }
+  }
+
+  test("lshTopKPerQuery returns at most k in-bucket matches per query") {
+    val emb = Tables(spark, sf("sf0.001"), "embeddings")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .withColumnRenamed("vec_id", "query_id")
+    val got = Similarity.lshTopKPerQuery(emb, queries, k = 5)
+      .select("query_id", "rnk", "vec_id")
+      .as[(Long, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length <= 5, s"query $qid overflowed k")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(!rows.map(_._3).contains(qid), "self-match must be excluded")
+    }
+  }
 }
