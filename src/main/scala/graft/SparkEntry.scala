@@ -1006,6 +1006,37 @@ object SparkEntry {
             (count(lit(1)) * 10) >= 0.7).as("recall_floor_met"))
     }),
 
+    "q95_range_join_binned" -> ((s, dir) => {
+      // pure range join (NO equi key): lineitems shipped inside any of the
+      // sampled 8-day promo windows — binned to a shuffle equi-join
+      // (fanout <= 2 bins per window at binWidth 8) instead of the
+      // BroadcastNestedLoopJoin Spark would otherwise plan
+      val epoch = lit("1970-01-01").cast("date")
+      val li = Tables(s, dir, "lineitem")
+        .select(datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"),
+          col("l_extendedprice"))
+      val win = Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select(col("o_orderkey").as("window_id"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("start_day"))
+        .withColumn("end_day", col("start_day") + 7)
+      operators.RangeJoin.pointInInterval(
+          li, win, "ship_day", "start_day", "end_day", binWidth = 8)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_shipped"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("window_id"))
+    }),
+
+    "q96_zscore_norm" -> ((s, dir) => {
+      // per-event-type z-score normalization; moments are decimal-exact
+      // (q46 discipline), the per-row scalar is the same double expression
+      // DuckDB runs; +0.0 normalizes IEEE negative zero after rounding
+      operators.Normalize.zscoreByGroup(Tables(s, dir, "events"), "event_type", "value")
+        .select(col("event_id"), col("event_type"),
+          (round(col("z"), 4) + 0.0).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- window-frame / rank-family / join / reshape breadth ----
 
     "q77_range_frame" -> ((s, dir) => {
@@ -1896,6 +1927,28 @@ object SparkEntry {
       // floor pinned TRUE; query count re-derived independently
       ("SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_floor_met " +
         "FROM embeddings WHERE vec_id % 100 = 0"),
+
+    "q95_range_join_binned" ->
+      // nested-loop ground truth for the binned range join (inclusive ends)
+      ("SELECT o_orderkey AS window_id, count(*) AS n_shipped, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders, lineitem " +
+        "WHERE o_orderkey % 100 = 0 " +
+        "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 7 DAY " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q96_zscore_norm" ->
+      // identical moment + scalar arithmetic as the Spark side: exact
+      // decimal S1/S2 cast to double, then the same divisions/sqrt;
+      // + 0.0 folds IEEE -0.0 (engines disagree on the sign after round)
+      ("WITH g AS (SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2 " +
+        "FROM events GROUP BY 1) " +
+        "SELECT event_id, e.event_type, " +
+        "CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN NULL " +
+        "ELSE round((value - s1 / n) / sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 4) + 0.0 END AS z " +
+        "FROM events e JOIN g ON e.event_type = g.event_type ORDER BY event_id"),
 
     // ---- contract-twin oracles for the approximate family ----
     // Each twin's ground-truth side (n_true_pairs / n_norm_dup_pairs /
