@@ -1037,6 +1037,15 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q97_chunk_documents" -> ((s, dir) => {
+      // overlapping 40-token chunks advancing by 30 (10-token overlap):
+      // map-side explode, exact reconstructable text — the RAG/pretraining
+      // chunking pass
+      operators.CorpusAnalytics.chunkDocuments(
+        Tables(s, dir, "documents"), chunkTokens = 40, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ---- window-frame / rank-family / join / reshape breadth ----
 
     "q77_range_frame" -> ((s, dir) => {
@@ -1949,6 +1958,22 @@ object SparkEntry {
         "CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN NULL " +
         "ELSE round((value - s1 / n) / sqrt((n * s2 - s1 * s1) / (n * (n - 1))), 4) + 0.0 END AS z " +
         "FROM events e JOIN g ON e.event_type = g.event_type ORDER BY event_id"),
+
+    "q97_chunk_documents" ->
+      // same tokenizer as the quality family; start grid = multiples of 30
+      // while new tokens remain (a trailing all-overlap start is dropped);
+      // chunk_idx = start // step because only trailing starts filter out
+      ("WITH t AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, toks, " +
+        "unnest(list_filter(range(0, greatest(len(toks) - 1, 0) + 1, 30), v -> v = 0 OR v + 10 < len(toks))) AS st " +
+        "FROM t WHERE len(toks) > 0) " +
+        "SELECT doc_id, CAST(st // 30 AS BIGINT) AS chunk_idx, " +
+        "CAST(st AS BIGINT) AS token_start, " +
+        "CAST(least(len(toks) - st, 40) AS BIGINT) AS n_chunk_tokens, " +
+        "array_to_string(toks[st + 1 : st + 40], ' ') AS chunk_text " +
+        "FROM s ORDER BY doc_id, chunk_idx"),
 
     // ---- contract-twin oracles for the approximate family ----
     // Each twin's ground-truth side (n_true_pairs / n_norm_dup_pairs /

@@ -266,6 +266,45 @@ object CorpusAnalytics {
         pmod(col("seq_start"), lit(windowTokens)).as("window_offset"))
   }
 
+  /** Overlapping token-window chunking — the "split long docs into model-
+    * sized pieces" pass both RAG indexing and pretraining need. Each doc
+    * explodes into chunks of `chunkTokens` tokens advancing by
+    * `chunkTokens - overlap` (the final, possibly-short chunk keeps the
+    * tail; docs at or under one chunk stay whole). Output per chunk:
+    * (id, chunk_idx, token_start, n_chunk_tokens, chunk_text with tokens
+    * re-joined by single spaces).
+    *
+    * Pure map-side generator (tokenize once, slice per chunk) — the only
+    * data movement is the explode fanout, which downstream aggregates or
+    * writes absorb; nothing shuffles here. Deterministic strings, so the
+    * whole output is exactly oracle-checkable.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int,
+      overlap: Int = 0,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    // starts: 0, step, 2*step, ... while a start < n still yields NEW
+    // tokens (start + overlap < n guards a trailing all-overlap chunk)
+    val starts = filter(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(step)),
+      s => (s === 0) || (s + overlap < size(toks)))
+    docs
+      .select(col(idCol), toks.as("_toks"), posexplode(starts).as(Seq("chunk_idx", "start")))
+      .filter(size(col("_toks")) > 0)
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("token_start"),
+        least(size(col("_toks")) - col("start"), lit(chunkTokens)).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Domain-mixture rebalancing weights: per group (source/domain), its
     * token share of the corpus and the sampling weight that would flatten
     * the mixture to uniform shares — the "upsample rare domains" knob of a

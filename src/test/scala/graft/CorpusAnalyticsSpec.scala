@@ -169,6 +169,25 @@ class CorpusAnalyticsSpec extends SparkSpec {
       (4L, 0L, 0L, 0L)))
   }
 
+  test("chunkDocuments: overlap windows, short tail kept, blanks dropped") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"),  // 7 tokens
+      (2L, "a b"),                    // fits one chunk
+      (3L, "")                        // blank: no chunks
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.chunkDocuments(docs, chunkTokens = 3, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 3L, "t0 t1 t2"),
+      (1L, 1L, 2L, 3L, "t2 t3 t4"),
+      (1L, 2L, 4L, 3L, "t4 t5 t6"),
+      // start 6 would add only overlap (6+1 !< 7): dropped
+      (2L, 0L, 0L, 2L, "a b")))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(got(0)._5.split(" ").last == got(1)._5.split(" ").head)
+  }
+
   test("mixtureWeights: shares sum to 1, uniform weights rebalance") {
     val docs = Seq(
       (1L, "web", "one two three four five six"),  // 6 tokens
