@@ -67,7 +67,16 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => JsonDropKeys(args.head, litStrings(args.tail, "json_drop_keys"))),
     ("misra_gries",
       "misra_gries(key, k) - heavy-hitters sketch aggregate: ~top-k keys with counts",
-      (args: Seq[Expression]) => MisraGries(args(0), litInt(args(1), "misra_gries")))
+      (args: Seq[Expression]) => MisraGries(args(0), litInt(args(1), "misra_gries"))),
+    ("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - |A∩B| of two sorted BIGINT arrays (merge scan)",
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    ("positional_agree_count",
+      "positional_agree_count(a, b) - positions where two BIGINT arrays hold equal values",
+      (args: Seq[Expression]) => PositionalAgreeCount(args(0), args(1))),
+    ("top_k_pairs",
+      "top_k_pairs(struct(score, id), k) - bounded top-k aggregate over (score, id) pairs",
+      (args: Seq[Expression]) => TopKPairs(args(0), litInt(args(1), "top_k_pairs")))
   )
 
   /** Runtime registration on an existing session (idempotent). */

@@ -41,6 +41,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.map(_.toString).toSeq == viaCols.map(_.toString).toSeq)
   }
 
+  test("kernel and sketch functions are SQL-callable") {
+    graft.GraftSqlFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS i, " +
+        "positional_agree_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS p")
+      .head()
+    assert(r.getAs[Int]("i") == 2 && r.getAs[Int]("p") == 2)
+    val topk = spark.sql(
+      "SELECT top_k_pairs(struct(CAST(v AS DOUBLE), id), 2) AS t FROM " +
+        "VALUES (1L, 0.5), (2L, 0.9), (3L, 0.7) AS x(id, v)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(topk.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((2L, 0.9), (3L, 0.7)))
+  }
+
   test("build-time withExtensions registers functions at session creation") {
     val prev = spark // force shared session init first
     SparkSession.clearActiveSession()
