@@ -398,4 +398,38 @@ object Dedup {
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"),
       (col("id") === col("lbl")).as("is_canonical"))
   }
+
+  /** Dedup survivorship: one keep/drop decision per document. Docs in a
+    * near-dup cluster (per [[neardupClusters]]) keep only the "best"
+    * member — longest text wins, ties broken by lowest id — and every
+    * cluster-free doc keeps itself. This is the pass that turns a cluster
+    * report into an actual training-set filter (reference corpus semantics:
+    * dedup drops rows, it doesn't annotate them).
+    *
+    * Cost on top of clustering: one join of the (small) cluster assignment
+    * back to the corpus ids and one window shuffle on cluster_id. Cluster
+    * sizes are near-dup groups — bounded and tiny relative to the corpus —
+    * so the window partition never skews. Policy is deterministic (no
+    * rand()): retries and engine comparisons reproduce the same keep set.
+    */
+  def survivorship(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.8,
+      bands: Int = 16,
+      lengthCol: Option[String] = None): DataFrame = {
+    val clusters = neardupClusters(docs, textCol, idCol, n, threshold, bands = bands)
+      .select(col(idCol), col("cluster_id"))
+    val len = lengthCol.map(col).getOrElse(length(col(textCol)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col(idCol))
+    docs.select(col(idCol), len.as("n_chars"))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("n_chars"), col("keep"))
+  }
 }
