@@ -5,6 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Variance safety: each query runs one discarded warm-up pass (codegen
+  * compilation, file listing, JIT — round-over-round comparison showed
+  * first-pass numbers are dominated by this, up to 20x on fresh queries)
+  * and then THREE measured passes; `queries` reports the per-query MEDIAN
+  * and `queries_min`/`queries_max` carry the spread, so a sandbox
+  * contention spike on one pass (the r6 anomaly: identical code, 26x on
+  * one query) is visible as min<<max instead of silently polluting the
+  * headline number. Block cache is dropped between passes, so every
+  * measured pass still re-reads parquet and re-shuffles.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,18 +37,15 @@ object Bench {
     // approximate operators' recall. That cost is the verification
     // artifact's, not an engine path — timing it would only measure the
     // oracle. The operators they pin are benched via q20/q21/q24/q25/q39.
+    // q98 is q73's clustering + a cheap keep/drop agg; benching both would
+    // double-count the clustering, so the heavier composite stands in.
     val contractTwins = Set(
       "q84_lsh_contract", "q85_simhash_contract",
       "q86_ann_recall", "q87_embed_pairs_exact",
-      "q94_batch_retrieval_lsh")
+      "q94_batch_retrieval_lsh", "q73_neardup_clusters")
+    val Passes = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => contractTwins(q._1)).map { case (name, fn) =>
-      // each query runs TWICE and the SECOND pass is reported: round-over-
-      // round comparison showed first-pass numbers are dominated by
-      // cold-start noise (codegen compilation, file listing, JIT) — up to
-      // 20x on queries added just before a bench run. Block cache is
-      // dropped between passes, so the second pass still re-reads parquet
-      // and re-shuffles; only process-level warmup is excluded.
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -54,14 +61,90 @@ object Bench {
         // a broken query must not masquerade as a fast one: -1 sentinel
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val first = once()
-      name -> (if (first < 0) first else once())
+      val warm = once()
+      val passes =
+        if (warm < 0) Seq(-1.0, -1.0, -1.0)
+        else Seq.fill(Passes)(once())
+      name -> passes.sorted
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def field(f: Seq[Double] => Double): String = results
+      .map { case (k, p) => "\"" + k + "\":" + (if (p.head < 0) -1.0 else f(p)) }
       .mkString("{", ",", "}")
-    val total = results.filter(_._2 >= 0).map(_._2).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val qs = field(p => p(p.length / 2))             // median
+    val qsMin = field(_.head)
+    val qsMax = field(_.last)
+    val total = results.filter(_._2.head >= 0).map(p => p._2(p._2.length / 2)).sum
+    val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ingestRate = ingestBench(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"passes":$Passes,"ingest_recs_per_sec":$ingestRate,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Sustained ingest throughput over the real network edge: 4 concurrent
+    * TCP producers -> [[graft.streaming.PushSocketSource]] (PULL-bind
+    * collector) -> parse/extract -> idempotent epoch append into
+    * [[graft.store.LogStore]]. Measured end to end — first byte sent to
+    * last row queryable — against BASELINE.md's derived floors (>= 20
+    * rec/s sustained, 65,536-burst absorbed, <= 5 s to queryable).
+    * Returns rec/s, or -1 on any loss/timeout (a lossy pipe must not
+    * masquerade as a fast one).
+    */
+  private def ingestBench(spark: SparkSession, n: Int = 65536): Double = {
+    import java.nio.file.Files
+    import java.util.UUID
+    import graft.store.LogStore
+    import graft.streaming.{PushSocketSource, StreamIngest}
+    try {
+      val root = Files.createTempDirectory("graft-bench-ingest").toString
+      val store = new LogStore(s"$root/store")
+      val name = s"bench-${UUID.randomUUID()}"
+      val raw = spark.readStream
+        .format("graft.streaming.PushSocketSourceProvider")
+        .option("name", name)
+        .option("port", "0")
+        // absorb the full burst without drops (IngestBurstSpec's zero-loss
+        // floor): senders outrun the micro-batch drain, so the HWM must
+        // cover the whole in-flight burst
+        .option("maxQueue", (2 * n).toString)
+        .load()
+      val q = StreamIngest.start(raw, store, s"$root/ckpt")
+      try {
+        val bindDeadline = System.currentTimeMillis() + 15000
+        while (PushSocketSource.boundPort(name).isEmpty &&
+          System.currentTimeMillis() < bindDeadline) Thread.sleep(50)
+        val port = PushSocketSource.boundPort(name)
+          .getOrElse(sys.error("collector never bound"))
+        val senders = 4
+        val per = n / senders
+        val t0 = System.nanoTime()
+        val threads = (0 until senders).map { t =>
+          new Thread(() => {
+            val recs = (0 until per).map { i =>
+              val k = t * per + i
+              s"""{"created":${1700000000 + k % 86400}.5,"message":"m$k",""" +
+                s""""correlation_id":"00000000-0000-0000-0000-${f"$k%012d"}","k":$k}"""
+            }
+            PushSocketSource.send("localhost", port, recs)
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        val total = senders * per
+        def landed(): Long =
+          scala.util.Try(store.read(spark, "logs").count()).getOrElse(0L)
+        val deadline = System.currentTimeMillis() + 120000
+        var c = landed()
+        while (c < total && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          c = landed()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (c < total) -1.0 else total / secs
+      } finally q.stop()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"INGEST BENCH FAILURE: ${e.getClass.getName}: ${e.getMessage}")
+        -1.0
+    }
   }
 }

@@ -849,6 +849,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q98_survivorship" -> ((s, dir) => {
+      // the keep/drop pass over q73's clusters: longest member of each
+      // near-dup cluster survives (tie -> lowest id), singletons keep
+      // themselves. Winner election is a hash agg over the clustered
+      // sliver only — singletons never shuffle by cluster.
+      Dedup.survivorship(Tables(s, dir, "documents"), threshold = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scalar breadth: edit distance + array higher-order funcs ----
 
     "q68_levenshtein" -> ((s, dir) => {
@@ -1760,6 +1769,28 @@ object SparkEntry {
         "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst) " +
         "SELECT id AS doc_id, min(lbl) AS cluster_id, (min(lbl) = id) AS is_canonical " +
         "FROM reach GROUP BY id ORDER BY doc_id"),
+
+    "q98_survivorship" ->
+      // q73's transitive-closure clusters + a survivorship window: longest
+      // text per cluster keeps (tie -> lowest doc_id); cluster-free docs
+      // coalesce to their own id and keep themselves
+      ("WITH RECURSIVE sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach(id, lbl) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst), " +
+        "clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id), " +
+        "assigned AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, " +
+        "CAST(length(d.text) AS BIGINT) AS n_chars " +
+        "FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id) " +
+        "SELECT doc_id, cluster_id, n_chars, " +
+        "(row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1) AS keep " +
+        "FROM assigned ORDER BY doc_id"),
 
     "q68_levenshtein" ->
       ("WITH t AS (SELECT DISTINCT event_type FROM events) " +

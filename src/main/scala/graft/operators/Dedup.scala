@@ -406,11 +406,17 @@ object Dedup {
     * report into an actual training-set filter (reference corpus semantics:
     * dedup drops rows, it doesn't annotate them).
     *
-    * Cost on top of clustering: one join of the (small) cluster assignment
-    * back to the corpus ids and one window shuffle on cluster_id. Cluster
-    * sizes are near-dup groups — bounded and tiny relative to the corpus —
-    * so the window partition never skews. Policy is deterministic (no
-    * rand()): retries and engine comparisons reproduce the same keep set.
+    * Cost on top of clustering: the winner election runs ONLY over docs
+    * that [[neardupClusters]] actually clustered (docs with at least one
+    * near-dup edge — a sliver of the corpus), as a hash aggregate
+    * (`max_by` over a (n_chars, -id) ordering struct, map-side partials)
+    * plus a join-back of the tiny per-cluster winner table. Singleton docs
+    * — the overwhelming majority at corpus scale — never shuffle by
+    * cluster at all: they short-circuit to keep=true on the null side of
+    * the left join. (A naive full-corpus window on cluster_id would sort
+    * every singleton into its own one-row partition — pure wasted I/O at
+    * 100 TB.) Policy is deterministic (no rand()): retries and engine
+    * comparisons reproduce the same keep set.
     */
   def survivorship(
       docs: DataFrame,
@@ -423,13 +429,22 @@ object Dedup {
     val clusters = neardupClusters(docs, textCol, idCol, n, threshold, bands = bands)
       .select(col(idCol), col("cluster_id"))
     val len = lengthCol.map(col).getOrElse(length(col(textCol)).cast("long"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
-      .orderBy(col("n_chars").desc, col(idCol))
-    docs.select(col(idCol), len.as("n_chars"))
-      .join(clusters, Seq(idCol), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
-      .withColumn("keep", row_number().over(w) === 1)
-      .select(col(idCol), col("cluster_id"), col("n_chars"), col("keep"))
+    val corpus = docs.select(col(idCol), len.as("n_chars"))
+    // clustered slice only: id, n_chars, cluster_id for docs with an edge
+    val assigned = corpus.join(clusters, Seq(idCol))
+    // longest text wins, tie -> lowest id: max over the (n_chars, -id)
+    // lexicographic struct. Hash agg with map-side combine — no sort.
+    val winners = assigned
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col(idCol), struct(col("n_chars"), negate(col(idCol)))).as("keep_id"))
+    corpus
+      .join(assigned.join(winners, Seq("cluster_id"))
+              .select(col(idCol), col("cluster_id"), col("keep_id")),
+            Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        col("n_chars"),
+        coalesce(col(idCol) === col("keep_id"), lit(true)).as("keep"))
   }
 }

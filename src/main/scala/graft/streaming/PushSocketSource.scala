@@ -19,11 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Streaming source for the reference's ingest edge: a bound collector
   * port that any number of fire-and-forget pushers connect to
   * (reference: venus/io/__init__.py:78-108 — PULL socket `bind`, senders
-  * PUSH-connect per contrib/zmqlog/bind_collector/). The transport is a
-  * plain TCP server socket carrying newline-delimited UTF-8 frames —
-  * the ZMTP framing itself is a client-library concern (zero-dependency
-  * rule), and `contrib/zmqlog`'s forwarder pattern applies unchanged: a
-  * ZMQ PULL → socket forwarder closes the last hop for real zmq clients.
+  * PUSH-connect per contrib/zmqlog/bind_collector/). The collector speaks
+  * BOTH wire formats, sniffed from the first byte of each connection:
+  *  - real ZMTP 3.x (first byte 0xFF, the greeting signature): full
+  *    greeting + NULL handshake + multipart frames via [[Zmtp]], so an
+  *    actual `zmq.PUSH` producer connects unmodified; the reference's
+  *    2-frame [level, message] shape maps to the message payload
+  *    (io/__init__.py:89-94 `recv_multipart` → `Message(*raw)`);
+  *  - newline-delimited UTF-8 JSON (anything else): the zero-ceremony
+  *    path used by fixtures and simple forwarders.
   *
   * Reference semantics preserved:
   *  - bind-side collector, N connecting senders, fan-in to one stream
@@ -150,19 +154,38 @@ final class PushSocketMicroBatchStream(requestedPort: Int, name: String, maxQueu
 
   private def handle(client: Socket): Unit =
     try {
-      val in = new BufferedReader(
-        new InputStreamReader(client.getInputStream, StandardCharsets.UTF_8))
-      var line = in.readLine()
-      while (line != null && !stopped) {
-        lock.synchronized {
-          if (buffer.size >= maxQueue) PushSocketSource.countDrop(name)
-          else buffer += UTF8String.fromString(line)
+      val raw = new java.io.PushbackInputStream(client.getInputStream)
+      val first = raw.read()
+      if (first == 0xFF) {
+        // a real ZMQ peer: every ZMTP connection opens with the 0xFF...0x7F
+        // signature, which no UTF-8 JSON line can start with. Decode
+        // multipart messages; the reference's arity rule (Message(level,
+        // message), venus/io/__init__.py:91-94) maps [level, payload] ->
+        // payload, a bare 1-frame message -> itself, anything else skipped.
+        Zmtp.serveAfterSignatureByte(raw, client.getOutputStream,
+          () => !stopped,
+          parts =>
+            if (parts.nonEmpty && parts.length <= 2)
+              admit(new String(parts.last, StandardCharsets.UTF_8)))
+      } else if (first >= 0) {
+        raw.unread(first)
+        val in = new BufferedReader(
+          new InputStreamReader(raw, StandardCharsets.UTF_8))
+        var line = in.readLine()
+        while (line != null && !stopped) {
+          admit(line)
+          line = in.readLine()
         }
-        line = in.readLine()
       }
     } catch {
       case _: java.io.IOException => // sender went away: fire-and-forget
+      case _: IllegalArgumentException => // ZMTP violation: drop the peer
     } finally client.close()
+
+  private def admit(frame: String): Unit = lock.synchronized {
+    if (buffer.size >= maxQueue) PushSocketSource.countDrop(name)
+    else buffer += UTF8String.fromString(frame)
+  }
 
   override def initialOffset(): Offset = CountOffset(0L)
   override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)

@@ -110,6 +110,25 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("survivorship: longest wins, tie -> lowest id, singletons keep themselves") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),            // near dup of 2, shorter
+      (2L, "alpha beta gamma delta epsilon zeta eta"),   // superset -> longest, wins
+      (10L, "identical twin document body"),             // tie with 11 -> lowest id
+      (11L, "identical twin document body"),
+      (20L, "zebra quokka xylophone umbrella nothing shared here")  // singleton
+    ).toDF("doc_id", "text")
+    val got = Dedup.survivorship(corpus, n = 2, threshold = 0.2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 30L, false),
+      (2L, 1L, 39L, true),    // longest member of cluster 1
+      (10L, 10L, 28L, true),  // tie on length -> lowest id
+      (11L, 10L, 28L, false),
+      (20L, 20L, 51L, true))) // no edges -> own cluster, keeps itself
+  }
+
   test("embeddingNearDup finds planted duplicate vectors via LSH buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -1,0 +1,62 @@
+package graft
+
+/** Executable PLANS.md: every SparkEntry query must plan WITHOUT a
+  * CartesianProduct or BroadcastNestedLoopJoin, except an explicit exempt
+  * list where the nested-loop side is bounded by construction (a broadcast
+  * scalar/literal set or a deliberately quadratic contract oracle). A new
+  * query — or a refactor of an old one — that silently degrades an
+  * equi-join into a nested loop fails here instead of at 100 TB.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries allowed to contain a nested-loop join, each with the reason
+    * the loop is scale-safe (or deliberately not an engine path).
+    */
+  private val exempt: Map[String, String] = Map(
+    "q68_levenshtein" ->
+      "cross of the DISTINCT event-type universe with itself — bounded small dimension, broadcast",
+    "q23_knn_brute" ->
+      "crossJoin(broadcast(queries)): query set is a bounded literal, map-side scoring",
+    "q67_tfidf" ->
+      "crossJoin(broadcast(nDocs)): single-row corpus-size scalar, corpus side streams through",
+    "q93_batch_retrieval" ->
+      "crossJoin(broadcast(query set)): exact retrieval is O(|corpus|*|Q|) by definition; shuffle is k-bounded by TopKPairs",
+    "q84_lsh_contract" ->
+      "contract twin: brute-force all-pairs ground truth is the point",
+    "q85_simhash_contract" ->
+      "contract twin: brute-force ground truth",
+    "q86_ann_recall" ->
+      "contract twin: brute-force top-k ground truth + broadcast scalar recall join",
+    "q87_embed_pairs_exact" ->
+      "contract twin: exact pair list is the oracle",
+    "q94_batch_retrieval_lsh" ->
+      "recall contract: joins against the exact twin; broadcast scalar counts",
+    "q90_token_rarity" ->
+      "crossJoin(broadcast(nDocs)): single-row corpus-size scalar",
+    "q92_mixture_weights" ->
+      "crossJoin(broadcast(totals)): single-row totals scalar"
+  )
+
+  test("no CartesianProduct / BroadcastNestedLoopJoin outside the exempt list") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sf()).queryExecution.executedPlan.toString
+          catch {
+            case e: Throwable =>
+              fail(s"$name failed to build a plan: ${e.getMessage}")
+          }
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(plan.contains)
+        if (bad.nonEmpty && !exempt.contains(name)) Some(s"$name: ${bad.mkString(",")}")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop joins outside the exempt list:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("exempt list is tight: every exempt query still plans (no stale names)") {
+    val unknown = exempt.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"exempt entries with no matching query: $unknown")
+  }
+}
