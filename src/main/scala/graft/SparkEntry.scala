@@ -36,6 +36,10 @@ object SparkEntry {
   private val q88Store =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // q99's shredded store (promoted payload fields), memoized per input dir
+  private val q99Store =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- venus parity: scans / filters / projections (SURVEY §2.3) ----
@@ -97,6 +101,29 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("props").as("data_raw"))
       val lt = LogsTable(shaped)
       shaped.filter(lt.jsonContains(Map("k" -> "42")))
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q99_json_contains_shred" -> ((s, dir) => {
+      // q53's containment query on the PROMOTED path: the store is written
+      // once with `k` shredded into a real `p_k` column
+      // (LogStore.appendShredded — the jsonb_path_ops GIN analog), so the
+      // containment conjunct compiles to a parquet-pushed string equality
+      // (PushedFilters, proven by ShredSpec) instead of a post-scan JSON
+      // extraction. Same rows, same oracle as q53.
+      val stored = q99Store.computeIfAbsent(dir, { d =>
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q99").toString
+        val store = new graft.store.LogStore(root)
+        store.appendShredded("events_shred",
+          Tables(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("props").as("data_raw")),
+          promote = Seq("k"))
+        root
+      })
+      val df = new graft.store.LogStore(stored).read(s, "events_shred")
+      df.filter(LogsTable(df).jsonContains(Map("k" -> "42")))
         .select(col("event_id"), col("user_id"))
         .orderBy(col("event_id"))
     }),
@@ -1151,7 +1178,14 @@ object SparkEntry {
         .persist()
       val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
       val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      // brute force is quadratic BY DESIGN (it's the ground truth), but it
+      // must still parallelize: the streamed side of the nested-loop join
+      // inherits the 1-file scan's single partition, so without this tiny
+      // round-robin shuffle the whole O(n^2/2) verify runs in ONE task
+      // (observed: 15+ CPU-minutes single-threaded at sf0.1)
+      val fan = s.sessionState.conf.numShufflePartitions
       val truePairs = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .repartition(fan)
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
           col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
@@ -1189,6 +1223,7 @@ object SparkEntry {
         .filter(col("id_a") < col("id_b"))
         .select((col("sim_a") === col("sim_b")).as("same"))
       val brute = withSim.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // spread the O(n^2) verify (see q84)
         .join(withSim.select(col("doc_id").as("id_b"), col("sim").as("sim_b")),
           col("id_a") < col("id_b"))
         .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
@@ -1230,6 +1265,7 @@ object SparkEntry {
         Similarity.norm(col("embedding")).as("nrm"))
       val exactPairs = withN
         .select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("nrm").as("nrm_a"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // spread the O(n^2) verify (see q84)
         .join(withN.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
           col("nrm").as("nrm_b")), col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
@@ -1263,6 +1299,7 @@ object SparkEntry {
         Similarity.norm(col("embedding")).as("nrm"))
       withN
         .select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("nrm").as("nrm_a"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // spread the O(n^2) verify (see q84)
         .join(withN.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
           col("nrm").as("nrm_b")), col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
@@ -1601,6 +1638,12 @@ object SparkEntry {
         "FROM events WHERE user_id = 7 ORDER BY event_id"),
 
     "q53_json_contains" ->
+      ("SELECT event_id, user_id FROM events " +
+        "WHERE json_extract_string(props, '$.k') = '42' ORDER BY event_id"),
+
+    "q99_json_contains_shred" ->
+      // same containment semantics as q53 — the Spark side answers off the
+      // shredded store's promoted column; results must be identical
       ("SELECT event_id, user_id FROM events " +
         "WHERE json_extract_string(props, '$.k') = '42' ORDER BY event_id"),
 

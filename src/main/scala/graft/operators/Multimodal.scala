@@ -94,9 +94,10 @@ object Multimodal {
 
   /** ===== REAL codec for JDK-decodable formats =====
     * JPEG / PNG (and GIF/BMP) decode through `javax.imageio`; WAV through
-    * `javax.sound.sampled`. Both ship with the JDK — zero added
-    * dependencies. mp4 sniffs correctly but decodes like [[FakeCodec]]
-    * (no JDK demuxer); that remaining stub is the documented seam.
+    * `javax.sound.sampled`; mp4 duration + frame sampling through the
+    * zero-dependency [[Mp4Demux]] box parser. All pure JVM. Pixel decode
+    * of mp4 video samples stays out of scope (no JDK H.264 decoder) —
+    * the demuxed access units are what an inference batch consumes.
     */
   object ImageIoCodec extends MediaCodec {
 
@@ -118,7 +119,9 @@ object Multimodal {
     def decodeDims(bytes: Array[Byte]): (Int, Int) =
       readImage(bytes).map(img => (img.getWidth, img.getHeight)).getOrElse((0, 0))
 
-    /** PCM duration from the WAV header; 0 for stills; fake for mp4. */
+    /** PCM duration from the WAV header; mvhd duration for mp4 (real box
+      * parse, [[Mp4Demux]]); 0 for stills.
+      */
     def durationMs(bytes: Array[Byte]): Long = sniffFormat(bytes) match {
       case "wav" =>
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -129,6 +132,7 @@ object Multimodal {
           else 0L
         } finally in.close()
       case "jpeg" | "png" => 0L
+      case "mp4" => Mp4Demux.durationMs(bytes)
       case _ => FakeCodec.durationMs(bytes)
     }
 
@@ -175,9 +179,16 @@ object Multimodal {
         bos.toByteArray
       }.getOrElse(FakeCodec.resize(bytes, w, h))
 
-    /** No JDK mp4 demuxer — documented stub via FakeCodec. */
+    /** Real mp4 demux ([[Mp4Demux]]): n evenly-spaced video samples
+      * (access units) sliced straight from `mdat` via the stsz/stsc/stco
+      * sample table. Non-mp4 (or unparsable) input keeps the FakeCodec
+      * byte-stride stand-in.
+      */
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
-      FakeCodec.sampleFrames(bytes, n)
+      if (sniffFormat(bytes) == "mp4") {
+        val frames = Mp4Demux.sampleFrames(bytes, n)
+        if (frames.nonEmpty) frames else FakeCodec.sampleFrames(bytes, n)
+      } else FakeCodec.sampleFrames(bytes, n)
   }
 
   /** Decode + metadata extraction: BINARY -> typed MediaMeta columns.

@@ -106,13 +106,21 @@ final case class LogsTable(df: DataFrame) {
     * three `jsonb_path_ops` GIN indexes exist to serve
     * (reference: migration:37,52,73): does the payload contain every given
     * top-level key/value pair? Expressed as a conjunction of extraction
-    * equalities (SURVEY §2.3) — each conjunct is a codegen'd
-    * `get_json_object`, and once fields are promoted/shredded the same
-    * predicate becomes a parquet column-stat pushdown (the index analog).
-    * Values are matched by their `->>`-style text form.
+    * equalities (SURVEY §2.3). Each conjunct automatically uses the
+    * PROMOTED `p_<k>` column when the table was written with
+    * [[graft.store.LogStore.appendShredded]] — a plain string equality
+    * Spark pushes into the parquet scan (`PushedFilters`, row-group
+    * min/max + dictionary skipping: the GIN-index analog, proven by
+    * ShredSpec) — and falls back to a codegen'd `get_json_object`
+    * extraction for non-promoted keys, exactly like a query on a
+    * non-indexed jsonb path. Values are matched by their `->>`-style
+    * text form.
     */
   def jsonContains(pairs: Map[String, String]): Column =
-    pairs.map { case (k, v) => jsonField(k) === lit(v) }.reduce(_ && _)
+    pairs.map { case (k, v) =>
+      if (df.columns.contains(s"p_$k")) col(s"p_$k") === lit(v)
+      else jsonField(k) === lit(v)
+    }.reduce(_ && _)
 
   /** `message ILIKE ANY(ARRAY[...])` — case-insensitive multi-pattern
     * substring search (reference: tests/conftest.py:169-174; trigram GIN

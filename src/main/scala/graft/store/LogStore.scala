@@ -33,6 +33,28 @@ final class LogStore(root: String) {
     partitioned.parquet(path(table))
   }
 
+  /** Shredded append: promote selected top-level JSON payload fields into
+    * real `p_<field>` string columns at write time — the `jsonb_path_ops`
+    * GIN-index analog (reference: migration:37,52,73). A containment
+    * conjunct on a promoted field ([[graft.query.LogsTable.jsonContains]])
+    * then compiles to a plain column equality that Spark pushes into the
+    * parquet scan: row-group min/max + dictionary filtering skip data on
+    * disk, which is what the reference's GIN index bought it — except here
+    * the "index" is the column layout itself, no side structure to
+    * maintain. The raw JSON column is kept: non-promoted keys still work
+    * through extraction, exactly like a query on a non-indexed jsonb path.
+    */
+  def appendShredded(
+      table: String,
+      df: DataFrame,
+      promote: Seq[String],
+      jsonCol: String = "data_raw"): Unit = {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val shredded = promote.foldLeft(df)((d, f) =>
+      d.withColumn(s"p_$f", get_json_object(col(jsonCol), s"$$.$f")))
+    append(table, shredded)
+  }
+
   /** Idempotent per-epoch write for streaming `foreachBatch`: rows land in
     * `batch_id=<writerId>-<epoch>` partitions written with DYNAMIC partition
     * overwrite, so a retried epoch (checkpoint replay after a mid-batch

@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.{GraftSqlFunctions, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** BI serving endpoint — the engine analog of the reference's Metabase
+  * hookup (reference: doc/metabase-instructions.rst:1-23, where analysts
+  * point a BI tool at the Postgres port and query `logs`/`metric` over
+  * SQL). Here the wire is HiveServer2 Thrift: any JDBC/ODBC client
+  * (Metabase, DBeaver, beeline, Tableau) connects to
+  * `jdbc:hive2://host:port/` and sees every graft table as a view plus
+  * all custom functions (`word_shingles`, `vector_dot`, ...) on the SQL
+  * surface.
+  *
+  * Usage: `runMain graft.tools.SqlGateway [sfDir] [port]` — blocks
+  * serving until killed. At cluster scale the same two lines sit in the
+  * long-running driver of a shared Spark application (or the queries move
+  * to Spark Connect — `spark-connect_2.13` ships in the same jars dir —
+  * for multiplexed remote sessions; the serving surface is identical SQL
+  * either way).
+  */
+object SqlGateway {
+
+  /** Register every test table plus the graft function surface on the
+    * session, then start a Thrift endpoint on `port`. Returns after the
+    * server is up (callers block themselves — the spec stops it, `main`
+    * sleeps forever).
+    */
+  def start(spark: SparkSession, sfDir: String, port: Int): AutoCloseable = {
+    Tables.names.foreach { t =>
+      Tables(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    GraftSqlFunctions.register(spark)
+    spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
+    spark.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
+    org.apache.spark.sql.hive.thriftserver.GraftThriftBridge
+      .start(spark.sqlContext)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val port = if (args.length > 1) args(1).toInt else 10000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-sql-gateway")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    start(spark, sfDir, port)
+    println(s"graft SQL gateway serving jdbc:hive2://localhost:$port/")
+    Thread.sleep(Long.MaxValue)
+  }
+}

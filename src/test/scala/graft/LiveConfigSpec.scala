@@ -36,6 +36,40 @@ class LiveConfigSpec extends SparkSpec {
     assert(src.current() == c1)
   }
 
+  test("secret masking: passwordish keys print first char + Xs, others verbatim") {
+    import graft.streaming.LiveConfig
+    // the reference's exact scheme (settings.py:10,88-91)
+    assert(LiveConfig.mask("db_password", "hunter2") == "hXXXXXX")
+    assert(LiveConfig.mask("PASS_PHRASE", "abc") == "aXX")
+    assert(LiveConfig.mask("consul_pw", "x") == "x")
+    assert(LiveConfig.mask("secret", "") == "")      // empty value: no crash
+    assert(LiveConfig.mask("max_batch_size", "42") == "42") // not a secret
+  }
+
+  test("log-level hot-update applies to live loggers; bad entries skipped") {
+    import graft.streaming.LiveConfig
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val name = s"graft.test.dyn${UUID.randomUUID().toString.take(8)}"
+    Configurator.setLevel(name, Level.WARN)
+    val applied = LiveConfig.applyLogLevels(
+      s"$name=DEBUG, bogus_no_equals, other=NOT_A_LEVEL")
+    assert(applied == Seq((name, "WARN", "DEBUG")))
+    assert(LogManager.getLogger(name).getLevel == Level.DEBUG)
+    // unchanged level -> skipped (reference settings.py:116-118)
+    assert(LiveConfig.applyLogLevels(s"$name=DEBUG").isEmpty)
+  }
+
+  test("FromFile applies log_levels from the config file on refresh") {
+    import org.apache.logging.log4j.{Level, LogManager}
+    val name = s"graft.test.file${UUID.randomUUID().toString.take(8)}"
+    val f = Files.createTempFile("graft-cfg-lvl", ".properties")
+    Files.writeString(f, s"log_levels=$name=ERROR\nmax_batch_size=9\n")
+    val src = new ConfigSource.FromFile(f.toString, ttlMs = 0)
+    assert(src.current().maxBatchSize == 9)
+    assert(LogManager.getLogger(name).getLevel == Level.ERROR)
+  }
+
   test("FromFile honors the poll TTL") {
     val f = Files.createTempFile("graft-cfg-ttl", ".properties")
     Files.writeString(f, "max_batch_size=1\n")

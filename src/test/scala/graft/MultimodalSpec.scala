@@ -107,4 +107,66 @@ class ImageIoCodecSpec extends SparkSpec {
     assert(feats(1L).head == 1f)  // all-black -> lowest bin
     assert(feats(2L).last == 1f)  // all-white -> highest bin
   }
+
+  // ---- mp4: a structurally-valid ISO BMFF file built box by box ----
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+  }
+
+  /** ftyp + mdat holding 4 known video samples + a moov whose mvhd says
+    * 2500 ms and whose single `vide` track maps the samples via
+    * stsz/stsc/stco — offsets computed exactly as a muxer would.
+    */
+  private def mp4(samples: Seq[Array[Byte]]): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0),
+      "isom".getBytes("US-ASCII"))
+    val mdatPayloadOffset = ftyp.length + 8 // absolute offset of sample 0
+    val mdat = box("mdat", samples.flatten.toArray)
+    // mvhd v0: flags, creation, modification, timescale=1000, duration=2500
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000), be32(2500))
+    val hdlr = box("hdlr", be32(0), be32(0), "vide".getBytes("US-ASCII"),
+      new Array[Byte](12))
+    val stsz = box("stsz", be32(0), be32(0), be32(samples.length),
+      samples.map(s => be32(s.length.toLong)).flatten.toArray)
+    // one run: first_chunk=1 carries all samples
+    val stsc = box("stsc", be32(0), be32(1),
+      be32(1), be32(samples.length.toLong), be32(1))
+    val stco = box("stco", be32(0), be32(1), be32(mdatPayloadOffset.toLong))
+    val stbl = box("stbl", stsz, stsc, stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr, minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  test("mp4 demux: mvhd duration + real sample payloads out of mdat") {
+    val planted = Seq("FRAME-A", "FRAME-BB", "FRAME-CCC", "FRAME-DDDD")
+      .map(_.getBytes("US-ASCII"))
+    val bytes = mp4(planted)
+    assert(ImageIoCodec.sniffFormat(bytes) == "mp4")
+    assert(ImageIoCodec.durationMs(bytes) == 2500)
+    // all samples, in order, byte-exact
+    val all = Multimodal.sampleFrames(
+      Seq(MediaRow(7L, bytes)).toDS(), n = 4, ImageIoCodec)
+      .orderBy("frame_no")
+      .as[(Long, Int, Array[Byte])].collect()
+    assert(all.length == 4)
+    assert(all.map(f => new String(f._3, "US-ASCII")).toSeq ==
+      Seq("FRAME-A", "FRAME-BB", "FRAME-CCC", "FRAME-DDDD"))
+    // subsampling picks evenly-spaced real samples, not byte strides
+    val two = graft.operators.Mp4Demux.sampleFrames(bytes, 2)
+      .map(new String(_, "US-ASCII"))
+    assert(two == Seq("FRAME-A", "FRAME-CCC"))
+    // extractMeta surfaces the real duration through the Spark pipeline
+    val meta = Multimodal.extractMeta(
+      Seq(MediaRow(7L, bytes)).toDS(), ImageIoCodec).collect().head
+    assert(meta.format == "mp4" && meta.durationMs == 2500)
+  }
 }

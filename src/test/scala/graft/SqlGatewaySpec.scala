@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.DriverManager
+
+/** BI serving endpoint e2e — the Metabase-hookup analog (reference:
+  * doc/metabase-instructions.rst:1-23): an EXTERNAL JDBC client connects
+  * to the HiveServer2 Thrift endpoint over the real wire protocol and
+  * queries graft tables + custom SQL functions, exactly how a BI tool
+  * would.
+  */
+class SqlGatewaySpec extends SparkSpec {
+
+  test("external JDBC client queries tables and graft functions over Thrift") {
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    // the HiveServer2 session manager mutates the served session's confs
+    // (java8 datetime API among them); snapshot what other suites rely on
+    val java8Api = spark.conf.getOption("spark.sql.datetime.java8API.enabled")
+    val server = graft.tools.SqlGateway.start(spark, sf(), port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val deadline = System.currentTimeMillis() + 60000
+      var conn: java.sql.Connection = null
+      while (conn == null && System.currentTimeMillis() < deadline) {
+        try conn = DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/", "", "")
+        catch { case _: Exception => Thread.sleep(500) }
+      }
+      assert(conn != null, s"no JDBC connection to localhost:$port within 60s")
+      try {
+        val st = conn.createStatement()
+        // a BI tool's bread-and-butter: aggregate over a served table
+        val rs = st.executeQuery(
+          "SELECT count(*) AS n, count(DISTINCT event_type) AS k FROM events")
+        assert(rs.next() && rs.getLong(1) > 0 && rs.getLong(2) > 0)
+        // the custom function surface is served too
+        val rs2 = st.executeQuery(
+          "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        assert(rs2.next() && math.abs(rs2.getDouble(1) - 11.0) < 1e-9)
+        // join across served views, ordered — a dashboard query shape
+        val rs3 = st.executeQuery(
+          "SELECT r.r_name, count(*) AS n FROM nation n " +
+            "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+            "GROUP BY r.r_name ORDER BY r.r_name LIMIT 3")
+        assert(rs3.next() && rs3.getLong(2) > 0)
+      } finally conn.close()
+    } finally {
+      server.close()
+      java8Api match {
+        case Some(v) => spark.conf.set("spark.sql.datetime.java8API.enabled", v)
+        case None => spark.conf.unset("spark.sql.datetime.java8API.enabled")
+      }
+    }
+  }
+}
