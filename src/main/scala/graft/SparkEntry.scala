@@ -278,7 +278,12 @@ object SparkEntry {
     }),
 
     "q22_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), n = 3, threshold = 0.1)
+      // threshold 0.1 is an exhaustive-sweep setting: 32 r=1 bands so a
+      // pair at j barely over threshold still collides somewhere (miss
+      // (1-j)^32; bands=8's r=2 net measurably dropped 3/260 true pairs
+      // at sf0.1 — caught by the no-skip soak, round 7)
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), n = 3,
+        threshold = 0.1, bands = 32, numHashes = 32)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

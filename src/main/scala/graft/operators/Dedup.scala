@@ -224,13 +224,17 @@ object Dedup {
     * This is the scale-correct shape: exact set intersection only on
     * collided pairs.
     *
-    * `bands` is the recall/cost dial (numHashes=16 fixed). Measured at
-    * threshold 0.1 on the sf0.1 corpus: default bands=8 (r=2, per-pair
-    * collision 1-(1-j^2)^8) finds 257/260 true pairs at ~1s; bands=16
-    * (r=1, collision 1-(1-j)^16) finds 260/260 but admits ~8x the
-    * candidate volume (~8s) — r=1 is the setting for guaranteed-recall
-    * sweeps at low thresholds, r=2 for routine dedup where j>=0.3 pairs
-    * (collision >=54% per band set) are the target.
+    * `bands`/`numHashes` are the recall/cost dial. Measured at threshold
+    * 0.1 on the sf0.1 corpus: default bands=8 (r=2, per-pair collision
+    * 1-(1-j^2)^8) finds 257/260 true pairs at ~1s; bands=16 (r=1,
+    * collision 1-(1-j)^16) finds 260/260 but admits ~8x the candidate
+    * volume (~8s); bands=numHashes=32 (r=1, miss (1-j)^32 — 0.5% even for
+    * a pair at j=0.15) is the exhaustive-sweep setting the brute-force
+    * oracle comparisons run at. r=1 for guaranteed-recall sweeps at low
+    * thresholds, r=2 for routine dedup where j>=0.3 pairs (collision
+    * >=54% per band set) are the target. The widest shuffle always
+    * carries (band, hash, id) only — more bands is linearly more rows,
+    * never wider ones.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -238,12 +242,13 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 3,
       threshold: Double = 0.8,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      numHashes: Int = 16): DataFrame = {
     // bare candidate ids only — the est-Jaccard of minhashLsh would be
     // discarded here anyway (exact Jaccard is the verdict), so skip the
     // signature join-back entirely
     val (cands, _) = lshCandidates(docs, textCol, idCol,
-      numHashes = 16, bands = bands, shingleSize = n)
+      numHashes = numHashes, bands = bands, shingleSize = n)
     // verify on HASHED shingles: each doc's shingle set becomes a sorted
     // array of xxhash64 longs (computed once, persisted); the per-pair work
     // is then ONE allocation-free merge scan (sorted_intersect_count) and

@@ -40,7 +40,10 @@ object Sampling {
     * near-duplicate leaked into train (or vice versa). Candidate
     * generation is [[Dedup.ngramJaccardPairs]] (LSH, one shuffle); the
     * split labels join in afterwards, so the leakage check costs the same
-    * as the dedup pass it reuses.
+    * as the dedup pass it reuses. A leakage report is a place where a
+    * missed pair is a silently contaminated eval, so the default net is
+    * the exhaustive-sweep setting (32 r=1 bands — per-pair miss (1-j)^32;
+    * the r=2 default measurably dropped a true cross-split pair at sf0.1).
     */
   def crossSplitLeakage(
       docs: DataFrame,
@@ -48,8 +51,11 @@ object Sampling {
       idCol: String = "doc_id",
       n: Int = 3,
       threshold: Double = 0.1,
-      trainPct: Int = 90): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(docs, textCol, idCol, n, threshold)
+      trainPct: Int = 90,
+      bands: Int = 32,
+      numHashes: Int = 32): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, textCol, idCol, n, threshold,
+      bands = bands, numHashes = numHashes)
     pairs
       .withColumn("split_a", splitLabel(col("id_a"), trainPct))
       .withColumn("split_b", splitLabel(col("id_b"), trainPct))
