@@ -890,6 +890,101 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q100_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup keep/drop table: k-means partition, within-cluster exact
+      // cosine components, keeper = farthest-from-centroid (tie -> lowest
+      // id). Approximate-by-design (cross-cluster duplicates are invisible
+      // by construction) -> rows-only here; q101 pins precision and
+      // realized recall against the global brute-force duplicate graph.
+      Dedup.semanticDedup(Tables(s, dir, "embeddings"), k = 16, threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
+    "q101_semdedup_contract" -> ((s, dir) => {
+      // q100's contract twin: (1) n_exact_dup_docs / n_components ground
+      // the twin in data — the oracle re-derives both by brute force +
+      // recursive closure; (2) every semanticDedup drop must have an exact
+      // cosine>=0.35 duplicate SOMEWHERE in the corpus (precision — pinned
+      // 0 unwitnessed); (3) drops must realize at least half of the global
+      // graph's optimum drop count (n_dup_docs - n_components), pinning
+      // the recall the cluster partition gives up (measured ~0.9 at
+      // sf0.001/0.01; floor 0.5 is scale-stable).
+      val emb = Tables(s, dir, "embeddings")
+      val withN = emb.select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+      val exactPairs = withN
+        .select(col("vec_id").as("id_a"), col("embedding").as("v_a"), col("nrm").as("nrm_a"))
+        .repartition(s.sessionState.conf.numShufflePartitions) // spread the O(n^2) verify (see q84)
+        .join(withN.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+          col("nrm").as("nrm_b")), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          when(col("nrm_a") * col("nrm_b") === 0, lit(0.0))
+            .otherwise(Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+            .as("cos"))
+        .filter(col("cos") >= 0.35)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // CC rounds + containment + counts all re-consume it
+      val dupDocs = exactPairs.select(col("id_a").as("id"))
+        .union(exactPairs.select(col("id_b").as("id"))).distinct().persist()
+      val comps = Dedup.connectedComponents(exactPairs)
+      val drops = Dedup.semanticDedup(emb, k = 16, threshold = 0.35)
+        .filter(!col("keep")).select(col("vec_id").as("id"))
+      val unwitnessed = drops.join(dupDocs, Seq("id"), "left_anti")
+      dupDocs.agg(count(lit(1)).as("n_exact_dup_docs"))
+        .crossJoin(comps.agg(countDistinct(col("lbl")).as("n_components")))
+        .crossJoin(drops.agg(count(lit(1)).as("_nd")))
+        .crossJoin(unwitnessed.agg(count(lit(1)).as("_uw")))
+        .select(col("n_exact_dup_docs"), col("n_components"),
+          (col("_uw") === 0).as("all_drops_witnessed"),
+          (col("_nd") >= (col("n_exact_dup_docs") - col("n_components")) * 0.5)
+            .as("recall_floor_met"))
+    }),
+
+    "q102_dup_ngram_fraction" -> ((s, dir) => {
+      // corpus-global boilerplate signal: per doc, share of its distinct
+      // 3-grams that appear in at least one other doc (fully oracled —
+      // same shingle kernel as the dedup family)
+      operators.CorpusAnalytics.dupNgramFraction(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q103_decontam_bloom_contract" -> ((s, dir) => {
+      // Bloom decontamination vs the exact operator (q89's split): the
+      // filter may over-flag (bounded FP overhang) but must NEVER
+      // under-flag — a missed contamination is a poisoned benchmark.
+      // n_train / n_contaminated_exact ground the twin (oracle re-derives
+      // both); no_false_negatives pinned TRUE; FP overhang bounded by 5%
+      // of the train count (expected ~g*fpp per doc, orders below 5%).
+      val docs = Tables(s, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val evalD = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val exact = operators.CorpusAnalytics.decontaminate(train, evalD).persist()
+      val bloomFlagged = operators.CorpusAnalytics
+        .decontaminateBloom(train, evalD, expectedGrams = 1L << 17)
+        .filter(col("contaminated")).select(col("doc_id")).persist()
+      val exactFlagged = exact.filter(col("contaminated")).select(col("doc_id"))
+      val missed = exactFlagged.join(bloomFlagged, Seq("doc_id"), "left_anti")
+      exact.agg(count(lit(1)).as("n_train"),
+          coalesce(sum(when(col("contaminated"), 1L)), lit(0L)).as("n_contaminated_exact"))
+        .crossJoin(bloomFlagged.agg(count(lit(1)).as("_nb")))
+        .crossJoin(missed.agg(count(lit(1)).as("_fn")))
+        .select(col("n_train"), col("n_contaminated_exact"),
+          (col("_fn") === 0).as("no_false_negatives"),
+          ((col("_nb") - col("n_contaminated_exact")) <= col("n_train") * 0.05)
+            .as("fp_overhang_bounded"))
+    }),
+
+    "q104_incremental_dedup" -> ((s, dir) => {
+      // every 10th doc plays the newly-arrived batch, the rest the
+      // already-deduped corpus: keep = fingerprint unseen in corpus AND
+      // first occurrence within the batch (cost scales with the batch)
+      val docs = Tables(s, dir, "documents")
+      Dedup.incrementalExact(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scalar breadth: edit distance + array higher-order funcs ----
 
     "q68_levenshtein" -> ((s, dir) => {
@@ -1839,6 +1934,72 @@ object SparkEntry {
         "SELECT doc_id, cluster_id, n_chars, " +
         "(row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1) AS keep " +
         "FROM assigned ORDER BY doc_id"),
+
+    // q100_semantic_dedup: rows-only (k-means partition is not
+    // DuckDB-expressible); q101 is its contract twin.
+
+    "q101_semdedup_contract" ->
+      // brute-force cosine>=0.35 duplicate graph (same double kernels as
+      // q87) + recursive min-label closure (same reach pattern as q98's
+      // oracle): n_exact_dup_docs / n_components re-derived independently,
+      // precision and recall-floor booleans pinned TRUE
+      ("WITH RECURSIVE e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
+        "WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0 " +
+        "ELSE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) END) >= 0.35), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach(id, lbl) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst), " +
+        "comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id) " +
+        "SELECT (SELECT count(*) FROM comp) AS n_exact_dup_docs, " +
+        "(SELECT count(DISTINCT lbl) FROM comp) AS n_components, " +
+        "TRUE AS all_drops_witnessed, TRUE AS recall_floor_met"),
+
+    "q102_dup_ngram_fraction" ->
+      // same shingle CTE as q84/q98; grams are distinct per doc, so the
+      // per-gram count(*) IS the number of docs containing the gram
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "g AS (SELECT doc_id, unnest(sh) AS gram FROM sh), " +
+        "c AS (SELECT gram, count(*) AS n_docs_with_gram FROM g GROUP BY gram) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "round(CAST(sum(CASE WHEN n_docs_with_gram >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_fraction " +
+        "FROM g JOIN c USING (gram) GROUP BY doc_id ORDER BY doc_id"),
+
+    "q103_decontam_bloom_contract" ->
+      // q89's exact contamination count re-derived (same CTE); the Bloom
+      // side's guarantees pinned: zero false negatives, FP overhang <= 5%
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "ev AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0)), " +
+        "tg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0), " +
+        "hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (g)) " +
+        "SELECT (SELECT count(*) FROM documents WHERE doc_id % 50 <> 0) AS n_train, " +
+        "(SELECT count(*) FROM hits) AS n_contaminated_exact, " +
+        "TRUE AS no_false_negatives, TRUE AS fp_overhang_bounded"),
+
+    "q104_incremental_dedup" ->
+      // same md5 normalized-text fingerprint as q19/q85's oracles; corpus
+      // membership + batch-first-occurrence joins replicated directly
+      ("WITH f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents), " +
+        "c AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 0), " +
+        "b AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 0), " +
+        "fst AS (SELECT fp, min(doc_id) AS first_id FROM b GROUP BY fp) " +
+        "SELECT b.doc_id, (c.fp IS NOT NULL) AS in_corpus, " +
+        "(b.doc_id = first_id) AS first_in_batch, " +
+        "(c.fp IS NULL AND b.doc_id = first_id) AS keep " +
+        "FROM b LEFT JOIN c ON b.fp = c.fp JOIN fst ON b.fp = fst.fp " +
+        "ORDER BY b.doc_id"),
 
     "q68_levenshtein" ->
       ("WITH t AS (SELECT DISTINCT event_type FROM events) " +

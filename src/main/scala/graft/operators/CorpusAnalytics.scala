@@ -206,6 +206,54 @@ object CorpusAnalytics {
         (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[decontaminate]]'s scale path: when the eval/benchmark suite is too
+    * large to broadcast its gram set row-for-row (hundreds of benchmarks ×
+    * contamination windows), fold it into a Bloom filter instead —
+    * `bloom_filter_agg` builds the bitmap distributedly (partial filters
+    * OR-merge map-side), only the fixed-size bitmap reaches the driver
+    * (a bounded documented collect, [[Similarity.kmeansCentroids]]'s
+    * pattern — `might_contain` requires a constant filter), and the train
+    * side probes it as a plan literal shipped with the task binaries.
+    * Train rows never shuffle, same as the exact variant.
+    *
+    * Bloom semantics carry over exactly one asymmetry: NO false negatives
+    * (every truly contaminated doc is flagged — the guarantee that matters
+    * for decontamination) but a bounded false-positive overhang. Size via
+    * `expectedGrams` >= the true distinct-gram count and `fpp`; a doc with
+    * g grams is falsely flagged with prob ~ 1-(1-fpp)^g, so per-doc FP
+    * stays below ~g*fpp — q103's contract pins both properties against
+    * the exact operator. Probe hash is xxhash64, matching the builder.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      expectedGrams: Long = 1 << 20,
+      fpp: Double = 1e-4): DataFrame = {
+    val nonBlank = (d: DataFrame) =>
+      d.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    // optimal bits for the target fpp: m = -n*ln(p)/ln(2)^2
+    val numBits = math.max(64L,
+      math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBits: Array[Byte] = nonBlank(evalDocs)
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .agg(graft.functions.BloomSketch
+        .bloom_agg(xxhash64(col("g")), expectedGrams, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val hits = nonBlank(train)
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .filter(graft.functions.BloomSketch
+        .bloom_might_contain(lit(bloomBits), xxhash64(col("g"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Token-rarity report — the integer-exact cousin of unigram-LM
     * surprisal scoring: per doc, the token count, how many token
     * occurrences are corpus-rare (global frequency <= `rareMaxFreq`), and
@@ -332,5 +380,44 @@ object CorpusAnalytics {
           .as("token_share"),
         round(col("total_tokens").cast("double") /
           (col("n_groups") * col("n_tokens")), 6).as("uniform_weight"))
+  }
+
+  /** Corpus-level duplicated n-gram fraction per document: of a doc's
+    * DISTINCT word n-grams, the share that also appear in at least one
+    * OTHER document. The RefinedWeb/Gopher-family quality signal that
+    * [[Dedup]]'s pair operators don't give you — boilerplate-heavy docs
+    * score high long before they qualify as near-duplicates of any single
+    * other doc. (Within-doc repetition is [[repetitionScore]]; train-vs-eval
+    * overlap is [[decontaminate]] — this is the corpus-global third axis.)
+    *
+    * Shape: explode distinct shingles (same [[Dedup.shingles]] kernel as
+    * the dedup family, so "n-gram" means the same thing engine-wide),
+    * count distinct docs per gram (rows are (gram, doc) distinct already —
+    * a count(*) hash agg with map-side partials), broadcast-free join back
+    * on the gram, then one per-doc agg. Two shuffles total, both on
+    * compact keys. At 100 TB the gram string in the shuffle key would be
+    * replaced by xxhash64(gram) (collision odds at 64 bits are vanishing,
+    * and the fraction tolerates them); here the string key keeps the
+    * DuckDB oracle bit-exact.
+    */
+  def dupNgramFraction(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val grams = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val gramDocCounts = grams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs_with_gram"))
+    grams
+      .join(gramDocCounts, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs_with_gram") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_grams"),
+        round(col("n_shared").cast("double") / col("n_grams"), 4)
+          .as("dup_fraction"))
   }
 }

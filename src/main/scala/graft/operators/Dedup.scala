@@ -366,6 +366,24 @@ object Dedup {
     val pairs = ngramJaccardPairs(docs, textCol, idCol, n, threshold, bands)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
+    connectedComponents(pairs, maxIters)
+      .select(col("id").as(idCol), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).as("is_canonical"))
+  }
+
+  /** Min-label connected components with pointer jumping over an (id_a,
+    * id_b) edge list: labels are node ids, a node's label only ever
+    * decreases, and chasing one hop per round (lbl(lbl(v))) halves chain
+    * depth — convergence in O(log diameter) rounds. Each round
+    * `localCheckpoint`s to truncate the growing lineage (on a cluster, a
+    * reliable `checkpoint` does the same job); the driver only ever sees
+    * the per-round convergence flag. Callers pass a materialized
+    * (checkpointed/persisted) pair list so CC rounds don't replay its
+    * derivation. Returns (id, lbl) for every node WITH an edge.
+    */
+  private[graft] def connectedComponents(
+      pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
     // undirected: propagate labels both ways
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -384,9 +402,7 @@ object Dedup {
         .join(nbrMin, col("l.id") === col("nid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.lbl"), coalesce(col("nbr_lbl"), col("l.lbl"))).as("lbl"))
-      // pointer jump: labels are node ids, and a node's own label only ever
-      // decreases — so lbl(lbl(v)) <= lbl(v) and chasing one hop per round
-      // halves chain depth (the "hash-to-min" shortcut)
+      // pointer jump: the "hash-to-min" shortcut (see scaladoc)
       val next = stepped.as("c")
         .join(stepped.as("p"), col("c.lbl") === col("p.id"), "left")
         .select(col("c.id").as("id"),
@@ -400,8 +416,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"),
-      (col("id") === col("lbl")).as("is_canonical"))
+    labels
   }
 
   /** Dedup survivorship: one keep/drop decision per document. Docs in a
@@ -450,6 +465,147 @@ object Dedup {
         col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
         col("n_chars"),
+        coalesce(col(idCol) === col("keep_id"), lit(true)).as("keep"))
+  }
+
+  // --------------------------------------------------- incremental dedup
+
+  /** Incremental exact dedup: one keep/drop decision per NEW-batch doc
+    * against an already-deduped corpus — the shape every periodically-fed
+    * training corpus needs (re-deduping 100 TB because 100 GB arrived is
+    * the anti-pattern). A new doc keeps iff (1) its normalized fingerprint
+    * does not exist in the corpus and (2) it is the first occurrence
+    * (lowest id) of that fingerprint within the batch.
+    *
+    * Scale: the corpus side reduces to DISTINCT fingerprints before the
+    * join (a corpus-side hash agg that at scale is a pre-materialized
+    * fingerprint index — [[graft.store.BucketedStore]] bucketed by
+    * fingerprint makes it a zero-shuffle join); the batch side is one hash
+    * agg + broadcast-size join-back, proportional to the BATCH, not the
+    * corpus. A Bloom prefilter ([[CorpusAnalytics.decontaminateBloom]]'s
+    * pattern) drops the corpus probe to a bitmap when even the fingerprint
+    * index is too wide to shuffle.
+    */
+  def incrementalExact(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fp = (d: DataFrame) => d.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val corpusFps = fp(corpus).select(col("fp")).distinct()
+    val batchFp = fp(batch)
+    // lowest id per batch fingerprint: hash agg, map-side partials
+    val firstInBatch = batchFp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("_first_id"))
+    batchFp
+      .join(corpusFps.withColumn("_in_corpus", lit(true)), Seq("fp"), "left")
+      .join(firstInBatch, Seq("fp"))
+      .select(col(idCol),
+        coalesce(col("_in_corpus"), lit(false)).as("in_corpus"),
+        (col(idCol) === col("_first_id")).as("first_in_batch"),
+        (coalesce(col("_in_corpus"), lit(false)) === false &&
+          col(idCol) === col("_first_id")).as("keep"))
+  }
+
+  // ------------------------------------------------------ semantic dedup
+
+  /** SemDeDup-style semantic deduplication over an embedding column
+    * (Abbas et al. 2023, arXiv:2303.09540): k-means-partition the corpus,
+    * find exact-cosine duplicate pairs WITHIN each cluster only, group
+    * duplicates into connected components, and keep one representative per
+    * component — the member farthest from its centroid (lowest cosine to
+    * the assigned centroid, the paper's best-performing keeper policy),
+    * ties broken by lowest id. Every un-clustered / un-duplicated row
+    * keeps itself.
+    *
+    * Scale design: the quadratic pair step runs per cluster, never
+    * globally — one shuffle keyed by cluster id, O(sum of cluster^2)
+    * comparisons. k is the knob that bounds cluster size: scale k with
+    * corpus size (k ~ n / target_cluster_rows) so per-cluster work stays
+    * constant as the corpus grows; centroids stay driver-resident (k*dim
+    * doubles compiled into the plan as literals, see
+    * [[Similarity.kmeansCentroids]]). The CC step touches only rows with a
+    * duplicate edge — a sliver of the corpus at any realistic threshold.
+    *
+    * Duplicate pairs whose endpoints never share a cluster are invisible —
+    * the recall/cost trade the paper accepts. `replicas` softens it the
+    * same way [[Similarity.ivfIndex]]'s multi-assignment does: candidate
+    * pairs are generated from each vector's top-`replicas` clusters, so a
+    * boundary vector sees neighbors on both sides of the cut (measured on
+    * the sf0.001 embeddings at tau=0.35: drop recall vs the global-graph
+    * optimum rises 0.25 -> 0.86 from R=1 to R=3 at linear candidate cost —
+    * the same replica-beats-iterations result as IVF). q101's contract
+    * twin pins the realized recall against the global brute-force graph.
+    *
+    * Returns one row per input row: (idCol, cluster, component_id,
+    * centroid_cos, keep) — `keep=false` rows are the semantic duplicates a
+    * training-set filter would drop. Intra-query persists are
+    * caller-released (Bench/Verify clearCache), matching
+    * [[lshCandidates]]'s contract.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      k: Int = 16,
+      threshold: Double = 0.35,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      maxIters: Int = 20,
+      replicas: Int = 3): DataFrame = {
+    val centroids =
+      Similarity.kmeansCentroids(emb, k, vecCol = vecCol, idCol = idCol)
+    val rawNorm = Similarity.norm(col(vecCol))
+    // zero vectors: define cosine as 0 everywhere (norm 1 sentinel) so they
+    // are never duplicates of anything, matching embeddingNearDup
+    val base = emb.select(col(idCol), col(vecCol),
+      when(rawNorm === 0, lit(1.0)).otherwise(rawNorm).as("nrm"))
+    // centroid scores once: centroids are unit vectors, so dot/own-norm IS
+    // the cosine; sorted desc, head = primary assignment (reported +
+    // keeper policy), top-R = candidate-generation assignments
+    val scoredArr = sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((Similarity.dot(col(vecCol), array(c.map(lit(_)): _*)) /
+        col("nrm")).as("s"), lit(i).as("i"))
+    }: _*), asc = false)
+    val assigned = base
+      .withColumn("_top", slice(scoredArr, 1, math.min(replicas, centroids.length)))
+      .select(col(idCol), col(vecCol), col("nrm"),
+        element_at(col("_top"), 1).getField("i").as("cluster"),
+        element_at(col("_top"), 1).getField("s").as("centroid_cos"),
+        transform(col("_top"), t => t.getField("i")).as("_clusters"))
+      .persist()
+    // candidate pairs from every shared top-R cluster: the join key is a
+    // cluster id, so the pair explosion is bounded by the largest cluster
+    // times R, never the corpus. Bare-id distinct BEFORE anything joins
+    // back (a pair can co-occur in up to R shared clusters).
+    val replicated = assigned
+      .select(col(idCol), col(vecCol), col("nrm"),
+        explode(col("_clusters")).as("rcluster"))
+      .repartition(col("rcluster"))
+    val pairs = replicated
+      .select(col("rcluster"), col(idCol).as("id_a"),
+        col(vecCol).as("v_a"), col("nrm").as("nrm_a"))
+      .join(replicated.select(col("rcluster"), col(idCol).as("id_b"),
+        col(vecCol).as("v_b"), col("nrm").as("nrm_b")), Seq("rcluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.dot(col("v_a"), col("v_b")) /
+        (col("nrm_a") * col("nrm_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .localCheckpoint()
+    val labels = connectedComponents(pairs, maxIters)
+    // keeper per component: farthest from centroid (lowest centroid_cos),
+    // tie -> lowest id; min over the (centroid_cos, id) lexicographic
+    // struct — hash agg, map-side partials, no sort
+    val winners = labels
+      .join(assigned.select(col(idCol).as("id"), col("centroid_cos")), "id")
+      .groupBy(col("lbl"))
+      .agg(min_by(col("id"), struct(col("centroid_cos"), col("id"))).as("keep_id"))
+    assigned
+      .join(labels.select(col("id").as(idCol), col("lbl")), Seq(idCol), "left")
+      .join(winners, Seq("lbl"), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("lbl"), col(idCol)).as("component_id"),
+        round(col("centroid_cos"), 4).as("centroid_cos"),
         coalesce(col(idCol) === col("keep_id"), lit(true)).as("keep"))
   }
 }

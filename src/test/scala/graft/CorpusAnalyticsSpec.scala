@@ -201,4 +201,36 @@ class CorpusAnalyticsSpec extends SparkSpec {
       ("book", 1L, 2L, 0.2, 2.5),   // share 2/10; weight 10/(2*2)
       ("web", 2L, 8L, 0.8, 0.625))) // share 8/10; weight 10/(2*8)
   }
+
+  test("decontaminateBloom: never misses a truly contaminated doc") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares "the quick brown" etc.
+      (2L, "totally unrelated training text body here"),
+      (3L, "the quick brown fox jumps high today")
+    ).toDF("doc_id", "text")
+    val evalD = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val exact = CorpusAnalytics.decontaminate(train, evalD)
+      .filter($"contaminated").select("doc_id").as[Long].collect().toSet
+    val bloom = CorpusAnalytics
+      .decontaminateBloom(train, evalD, expectedGrams = 1024)
+      .filter($"contaminated").select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 3L))
+    assert(exact.subsetOf(bloom)) // no false negatives, ever
+  }
+
+  test("dupNgramFraction: corpus-shared 3-gram share per doc") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // grams {a b c, b c d, c d e}; shares "a b c"
+      (2L, "a b c x y"),   // grams {a b c, b c x, c x y}; shares "a b c"
+      (3L, "zz yy xx"),    // < 4 tokens -> one gram, unshared
+      (4L, "   ")          // blank -> excluded entirely
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.dupNgramFraction(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 0.3333),
+      (2L, 3L, 0.3333),
+      (3L, 1L, 0.0)))
+  }
 }

@@ -141,4 +141,56 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._2 == 4L && p._1 == 1L))
   }
+
+  test("incrementalExact: batch dedups against corpus and within itself") {
+    val corpus = Seq(
+      (1L, "already in the corpus"),
+      (2L, "another corpus document")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALREADY  in the corpus"),   // dup of corpus doc 1 (normalized)
+      (11L, "brand new document"),
+      (12L, "brand new document"),       // dup within the batch -> 11 wins
+      (13L, "also new")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, corpus)
+      .orderBy("doc_id")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (10L, true, true, false),   // in corpus -> drop even as batch-first
+      (11L, false, true, true),
+      (12L, false, false, false), // batch dup of 11
+      (13L, false, true, true)))
+  }
+
+  test("semanticDedup keeps one representative per duplicate group, singletons keep") {
+    // two tight semantic groups + one singleton; threshold 0.9 separates
+    // within-group cosine (>0.99) from cross-group (~0)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.98f, 0.05f, 0.05f)),
+      (4L, Array(0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.05f, 0.99f, 0.0f)),
+      (6L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, k = 2, threshold = 0.9)
+      .select("vec_id", "component_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == 6)
+    val byId = got.map(r => r._1 -> r).toMap
+    // group A {1,2,3}: one component, exactly one keeper
+    assert(Set(1L, 2L, 3L).map(byId(_)._2).size == 1)
+    assert(Seq(1L, 2L, 3L).count(byId(_)._3) == 1)
+    // group B {4,5}: one component, exactly one keeper
+    assert(Set(4L, 5L).map(byId(_)._2).size == 1)
+    assert(Seq(4L, 5L).count(byId(_)._3) == 1)
+    // singleton: own component, keeps itself
+    assert(byId(6L)._2 == 6L && byId(6L)._3)
+    // determinism: a second run elects the same keepers
+    val again = Dedup.semanticDedup(vecs, k = 2, threshold = 0.9)
+      .select("vec_id", "component_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
 }

@@ -34,7 +34,11 @@ class PlanGuardSpec extends SparkSpec {
     "q90_token_rarity" ->
       "crossJoin(broadcast(nDocs)): single-row corpus-size scalar",
     "q92_mixture_weights" ->
-      "crossJoin(broadcast(totals)): single-row totals scalar"
+      "crossJoin(broadcast(totals)): single-row totals scalar",
+    "q101_semdedup_contract" ->
+      "contract twin: brute-force duplicate graph + single-row metric crossJoins",
+    "q103_decontam_bloom_contract" ->
+      "contract twin: single-row metric crossJoins (bloom bitmap itself is a plan literal)"
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin outside the exempt list") {
