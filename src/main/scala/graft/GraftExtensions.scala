@@ -3,7 +3,8 @@ package graft
 import graft.functions._
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** SQL surface for the custom Catalyst expressions: every graft Expression
@@ -76,7 +77,17 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => PositionalAgreeCount(args(0), args(1))),
     ("top_k_pairs",
       "top_k_pairs(struct(score, id), k) - bounded top-k aggregate over (score, id) pairs",
-      (args: Seq[Expression]) => TopKPairs(args(0), litInt(args(1), "top_k_pairs")))
+      (args: Seq[Expression]) => TopKPairs(args(0), litInt(args(1), "top_k_pairs"))),
+    // Spark ships these two for runtime join filtering but leaves them out
+    // of the public registry; expose them so SQL/BI users get the same
+    // Bloom set-membership path decontaminateBloom uses
+    ("bloom_agg",
+      "bloom_agg(xxhash64(x), items, bits) - Bloom-filter bitmap aggregate over LONG hashes",
+      (args: Seq[Expression]) => new BloomFilterAggregate(args(0), args(1), args(2))),
+    ("bloom_might_contain",
+      "bloom_might_contain(filter, xxhash64(x)) - membership probe, no false negatives; " +
+        "filter must be a constant or scalar subquery, e.g. (SELECT bloom_agg(...) FROM ...)",
+      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1)))
   )
 
   /** Runtime registration on an existing session (idempotent). */

@@ -985,6 +985,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q105_curation_pipeline" -> ((s, dir) => {
+      // the curation chain COMPOSED end-to-end in one declarative plan:
+      // quality gate -> exact dedup (lowest id per fingerprint) ->
+      // benchmark decontamination (q89's eval split) -> surviving corpus.
+      // Each stage is individually oracled (q82/q15/q89); this pins that
+      // they compose without intermediate materialization.
+      val docs = Tables(s, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val evalD = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val gate = operators.CorpusAnalytics
+        .qualityGate(train, minTokens = 15, minAlpha = 0.81, maxRepetition = 0.05)
+        .filter(col("passes")).select(col("doc_id"), col("n_tokens"))
+      val gated = train.join(gate, Seq("doc_id"))
+      val winners = gated
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val deduped = gated.join(winners, Seq("doc_id"))
+      val clean = operators.CorpusAnalytics.decontaminate(deduped, evalD)
+        .filter(!col("contaminated")).select(col("doc_id"))
+      deduped.join(clean, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scalar breadth: edit distance + array higher-order funcs ----
 
     "q68_levenshtein" -> ((s, dir) => {
@@ -2000,6 +2026,38 @@ object SparkEntry {
         "(c.fp IS NULL AND b.doc_id = first_id) AS keep " +
         "FROM b LEFT JOIN c ON b.fp = c.fp JOIN fst ON b.fp = fst.fp " +
         "ORDER BY b.doc_id"),
+
+    "q105_curation_pipeline" ->
+      // q82's gate thresholds (unrounded values drive the comparisons) ->
+      // q15/q104's md5 fingerprint dedup -> q89's shingle decontamination,
+      // chained over the train split exactly as the Spark plan composes
+      ("WITH gated AS (SELECT doc_id, text, lang, source, ntok FROM (" +
+        "SELECT doc_id, text, lang, source, " +
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok, " +
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha, " +
+        "(SELECT CASE WHEN nt - 1 <= 0 THEN 0.0 ELSE 1.0 - nbg / (nt - 1.0) END FROM (" +
+        "SELECT CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt, " +
+        "(SELECT CASE WHEN trim(text) = '' THEN 0 WHEN len(toks) < 2 THEN 1 " +
+        "ELSE len(list_distinct(list_transform(range(len(toks)-1), i -> toks[i+1] || ' ' || toks[i+2]))) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) AS nbg)) AS rep " +
+        "FROM documents WHERE doc_id % 50 <> 0) " +
+        "WHERE ntok >= 15 AND alpha >= 0.81 AND rep <= 0.05), " +
+        "ded AS (SELECT min(doc_id) AS doc_id FROM (" +
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM gated) GROUP BY fp), " +
+        "dd AS (SELECT g.* FROM gated g JOIN ded USING (doc_id)), " +
+        "evsh AS (SELECT DISTINCT g FROM (SELECT unnest((" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks))) AS g " +
+        "FROM documents WHERE doc_id % 50 = 0 AND trim(text) <> '')), " +
+        "cont AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest((" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks))) AS g FROM dd) t " +
+        "JOIN evsh USING (g)) " +
+        "SELECT doc_id, lang, source, CAST(ntok AS BIGINT) AS n_tokens " +
+        "FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id"),
 
     "q68_levenshtein" ->
       ("WITH t AS (SELECT DISTINCT event_type FROM events) " +

@@ -55,6 +55,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(topk.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((2L, 0.9), (3L, 0.7)))
   }
 
+  test("bloom_agg / bloom_might_contain: SQL set-membership with no false negatives") {
+    GraftSqlFunctions.register(spark)
+    // the filter arg must be a constant or scalar subquery (Spark's
+    // might_contain contract) — the scalar-subquery form is the SQL idiom
+    val bf = "(SELECT bloom_agg(xxhash64(w), 100L, 4096L) " +
+      "FROM VALUES ('alpha'), ('beta'), ('gamma') AS t(w))"
+    val row = spark.sql(
+      s"SELECT bloom_might_contain($bf, xxhash64('beta')) AS hit, " +
+        s"bloom_might_contain($bf, xxhash64('zzz_not_inserted_1')) AS miss1, " +
+        s"bloom_might_contain($bf, xxhash64('zzz_not_inserted_2')) AS miss2").head()
+    assert(row.getAs[Boolean]("hit")) // inserted -> must hit, always
+    // 4096 bits for 3 items: FP odds are negligible for this fixed probe
+    assert(!row.getAs[Boolean]("miss1") && !row.getAs[Boolean]("miss2"))
+  }
+
   test("build-time withExtensions registers functions at session creation") {
     val prev = spark // force shared session init first
     SparkSession.clearActiveSession()
