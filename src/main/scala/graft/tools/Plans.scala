@@ -34,7 +34,11 @@ object Plans {
     "q93_batch_retrieval" -> "bounded top_k_pairs ObjectHashAggregate: partial buffers hold at most k pairs, so the post-scoring shuffle carries k rows per (partition, query) — never the scored cross product (a window row_number would)",
     "q95_range_join_binned" -> "keyless range join plans as a hash equi-join on _bin (NO BroadcastNestedLoopJoin anywhere in the plan); interval fanout <= 2 bins, range predicate verifies post-join",
     "q98_survivorship" -> "winner election is a max_by hash agg over the clustered sliver only (map-side partials) + join-back; singletons short-circuit on the left join's null side — no full-corpus window sort",
-    "q99_json_contains_shred" -> "containment on a PROMOTED payload field: EqualTo(p_k,42) lands in PushedFilters of the parquet scan (row-group stats + dictionary skipping — the jsonb_path_ops GIN analog)"
+    "q99_json_contains_shred" -> "containment on a PROMOTED payload field: EqualTo(p_k,42) lands in PushedFilters of the parquet scan (row-group stats + dictionary skipping — the jsonb_path_ops GIN analog)",
+    "q100_semantic_dedup" -> "assembly plan runs over the CHECKPOINTED pair graph (Scan ExistingRDD) and carries only (id, label, score) columns; pair generation executed once upstream as a hash equi-join on the replica-cluster key (code: Dedup.semanticDedup — never all-pairs), centroids enter as plan literals in the InMemoryRelation projection",
+    "q102_dup_ngram_fraction" -> "exploded gram stream partial-aggregates map-side before its only wide shuffle (per-gram doc counts); join-back on the gram key feeds a per-doc hash agg — both exchanges carry compact keys, never documents",
+    "q104_incremental_dedup" -> "corpus side reduces to DISTINCT fingerprints before any join; batch-first election is a min hash agg — every exchange carries (fp, id) pairs and total cost scales with the batch, not the corpus",
+    "q105_curation_pipeline" -> "gate -> dedup -> decontamination fuse into one plan: gate predicates evaluate map-side on the first scan, dedup winners and contamination hits reduce to compact id/key aggregates joined back — no stage materializes an intermediate corpus"
   )
 
   def main(args: Array[String]): Unit = {
