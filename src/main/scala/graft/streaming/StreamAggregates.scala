@@ -93,6 +93,37 @@ object StreamAggregates {
       .withWatermark(timeCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming twin of [[graft.operators.Dedup.incrementalExact]]: dedup a
+    * live stream of documents against an already-deduped STATIC corpus and
+    * within the stream itself, emitting each first-seen doc with a
+    * `keep` verdict. Composition of two bounded-state pieces:
+    * [[dedupFirstSeen]] on the normalized fingerprint (within-stream
+    * first-wins, state GC'd by the watermark) then a stream-static LEFT
+    * join against the corpus's DISTINCT fingerprints (stateless per
+    * micro-batch — nothing to watermark; at scale the static side is the
+    * pre-materialized fingerprint index, broadcast or bucket-joined).
+    * Same refresh contract as [[enrich]]: recreate the corpus DataFrame
+    * to pick up a new corpus snapshot.
+    */
+  def incrementalDedup(
+      stream: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text",
+      corpusTextCol: String = "text",
+      lateness: String = "10 minutes",
+      timeCol: String = "time"): DataFrame = {
+    val corpusFps = corpus
+      .select(graft.functions.TextAnalysis.fingerprint(col(corpusTextCol)).as("fp"))
+      .distinct()
+      .withColumn("_in_corpus", lit(true))
+    dedupFirstSeen(
+      stream.withColumn("fp", graft.functions.TextAnalysis.fingerprint(col(textCol))),
+      Seq("fp"), lateness, timeCol)
+      .join(corpusFps, Seq("fp"), "left")
+      .withColumn("keep", coalesce(col("_in_corpus"), lit(false)) === false)
+      .drop("_in_corpus")
+  }
+
   /** Watermarked stream-stream interval join: each left event joined to
     * right events of the same key with `right.ts` in
     * `[left.ts, left.ts + within]` — the streaming twin of the span-interval

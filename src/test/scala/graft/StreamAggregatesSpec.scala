@@ -93,4 +93,26 @@ class StreamAggregatesSpec extends SparkSpec {
       assert(got.sorted == Seq("k1", "k2"))
     } finally q.stop()
   }
+
+  test("streaming: incrementalDedup flags corpus dups and drops stream re-deliveries") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "already in the corpus")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamAggregates.incrementalDedup(
+      stream.toDF().toDF("time", "doc_id", "text"), corpus)
+    val q = out.writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (ts("2024-01-01 10:00:00"), 10L, "ALREADY  in the corpus"), // corpus dup (normalized)
+        (ts("2024-01-01 10:00:01"), 11L, "brand new document"))
+      stream.addData(
+        (ts("2024-01-01 10:00:02"), 12L, "brand new document"),     // stream re-delivery
+        (ts("2024-01-01 10:00:03"), 13L, "also new"))
+      q.processAllAvailable()
+      val got = spark.table("incdedup")
+        .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+      assert(got == Map(10L -> false, 11L -> true, 13L -> true)) // 12 never emitted
+    } finally q.stop()
+  }
 }
