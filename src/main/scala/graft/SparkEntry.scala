@@ -985,6 +985,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q106_interval_overlap" -> ((s, dir) => {
+      // keyless interval-overlap join (both sides intervals) via two-sided
+      // binning: a qualifying pair is emitted exactly once by its
+      // canonical cell (the overlap's left edge), so there is NO dedup
+      // shuffle — and no BroadcastNestedLoopJoin, which is Spark's native
+      // plan for a join whose only predicate is the overlap inequality
+      val epoch = lit("1970-01-01").cast("date")
+      val a = Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(200)) === 0)
+        .select(col("o_orderkey").as("window_id"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("a_s"))
+        .withColumn("a_e", col("a_s") + 14)
+      val b = Tables(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(150)) === 0)
+        .select(col("l_orderkey").as("ship_key"), col("l_linenumber").as("ln"),
+          datediff(col("l_shipdate"), epoch).cast("long").as("b_s"))
+        .withColumn("b_e", col("b_s") + pmod(col("ln"), lit(5)) * 7)
+      operators.RangeJoin
+        .intervalOverlap(a, b, "a_s", "a_e", "b_s", "b_e", binWidth = 16)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_overlaps"), min(col("ship_key")).as("first_ship_key"))
+        .orderBy(col("window_id"))
+    }),
+
     "q105_curation_pipeline" -> ((s, dir) => {
       // the curation chain COMPOSED end-to-end in one declarative plan:
       // quality gate -> exact dedup (lowest id per fingerprint) ->
@@ -2026,6 +2050,20 @@ object SparkEntry {
         "(c.fp IS NULL AND b.doc_id = first_id) AS keep " +
         "FROM b LEFT JOIN c ON b.fp = c.fp JOIN fst ON b.fp = fst.fp " +
         "ORDER BY b.doc_id"),
+
+    "q106_interval_overlap" ->
+      // nested-loop overlap ground truth, same day arithmetic
+      ("WITH a AS (SELECT o_orderkey AS window_id, " +
+        "date_diff('day', DATE '1970-01-01', o_orderdate) AS a_s, " +
+        "date_diff('day', DATE '1970-01-01', o_orderdate) + 14 AS a_e " +
+        "FROM orders WHERE o_orderkey % 200 = 0), " +
+        "b AS (SELECT l_orderkey AS ship_key, " +
+        "date_diff('day', DATE '1970-01-01', l_shipdate) AS b_s, " +
+        "date_diff('day', DATE '1970-01-01', l_shipdate) + (l_linenumber % 5) * 7 AS b_e " +
+        "FROM lineitem WHERE l_orderkey % 150 = 0) " +
+        "SELECT window_id, count(*) AS n_overlaps, min(ship_key) AS first_ship_key " +
+        "FROM a JOIN b ON a_s <= b_e AND b_s <= a_e " +
+        "GROUP BY window_id ORDER BY window_id"),
 
     "q105_curation_pipeline" ->
       // q82's gate thresholds (unrounded values drive the comparisons) ->

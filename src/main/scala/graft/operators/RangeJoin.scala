@@ -49,4 +49,40 @@ object RangeJoin {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("_bin")
   }
+
+  /** Interval-overlap join (both sides intervals, inclusive ends): left
+    * [lStart,lEnd] pairs with right [rStart,rEnd] iff lStart <= rEnd AND
+    * rStart <= lEnd. Same binning idea as [[pointInInterval]], with one
+    * twist: both sides explode to their covered cells, so a qualifying
+    * pair would meet in EVERY shared cell. Instead of a dedup shuffle,
+    * each pair is claimed by exactly one canonical cell — the cell of the
+    * overlap's left edge `greatest(lStart, rStart)`, which both intervals
+    * necessarily cover — via a post-join predicate on `_bin`. Exactly-once
+    * emission with zero extra exchanges.
+    *
+    * Cost: fanout is len/binWidth + 1 per row per side; per-cell work is
+    * |left-in-cell| x |right-in-cell|. Bounded interval lengths keep both
+    * terms constant as data grows — the keyless overlap join ("which
+    * maintenance windows overlapped which incident spans?") without the
+    * BroadcastNestedLoopJoin Spark would otherwise plan.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(s) <= col(e))
+      .withColumn("_bin", explode(sequence(
+        floor(col(s) / binWidth), floor(col(e) / binWidth))))
+    binned(left, lStart, lEnd)
+      .join(binned(right, rStart, rEnd), "_bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_bin") === floor(greatest(col(lStart), col(rStart)) / binWidth))
+      .drop("_bin")
+  }
 }
