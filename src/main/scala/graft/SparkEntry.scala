@@ -985,6 +985,63 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q108_containment_pairs" -> ((s, dir) => {
+      // asymmetric shingle containment (subset/quote detection): PPJoin
+      // prefix filtering generates candidates, exact array intersection
+      // verifies — integer threshold arithmetic end to end
+      operators.Dedup.containmentPairs(Tables(s, dir, "documents"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q109_mixture_resample" -> ((s, dir) => {
+      // q92's uniform-mixture weights MATERIALIZED: deterministic capped
+      // md5-Bernoulli per doc, one integer inequality (no float compare);
+      // per-group kept count + id checksum pin every decision
+      operators.CorpusAnalytics
+        .mixtureResample(Tables(s, dir, "documents"), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+        .orderBy(col("source"))
+    }),
+
+    "q110_quantized_ann_contract" -> ((s, dir) => {
+      // int8-quantized retrieval vs exact: the oracle re-derives n_corpus,
+      // n_queries, and the exact-top-10 id checksum by brute force; the
+      // quantized side is pinned by a recall floor and the step/2
+      // reconstruction-error bound (both TRUE)
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val exact = operators.Similarity.topKPerQuery(corpus, queries, 10)
+      val quant = operators.Similarity.quantizedTopKPerQuery(corpus, queries, 10)
+      val hits = quant.select(col("query_id"), col("vec_id"))
+        .join(exact.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("_hits"))
+      val errs = operators.Similarity.quantizeInt8(corpus)
+        .select(
+          array_max(zip_with(col("embedding"), col("dqvec"),
+            (x, d) => abs(x.cast("double") - d.cast("double")))).as("e"),
+          array_max(zip_with(col("_mxs"), col("_mns"),
+            (a, b) => (a - b) / 255d)).as("st"))
+        .agg(max(col("e")).as("max_err"), max(col("st")).as("max_step"))
+      corpus.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
+        .crossJoin(exact.agg(sum(col("vec_id")).as("exact_topk_id_sum")))
+        .crossJoin(hits).crossJoin(errs)
+        .select(col("n_corpus"), col("n_queries"), col("exact_topk_id_sum"),
+          (col("_hits") * 10 >= col("n_queries") * 7).as("recall_floor_met"),
+          (col("max_err") <= col("max_step") / 2 + 1e-6).as("qerr_bound_met"))
+    }),
+
+    "q107_passage_removal" -> ((s, dir) => {
+      // ExactSubstr-analog repair pass: strip every token covered by a
+      // cross-doc duplicated trigram, keep the rest in order
+      operators.CorpusAnalytics
+        .removeDuplicatedPassages(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q106_interval_overlap" -> ((s, dir) => {
       // keyless interval-overlap join (both sides intervals) via two-sided
       // binning: a qualifying pair is emitted exactly once by its
@@ -2050,6 +2107,75 @@ object SparkEntry {
         "(c.fp IS NULL AND b.doc_id = first_id) AS keep " +
         "FROM b LEFT JOIN c ON b.fp = c.fp JOIN fst ON b.fp = fst.fp " +
         "ORDER BY b.doc_id"),
+
+    "q108_containment_pairs" ->
+      // full gram equi-join ground truth (no prefix filter): same shingle
+      // CTE as q102, integer threshold, round-for-display discipline
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "g AS (SELECT doc_id, unnest(sh) AS gram FROM sh), " +
+        "m AS (SELECT doc_id, count(*) AS m FROM g GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter " +
+        "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, m.m AS n_a, n_inter, " +
+        "round(CAST(n_inter AS DOUBLE) / m.m, 4) AS containment " +
+        "FROM inter JOIN m ON m.doc_id = a_id " +
+        "WHERE n_inter * 5 >= 3 * m.m ORDER BY a_id, b_id"),
+
+    "q109_mixture_resample" ->
+      // same md5 16-bit draw as q56's split, same token count as q92's
+      // weights; the capped Bernoulli is one integer inequality
+      ("WITH g AS (SELECT source, sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "t AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_groups FROM g) " +
+        "SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum " +
+        "FROM documents d JOIN g USING (source), t " +
+        "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) " +
+        "* (n_groups * n_tokens) < 65536 * total_tokens " +
+        "GROUP BY source ORDER BY source"),
+
+    "q110_quantized_ann_contract" ->
+      // exact side re-derived with q93's double cosine kernel and
+      // (cos DESC, vec_id) tie-break; quantized-side floors pinned TRUE
+      ("WITH e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings WHERE vec_id >= 10), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM (" +
+        "SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings WHERE vec_id < 10)), " +
+        "s AS (SELECT query_id, e.vec_id AS vec_id, " +
+        "CASE WHEN e.nrm * qn = 0 THEN 0.0 " +
+        "ELSE list_sum(list_transform(list_zip(e.embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * qn) END AS cos " +
+        "FROM e, q WHERE e.vec_id <> query_id), " +
+        "r AS (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk FROM s) " +
+        "SELECT (SELECT count(*) FROM e) AS n_corpus, " +
+        "(SELECT count(*) FROM q) AS n_queries, " +
+        "(SELECT CAST(sum(vec_id) AS BIGINT) FROM r WHERE rk <= 10) AS exact_topk_id_sum, " +
+        "TRUE AS recall_floor_met, TRUE AS qerr_bound_met"),
+
+    "q107_passage_removal" ->
+      // positional-gram ground truth: same covered-token arithmetic,
+      // string_agg reconstruction ordered by position
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+        "grams AS (SELECT doc_id, i AS pos, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS gram " +
+        "FROM toks, UNNEST(range(len(ts) - 2)) AS t(i) WHERE len(ts) >= 3), " +
+        "dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
+        "covered AS (SELECT DISTINCT g.doc_id, g.pos + o AS tpos " +
+        "FROM grams g JOIN dup USING (gram), UNNEST([0,1,2]) AS u(o)), " +
+        "kept AS (SELECT t.doc_id, i AS tpos, ts[i+1] AS tok " +
+        "FROM toks t, UNNEST(range(len(ts))) AS x(i) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM covered c WHERE c.doc_id = t.doc_id AND c.tpos = i)) " +
+        "SELECT toks.doc_id, len(ts) AS n_tokens, " +
+        "len(ts) - coalesce(k.cnt, 0) AS n_removed, coalesce(k.txt, '') AS clean_text " +
+        "FROM toks LEFT JOIN (SELECT doc_id, count(*) AS cnt, " +
+        "string_agg(tok, ' ' ORDER BY tpos) AS txt FROM kept GROUP BY doc_id) k USING (doc_id) " +
+        "ORDER BY toks.doc_id"),
 
     "q106_interval_overlap" ->
       // nested-loop overlap ground truth, same day arithmetic

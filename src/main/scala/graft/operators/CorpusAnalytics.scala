@@ -420,4 +420,97 @@ object CorpusAnalytics {
         round(col("n_shared").cast("double") / col("n_grams"), 4)
           .as("dup_fraction"))
   }
+
+  /** Materialize [[mixtureWeights]]: down-sample over-represented domains
+    * toward the uniform mixture with a DETERMINISTIC per-doc Bernoulli
+    * draw — keep doc iff u(doc) < min(weight(group), 1), where u is the
+    * 16-bit md5 bucket of the id ([[Sampling.pctBucket]]'s draw, full
+    * 65536 range). Same row → same decision on every run, engine, and
+    * task retry; no `rand()`.
+    *
+    * The capped comparison is ONE integer inequality:
+    * u * n_groups * n_tokens(group) < 65536 * total_tokens — when
+    * weight >= 1 the right side dominates every u < 65536, so the cap
+    * costs nothing and nothing is ever float-compared (no cross-engine
+    * boundary risk). 64-bit headroom: u * n_groups * n_tokens stays under
+    * 2^63 up to ~2e12 corpus tokens per group-count-of-5; past that the
+    * multiplicands move to decimal(38,0). Plan: one group agg + a one-row
+    * total, both broadcast back — the corpus itself never shuffles.
+    */
+  def mixtureResample(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val perGroup = docs
+      .groupBy(col(groupCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("_gtok"))
+    val totals = perGroup.agg(
+      sum(col("_gtok")).as("_ttok"), count(lit(1)).as("_ngroups"))
+    val u = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long")
+    docs
+      .join(broadcast(perGroup), groupCol)
+      .crossJoin(broadcast(totals))
+      .filter(u * col("_ngroups") * col("_gtok") < lit(65536L) * col("_ttok"))
+      .drop("_gtok", "_ttok", "_ngroups")
+  }
+
+  /** Duplicated-passage REMOVAL — the repair twin of [[dupNgramFraction]]
+    * and the token-shingle analog of ExactSubstr dedup (Lee et al. 2021,
+    * arXiv:2107.06499): delete every token covered by a word `n`-gram that
+    * also appears in at least one OTHER document, keep the rest in order.
+    * Returns (doc_id, n_tokens, n_removed, clean_text); docs shorter than
+    * `n` tokens (no grams) pass through untouched, fully-covered docs come
+    * back as `""` — the doc row itself always survives.
+    *
+    * Unlike the rest of the corpus family this splits on the literal
+    * separator WITHOUT normalizing: removal must reconstruct the surviving
+    * original text, so tokenization has to be lossless (a production run
+    * over raw bytes would carry byte offsets instead).
+    *
+    * Shape: positional grams via one `transform`+`explode` generator;
+    * cross-doc grams detected with a min!=max hash agg (no countDistinct);
+    * covered token positions re-aggregated per doc as a set; one join back
+    * to the token arrays and a map-side indexed-`filter` rebuild. Three
+    * shuffles — gram agg, gram join-back, per-doc position-set agg — all
+    * on compact keys. At 100 TB the gram join key becomes xxhash64(gram)
+    * (here the string keeps the DuckDB oracle bit-exact), and the
+    * per-token `array_contains` probe of the covered set (O(|cov|) per
+    * token, fine at bounded doc length) would switch to a sorted-array
+    * binary search.
+    */
+  def removeDuplicatedPassages(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ", -1).as("ts"))
+    val grams = toks
+      .filter(size(col("ts")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("ts")) - n),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("ts"), i + 1, lit(n))).as("gram")))).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val dup = grams
+      .groupBy(col("gram"))
+      .agg(min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx"))
+      .filter(col("_mn") =!= col("_mx"))
+      .select(col("gram"))
+    val coveredPerDoc = grams
+      .join(dup, "gram")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("tpos")).as("cov"))
+    toks
+      .join(coveredPerDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("ts"),
+          (t, i) => !coalesce(array_contains(col("cov"), i), lit(false))))
+          .as("clean_text"))
+  }
 }

@@ -608,4 +608,69 @@ object Dedup {
         round(col("centroid_cos"), 4).as("centroid_cos"),
         coalesce(col(idCol) === col("keep_id"), lit(true)).as("keep"))
   }
+
+  // ---------------------------------------------------------- containment
+
+  /** Asymmetric shingle-containment pairs: (a, b) with
+    * |S(a) ∩ S(b)| / |S(a)| >= tauNum/tauDen over distinct word n-gram
+    * shingles — the quote/subset/superset detector that symmetric Jaccard
+    * misses (a short doc fully quoted inside a long one has tiny Jaccard
+    * but containment 1.0). Both directions are emitted independently.
+    * Returns (a_id, b_id, n_a, n_inter, containment). The threshold is an
+    * integer rational and every comparison is integer arithmetic, so the
+    * result is engine-portable with no float-boundary risk.
+    *
+    * EXACT at scale via PPJoin-style prefix filtering (Xiao et al.,
+    * WWW'08): order each doc's shingles rarest-first (global df, then
+    * gram); a qualifying pair must share >= ceil(tau*|S(a)|) grams, so it
+    * must share one of a's first |S(a)| - ceil(tau*|S(a)|) + 1 grams —
+    * only that prefix enters the candidate join, and rare-first ordering
+    * makes prefix postings the SHORT ones (stop-gram postings never
+    * generate candidates). Verification re-counts the intersection
+    * exactly on collected gram arrays, so the filter only prunes, never
+    * approximates. Shuffles: df agg, df join + per-doc rank window, the
+    * candidate equi-join, pair distinct, and two array joins — all on
+    * compact keys; at 100 TB the gram string key becomes xxhash64(gram)
+    * and the gram arrays stay bounded by doc length.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      tauNum: Int = 3,
+      tauDen: Int = 5): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau must be in (0, 1]")
+    val gramArrays = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), shingles(col(textCol), n).as("gs"))
+    val grams = gramArrays.select(col(idCol), explode(col("gs")).as("gram"))
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("gram"))
+    // prefixLen(m) = m - ceil(tau*m) + 1, all-integer
+    val prefix = grams
+      .join(df, "gram")
+      .select(col(idCol), col("gram"),
+        row_number().over(w).as("rk"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))).as("m"))
+      .filter(col("rk") <= col("m") -
+        floor((col("m") * tauNum + (tauDen - 1)) / tauDen) + 1)
+      .select(col(idCol).as("a_id"), col("gram"))
+    val candidates = prefix
+      .join(grams.select(col(idCol).as("b_id"), col("gram")), "gram")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    candidates
+      .join(gramArrays.select(col(idCol).as("a_id"), col("gs").as("ga")), "a_id")
+      .join(gramArrays.select(col(idCol).as("b_id"), col("gs").as("gb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(col("ga")).cast("long").as("n_a"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"))
+      .filter(col("n_inter") * tauDen >= col("n_a") * tauNum)
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("n_a"), 4).as("containment"))
+  }
 }

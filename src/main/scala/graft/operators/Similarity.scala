@@ -345,4 +345,71 @@ object Similarity {
         struct(cosine(col(vecCol), col("qv")).as("score"), col(idCol).as("id")).as("p"))
     rankTopK(scored, k, idCol)
   }
+
+  // ---------------------------------------------------------- quantization
+
+  /** Int8 scalar quantization of an embedding column: per-dimension
+    * min/max over the corpus, each value mapped to its nearest of 256
+    * levels on that dimension's range. Returns the corpus plus `qvec`
+    * (array<int> codes 0..255), `dqvec` (array<float> dequantized, what
+    * retrieval scores against), and the `_mns`/`_mxs` stat arrays for
+    * error accounting. Reconstruction error is bounded by step/2 per
+    * dimension (step = range/255); a constant dimension codes to 0 and
+    * reconstructs exactly.
+    *
+    * The stats pass is one posexplode → per-dim agg → one-row array
+    * rebuild, broadcast back — dimension count is tiny, the corpus never
+    * shuffles. At 100 TB the win is the 4x scan-bandwidth cut of int8
+    * codes (and int8-dot SIMD in a native kernel); scoring here
+    * dequantizes to float to reuse the engine's codegen'd float kernels,
+    * trading that last 4x back for zero new scoring code.
+    */
+  def quantizeInt8(
+      corpus: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("s"))
+      .select(transform(col("s"), e => e("mn")).as("_mns"),
+        transform(col("s"), e => e("mx")).as("_mxs"))
+    corpus
+      .crossJoin(broadcast(stats))
+      .withColumn("qvec", transform(col(vecCol), (x, i) => {
+        val mn = element_at(col("_mns"), i + 1)
+        val mx = element_at(col("_mxs"), i + 1)
+        when(mx === mn, lit(0)).otherwise(
+          least(greatest(round((x.cast("double") - mn) / ((mx - mn) / 255d), 0), lit(0d)),
+            lit(255d)).cast("int"))
+      }))
+      .withColumn("dqvec", transform(col("qvec"), (q, i) => {
+        val mn = element_at(col("_mns"), i + 1)
+        val mx = element_at(col("_mxs"), i + 1)
+        (mn + q.cast("double") * ((mx - mn) / 255d)).cast("float")
+      }))
+  }
+
+  /** Batch retrieval over the int8-quantized corpus: same shape as
+    * [[topKPerQuery]] (broadcast queries, map-side scoring, k-bounded
+    * aggregate) but the corpus side scores on `dqvec`. Approximate only
+    * through quantization noise — q110 pins its recall against the exact
+    * path.
+    */
+  def quantizedTopKPerQuery(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val qc = quantizeInt8(corpus, vecCol, idCol)
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = qc.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"),
+        struct(cosine(col("dqvec"), col("qv")).as("score"), col(idCol).as("id")).as("p"))
+    rankTopK(scored, k, idCol)
+  }
 }

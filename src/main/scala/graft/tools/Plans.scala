@@ -38,7 +38,12 @@ object Plans {
     "q100_semantic_dedup" -> "assembly plan runs over the CHECKPOINTED pair graph (Scan ExistingRDD) and carries only (id, label, score) columns; pair generation executed once upstream as a hash equi-join on the replica-cluster key (code: Dedup.semanticDedup — never all-pairs), centroids enter as plan literals in the InMemoryRelation projection",
     "q102_dup_ngram_fraction" -> "exploded gram stream partial-aggregates map-side before its only wide shuffle (per-gram doc counts); join-back on the gram key feeds a per-doc hash agg — both exchanges carry compact keys, never documents",
     "q104_incremental_dedup" -> "corpus side reduces to DISTINCT fingerprints before any join; batch-first election is a min hash agg — every exchange carries (fp, id) pairs and total cost scales with the batch, not the corpus",
-    "q105_curation_pipeline" -> "gate -> dedup -> decontamination fuse into one plan: gate predicates evaluate map-side on the first scan, dedup winners and contamination hits reduce to compact id/key aggregates joined back — no stage materializes an intermediate corpus"
+    "q105_curation_pipeline" -> "gate -> dedup -> decontamination fuse into one plan: gate predicates evaluate map-side on the first scan, dedup winners and contamination hits reduce to compact id/key aggregates joined back — no stage materializes an intermediate corpus",
+    "q106_interval_overlap" -> "both-sides-interval overlap plans as a hash equi-join on _bin (NO BroadcastNestedLoopJoin); the canonical-cell claim is a post-join filter, so no dedup exchange follows the join",
+    "q107_passage_removal" -> "positional gram stream partial-aggregates into the min!=max cross-doc test map-side; the only wide exchanges carry (gram) and (doc, position-set) — reconstruction is a map-side indexed array filter, never a per-token window sort",
+    "q108_containment_pairs" -> "only rarest-first PREFIX grams enter the candidate equi-join (stop-gram postings generate no candidates); exact verify is an array_intersect projection after two compact id joins — the full gram cross product never forms",
+    "q109_mixture_resample" -> "the corpus never shuffles: per-group token totals broadcast back (BroadcastHashJoin) and the one-row corpus total enters as a broadcast nested-loop of cardinality 1 — the keep decision is a map-side integer predicate",
+    "q110_quantized_ann_contract" -> "both retrieval paths score map-side against broadcast queries into k-bounded top_k_pairs aggregates; quantization stats join as a broadcast one-row array pair — the corpus is scanned twice, shuffled never"
   )
 
   def main(args: Array[String]): Unit = {

@@ -233,4 +233,57 @@ class CorpusAnalyticsSpec extends SparkSpec {
       (2L, 3L, 0.3333),
       (3L, 1L, 0.0)))
   }
+
+  test("mixtureResample keeps under-represented groups whole, downsamples the rest") {
+    // big: 60 docs x 8 tokens = 480; small: 3 docs x 2 tokens = 6
+    // weights: big 486/(2*480) ~ 0.51 (downsample), small 486/12 > 1 (cap)
+    val docs = ((0L until 60L).map(i => (i, "t t t t t t t t", "big")) ++
+      Seq((100L, "s s", "small"), (101L, "s s", "small"), (102L, "s s", "small")))
+      .toDF("doc_id", "text", "source")
+    val kept = CorpusAnalytics.mixtureResample(docs, "source")
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(100L, 101L, 102L).subsetOf(kept)) // weight >= 1 -> all kept
+    val bigKept = kept.count(_ < 100L)
+    assert(bigKept > 0 && bigKept < 60) // actually downsampled, not emptied
+    // decision replay: the keep set is exactly the integer inequality
+    val expected = docs.filter(col("source") === "big")
+      .filter(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long") * 2 * 480 < 65536L * 486)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.filter(_ < 100L) == expected)
+    // rerun is byte-identical (determinism under retry)
+    val again = CorpusAnalytics.mixtureResample(docs, "source")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
+  test("removeDuplicatedPassages strips cross-doc trigram spans only") {
+    val docs = Seq(
+      (1L, "a b c d e"),    // "a b c" shared with doc 2 -> positions 0-2 go
+      (2L, "x a b c"),      // same shared gram at the tail -> positions 1-3 go
+      (3L, "p q r s"),      // all grams unique -> untouched
+      (4L, "a b"),          // shorter than a trigram -> untouched
+      (5L, "m n o"),        // fully covered by doc 6's copy -> ""
+      (6L, "m n o")
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.removeDuplicatedPassages(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 3L, "d e"),
+      (2L, 4L, 3L, "x"),
+      (3L, 4L, 0L, "p q r s"),
+      (4L, 2L, 0L, "a b"),
+      (5L, 3L, 3L, ""),
+      (6L, 3L, 3L, "")))
+  }
+
+  test("removeDuplicatedPassages: within-doc repeats alone are not removed") {
+    // "a b c" occurs twice in ONE doc — cross-doc min!=max test must not fire
+    val docs = Seq((1L, "a b c a b c"), (2L, "q r s t")).toDF("doc_id", "text")
+    val got = CorpusAnalytics.removeDuplicatedPassages(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 6L, 0L, "a b c a b c"), (2L, 4L, 0L, "q r s t")))
+  }
 }

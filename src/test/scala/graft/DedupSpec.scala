@@ -193,4 +193,33 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect()
     assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
+
+  test("containmentPairs: asymmetric subset detection, exact threshold") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // grams {abc,bcd,cde,def}: 2/4 shared -> 0.5 < 3/5
+      (2L, "a b c d"),     // grams {abc,bcd}: both in doc 1 -> 1.0 >= 3/5
+      (3L, "z y x w")      // unshared
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs)
+      .select("a_id", "b_id", "n_a", "n_inter", "containment")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 1L, 2L, 2L, 1.0)))
+  }
+
+  test("containmentPairs prefix filter agrees with brute force on real data") {
+    val docs = Tables(spark, sf(), "documents")
+    val got = Dedup.containmentPairs(docs)
+      .select("a_id", "b_id", "n_a", "n_inter")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val g = docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("gs"))
+    val brute = g.select(col("doc_id").as("a_id"), col("gs").as("ga"))
+      .crossJoin(g.select(col("doc_id").as("b_id"), col("gs").as("gb")))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), size(col("ga")).cast("long").as("n_a"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_a") * 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+  }
 }

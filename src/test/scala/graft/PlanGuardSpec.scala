@@ -38,7 +38,11 @@ class PlanGuardSpec extends SparkSpec {
     "q101_semdedup_contract" ->
       "contract twin: brute-force duplicate graph + single-row metric crossJoins",
     "q103_decontam_bloom_contract" ->
-      "contract twin: single-row metric crossJoins (bloom bitmap itself is a plan literal)"
+      "contract twin: single-row metric crossJoins (bloom bitmap itself is a plan literal)",
+    "q109_mixture_resample" ->
+      "crossJoin(broadcast(totals)): single-row totals scalar, corpus side streams through",
+    "q110_quantized_ann_contract" ->
+      "contract twin: broadcast query set + single-row stats/metric crossJoins (quantization stats are a one-row array pair)"
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin outside the exempt list") {

@@ -124,4 +124,34 @@ class SimilaritySpec extends SparkSpec {
       assert(!rows.map(_._3).contains(qid), "self-match must be excluded")
     }
   }
+
+  test("quantizeInt8: codes in range, error within step/2, constant dim exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(0.0f, 5.0f)), (2L, Seq(1.0f, 5.0f)), (3L, Seq(0.4f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(corpus)
+      .select(col("vec_id"), col("qvec"), col("dqvec"), col("embedding"))
+      .as[(Long, Seq[Int], Seq[Float], Seq[Float])].collect().sortBy(_._1)
+    val step = 1.0 / 255 // dim 0 range [0, 1]
+    for ((_, codes, dq, orig) <- q) {
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      assert(math.abs(dq(0) - orig(0)) <= step / 2 + 1e-6)
+      assert(codes(1) == 0 && dq(1) == 5.0f) // constant dim: code 0, exact
+    }
+    assert(q.map(_._2(0)).toSeq == Seq(0, 255, 102)) // 0.4*255 = 102
+  }
+
+  test("quantizedTopKPerQuery: recall@10 vs exact stays high on real embeddings") {
+    val emb = Tables(spark, sf(), "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val exact = Similarity.topKPerQuery(corpus, queries, 10, queryIdCol = "query_id")
+      .select("query_id", "vec_id")
+    val quant = Similarity.quantizedTopKPerQuery(corpus, queries, 10, queryIdCol = "query_id")
+      .select("query_id", "vec_id")
+    val hits = quant.join(exact, Seq("query_id", "vec_id")).count()
+    assert(hits >= 70, s"mean recall@10 ${hits / 100.0} below 0.7 floor")
+  }
 }
