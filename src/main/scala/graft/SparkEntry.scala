@@ -985,6 +985,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q111_group_topk" -> ((s, dir) => {
+      // group-wise top-3 by (n_chars desc, doc_id asc) via the k-bounded
+      // TopKPairs aggregate — shuffle carries <= k rows per (partition,
+      // group), vs a window row_number sorting every row of every group.
+      // The composite ordering rides in the double score (exact while
+      // n_chars < 2^19)
+      val docs = Tables(s, dir, "documents")
+      operators.GroupTopK.topK(docs, Seq("lang", "source"),
+        col("n_chars").cast("double") * (1L << 33).toDouble - col("doc_id"),
+        col("doc_id"), 3)
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+        .select(col("lang"), col("source"), col("rnk"),
+          col("id").as("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("source"), col("rnk"))
+    }),
+
+    "q112_gram_novelty" -> ((s, dir) => {
+      // ordered first-seen novelty curve: per doc, share of its distinct
+      // 3-grams first seen in an earlier doc; a re-crawl scores 0, the
+      // original it copies keeps scoring 1
+      operators.CorpusAnalytics.gramNovelty(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q113_mad_outliers" -> ((s, dir) => {
+      // robust per-type outlier fence: median/MAD from exact interpolated
+      // percentiles (q34 kernel), counts from unrounded fences
+      operators.Normalize.madOutliers(Tables(s, dir, "events"), "event_type", "value")
+        .orderBy(col("event_type"))
+    }),
+
     "q108_containment_pairs" -> ((s, dir) => {
       // asymmetric shingle containment (subset/quote detection): PPJoin
       // prefix filtering generates candidates, exact array intersection
@@ -2107,6 +2138,40 @@ object SparkEntry {
         "(c.fp IS NULL AND b.doc_id = first_id) AS keep " +
         "FROM b LEFT JOIN c ON b.fp = c.fp JOIN fst ON b.fp = fst.fp " +
         "ORDER BY b.doc_id"),
+
+    "q111_group_topk" ->
+      // window ground truth with the same (n_chars DESC, doc_id) order
+      ("WITH r AS (SELECT lang, source, doc_id, n_chars, " +
+        "row_number() OVER (PARTITION BY lang, source ORDER BY n_chars DESC, doc_id) AS rk " +
+        "FROM documents) " +
+        "SELECT lang, source, CAST(rk AS BIGINT) AS rnk, doc_id, n_chars " +
+        "FROM r WHERE rk <= 3 ORDER BY lang, source, rnk"),
+
+    "q112_gram_novelty" ->
+      // same shingle CTE as q102; first occurrence = min(doc_id) per gram
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "g AS (SELECT doc_id, unnest(sh) AS gram FROM sh), " +
+        "f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen, " +
+        "round(1.0 - CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty " +
+        "FROM g JOIN f USING (gram) GROUP BY doc_id ORDER BY doc_id"),
+
+    "q113_mad_outliers" ->
+      // quantile_cont == Spark's interpolated percentile (q34 parity);
+      // fences from unrounded values, round for display only
+      ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type), " +
+        "dev AS (SELECT d.event_type, quantile_cont(abs(d.value - med), 0.5) AS mad " +
+        "FROM events d JOIN med USING (event_type) GROUP BY d.event_type), " +
+        "j AS (SELECT d.event_type, d.value, med, mad " +
+        "FROM events d JOIN med USING (event_type) JOIN dev USING (event_type)) " +
+        "SELECT event_type, round(any_value(med), 4) AS med, round(any_value(mad), 4) AS mad, " +
+        "CAST(sum(CASE WHEN abs(value - med) > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "count(*) AS n_rows FROM j GROUP BY event_type ORDER BY event_type"),
 
     "q108_containment_pairs" ->
       // full gram equi-join ground truth (no prefix filter): same shingle

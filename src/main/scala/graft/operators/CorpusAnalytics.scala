@@ -421,6 +421,38 @@ object CorpusAnalytics {
           .as("dup_fraction"))
   }
 
+  /** Temporal n-gram novelty: per document, the share of its DISTINCT word
+    * n-grams whose FIRST corpus occurrence (min id over containing docs)
+    * is strictly earlier than this document — novelty = 1 - that share.
+    * The "is the crawl still finding new content?" curve of an ingestion
+    * pipeline, and the ordered complement of [[dupNgramFraction]]'s
+    * symmetric signal: a verbatim re-crawl scores novelty 0 while the
+    * original it copies keeps scoring 1.
+    *
+    * Same two-shuffle shape as [[dupNgramFraction]]: per-gram min-id hash
+    * agg (map-side partials), join back on the gram, one per-doc agg.
+    * Any total order works as "time" — callers with a real timestamp pass
+    * it as `idCol`.
+    */
+  def gramNovelty(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val grams = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    val first = grams.groupBy(col("gram")).agg(min(col(idCol)).as("first_doc"))
+    grams
+      .join(first, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col(idCol), 1L).otherwise(0L)).as("n_seen"))
+      .select(col(idCol), col("n_grams"), col("n_seen"),
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 4)
+          .as("novelty"))
+  }
+
   /** Materialize [[mixtureWeights]]: down-sample over-represented domains
     * toward the uniform mixture with a DETERMINISTIC per-doc Bernoulli
     * draw — keep doc iff u(doc) < min(weight(group), 1), where u is the

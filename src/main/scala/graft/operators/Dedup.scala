@@ -641,33 +641,37 @@ object Dedup {
       tauNum: Int = 3,
       tauDen: Int = 5): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau must be in (0, 1]")
-    val gramArrays = docs
+    val grams = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(col(idCol), shingles(col(textCol), n).as("gs"))
-    val grams = gramArrays.select(col(idCol), explode(col("gs")).as("gram"))
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
     val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("df"), col("gram"))
-    // prefixLen(m) = m - ceil(tau*m) + 1, all-integer
-    val prefix = grams
+    // ONE per-doc relation serves prefix generation AND verification: the
+    // rarest-first order comes from an in-array sort after a hash agg
+    // (doc-length-bounded), never a window sort of the full gram stream.
+    // Persisted: the prefix side and both verify joins consume it.
+    val perDoc = grams
       .join(df, "gram")
-      .select(col(idCol), col("gram"),
-        row_number().over(w).as("rk"),
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol))).as("m"))
-      .filter(col("rk") <= col("m") -
-        floor((col("m") * tauNum + (tauDen - 1)) / tauDen) + 1)
-      .select(col(idCol).as("a_id"), col("gram"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gd"))
+      .select(col(idCol),
+        transform(col("gd"), e => e("gram")).as("gs"),
+        size(col("gd")).cast("long").as("m"))
+      .persist()
+    // prefixLen(m) = m - ceil(tau*m) + 1, all-integer
+    val prefix = perDoc
+      .select(col(idCol).as("a_id"), explode(slice(col("gs"), lit(1),
+        (col("m") - floor((col("m") * tauNum + (tauDen - 1)) / tauDen) + 1)
+          .cast("int"))).as("gram"))
     val candidates = prefix
       .join(grams.select(col(idCol).as("b_id"), col("gram")), "gram")
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
     candidates
-      .join(gramArrays.select(col(idCol).as("a_id"), col("gs").as("ga")), "a_id")
-      .join(gramArrays.select(col(idCol).as("b_id"), col("gs").as("gb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        size(col("ga")).cast("long").as("n_a"),
+      .join(perDoc.select(col(idCol).as("a_id"), col("gs").as("ga"),
+        col("m").as("n_a")), "a_id")
+      .join(perDoc.select(col(idCol).as("b_id"), col("gs").as("gb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_a"),
         size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"))
       .filter(col("n_inter") * tauDen >= col("n_a") * tauNum)
       .select(col("a_id"), col("b_id"), col("n_a"), col("n_inter"),

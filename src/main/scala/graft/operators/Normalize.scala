@@ -38,4 +38,39 @@ object Normalize {
           .otherwise((col(valueCol) - col("_s1") / col("_n")) / std))
       .drop("_n", "_s1", "_s2")
   }
+
+  /** Robust per-group outlier report: median + MAD (median absolute
+    * deviation) of `valueCol` within each `groupCol`, and the count of
+    * rows with |x - median| > `cut` * MAD. The heavy-tail-safe
+    * alternative to [[zscoreByGroup]] — a single extreme value drags a
+    * mean/stddev fence toward itself but moves neither median.
+    *
+    * Medians are EXACT interpolated percentiles (the q34-proven
+    * `percentile` kernel, which DuckDB's `quantile_cont` reproduces
+    * bit-for-bit), computed in two grouped aggregations: median, then —
+    * after a stats join-back — the median of absolute deviations. Exact
+    * grouped percentile is sort-based within each group, but only the
+    * (group, value) pair stream shuffles, twice, and both fences and
+    * counts come from unrounded values (rounding is display-only).
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      cut: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol).cast("double"), lit(0.5)).as("_med"))
+    val withMed = df.join(med, groupCol)
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(percentile(abs(col(valueCol).cast("double") - col("_med")), lit(0.5))
+        .as("_mad"))
+    withMed.join(mad, groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        round(first(col("_med")), 4).as("med"),
+        round(first(col("_mad")), 4).as("mad"),
+        sum(when(abs(col(valueCol).cast("double") - col("_med")) >
+          lit(cut) * col("_mad"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+  }
 }

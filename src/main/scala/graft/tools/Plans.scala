@@ -43,7 +43,9 @@ object Plans {
     "q107_passage_removal" -> "positional gram stream partial-aggregates into the min!=max cross-doc test map-side; the only wide exchanges carry (gram) and (doc, position-set) — reconstruction is a map-side indexed array filter, never a per-token window sort",
     "q108_containment_pairs" -> "only rarest-first PREFIX grams enter the candidate equi-join (stop-gram postings generate no candidates); exact verify is an array_intersect projection after two compact id joins — the full gram cross product never forms",
     "q109_mixture_resample" -> "the corpus never shuffles: per-group token totals broadcast back (BroadcastHashJoin) and the one-row corpus total enters as a broadcast nested-loop of cardinality 1 — the keep decision is a map-side integer predicate",
-    "q110_quantized_ann_contract" -> "both retrieval paths score map-side against broadcast queries into k-bounded top_k_pairs aggregates; quantization stats join as a broadcast one-row array pair — the corpus is scanned twice, shuffled never"
+    "q110_quantized_ann_contract" -> "both retrieval paths score map-side against broadcast queries into k-bounded top_k_pairs aggregates; quantization stats join as a broadcast one-row array pair — the corpus is scanned twice, shuffled never",
+    "q111_group_topk" -> "group-wise top-k is a k-bounded ObjectHashAggregate (top_k_pairs partial heaps per partition per group) — NOT a window Exchange+Sort of every row of every group",
+    "q113_mad_outliers" -> "two sort-based grouped percentile aggregates over the compact (type, value) pair stream; the fences join back and outlier counting is one more hash agg — the fact table itself is never window-sorted"
   )
 
   def main(args: Array[String]): Unit = {

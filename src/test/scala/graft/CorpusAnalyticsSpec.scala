@@ -234,6 +234,21 @@ class CorpusAnalyticsSpec extends SparkSpec {
       (3L, 1L, 0.0)))
   }
 
+  test("gramNovelty: re-crawl scores 0, the original keeps scoring 1") {
+    val docs = Seq(
+      (1L, "a b c d e"),  // all grams first seen here -> novelty 1
+      (2L, "a b c d e"),  // verbatim re-crawl -> novelty 0
+      (3L, "a b c z z")   // one of three grams seen earlier ("a b c")
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.gramNovelty(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 0L, 1.0),
+      (2L, 3L, 3L, 0.0),
+      (3L, 3L, 1L, 0.6667)))
+  }
+
   test("mixtureResample keeps under-represented groups whole, downsamples the rest") {
     // big: 60 docs x 8 tokens = 480; small: 3 docs x 2 tokens = 6
     // weights: big 486/(2*480) ~ 0.51 (downsample), small 486/12 > 1 (cap)
