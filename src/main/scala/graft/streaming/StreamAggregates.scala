@@ -124,6 +124,54 @@ object StreamAggregates {
       .drop("_in_corpus")
   }
 
+  /** Streaming curation pipeline — the LIVE twin of q105's batch chain:
+    * quality gate → within-stream + vs-corpus exact dedup → Bloom
+    * decontamination, composed as ONE streaming query. Emits each
+    * surviving doc with (keep, contaminated, admit) verdicts; gate
+    * rejects and stream re-deliveries never reach the sink.
+    *
+    * Stage economics, because each stage must be streamable: the gate is
+    * map-side scalars (no state); dedup is the watermark-GC'd
+    * `dropDuplicatesWithinWatermark` plus a stateless stream-static join
+    * ([[incrementalDedup]]); decontamination probes a Bloom bitmap of the
+    * eval-suite grams that enters the plan as a LITERAL (built once from
+    * the static eval set, shipped with task binaries) via an `exists`
+    * higher-order probe — NOT an explode + aggregate, which would need a
+    * second stateful stage. One watermarked stateful operator total; at
+    * 100 TB/day the state store holds only in-watermark fingerprints.
+    */
+  def curate(
+      stream: DataFrame,
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      textCol: String = "text",
+      timeCol: String = "time",
+      lateness: String = "10 minutes",
+      minTokens: Int = 5,
+      minAlpha: Double = 0.6,
+      maxRepetition: Double = 0.2,
+      n: Int = 3,
+      expectedGrams: Long = 1 << 20,
+      fpp: Double = 1e-4): DataFrame = {
+    import graft.functions.{BloomSketch, TextAnalysis}
+    val gated = stream.filter(
+      TextAnalysis.tokenCount(col(textCol)) >= minTokens &&
+        TextAnalysis.alphaRatio(col(textCol)) >= minAlpha &&
+        graft.operators.CorpusAnalytics.repetitionRatio(col(textCol)) <= maxRepetition)
+    val numBits = math.max(64L,
+      math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBits: Array[Byte] = evalDocs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(graft.operators.Dedup.shingles(col(textCol), n)).as("g"))
+      .agg(BloomSketch.bloom_agg(xxhash64(col("g")), expectedGrams, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    incrementalDedup(gated, corpus, textCol, textCol, lateness, timeCol)
+      .withColumn("contaminated",
+        exists(graft.operators.Dedup.shingles(col(textCol), n),
+          g => BloomSketch.bloom_might_contain(lit(bloomBits), xxhash64(g))))
+      .withColumn("admit", col("keep") && !col("contaminated"))
+  }
+
   /** Watermarked stream-stream interval join: each left event joined to
     * right events of the same key with `right.ts` in
     * `[left.ts, left.ts + within]` — the streaming twin of the span-interval

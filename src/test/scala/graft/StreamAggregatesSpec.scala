@@ -115,4 +115,34 @@ class StreamAggregatesSpec extends SparkSpec {
       assert(got == Map(10L -> false, 11L -> true, 13L -> true)) // 12 never emitted
     } finally q.stop()
   }
+
+  test("streaming: curate gates, dedups, and decontaminates in one query") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "this corpus document is long enough to pass")).toDF("doc_id", "text")
+    val evalDocs = Seq((900L, "leaked benchmark answer key paragraph")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamAggregates.curate(
+      stream.toDF().toDF("time", "doc_id", "text"), corpus, evalDocs)
+    val q = out.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        (ts("2024-01-01 10:00:00"), 20L, "x1 x2"), // gate reject: too short
+        (ts("2024-01-01 10:00:01"), 21L, "THIS corpus  document is long enough to pass"), // corpus dup
+        (ts("2024-01-01 10:00:02"), 22L, "contains the leaked benchmark answer key paragraph verbatim"),
+        (ts("2024-01-01 10:00:03"), 23L, "a genuinely novel clean document sails through"))
+      stream.addData(
+        (ts("2024-01-01 10:00:04"), 24L, "a genuinely novel clean document sails through")) // re-delivery
+      q.processAllAvailable()
+      val got = spark.table("curated")
+        .select($"doc_id", $"keep", $"contaminated", $"admit")
+        .as[(Long, Boolean, Boolean, Boolean)].collect()
+        .map { case (id, k, c, a) => id -> ((k, c, a)) }.toMap
+      assert(!got.contains(20L), "gate reject must never reach the sink")
+      assert(!got.contains(24L), "stream re-delivery must never reach the sink")
+      assert(got(21L) == ((false, false, false))) // corpus dup: not admitted
+      assert(got(22L) == ((true, true, false)))   // contaminated: not admitted
+      assert(got(23L) == ((true, false, true)))   // clean: admitted
+    } finally q.stop()
+  }
 }
