@@ -469,12 +469,19 @@ object CorpusAnalytics {
     * multiplicands move to decimal(38,0). Plan: one group agg + a one-row
     * total, both broadcast back — the corpus itself never shuffles.
     */
+  /** @param reference corpus the weights are measured on; defaults to
+    *   `docs` itself. Pass a STATIC reference to resample a different
+    *   relation — including a live STREAM: both weight tables broadcast,
+    *   the keep decision is a map-side scalar, so the whole operator is
+    *   stateless under Structured Streaming (nothing to watermark).
+    */
   def mixtureResample(
       docs: DataFrame,
       groupCol: String,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val perGroup = docs
+      idCol: String = "doc_id",
+      reference: Option[DataFrame] = None): DataFrame = {
+    val perGroup = reference.getOrElse(docs)
       .groupBy(col(groupCol))
       .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("_gtok"))
     val totals = perGroup.agg(

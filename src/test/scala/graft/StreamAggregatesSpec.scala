@@ -116,6 +116,31 @@ class StreamAggregatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: mixtureResample against a static reference is stateless and batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference mixture: big 60x8 tokens, small 3x2 -> big downsampled, small kept
+    val ref = ((0L until 60L).map(i => (i, "t t t t t t t t", "big")) ++
+      Seq((100L, "s s", "small"), (101L, "s s", "small"), (102L, "s s", "small")))
+      .toDF("doc_id", "text", "source")
+    val rows = (200L until 230L).map(i => (i, "t t t t t t t t", "big")) :+
+      ((300L, "s s", "small"))
+    val stream = MemoryStream[(Long, String, String)]
+    val out = graft.operators.CorpusAnalytics.mixtureResample(
+      stream.toDF().toDF("doc_id", "text", "source"), "source", reference = Some(ref))
+    val q = out.writeStream.format("memory").queryName("resampled")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("resampled").select($"doc_id").as[Long].collect().toSet
+      val batch = graft.operators.CorpusAnalytics.mixtureResample(
+        rows.toDF("doc_id", "text", "source"), "source", reference = Some(ref))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == batch, "stream and batch must make identical keep decisions")
+      assert(got.contains(300L) && got.size < 31, "small kept, big downsampled")
+    } finally q.stop()
+  }
+
   test("streaming: curate gates, dedups, and decontaminates in one query") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "this corpus document is long enough to pass")).toDF("doc_id", "text")
