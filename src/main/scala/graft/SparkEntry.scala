@@ -985,6 +985,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q114_longest_dup_run" -> ((s, dir) => {
+      // islands over covered positions: template pages (one giant run)
+      // vs organically repetitive text (many short runs)
+      operators.CorpusAnalytics.longestDuplicatedRun(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q111_group_topk" -> ((s, dir) => {
       // group-wise top-3 by (n_chars desc, doc_id asc) via the k-bounded
       // TopKPairs aggregate — shuffle carries <= k rows per (partition,
@@ -2138,6 +2145,23 @@ object SparkEntry {
         "(c.fp IS NULL AND b.doc_id = first_id) AS keep " +
         "FROM b LEFT JOIN c ON b.fp = c.fp JOIN fst ON b.fp = fst.fp " +
         "ORDER BY b.doc_id"),
+
+    "q114_longest_dup_run" ->
+      // q107's coverage CTE + the tpos - row_number islands trick
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+        "grams AS (SELECT doc_id, i AS pos, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS gram " +
+        "FROM toks, UNNEST(range(len(ts) - 2)) AS t(i) WHERE len(ts) >= 3), " +
+        "dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
+        "covered AS (SELECT DISTINCT g.doc_id, g.pos + o AS tpos " +
+        "FROM grams g JOIN dup USING (gram), UNNEST([0,1,2]) AS u(o)), " +
+        "runs AS (SELECT doc_id, tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos) AS grp " +
+        "FROM covered), " +
+        "r AS (SELECT doc_id, count(*) AS run_len FROM runs GROUP BY doc_id, grp), " +
+        "agg AS (SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_covered, " +
+        "max(run_len) AS longest_run FROM r GROUP BY doc_id) " +
+        "SELECT t.doc_id, len(ts) AS n_tokens, coalesce(n_covered, 0) AS n_covered, " +
+        "coalesce(longest_run, 0) AS longest_run " +
+        "FROM toks t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id"),
 
     "q111_group_topk" ->
       // window ground truth with the same (n_chars DESC, doc_id) order

@@ -519,11 +519,18 @@ object CorpusAnalytics {
     * token, fine at bounded doc length) would switch to a sorted-array
     * binary search.
     */
-  def removeDuplicatedPassages(
+  /** Shared kernel of [[removeDuplicatedPassages]] and
+    * [[longestDuplicatedRun]]: (token arrays, covered token positions) —
+    * a position is covered when any cross-doc duplicated n-gram spans it.
+    * `covered` carries duplicates from overlapping grams; consumers dedup
+    * in their own aggregation (collect_set / DISTINCT) so no extra
+    * exchange is spent here.
+    */
+  private def duplicatedCoverage(
       docs: DataFrame,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      n: Int = 3): DataFrame = {
+      textCol: String,
+      idCol: String,
+      n: Int): (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol), split(col(textCol), " ", -1).as("ts"))
     val grams = toks
       .filter(size(col("ts")) >= n)
@@ -537,9 +544,19 @@ object CorpusAnalytics {
       .agg(min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx"))
       .filter(col("_mn") =!= col("_mx"))
       .select(col("gram"))
-    val coveredPerDoc = grams
+    val covered = grams
       .join(dup, "gram")
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+    (toks, covered)
+  }
+
+  def removeDuplicatedPassages(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val (toks, covered) = duplicatedCoverage(docs, textCol, idCol, n)
+    val coveredPerDoc = covered
       .groupBy(col(idCol))
       .agg(collect_set(col("tpos")).as("cov"))
     toks
@@ -551,5 +568,38 @@ object CorpusAnalytics {
         concat_ws(" ", filter(col("ts"),
           (t, i) => !coalesce(array_contains(col("cov"), i), lit(false))))
           .as("clean_text"))
+  }
+
+  /** Longest duplicated-passage run per document: the maximum count of
+    * CONSECUTIVE token positions covered by cross-doc duplicated n-grams
+    * (same coverage kernel as [[removeDuplicatedPassages]]) — the "how
+    * long is the longest boilerplate block" signal that tells a template
+    * page (one giant run) from organically repetitive text (many short
+    * runs), which the scalar coverage fraction cannot.
+    *
+    * Runs come from the islands trick: within a doc's sorted covered
+    * positions, tpos - row_number() is constant per consecutive run. The
+    * window sorts only COVERED positions of one doc at a time — bounded
+    * by doc length, a vanishing slice of the corpus.
+    */
+  def longestDuplicatedRun(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val (toks, covered) = duplicatedCoverage(docs, textCol, idCol, n)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tpos"))
+    val runs = covered.distinct()
+      .withColumn("_grp", col("tpos") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(count(lit(1)).as("_run"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_run")).as("n_covered"), max(col("_run")).as("longest_run"))
+    toks
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
   }
 }

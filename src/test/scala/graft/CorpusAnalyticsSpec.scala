@@ -293,6 +293,24 @@ class CorpusAnalyticsSpec extends SparkSpec {
       (6L, 3L, 3L, "")))
   }
 
+  test("longestDuplicatedRun: island lengths, untouched and fully-covered docs") {
+    val docs = Seq(
+      (1L, "a b c x y z d e f"), // "a b c" and "d e f" shared: runs 0-2 and 6-8
+      (2L, "a b c q d e f"),     // runs 0-2 and 4-6 -> longest 3, covered 6
+      (3L, "p q r s"),           // no dup grams -> 0/0
+      (4L, "m n o"), (5L, "m n o") // fully covered: one run of 3
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.longestDuplicatedRun(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 9L, 6L, 3L),
+      (2L, 7L, 6L, 3L),
+      (3L, 4L, 0L, 0L),
+      (4L, 3L, 3L, 3L),
+      (5L, 3L, 3L, 3L)))
+  }
+
   test("removeDuplicatedPassages: within-doc repeats alone are not removed") {
     // "a b c" occurs twice in ONE doc — cross-doc min!=max test must not fire
     val docs = Seq((1L, "a b c a b c"), (2L, "q r s t")).toDF("doc_id", "text")
