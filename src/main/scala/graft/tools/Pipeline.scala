@@ -68,6 +68,13 @@ object Pipeline {
     val nearDups = Dedup.minhashLsh(docs, threshold = 0.3).count()
     println(s"[pipeline] docs=${docs.count()} exact-unique=$survivors near-dup-pairs=$nearDups")
 
+    // -- 3b. round-7 curation: strip duplicated passages, rebalance mixture
+    val repaired = graft.operators.CorpusAnalytics.removeDuplicatedPassages(docs)
+    val removedTokens = repaired.agg(sum(col("n_removed"))).head().getLong(0)
+    val rebalanced = graft.operators.CorpusAnalytics.mixtureResample(docs, "source")
+    println(s"[pipeline] passage-removal stripped $removedTokens tokens; " +
+      s"mixture resample kept ${rebalanced.count()} docs")
+
     // -- 4. split + decontaminate
     val (train, test) = Sampling.hashSplit(docs, "doc_id", trainPct = 90)
     val leaks = Sampling.crossSplitLeakage(docs, threshold = 0.1).count()
