@@ -996,11 +996,18 @@ object SparkEntry {
       // group-wise top-3 by (n_chars desc, doc_id asc) via the k-bounded
       // TopKPairs aggregate — shuffle carries <= k rows per (partition,
       // group), vs a window row_number sorting every row of every group.
-      // The composite ordering rides in the double score (exact while
-      // n_chars < 2^19)
+      // The composite ordering rides in the double score — exact only while
+      // n_chars < 2^19 and doc_id < 2^33, so that invariant is ASSERTED
+      // in-plan (zero-cost when it holds, loud failure when data outgrows
+      // it) instead of trusted as a comment
       val docs = Tables(s, dir, "documents")
+      val ordGuard = coalesce(
+        assert_true(col("n_chars") < (1L << 19) && col("doc_id") < (1L << 33),
+          lit("q111 composite double ordering overflows: need n_chars < 2^19 and doc_id < 2^33"))
+          .cast("double"),
+        lit(0.0))
       operators.GroupTopK.topK(docs, Seq("lang", "source"),
-        col("n_chars").cast("double") * (1L << 33).toDouble - col("doc_id"),
+        col("n_chars").cast("double") * (1L << 33).toDouble - col("doc_id") + ordGuard,
         col("doc_id"), 3)
         .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
         .select(col("lang"), col("source"), col("rnk"),

@@ -13,6 +13,15 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * only the fixed-size bitmap ever reaches the driver; the probe is a
   * codegen'd bit test. Inputs must be XXH64 longs (the aggregate's input
   * contract): hash with `xxhash64(...)` on both build and probe sides.
+  *
+  * Known upstream quirk: when the PROBE argument is foldable (e.g.
+  * `xxhash64` of a literal, as contract specs do), Spark's own
+  * `BloomFilterMightContain.doGenCode` emits a `(Long)` cast on the
+  * constant-folded value that Janino rejects, and Spark falls back to
+  * interpreted projection with a one-line
+  * `WARN UnsafeProjection: Expr codegen error`. Harmless — the hot path
+  * (a per-row, non-foldable hash) codegens normally; don't burn time
+  * chasing that WARN in the test suite.
   */
 object BloomSketch {
 

@@ -234,14 +234,33 @@ object CorpusAnalytics {
       fpp: Double = 1e-4): DataFrame = {
     val nonBlank = (d: DataFrame) =>
       d.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    // Spark's BloomFilterAggregate enforces the runtime-join-filter ceilings
+    // (spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits},
+    // defaults 4M items / 67M bits) at ANALYSIS time — clamp to the session
+    // confs so an optimistic expectedGrams degrades to a higher realized fpp
+    // (more false positives, still zero false negatives) instead of failing.
+    // Callers sizing for larger eval suites raise those confs first.
+    val sqlConf = train.sparkSession.sessionState.conf
+    val maxItems = sqlConf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4194304").toLong
+    val maxBits = sqlConf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val items = math.min(expectedGrams, maxItems)
     // optimal bits for the target fpp: m = -n*ln(p)/ln(2)^2
-    val numBits = math.max(64L,
-      math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val numBits = math.min(maxBits, math.max(64L,
+      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
     val bloomBits: Array[Byte] = nonBlank(evalDocs)
       .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
       .agg(graft.functions.BloomSketch
-        .bloom_agg(xxhash64(col("g")), expectedGrams, numBits).as("bf"))
+        .bloom_agg(xxhash64(col("g")), items, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // empty/all-blank eval set: the aggregate yields a NULL bitmap, and a
+    // NullType literal fails BloomFilterMightContain's analysis — short-
+    // circuit to "nothing contaminated", matching the exact operator
+    if (bloomBits == null) {
+      return train.select(col(idCol),
+        lit(0L).as("n_hit_grams"), lit(false).as("contaminated"))
+    }
     val hits = nonBlank(train)
       .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
       .filter(graft.functions.BloomSketch
@@ -531,7 +550,12 @@ object CorpusAnalytics {
       textCol: String,
       idCol: String,
       n: Int): (DataFrame, DataFrame) = {
-    val toks = docs.select(col(idCol), split(col(textCol), " ", -1).as("ts"))
+    // NULL text guard (same invariant as dupNgramFraction/decontaminate):
+    // split(NULL) is a NULL array, which would silently emit n_tokens = -1
+    // and clean_text "" downstream — NULL-text docs are excluded instead
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ", -1).as("ts"))
     val grams = toks
       .filter(size(col("ts")) >= n)
       .select(col(idCol), explode(transform(

@@ -319,4 +319,40 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(got == Seq((1L, 6L, 0L, "a b c a b c"), (2L, 4L, 0L, "q r s t")))
   }
+
+  test("removeDuplicatedPassages: NULL text is excluded, not emitted as -1/''") {
+    val docs = Seq((1L, "a b c d"), (2L, null), (3L, "a b c e"))
+      .toDF("doc_id", "text")
+    val got = CorpusAnalytics.removeDuplicatedPassages(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 2 drops (same semantics as dupNgramFraction); no n_tokens = -1 row
+    assert(got.map(_._1) == Seq(1L, 3L))
+    assert(got.forall(_._2 > 0))
+  }
+
+  test("decontaminateBloom: empty eval set flags nothing (NULL-bitmap short-circuit)") {
+    val train = Seq((1L, "one two three"), (2L, "four five six"))
+      .toDF("doc_id", "text")
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val blankEval = Seq((9L, "   ")).toDF("doc_id", "text")
+    for (evalD <- Seq(emptyEval, blankEval)) {
+      val got = CorpusAnalytics.decontaminateBloom(train, evalD)
+        .orderBy("doc_id")
+        .as[(Long, Long, Boolean)].collect().toSeq
+      assert(got == Seq((1L, 0L, false), (2L, 0L, false)))
+    }
+  }
+
+  test("decontaminateBloom: expectedGrams above the session ceiling degrades, not fails") {
+    // 1 << 24 items exceeds the default 4M maxNumItems conf — the operator
+    // must clamp to the ceiling (higher realized fpp) instead of throwing
+    val train = Seq((1L, "the quick brown fox jumps"), (2L, "unrelated text body here now"))
+      .toDF("doc_id", "text")
+    val evalD = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val got = CorpusAnalytics
+      .decontaminateBloom(train, evalD, expectedGrams = 1L << 24)
+      .filter($"contaminated").select("doc_id").as[Long].collect().toSet
+    assert(got.contains(1L)) // still zero false negatives after the clamp
+  }
 }
