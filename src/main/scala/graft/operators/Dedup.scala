@@ -53,41 +53,89 @@ object Dedup {
     * keeps the widest shuffle of the pipeline at 3 narrow columns. Callers
     * own the returned `sigs` cache lifecycle (Bench/Verify clearCache).
     */
+  /** Threshold-conditional LSH banding plan: the cheapest (numHashes,
+    * bands) whose per-pair collision probability at j = `threshold` clears
+    * `targetRecall`, by the standard S-curve 1 - (1 - j^r)^b. Rows-per-band
+    * r is searched largest-first (more rows per band = fewer, more
+    * selective buckets = fewer junk candidates); for each r the band count
+    * is the smallest b with (1 - t^r)^b <= 1 - target, and the first
+    * (r, b) fitting the `maxHashes` signature budget wins. Very low
+    * thresholds (t where even r=1 can't clear the target within budget)
+    * fall back to the exhaustive-sweep setting (maxHashes r=1 bands) —
+    * the conditional form of the always-wide net q57 used to hardcode:
+    * a leakage sweep at t=0.1 still gets (32, 32), but the same call at
+    * t=0.3 gets a 10-band net instead of paying the 32-band explode.
+    */
+  def lshBandPlan(
+      threshold: Double,
+      targetRecall: Double = 0.97,
+      maxHashes: Int = 32): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0, 1)")
+    val logMiss = math.log(1 - targetRecall)
+    for (r <- 8 to 1 by -1) {
+      val b = math.ceil(logMiss / math.log(1 - math.pow(threshold, r)))
+      if (b >= 1 && b <= maxHashes / r) return (b.toInt * r, b.toInt)
+    }
+    (maxHashes, maxHashes)
+  }
+
   private def lshCandidates(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       numHashes: Int,
       bands: Int,
-      shingleSize: Int): (DataFrame, DataFrame) = {
+      shingleSize: Int,
+      diffTag: Option[Column => Column] = None): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
     // blank/whitespace-only docs have an EMPTY shingle set (Jaccard 0 vs
     // everything, including each other) — exclude them up front; their
     // all-sentinel minhash signatures would otherwise collide in every band
-    // and report unrelated blank docs as perfect near-duplicates
-    val sigs = docs
+    // and report unrelated blank docs as perfect near-duplicates.
+    // The caller's partition tag (e.g. the train/test split label) is
+    // computed ONCE PER DOC here — not per bucket collision, where the
+    // same md5 would be re-evaluated hundreds of times per hot doc
+    val tagged = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-      .persist()
+      .select(Seq(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleSize).as("sig")) ++
+        diffTag.map(f => f(col(idCol)).as("_tag")).toSeq: _*)
+    val sigs = tagged.persist()
 
     // band -> (band_id, hash of the band's signature slice); derived from
     // the cached sigs, so each self-join side re-bands from memory instead
-    // of re-shingling the corpus
-    val banded = sigs.select(
-      col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_hash")
+    // of re-shingling the corpus. r=1 sweeps skip the slice/concat/rehash:
+    // the minhash element IS the band hash (bucket keys only need to be
+    // consistent, and posexplode supplies the band index)
+    val banded =
+      if (rowsPerBand == 1)
+        sigs.select(Seq(col("id")) ++ diffTag.map(_ => col("_tag")).toSeq :+
+          posexplode(col("sig")): _*)
+          .withColumnRenamed("pos", "band_id")
+          .withColumnRenamed("col", "band_hash")
+      else
+        sigs.select(Seq(col("id")) ++ diffTag.map(_ => col("_tag")).toSeq :+
+          posexplode(transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))): _*)
+          .withColumnRenamed("pos", "band_id")
+          .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
-    val cands = a.join(b, Seq("band_id", "band_hash"))
+    val tagA = diffTag.map(_ => col("_tag").as("_tag_a")).toSeq
+    val tagB = diffTag.map(_ => col("_tag").as("_tag_b")).toSeq
+    val a = banded.select(Seq(col("band_id"), col("band_hash"), col("id").as("id_a")) ++ tagA: _*)
+    val b = banded.select(Seq(col("band_id"), col("band_hash"), col("id").as("id_b")) ++ tagB: _*)
+    // the cross-partition predicate applies BEFORE the pair dedup and any
+    // payload join-back: a filter on a deterministic per-doc tag can't
+    // change which TRUE pairs collide, so recall is untouched while the
+    // distinct and the wide verify joins see only pairs the caller keeps
+    // (~5x fewer at a 90/10 split)
+    val raw = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+    val cands = diffTag.fold(raw)(_ => raw.filter(col("_tag_a") =!= col("_tag_b")))
       .select(col("id_a"), col("id_b"))
       .distinct()
     (cands, sigs)
@@ -243,12 +291,14 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       bands: Int = 8,
-      numHashes: Int = 16): DataFrame = {
+      numHashes: Int = 16,
+      diffTag: Option[Column => Column] = None): DataFrame = {
     // bare candidate ids only — the est-Jaccard of minhashLsh would be
     // discarded here anyway (exact Jaccard is the verdict), so skip the
     // signature join-back entirely
     val (cands, _) = lshCandidates(docs, textCol, idCol,
-      numHashes = numHashes, bands = bands, shingleSize = n)
+      numHashes = numHashes, bands = bands, shingleSize = n,
+      diffTag = diffTag)
     // verify on HASHED shingles: each doc's shingle set becomes a sorted
     // array of xxhash64 longs (computed once, persisted); the per-pair work
     // is then ONE allocation-free merge scan (sorted_intersect_count) and
@@ -256,6 +306,10 @@ object Dedup {
     // hash sets of strings per pair. A cross-doc 64-bit collision altering
     // a Jaccard value has probability ~|A||B|/2^64 per pair (zero in
     // practice; q22's brute-force string-ngram oracle pins the values).
+    // SHUFFLE_HASH on the array side: ids are unique, so the per-partition
+    // build map is bounded and nothing SORTS rows carrying a 250-element
+    // array payload (sort-merge would — measured ~40% of the sweep's cost
+    // at sf0.1; shuffled hash join spills if a partition outgrows memory)
     val sh = docs.select(col(idCol),
       array_sort(transform(shingles(col(textCol), n), s => xxhash64(s))).as("hs"))
       .withColumn("sz", size(col("hs")))
@@ -264,8 +318,10 @@ object Dedup {
       .sorted_intersect_count(col("hs_a"), col("hs_b")).cast("double")
     val union = (col("sz_a") + col("sz_b")).cast("double") - inter
     cands
-      .join(sh.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
+      .join(sh.select(col(idCol).as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
+        .hint("SHUFFLE_HASH"), "id_b")
       .select(col("id_a"), col("id_b"),
         when(union === 0, lit(0.0)).otherwise(inter / union).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -371,25 +427,77 @@ object Dedup {
         (col("id") === col("lbl")).as("is_canonical"))
   }
 
-  /** Min-label connected components with pointer jumping over an (id_a,
-    * id_b) edge list: labels are node ids, a node's label only ever
-    * decreases, and chasing one hop per round (lbl(lbl(v))) halves chain
-    * depth — convergence in O(log diameter) rounds. Each round
-    * `localCheckpoint`s to truncate the growing lineage (on a cluster, a
-    * reliable `checkpoint` does the same job); the driver only ever sees
-    * the per-round convergence flag. Callers pass a materialized
-    * (checkpointed/persisted) pair list so CC rounds don't replay its
-    * derivation. Returns (id, lbl) for every node WITH an edge.
+  /** Min-label connected components over an (id_a, id_b) edge list.
+    * Returns (id, lbl) for every node WITH an edge; lbl = the smallest id
+    * reachable from the node.
+    *
+    * Two tiers, size-gated the way GraphFrames' CC falls back to a local
+    * solve: the near-dup edge list is a SLIVER of the corpus at any
+    * realistic threshold (pairs that passed an exact-similarity verify),
+    * so when it fits one driver page (`localEdgeLimit`, default 1M edges
+    * ≈ 16 MB — a bounded, documented collect per the engine's driver-step
+    * policy) it is solved with union-find in-process: one cached-scan
+    * count + one bounded collect, versus ~10 driver jobs PER ROUND of the
+    * distributed loop (each round is 3 joins + a checkpoint + the
+    * convergence probe, and AQE materializes every broadcast as its own
+    * job — pure fixed cost that dwarfs the data at this size). Union by
+    * smaller-root-wins keeps the DSU root the component minimum, so both
+    * tiers produce bit-identical labels.
+    *
+    * Past the gate (or for non-long ids, or when `localEdgeLimit = 0` —
+    * specs force this to exercise the scale path) the distributed
+    * pointer-jumping loop runs: labels only ever decrease, chasing one
+    * hop per round (lbl(lbl(v))) halves chain depth — convergence in
+    * O(log diameter) rounds. Each round `localCheckpoint`s to truncate
+    * the growing lineage (on a cluster, a reliable `checkpoint` does the
+    * same job); the driver only ever sees the per-round convergence flag.
+    * Callers pass a materialized (checkpointed/persisted) pair list so CC
+    * rounds don't replay its derivation.
     */
   private[graft] def connectedComponents(
       pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      localEdgeLimit: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val longIds = pairs.schema.fields.take(2).forall(_.dataType == LongType)
+    if (localEdgeLimit > 0 && longIds && pairs.count() <= localEdgeLimit) {
+      val spark = pairs.sparkSession
+      val es = pairs.select(col("id_a"), col("id_b")).collect()
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { e =>
+        val (a, b) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (a < b) parent(b) = a else if (b < a) parent(a) = b
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e.getLong(0), e.getLong(1)))
+        .toArray.distinct
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("lbl", LongType, nullable = false)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          nodes.toIndexedSeq.map(n => org.apache.spark.sql.Row(n, find(n))),
+          math.max(1, math.min(32, nodes.length / 4096 + 1))),
+        schema)
+    }
     // undirected: propagate labels both ways
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // init folds the first propagation in: label = min(self, neighbors) —
+    // the node-discovery distinct and round 1's neighbor-min are the SAME
+    // aggregation, so starting from it saves a whole join round (driver
+    // job count is the scarce resource here, not per-row work)
+    var labels = edges
+      .groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("_nb"))
+      .select(col("id"), least(col("id"), col("_nb")).as("lbl"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -401,18 +509,20 @@ object Dedup {
       val stepped = labels.as("l")
         .join(nbrMin, col("l.id") === col("nid"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.lbl"), coalesce(col("nbr_lbl"), col("l.lbl"))).as("lbl"))
-      // pointer jump: the "hash-to-min" shortcut (see scaladoc)
+          least(col("l.lbl"), coalesce(col("nbr_lbl"), col("l.lbl"))).as("lbl"),
+          col("l.lbl").as("_old"))
+      // pointer jump: the "hash-to-min" shortcut (see scaladoc); the
+      // previous round's label rides along so the convergence check below
+      // is a scan of the checkpointed frame, not another join job
       val next = stepped.as("c")
-        .join(stepped.as("p"), col("c.lbl") === col("p.id"), "left")
+        .join(stepped.select(col("id").as("_pid"), col("lbl").as("_plbl")),
+          col("c.lbl") === col("_pid"), "left")
         .select(col("c.id").as("id"),
-          coalesce(col("p.lbl"), col("c.lbl")).as("lbl"))
+          coalesce(col("_plbl"), col("c.lbl")).as("lbl"),
+          col("_old"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("lbl") =!= col("_old")).isEmpty
+      labels = next.drop("_old")
       iter += 1
     }
     edges.unpersist()
@@ -552,8 +662,12 @@ object Dedup {
       idCol: String = "vec_id",
       maxIters: Int = 20,
       replicas: Int = 3): DataFrame = {
+    // iters = 0: SemDeDup only needs a cluster PARTITION, and distributed
+    // Lloyd refinement measurably doesn't move the realized drop recall
+    // (q101's contract pins it) — the pool-converged centroids cost ONE
+    // Spark job instead of one per iteration (see kmeansCentroids scaladoc)
     val centroids =
-      Similarity.kmeansCentroids(emb, k, vecCol = vecCol, idCol = idCol)
+      Similarity.kmeansCentroids(emb, k, iters = 0, vecCol = vecCol, idCol = idCol)
     val rawNorm = Similarity.norm(col(vecCol))
     // zero vectors: define cosine as 0 everywhere (norm 1 sentinel) so they
     // are never duplicates of anything, matching embeddingNearDup

@@ -38,12 +38,23 @@ object Sampling {
   /** Train/test contamination report: near-duplicate document pairs that
     * straddle the split boundary — each row is a test document whose
     * near-duplicate leaked into train (or vice versa). Candidate
-    * generation is [[Dedup.ngramJaccardPairs]] (LSH, one shuffle); the
-    * split labels join in afterwards, so the leakage check costs the same
-    * as the dedup pass it reuses. A leakage report is a place where a
-    * missed pair is a silently contaminated eval, so the default net is
-    * the exhaustive-sweep setting (32 r=1 bands — per-pair miss (1-j)^32;
-    * the r=2 default measurably dropped a true cross-split pair at sf0.1).
+    * generation is [[Dedup.ngramJaccardPairs]] (LSH, one shuffle) with two
+    * leakage-specific cost cuts:
+    *
+    *  - The band plan is DERIVED from the requested threshold
+    *    ([[Dedup.lshBandPlan]], target recall 0.97 — a leakage report is a
+    *    place where a missed pair is a silently contaminated eval): a
+    *    t=0.1 sweep gets the exhaustive 32 r=1 bands (the r=2 routine
+    *    setting measurably dropped a true cross-split pair at sf0.1), a
+    *    t=0.3 sweep a 10-band net — nobody pays the wide explode when the
+    *    S-curve says a narrow one already clears the target.
+    *  - The straddle predicate PUSHES INTO candidate generation: split
+    *    labels are a deterministic function of bare ids, so same-split
+    *    pairs (~82% at a 90/10 split) drop before the pair dedup and the
+    *    shingle-array verify joins ever see them. Recall is untouched —
+    *    filtering by id can't change which true pairs collide.
+    *
+    * Pass `bands`/`numHashes` > 0 to override the derived plan.
     */
   def crossSplitLeakage(
       docs: DataFrame,
@@ -52,13 +63,16 @@ object Sampling {
       n: Int = 3,
       threshold: Double = 0.1,
       trainPct: Int = 90,
-      bands: Int = 32,
-      numHashes: Int = 32): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(docs, textCol, idCol, n, threshold,
-      bands = bands, numHashes = numHashes)
-    pairs
+      bands: Int = 0,
+      numHashes: Int = 0): DataFrame = {
+    val (nh, b) =
+      if (bands > 0 && numHashes > 0) (numHashes, bands)
+      else Dedup.lshBandPlan(threshold)
+    Dedup.ngramJaccardPairs(docs, textCol, idCol, n, threshold,
+      bands = b, numHashes = nh,
+      diffTag = Some(id => splitLabel(id, trainPct)))
       .withColumn("split_a", splitLabel(col("id_a"), trainPct))
       .withColumn("split_b", splitLabel(col("id_b"), trainPct))
-      .filter(col("split_a") =!= col("split_b"))
+      .filter(col("split_a") =!= col("split_b")) // invariant guard; free — pushdown already enforced it
   }
 }

@@ -110,6 +110,39 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("lshBandPlan: S-curve picks the cheapest net clearing the recall target") {
+    // low threshold: even r=1 can't clear 0.97 within 32 hashes -> the
+    // exhaustive-sweep fallback (what the leakage report must run at)
+    assert(Dedup.lshBandPlan(0.1) == (32, 32))
+    // higher thresholds get strictly narrower nets
+    assert(Dedup.lshBandPlan(0.3) == (10, 10))
+    assert(Dedup.lshBandPlan(0.8) == (28, 7))
+    // every derived plan actually clears the target at j = threshold
+    for (t <- Seq(0.2, 0.3, 0.5, 0.7, 0.8, 0.9)) {
+      val (nh, b) = Dedup.lshBandPlan(t)
+      val r = nh / b
+      val collide = 1 - math.pow(1 - math.pow(t, r), b)
+      assert(collide >= 0.97, s"t=$t plan=($nh,$b) collide=$collide")
+    }
+  }
+
+  test("connectedComponents: local union-find tier == distributed pointer-jumping tier") {
+    // chain 1-2-3-4, star 10-{11,12}, pair 20-21, plus a cross edge merging
+    // the chain and the star — multi-round propagation either way
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (20L, 21L), (4L, 12L)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toSet
+    val distributed = Dedup.connectedComponents(edges, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 1L), (11L, 1L), (12L, 1L),
+      (20L, 20L), (21L, 20L))
+    assert(local == want)
+    assert(distributed == want)
+  }
+
   test("survivorship: longest wins, tie -> lowest id, singletons keep themselves") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),            // near dup of 2, shorter
