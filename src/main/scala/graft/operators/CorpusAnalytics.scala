@@ -414,10 +414,13 @@ object CorpusAnalytics {
     * count distinct docs per gram (rows are (gram, doc) distinct already —
     * a count(*) hash agg with map-side partials), broadcast-free join back
     * on the gram, then one per-doc agg. Two shuffles total, both on
-    * compact keys. At 100 TB the gram string in the shuffle key would be
-    * replaced by xxhash64(gram) (collision odds at 64 bits are vanishing,
-    * and the fraction tolerates them); here the string key keeps the
-    * DuckDB oracle bit-exact.
+    * 8-byte keys: the gram enters the shuffle as xxhash64(gram), the
+    * 100 TB key shape — a fixed-width long where the raw string would
+    * average ~20 bytes and skew to 100+. A cross-doc 64-bit collision
+    * inflating a count has probability ~(distinct grams)²/2^64 — zero in
+    * practice, and the string-gram DuckDB oracle (q102) staying hash-green
+    * pins that the counts are unchanged (same argument as the dedup
+    * family's hashed-shingle verify, q22).
     */
   def dupNgramFraction(
       docs: DataFrame,
@@ -426,7 +429,8 @@ object CorpusAnalytics {
       n: Int = 3): DataFrame = {
     val grams = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol),
+        explode(transform(Dedup.shingles(col(textCol), n), g => xxhash64(g))).as("gram"))
     val gramDocCounts = grams
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs_with_gram"))
@@ -448,10 +452,11 @@ object CorpusAnalytics {
     * symmetric signal: a verbatim re-crawl scores novelty 0 while the
     * original it copies keeps scoring 1.
     *
-    * Same two-shuffle shape as [[dupNgramFraction]]: per-gram min-id hash
-    * agg (map-side partials), join back on the gram, one per-doc agg.
-    * Any total order works as "time" — callers with a real timestamp pass
-    * it as `idCol`.
+    * Same two-shuffle shape as [[dupNgramFraction]], including the
+    * xxhash64 gram keys (collision odds and the q112 oracle pin argued
+    * there): per-gram min-id hash agg (map-side partials), join back on
+    * the gram, one per-doc agg. Any total order works as "time" — callers
+    * with a real timestamp pass it as `idCol`.
     */
   def gramNovelty(
       docs: DataFrame,
@@ -460,7 +465,8 @@ object CorpusAnalytics {
       n: Int = 3): DataFrame = {
     val grams = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol),
+        explode(transform(Dedup.shingles(col(textCol), n), g => xxhash64(g))).as("gram"))
     val first = grams.groupBy(col("gram")).agg(min(col(idCol)).as("first_doc"))
     grams
       .join(first, "gram")
@@ -532,11 +538,10 @@ object CorpusAnalytics {
     * covered token positions re-aggregated per doc as a set; one join back
     * to the token arrays and a map-side indexed-`filter` rebuild. Three
     * shuffles — gram agg, gram join-back, per-doc position-set agg — all
-    * on compact keys. At 100 TB the gram join key becomes xxhash64(gram)
-    * (here the string keeps the DuckDB oracle bit-exact), and the
-    * per-token `array_contains` probe of the covered set (O(|cov|) per
-    * token, fine at bounded doc length) would switch to a sorted-array
-    * binary search.
+    * on 8-byte xxhash64 gram keys (collision/oracle-pin argument in the
+    * kernel's comment). The per-token `array_contains` probe of the
+    * covered set (O(|cov|) per token, fine at bounded doc length) would
+    * switch to a sorted-array binary search at extreme doc lengths.
     */
   /** Shared kernel of [[removeDuplicatedPassages]] and
     * [[longestDuplicatedRun]]: (token arrays, covered token positions) —
@@ -556,12 +561,16 @@ object CorpusAnalytics {
     val toks = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ", -1).as("ts"))
+    // the gram never leaves the generator as a string: the shuffle key is
+    // xxhash64(gram) — fixed 8 bytes per row where positional grams of raw
+    // text would skew far wider (same collision/oracle-pin argument as
+    // dupNgramFraction; q107/q114's positional-gram oracles stay green)
     val grams = toks
       .filter(size(col("ts")) >= n)
       .select(col(idCol), explode(transform(
         sequence(lit(0), size(col("ts")) - n),
         i => struct(i.as("pos"),
-          concat_ws(" ", slice(col("ts"), i + 1, lit(n))).as("gram")))).as("pg"))
+          xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(n)))).as("gram")))).as("pg"))
       .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
     val dup = grams
       .groupBy(col("gram"))

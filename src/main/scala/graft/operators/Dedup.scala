@@ -744,8 +744,10 @@ object Dedup {
     * exactly on collected gram arrays, so the filter only prunes, never
     * approximates. Shuffles: df agg, df join + per-doc rank window, the
     * candidate equi-join, pair distinct, and two array joins — all on
-    * compact keys; at 100 TB the gram string key becomes xxhash64(gram)
-    * and the gram arrays stay bounded by doc length.
+    * 8-byte xxhash64 gram keys (prefix filtering only needs a CONSISTENT
+    * global order, and (df, hash) is one; collision odds and the q108
+    * oracle pin follow dupNgramFraction's argument), and the gram arrays
+    * stay bounded by doc length.
     */
   def containmentPairs(
       docs: DataFrame,
@@ -757,7 +759,8 @@ object Dedup {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau must be in (0, 1]")
     val grams = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol),
+        explode(transform(shingles(col(textCol), n), g => xxhash64(g))).as("gram"))
     val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     // ONE per-doc relation serves prefix generation AND verification: the
     // rarest-first order comes from an in-array sort after a hash agg
@@ -781,10 +784,13 @@ object Dedup {
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
+    // SHUFFLE_HASH: unique-id build sides — don't sort gram-array rows
+    // (same reasoning as ngramJaccardPairs' verify joins)
     candidates
       .join(perDoc.select(col(idCol).as("a_id"), col("gs").as("ga"),
-        col("m").as("n_a")), "a_id")
-      .join(perDoc.select(col(idCol).as("b_id"), col("gs").as("gb")), "b_id")
+        col("m").as("n_a")).hint("SHUFFLE_HASH"), "a_id")
+      .join(perDoc.select(col(idCol).as("b_id"), col("gs").as("gb"))
+        .hint("SHUFFLE_HASH"), "b_id")
       .select(col("a_id"), col("b_id"), col("n_a"),
         size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"))
       .filter(col("n_inter") * tauDen >= col("n_a") * tauNum)
