@@ -84,8 +84,18 @@ final class LogStore(root: String) {
       .parquet(path(table))
   }
 
+  /** Full-history read with SCHEMA MERGE across epochs — the alembic-
+    * migration analog (reference versions its DDL:
+    * alembic/versions/37716151a213_initialise_database.py): a payload
+    * field promoted to a real column mid-corpus ([[appendShredded]])
+    * means old epochs lack the column; merging unions the schemas and
+    * old rows read NULL there, exactly like a nullable ADD COLUMN.
+    * mergeSchema costs one footer read per file at planning — fine at
+    * this store's file counts; a 100 TB deployment tracks the union
+    * schema in a table-format catalog instead of re-deriving it.
+    */
   def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(path(table))
+    spark.read.option("mergeSchema", "true").parquet(path(table))
 
   /** Per-date file census: (date, n_files, bytes). The observability feed
     * for compaction policy — a date whose file count grows while its bytes
@@ -146,7 +156,10 @@ final class LogStore(root: String) {
       if (f.getPath.getName.endsWith(".parquet")) { nBefore += 1; bytes += f.getLen }
     }
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val rows = spark.read.parquet(srcPath.toString)
+    // mergeSchema: a date can hold epochs written before AND after a
+    // column promotion; compacting with the first file's schema alone
+    // would silently drop the promoted column from newer rows
+    val rows = spark.read.option("mergeSchema", "true").parquet(srcPath.toString)
     val data = if (rows.columns.contains("batch_id")) rows.drop("batch_id") else rows
     val expected = data.count()
     val tmp = new org.apache.hadoop.fs.Path(

@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * (codegen'd shifts/masks, no UDF), then `repartitionByRange(zkey)` +
   * `sortWithinPartitions(zkey)` — exactly one range exchange, the same
   * cost as any sorted write. Linear min/max bucketing keeps the key
-  * deterministic and engine-portable; heavily skewed dimensions would
-  * bucket by quantiles instead (same interleave downstream).
+  * deterministic and engine-portable; heavily skewed dimensions bucket by
+  * quantiles instead ([[withZKeyQuantile]] — same interleave downstream).
   */
 object ZOrder {
 
@@ -57,9 +57,50 @@ object ZOrder {
       .drop("_mn1", "_mx1", "_mn2", "_mx2")
   }
 
+  /** Quantile-bucketed `_zkey` — the skew-proof variant of [[withZKey]]:
+    * each dimension buckets by its own `approx_percentile` cut points
+    * (equal-POPULATION buckets) instead of an equal-WIDTH slice of the
+    * min/max range. On a heavy-tailed column — real log data's `thread`
+    * ids, latency values — linear bucketing drops almost every row into
+    * one hot bucket (the long tail stretches the range), so the
+    * interleaved key degenerates to a single-dim sort and pruning on that
+    * dimension dies. Quantile cuts spread every dimension across all
+    * 2^bits buckets by construction, at the cost of one extra aggregate
+    * in the same one-row broadcast stats pass.
+    *
+    * Per-row bucketing is a codegen'd `aggregate` rank over the cut array
+    * (2^bits - 1 doubles — `bits` is capped at 12 to keep the scan and the
+    * broadcast row bounded; multi-dimensional clustering rarely wants more
+    * than 2^8 buckets per dim anyway). Duplicate cut points (a value
+    * spanning multiple quantiles) collapse adjacent buckets — correct,
+    * just less selective on a dimension with few distinct values.
+    */
+  def withZKeyQuantile(
+      df: DataFrame,
+      c1: String,
+      c2: String,
+      bits: Int = 8): DataFrame = {
+    require(bits > 0 && bits <= 12, "bits must be in [1, 12] for quantile bucketing")
+    val nb = 1 << bits
+    val fracs = array((1 until nb).map(i => lit(i.toDouble / nb)): _*)
+    val stats = df.agg(
+      percentile_approx(col(c1).cast("double"), fracs, lit(10000)).as("_q1"),
+      percentile_approx(col(c2).cast("double"), fracs, lit(10000)).as("_q2"))
+    def bucket(c: Column, cuts: Column): Column =
+      aggregate(cuts, lit(0L), (acc, cut) =>
+        acc + when(c.cast("double") >= cut, 1L).otherwise(0L))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_zkey", interleaveBits(
+        bucket(col(c1), col("_q1")),
+        bucket(col(c2), col("_q2")), bits))
+      .drop("_q1", "_q2")
+  }
+
   /** Write `df` as parquet clustered by the Z-key of (c1, c2):
     * `numFiles` range-disjoint, internally sorted files — file and
-    * row-group stats are tight on BOTH dimensions.
+    * row-group stats are tight on BOTH dimensions. `quantile = true`
+    * switches to [[withZKeyQuantile]] bucketing (use it when either
+    * dimension is heavy-tailed; `bits` is then capped at 12).
     */
   def clusteredWrite(
       df: DataFrame,
@@ -67,10 +108,15 @@ object ZOrder {
       c1: String,
       c2: String,
       numFiles: Int,
-      bits: Int = 16): Unit =
-    withZKey(df, c1, c2, bits)
+      bits: Int = 16,
+      quantile: Boolean = false): Unit = {
+    val keyed =
+      if (quantile) withZKeyQuantile(df, c1, c2, math.min(bits, 12))
+      else withZKey(df, c1, c2, bits)
+    keyed
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
       .drop("_zkey")
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -42,4 +42,31 @@ class ZOrderSpec extends SparkSpec {
     assert(zUser < vUser, s"z user files $zUser !< single-sort $vUser")
     assert(zUser <= 8 && zValue <= 8, s"z-order not tight on both: $zUser / $zValue")
   }
+
+  test("quantile bucketing keeps pruning alive on a zipf-skewed dimension") {
+    // power-law dim: value = 20000/(k+1) for uniform k — ~80% of rows land
+    // in the lowest linear bucket, so the linear z-key degenerates to a
+    // single-dim sort there; quantile cuts spread the mass by population
+    val rows = spark.range(20000).select(
+      (lit(20000) / (col("id") % 1000 + 1)).cast("long").as("skew"),
+      (col("id") % 256).as("uni"))
+    val base = Files.createTempDirectory("graft-zorder-q").toString
+    val ldir = s"$base/linear"
+    val qdir = s"$base/quantile"
+    ZOrder.clusteredWrite(rows, ldir, "skew", "uni", numFiles = 16, bits = 8)
+    ZOrder.clusteredWrite(rows, qdir, "skew", "uni", numFiles = 16, bits = 8,
+      quantile = true)
+    def filesTouched(path: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(cond)
+        .select(input_file_name()).distinct().count()
+    val denseCond = col("skew") === 22      // ~4% of rows, deep in the hot range
+    val uniCond = col("uni").between(40, 50)
+    val (lDense, qDense) = (filesTouched(ldir, denseCond), filesTouched(qdir, denseCond))
+    val (lUni, qUni) = (filesTouched(ldir, uniCond), filesTouched(qdir, uniCond))
+    // linear: the hot bucket swallows the dense range -> rows spread wide
+    assert(lDense >= 12, s"expected the linear hot bucket to spread skew=22 ($lDense)")
+    // quantile: the same slice stays clustered; the uniform dim still prunes
+    assert(qDense <= 6, s"quantile z-order not tight on the skewed dim ($qDense)")
+    assert(qUni <= 12, s"quantile z-order lost the uniform dim ($qUni vs linear $lUni)")
+  }
 }
