@@ -78,8 +78,13 @@ object Bench {
     val qsMax = field(_.last)
     val total = results.filter(_._2.head >= 0).map(p => p._2(p._2.length / 2)).sum
     val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val ingestRate = ingestBench(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"passes":$Passes,"ingest_recs_per_sec":$ingestRate,"failed":$failedJson,"sf":"$sfDir"}""")
+    // the ingest edge gets the same variance treatment as the queries:
+    // round-over-round comparison showed ~2x swings on identical code
+    // (environmental — sender-thread scheduling, fs sync), so report the
+    // median of 3 full runs with the spread alongside
+    val ingestRates = Seq.fill(3)(ingestBench(spark)).sorted
+    val ingestRate = ingestRates(ingestRates.length / 2)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"passes":$Passes,"ingest_recs_per_sec":$ingestRate,"ingest_recs_per_sec_min":${ingestRates.head},"ingest_recs_per_sec_max":${ingestRates.last},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
