@@ -1087,6 +1087,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q115_bigram_ce" -> ((s, dir) => {
+      // CCNet-style perplexity filter: per-doc cross-entropy under the
+      // corpus's OWN bigram LM (ML, no smoothing — every scored bigram is
+      // in the counts); both tails of the H distribution are the review set
+      operators.CorpusAnalytics.bigramCrossEntropy(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q116_importance_weights" -> ((s, dir) => {
+      // DSIR importance weights: md5-bucketed unigram models, the 'en'
+      // slice as the target distribution; keep = at/above the corpus
+      // median RAW weight (a sparse target penalizes everything through
+      // smoothing, so the cut is relative) — booleans oracle-compared
+      val docs = Tables(s, dir, "documents")
+      operators.CorpusAnalytics
+        .importanceWeights(docs, docs.filter(col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q106_interval_overlap" -> ((s, dir) => {
       // keyless interval-overlap join (both sides intervals) via two-sided
       // binning: a qualifying pair is emitted exactly once by its
@@ -2272,6 +2291,45 @@ object SparkEntry {
         "FROM toks LEFT JOIN (SELECT doc_id, count(*) AS cnt, " +
         "string_agg(tok, ' ' ORDER BY tpos) AS txt FROM kept GROUP BY doc_id) k USING (doc_id) " +
         "ORDER BY toks.doc_id"),
+
+    "q115_bigram_ce" ->
+      // bigram LM ground truth via a positions self-join (the engine side
+      // uses an in-array generator; counts and the ln/avg agree exactly
+      // at 4 decimals, q67's log precedent)
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok, " +
+        "generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "bigrams AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2 " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "bc AS (SELECT w1, w2, count(*) AS cb FROM bigrams GROUP BY w1, w2), " +
+        "uc AS (SELECT w1, count(*) AS cu FROM bigrams GROUP BY w1), " +
+        "perdoc AS (SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(-avg(ln(CAST(cb AS DOUBLE) / cu)), 4) AS ce " +
+        "FROM bigrams JOIN bc USING (w1, w2) JOIN uc USING (w1) GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
+        "COALESCE(ce, 0.0) AS cross_entropy " +
+        "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q116_importance_weights" ->
+      // same md5-prefix bucket hash as the split family (q56), add-1
+      // smoothing, exact interpolated median (quantile_cont == Spark's
+      // percentile, q113 precedent); keep compared on RAW weights
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "bucketed AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 4096 AS b FROM toks), " +
+        "tcnt AS (SELECT b, count(*) AS ct FROM bucketed " +
+        "JOIN (SELECT doc_id FROM documents WHERE lang = 'en') td USING (doc_id) GROUP BY b), " +
+        "rcnt AS (SELECT b, count(*) AS cr FROM bucketed GROUP BY b), " +
+        "tt AS (SELECT sum(ct) AS n FROM tcnt), rt AS (SELECT sum(cr) AS n FROM rcnt), " +
+        "lw AS (SELECT bucketed.doc_id, count(*) AS n_toks, " +
+        "sum(ln((COALESCE(ct, 0) + 1.0) / (tt.n + 4096)) - ln((cr + 1.0) / (rt.n + 4096))) AS lwr " +
+        "FROM bucketed LEFT JOIN tcnt USING (b) JOIN rcnt USING (b), tt, rt " +
+        "GROUP BY bucketed.doc_id), " +
+        "med AS (SELECT quantile_cont(lwr, 0.5) AS m FROM lw) " +
+        "SELECT d.doc_id, CAST(COALESCE(n_toks, 0) AS BIGINT) AS n_tokens, " +
+        "round(COALESCE(lwr, 0.0), 4) AS log_weight, " +
+        "COALESCE(lwr >= med.m, false) AS keep " +
+        "FROM documents d LEFT JOIN lw USING (doc_id), med ORDER BY d.doc_id"),
 
     "q106_interval_overlap" ->
       // nested-loop overlap ground truth, same day arithmetic

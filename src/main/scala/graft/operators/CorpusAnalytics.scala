@@ -615,6 +615,110 @@ object CorpusAnalytics {
     * window sorts only COVERED positions of one doc at a time — bounded
     * by doc length, a vanishing slice of the corpus.
     */
+  /** CCNet-style LM-fit quality signal (Wenzek et al. 2020,
+    * arXiv:1911.00359 — the "perplexity filter" of that pipeline, with the
+    * corpus itself as the language model): per-document cross-entropy
+    * under the corpus's own bigram LM. P(w2|w1) = C(w1 w2) / C(w1 ·) is
+    * maximum-likelihood over SEQUENTIAL (non-distinct) bigrams — no
+    * smoothing needed, because every bigram being scored is part of the
+    * counts it is scored against. H(doc) = -avg ln P; boilerplate that
+    * reads like everything else scores LOW, unusual token transitions
+    * score HIGH — both tails are the curation review set. Docs with fewer
+    * than 2 tokens carry no signal and report (0, 0.0).
+    *
+    * Shape: map-side positional bigram generator (an in-array transform —
+    * never a positions self-join), two hash aggs (bigram counts,
+    * continuation counts), two equi-joins back on 8-byte xxhash64 keys
+    * (collision/oracle-pin argument as [[dupNgramFraction]]), one per-doc
+    * agg. All shuffles carry fixed-width keys; the ln/avg runs once per
+    * bigram occurrence, map-side after the joins.
+    */
+  def bigramCrossEntropy(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ts = tokens(col(textCol))
+    val bigrams = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), ts.as("_ts"))
+      .filter(size(col("_ts")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("_ts")) - 2),
+        i => struct(
+          xxhash64(element_at(col("_ts"), i + 1), element_at(col("_ts"), i + 2)).as("bg"),
+          xxhash64(element_at(col("_ts"), i + 1)).as("ug")))).as("p"))
+      .select(col(idCol), col("p.bg").as("bg"), col("p.ug").as("ug"))
+    val bigramCounts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val contCounts = bigrams.groupBy(col("ug")).agg(count(lit(1)).as("cu"))
+    val perDoc = bigrams
+      .join(bigramCounts, "bg")
+      .join(contCounts, "ug")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(col("cb").cast("double") / col("cu"))), 4).as("cross_entropy"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("cross_entropy"), lit(0.0)).as("cross_entropy"))
+  }
+
+  /** DSIR-style importance weights for targeted data selection (Xie et
+    * al. 2023, arXiv:2302.03169): score every raw-corpus doc by how much
+    * more likely its tokens are under a TARGET distribution (a curated
+    * high-quality sample) than under the raw corpus — log w(doc) =
+    * Σ_tokens [ln P_target(bucket) − ln P_raw(bucket)] over `buckets`
+    * HASHED unigram buckets with add-1 smoothing (the paper's hashed
+    * n-gram trick: the model is two fixed-size count vectors, never a
+    * vocabulary). `keep` selects docs at or above the corpus MEDIAN raw
+    * weight — a sparse target penalizes every doc through smoothing, so
+    * the cut is relative, not at zero; blank docs carry no signal and
+    * never pass.
+    *
+    * The bucket hash is the md5-prefix idiom ([[Sampling.pctBucket]]'s
+    * discipline — engine-portable, so the whole operator is exactly
+    * DuckDB-oracle-checkable end to end, booleans included). Shape: one
+    * token-bucket generator per side, two bucket-count hash aggs (the
+    * "model build" — at 100 TB both reduce to `buckets`-row tables),
+    * count totals and the exact interpolated median as one-row broadcast
+    * scalars, scoring as one equi-join + per-doc agg. The raw corpus
+    * never shuffles by anything wider than the 8-byte bucket id.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      target: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 1, "need at least 2 hash buckets")
+    val bucketed = (d: DataFrame) => d
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol),
+        (conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("b"))
+    val rawBuckets = bucketed(docs)
+    val targetCounts = bucketed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rawCounts = rawBuckets.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totals = targetCounts.agg(sum(col("ct")).as("tt"))
+      .crossJoin(rawCounts.agg(sum(col("cr")).as("rt")))
+    val perDoc = rawBuckets
+      .join(rawCounts, "b") // inner: every raw bucket is in the raw counts
+      .join(targetCounts, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets)) -
+            log((col("cr") + 1.0) / (col("rt") + buckets))).as("_lw"))
+    val median = perDoc.agg(
+      percentile(col("_lw"), lit(0.5)).as("_med"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(median))
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("_lw"), lit(0.0)), 4).as("log_weight"),
+        coalesce(col("_lw") >= col("_med"), lit(false)).as("keep"))
+  }
+
   def longestDuplicatedRun(
       docs: DataFrame,
       textCol: String = "text",

@@ -344,6 +344,39 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bigramCrossEntropy: ML bigram LM, hand-checked probabilities") {
+    val docs = Seq(
+      (1L, "a b"),  // P(b|a) = 2/3 -> H = -ln(2/3)
+      (2L, "a b"),
+      (3L, "a c"),  // P(c|a) = 1/3 -> H = -ln(1/3)
+      (4L, "x")     // < 2 tokens: no bigrams, no signal
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.bigramCrossEntropy(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0.4055), (2L, 1L, 0.4055), (3L, 1L, 1.0986), (4L, 0L, 0.0)))
+  }
+
+  test("importanceWeights: target-like docs score above, blanks never pass") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha"),  // pure target language
+      (2L, "omega omega omega omega"),  // pure non-target
+      (3L, "alpha alpha omega omega"),  // mixed — the interpolated middle
+      (4L, "   ")                       // blank: no signal, keep = false
+    ).toDF("doc_id", "text")
+    val target = docs.filter($"doc_id" === 1)
+    val got = CorpusAnalytics.importanceWeights(docs, target)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(_._2) == Seq(4L, 4L, 4L, 0L))
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(1L)._3 > byId(3L)._3 && byId(3L)._3 > byId(2L)._3,
+      s"weights must order target > mixed > non-target: $got")
+    // median of (w1, w2, w3) is w3 -> docs 1 and 3 keep, 2 and blank don't
+    assert(byId(1L)._4 && byId(3L)._4 && !byId(2L)._4 && !byId(4L)._4)
+  }
+
   test("decontaminateBloom: expectedGrams above the session ceiling degrades, not fails") {
     // 1 << 24 items exceeds the default 4M maxNumItems conf — the operator
     // must clamp to the ceiling (higher realized fpp) instead of throwing

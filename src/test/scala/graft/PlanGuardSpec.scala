@@ -42,7 +42,9 @@ class PlanGuardSpec extends SparkSpec {
     "q109_mixture_resample" ->
       "crossJoin(broadcast(totals)): single-row totals scalar, corpus side streams through",
     "q110_quantized_ann_contract" ->
-      "contract twin: broadcast query set + single-row stats/metric crossJoins (quantization stats are a one-row array pair)"
+      "contract twin: broadcast query set + single-row stats/metric crossJoins (quantization stats are a one-row array pair)",
+    "q116_importance_weights" ->
+      "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through"
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin outside the exempt list") {
