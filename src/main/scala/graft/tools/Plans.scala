@@ -45,7 +45,10 @@ object Plans {
     "q109_mixture_resample" -> "the corpus never shuffles: per-group token totals broadcast back (BroadcastHashJoin) and the one-row corpus total enters as a broadcast nested-loop of cardinality 1 — the keep decision is a map-side integer predicate",
     "q110_quantized_ann_contract" -> "both retrieval paths score map-side against broadcast queries into k-bounded top_k_pairs aggregates; quantization stats join as a broadcast one-row array pair — the corpus is scanned twice, shuffled never",
     "q111_group_topk" -> "group-wise top-k is a k-bounded ObjectHashAggregate (top_k_pairs partial heaps per partition per group) — NOT a window Exchange+Sort of every row of every group",
-    "q113_mad_outliers" -> "two sort-based grouped percentile aggregates over the compact (type, value) pair stream; the fences join back and outlier counting is one more hash agg — the fact table itself is never window-sorted"
+    "q113_mad_outliers" -> "two sort-based grouped percentile aggregates over the compact (type, value) pair stream; the fences join back and outlier counting is one more hash agg — the fact table itself is never window-sorted",
+    "q57_split_leakage" -> "the split tag is computed ONCE per doc and rides the band explode, so same-split collisions (~82%) drop BEFORE the pair distinct; shingle-array verify joins plan as ShuffledHashJoin (no sort ever touches array-payload rows)",
+    "q115_bigram_ce" -> "positional bigrams generate map-side from the token array (no positions self-join anywhere in the plan); bigram and continuation counts partial-aggregate before their 8-byte-key exchanges; the ln/avg is a post-join projection into one per-doc hash agg",
+    "q116_importance_weights" -> "the corpus shuffles only by the 8-byte bucket id; both model sides reduce to fixed buckets-row count tables; totals and the exact interpolated median enter as one-row broadcasts — the keep decision is a map-side comparison"
   )
 
   def main(args: Array[String]): Unit = {
