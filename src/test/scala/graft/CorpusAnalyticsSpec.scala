@@ -375,6 +375,12 @@ class CorpusAnalyticsSpec extends SparkSpec {
       s"weights must order target > mixed > non-target: $got")
     // median of (w1, w2, w3) is w3 -> docs 1 and 3 keep, 2 and blank don't
     assert(byId(1L)._4 && byId(3L)._4 && !byId(2L)._4 && !byId(4L)._4)
+    // the production bucket hash (xxhash64) preserves the ordering and the
+    // keep set — any uniform hash does, only the oracle replay needs md5
+    val fast = CorpusAnalytics.importanceWeights(docs, target,
+      bucketHash = Some(t => pmod(xxhash64(t), lit(4096))))
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(fast.map(g => (g._1, g._4)) == got.map(g => (g._1, g._4)))
   }
 
   test("decontaminateBloom: expectedGrams above the session ceiling degrades, not fails") {
