@@ -1106,6 +1106,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q117_distribution_drift" -> ((s, dir) => {
+      // snapshot drift monitor: even-id half vs odd-id half — near-
+      // identical synthetic mixes, so KL/JS sit near 0; the test is the
+      // oracle agreeing on 4 decimals of a sum over EVERY smoothed bucket
+      val docs = Tables(s, dir, "documents")
+      operators.CorpusAnalytics.distributionDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
+
+    "q118_contamination_provenance" -> ((s, dir) => {
+      // q89's split at pair granularity: WHICH eval doc leaked into which
+      // train doc, with the shared distinct-gram count as evidence
+      val docs = Tables(s, dir, "documents")
+      operators.CorpusAnalytics.contaminationProvenance(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0))
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     "q106_interval_overlap" -> ((s, dir) => {
       // keyless interval-overlap join (both sides intervals) via two-sided
       // binning: a qualifying pair is emitted exactly once by its
@@ -2330,6 +2350,38 @@ object SparkEntry {
         "round(COALESCE(lwr, 0.0), 4) AS log_weight, " +
         "COALESCE(lwr >= med.m, false) AS keep " +
         "FROM documents d LEFT JOIN lw USING (doc_id), med ORDER BY d.doc_id"),
+
+    "q117_distribution_drift" ->
+      // same md5 bucket hash, full-spine smoothing; the sums run over all
+      // 1024 buckets on both engines (unseen buckets included), rounded
+      // at 4 decimals
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "bucketed AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 1024 AS b FROM toks), " +
+        "a AS (SELECT b, count(*) AS ca FROM bucketed WHERE doc_id % 2 = 0 GROUP BY b), " +
+        "bb AS (SELECT b, count(*) AS cb FROM bucketed WHERE doc_id % 2 = 1 GROUP BY b), " +
+        "att AS (SELECT sum(ca) AS na FROM a), btt AS (SELECT sum(cb) AS nb FROM bb), " +
+        "spine AS (SELECT range AS b FROM range(1024)), " +
+        "probs AS (SELECT (COALESCE(ca, 0) + 1.0) / (na + 1024) AS pa, " +
+        "(COALESCE(cb, 0) + 1.0) / (nb + 1024) AS pb, na, nb " +
+        "FROM spine LEFT JOIN a USING (b) LEFT JOIN bb USING (b), att, btt) " +
+        "SELECT CAST(max(na) AS BIGINT) AS n_tokens_a, CAST(max(nb) AS BIGINT) AS n_tokens_b, " +
+        "round(sum(pa * ln(pa / pb)), 4) AS kl_ab, " +
+        "round(sum(pb * ln(pb / pa)), 4) AS kl_ba, " +
+        "round(sum(pa * ln(pa / ((pa + pb) / 2))) / 2 + sum(pb * ln(pb / ((pa + pb) / 2))) / 2, 4) AS js " +
+        "FROM probs"),
+
+    "q118_contamination_provenance" ->
+      // q89's exact shingle construction, kept at pair granularity
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "tg AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0), " +
+        "eg AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0) " +
+        "SELECT train_id, eval_id, count(*) AS n_shared_grams " +
+        "FROM tg JOIN eg USING (g) GROUP BY 1, 2 ORDER BY train_id, eval_id"),
 
     "q106_interval_overlap" ->
       // nested-loop overlap ground truth, same day arithmetic

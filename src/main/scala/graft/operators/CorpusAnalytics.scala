@@ -725,6 +725,83 @@ object CorpusAnalytics {
         coalesce(col("_lw") >= col("_med"), lit(false)).as("keep"))
   }
 
+  /** Corpus-distribution drift between two snapshots — the "did the crawl
+    * change under us?" monitor an ingestion pipeline runs between batches:
+    * symmetric KL and Jensen-Shannon divergence between the two corpora's
+    * hashed-bucket unigram distributions (add-1 smoothed over all
+    * `buckets` buckets, so unseen buckets are defined on both sides and
+    * every ln is finite). JS is bounded [0, ln 2]: 0 = identical mixes,
+    * ln 2 = disjoint vocabularies. One grounding row out:
+    * (n_tokens_a, n_tokens_b, kl_ab, kl_ba, js).
+    *
+    * Same engine-portable md5 bucket hash as [[importanceWeights]] (same
+    * production note: swap an xxhash64 bucket hash in when nothing needs
+    * to replay it in SQL). Shape: two token-bucket generators, two
+    * `buckets`-row count aggs joined onto a `range(buckets)` spine (the
+    * spine keeps unseen buckets in the sum), totals broadcast, one final
+    * single-row aggregate — corpus size only ever flows through the
+    * 8-byte bucket id.
+    */
+  def distributionDrift(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String = "text",
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 1, "need at least 2 hash buckets")
+    val bucketed = (d: DataFrame) => d
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .select((conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % buckets).as("b"))
+    val ca = bucketed(corpusA).groupBy(col("b")).agg(count(lit(1)).as("ca"))
+    val cb = bucketed(corpusB).groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val totals = ca.agg(sum(col("ca")).as("na"))
+      .crossJoin(cb.agg(sum(col("cb")).as("nb")))
+    val spine = corpusA.sparkSession.range(buckets).select(col("id").as("b"))
+    val pa = (coalesce(col("ca"), lit(0L)) + 1.0) / (col("na") + buckets)
+    val pb = (coalesce(col("cb"), lit(0L)) + 1.0) / (col("nb") + buckets)
+    val m = (pa + pb) / 2.0
+    spine
+      .join(ca, Seq("b"), "left")
+      .join(cb, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .agg(
+        first(col("na")).as("n_tokens_a"),
+        first(col("nb")).as("n_tokens_b"),
+        round(sum(pa * log(pa / pb)), 4).as("kl_ab"),
+        round(sum(pb * log(pb / pa)), 4).as("kl_ba"),
+        round(sum(pa * log(pa / m)) / 2 + sum(pb * log(pb / m)) / 2, 4).as("js"))
+  }
+
+  /** Contamination PROVENANCE — [[decontaminate]] answers "is this train
+    * doc contaminated?"; this answers "by WHICH benchmark doc, and how
+    * hard?": one row per (train doc, eval doc) pair sharing at least one
+    * distinct word n-gram, with the shared-gram count. The report a
+    * curation team actually debugs with (was it one leaked question or a
+    * wholesale copy?) and the evidence trail for dropping an eval task.
+    *
+    * Same broadcast shape as the parent operator: the eval gram table is
+    * tiny by definition and broadcasts, so the train gram stream never
+    * shuffles for the join — the only exchange is the per-pair count agg
+    * on (train_id, eval_id). Gram keys are xxhash64 longs (count-only
+    * use; q118's string-gram oracle pins the collision-free argument).
+    */
+  def contaminationProvenance(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val grams = (d: DataFrame, as: String) => d
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol).as(as),
+        explode(transform(Dedup.shingles(col(textCol), n), g => xxhash64(g))).as("g"))
+    grams(train, "train_id")
+      .join(broadcast(grams(evalDocs, "eval_id")), "g")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   def longestDuplicatedRun(
       docs: DataFrame,
       textCol: String = "text",

@@ -383,6 +383,37 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(fast.map(g => (g._1, g._4)) == got.map(g => (g._1, g._4)))
   }
 
+  test("distributionDrift: identical corpora diverge 0, disjoint vocabularies diverge") {
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon zeta"))
+      .toDF("doc_id", "text")
+    val same = CorpusAnalytics.distributionDrift(a, a)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(same == ((8L, 8L, 0.0, 0.0, 0.0)))
+    val b = Seq((3L, "omega psi chi phi"), (4L, "psi chi upsilon tau"))
+      .toDF("doc_id", "text")
+    val (na, nb, klAb, klBa, js) = CorpusAnalytics.distributionDrift(a, b)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(na == 8L && nb == 8L)
+    assert(klAb > 0 && klBa > 0, s"disjoint vocabularies must diverge ($klAb, $klBa)")
+    assert(js > 0 && js <= math.log(2) + 1e-9, s"JS bounded by ln 2 ($js)")
+  }
+
+  test("contaminationProvenance: pair-level shared-gram evidence") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares grams with eval 100
+      (2L, "totally unrelated training text body here")
+    ).toDF("doc_id", "text")
+    val evalD = Seq(
+      (100L, "the quick brown fox sleeps"),     // 2 shared grams with doc 1
+      (101L, "nothing in common at all")
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.contaminationProvenance(train, evalD)
+      .orderBy("train_id", "eval_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc1 x eval100 share "the quick brown" and "quick brown fox"
+    assert(got == Seq((1L, 100L, 2L)))
+  }
+
   test("decontaminateBloom: expectedGrams above the session ceiling degrades, not fails") {
     // 1 << 24 items exceeds the default 4M maxNumItems conf — the operator
     // must clamp to the ceiling (higher realized fpp) instead of throwing

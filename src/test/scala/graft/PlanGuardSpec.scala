@@ -44,7 +44,9 @@ class PlanGuardSpec extends SparkSpec {
     "q110_quantized_ann_contract" ->
       "contract twin: broadcast query set + single-row stats/metric crossJoins (quantization stats are a one-row array pair)",
     "q116_importance_weights" ->
-      "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through"
+      "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
+    "q117_distribution_drift" ->
+      "crossJoin(broadcast(totals)): single-row token totals; the data side is the fixed buckets-row spine"
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin outside the exempt list") {
