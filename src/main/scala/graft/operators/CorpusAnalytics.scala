@@ -725,6 +725,49 @@ object CorpusAnalytics {
         coalesce(col("_lw") >= col("_med"), lit(false)).as("keep"))
   }
 
+  /** Model-as-literal scoring twin of [[importanceWeights]]: collect the
+    * two bucket-count tables ONCE (a bounded driver step — the model is
+    * `buckets` longs per side by construction, the same boundedness as
+    * [[Similarity.kmeansCentroids]]' centroid literals), fold them into a
+    * literal per-bucket log-ratio array, and return a pure map-side
+    * scoring COLUMN: log w(text) = Σ_tokens logRatio[bucket(token)].
+    * Because the model rides the plan as a constant, the score works on a
+    * LIVE STREAM with zero state (nothing to watermark) and on any batch
+    * frame without re-deriving the model — the production shape for
+    * "score everything against last night's target model". Agrees with
+    * the batch operator's raw `log_weight` exactly (spec-pinned): same
+    * hash, same smoothing, same arithmetic, just evaluated per row.
+    */
+  def importanceScorer(
+      target: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      buckets: Int = 4096): Column => Column = {
+    require(buckets > 1, "need at least 2 hash buckets")
+    val bucketCounts = (d: DataFrame) => {
+      val counts = new Array[Long](buckets)
+      d.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+        .select(explode(tokens(col(textCol))).as("tok"))
+        .select((conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect().foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
+      counts
+    }
+    val ct = bucketCounts(target)
+    val cr = bucketCounts(reference)
+    val tt = ct.sum.toDouble + buckets
+    val rt = cr.sum.toDouble + buckets
+    val logRatio = Array.tabulate(buckets)(b =>
+      math.log((ct(b) + 1.0) / tt) - math.log((cr(b) + 1.0) / rt))
+    val ratios = array(logRatio.map(lit(_)).toIndexedSeq: _*)
+    (text: Column) =>
+      aggregate(tokens(text), lit(0.0), (acc, t) =>
+        acc + element_at(ratios,
+          (conv(substring(md5(t.cast("binary")), 1, 8), 16, 10)
+            .cast("long") % buckets).cast("int") + 1))
+  }
+
   /** Corpus-distribution drift between two snapshots — the "did the crawl
     * change under us?" monitor an ingestion pipeline runs between batches:
     * symmetric KL and Jensen-Shannon divergence between the two corpora's

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.StreamAggregates
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.round
 import java.sql.Timestamp
 
 class StreamAggregatesSpec extends SparkSpec {
@@ -138,6 +139,31 @@ class StreamAggregatesSpec extends SparkSpec {
         .select($"doc_id").as[Long].collect().toSet
       assert(got == batch, "stream and batch must make identical keep decisions")
       assert(got.contains(300L) && got.size < 31, "small kept, big downsampled")
+    } finally q.stop()
+  }
+
+  test("streaming: importanceScorer scores a live stream statelessly, operator-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((10L, "alpha beta alpha"), (11L, "omega psi"), (12L, "alpha omega"))
+    val docs = rows.toDF("doc_id", "text")
+    val target = Seq((1L, "alpha alpha beta beta")).toDF("doc_id", "text")
+    // model built on the SAME (target, raw) frames the batch operator
+    // uses, so the raw log weights must agree exactly
+    val score = graft.operators.CorpusAnalytics.importanceScorer(target, docs)
+    val want = graft.operators.CorpusAnalytics.importanceWeights(docs, target)
+      .select($"doc_id", $"log_weight").as[(Long, Double)].collect().toMap
+    val stream = MemoryStream[(Long, String)]
+    val out = stream.toDF().toDF("doc_id", "text")
+      .select($"doc_id", round(score($"text"), 4).as("log_weight"))
+    val q = out.writeStream.format("memory").queryName("scored")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("scored").as[(Long, Double)].collect().toMap
+      assert(got == want, s"stream scoring must equal the batch operator: $got vs $want")
+      // target-like text scores above mixed, mixed above non-target
+      assert(got(10L) > got(12L) && got(12L) > got(11L), s"ordering: $got")
     } finally q.stop()
   }
 
