@@ -1106,6 +1106,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q119_hashed_features" -> ((s, dir) => {
+      // hashing-trick vectorizer, oracle-compared element by element as
+      // nonzero (doc, dim, value) rows. Exactness chain: tf counts are
+      // integers, sum(tf^2) is exact in double on both engines (order-
+      // insensitive), sqrt and the division are correctly-rounded IEEE,
+      // the float cast is replicated in SQL — so 4-decimal rounding never
+      // sits on an engine-dependent boundary
+      operators.CorpusAnalytics.hashedFeatures(Tables(s, dir, "documents"))
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "v")))
+        .filter(col("v") =!= 0)
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          round(col("v").cast("double"), 4).as("value"))
+        .orderBy(col("doc_id"), col("dim"))
+    }),
+
     "q117_distribution_drift" -> ((s, dir) => {
       // snapshot drift monitor: even-id half vs odd-id half — near-
       // identical synthetic mixes, so KL/JS sit near 0; the test is the
@@ -2350,6 +2365,17 @@ object SparkEntry {
         "round(COALESCE(lwr, 0.0), 4) AS log_weight, " +
         "COALESCE(lwr >= med.m, false) AS keep " +
         "FROM documents d LEFT JOIN lw USING (doc_id), med ORDER BY d.doc_id"),
+
+    "q119_hashed_features" ->
+      // same md5 bucket hash; norms from exact integer sums of squares,
+      // float cast replicated before the display rounding
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "bk AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 256 AS dim FROM toks), " +
+        "tf AS (SELECT doc_id, dim, count(*) AS c FROM bk GROUP BY 1, 2), " +
+        "nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS n FROM tf GROUP BY doc_id) " +
+        "SELECT tf.doc_id, dim, round(CAST(CAST(c / n AS FLOAT) AS DOUBLE), 4) AS value " +
+        "FROM tf JOIN nrm USING (doc_id) ORDER BY doc_id, dim"),
 
     "q117_distribution_drift" ->
       // same md5 bucket hash, full-spine smoothing; the sums run over all

@@ -414,6 +414,41 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(got == Seq((1L, 100L, 2L)))
   }
 
+  test("hashedFeatures: unit norm, duplicate texts identical, blanks zero") {
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "alpha beta alpha gamma"),  // duplicate text -> identical vector
+      (3L, "omega psi chi"),
+      (4L, "   ")                      // blank -> all-zero vector
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.hashedFeatures(docs, dim = 64)
+      .orderBy("doc_id")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_.length == 64))
+    def norm(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm(got(1L)) - 1.0) < 1e-6)
+    assert(got(1L) == got(2L), "identical texts must vectorize identically")
+    assert(norm(got(4L)) == 0.0)
+  }
+
+  test("hashedFeatures feeds the similarity family: planted near-dup is top-1") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different subject matter entirely here"),
+      (4L, "unrelated tokens about storage engines and parquet")
+    ).toDF("doc_id", "text")
+    val vecs = CorpusAnalytics.hashedFeatures(docs, dim = 128)
+    val query = vecs.filter($"doc_id" === 1)
+      .select($"features").as[Seq[Float]].head()
+    val top = graft.operators.Similarity.bruteForceTopK(
+      vecs.filter($"doc_id" =!= 1), query, k = 1,
+      vecCol = "features", idCol = "doc_id")
+      .select($"doc_id").as[Long].head()
+    assert(top == 2L, "text-only on-ramp must rank the near-duplicate first")
+  }
+
   test("decontaminateBloom: expectedGrams above the session ceiling degrades, not fails") {
     // 1 << 24 items exceeds the default 4M maxNumItems conf — the operator
     // must clamp to the ceiling (higher realized fpp) instead of throwing
