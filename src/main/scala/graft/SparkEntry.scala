@@ -1121,6 +1121,43 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("dim"))
     }),
 
+    "q120_epoch_shuffle" -> ((s, dir) => {
+      // seeded reproducible epoch shuffle: positions are a pure function
+      // of (seed, doc_id), so the oracle replays them exactly — the whole
+      // point of the operator vs rand()
+      operators.Sampling.epochShuffle(Tables(s, dir, "documents"),
+        seed = 42L, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q121_corpus_overlap" -> ((s, dir) => {
+      // KMV overlap sketch between the even-id and odd-id corpus halves;
+      // the oracle replays the ENTIRE sketch algorithm (same md5 hashes,
+      // same k-min sets, same estimate arithmetic), so this is a
+      // hash-exact check of an approximate operator — the tolerance-vs-
+      // exact-Jaccard contract lives in CorpusAnalyticsSpec
+      val docs = Tables(s, dir, "documents")
+      operators.CorpusAnalytics.corpusOverlapSketch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
+
+    "q122_source_quota" -> ((s, dir) => {
+      // per-domain contribution cap: at most 10 docs per source, chosen
+      // by 32-bit md5 order (deterministic uniform draw); GroupTopK's
+      // bounded heaps instead of a window sort
+      operators.Sampling.sourceQuota(Tables(s, dir, "documents"), quota = 10)
+        .orderBy(col("source"), col("rnk"))
+    }),
+
+    "q123_dup_spectrum" -> ((s, dir) => {
+      // gram doc-frequency histogram — the dedup-sizing report; engine
+      // counts on xxhash64 keys, oracle on the strings themselves (q102's
+      // collision-freeness discipline)
+      operators.CorpusAnalytics.duplicationSpectrum(Tables(s, dir, "documents"))
+        .orderBy(col("df"))
+    }),
+
     "q117_distribution_drift" -> ((s, dir) => {
       // snapshot drift monitor: even-id half vs odd-id half — near-
       // identical synthetic mixes, so KL/JS sit near 0; the test is the
@@ -2376,6 +2413,61 @@ object SparkEntry {
         "nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS n FROM tf GROUP BY doc_id) " +
         "SELECT tf.doc_id, dim, round(CAST(CAST(c / n AS FLOAT) AS DOUBLE), 4) AS value " +
         "FROM tf JOIN nrm USING (doc_id) ORDER BY doc_id, dim"),
+
+    "q120_epoch_shuffle" ->
+      // same 60-bit md5 order key; row_number per shard replays positions
+      ("WITH h AS (SELECT doc_id, CAST('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h " +
+        "FROM documents) " +
+        "SELECT doc_id, h % 8 AS shard, " +
+        "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos " +
+        "FROM h ORDER BY doc_id"),
+
+    "q121_corpus_overlap" ->
+      // full KMV replay: q118's shingle idiom, the same 60-bit md5 gram
+      // hash, k-min sets via ORDER BY/LIMIT, identical estimate
+      // arithmetic (2^60 is a power of two — every product/division is
+      // the same correctly-rounded IEEE op)
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "ga AS (SELECT DISTINCT CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h " +
+        "FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 2 = 0)), " +
+        "gb AS (SELECT DISTINCT CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h " +
+        "FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 2 = 1)), " +
+        "ska AS (SELECT h FROM ga ORDER BY h LIMIT 256), " +
+        "skb AS (SELECT h FROM gb ORDER BY h LIMIT 256), " +
+        "un AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) u ORDER BY h LIMIT 256), " +
+        "shared AS (SELECT count(*) AS c FROM un WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)) " +
+        "SELECT CAST((SELECT count(*) FROM un) AS BIGINT) AS k_union, " +
+        "CAST(shared.c AS BIGINT) AS n_shared, " +
+        "round(shared.c / CAST((SELECT count(*) FROM un) AS DOUBLE), 4) AS est_jaccard, " +
+        "round(((SELECT count(*) FROM ska) - 1.0) * 1152921504606846976.0 / (SELECT max(h) FROM ska), 4) AS est_distinct_a, " +
+        "round(((SELECT count(*) FROM skb) - 1.0) * 1152921504606846976.0 / (SELECT max(h) FROM skb), 4) AS est_distinct_b " +
+        "FROM shared"),
+
+    "q122_source_quota" ->
+      // same 32-bit md5 draw; ties (collisions) break by doc_id on both
+      // engines
+      ("WITH h AS (SELECT doc_id, source, CAST('0x' || substring(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rnk FROM h) " +
+        "SELECT doc_id, source, rnk FROM r WHERE rnk <= 10 ORDER BY source, rnk"),
+
+    "q123_dup_spectrum" ->
+      // doc-frequency histogram over the string grams themselves — per-doc
+      // distinct shingles make count(*) the doc count
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "dfreq AS (SELECT g, count(*) AS df FROM (SELECT doc_id, unnest(sh) AS g FROM sh) GROUP BY g), " +
+        "tot AS (SELECT count(*) AS n FROM dfreq) " +
+        "SELECT df, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "round(count(*) / CAST(tot.n AS DOUBLE), 4) AS share " +
+        "FROM dfreq, tot GROUP BY df, tot.n ORDER BY df"),
 
     "q117_distribution_drift" ->
       // same md5 bucket hash, full-spine smoothing; the sums run over all

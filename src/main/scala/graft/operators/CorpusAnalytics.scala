@@ -895,6 +895,97 @@ object CorpusAnalytics {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Corpus-overlap estimation WITHOUT a corpus-sized join: a k-minimum-
+    * values (KMV) sketch per corpus over hashed word n-grams (Bar-Yossef
+    * et al. 2002's distinct-value sketch; the Jaccard form is datasketches'
+    * theta-sketch intersection). Answers "how much does crawl B overlap
+    * crawl A?" before anyone pays for a full cross-corpus dedup: each side
+    * reduces to its k smallest distinct 60-bit gram hashes, the union
+    * sketch's shared fraction estimates Jaccard (stderr ~ sqrt(J(1-J)/k)),
+    * and (k-1)/U_k estimates each side's distinct-gram count.
+    *
+    * Per side the plan is: gram explode → hash → distinct (ONE exchange on
+    * a bare 8-byte key, with map-side partial agg collapsing repeats) →
+    * `TakeOrderedAndProject` (per-partition k-row heads merged on the
+    * driver — never a global sort). The sketches are bounded at k longs
+    * each by construction, so folding the two into the estimate row is a
+    * driver step under the same discipline as the k-means centroid
+    * literals ([[Similarity]]) and the Bloom bitmap. The estimate
+    * arithmetic ((|S|-1) * 2^60 / max(S), shared/|union|) is replicated
+    * exactly by the DuckDB oracle — 2^60 is a power of two, so every
+    * product and division is the same correctly-rounded IEEE op on both
+    * engines.
+    */
+  def corpusOverlapSketch(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String = "text",
+      n: Int = 3,
+      k: Int = 256): DataFrame = {
+    require(k > 1, "need a sketch of at least 2 values")
+    val spark = corpusA.sparkSession
+    val sketch = (d: DataFrame) => d
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(conv(substring(md5(col("g").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(k)
+      .collect().map(_.getLong(0))
+    val ska = sketch(corpusA)
+    val skb = sketch(corpusB)
+    if (ska.isEmpty || skb.isEmpty) {
+      // an empty side has no grams: overlap is 0, its distinct estimate 0
+      return spark.range(1).select(
+        lit(0L).as("k_union"), lit(0L).as("n_shared"),
+        lit(0.0).as("est_jaccard"),
+        lit(0.0).as("est_distinct_a"), lit(0.0).as("est_distinct_b"))
+    }
+    val union = (ska ++ skb).distinct.sorted.take(k)
+    val (sa, sb) = (ska.toSet, skb.toSet)
+    val shared = union.count(h => sa(h) && sb(h))
+    val two60 = 1152921504606846976.0 // 2^60, exact in double
+    spark.range(1).select(
+      lit(union.length.toLong).as("k_union"),
+      lit(shared.toLong).as("n_shared"),
+      round(lit(shared.toDouble / union.length), 4).as("est_jaccard"),
+      round(lit((ska.length - 1.0) * two60 / ska.last), 4).as("est_distinct_a"),
+      round(lit((skb.length - 1.0) * two60 / skb.last), 4).as("est_distinct_b"))
+  }
+
+  /** Corpus DUPLICATION SPECTRUM: the doc-frequency histogram of distinct
+    * word n-grams — for each df (number of distinct documents containing a
+    * gram), how many grams have it and their share of the gram vocabulary.
+    * The one-page answer to "how duplicated is this crawl, and is it a few
+    * template pages or corpus-wide boilerplate?" that sizes a dedup pass
+    * BEFORE running it (a long df tail ⇒ [[removeDuplicatedPassages]] has
+    * work to do; a df=1 spike ⇒ the corpus is already clean).
+    *
+    * Two hash aggs on compact keys: per-gram doc-frequency (shingles are
+    * per-doc distinct, so a plain count IS the doc count — no
+    * count(distinct) expansion), then the df histogram (at most
+    * |corpus| rows). Gram keys are xxhash64 longs (count-only use; the
+    * string-gram oracle pins the collision-free argument, q102's
+    * discipline). The vocabulary total rides a one-row broadcast.
+    */
+  def duplicationSpectrum(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val docFreq = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val total = docFreq.agg(count(lit(1)).as("_n"))
+    docFreq
+      .groupBy(col("df")).agg(count(lit(1)).as("n_grams"))
+      .crossJoin(broadcast(total))
+      .select(col("df"), col("n_grams"),
+        round(col("n_grams") / col("_n").cast("double"), 4).as("share"))
+  }
+
   def longestDuplicatedRun(
       docs: DataFrame,
       textCol: String = "text",

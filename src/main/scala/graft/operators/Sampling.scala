@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / dataset-split operators for training pipelines.
@@ -74,5 +75,69 @@ object Sampling {
       .withColumn("split_a", splitLabel(col("id_a"), trainPct))
       .withColumn("split_b", splitLabel(col("id_b"), trainPct))
       .filter(col("split_a") =!= col("split_b")) // invariant guard; free — pushdown already enforced it
+  }
+
+  /** Deterministic EPOCH SHUFFLE: assign every row a (shard, position)
+    * under a seeded pseudo-random global order — the reproducible
+    * "shuffle the corpus once per training epoch" step every data loader
+    * needs (seed+1 = next epoch's completely different order, same seed =
+    * byte-identical replay after a retry or on another engine; `rand()`
+    * gives neither, per the class scaladoc).
+    *
+    * The order key is a 60-bit md5 prefix of `seed:id` — engine-portable
+    * (the DuckDB oracle replays positions exactly) and uniform, so the
+    * `shards` partitions are balanced by construction (no skew salting
+    * needed, unlike any data-derived key). The plan is the write path
+    * itself: ONE hash exchange on the shard id + an in-shard sort — never
+    * a global sort. At 100 TB with shards sized to the target file count
+    * (tens of thousands), each shard sorts a uniform ~1/shards sliver in
+    * parallel, and `pos` is the batch index inside the shard's output
+    * file. (A window rank per shard, not a global `orderBy`: Spark would
+    * range-sample a global sort; partitioning by shard makes the exchange
+    * explicitly the hash exchange we want.)
+    */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      seed: Long = 42L,
+      shards: Int = 8): DataFrame = {
+    require(shards > 0, "need at least one shard")
+    val h = conv(substring(
+      md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))
+        .cast("binary")), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.select(col(idCol), h.as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Per-source QUOTA sampling: keep at most `quota` rows per group,
+    * chosen as a deterministic uniform sample (smallest 32-bit md5 of the
+    * row id first — an unbiased without-replacement draw that replays
+    * identically on every run and engine). The per-domain contribution
+    * cap a web-corpus pipeline applies so no single site dominates the
+    * training mix.
+    *
+    * Reuses [[GroupTopK]]: k-entry partial heaps per (partition, group),
+    * so the exchange carries at most `quota` rows per partition per
+    * source — a window `row_number` would shuffle and sort EVERY row of
+    * every group first. The 32-bit hash is exact as the heap's double
+    * score, and ties (hash collisions) break by ascending id on both the
+    * engine and the oracle, so collisions cannot reorder the answer.
+    */
+  def sourceQuota(
+      df: DataFrame,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      quota: Int = 10): DataFrame = {
+    require(quota > 0, "need a positive quota")
+    val h32 = conv(substring(
+      md5(concat(lit("q:"), col(idCol).cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+    GroupTopK.topK(
+      df.select(col(groupCol), col(idCol), h32.as("_h")),
+      Seq(groupCol), -col("_h").cast("double"), col(idCol), quota)
+      .select(col("id").as(idCol), col(groupCol), col("rnk"))
   }
 }

@@ -460,4 +460,51 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .filter($"contaminated").select("doc_id").as[Long].collect().toSet
     assert(got.contains(1L)) // still zero false negatives after the clamp
   }
+
+  test("corpusOverlapSketch: identical corpora 1.0, disjoint 0.0, estimate near exact") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val same = CorpusAnalytics.corpusOverlapSketch(even, even).head()
+    assert(same.getAs[Double]("est_jaccard") == 1.0)
+    val aSide = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val bSide = Seq((2L, "one two three four five six")).toDF("doc_id", "text")
+    val disj = CorpusAnalytics.corpusOverlapSketch(aSide, bSide).head()
+    assert(disj.getAs[Double]("est_jaccard") == 0.0)
+    // tolerance contract vs the exact distinct-gram Jaccard: KMV stderr at
+    // k=256 is sqrt(J(1-J)/256) ~ 0.027 here; 0.1 is a ~3.5 sigma band
+    val est = CorpusAnalytics.corpusOverlapSketch(even, odd)
+      .head().getAs[Double]("est_jaccard")
+    val gramsOf = (d: org.apache.spark.sql.DataFrame) => d
+      .filter(trim($"text") =!= "")
+      .select(explode(Dedup.shingles($"text", 3)).as("g")).distinct()
+    val ga = gramsOf(even).withColumnRenamed("g", "ga")
+    val gb = gramsOf(odd).withColumnRenamed("g", "gb")
+    val inter = ga.join(gb, $"ga" === $"gb").count().toDouble
+    val exact = inter / (ga.count() + gb.count() - inter)
+    assert(math.abs(est - exact) < 0.1, s"est $est vs exact $exact")
+    // the distinct-count estimates land within 20% of the true counts
+    val row = CorpusAnalytics.corpusOverlapSketch(even, odd).head()
+    val estA = row.getAs[Double]("est_distinct_a")
+    assert(math.abs(estA - ga.count()) / ga.count() < 0.2, s"est_distinct_a $estA")
+  }
+
+  test("duplicationSpectrum: hand case, shares sum to 1, mass equals pair count") {
+    val docs = Seq(
+      (1L, "a b c d"), // grams: "a b c", "b c d"
+      (2L, "a b c x") // grams: "a b c", "b c x"
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.duplicationSpectrum(docs)
+      .orderBy($"df").as[(Long, Long, Double)].collect().toSeq
+    // "a b c" in both docs (df=2); "b c d"/"b c x" in one each (df=1)
+    assert(got == Seq((1L, 2L, 0.6667), (2L, 1L, 0.3333)))
+    val corpus = Tables(spark, sf("sf0.01"), "documents")
+    val spec = CorpusAnalytics.duplicationSpectrum(corpus)
+      .as[(Long, Long, Double)].collect()
+    assert(math.abs(spec.map(_._3).sum - 1.0) < 0.01) // display rounding only
+    // sum(df * n_grams) must equal the total (doc, distinct-gram) pairs
+    val pairs = corpus.filter(trim($"text") =!= "")
+      .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("g")).count()
+    assert(spec.map(r => r._1 * r._2).sum == pairs)
+  }
 }

@@ -46,7 +46,9 @@ class PlanGuardSpec extends SparkSpec {
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
-      "crossJoin(broadcast(totals)): single-row token totals; the data side is the fixed buckets-row spine"
+      "crossJoin(broadcast(totals)): single-row token totals; the data side is the fixed buckets-row spine",
+    "q123_dup_spectrum" ->
+      "crossJoin(broadcast(vocab total)): single-row scalar against the (at most |corpus|-row) df histogram"
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin outside the exempt list") {

@@ -41,4 +41,55 @@ class SamplingSpec extends SparkSpec {
     val sameSide = Sampling.crossSplitLeakage(docs, threshold = 0.5, trainPct = 100)
     assert(sameSide.count() == 0)
   }
+
+  test("epochShuffle: complete permutation, deterministic, seed-sensitive, balanced") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val n = docs.count()
+    val shuffled = Sampling.epochShuffle(docs, seed = 42L, shards = 8)
+      .as[(Long, Long, Long)].collect()
+    // every doc appears exactly once
+    assert(shuffled.length == n)
+    assert(shuffled.map(_._1).distinct.length == n)
+    // positions are contiguous 1..count inside every shard (a loader can
+    // stream a shard file and trust the batch index)
+    shuffled.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.toSeq == (1L to rows.length).toSeq, s"shard $shard positions")
+    }
+    // same seed replays byte-identically; the next epoch's seed reorders
+    val again = Sampling.epochShuffle(docs, seed = 42L, shards = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == shuffled.sortBy(_._1).toSeq)
+    val epoch2 = Sampling.epochShuffle(docs, seed = 43L, shards = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(epoch2.sortBy(_._1).toSeq != shuffled.sortBy(_._1).toSeq)
+    // md5 keys keep the shards balanced (no shard over 2x the mean)
+    val sizes = shuffled.groupBy(_._2).values.map(_.length)
+    assert(sizes.max < 2.0 * n / 8, s"shard sizes $sizes")
+  }
+
+  test("sourceQuota: caps every group, keeps small groups whole, deterministic") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val kept = Sampling.sourceQuota(docs, quota = 10)
+      .as[(Long, String, Long)].collect()
+    val bySource = kept.groupBy(_._2)
+    val inputBySource = docs.select($"source", $"doc_id").as[(String, Long)]
+      .collect().groupBy(_._1)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"$src over quota")
+      assert(rows.length == math.min(10, inputBySource(src).length))
+      // kept ids are real members of the group
+      assert(rows.map(_._1).toSet.subsetOf(inputBySource(src).map(_._2).toSet))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // a group smaller than the quota survives intact
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val keptTiny = Sampling.sourceQuota(tiny, quota = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTiny == Set(1L, 2L, 3L))
+    // rerun is identical (deterministic draw, no rand())
+    val again = Sampling.sourceQuota(docs, quota = 10)
+      .as[(Long, String, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == kept.sortBy(_._1).toSeq)
+  }
 }
