@@ -69,6 +69,9 @@ object GraftSqlFunctions {
     ("misra_gries",
       "misra_gries(key, k) - heavy-hitters sketch aggregate: ~top-k keys with counts",
       (args: Seq[Expression]) => MisraGries(args(0), litInt(args(1), "misra_gries"))),
+    ("multi_match",
+      "multi_match(text, p1, p2, ...) - sorted subset of the literal patterns occurring in text (Aho-Corasick, one scan)",
+      (args: Seq[Expression]) => MultiMatch(args.head, litStrings(args.tail, "multi_match"))),
     ("sorted_intersect_count",
       "sorted_intersect_count(a, b) - |A∩B| of two sorted BIGINT arrays (merge scan)",
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),

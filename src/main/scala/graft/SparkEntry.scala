@@ -1158,6 +1158,49 @@ object SparkEntry {
         .orderBy(col("df"))
     }),
 
+    "q124_knn_centrality" -> ((s, dir) => {
+      // PageRank over the directed 3-NN cosine graph: which documents sit
+      // at the center of the similarity structure (coreset / crawl-
+      // prioritization signal). 5 fixed iterations, d = 0.85; the oracle
+      // replays the edge build and every iteration, so agreement at 4
+      // decimals pins the whole fixpoint. Mean-1 normalization keeps the
+      // display values O(1) at any corpus size.
+      val edges = operators.Graphs.knnEdges(Tables(s, dir, "embeddings"), k = 3)
+      operators.Graphs.pageRank(edges, iterations = 5, damping = 0.85, normalized = true)
+        .select(col("v").as("vec_id"), round(col("r"), 4).as("centrality"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q125_event_sequences" -> ((s, dir) => {
+      // training-sequence builder: each user's first 8 events in time
+      // order via bounded GroupTopK heaps (never a full window sort),
+      // with totals and the truncation flag joined back
+      operators.Sessions.eventSequences(Tables(s, dir, "events"), budget = 8)
+        .orderBy(col("user_id"), col("rnk"))
+    }),
+
+    "q126_weighted_sample" -> ((s, dir) => {
+      // quality-weighted corpus subsample: 100 docs drawn without
+      // replacement proportional to n_chars (Efraimidis-Spirakis keys on
+      // a seeded md5 draw — deterministic, retry-safe, engine-portable)
+      operators.Sampling.weightedSample(
+        Tables(s, dir, "documents"), k = 100, weightCol = "n_chars",
+        keep = Seq("source", "n_chars"))
+        .orderBy(col("rnk"))
+    }),
+
+    "q127_blocklist_match" -> ((s, dir) => {
+      // Aho-Corasick blocklist scan: every doc x matched watchword in ONE
+      // pass over the text regardless of pattern count (ILIKE ANY is
+      // O(patterns) scans); map-side only, exploded for the oracle
+      val pats = Seq("merge batch", "row scan", "window", "shuffle",
+        "stream fast", "big table", "sort key", "agg join")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(functions.MultiMatch.multi_match(col("text"), pats)).as("pattern"))
+        .orderBy(col("doc_id"), col("pattern"))
+    }),
+
     "q117_distribution_drift" -> ((s, dir) => {
       // snapshot drift monitor: even-id half vs odd-id half — near-
       // identical synthetic mixes, so KL/JS sit near 0; the test is the
@@ -1694,6 +1737,42 @@ object SparkEntry {
     * Omitted for non-SQL-expressible ops (LSH/simhash/rolling-hash/codec
     * stubs) -> driver records a rows-only check for those.
     */
+  /** q124's oracle, generated: exact 3-NN cosine edges, then `iters`
+    * unrolled PageRank rounds (DuckDB has recursive CTEs, but unrolling
+    * keeps every round's arithmetic explicit and engine-mirrored:
+    * (1-0.85)/N and 0.85 as doubles, dangling mass via a LEFT JOIN
+    * null-check, COALESCE(0) for nodes with no inbound edges).
+    */
+  private def q124OracleSql: String = {
+    val iters = 5
+    def l2(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val cos = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+      s"(${l2("a.embedding")} * ${l2("b.embedding")})"
+    val base =
+      s"WITH p AS (SELECT a.vec_id AS src, b.vec_id AS dst, $cos AS cos " +
+        "FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id), " +
+        "e AS (SELECT src, dst FROM (SELECT src, dst, " +
+        "row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM p) WHERE rn <= 3), " +
+        "n AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)), " +
+        "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n), " +
+        "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src), " +
+        "r0 AS (SELECT v, 1.0 / nn AS r FROM n CROSS JOIN cnt)"
+    val rounds = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s", c$i AS (SELECT e.dst AS v, sum($prev.r / od.od) AS c " +
+        s"FROM e JOIN od USING (src) JOIN $prev ON $prev.v = e.src GROUP BY e.dst)" +
+        s", d$i AS (SELECT COALESCE(sum($prev.r), CAST(0 AS DOUBLE)) AS dm " +
+        s"FROM $prev LEFT JOIN od ON $prev.v = od.src WHERE od.src IS NULL)" +
+        s", r$i AS (SELECT n.v, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn + " +
+        s"CAST(0.85 AS DOUBLE) * (COALESCE(c$i.c, CAST(0 AS DOUBLE)) + d$i.dm / nn) AS r " +
+        s"FROM n CROSS JOIN cnt CROSS JOIN d$i LEFT JOIN c$i ON c$i.v = n.v)"
+    }.mkString
+    base + rounds +
+      s" SELECT v AS vec_id, round(r * nn, 4) AS centrality FROM r$iters CROSS JOIN cnt ORDER BY vec_id"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_point_lookup" ->
       "SELECT event_id, event_type, value FROM events WHERE user_id = 7 ORDER BY event_id",
@@ -2468,6 +2547,43 @@ object SparkEntry {
         "SELECT df, CAST(count(*) AS BIGINT) AS n_grams, " +
         "round(count(*) / CAST(tot.n AS DOUBLE), 4) AS share " +
         "FROM dfreq, tot GROUP BY df, tot.n ORDER BY df"),
+
+    "q124_knn_centrality" ->
+      // full replay of the fixpoint: exact 3-NN edge build (q23's cosine
+      // idiom), then five unrolled PageRank rounds with the dangling-mass
+      // term mirrored; centrality = rank * N rounded at the END only, so
+      // both engines iterate on raw doubles
+      (q124OracleSql),
+
+    "q125_event_sequences" ->
+      // row_number over (ts, event_id) replays the heap order; totals via
+      // the count window
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk, " +
+        "count(*) OVER (PARTITION BY user_id) AS n_events FROM events) " +
+        "SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id, event_type, " +
+        "CAST(n_events AS BIGINT) AS n_events, n_events > 8 AS truncated " +
+        "FROM r WHERE rnk <= 8 ORDER BY user_id, rnk"),
+
+    "q126_weighted_sample" ->
+      // same 32-bit md5 draw and Efraimidis-Spirakis key arithmetic;
+      // adjacent key gaps are ~1e-8 minimum (ten orders above ulp), so
+      // selection and ranks agree
+      ("WITH h AS (SELECT doc_id, source, n_chars, " +
+        "CAST('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv " +
+        "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), " +
+        "k AS (SELECT doc_id, source, n_chars, " +
+        "ln((CAST(hv AS DOUBLE) + 1) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS key FROM h) " +
+        "SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rnk, " +
+        "doc_id, source, n_chars FROM k ORDER BY key DESC, doc_id LIMIT 100"),
+
+    "q127_blocklist_match" ->
+      // ground truth per pattern via contains(); list_sort mirrors the
+      // automaton's lexicographic output order
+      ("SELECT doc_id, unnest(list_sort(list_filter(" +
+        "['merge batch', 'row scan', 'window', 'shuffle', 'stream fast', 'big table', 'sort key', 'agg join'], " +
+        "p -> contains(text, p)))) AS pattern " +
+        "FROM documents ORDER BY doc_id, pattern"),
 
     "q117_distribution_drift" ->
       // same md5 bucket hash, full-spine smoothing; the sums run over all

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative fixpoint computations over edge lists — the graph family the
+  * corpus pipeline needs beyond connected components ([[Dedup.connectedComponents]]
+  * labels WHO is connected; centrality ranks who MATTERS inside the
+  * similarity / citation / link structure, the standard coreset- and
+  * crawl-prioritization signal).
+  *
+  * Everything here is edge-list dataflow: per-iteration cost is one
+  * equi-join of ranks against edges plus a hash aggregation on the
+  * destination — both shuffle on node ids only, never materializing a
+  * matrix. Iterations are FIXED-count (deterministic output, replayable by
+  * an oracle) rather than convergence-tested; production sweeps would wrap
+  * the loop with a drift check like [[Similarity.kmeansCentroids]] does.
+  */
+object Graphs {
+
+  /** Directed k-nearest-neighbor edges over an embedding table:
+    * src -> its k most cosine-similar other vectors.
+    *
+    * Two exact tiers, size-gated: while the table fits one broadcast page
+    * (`matrixRowLimit` rows of FLOAT vectors with BIGINT ids — the default
+    * 256k × 64 dims ≈ 64 MB, a bounded documented collect) the candidate
+    * set rides into every task as a [[graft.functions.NeighborMatrix]]
+    * literal and each row emits its k winners from ONE codegen'd scan —
+    * zero shuffles, no n²-row join intermediate, bit-identical scores (see
+    * MatrixTopK's scaladoc for the arithmetic-parity argument; GraphsSpec
+    * pins the tiers equal). Past the gate the generic broadcast
+    * batch-retrieval kernel runs ([[Similarity.topKPerQuery]] with the
+    * table as its own query set); at true corpus scale swap the candidate
+    * generator for [[Similarity.ivfTopKPerQuery]] (same output shape,
+    * bucket-pruned scan) and keep the downstream identical.
+    */
+  def knnEdges(
+      vectors: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      matrixRowLimit: Long = 1L << 18): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val typed = vectors.schema(idCol).dataType == LongType &&
+      (vectors.schema(vecCol).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+    if (typed && matrixRowLimit > 0 && vectors.count() <= matrixRowLimit) {
+      val rows = vectors.select(col(idCol), col(vecCol)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val dim = if (rows.isEmpty) 0 else rows.head._2.length
+      val matrix = new graft.functions.NeighborMatrix(
+        rows.map(_._1), rows.flatMap(_._2), math.max(dim, 1))
+      vectors
+        .select(col(idCol).as("src"),
+          explode(graft.functions.MatrixTopK.matrix_top_k(
+            col(vecCol), col(idCol), matrix, k)).as("h"))
+        .select(col("src"), col("h.id").as("dst"))
+    } else
+      Similarity
+        .topKPerQuery(
+          vectors,
+          vectors.select(col(idCol).as("query_id"), col(vecCol)),
+          k, vecCol, idCol)
+        .select(col("query_id").as("src"), col(idCol).as("dst"))
+  }
+
+  /** PageRank (Brin & Page 1998) over a directed edge list: fixed
+    * `iterations` rounds of r' = (1-d)/N + d·(Σ_in r/outdeg + danglingMass/N).
+    *
+    * Two tiers, size-gated like [[Dedup.connectedComponents]]: an explicit
+    * similarity/citation edge list is a sliver of the corpus, so when it
+    * fits one driver page (`localEdgeLimit`, default 1M edges ≈ 16 MB — a
+    * bounded, documented collect) the fixpoint runs in-process over arrays:
+    * one cached-scan count + one bounded collect, versus ~4 driver jobs PER
+    * ROUND of the distributed loop (contribution join, dangling aggregate,
+    * broadcast materialization, eager checkpoint — fixed cost that dwarfs
+    * the data at this size). Both tiers execute the identical arithmetic;
+    * only double-summation ORDER differs (hash-agg partition order vs array
+    * order), a sub-ulp-per-term effect the 4-decimal display rounding
+    * absorbs — GraphsSpec pins the tiers equal to 1e-12.
+    *
+    * Past the gate (or non-long ids, or `localEdgeLimit = 0` — specs force
+    * this to exercise the scale path): `nodes`/`outdeg` are computed once
+    * and persisted; each round is edges ⋈ ranks (equi-join on src, bare-id
+    * payloads) + one hash agg on dst + a LEFT join back to the node frame
+    * so rank mass reaches nodes with no inbound edges. Dangling mass (nodes
+    * with no OUTBOUND edges) is a one-row aggregate entering the plan as a
+    * broadcast — the centroid-literal discipline, never a driver-side
+    * collect of ranks. `localCheckpoint` per round truncates lineage so
+    * round t+1 reads materialized partitions instead of recomputing rounds
+    * 1..t twice (the dangling aggregate and the contribution join both
+    * consume ranks_t — an unpersisted plan would fork the whole prefix).
+    *
+    * Returns (v, rank); `normalized=true` rescales so the mean rank is 1
+    * (sum = N), the display-friendly centrality convention.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      normalized: Boolean = false,
+      localEdgeLimit: Long = 1L << 20): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    val longIds = e.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (localEdgeLimit > 0 && longIds && e.count() <= localEdgeLimit) {
+      val out = localPageRank(e.collect().map(r => (r.getLong(0), r.getLong(1))),
+        iterations, damping, normalized)
+      val spark = e.sparkSession
+      e.unpersist()
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("v", LongType, nullable = false),
+        StructField("r", DoubleType, nullable = false)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          out.toIndexedSeq.map { case (v, r) => org.apache.spark.sql.Row(v, r) },
+          math.max(1, math.min(32, out.length / 4096 + 1))),
+        schema)
+    }
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v")))
+      .distinct()
+      .persist()
+    val n = nodes.count().toDouble // bounded driver scalar: one long
+    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("od")).persist()
+
+    var ranks = nodes.select(col("v"), lit(1.0 / n).as("r")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(outdeg, "src")
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("r") / col("od")).as("c"))
+      val dangling = ranks
+        .join(outdeg, ranks("v") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+      ranks = nodes
+        .join(contribs, Seq("v"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("v"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("r"))
+        .localCheckpoint()
+    }
+    // the final ranks are materialized by the last localCheckpoint, so the
+    // cached inputs can go immediately
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    if (normalized) ranks.select(col("v"), (col("r") * lit(n)).as("r")) else ranks
+  }
+
+  /** In-process tier: same rounds, same terms, array-indexed. */
+  private def localPageRank(
+      es: Array[(Long, Long)],
+      iterations: Int,
+      damping: Double,
+      normalized: Boolean): Array[(Long, Double)] = {
+    val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length.toDouble
+    val src = es.map(e => idx(e._1))
+    val dst = es.map(e => idx(e._2))
+    val outdeg = new Array[Double](ids.length)
+    src.foreach(outdeg(_) += 1.0)
+    var ranks = Array.fill(ids.length)(1.0 / n)
+    for (_ <- 1 to iterations) {
+      val contrib = new Array[Double](ids.length)
+      var i = 0
+      while (i < src.length) {
+        contrib(dst(i)) += ranks(src(i)) / outdeg(src(i))
+        i += 1
+      }
+      var dm = 0.0
+      var j = 0
+      while (j < ids.length) {
+        if (outdeg(j) == 0.0) dm += ranks(j)
+        j += 1
+      }
+      ranks = Array.tabulate(ids.length)(v =>
+        (1.0 - damping) / n + damping * (contrib(v) + dm / n))
+    }
+    val scale = if (normalized) n else 1.0
+    ids.zip(ranks.map(_ * scale))
+  }
+}

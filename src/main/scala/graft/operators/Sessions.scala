@@ -119,4 +119,46 @@ object Sessions {
       .select(to_date(col("cohort_week")).as("cohort_week"),
         col("week_offset"), col("n_users"))
   }
+
+  /** Training-sequence builder: each user's first `budget` events in
+    * (ts, event_id) order — the "turn history → training example" step of a
+    * conversation / behavior-sequence pipeline, with the tail truncated at
+    * the context budget and the truncation recorded.
+    *
+    * NOT a window sort: `row_number` over (user ⨯ time) shuffles and sorts
+    * every event of every user to keep `budget` of them. [[GroupTopK]]'s
+    * bounded heaps carry at most `budget` rows per (partition, user), so
+    * the exchange is budget-bounded regardless of how long a user's history
+    * is. The heap score is the negated event-time in MICROSECONDS, exact in
+    * a double while |unix_micros| < 2^53 (year ~2255) — guarded in-plan via
+    * assert_true, ties broken by event id on both engines. The event-type
+    * join-back and per-user totals are equi-joins the small side of which
+    * is budget-bounded per user.
+    */
+  def eventSequences(
+      events: DataFrame,
+      budget: Int = 8,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(budget > 0, "need a positive budget")
+    val tsUs = unix_micros(col(tsCol))
+    // assert_true yields NULL when the invariant holds, so coalesce rides
+    // the guard on the score column itself (q111's discipline)
+    val score = coalesce(
+      assert_true(abs(tsUs) < lit(1L << 53),
+        lit("eventSequences: timestamp outside the exact-double micros range")).cast("double"),
+      -tsUs.cast("double"))
+    val top = GroupTopK.topK(
+      events.select(col(userCol), col(idCol), col(tsCol)),
+      Seq(userCol), score, col(idCol), budget)
+      .select(col(userCol), col("rnk"), col("id").as(idCol))
+    val counts = events.groupBy(col(userCol)).agg(count(lit(1)).as("n_events"))
+    top
+      .join(events.select(col(idCol), col(typeCol)), idCol)
+      .join(counts, userCol)
+      .select(col(userCol), col("rnk"), col(idCol), col(typeCol),
+        col("n_events"), (col("n_events") > budget).as("truncated"))
+  }
 }

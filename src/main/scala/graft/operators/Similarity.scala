@@ -330,6 +330,12 @@ object Similarity {
     * pass over the corpus; the shuffle after it is the k-bounded aggregate
     * above. This is the "retrieve nearest reference docs for each eval
     * prompt" pipeline op, and the ground-truth side of [[lshTopKPerQuery]].
+    *
+    * Norms are hoisted to the SIDES of the join (|C| + |Q| evaluations)
+    * instead of recomputed per pair (2·|C|·|Q|) — per-row `vector_norm`
+    * values are identical either way and the division is unchanged, so the
+    * scores stay bit-identical to the naive formulation (oracle parity);
+    * for a self-join kNN edge build this is ~2/3 of the pair flops gone.
     */
   def topKPerQuery(
       corpus: DataFrame,
@@ -338,11 +344,17 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id",
       queryIdCol: String = "query_id"): DataFrame = {
-    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-    val scored = corpus.crossJoin(broadcast(q))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("_qn"))
+    val denom = col("_cn") * col("_qn")
+    val scored = corpus.withColumn("_cn", norm(col(vecCol)))
+      .crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"),
-        struct(cosine(col(vecCol), col("qv")).as("score"), col(idCol).as("id")).as("p"))
+        struct(
+          when(denom === 0, lit(0.0))
+            .otherwise(dot(col(vecCol), col("qv")) / denom).as("score"),
+          col(idCol).as("id")).as("p"))
     rankTopK(scored, k, idCol)
   }
 

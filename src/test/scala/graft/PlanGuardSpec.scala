@@ -48,7 +48,9 @@ class PlanGuardSpec extends SparkSpec {
     "q117_distribution_drift" ->
       "crossJoin(broadcast(totals)): single-row token totals; the data side is the fixed buckets-row spine",
     "q123_dup_spectrum" ->
-      "crossJoin(broadcast(vocab total)): single-row scalar against the (at most |corpus|-row) df histogram"
+      "crossJoin(broadcast(vocab total)): single-row scalar against the (at most |corpus|-row) df histogram",
+    "q124_knn_centrality" ->
+      "crossJoin(broadcast(query set)) for the exact edge build (swap to IVF at scale) + one-row dangling-mass crossJoin per iteration"
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin outside the exempt list") {

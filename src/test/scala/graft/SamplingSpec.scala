@@ -92,4 +92,37 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String, Long)].collect()
     assert(again.sortBy(_._1).toSeq == kept.sortBy(_._1).toSeq)
   }
+
+  test("weightedSample: deterministic, weight-proportional, exact E-S keys") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val got = Sampling.weightedSample(docs, k = 100, weightCol = "n_chars",
+      keep = Seq("n_chars")).as[(Long, Long, Long)].collect()
+    assert(got.length == 100)
+    assert(got.map(_._1).sorted.toSeq == (1L to 100L).toSeq) // ranks dense
+    assert(got.map(_._2).distinct.length == 100) // without replacement
+    // replay is byte-identical (seeded md5 draw, no rand())
+    val again = Sampling.weightedSample(docs, k = 100, weightCol = "n_chars",
+      keep = Seq("n_chars")).as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    // selection matches an in-process replay of the E-S key arithmetic,
+    // including the boundary between rank 100 and the first dropped row
+    val all = docs.filter($"n_chars".isNotNull && $"n_chars" > 0)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    def key(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+      math.log((h.toDouble + 1) / 4294967296.0) / w.toDouble
+    }
+    val want = all.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k0) => (-k0, id) }.take(100).map(_._1)
+    assert(got.sortBy(_._1).map(_._2).toSeq == want.toSeq)
+    // weight-proportionality sanity: the sampled mean length clears the
+    // corpus mean by a wide margin (length-biased draw)
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > 1.1 * corpusMean,
+      s"sample mean $sampleMean vs corpus $corpusMean")
+  }
 }

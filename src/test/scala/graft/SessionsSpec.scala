@@ -86,4 +86,36 @@ class SessionsSpec extends SparkSpec {
     // offsets are non-negative and bounded by the data span
     assert(got.filter(col("week_offset") < 0).isEmpty)
   }
+
+  test("eventSequences: first-k in time order, heap rank == window rank") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:02"), 12L, "click"),
+      (1L, ts("2024-01-01 00:00:01"), 11L, "view"),
+      (1L, ts("2024-01-01 00:00:03"), 13L, "buy"),
+      // tie on ts -> event_id breaks it
+      (2L, ts("2024-01-01 05:00:00"), 21L, "view"),
+      (2L, ts("2024-01-01 05:00:00"), 20L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessions.eventSequences(ev, budget = 2)
+      .orderBy("user_id", "rnk")
+      .as[(Long, Long, Long, String, Long, Boolean)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 1L, 11L, "view", 3L, true),
+      (1L, 2L, 12L, "click", 3L, true),
+      (2L, 1L, 20L, "click", 2L, false),
+      (2L, 2L, 21L, "view", 2L, false)))
+    // agreement with the window formulation on real data
+    val events = Tables(spark, sf("sf0.01"), "events")
+    val heap = Sessions.eventSequences(events, budget = 8)
+      .select($"user_id", $"rnk", $"event_id")
+      .as[(Long, Long, Long)].collect().sorted
+    import org.apache.spark.sql.expressions.Window
+    val win = events
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")).cast("long"))
+      .filter($"rnk" <= 8)
+      .select($"user_id", $"rnk", $"event_id")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(heap.toSeq == win.toSeq)
+  }
 }
