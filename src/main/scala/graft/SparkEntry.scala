@@ -1201,6 +1201,72 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pattern"))
     }),
 
+    "q128_tfidf_keywords" -> ((s, dir) => {
+      // per-doc salient terms: smoothed tf-idf, top-5, lexicographic
+      // tie-break (equal-score ties at tf=1 are common — the window's
+      // string ordering is the reason this is not a GroupTopK heap)
+      operators.Ranking.tfidfKeywords(Tables(s, dir, "documents"), k = 5)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    "q129_bm25_search" -> ((s, dir) => {
+      // BM25 ranked retrieval for a fixed 4-term query: one map-side tf
+      // pass (terms live in the plan), one stats row broadcast back,
+      // left-associative term sum for bit parity, TakeOrderedAndProject
+      operators.Ranking.bm25Rank(Tables(s, dir, "documents"),
+        Seq("merge", "batch", "window", "stream"), topN = 20)
+        .orderBy(col("rnk"))
+    }),
+
+    "q130_snapshot_diff" -> ((s, dir) => {
+      // incremental-crawl bookkeeping: previous crawl lacked the %7 docs,
+      // the new one dropped the %9 docs and re-rendered the %5 docs — one
+      // full-outer id join over map-side fingerprints classifies every doc
+      val docs = Tables(s, dir, "documents")
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+      val cur = docs.filter(col("doc_id") % 9 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      operators.CorpusAnalytics.snapshotDiff(prev, cur)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q131_mmr_select" -> ((s, dir) => {
+      // MMR diversified retrieval: query = vec 0, distributed top-40
+      // candidate pool, greedy λ=0.7 refinement over the bounded pool; the
+      // oracle replays the pool build AND all 8 selection rounds
+      val emb = Tables(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      operators.Similarity.mmrSelect(
+        emb.filter(col("vec_id") =!= 0), qvec, k = 8, poolSize = 40)
+        .select(col("rnk"), col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("rnk"))
+    }),
+
+    "q132_personalized_pagerank" -> ((s, dir) => {
+      // trusted-seed expansion: relevance flows out from the %50 seed set
+      // along the 3-NN cosine graph — personalized PageRank, 5 rounds; the
+      // oracle replays the edge build, the seed normalization, and every
+      // (1-d)·p / dm·p term
+      val emb = Tables(s, dir, "embeddings")
+      val seeds = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val edges = operators.Graphs.knnEdges(emb, k = 3)
+      operators.Graphs.pageRank(edges, iterations = 5, damping = 0.85,
+        normalized = true, teleport = seeds)
+        .select(col("v").as("vec_id"), round(col("r"), 4).as("ppr"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q133_perplexity_bands" -> ((s, dir) => {
+      // CCNet head/middle/tail split on the corpus's own bigram LM: exact
+      // interpolated tercile cuts broadcast back, map-side band labels
+      operators.CorpusAnalytics.perplexityBands(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q117_distribution_drift" -> ((s, dir) => {
       // snapshot drift monitor: even-id half vs odd-id half — near-
       // identical synthetic mixes, so KL/JS sit near 0; the test is the
@@ -1751,26 +1817,130 @@ object SparkEntry {
       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
       s"(${l2("a.embedding")} * ${l2("b.embedding")})"
     val base =
-      s"WITH p AS (SELECT a.vec_id AS src, b.vec_id AS dst, $cos AS cos " +
+      s"WITH p AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst, $cos AS cos " +
         "FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id), " +
-        "e AS (SELECT src, dst FROM (SELECT src, dst, " +
+        "e AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst, " +
         "row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM p) WHERE rn <= 3), " +
-        "n AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)), " +
-        "cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n), " +
-        "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src), " +
-        "r0 AS (SELECT v, 1.0 / nn AS r FROM n CROSS JOIN cnt)"
+        "n AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)), " +
+        "cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n), " +
+        "od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src), " +
+        "r0 AS MATERIALIZED (SELECT v, 1.0 / nn AS r FROM n CROSS JOIN cnt)"
     val rounds = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
-      s", c$i AS (SELECT e.dst AS v, sum($prev.r / od.od) AS c " +
+      s", c$i AS MATERIALIZED (SELECT e.dst AS v, sum($prev.r / od.od) AS c " +
         s"FROM e JOIN od USING (src) JOIN $prev ON $prev.v = e.src GROUP BY e.dst)" +
-        s", d$i AS (SELECT COALESCE(sum($prev.r), CAST(0 AS DOUBLE)) AS dm " +
+        s", d$i AS MATERIALIZED (SELECT COALESCE(sum($prev.r), CAST(0 AS DOUBLE)) AS dm " +
         s"FROM $prev LEFT JOIN od ON $prev.v = od.src WHERE od.src IS NULL)" +
-        s", r$i AS (SELECT n.v, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn + " +
+        s", r$i AS MATERIALIZED (SELECT n.v, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn + " +
         s"CAST(0.85 AS DOUBLE) * (COALESCE(c$i.c, CAST(0 AS DOUBLE)) + d$i.dm / nn) AS r " +
         s"FROM n CROSS JOIN cnt CROSS JOIN d$i LEFT JOIN c$i ON c$i.v = n.v)"
     }.mkString
     base + rounds +
       s" SELECT v AS vec_id, round(r * nn, 4) AS centrality FROM r$iters CROSS JOIN cnt ORDER BY vec_id"
+  }
+
+  /** q129's oracle, generated: the term list, BM25 constants, and
+    * left-associative contribution sum are written once here and mirrored
+    * exactly (doubles print via shortest-repr in both builders).
+    */
+  private def q129OracleSql: String = {
+    val terms = Seq("merge", "batch", "window", "stream")
+    val (k1, b) = (1.2, 0.75)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ts, x -> x = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i").mkString(", ")
+    val contrib = terms.indices.map(i =>
+      s"(ln(1 + (s.n - s.df$i + 0.5) / (s.df$i + 0.5)) * " +
+        s"(CAST(tf$i AS DOUBLE) * ${k1 + 1}) / " +
+        s"(CAST(tf$i AS DOUBLE) + $k1 * (${1 - b} + $b * CAST(len AS DOUBLE) / s.avglen)))").mkString(" + ")
+    "WITH perdoc AS (SELECT doc_id, len(ts) AS len, " + tfCols + " FROM " +
+      "(SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
+      "FROM documents WHERE trim(text) <> '')), " +
+      "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+      "CAST(sum(len) AS DOUBLE) / count(*) AS avglen, " + dfCols + " FROM perdoc), " +
+      "scored AS (SELECT doc_id, " + contrib + " AS score FROM perdoc CROSS JOIN s) " +
+      "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk, " +
+      "doc_id, round(score, 4) AS score " +
+      "FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20"
+  }
+
+  /** q132's oracle, generated: q124's exact 3-NN edge build, then `iters`
+    * unrolled PERSONALIZED PageRank rounds — the restart distribution p
+    * concentrates on the seed predicate (v % 50 = 0), normalized over the
+    * seeds present in the graph, and every (1−d)·p / dm·p term is the
+    * runtime-computed double the engine side also computes.
+    */
+  private def q132OracleSql: String = {
+    val iters = 5
+    def l2(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val cos = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+      s"(${l2("a.embedding")} * ${l2("b.embedding")})"
+    val p = "(CASE WHEN n.v % 50 = 0 THEN CAST(1 AS DOUBLE) / sc.ns ELSE CAST(0 AS DOUBLE) END)"
+    val base =
+      s"WITH pr AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst, $cos AS cos " +
+        "FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id), " +
+        "e AS MATERIALIZED (SELECT src, dst FROM (SELECT src, dst, " +
+        "row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM pr) WHERE rn <= 3), " +
+        "n AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)), " +
+        "cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n), " +
+        "sc AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM n WHERE v % 50 = 0), " +
+        "od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src), " +
+        s"r0 AS MATERIALIZED (SELECT n.v, $p AS r FROM n CROSS JOIN sc)"
+    val rounds = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s", c$i AS MATERIALIZED (SELECT e.dst AS v, sum($prev.r / od.od) AS c " +
+        s"FROM e JOIN od USING (src) JOIN $prev ON $prev.v = e.src GROUP BY e.dst)" +
+        s", d$i AS MATERIALIZED (SELECT COALESCE(sum($prev.r), CAST(0 AS DOUBLE)) AS dm " +
+        s"FROM $prev LEFT JOIN od ON $prev.v = od.src WHERE od.src IS NULL)" +
+        s", r$i AS MATERIALIZED (SELECT n.v, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * $p + " +
+        s"CAST(0.85 AS DOUBLE) * (COALESCE(c$i.c, CAST(0 AS DOUBLE)) + d$i.dm * $p) AS r " +
+        s"FROM n CROSS JOIN cnt CROSS JOIN sc CROSS JOIN d$i LEFT JOIN c$i ON c$i.v = n.v)"
+    }.mkString
+    base + rounds +
+      s" SELECT v AS vec_id, round(r * nn, 4) AS ppr FROM r$iters CROSS JOIN cnt ORDER BY vec_id"
+  }
+
+  /** q131's oracle, generated: pool build (q124's cosine idiom), pairwise
+    * sims, then `k` unrolled greedy MMR rounds — each round is one
+    * correlated max over the selected-so-far set plus a LIMIT-1 argmax
+    * with the same (score desc, id) tie order the operator uses. λ and
+    * 1−λ print via shortest-repr from the SAME doubles the Scala side
+    * multiplies with, so every selection replays bit-exactly. Every CTE
+    * is MATERIALIZED: sel_i references sel_{i-1} three times, so inlined
+    * CTEs re-expand the whole prefix 3^k times and the query never
+    * finishes — materialization makes each round evaluate once.
+    */
+  private def q131OracleSql: String = {
+    val (k, pool, lambda) = (8, 40, 0.7)
+    def l2(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), " +
+        s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (${l2(a)} * ${l2(b)})"
+    val base =
+      "WITH qv AS MATERIALIZED (SELECT embedding AS q FROM embeddings WHERE vec_id = 0), " +
+        s"base AS MATERIALIZED (SELECT e.vec_id, e.embedding, ${cos("e.embedding", "qv.q")} AS rel " +
+        "FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0), " +
+        s"pool AS MATERIALIZED (SELECT * FROM base ORDER BY rel DESC, vec_id LIMIT $pool), " +
+        s"sim AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, ${cos("a.embedding", "b.embedding")} AS s " +
+        "FROM pool a JOIN pool b ON a.vec_id <> b.vec_id), " +
+        s"p1 AS MATERIALIZED (SELECT vec_id, $lambda * rel AS score FROM pool ORDER BY score DESC, vec_id LIMIT 1), " +
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM p1)"
+    val rounds = (2 to k).map { i =>
+      s", c$i AS MATERIALIZED (SELECT p.vec_id, $lambda * p.rel - ${1 - lambda} * " +
+        s"(SELECT max(s.s) FROM sim s JOIN sel${i - 1} t ON s.ib = t.vec_id " +
+        "WHERE s.ia = p.vec_id) AS score " +
+        s"FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1}))" +
+        s", p$i AS MATERIALIZED (SELECT vec_id, score FROM c$i ORDER BY score DESC, vec_id LIMIT 1)" +
+        s", sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM p$i)"
+    }.mkString
+    val union = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rnk, vec_id, score FROM p$i").mkString(" UNION ALL ")
+    s"$base$rounds SELECT rnk, vec_id, round(score, 4) AS score FROM ($union) ORDER BY rnk"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2584,6 +2754,68 @@ object SparkEntry {
         "['merge batch', 'row scan', 'window', 'shuffle', 'stream fast', 'big table', 'sort key', 'agg join'], " +
         "p -> contains(text, p)))) AS pattern " +
         "FROM documents ORDER BY doc_id, pattern"),
+
+    "q128_tfidf_keywords" ->
+      // tf and df from the same (doc, token) grain; identical smoothed-idf
+      // arithmetic; ties (equal tf, equal df -> bit-equal scores) break on
+      // the token string in both engines
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf), " +
+        "scored AS (SELECT tf.doc_id, tf.token, " +
+        "CAST(tf.tf AS DOUBLE) * (ln((n.n + 1) / (CAST(df.df AS DOUBLE) + 1)) + 1) AS score " +
+        "FROM tf JOIN df USING (token) CROSS JOIN n), " +
+        "r AS (SELECT doc_id, token, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk FROM scored) " +
+        "SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, round(score, 4) AS score " +
+        "FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk"),
+
+    "q129_bm25_search" ->
+      // same per-term tf from the token array, same one-row stats, and the
+      // SAME left-associative term-sum order — a hash-agg sum would
+      // reassociate and lose bit parity at the rank boundary
+      (q129OracleSql),
+
+    "q132_personalized_pagerank" ->
+      (q132OracleSql),
+
+    "q133_perplexity_bands" ->
+      // q115's bigram-LM CTEs verbatim (rounded ce), then quantile_cont
+      // tercile cuts (== Spark percentile, q113 precedent) and the same
+      // <= / > band comparisons; perdoc is MATERIALIZED because both the
+      // cuts and the final projection read it
+      ("WITH toks AS MATERIALIZED (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok, " +
+        "generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "bigrams AS MATERIALIZED (SELECT a.doc_id, a.tok AS w1, b.tok AS w2 " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "bc AS MATERIALIZED (SELECT w1, w2, count(*) AS cb FROM bigrams GROUP BY w1, w2), " +
+        "uc AS MATERIALIZED (SELECT w1, count(*) AS cu FROM bigrams GROUP BY w1), " +
+        "perdoc AS MATERIALIZED (SELECT doc_id, " +
+        "round(-avg(ln(CAST(cb AS DOUBLE) / cu)), 4) AS ce " +
+        "FROM bigrams JOIN bc USING (w1, w2) JOIN uc USING (w1) GROUP BY doc_id), " +
+        s"cuts AS MATERIALIZED (SELECT quantile_cont(ce, ${1.0 / 3}) AS c_lo, " +
+        s"quantile_cont(ce, ${2.0 / 3}) AS c_hi FROM perdoc) " +
+        "SELECT doc_id, ce AS cross_entropy, " +
+        "CASE WHEN ce <= c_lo THEN 'head' WHEN ce > c_hi THEN 'tail' ELSE 'middle' END AS band " +
+        "FROM perdoc CROSS JOIN cuts ORDER BY doc_id"),
+
+    "q130_snapshot_diff" ->
+      // same q15 normalized fingerprint on both sides of the full outer
+      // join; the %5 re-render and the %7/%9 crawl gaps replay exactly
+      ("WITH prev AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fa " +
+        "FROM documents WHERE doc_id % 7 <> 0), " +
+        "cur AS (SELECT doc_id, md5(regexp_replace(lower(trim(" +
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)), '\\s+', ' ', 'g')) AS fb " +
+        "FROM documents WHERE doc_id % 9 <> 0) " +
+        "SELECT doc_id, CASE WHEN fa IS NULL THEN 'added' WHEN fb IS NULL THEN 'removed' " +
+        "WHEN fa <> fb THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM prev FULL JOIN cur USING (doc_id) ORDER BY doc_id"),
+
+    "q131_mmr_select" ->
+      (q131OracleSql),
 
     "q117_distribution_drift" ->
       // same md5 bucket hash, full-spine smoothing; the sums run over all

@@ -1006,4 +1006,66 @@ object CorpusAnalytics {
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
         coalesce(col("longest_run"), lit(0L)).as("longest_run"))
   }
+
+  /** CCNet's perplexity band split (arXiv:1911.00359 §4.3): rank every
+    * document by its LM cross-entropy under the corpus's own bigram model
+    * ([[bigramCrossEntropy]]) and cut the corpus into head / middle / tail
+    * at the `lo` and `hi` quantiles — head (lowest perplexity) is the
+    * fluent band, tail is the noisy band that gets reviewed or dropped.
+    * Docs with no bigram signal (< 2 tokens) are excluded: they carry no
+    * evidence in either direction.
+    *
+    * The cuts are EXACT interpolated percentiles (`percentile` ==
+    * DuckDB's quantile_cont, the q113 precedent) computed as one
+    * aggregate row broadcast back — band assignment is a map-side
+    * comparison. The scored frame is persisted so the cut aggregate and
+    * the final projection share one pass over the bigram pipeline.
+    */
+  def perplexityBands(
+      docs: DataFrame,
+      lo: Double = 1.0 / 3,
+      hi: Double = 2.0 / 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(0 < lo && lo < hi && hi < 1, "need 0 < lo < hi < 1")
+    val ce = bigramCrossEntropy(docs, textCol, idCol)
+      .filter(col("n_bigrams") >= 1)
+      .persist()
+    val cuts = ce.agg(
+      percentile(col("cross_entropy"), lit(lo)).as("c_lo"),
+      percentile(col("cross_entropy"), lit(hi)).as("c_hi"))
+    ce.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("cross_entropy"),
+        when(col("cross_entropy") <= col("c_lo"), lit("head"))
+          .when(col("cross_entropy") > col("c_hi"), lit("tail"))
+          .otherwise(lit("middle")).as("band"))
+  }
+
+  /** Corpus snapshot diff — the incremental-crawl bookkeeping step: which
+    * documents were added, removed, changed, or left untouched between two
+    * crawls of the same id space. "Changed" compares the q15 normalized
+    * fingerprint ([[graft.functions.TextAnalysis.fingerprint]]), so
+    * whitespace/case-only churn does not show up as change.
+    *
+    * Scale shape: fingerprints are a map-side projection on each side
+    * (128-bit key, never the text), and the whole diff is ONE full-outer
+    * hash equi-join on the document id — the minimum possible exchange for
+    * the question; at 100 TB both sides bucket by id and the join is
+    * co-located.
+    */
+  def snapshotDiff(
+      prev: DataFrame,
+      cur: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fp = graft.functions.TextAnalysis.fingerprint _
+    val a = prev.select(col(idCol), fp(col(textCol)).as("_fa"))
+    val b = cur.select(col(idCol), fp(col(textCol)).as("_fb"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_fa").isNull, lit("added"))
+          .when(col("_fb").isNull, lit("removed"))
+          .when(col("_fa") =!= col("_fb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

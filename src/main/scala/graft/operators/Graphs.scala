@@ -95,6 +95,16 @@ object Graphs {
     *
     * Returns (v, rank); `normalized=true` rescales so the mean rank is 1
     * (sum = N), the display-friendly centrality convention.
+    *
+    * `teleport` non-empty makes it PERSONALIZED PageRank (Haveliwala,
+    * WWW 2002): the restart distribution concentrates on the seed set
+    * instead of uniform — p_v = 1/|S∩nodes| on seeds, 0 elsewhere; r₀ = p
+    * and each round is r' = (1−d)·p + d·(Σ_in r/outdeg + danglingMass·p).
+    * Relevance flows OUT from trusted seeds along similarity/link edges —
+    * the crawl-frontier-prioritization / trusted-subcorpus-expansion
+    * signal. The seed list is a plan literal (an `isin` predicate); seeds
+    * absent from the graph carry no mass. The uniform path keeps its own
+    * literal arithmetic ((1−d)/N, dm/N) so its oracle replays unchanged.
     */
   def pageRank(
       edges: DataFrame,
@@ -103,14 +113,15 @@ object Graphs {
       srcCol: String = "src",
       dstCol: String = "dst",
       normalized: Boolean = false,
-      localEdgeLimit: Long = 1L << 20): DataFrame = {
+      localEdgeLimit: Long = 1L << 20,
+      teleport: Seq[Long] = Nil): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
     val longIds = e.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
     if (localEdgeLimit > 0 && longIds && e.count() <= localEdgeLimit) {
       val out = localPageRank(e.collect().map(r => (r.getLong(0), r.getLong(1))),
-        iterations, damping, normalized)
+        iterations, damping, normalized, teleport)
       val spark = e.sparkSession
       e.unpersist()
       import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
@@ -130,7 +141,17 @@ object Graphs {
     val n = nodes.count().toDouble // bounded driver scalar: one long
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("od")).persist()
 
-    var ranks = nodes.select(col("v"), lit(1.0 / n).as("r")).localCheckpoint()
+    // restart distribution: uniform, or concentrated on the seed set; the
+    // uniform branch keeps its pre-folded literals ((1-d)/N, dm/N) so the
+    // two modes are arithmetically self-consistent with their oracles
+    val pcol =
+      if (teleport.isEmpty) lit(1.0 / n)
+      else {
+        val ns = nodes.filter(col("v").isin(teleport: _*)).count().toDouble
+        require(ns > 0, "no teleport seed is present in the graph")
+        when(col("v").isin(teleport: _*), lit(1.0 / ns)).otherwise(lit(0.0))
+      }
+    var ranks = nodes.select(col("v"), pcol.as("r")).localCheckpoint()
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(outdeg, "src")
@@ -140,12 +161,17 @@ object Graphs {
       val dangling = ranks
         .join(outdeg, ranks("v") === outdeg("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+      val next =
+        if (teleport.isEmpty)
+          lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))
+        else
+          lit(1.0 - damping) * pcol +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") * pcol)
       ranks = nodes
         .join(contribs, Seq("v"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("v"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("r"))
+        .select(col("v"), next.as("r"))
         .localCheckpoint()
     }
     // the final ranks are materialized by the last localCheckpoint, so the
@@ -159,7 +185,8 @@ object Graphs {
       es: Array[(Long, Long)],
       iterations: Int,
       damping: Double,
-      normalized: Boolean): Array[(Long, Double)] = {
+      normalized: Boolean,
+      teleport: Seq[Long] = Nil): Array[(Long, Double)] = {
     val ids = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
     val idx = ids.zipWithIndex.toMap
     val n = ids.length.toDouble
@@ -167,7 +194,15 @@ object Graphs {
     val dst = es.map(e => idx(e._2))
     val outdeg = new Array[Double](ids.length)
     src.foreach(outdeg(_) += 1.0)
-    var ranks = Array.fill(ids.length)(1.0 / n)
+    val seedSet = teleport.toSet
+    val p: Array[Double] =
+      if (teleport.isEmpty) Array.fill(ids.length)(1.0 / n)
+      else {
+        val ns = ids.count(seedSet.contains).toDouble
+        require(ns > 0, "no teleport seed is present in the graph")
+        ids.map(id => if (seedSet.contains(id)) 1.0 / ns else 0.0)
+      }
+    var ranks = p.clone()
     for (_ <- 1 to iterations) {
       val contrib = new Array[Double](ids.length)
       var i = 0
@@ -182,7 +217,10 @@ object Graphs {
         j += 1
       }
       ranks = Array.tabulate(ids.length)(v =>
-        (1.0 - damping) / n + damping * (contrib(v) + dm / n))
+        if (teleport.isEmpty)
+          (1.0 - damping) / n + damping * (contrib(v) + dm / n)
+        else
+          (1.0 - damping) * p(v) + damping * (contrib(v) + dm * p(v)))
     }
     val scale = if (normalized) n else 1.0
     ids.zip(ranks.map(_ * scale))

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance ranking over the corpus — the search surface beyond
+  * exact/ILIKE/trigram matching (reference README.rst:96-99 stops at
+  * pattern predicates): TF-IDF keyword extraction (per-doc salient terms
+  * for tagging/faceting) and BM25 ranked retrieval (Robertson & Walker
+  * 1994 — the standard probabilistic relevance function).
+  *
+  * Scale shape shared by both: tokenize map-side, aggregate on compact
+  * (doc, token) / token keys — the same vocabulary-keyed exchanges as the
+  * gram-dedup family — and keep corpus-level statistics as ONE-ROW
+  * broadcast frames entering the plan as a `crossJoin(broadcast(...))`
+  * (the q117/q123 scalar discipline; never a driver collect of per-doc
+  * state).
+  */
+object Ranking {
+
+  private def toks(textCol: String, idCol: String)(df: DataFrame): DataFrame =
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+
+  /** Top-k tokens per document by smoothed TF-IDF
+    * (score = tf · (ln((N+1)/(df+1)) + 1), the sklearn-smooth variant —
+    * the +1s keep every idf finite and positive on any corpus).
+    *
+    * tf and df derive from ONE (doc, token) aggregate: the tf frame's rows
+    * ARE the distinct (doc, token) pairs, so df is a second agg over it —
+    * no countDistinct shuffle of the raw token stream. The per-doc top-k
+    * is a window, deliberately NOT [[GroupTopK]]: score ties (equal tf,
+    * equal df — common at tf 1) must break LEXICOGRAPHICALLY to be
+    * engine-replayable, which the heap's double-encoded ordering cannot
+    * express; window partitions here are bounded by per-doc vocabulary
+    * (hundreds), not corpus size, so the sort is cheap and local.
+    */
+  def tfidfKeywords(
+      docs: DataFrame,
+      k: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "need a positive k")
+    val t = toks(textCol, idCol)(docs)
+    val tf = t.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"),
+        (col("tf").cast("double") *
+          (log((col("n") + lit(1.0)) / (col("df").cast("double") + lit(1.0))) +
+            lit(1.0))).as("score"))
+    scored
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("token"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("token"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** BM25 top-n documents for a literal term set (k1 = 1.2, b = 0.75, the
+    * conventional constants): score(d) = Σ_t idf_t · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·len/avglen)), idf_t = ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * One map-side pass computes every per-term tf from the token array
+    * (`filter(ts, = t)` — the term list is part of the PLAN, nothing
+    * joins), corpus stats (N, avglen, per-term df) are one aggregate row
+    * broadcast back, and the summation is LEFT-ASSOCIATIVE in term order
+    * on both engines — a per-(doc,term)-row hash agg would sum in
+    * partition order and lose bit parity. Top-n is `orderBy.limit` =
+    * TakeOrderedAndProject: per-partition heaps, k-row driver merge,
+    * never a global sort.
+    */
+  def bm25Rank(
+      docs: DataFrame,
+      terms: Seq[String],
+      topN: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val perdoc = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        split(lower(trim(col(textCol))), "\\s+").as("ts"))
+      .select(Seq(col(idCol), size(col("ts")).cast("long").as("len")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("ts"), x => x === lit(t))).cast("long").as(s"tf$i")
+        }: _*)
+    val statCols =
+      Seq(count(lit(1)).cast("double").as("n"),
+        (sum(col("len")).cast("double") / count(lit(1))).as("avglen")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = perdoc.agg(statCols.head, statCols.tail: _*)
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1 - b) + lit(b) * col("len").cast("double") / col("avglen")))
+    }
+    val scored = perdoc.crossJoin(broadcast(stats))
+      .select(col(idCol), contribs.reduce(_ + _).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topN)
+    scored
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+      .select(col("rnk"), col(idCol), round(col("score"), 4).as("score"))
+  }
+}

@@ -486,4 +486,88 @@ object Similarity {
         struct(cosine(col("dqvec"), col("qv")).as("score"), col(idCol).as("id")).as("p"))
     rankTopK(scored, k, idCol)
   }
+
+  // ---------------------------------------------------------- diversified
+
+  /** MMR diversified selection (Carbonell & Goldstein, SIGIR 1998): pick k
+    * results that are RELEVANT to the query but not redundant with each
+    * other — score(d) = λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s),
+    * greedily, ties by id. The "don't return 10 near-identical passages"
+    * step of retrieval, and a coreset-sampling primitive.
+    *
+    * Shape: candidate generation is distributed and k-bounded — exact
+    * cosine scoring map-side into `TakeOrderedAndProject` (per-partition
+    * heaps, poolSize-row driver merge; swap [[ivfTopKPerQuery]] in as the
+    * generator at corpus scale). The greedy refinement is inherently
+    * sequential (each pick conditions the next), so it runs in-process
+    * over the BOUNDED pool — poolSize·dim floats, a documented driver
+    * step like [[Dedup.connectedComponents]]' local tier — in O(k·pool)
+    * pairwise scores. All pair arithmetic is the float→double sequential
+    * dot/norm of [[graft.functions.ExprKernels]], so an oracle replaying
+    * the formula reproduces every selection bit-exactly.
+    *
+    * Returns (rnk 1..k, id, score) where score is the MMR objective at
+    * selection time (round 1: λ·rel — the max-sim term over an empty set
+    * is 0).
+    */
+  def mmrSelect(
+      corpus: DataFrame,
+      query: Seq[Float],
+      k: Int = 10,
+      poolSize: Int = 50,
+      lambda: Double = 0.7,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need k >= 1 and a pool at least k wide")
+    val spark = corpus.sparkSession
+    val qArr = array(query.map(lit(_)): _*)
+    val pool = corpus
+      .select(col(idCol), col(vecCol), cosine(col(vecCol), qArr).as("rel"))
+      .orderBy(col("rel").desc, col(idCol))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0) 0.0 else d / denom
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < math.min(k, pool.length)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      val selectedVecs = selected.map(s => pool.find(_._1 == s._1).get._2)
+      for (i <- remaining.indices) {
+        val (id, vec, rel) = remaining(i)
+        // true max over the selected set (can be negative — that's a
+        // diversity BONUS in standard MMR); empty set contributes 0
+        val maxSim =
+          if (selectedVecs.isEmpty) 0.0 else selectedVecs.map(cos(vec, _)).max
+        val score = lambda * rel - (1 - lambda) * maxSim
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          best = i; bestScore = score; bestId = id
+        }
+      }
+      selected += ((remaining(best)._1, bestScore))
+      remaining.remove(best)
+    }
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("rnk", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        selected.toIndexedSeq.zipWithIndex.map { case ((id, s), i) =>
+          org.apache.spark.sql.Row((i + 1).toLong, id, s)
+        }, 1),
+      schema)
+  }
 }

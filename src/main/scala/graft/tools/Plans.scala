@@ -48,7 +48,12 @@ object Plans {
     "q113_mad_outliers" -> "two sort-based grouped percentile aggregates over the compact (type, value) pair stream; the fences join back and outlier counting is one more hash agg — the fact table itself is never window-sorted",
     "q57_split_leakage" -> "the split tag is computed ONCE per doc and rides the band explode, so same-split collisions (~82%) drop BEFORE the pair distinct; shingle-array verify joins plan as ShuffledHashJoin (no sort ever touches array-payload rows)",
     "q115_bigram_ce" -> "positional bigrams generate map-side from the token array (no positions self-join anywhere in the plan); bigram and continuation counts partial-aggregate before their 8-byte-key exchanges; the ln/avg is a post-join projection into one per-doc hash agg",
-    "q116_importance_weights" -> "the corpus shuffles only by the 8-byte bucket id; both model sides reduce to fixed buckets-row count tables; totals and the exact interpolated median enter as one-row broadcasts — the keep decision is a map-side comparison"
+    "q116_importance_weights" -> "the corpus shuffles only by the 8-byte bucket id; both model sides reduce to fixed buckets-row count tables; totals and the exact interpolated median enter as one-row broadcasts — the keep decision is a map-side comparison",
+    "q124_knn_centrality" -> "the kNN edge build is ONE map-side MatrixTopK projection over the embeddings scan (the candidate matrix rides as an expression reference object — no n²-row join or shuffle before the explode); the in-process PageRank fixpoint re-enters as Scan ExistingRDD",
+    "q126_weighted_sample" -> "Efraimidis-Spirakis keys are a map-side projection; the global top-k plans as TakeOrderedAndProject (per-partition k-heaps, k-row driver merge — no global sort); the rank window runs over the already-reduced k rows",
+    "q127_blocklist_match" -> "multi_match evaluates inside WholeStageCodegen on the scan projection — ONE Aho-Corasick pass per row for the whole pattern set; nothing shuffles except the ordered output",
+    "q128_tfidf_keywords" -> "tf and df derive from one (doc, token) aggregate chain — exchanges carry compact token keys with map-side partials, the one-row N scalar broadcasts, and the per-doc top-k window sorts vocabulary-bounded partitions, never the corpus",
+    "q129_bm25_search" -> "every per-term tf is a map-side array projection (the query terms live in the plan); the one-row N/avglen/df stats aggregate broadcasts back; top-n plans as TakeOrderedAndProject"
   )
 
   def main(args: Array[String]): Unit = {

@@ -507,4 +507,38 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("g")).count()
     assert(spec.map(r => r._1 * r._2).sum == pairs)
   }
+
+  test("perplexityBands: bands are ce-ordered terciles, no-bigram docs excluded") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val got = CorpusAnalytics.perplexityBands(docs)
+      .as[(Long, Double, String)].collect()
+    val eligible = docs.filter(
+      size(split(lower(trim($"text")), "\\s+")) >= 2 && trim($"text") =!= "").count()
+    assert(got.length == eligible)
+    val byBand = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBand.keySet == Set("head", "middle", "tail"))
+    // bands partition the ce axis in order
+    assert(byBand("head").max <= byBand("middle").min)
+    assert(byBand("middle").max <= byBand("tail").min)
+    // tercile cuts keep the bands within a few percent of n/3
+    val n = got.length.toDouble
+    byBand.values.foreach(b =>
+      assert(math.abs(b.length - n / 3) < 0.05 * n, s"band size ${b.length} vs ${n / 3}"))
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged, normalization-blind") {
+    val prev = Seq(
+      (1L, "gone"), (2L, "same"), (3L, "old render"),
+      (5L, "Hello  World")
+    ).toDF("doc_id", "text")
+    val cur = Seq(
+      (2L, "same"), (3L, "new render"), (4L, "brand new"),
+      (5L, "hello world") // case/whitespace churn only
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.snapshotDiff(prev, cur)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "removed"), (2L, "unchanged"), (3L, "changed"),
+      (4L, "added"), (5L, "unchanged")))
+  }
 }

@@ -52,6 +52,38 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(local.values.sum / local.size - 1.0) < 1e-9)
   }
 
+  test("personalized pageRank: seeded hand case, mass conservation, tier equality") {
+    // seed {1}, one round from r0 = p = (1,0,0):
+    //   contrib(2) = r1/2 = 0.5; contrib(3) = r1/2 + r2 = 0.5; contrib(1) = r3 = 0
+    //   r' = 0.15·p + 0.85·contrib = (0.15, 0.425, 0.425)
+    val got = Graphs.pageRank(triangle, iterations = 1, teleport = Seq(1L))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 0.15) < 1e-12)
+    assert(math.abs(got(2L) - 0.425) < 1e-12)
+    assert(math.abs(got(3L) - 0.425) < 1e-12)
+    // rank mass stays 1 through many rounds (dangling × p redistribution)
+    val sink = Seq((1L, 2L), (3L, 2L), (3L, 1L)).toDF("src", "dst")
+    val deep = Graphs.pageRank(sink, iterations = 10, teleport = Seq(3L))
+      .as[(Long, Double)].collect()
+    assert(math.abs(deep.map(_._2).sum - 1.0) < 1e-9)
+    // tier equality on a real seeded graph
+    val edges = Graphs.knnEdges(Tables(spark, sf(), "embeddings"), k = 3)
+      .localCheckpoint()
+    val seeds = (0L to 450L by 50L)
+    val local = Graphs.pageRank(edges, iterations = 3, teleport = seeds)
+      .as[(Long, Double)].collect().toMap
+    val dist = Graphs.pageRank(edges, iterations = 3, teleport = seeds,
+      localEdgeLimit = 0L).as[(Long, Double)].collect().toMap
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (v, r) =>
+      assert(math.abs(r - dist(v)) < 1e-12, s"node $v: local $r vs dist ${dist(v)}")
+    }
+    // non-seed nodes with no inbound edges hold exactly zero mass
+    val hasIn = edges.as[(Long, Long)].collect().map(_._2).toSet
+    local.keySet.filter(v => !hasIn(v) && !seeds.contains(v))
+      .foreach(v => assert(local(v) == 0.0, s"node $v should be massless"))
+  }
+
   test("knnEdges: matrix tier == generic broadcast-join tier, exactly") {
     val emb = Tables(spark, sf(), "embeddings").localCheckpoint()
     val fast = Graphs.knnEdges(emb, k = 3).as[(Long, Long)].collect().sorted

@@ -50,7 +50,13 @@ class PlanGuardSpec extends SparkSpec {
     "q123_dup_spectrum" ->
       "crossJoin(broadcast(vocab total)): single-row scalar against the (at most |corpus|-row) df histogram",
     "q124_knn_centrality" ->
-      "crossJoin(broadcast(query set)) for the exact edge build (swap to IVF at scale) + one-row dangling-mass crossJoin per iteration"
+      "crossJoin(broadcast(query set)) for the exact edge build (swap to IVF at scale) + one-row dangling-mass crossJoin per iteration",
+    "q128_tfidf_keywords" ->
+      "crossJoin(broadcast(N)): single-row doc-count scalar; the data side is the (doc, token) tf frame",
+    "q129_bm25_search" ->
+      "crossJoin(broadcast(stats)): single-row N/avglen/df scalars, corpus side streams through map-side",
+    "q133_perplexity_bands" ->
+      "crossJoin(broadcast(cuts)): single-row tercile scalars; band labels are a map-side comparison"
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin outside the exempt list") {

@@ -154,4 +154,52 @@ class SimilaritySpec extends SparkSpec {
     val hits = quant.join(exact, Seq("query_id", "vec_id")).count()
     assert(hits >= 70, s"mean recall@10 ${hits / 100.0} below 0.7 floor")
   }
+
+  test("mmrSelect: redundancy penalty flips the pick a pure top-k makes") {
+    // a: most relevant; b: nearly a's duplicate, 2nd most relevant;
+    // c: mirrored across the query axis — diverse from a but nearly as
+    // relevant. Top-2 by relevance = (a, b); MMR pays b's redundancy
+    // (sim(a,b) ≈ 1 vs sim(a,c) ≈ 0.9) and picks c.
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.2f)),
+      (2L, Array(0.89f, 0.21f)),
+      (3L, Array(0.88f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(vecs, Seq(1.0f, 0.0f), k = 2,
+      poolSize = 3, lambda = 0.7).as[(Long, Long, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(1L, 3L))
+    // round 1 score is λ·rel(a)
+    assert(math.abs(got(0)._3 - 0.7 * 0.9 / math.sqrt(0.85)) < 1e-6)
+  }
+
+  test("mmrSelect: more diverse than plain top-k on the real corpus, deterministic") {
+    val emb = Tables(spark, sf(), "embeddings").localCheckpoint()
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .as[Array[Float]].head().toSeq
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val mmr = Similarity.mmrSelect(corpus, q, k = 8, poolSize = 40)
+      .as[(Long, Long, Double)].collect()
+    assert(mmr.length == 8 && mmr.map(_._1).toSeq == (1L to 8L))
+    val topk = Similarity.bruteForceTopK(corpus, q, 8)
+      .as[(Long, Double)].collect()
+    // rank 1 is the pure-relevance argmax in both
+    assert(mmr.head._2 == topk.head._1)
+    def cosOf(ids: Seq[Long]): Double = {
+      val m = emb.filter($"vec_id".isin(ids: _*))
+        .as[(Long, Array[Float], String)].collect().map(r => r._1 -> r._2).toMap
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length) yield {
+        val (a, b) = (m(ids(i)), m(ids(j)))
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (x <- a.indices) {
+          d += a(x).toDouble * b(x); na += a(x).toDouble * a(x); nb += b(x).toDouble * b(x)
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      ps.sum / ps.length
+    }
+    assert(cosOf(mmr.map(_._2).toSeq) <= cosOf(topk.map(_._1).toSeq) + 1e-12)
+    val again = Similarity.mmrSelect(corpus, q, k = 8, poolSize = 40)
+      .as[(Long, Long, Double)].collect()
+    assert(again.toSeq == mmr.toSeq)
+  }
 }
