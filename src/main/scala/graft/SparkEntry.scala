@@ -1267,6 +1267,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q136_kappa_agreement" -> ((s, dir) => {
+      // chance-corrected agreement between assigned labels and the kNN
+      // geometry vote (q134's prediction) — one contingency shuffle on
+      // compact label pairs, kappa near 0 documents that the synthetic
+      // labels carry little geometric signal (the audit's point)
+      val pred = operators.Graphs.labelConsistency(
+        Tables(s, dir, "embeddings"), k = 5)
+      operators.Normalize.cohenKappa(pred, "label", "predicted")
+    }),
+
+    "q134_label_noise" -> ((s, dir) => {
+      // kNN label-consistency screening: majority label of the 5 nearest
+      // neighbors vs the owner's — the mislabel/out-of-place first pass
+      // (and an "do labels follow the geometry?" audit)
+      operators.Graphs.labelConsistency(Tables(s, dir, "embeddings"), k = 5)
+        .orderBy(col("vec_id"))
+    }),
+
+    "q135_hard_negatives" -> ((s, dir) => {
+      // contrastive hard negatives: kNN pairs inside the [0.25, 0.35)
+      // cosine band — informative but below the near-dup zone; the band
+      // filters the k-bounded neighbor stream, never an all-pairs join
+      operators.Graphs.hardNegatives(Tables(s, dir, "embeddings"),
+        k = 5, lo = 0.25, hi = 0.35)
+        .orderBy(col("vec_id"), col("neg_id"))
+    }),
+
     "q117_distribution_drift" -> ((s, dir) => {
       // snapshot drift monitor: even-id half vs odd-id half — near-
       // identical synthetic mixes, so KL/JS sit near 0; the test is the
@@ -1864,6 +1891,21 @@ object SparkEntry {
       "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk, " +
       "doc_id, round(score, 4) AS score " +
       "FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20"
+  }
+
+  /** Shared exact-kNN edge CTE for the graph-family oracles (q134/q135):
+    * cosine scores kept on the edges, MATERIALIZED per the q131 lesson.
+    */
+  private def knnCosEdgeCte(k: Int): String = {
+    def l2(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val cos = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+      s"(${l2("a.embedding")} * ${l2("b.embedding")})"
+    s"WITH pr AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst, $cos AS cos " +
+      "FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id), " +
+      "e AS MATERIALIZED (SELECT src, dst, cos FROM (SELECT src, dst, cos, " +
+      s"row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM pr) WHERE rn <= $k)"
   }
 
   /** q132's oracle, generated: q124's exact 3-NN edge build, then `iters`
@@ -2780,6 +2822,47 @@ object SparkEntry {
 
     "q132_personalized_pagerank" ->
       (q132OracleSql),
+
+    "q136_kappa_agreement" ->
+      // q134's prediction pipeline verbatim, then the kappa arithmetic:
+      // integer marginal cross-products (order-exact), divisions once at
+      // the end, same 1-pe degenerate guard
+      (knnCosEdgeCte(5) +
+        ", votes AS MATERIALIZED (SELECT e.src, l.label, count(*) AS c " +
+        "FROM e JOIN embeddings l ON l.vec_id = e.dst GROUP BY e.src, l.label), " +
+        "win AS MATERIALIZED (SELECT src, label AS predicted FROM (SELECT src, label, " +
+        "row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM votes) WHERE rn = 1), " +
+        "base AS (SELECT o.label AS a, w.predicted AS b FROM embeddings o JOIN win w ON w.src = o.vec_id), " +
+        "ct AS MATERIALIZED (SELECT a, b, count(*) AS c FROM base GROUP BY a, b), " +
+        "st AS (SELECT sum(c) AS n, sum(CASE WHEN a = b THEN c ELSE 0 END) AS agree FROM ct), " +
+        "pe AS (SELECT COALESCE(sum(ma.ca * mb.cb), 0) AS pesum FROM " +
+        "(SELECT a, sum(c) AS ca FROM ct GROUP BY a) ma JOIN " +
+        "(SELECT b, sum(c) AS cb FROM ct GROUP BY b) mb ON ma.a = mb.b) " +
+        "SELECT CAST(st.n AS BIGINT) AS n, " +
+        "round(CAST(agree AS DOUBLE) / CAST(st.n AS DOUBLE), 4) AS po, " +
+        "round(CAST(pesum AS DOUBLE) / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)), 4) AS pe, " +
+        "CASE WHEN 1.0 - CAST(pesum AS DOUBLE) / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)) = 0 THEN 1.0 " +
+        "ELSE round((CAST(agree AS DOUBLE) / CAST(st.n AS DOUBLE) - CAST(pesum AS DOUBLE) / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE))) / " +
+        "(1.0 - CAST(pesum AS DOUBLE) / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE))), 4) END AS kappa " +
+        "FROM st, pe"),
+
+    "q134_label_noise" ->
+      // same 5-NN build with scores; the majority vote replays with the
+      // identical (count desc, label asc) argmax order
+      (knnCosEdgeCte(5) +
+        ", votes AS MATERIALIZED (SELECT e.src, l.label, count(*) AS c " +
+        "FROM e JOIN embeddings l ON l.vec_id = e.dst GROUP BY e.src, l.label), " +
+        "win AS (SELECT src, label AS predicted FROM (SELECT src, label, " +
+        "row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM votes) WHERE rn = 1) " +
+        "SELECT o.vec_id, o.label, w.predicted, o.label <> w.predicted AS noisy " +
+        "FROM embeddings o JOIN win w ON w.src = o.vec_id ORDER BY o.vec_id"),
+
+    "q135_hard_negatives" ->
+      // band filter on the same unrounded kNN cosines; 0.25/0.35 parse to
+      // the identical doubles the Spark filter compares against
+      (knnCosEdgeCte(5) +
+        " SELECT src AS vec_id, dst AS neg_id, round(cos, 4) AS cos FROM e " +
+        "WHERE cos >= 0.25 AND cos < 0.35 ORDER BY vec_id, neg_id"),
 
     "q133_perplexity_bands" ->
       // q115's bigram-LM CTEs verbatim (rounded ce), then quantile_cont

@@ -39,6 +39,19 @@ object Graphs {
       k: Int,
       vecCol: String = "embedding",
       idCol: String = "vec_id",
+      matrixRowLimit: Long = 1L << 18): DataFrame =
+    knnNeighbors(vectors, k, vecCol, idCol, matrixRowLimit)
+      .select(col("src"), col("dst"))
+
+  /** [[knnEdges]] with the evidence kept: (src, dst, cos, rnk 1..k). Same
+    * two tiers, same arithmetic — this is the shared kernel; `knnEdges`
+    * is its projection.
+    */
+  def knnNeighbors(
+      vectors: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
       matrixRowLimit: Long = 1L << 18): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
     val typed = vectors.schema(idCol).dataType == LongType &&
@@ -54,16 +67,74 @@ object Graphs {
         rows.map(_._1), rows.flatMap(_._2), math.max(dim, 1))
       vectors
         .select(col(idCol).as("src"),
-          explode(graft.functions.MatrixTopK.matrix_top_k(
-            col(vecCol), col(idCol), matrix, k)).as("h"))
-        .select(col("src"), col("h.id").as("dst"))
+          posexplode(graft.functions.MatrixTopK.matrix_top_k(
+            col(vecCol), col(idCol), matrix, k)))
+        .select(col("src"), col("col.id").as("dst"),
+          col("col.score").as("cos"), (col("pos") + 1).cast("long").as("rnk"))
     } else
       Similarity
         .topKPerQuery(
           vectors,
           vectors.select(col(idCol).as("query_id"), col(vecCol)),
           k, vecCol, idCol)
-        .select(col("query_id").as("src"), col(idCol).as("dst"))
+        .select(col("query_id").as("src"), col(idCol).as("dst"),
+          col("cos"), col("rnk"))
+  }
+
+  /** kNN label-consistency check (Wilson-editing / kNN label-noise
+    * screening): predict each vector's label as the MAJORITY label of its
+    * k nearest neighbors (ties: smaller label) and flag disagreement —
+    * the standard first pass for mislabeled / out-of-place examples, and
+    * an embedding-space "are the labels real?" audit (a high disagreement
+    * rate on a corpus says the labels carry little geometric signal).
+    *
+    * Shape: the neighbor build is [[knnNeighbors]] (map-side matrix scan
+    * under the gate); the vote is a (src, label) hash agg over ≤ k rows
+    * per node; the argmax window partitions hold at most k rows. One
+    * id-keyed equi-join brings neighbor labels in, one brings the
+    * prediction back to the owner.
+    */
+  def labelConsistency(
+      vectors: DataFrame,
+      k: Int = 5,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = knnNeighbors(vectors, k, vecCol, idCol)
+      .join(vectors.select(col(idCol).as("dst"), col(labelCol).as("_nl")), "dst")
+      .groupBy(col("src"), col("_nl"))
+      .agg(count(lit(1)).as("c"))
+    val predicted = votes
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("c").desc, col("_nl"))))
+      .filter(col("_rn") === 1)
+      .select(col("src").as(idCol), col("_nl").as("predicted"))
+    vectors.select(col(idCol), col(labelCol))
+      .join(predicted, idCol)
+      .select(col(idCol), col(labelCol), col("predicted"),
+        (col(labelCol) =!= col("predicted")).as("noisy"))
+  }
+
+  /** Hard-negative mining for contrastive training: each vector's
+    * neighbors inside a cosine band [lo, hi) — similar enough to be
+    * informative negatives, below the near-duplicate zone that would make
+    * them false negatives. The band filter runs on the k-bounded neighbor
+    * stream, so the output is at most k rows per anchor, never a
+    * threshold join over all pairs.
+    */
+  def hardNegatives(
+      vectors: DataFrame,
+      k: Int = 5,
+      lo: Double = 0.25,
+      hi: Double = 0.35,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(lo < hi, "need lo < hi")
+    knnNeighbors(vectors, k, vecCol, idCol)
+      .filter(col("cos") >= lo && col("cos") < hi)
+      .select(col("src").as(idCol), col("dst").as("neg_id"),
+        round(col("cos"), 4).as("cos"))
   }
 
   /** PageRank (Brin & Page 1998) over a directed edge list: fixed

@@ -73,4 +73,38 @@ object Normalize {
           lit(cut) * col("_mad"), 1L).otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** Cohen's kappa (Cohen 1960) between two label columns — chance-
+    * corrected agreement, the standard "are these two labelings actually
+    * consistent?" statistic for annotator pairs, model-vs-gold audits, or
+    * (q136) geometry-predicted vs assigned labels. One grounding row:
+    * (n, po, pe, kappa), kappa = (po − pe)/(1 − pe), conventionally 1
+    * when pe = 1 (degenerate single-class case).
+    *
+    * Shape: ONE shuffle builds the contingency table on compact
+    * (a, b) label keys — bounded by classes², not rows; observed/expected
+    * agreement and the marginal cross-product all derive from that tiny
+    * frame (integer count sums, exact in any order; divisions happen once
+    * at the end, so the oracle replays bit-for-bit).
+    */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val ct = df.groupBy(col(colA).as("_a"), col(colB).as("_b"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val stats = ct.agg(sum(col("c")).as("n"),
+      sum(when(col("_a") === col("_b"), col("c")).otherwise(lit(0L))).as("agree"))
+    val ma = ct.groupBy(col("_a")).agg(sum(col("c")).as("ca"))
+    val mb = ct.groupBy(col("_b")).agg(sum(col("c")).as("cb"))
+    val pe = ma.join(mb, ma("_a") === mb("_b"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pesum"))
+    val nd = col("n").cast("double")
+    val po = col("agree").cast("double") / nd
+    val pev = col("pesum").cast("double") / (nd * nd)
+    stats.crossJoin(broadcast(pe))
+      .select(col("n"),
+        round(po, 4).as("po"),
+        round(pev, 4).as("pe"),
+        when(lit(1.0) - pev === 0, lit(1.0))
+          .otherwise(round((po - pev) / (lit(1.0) - pev), 4)).as("kappa"))
+  }
 }

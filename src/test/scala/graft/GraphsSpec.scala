@@ -92,6 +92,37 @@ class GraphsSpec extends SparkSpec {
     assert(fast.toSeq == generic.toSeq)
   }
 
+  test("labelConsistency: majority vote, lexicographic tie-break, noisy flag") {
+    // 1,2,3 labeled a cluster together; 4 sits inside the cluster labeled b
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.99f, 0.1f), "a"),
+      (3L, Array(0.98f, -0.1f), "a"),
+      (4L, Array(0.97f, 0.05f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val got = Graphs.labelConsistency(vecs, k = 2)
+      .orderBy("vec_id").as[(Long, String, String, Boolean)].collect()
+    // node 4's neighbors are all 'a' -> flagged
+    assert(got(3) == (4L, "b", "a", true))
+    // nodes whose 2-NN include node 4 see an (a=1, b=1) tie -> 'a' wins
+    got.take(3).foreach { case (_, own, pred, noisy) =>
+      assert(own == "a" && pred == "a" && !noisy)
+    }
+  }
+
+  test("hardNegatives: exactly the kNN pairs inside the cosine band") {
+    val emb = Tables(spark, sf(), "embeddings").localCheckpoint()
+    val hn = Graphs.hardNegatives(emb, k = 5, lo = 0.25, hi = 0.35)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val manual = Graphs.knnNeighbors(emb, k = 5)
+      .as[(Long, Long, Double, Long)].collect()
+      .filter(r => r._3 >= 0.25 && r._3 < 0.35)
+      .map(r => (r._1, r._2, BigDecimal(r._3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(r => (r._1, r._2))
+    assert(hn.nonEmpty && hn.toSeq == manual.toSeq)
+  }
+
   test("knnEdges: k out-edges per node, no self-loops, neighbors are the cosine top-k") {
     val emb = Tables(spark, sf(), "embeddings").limit(50).localCheckpoint()
     val edges = Graphs.knnEdges(emb, k = 3).as[(Long, Long)].collect()

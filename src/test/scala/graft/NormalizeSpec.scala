@@ -25,4 +25,26 @@ class NormalizeSpec extends SparkSpec {
       .select("med", "mad", "n_outliers").as[(Double, Double, Long)].head()
     assert(got == ((7.0, 0.0, 0L)))
   }
+
+  test("cohenKappa: hand case, perfect agreement, degenerate single class") {
+    // A = (a,a,b,b), B = (a,b,b,b): po = 3/4, pe = (2·1 + 2·3)/16 = 1/2,
+    // kappa = (0.75 − 0.5)/0.5 = 0.5
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val got = Normalize.cohenKappa(df, "x", "y")
+      .as[(Long, Double, Double, Double)].head()
+    assert(got == ((4L, 0.75, 0.5, 0.5)))
+    // identical columns: kappa 1 (unless pe degenerates)
+    val same = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("x", "y")
+    assert(Normalize.cohenKappa(same, "x", "y")
+      .as[(Long, Double, Double, Double)].head()._4 == 1.0)
+    // one class on both sides: pe = 1, conventional kappa = 1
+    val degen = Seq(("a", "a"), ("a", "a")).toDF("x", "y")
+    assert(Normalize.cohenKappa(degen, "x", "y")
+      .as[(Long, Double, Double, Double)].head()._4 == 1.0)
+    // disjoint label sets: zero agreement, pe = 0, kappa = po = 0
+    val disj = Seq(("a", "b"), ("a", "b")).toDF("x", "y")
+    val d = Normalize.cohenKappa(disj, "x", "y")
+      .as[(Long, Double, Double, Double)].head()
+    assert(d._2 == 0.0 && d._3 == 0.0 && d._4 == 0.0)
+  }
 }

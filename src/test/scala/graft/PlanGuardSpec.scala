@@ -56,7 +56,9 @@ class PlanGuardSpec extends SparkSpec {
     "q129_bm25_search" ->
       "crossJoin(broadcast(stats)): single-row N/avglen/df scalars, corpus side streams through map-side",
     "q133_perplexity_bands" ->
-      "crossJoin(broadcast(cuts)): single-row tercile scalars; band labels are a map-side comparison"
+      "crossJoin(broadcast(cuts)): single-row tercile scalars; band labels are a map-side comparison",
+    "q136_kappa_agreement" ->
+      "crossJoin(broadcast(pe)): single-row expected-agreement scalar joined to the single-row observed stats"
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin outside the exempt list") {
