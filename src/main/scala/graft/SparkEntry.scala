@@ -1267,6 +1267,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q138_coreset_select" -> ((s, dir) => {
+      // facility-location coreset: 6 documents that best COVER the
+      // embedding space (submodular greedy, (1-1/e)-optimal); coverage is
+      // the objective after each pick — the diminishing-returns curve
+      operators.Similarity.coresetSelect(Tables(s, dir, "embeddings"), k = 6)
+        .select(col("rnk"), col("vec_id"), round(col("coverage"), 4).as("coverage"))
+        .orderBy(col("rnk"))
+    }),
+
+    "q137_quantile_norm" -> ((s, dir) => {
+      // cross-source quantile normalization of doc length onto the global
+      // distribution — one threshold means the same thing for every
+      // source; explicit rank-interpolation arithmetic on both engines
+      operators.Normalize.quantileNormalize(
+        Tables(s, dir, "documents"), "n_chars", "source")
+        .orderBy(col("doc_id"))
+    }),
+
     "q136_kappa_agreement" -> ((s, dir) => {
       // chance-corrected agreement between assigned labels and the kNN
       // geometry vote (q134's prediction) — one contingency shuffle on
@@ -1944,6 +1962,39 @@ object SparkEntry {
     }.mkString
     base + rounds +
       s" SELECT v AS vec_id, round(r * nn, 4) AS ppr FROM r$iters CROSS JOIN cnt ORDER BY vec_id"
+  }
+
+  /** q138's oracle, generated: full self-similarity table (self = 1),
+    * then `k` unrolled greedy facility-location rounds. Gains sum with
+    * list_reduce over id-ORDERED lists — explicitly sequential, matching
+    * the engine's ascending-id accumulation, because an aggregate SUM's
+    * order is engine-arbitrary and an argmax amplifies last-ulp drift.
+    */
+  private def q138OracleSql: String = {
+    val k = 6
+    def l2(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val cos = "list_sum(list_transform(list_zip(a.embedding, b.embedding), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / " +
+      s"(${l2("a.embedding")} * ${l2("b.embedding")})"
+    val base =
+      "WITH sim AS MATERIALIZED (SELECT a.vec_id AS c, b.vec_id AS v, " +
+        s"CASE WHEN a.vec_id = b.vec_id THEN CAST(1 AS DOUBLE) ELSE $cos END AS s " +
+        "FROM embeddings a CROSS JOIN embeddings b), " +
+        "g1 AS MATERIALIZED (SELECT c, list_reduce(list(s ORDER BY v), (x, y) -> x + y) AS gain FROM sim GROUP BY c), " +
+        "p1 AS MATERIALIZED (SELECT c, gain FROM g1 ORDER BY gain DESC, c LIMIT 1), " +
+        "sel1 AS MATERIALIZED (SELECT c FROM p1), " +
+        "cov1 AS MATERIALIZED (SELECT sim.v, max(sim.s) AS cov FROM sim JOIN sel1 ON sim.c = sel1.c GROUP BY sim.v)"
+    val rounds = (2 to k).map { i =>
+      s", g$i AS MATERIALIZED (SELECT sim.c, list_reduce(list(greatest(cov${i - 1}.cov, sim.s) ORDER BY sim.v), (x, y) -> x + y) AS gain " +
+        s"FROM sim JOIN cov${i - 1} ON cov${i - 1}.v = sim.v WHERE sim.c NOT IN (SELECT c FROM sel${i - 1}) GROUP BY sim.c)" +
+        s", p$i AS MATERIALIZED (SELECT c, gain FROM g$i ORDER BY gain DESC, c LIMIT 1)" +
+        s", sel$i AS MATERIALIZED (SELECT c FROM sel${i - 1} UNION ALL SELECT c FROM p$i)" +
+        s", cov$i AS MATERIALIZED (SELECT sim.v, max(sim.s) AS cov FROM sim JOIN sel$i ON sim.c = sel$i.c GROUP BY sim.v)"
+    }.mkString
+    val union = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rnk, c AS vec_id, gain FROM p$i").mkString(" UNION ALL ")
+    s"$base$rounds SELECT rnk, vec_id, round(gain, 4) AS coverage FROM ($union) ORDER BY rnk"
   }
 
   /** q131's oracle, generated: pool build (q124's cosine idiom), pairwise
@@ -2822,6 +2873,29 @@ object SparkEntry {
 
     "q132_personalized_pagerank" ->
       (q132OracleSql),
+
+    "q138_coreset_select" ->
+      (q138OracleSql),
+
+    "q137_quantile_norm" ->
+      // same per-source ranks (ties by id), same global rank table, and
+      // the same explicit g_lo + (g_hi - g_lo)·frac interpolation — no
+      // quantile aggregate on either side, so every double op is mirrored
+      ("WITH v AS MATERIALIZED (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS x " +
+        "FROM documents WHERE n_chars IS NOT NULL), " +
+        "srk AS MATERIALIZED (SELECT doc_id, source, x, " +
+        "row_number() OVER (PARTITION BY source ORDER BY x, doc_id) - 1 AS r, " +
+        "count(*) OVER (PARTITION BY source) AS ns FROM v), " +
+        "g AS MATERIALIZED (SELECT x AS gx, row_number() OVER (ORDER BY x, doc_id) - 1 AS gi FROM v), " +
+        "n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nn FROM v), " +
+        "m AS (SELECT doc_id, source, x, " +
+        "CASE WHEN ns = 1 THEN 0.5 ELSE CAST(r AS DOUBLE) / (ns - 1) END AS q FROM srk), " +
+        "p AS (SELECT doc_id, source, x, q * (nn - 1) AS pos, " +
+        "CAST(floor(q * (nn - 1)) AS BIGINT) AS li FROM m CROSS JOIN n) " +
+        "SELECT p.doc_id, p.source, p.x AS n_chars, " +
+        "round(glo.gx + (ghi.gx - glo.gx) * (p.pos - p.li), 4) AS normalized " +
+        "FROM p JOIN g glo ON glo.gi = p.li CROSS JOIN n " +
+        "JOIN g ghi ON ghi.gi = least(p.li + 1, nn - 1) ORDER BY p.doc_id"),
 
     "q136_kappa_agreement" ->
       // q134's prediction pipeline verbatim, then the kappa arithmetic:

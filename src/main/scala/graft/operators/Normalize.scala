@@ -74,6 +74,59 @@ object Normalize {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Cross-group quantile normalization (the microarray-era batch-effect
+    * correction, Bolstad 2003, applied to corpus curation): map each
+    * group's score distribution onto the GLOBAL score distribution by
+    * rank, so one quality threshold means the same thing for every source
+    * — a verbose source's inflated raw scores and a terse source's
+    * deflated ones land on a common scale before a single corpus-wide
+    * cut.
+    *
+    * Semantics: within each group, a value's quantile q = r/(n_g−1) (ties
+    * broken by id; singleton groups sit at q = 0.5); the normalized value
+    * is the global distribution's interpolated quantile at q, computed by
+    * the EXPLICIT rank-interpolation formula (g_lo + (g_hi − g_lo)·frac)
+    * on both engines rather than a quantile aggregate, so every double op
+    * is mirrored. Monotone within each group by construction.
+    *
+    * Shape: per-group rank windows run in parallel across groups; the
+    * global rank is ONE total-order sort — the scale bottleneck, which at
+    * 100 TB becomes a merged t-digest/KLL lookup table broadcast to the
+    * groups (the formula is unchanged, only g's construction). The
+    * corpus-size scalar is a bounded driver count like
+    * [[Graphs.pageRank]]'s N.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valueCol).cast("double").as("_x"))
+      .persist()
+    val n = v.count()
+    require(n > 0, "nothing to normalize")
+    val srk = v
+      .withColumn("_r", (row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("_x"), col(idCol))) - 1).cast("long"))
+      .withColumn("_ns", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val g = v.select(col("_x").as("_gx"),
+      (row_number().over(Window.orderBy(col("_x"), col(idCol))) - 1).cast("long").as("_gi"))
+    val q = when(col("_ns") === 1, lit(0.5))
+      .otherwise(col("_r").cast("double") / (col("_ns") - 1).cast("double"))
+    val pos = q * lit((n - 1).toDouble)
+    val withPos = srk.select(col(idCol), col(groupCol), col("_x"),
+      pos.as("_pos"), floor(pos).cast("long").as("_li"))
+    withPos
+      .join(g.withColumnRenamed("_gx", "_lo").withColumnRenamed("_gi", "_li"), "_li")
+      .join(g.select(col("_gx").as("_hi"),
+        col("_gi").as("_hi_i")), col("_hi_i") === least(col("_li") + 1, lit(n - 1)))
+      .select(col(idCol), col(groupCol), col("_x").as(valueCol),
+        round(col("_lo") + (col("_hi") - col("_lo")) *
+          (col("_pos") - col("_li").cast("double")), 4).as("normalized"))
+  }
+
   /** Cohen's kappa (Cohen 1960) between two label columns — chance-
     * corrected agreement, the standard "are these two labelings actually
     * consistent?" statistic for annotator pairs, model-vs-gold audits, or

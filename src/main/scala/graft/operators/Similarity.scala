@@ -510,6 +510,99 @@ object Similarity {
     * selection time (round 1: λ·rel — the max-sim term over an empty set
     * is 0).
     */
+  /** Facility-location coreset selection (Krause & Golovin 2014 survey;
+    * the submodular-maximization primitive behind "pick k documents that
+    * REPRESENT the corpus"): greedily maximize F(S) = Σ_v max_{s∈S}
+    * cos(v, s) — each pick is the example that best covers what the
+    * current set doesn't. Greedy is (1 − 1/e)-optimal by Nemhauser 1978;
+    * the returned `coverage` is the objective after each pick, so the
+    * diminishing-returns curve is part of the output.
+    *
+    * Shape: the candidate set is the corpus under `matrixRowLimit`
+    * (default 2048 — a 34 MB sim matrix, a documented bounded driver
+    * step); past the gate a deterministic md5-ordered subsample of that
+    * size stands in (stochastic-greedy: Mirzasoleiman 2015 — same greedy,
+    * sampled ground set). The n² cosine matrix is built ONCE in parallel
+    * across driver cores; every gain sum runs in ascending-id order so an
+    * oracle replaying with sequential list_reduce reproduces each pick
+    * bit-exactly.
+    */
+  def coresetSelect(
+      vectors: DataFrame,
+      k: Int = 6,
+      matrixRowLimit: Long = 1L << 11,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val spark = vectors.sparkSession
+    val base =
+      if (vectors.count() <= matrixRowLimit) vectors
+      else vectors.orderBy(
+        conv(substring(md5(concat(lit("coreset:"),
+          col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10),
+        col(idCol)).limit(matrixRowLimit.toInt)
+    val rows = base.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val n = rows.length
+    require(n >= 1, "empty candidate set")
+    val sims = Array.ofDim[Double](n, n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+      val (_, a) = rows(i)
+      sims(i)(i) = 1.0
+      var j = i + 1
+      while (j < n) {
+        val b = rows(j)._2
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var t = 0
+        while (t < a.length) {
+          val x = a(t).toDouble; val y = b(t).toDouble
+          d += x * y; na += x * x; nb += y * y; t += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        val s = if (denom == 0) 0.0 else d / denom
+        sims(i)(j) = s; sims(j)(i) = s
+        j += 1
+      }
+    }
+    val cov = Array.fill(n)(Double.NegativeInfinity)
+    val taken = new Array[Boolean](n)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    for (_ <- 1 to math.min(k, n)) {
+      var best = -1
+      var bestGain = Double.NegativeInfinity
+      for (c <- 0 until n if !taken(c)) {
+        var g = 0.0
+        var v = 0
+        while (v < n) { // ascending-id order: rows are id-sorted
+          val s = sims(c)(v)
+          g += (if (cov(v) > s) cov(v) else s)
+          v += 1
+        }
+        if (g > bestGain || (g == bestGain && (best < 0 || rows(c)._1 < rows(best)._1))) {
+          best = c; bestGain = g
+        }
+      }
+      taken(best) = true
+      var v = 0
+      while (v < n) {
+        if (sims(best)(v) > cov(v)) cov(v) = sims(best)(v)
+        v += 1
+      }
+      out += ((rows(best)._1, bestGain))
+    }
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("rnk", LongType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
+      StructField("coverage", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        out.toIndexedSeq.zipWithIndex.map { case ((id, g), i) =>
+          org.apache.spark.sql.Row((i + 1).toLong, id, g)
+        }, 1),
+      schema)
+  }
+
   def mmrSelect(
       corpus: DataFrame,
       query: Seq[Float],

@@ -53,7 +53,9 @@ object Plans {
     "q126_weighted_sample" -> "Efraimidis-Spirakis keys are a map-side projection; the global top-k plans as TakeOrderedAndProject (per-partition k-heaps, k-row driver merge — no global sort); the rank window runs over the already-reduced k rows",
     "q127_blocklist_match" -> "multi_match evaluates inside WholeStageCodegen on the scan projection — ONE Aho-Corasick pass per row for the whole pattern set; nothing shuffles except the ordered output",
     "q128_tfidf_keywords" -> "tf and df derive from one (doc, token) aggregate chain — exchanges carry compact token keys with map-side partials, the one-row N scalar broadcasts, and the per-doc top-k window sorts vocabulary-bounded partitions, never the corpus",
-    "q129_bm25_search" -> "every per-term tf is a map-side array projection (the query terms live in the plan); the one-row N/avglen/df stats aggregate broadcasts back; top-n plans as TakeOrderedAndProject"
+    "q129_bm25_search" -> "every per-term tf is a map-side array projection (the query terms live in the plan); the one-row N/avglen/df stats aggregate broadcasts back; top-n plans as TakeOrderedAndProject",
+    "q131_mmr_select" -> "the candidate pool is distributed cosine scoring into TakeOrderedAndProject (per-partition heaps, poolSize-row merge); the greedy MMR refinement enters as a bounded Scan ExistingRDD — no pairwise shuffle anywhere",
+    "q134_label_noise" -> "the 5-NN build is the map-side matrix scan; votes hash-aggregate at most k rows per node and the argmax window partitions are vote-bounded — the widest exchange carries (id, label) pairs"
   )
 
   def main(args: Array[String]): Unit = {

@@ -26,6 +26,37 @@ class NormalizeSpec extends SparkSpec {
     assert(got == ((7.0, 0.0, 0L)))
   }
 
+  test("quantileNormalize: groups with different scales land on one distribution") {
+    // A = (1,2,3), B = (10,20,30): same within-group quantiles, so both
+    // groups map onto the same global values (1, 6.5, 30) — pos 2.5
+    // interpolates g2=3 .. g3=10
+    val df = Seq(
+      (1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0),
+      (4L, "B", 10.0), (5L, "B", 20.0), (6L, "B", 30.0)
+    ).toDF("doc_id", "grp", "score")
+    val got = Normalize.quantileNormalize(df, "score", "grp")
+      .orderBy("doc_id").as[(Long, String, Double, Double)].collect()
+    assert(got.map(_._4).toSeq == Seq(1.0, 6.5, 30.0, 1.0, 6.5, 30.0))
+    // a singleton group maps to the global median position
+    val df2 = Seq((1L, "A", 5.0), (2L, "A", 7.0), (3L, "S", 100.0))
+      .toDF("doc_id", "grp", "score")
+    val s = Normalize.quantileNormalize(df2, "score", "grp")
+      .filter($"grp" === "S").as[(Long, String, Double, Double)].head()
+    // global sorted (5, 7, 100), q = 0.5 -> pos 1 -> exactly 7
+    assert(s._4 == 7.0)
+    // monotone within each group on real data
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val real = Normalize.quantileNormalize(docs, "n_chars", "source")
+      .as[(Long, String, Double, Double)].collect()
+    real.groupBy(_._2).values.foreach { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4, s"${a._1}->${b._1} not monotone")
+        case _ =>
+      }
+    }
+  }
+
   test("cohenKappa: hand case, perfect agreement, degenerate single class") {
     // A = (a,a,b,b), B = (a,b,b,b): po = 3/4, pe = (2·1 + 2·3)/16 = 1/2,
     // kappa = (0.75 − 0.5)/0.5 = 0.5

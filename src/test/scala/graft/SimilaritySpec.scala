@@ -155,6 +155,33 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 70, s"mean recall@10 ${hits / 100.0} below 0.7 floor")
   }
 
+  test("coresetSelect: covers both clusters, diminishing returns, deterministic") {
+    // two tight clusters: greedy must take one representative from EACH
+    // before a second from either
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(0.99f, 0.1f)),
+      (3L, Array(0.05f, 1.0f)), (4L, Array(0.1f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.coresetSelect(vecs, k = 2)
+      .as[(Long, Long, Double)].collect()
+    val picked = got.map(_._2).toSet
+    assert(picked.intersect(Set(1L, 2L)).size == 1 &&
+      picked.intersect(Set(3L, 4L)).size == 1, s"picked $picked")
+    // real corpus: coverage strictly grows, marginal gains shrink
+    val emb = Tables(spark, sf(), "embeddings").localCheckpoint()
+    val real = Similarity.coresetSelect(emb, k = 6).as[(Long, Long, Double)].collect()
+    assert(real.map(_._1).toSeq == (1L to 6L))
+    val cov = real.map(_._3)
+    cov.sliding(2).foreach { case Array(a, b) => assert(b > a); case _ => }
+    val marginals = cov.sliding(2).map { case Array(a, b) => b - a }.toSeq
+    marginals.sliding(2).foreach {
+      case Seq(m1, m2) => assert(m2 <= m1 + 1e-9, s"gain grew: $m1 -> $m2")
+      case _ =>
+    }
+    val again = Similarity.coresetSelect(emb, k = 6).as[(Long, Long, Double)].collect()
+    assert(again.toSeq == real.toSeq)
+  }
+
   test("mmrSelect: redundancy penalty flips the pick a pure top-k makes") {
     // a: most relevant; b: nearly a's duplicate, 2nd most relevant;
     // c: mirrored across the query axis — diverse from a but nearly as
