@@ -1267,6 +1267,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q139_pmi_collocations" -> ((s, dir) => {
+      // top-30 PMI collocations (adjacent-pair lift over unigram
+      // expectation): the phrase-mining pass before tokenizer training;
+      // ordering on the ROUNDED score so rank never hinges on ln ulps
+      operators.CorpusAnalytics.pmiCollocations(
+        Tables(s, dir, "documents"), k = 30, minCount = 5)
+    }),
+
+    "q140_bootstrap_ci" -> ((s, dir) => {
+      // per-source Poisson-bootstrap 95% CI on mean doc length — the
+      // shard-friendly bootstrap (Poisson(1) multiplicities from a seeded
+      // md5 draw, integer replica sums, rank-statistic band endpoints)
+      operators.CorpusAnalytics.bootstrapCI(
+        Tables(s, dir, "documents"), valueCol = "n_chars",
+        groupCol = "source", replicas = 200)
+        .orderBy(col("source"))
+    }),
+
+    "q141_vocab_growth" -> ((s, dir) => {
+      // Heaps'-law vocabulary growth over trigram shingles: new distinct
+      // grams per corpus decile + running vocab size — "does more crawl
+      // still buy new language?"; all-integer arithmetic end to end
+      operators.CorpusAnalytics.vocabularyGrowth(
+        Tables(s, dir, "documents"), buckets = 10, gramSize = 3)
+    }),
+
     "q138_coreset_select" -> ((s, dir) => {
       // facility-location coreset: 6 documents that best COVER the
       // embedding space (submodular greedy, (1-1/e)-optimal); coverage is
@@ -2876,6 +2902,67 @@ object SparkEntry {
 
     "q138_coreset_select" ->
       (q138OracleSql),
+
+    "q139_pmi_collocations" ->
+      // same tokenization, same left-associative double product chain and
+      // single ln; ordering on the rounded score, ties on the pair text
+      ("WITH tk AS MATERIALIZED (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "t -> length(t) > 0) AS ts FROM documents WHERE text IS NOT NULL), " +
+        "tn AS MATERIALIZED (SELECT ts, len(ts) AS n FROM tk), " +
+        "totals AS (SELECT sum(n) AS t_uni, sum(greatest(n - 1, 0)) AS t_bi FROM tn), " +
+        "uni AS MATERIALIZED (SELECT w, count(*) AS n_w FROM (SELECT unnest(ts) AS w FROM tn) GROUP BY w), " +
+        "bi AS (SELECT p[1] AS w1, p[2] AS w2 FROM (SELECT unnest(list_transform(range(1, n), " +
+        "i -> [ts[i], ts[i + 1]])) AS p FROM tn WHERE n >= 2)), " +
+        "bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY w1, w2 HAVING count(*) >= 5), " +
+        "scored AS (SELECT w1 || ' ' || w2 AS bigram, n_ab, " +
+        "round(ln((CAST(n_ab AS DOUBLE) * t_uni * t_uni) / (CAST(t_bi AS DOUBLE) * a.n_w * b.n_w)), 4) AS pmi " +
+        "FROM bc JOIN uni a ON a.w = bc.w1 JOIN uni b ON b.w = bc.w2 CROSS JOIN totals) " +
+        "SELECT * FROM (SELECT bigram, n_ab, pmi FROM scored ORDER BY pmi DESC, bigram LIMIT 30) " +
+        "ORDER BY pmi DESC, bigram"),
+
+    "q140_bootstrap_ci" ->
+      // same seeded md5 Poisson(1) inverse-CDF (hard decimal thresholds),
+      // BIGINT replica sums, one double division per mean, integer-rank
+      // band endpoints (ceil(.025*200)=5, ceil(.975*200)=195)
+      ("WITH base AS MATERIALIZED (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x " +
+        "FROM documents WHERE n_chars IS NOT NULL), " +
+        "obs AS (SELECT source, count(*) AS n_rows, " +
+        "round(CAST(sum(x) AS DOUBLE) / count(*), 4) AS mean_obs FROM base GROUP BY source), " +
+        "drawn AS MATERIALIZED (SELECT source, b, x, " +
+        "CASE WHEN u < 0.36787944117144233 THEN 0 WHEN u < 0.7357588823428847 THEN 1 " +
+        "WHEN u < 0.9196986029286058 THEN 2 WHEN u < 0.9810118431238462 THEN 3 " +
+        "WHEN u < 0.9963401531726563 THEN 4 WHEN u < 0.9994058151824183 THEN 5 " +
+        "WHEN u < 0.9999167588507119 THEN 6 WHEN u < 0.9999897508033253 THEN 7 " +
+        "WHEN u < 0.9999988747433402 THEN 8 WHEN u < 0.9999998885745217 THEN 9 ELSE 10 END AS k " +
+        "FROM (SELECT base.*, r.range AS b, " +
+        "(CAST(CAST('0x' || substring(md5('boot:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r.range AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0) / 4294967296.0 AS u " +
+        "FROM base CROSS JOIN range(0, 200) r)), " +
+        "reps AS MATERIALIZED (SELECT source, b, " +
+        "CAST(sum(k * x) AS DOUBLE) / CAST(sum(k) AS DOUBLE) AS m " +
+        "FROM drawn GROUP BY source, b HAVING sum(k) > 0), " +
+        "rk AS (SELECT source, m, row_number() OVER (PARTITION BY source ORDER BY m, b) AS r FROM reps), " +
+        "band AS (SELECT source, round(max(CASE WHEN r = 5 THEN m END), 4) AS ci_lo, " +
+        "round(max(CASE WHEN r = 195 THEN m END), 4) AS ci_hi FROM rk GROUP BY source) " +
+        "SELECT obs.source, n_rows, mean_obs, ci_lo, ci_hi " +
+        "FROM obs JOIN band ON obs.source = band.source ORDER BY obs.source"),
+
+    "q141_vocab_growth" ->
+      // same global row_number bucketing (floor of one double division),
+      // q102's trigram-shingle CTE, min-bucket first appearance,
+      // 10-row running sum
+      ("WITH d AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE trim(text) <> ''), " +
+        "nd AS (SELECT count(*) AS n_docs FROM d), " +
+        "bk AS MATERIALIZED (SELECT CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) * 10 / n_docs) AS INT) AS bucket, " +
+        "text FROM d CROSS JOIN nd), " +
+        "sh AS (SELECT bucket, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh FROM bk), " +
+        "fs AS (SELECT w, min(bucket) AS first_bucket FROM " +
+        "(SELECT bucket, unnest(sh) AS w FROM sh) GROUP BY w), " +
+        "nt AS (SELECT first_bucket AS bucket, count(*) AS new_tokens FROM fs GROUP BY first_bucket) " +
+        "SELECT bucket, new_tokens, CAST(sum(new_tokens) OVER (ORDER BY bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size FROM nt ORDER BY bucket"),
 
     "q137_quantile_norm" ->
       // same per-source ranks (ties by id), same global rank table, and

@@ -1068,4 +1068,188 @@ object CorpusAnalytics {
           .when(col("_fa") =!= col("_fb"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** Top-`k` PMI collocations (Church & Hanks 1990): adjacent word pairs
+    * that co-occur far more than their unigram frequencies predict —
+    * multi-word entities, idioms, and template phrases. The classic
+    * vocabulary-building / phrase-mining pass before tokenizer training
+    * (word2vec's phrase pass uses the same statistic).
+    *
+    * PMI = ln(p(ab) / (p(a)·p(b))) with p(ab) = n_ab/T_b, p(w) = n_w/T.
+    * The ratio is computed as one left-associative double product chain
+    * mirrored verbatim by the oracle, then a single ln; ordering uses the
+    * ROUNDED score (ties broken on the pair text) so rank never hinges on
+    * a last-ulp ln difference. `minCount` suppresses the unstable
+    * hapax-pair tail (classic PMI pathology: n_ab = 1 pairs of two rare
+    * words score highest).
+    *
+    * Scale shape: bigram and unigram streams each collapse into a hash
+    * aggregate directly above the generator (map-side combine — the token
+    * explosion never shuffles raw); the two count joins are word-keyed
+    * equi-joins AQE can broadcast when the surviving (n_ab ≥ minCount)
+    * side is small; T/T_b ride in as a one-row broadcast; the final
+    * top-k is TakeOrderedAndProject, never a global sort.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      k: Int = 30,
+      minCount: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val ts = tokens(col(textCol))
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(ts.as("ts"), size(ts).as("n"))
+      .persist() // unigram + bigram streams and the totals share one pass
+    val totals = toks.agg(
+      sum(col("n")).as("t_uni"),
+      sum(greatest(col("n") - 1, lit(0))).as("t_bi"))
+    val uni = toks
+      .select(explode(col("ts")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_w"))
+    val bi = toks.filter(col("n") >= 2)
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), col("n") - 1),
+        slice(col("ts"), lit(2), col("n") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val num = col("n_ab").cast("double") * col("t_uni") * col("t_uni")
+    val den = col("t_bi").cast("double") * col("n_a") * col("n_b")
+    bi
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(totals)) // one row: a broadcast scalar
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("n_ab"), round(log(num / den), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Per-group Poisson-bootstrap confidence interval for a mean (Chamandy
+    * et al. 2012 — THE bootstrap that works on sharded data): instead of
+    * resampling n-of-n (which needs the whole corpus in one place), each
+    * row enters replica b with multiplicity k ~ Poisson(1), drawn
+    * DETERMINISTICALLY from md5(seed, id, b) so retries and both engines
+    * agree. Reports the observed mean and the [2.5%, 97.5%] band of `b`
+    * replica means per group — the error bar a curation report puts on
+    * every per-source quality number.
+    *
+    * Exactness: the Poisson inverse-CDF thresholds are hard decimal
+    * literals (both engines parse them to identical doubles); replica
+    * sums are pure BIGINT (Σk·x, Σk — associative, engine-order-free);
+    * each mean is ONE double division; band endpoints are integer-rank
+    * order statistics (ceil(α·B)), not interpolated quantiles.
+    *
+    * Scale shape: the ×B fan-out happens map-side above a hash aggregate
+    * with partial combine, so the shuffle carries ≤ groups·B partial rows
+    * per partition, never docs·B; the rank windows run per group over
+    * exactly B rows.
+    */
+  def bootstrapCI(
+      docs: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      replicas: Int = 200,
+      idCol: String = "doc_id",
+      seed: String = "boot"): DataFrame = {
+    require(replicas >= 40, "need enough replicas for a 2.5% rank")
+    // cumulative P[X <= j] for Poisson(1), j = 0..9; beyond that k = 10.
+    // Hard literals (not exp(-1) arithmetic) so both engines share bits.
+    val cum = Seq(
+      0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+      0.9999167588507119, 0.9999897508033253, 0.9999988747433402,
+      0.9999998885745217)
+    val h32 = conv(substring(
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"),
+        lit(":"), col("b").cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val u = (h32.cast("double") + lit(1.0)) / lit(4294967296.0)
+    val kDraw = cum.zipWithIndex
+      .foldLeft(when(lit(false), lit(0))) { case (acc, (t, j)) =>
+        acc.when(u < t, j)
+      }
+      .otherwise(lit(10))
+    val base = docs
+      .filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        col(valueCol).cast("long").as("_x"))
+      .persist() // observed means and the replica fan-out share one scan
+    val observed = base.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("_x")).cast("double") / count(lit(1)), 4).as("mean_obs"))
+    val reps = base
+      .select(col(idCol), col(groupCol), col("_x"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("b"))
+      .select(col(groupCol), col("b"), col("_x"), kDraw.as("_k"))
+      .groupBy(col(groupCol), col("b"))
+      .agg(sum(col("_k") * col("_x")).as("_s1"), sum(col("_k")).as("_s0"))
+      .filter(col("_s0") > 0)
+      .select(col(groupCol), col("b"),
+        (col("_s1").cast("double") / col("_s0").cast("double")).as("_m"))
+    val loRank = math.ceil(0.025 * replicas).toLong
+    val hiRank = math.ceil(0.975 * replicas).toLong
+    val rk = row_number().over(
+      Window.partitionBy(col(groupCol)).orderBy(col("_m"), col("b")))
+    val band = reps
+      .withColumn("_rk", rk)
+      .groupBy(col(groupCol))
+      .agg(
+        round(max(when(col("_rk") === loRank, col("_m"))), 4).as("ci_lo"),
+        round(max(when(col("_rk") === hiRank, col("_m"))), 4).as("ci_hi"))
+    observed.join(band, groupCol :: Nil)
+      .select(col(groupCol), col("n_rows"), col("mean_obs"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Vocabulary-growth curve (Heaps' law, the sublinear vocab-vs-corpus
+    * relationship): split the corpus into `buckets` equal slices in
+    * document order and report how many NEVER-SEEN-BEFORE tokens each
+    * slice introduces, plus the running vocabulary size — the curve that
+    * says whether more crawl still buys new language or the corpus has
+    * saturated (and sizes a tokenizer's vocab before training one).
+    *
+    * All-integer arithmetic end to end. Each token's first appearance is
+    * a min-aggregate over its bucket ids; the curve is a 10-row window
+    * sum. The only full-width exchange is the (token → min bucket) hash
+    * aggregate, map-side combined above the explode; the doc→bucket map
+    * is rank·buckets/n on a global row_number — at 100 TB the ids are
+    * already epoch-ordered and the window collapses to an id-range bin.
+    */
+  def vocabularyGrowth(
+      docs: DataFrame,
+      buckets: Int = 10,
+      gramSize: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val base = docs.filter(trim(col(textCol)) =!= "")
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val bucketed = base
+      .withColumn("_r",
+        row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
+      .crossJoin(broadcast(nDocs)) // one row: a broadcast scalar
+      .select(
+        floor(col("_r") * buckets / col("n_docs")).cast("int").as("bucket"),
+        col(textCol))
+    // unit of vocabulary: single tokens, or the q15/q102 word shingles
+    // (distinct per doc — irrelevant for a min-bucket first appearance)
+    val unit =
+      if (gramSize == 1) explode(tokens(col(textCol)))
+      else explode(Dedup.shingles(col(textCol), gramSize))
+    val firstSeen = bucketed
+      .select(col("bucket"), unit.as("w"))
+      .groupBy(col("w"))
+      .agg(min(col("bucket")).as("first_bucket"))
+      .groupBy(col("first_bucket").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    firstSeen
+      .withColumn("vocab_size",
+        sum(col("new_tokens")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket"))
+  }
 }

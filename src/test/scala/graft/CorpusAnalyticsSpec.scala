@@ -526,6 +526,61 @@ class CorpusAnalyticsSpec extends SparkSpec {
       assert(math.abs(b.length - n / 3) < 0.05 * n, s"band size ${b.length} vs ${n / 3}"))
   }
 
+  test("pmiCollocations: planted pair tops the list, hapax pairs suppressed") {
+    // "new york" always adjacent; "a"/"b" frequent but independent; the
+    // rare pair "rare gem" co-occurs once and must fall under minCount
+    val docs = (1L to 40L).map { i =>
+      (i, s"new york a b a b a b new york" + (if (i == 1) " rare gem" else ""))
+    }.toDF("doc_id", "text")
+    val got = CorpusAnalytics.pmiCollocations(docs, k = 10, minCount = 5)
+      .as[(String, Long, Double)].collect()
+    assert(got.head._1 == "new york", s"top was ${got.head}")
+    assert(!got.exists(_._1 == "rare gem"))
+    // PMI of the planted pair: p(ab) certainty vs unigram product
+    assert(got.head._3 > got.last._3)
+    // deterministic under re-run
+    val again = CorpusAnalytics.pmiCollocations(docs, k = 10, minCount = 5)
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("bootstrapCI: band brackets the observed mean, deterministic") {
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val got = CorpusAnalytics
+      .bootstrapCI(docs, valueCol = "n_chars", groupCol = "source")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.length == docs.select("source").distinct().count())
+    got.foreach { case (src, n, mean, lo, hi) =>
+      assert(n > 0)
+      assert(lo <= hi, s"$src: lo $lo > hi $hi")
+      // a 95% band from 200 replicas must bracket the point estimate
+      assert(lo <= mean && mean <= hi, s"$src: [$lo, $hi] misses $mean")
+      // and be non-degenerate but far tighter than the value range
+      assert(hi - lo > 0 && hi - lo < mean, s"$src: width ${hi - lo}")
+    }
+    val again = CorpusAnalytics
+      .bootstrapCI(docs, valueCol = "n_chars", groupCol = "source")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("vocabularyGrowth: hand case — first appearances, cumulative size") {
+    // bucket 0 = docs 1..2, bucket 1 = docs 3..4 (4 docs, 2 buckets);
+    // doc 3 repeats doc 1's vocab, doc 4 adds one new word
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "alpha beta"), (4L, "delta")
+    ).toDF("doc_id", "text")
+    val got = CorpusAnalytics.vocabularyGrowth(docs, buckets = 2, gramSize = 1)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 3L, 3L), (1, 1L, 4L)))
+    // saturated corpus: every later bucket introduces nothing -> one row
+    val flat = Seq((1L, "x y"), (2L, "x y"), (3L, "y x"), (4L, "x")).toDF("doc_id", "text")
+    val sat = CorpusAnalytics.vocabularyGrowth(flat, buckets = 2, gramSize = 1)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(sat == Seq((0, 2L, 2L)))
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged, normalization-blind") {
     val prev = Seq(
       (1L, "gone"), (2L, "same"), (3L, "old render"),
