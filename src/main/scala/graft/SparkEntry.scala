@@ -1267,6 +1267,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q142_whitening_contract" -> ((s, dir) => {
+      // ZCA whitening's self-certifying contract: the whitened corpus
+      // must have identity covariance and zero mean (the DEFINING
+      // property — checkable without reproducing the eigenbasis);
+      // n_rows grounds the twin in data
+      operators.Similarity.whitenedIdentityCheck(Tables(s, dir, "embeddings"))
+    }),
+
     "q139_pmi_collocations" -> ((s, dir) => {
       // top-30 PMI collocations (adjacent-pair lift over unigram
       // expectation): the phrase-mining pass before tokenizer training;
@@ -2902,6 +2910,12 @@ object SparkEntry {
 
     "q138_coreset_select" ->
       (q138OracleSql),
+
+    "q142_whitening_contract" ->
+      // n_rows re-derived; identity-covariance and zero-mean booleans
+      // pinned TRUE (q101/q103 contract discipline)
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS identity_cov, " +
+        "TRUE AS mean_zero FROM embeddings"),
 
     "q139_pmi_collocations" ->
       // same tokenization, same left-associative double product chain and

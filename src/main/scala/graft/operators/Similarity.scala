@@ -663,4 +663,218 @@ object Similarity {
         }, 1),
       schema)
   }
+
+  // ----------------------------------------------------------- whitening
+
+  /** Corpus mean and population covariance of a vector column, as one
+    * distributed pass: each partition folds its rows into (n, Σx, Σxxᵀ)
+    * locally (`mapPartitions` justified — this is the treeAggregate
+    * moment-accumulation pattern, genuine per-partition imperative numeric
+    * work), ships ONE bounded row of d + d² doubles, and the driver
+    * combines partials in partition order (collect preserves it, so the
+    * double-addition order is deterministic for a given layout).
+    *
+    * At 100 TB the shuffle-free shape is exactly right: the map side does
+    * n·d² flops, the driver sees partitions·(d²+d+1) doubles — for d = 64
+    * that is 33 KB per partition regardless of row count.
+    */
+  private[graft] def covarianceStats(
+      df: DataFrame,
+      vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partials = df
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        var n = 0L
+        var s: Array[Double] = null
+        var ss: Array[Double] = null
+        it.foreach { v =>
+          val d = v.length
+          if (s == null) { s = new Array[Double](d); ss = new Array[Double](d * d) }
+          require(v.length == s.length, "ragged vector column")
+          n += 1
+          var i = 0
+          while (i < d) {
+            val xi = v(i)
+            s(i) += xi
+            var j = 0
+            val row = i * d
+            while (j < d) { ss(row + j) += xi * v(j); j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty else Iterator.single((n, s.toSeq, ss.toSeq))
+      }
+      .collect()
+    require(partials.nonEmpty, "no vectors to fit")
+    val d = partials.head._2.length
+    val s = new Array[Double](d)
+    val ss = new Array[Double](d * d)
+    var n = 0L
+    partials.foreach { case (pn, psRaw, pssRaw) =>
+      val ps = psRaw.toArray; val pss = pssRaw.toArray
+      require(ps.length == d, "ragged vector column")
+      n += pn
+      var i = 0
+      while (i < d) { s(i) += ps(i); i += 1 }
+      var k = 0
+      while (k < d * d) { ss(k) += pss(k); k += 1 }
+    }
+    val mu = Array.tabulate(d)(i => s(i) / n)
+    val cov = Array.tabulate(d, d)((i, j) => ss(i * d + j) / n - mu(i) * mu(j))
+    (n, mu, cov)
+  }
+
+  /** Eigen-decomposition of a symmetric matrix by cyclic Jacobi rotations
+    * (Golub & Van Loan §8.5) — deterministic sweep order, so the same
+    * input always yields the same factorization. Returns (eigenvalues,
+    * V) with A = V·diag(λ)·Vᵀ, V(i)(k) = component i of eigenvector k.
+    * Driver-side on a d×d matrix — bounded work, like the k-means
+    * centroid fold.
+    */
+  private[graft] def jacobiEigen(
+      aIn: Array[Array[Double]],
+      maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = Array.tabulate(d, d)((i, j) => aIn(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm(): Double = {
+      var acc = 0.0
+      var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) { acc += 2 * a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      math.sqrt(acc)
+    }
+    var sweep = 0
+    while (offNorm() > 1e-12 && sweep < maxSweeps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1))
+              case sg  => sg / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val sn = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sn * vkq
+              v(k)(q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** ZCA whitening of an embedding column (Bell & Sejnowski 1997; the
+    * "sphere the embedding space" post-processing that equalizes
+    * per-direction variance before cosine retrieval or clustering —
+    * dominant directions stop drowning out the rest). Fits y = W(x − μ)
+    * with W = V·diag(1/√(λ+eps))·Vᵀ from the corpus covariance, then
+    * applies it map-side: the fit is one shuffle-free moment pass
+    * ([[covarianceStats]]) + a driver-side d×d Jacobi eigendecomposition,
+    * and the transform rides into the plan as ONE literal reference
+    * object ([[graft.functions.AffineWhitener]]) — nothing joins, the
+    * apply is a codegen'd map.
+    *
+    * ZCA (not plain PCA whitening) because it is the unique whitening
+    * closest to the identity — whitened coordinates stay aligned with the
+    * original axes. `eps` regularizes near-null directions; whitening is
+    * meaningful when n ≫ d (rank-deficient dims collapse to ~0 instead
+    * of exploding).
+    */
+  def whitenEmbeddings(
+      vectors: DataFrame,
+      eps: Double = 1e-9,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val (n, mu, cov) = covarianceStats(vectors, vecCol)
+    require(n > 1, "need at least two vectors to whiten")
+    val d = mu.length
+    val (evals, evecs) = jacobiEigen(cov)
+    val inv = evals.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
+    val w = new Array[Double](d * d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < d) {
+        var acc = 0.0
+        var k = 0
+        while (k < d) { acc += evecs(i)(k) * inv(k) * evecs(j)(k); k += 1 }
+        w(i * d + j) = acc
+        j += 1
+      }
+      i += 1
+    }
+    val whitener = new graft.functions.AffineWhitener(mu, w, d)
+    vectors.select(col(idCol),
+      graft.functions.WhitenVec.whiten_vec(col(vecCol), whitener).as("whitened"))
+  }
+
+  /** q142's self-certifying contract: whitening's DEFINING property is
+    * that the whitened corpus has identity covariance and zero mean —
+    * both directly checkable without reproducing the eigenbasis. Re-runs
+    * the same moment pass over the whitened output and pins
+    * max|Cov − I| and max|mean| under `tol`; the oracle re-derives
+    * n_rows and expects both booleans TRUE.
+    */
+  def whitenedIdentityCheck(
+      vectors: DataFrame,
+      tol: Double = 1e-5,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = vectors.sparkSession
+    val whitened = whitenEmbeddings(vectors, vecCol = vecCol, idCol = idCol).persist()
+    val (n, mu2, cov2) = covarianceStats(whitened, "whitened")
+    val d = mu2.length
+    var devCov = 0.0
+    var devMean = 0.0
+    var i = 0
+    while (i < d) {
+      devMean = math.max(devMean, math.abs(mu2(i)))
+      var j = 0
+      while (j < d) {
+        val target = if (i == j) 1.0 else 0.0
+        devCov = math.max(devCov, math.abs(cov2(i)(j) - target))
+        j += 1
+      }
+      i += 1
+    }
+    whitened.unpersist()
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("n_rows", LongType, nullable = false),
+      StructField("identity_cov", BooleanType, nullable = false),
+      StructField("mean_zero", BooleanType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(n, devCov < tol, devMean < tol)), 1),
+      schema)
+  }
 }

@@ -229,4 +229,52 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(again.toSeq == mmr.toSeq)
   }
+
+  test("jacobiEigen: hand case, reconstruction, orthonormal basis") {
+    val a = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val (evals, v) = Similarity.jacobiEigen(a)
+    assert(evals.sorted.zip(Seq(1.0, 3.0)).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+    // A = V diag(l) V^T and V^T V = I
+    for (i <- 0 until 2; j <- 0 until 2) {
+      val rec = (0 until 2).map(k => v(i)(k) * evals(k) * v(j)(k)).sum
+      assert(math.abs(rec - a(i)(j)) < 1e-12)
+      val dot = (0 until 2).map(k => v(k)(i) * v(k)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-12)
+    }
+  }
+
+  test("whitenEmbeddings: correlated synthetic decorrelates to identity") {
+    // two strongly correlated dims + one independent
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 400L).map { i =>
+      val x = rnd.nextGaussian(); val e = rnd.nextGaussian() * 0.1
+      (i, Array((3 * x).toFloat, (x + e).toFloat, rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (_, _, covRaw) = Similarity.covarianceStats(df, "embedding")
+    assert(math.abs(covRaw(0)(1)) > 1.0, "raw dims must be correlated for the test to bite")
+    val wt = Similarity.whitenEmbeddings(df, vecCol = "embedding").persist()
+    assert(wt.count() == 400)
+    val (_, mu2, cov2) = Similarity.covarianceStats(wt, "whitened")
+    for (i <- 0 until 3) {
+      assert(math.abs(mu2(i)) < 1e-9)
+      for (j <- 0 until 3) {
+        val t = if (i == j) 1.0 else 0.0
+        assert(math.abs(cov2(i)(j) - t) < 1e-6, s"cov($i)($j) = ${cov2(i)(j)}")
+      }
+    }
+    // deterministic under re-fit
+    val again = Similarity.whitenEmbeddings(df, vecCol = "embedding")
+    val x1 = wt.orderBy($"vec_id").as[(Long, Seq[Double])].collect().toSeq
+    val x2 = again.orderBy($"vec_id").as[(Long, Seq[Double])].collect().toSeq
+    assert(x1 == x2)
+    wt.unpersist()
+  }
+
+  test("whitenedIdentityCheck passes on the real corpus, n_rows grounded") {
+    val emb = Tables(spark, sf(), "embeddings")
+    val got = Similarity.whitenedIdentityCheck(emb)
+      .as[(Long, Boolean, Boolean)].head()
+    assert(got == ((emb.count(), true, true)))
+  }
 }
