@@ -1267,6 +1267,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q145_data_profile" -> ((s, dir) => {
+      // Deequ-style column profiles in ONE aggregation pass (shared
+      // Expand for the exact distincts); min/max aggregated on native
+      // types, rendered as strings
+      operators.Quality.profile(Tables(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars", "text"))
+        .orderBy(col("col_name"))
+    }),
+
+    "q146_constraint_report" -> ((s, dir) => {
+      // declarative expectations -> pass/fail report, one agg pass;
+      // in_range(n_chars <= 400) is deliberately violated so the report
+      // exercises both outcomes
+      import operators.Quality._
+      operators.Quality.check(Tables(s, dir, "documents"), Seq(
+        NotNull("doc_id"), NotNull("text"), Unique("doc_id"),
+        InRange("n_chars", 1, 400),
+        InSet("lang", Seq("de", "en", "es", "fr", "zh")),
+        MatchesRegex("lang", "^[a-z]{2}$")))
+        .orderBy(col("constraint"))
+    }),
+
+    "q143_pca_contract" -> ((s, dir) => {
+      // PCA's self-certifying contract: projected covariance is
+      // diag(top-k eigenvalues), eigenvalue mass equals the covariance
+      // trace, and the projection rows are orthonormal — all checkable
+      // without reproducing the eigenbasis; n_rows/d_in re-derived
+      operators.Similarity.pcaVarianceCheck(Tables(s, dir, "embeddings"), k = 16)
+    }),
+
+    "q144_random_projection" -> ((s, dir) => {
+      // Achlioptas sparse JL projection to 16 dims: the matrix is a pure
+      // function of (seed, j, i) through the md5 draw, so the oracle
+      // regenerates it exactly and replays the same accumulation order
+      operators.Similarity.randomProject(Tables(s, dir, "embeddings"), k = 16, seed = 42L)
+    }),
+
     "q142_whitening_contract" -> ((s, dir) => {
       // ZCA whitening's self-certifying contract: the whitened corpus
       // must have identity covariance and zero mean (the DEFINING
@@ -2916,6 +2953,73 @@ object SparkEntry {
       // pinned TRUE (q101/q103 contract discipline)
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS identity_cov, " +
         "TRUE AS mean_zero FROM embeddings"),
+
+    "q145_data_profile" ->
+      // per-column profile re-derived exactly; completeness rounds
+      // half-up on both engines; min/max aggregated natively then cast
+      (Seq("doc_id", "lang", "source", "n_chars", "text").map { c =>
+        s"SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n, " +
+          s"CAST(count(*) - count($c) AS BIGINT) AS n_null, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"round(CAST(count($c) AS DOUBLE) / count(*), 4) AS completeness, " +
+          s"CAST(min($c) AS VARCHAR) AS min_str, " +
+          s"CAST(max($c) AS VARCHAR) AS max_str FROM documents"
+      }.mkString(" UNION ALL ") + " ORDER BY col_name"),
+
+    "q146_constraint_report" ->
+      // each constraint's violation count re-derived by filter/distinct
+      // arithmetic; regex anchored so search-vs-match semantics agree
+      ("WITH n AS (SELECT count(*) AS c FROM documents) " +
+        "SELECT * FROM (" +
+        "SELECT 'not_null(doc_id)' AS \"constraint\", " +
+        "count(*) FILTER (WHERE doc_id IS NULL) = 0 AS passed, " +
+        "CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS violations, " +
+        "CAST((SELECT c FROM n) AS BIGINT) AS checked FROM documents " +
+        "UNION ALL SELECT 'not_null(text)', " +
+        "count(*) FILTER (WHERE text IS NULL) = 0, " +
+        "CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT), " +
+        "CAST((SELECT c FROM n) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'unique(doc_id)', " +
+        "count(doc_id) - count(DISTINCT doc_id) = 0, " +
+        "CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT), " +
+        "CAST((SELECT c FROM n) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'in_range(n_chars)', " +
+        "count(*) FILTER (WHERE n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 400)) = 0, " +
+        "CAST(count(*) FILTER (WHERE n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 400)) AS BIGINT), " +
+        "CAST((SELECT c FROM n) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'in_set(lang)', " +
+        "count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('de','en','es','fr','zh')) = 0, " +
+        "CAST(count(*) FILTER (WHERE lang IS NOT NULL AND lang NOT IN ('de','en','es','fr','zh')) AS BIGINT), " +
+        "CAST((SELECT c FROM n) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'matches_regex(lang)', " +
+        "count(*) FILTER (WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$')) = 0, " +
+        "CAST(count(*) FILTER (WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$')) AS BIGINT), " +
+        "CAST((SELECT c FROM n) AS BIGINT) FROM documents" +
+        ") ORDER BY \"constraint\""),
+
+    "q143_pca_contract" ->
+      // n_rows and d_in re-derived from the data, k pinned to the call;
+      // the three defining-property booleans pinned TRUE
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(max(len(embedding)) AS BIGINT) AS d_in, " +
+        "CAST(16 AS BIGINT) AS k, TRUE AS trace_ok, " +
+        "TRUE AS orthonormal_ok, TRUE AS proj_diag_ok FROM embeddings"),
+
+    "q144_random_projection" ->
+      // regenerate the exact Achlioptas matrix from the same md5 draw
+      // (mod-6 over the first 8 hex chars) and replay the engine's
+      // left-to-right double accumulation: list_prepend(0.0, ...) mirrors
+      // the acc = 0.0 start, list ORDER BY i mirrors the index loop
+      ("WITH r AS (SELECT j, i, CASE (CAST('0x' || substring(md5(" +
+        "'rp:42:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8) " +
+        "AS BIGINT) % 6) WHEN 0 THEN sqrt(3.0/16.0) WHEN 1 THEN -sqrt(3.0/16.0) " +
+        "ELSE 0.0 END AS w FROM range(16) t1(j), range(64) t2(i)), " +
+        "terms AS (SELECT e.vec_id, r.j AS dim, " +
+        "list(r.w * CAST(e.embedding[r.i + 1] AS DOUBLE) ORDER BY r.i) AS ts " +
+        "FROM embeddings e, r GROUP BY e.vec_id, r.j) " +
+        "SELECT vec_id, CAST(dim AS INT) AS dim, " +
+        "list_reduce(list_prepend(0.0, ts), (a, b) -> a + b) AS val " +
+        "FROM terms ORDER BY vec_id, dim"),
 
     "q139_pmi_collocations" ->
       // same tokenization, same left-associative double product chain and

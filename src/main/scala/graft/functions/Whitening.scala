@@ -6,15 +6,22 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** A fitted affine map y = W·(x − μ), shipped to executors ONCE as an
-  * expression reference object — the centroid-literal discipline of
-  * [[graft.operators.Dedup.semanticDedup]] applied to a d×d transform
-  * (for d = 64 the whole object is ~33 KB; it rides with the task
-  * binaries, nothing joins).
+/** A fitted affine map y = W·(x − μ) with W of shape outDim×dim (square
+  * for whitening, rectangular for PCA / random projection), shipped to
+  * executors ONCE as an expression reference object — the
+  * centroid-literal discipline of [[graft.operators.Dedup.semanticDedup]]
+  * applied to a linear transform (for d = 64 the whole object is ~33 KB;
+  * it rides with the task binaries, nothing joins).
   */
-final class AffineWhitener(val mu: Array[Double], val w: Array[Double], val dim: Int)
+final class AffineWhitener(
+    val mu: Array[Double],
+    val w: Array[Double],
+    val dim: Int,
+    val outDim: Int)
     extends Serializable {
-  require(mu.length == dim && w.length == dim * dim, "whitener shape mismatch")
+  require(mu.length == dim && w.length == outDim * dim, "whitener shape mismatch")
+
+  def this(mu: Array[Double], w: Array[Double], dim: Int) = this(mu, w, dim, dim)
 
   /** W·(x − μ) in index order (deterministic double accumulation);
     * null on a dimension mismatch.
@@ -27,9 +34,9 @@ final class AffineWhitener(val mu: Array[Double], val w: Array[Double], val dim:
       c(j) = (if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)) - mu(j)
       j += 1
     }
-    val out = new Array[Double](dim)
+    val out = new Array[Double](outDim)
     var i = 0
-    while (i < dim) {
+    while (i < outDim) {
       var acc = 0.0
       var k = i * dim
       var t = 0

@@ -837,6 +837,174 @@ object Similarity {
       graft.functions.WhitenVec.whiten_vec(col(vecCol), whitener).as("whitened"))
   }
 
+  /** Principal-component projection of an embedding column (Pearson 1901 /
+    * Hotelling 1933 — keep the k directions that carry the most corpus
+    * variance; the standard "shrink 64-d embeddings to 16-d before ANN /
+    * clustering" pass). Reuses the whitening machinery end to end: one
+    * shuffle-free moment pass ([[covarianceStats]]), a driver-side
+    * deterministic Jacobi eigendecomposition, eigenpairs ordered by
+    * (eigenvalue DESC, index ASC) with each eigenvector's sign
+    * canonicalized (largest-|component| entry made positive — Jacobi's
+    * sign ambiguity would otherwise flip output coordinates between
+    * machines), and the k×d projection applied map-side as ONE codegen'd
+    * literal reference object. At 100 TB: n·d flops of map work per
+    * component, zero shuffles, zero joins.
+    */
+  def pcaProject(
+      vectors: DataFrame,
+      k: Int = 16,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val (n, mu, cov) = covarianceStats(vectors, vecCol)
+    require(n > 1, "need at least two vectors to fit PCA")
+    val d = mu.length
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = (0 until d).sortBy(i => (-evals(i), i))
+    val p = new Array[Double](k * d)
+    var r = 0
+    while (r < k) {
+      val c = order(r)
+      // canonical sign: the largest-|component| entry (lowest index on
+      // ties) is positive, so the factorization is machine-independent
+      var best = 0
+      var i = 1
+      while (i < d) {
+        if (math.abs(evecs(i)(c)) > math.abs(evecs(best)(c))) best = i
+        i += 1
+      }
+      val s = if (evecs(best)(c) < 0) -1.0 else 1.0
+      i = 0
+      while (i < d) { p(r * d + i) = s * evecs(i)(c); i += 1 }
+      r += 1
+    }
+    val proj = new graft.functions.AffineWhitener(mu, p, d, k)
+    vectors.select(col(idCol),
+      graft.functions.WhitenVec.whiten_vec(col(vecCol), proj).as("pca"))
+  }
+
+  /** q143's self-certifying contract. PCA's DEFINING properties are
+    * directly checkable without reproducing the eigenbasis: the projected
+    * corpus has diagonal covariance equal to the top-k eigenvalues
+    * (decorrelation + variance capture, verified by re-running the moment
+    * pass over the output), eigenvalue mass is conserved (Σλ = trace of
+    * the input covariance), and the projection rows are orthonormal.
+    * The oracle re-derives n_rows and d_in and pins the booleans TRUE.
+    */
+  def pcaVarianceCheck(
+      vectors: DataFrame,
+      k: Int = 16,
+      tol: Double = 1e-6,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = vectors.sparkSession
+    val (n, mu, cov) = covarianceStats(vectors, vecCol)
+    val d = mu.length
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = (0 until d).sortBy(i => (-evals(i), i))
+    val topVals = order.take(k).map(evals)
+    // trace conservation: eigendecomposition preserved total variance
+    var trace = 0.0
+    var sumEv = 0.0
+    var i = 0
+    while (i < d) { trace += cov(i)(i); sumEv += evals(i); i += 1 }
+    val traceOk = math.abs(trace - sumEv) <= tol * math.max(1.0, math.abs(trace))
+    // orthonormality of the eigenbasis columns we projected with
+    var orthoDev = 0.0
+    var a = 0
+    while (a < k) {
+      var b = 0
+      while (b < k) {
+        var dot = 0.0
+        var t = 0
+        while (t < d) { dot += evecs(t)(order(a)) * evecs(t)(order(b)); t += 1 }
+        orthoDev = math.max(orthoDev, math.abs(dot - (if (a == b) 1.0 else 0.0)))
+        b += 1
+      }
+      a += 1
+    }
+    // the projected corpus: covariance must be diag(top-k eigenvalues)
+    val projected = pcaProject(vectors, k, vecCol, idCol).persist()
+    val (_, muP, covP) = covarianceStats(projected, "pca")
+    var diagDev = 0.0
+    var meanDev = 0.0
+    a = 0
+    while (a < k) {
+      meanDev = math.max(meanDev, math.abs(muP(a)))
+      var b = 0
+      while (b < k) {
+        val target = if (a == b) topVals(a) else 0.0
+        diagDev = math.max(diagDev, math.abs(covP(a)(b) - target))
+        b += 1
+      }
+      a += 1
+    }
+    projected.unpersist()
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("n_rows", LongType, nullable = false),
+      StructField("d_in", LongType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("trace_ok", BooleanType, nullable = false),
+      StructField("orthonormal_ok", BooleanType, nullable = false),
+      StructField("proj_diag_ok", BooleanType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(n, d.toLong, k.toLong,
+          traceOk, orthoDev < tol, diagDev < tol && meanDev < tol)), 1),
+      schema)
+  }
+
+  /** Sparse random projection (Achlioptas 2003 JL-embedding: entries
+    * +√(3/k) w.p. 1/6, −√(3/k) w.p. 1/6, 0 w.p. 2/3 — distance-preserving
+    * in expectation with a 2/3-sparse matrix, the cheap data-independent
+    * alternative to PCA when a moment pass over 100 TB isn't worth it).
+    * The matrix is a pure function of (seed, row, col) through the
+    * engine-portable md5 draw ([[graft.operators.Sampling]]'s discipline:
+    * never `rand()` — task retries replay identically and the DuckDB
+    * oracle regenerates the exact matrix), materialized driver-side and
+    * shipped as the same literal [[graft.functions.AffineWhitener]]
+    * reference object (μ = 0). ZERO distributed fit work: no moment pass,
+    * no shuffle, no join — one codegen'd map over the vectors.
+    *
+    * Output is exploded to (vec_id, dim, val) rows: exact doubles, and
+    * the oracle replays the identical left-to-right accumulation order.
+    */
+  def randomProject(
+      vectors: DataFrame,
+      k: Int = 16,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "need at least one output dimension")
+    val d = vectors.select(size(col(vecCol)).as("d"))
+      .filter(col("d") > 0).head().getInt(0)
+    val scale = math.sqrt(3.0 / k)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val w = new Array[Double](k * d)
+    var j = 0
+    while (j < k) {
+      var i = 0
+      while (i < d) {
+        md.reset()
+        val hex = md.digest(s"rp:$seed:$j:$i".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        w(j * d + i) = (java.lang.Long.parseLong(hex, 16) % 6L) match {
+          case 0L => scale
+          case 1L => -scale
+          case _  => 0.0
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val proj = new graft.functions.AffineWhitener(new Array[Double](d), w, d, k)
+    vectors
+      .select(col(idCol),
+        posexplode(graft.functions.WhitenVec.whiten_vec(col(vecCol), proj)))
+      .select(col(idCol), col("pos").as("dim"), col("col").as("val"))
+  }
+
   /** q142's self-certifying contract: whitening's DEFINING property is
     * that the whitened corpus has identity covariance and zero mean —
     * both directly checkable without reproducing the eigenbasis. Re-runs

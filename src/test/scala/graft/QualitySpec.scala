@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Quality
+import graft.operators.Quality._
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+
+  private def sample = {
+    import spark.implicits._
+    Seq(
+      (Some(1L), Some("en"), Some(10L)),
+      (Some(2L), Some("de"), Some(20L)),
+      (Some(3L), None, Some(999L)),
+      (Some(4L), Some("xx"), None),
+      (Some(4L), Some("EN!"), Some(-5L))
+    ).toDF("id", "lang", "n")
+  }
+
+  test("profile: nulls, exact distincts, native-type min/max, completeness") {
+    import spark.implicits._
+    val p = Quality.profile(sample, Seq("id", "lang", "n"))
+      .as[(String, Long, Long, Long, Double, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    val id = p("id")
+    assert(id._2 == 5 && id._3 == 0 && id._4 == 4 && id._5 == 1.0)
+    assert(id._6 == "1" && id._7 == "4")
+    val lang = p("lang")
+    assert(lang._3 == 1 && lang._4 == 4 && lang._5 == 0.8)
+    val n = p("n")
+    // numeric, not lexicographic: min is -5, not "10"
+    assert(n._6 == "-5" && n._7 == "999")
+  }
+
+  test("check: one agg pass, violations counted per constraint") {
+    import spark.implicits._
+    val rep = Quality.check(sample, Seq(
+      NotNull("id"), NotNull("lang"), Unique("id"),
+      InRange("n", 0, 100),
+      InSet("lang", Seq("en", "de", "fr")),
+      MatchesRegex("lang", "^[a-z]{2}$")))
+      .as[(String, Boolean, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rep("not_null(id)") == (("not_null(id)", true, 0L, 5L)))
+    assert(rep("not_null(lang)") == (("not_null(lang)", false, 1L, 5L)))
+    // id 4 appears twice: one surplus duplicate row
+    assert(rep("unique(id)") == (("unique(id)", false, 1L, 5L)))
+    // 999 above, -5 below; NULL does not violate range
+    assert(rep("in_range(n)") == (("in_range(n)", false, 2L, 5L)))
+    // xx and EN! out of set; NULL ignored
+    assert(rep("in_set(lang)") == (("in_set(lang)", false, 2L, 5L)))
+    // anchored regex: EN! fails, xx passes
+    assert(rep("matches_regex(lang)") == (("matches_regex(lang)", false, 1L, 5L)))
+  }
+
+  test("check on an empty table: all constraints pass vacuously") {
+    val empty = sample.filter(col("id") < 0)
+    val rep = Quality.check(empty, Seq(NotNull("id"), Unique("id"), InRange("n", 0, 1)))
+    import spark.implicits._
+    val rows = rep.as[(String, Boolean, Long, Long)].collect()
+    assert(rows.length == 3 && rows.forall(r => r._2 && r._3 == 0L && r._4 == 0L))
+  }
+
+  test("profile and check agree on the real documents table") {
+    import spark.implicits._
+    val docs = Tables(spark, sf(), "documents")
+    val prof = Quality.profile(docs, Seq("doc_id", "lang"))
+      .as[(String, Long, Long, Long, Double, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(prof("doc_id")._4 == docs.count(), "doc_id must be fully distinct")
+    val rep = Quality.check(docs, Seq(Unique("doc_id"), NotNull("text")))
+      .as[(String, Boolean, Long, Long)].collect()
+    assert(rep.forall(_._2), s"real-corpus constraints must pass: ${rep.mkString(",")}")
+  }
+}

@@ -277,4 +277,60 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Boolean, Boolean)].head()
     assert(got == ((emb.count(), true, true)))
   }
+
+  test("pcaProject: hand case recovers the principal axis, deterministic") {
+    // points along y = 2x with small orthogonal noise: PC1 must be
+    // ~(1,2)/sqrt(5) and carry almost all the variance
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 300L).map { i =>
+      val t = rnd.nextGaussian(); val e = rnd.nextGaussian() * 0.05
+      (i, Array((t - 2 * e).toFloat, (2 * t + e).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val p1 = Similarity.pcaProject(df, k = 1).persist()
+    // projected variance ~= total variance (noise dim is tiny)
+    val (_, _, covIn) = Similarity.covarianceStats(df, "embedding")
+    val (_, _, covP) = Similarity.covarianceStats(p1, "pca")
+    assert(covP(0)(0) > 0.95 * (covIn(0)(0) + covIn(1)(1)))
+    // canonical sign: largest-|component| entry positive => pca_1
+    // correlates POSITIVELY with y (the dominant raw coordinate)
+    val signCorr = p1.join(df, "vec_id")
+      .select(corr($"pca"(0), $"embedding"(1).cast("double"))).head().getDouble(0)
+    assert(signCorr > 0.99)
+    val again = Similarity.pcaProject(df, k = 1)
+    assert(p1.orderBy($"vec_id").as[(Long, Seq[Double])].collect().toSeq ==
+      again.orderBy($"vec_id").as[(Long, Seq[Double])].collect().toSeq)
+    p1.unpersist()
+  }
+
+  test("pcaVarianceCheck passes on the real corpus, grounded columns") {
+    val emb = Tables(spark, sf(), "embeddings")
+    val got = Similarity.pcaVarianceCheck(emb, k = 16)
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean)].head()
+    assert(got == ((emb.count(), 64L, 16L, true, true, true)))
+  }
+
+  test("randomProject: sparse Achlioptas matrix, norms preserved on average") {
+    val emb = Tables(spark, sf(), "embeddings").limit(200).persist()
+    val pr = Similarity.randomProject(emb, k = 32, seed = 42L).persist()
+    assert(pr.count() == emb.count() * 32)
+    // JL: E[||Rx||^2] = ||x||^2 — the mean ratio over the corpus must be
+    // near 1 (k = 32 keeps the spread modest)
+    val ratio = pr.groupBy($"vec_id").agg(sum($"val" * $"val").as("p2"))
+      .join(
+        emb.select($"vec_id",
+          aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
+            lit(0.0), (a, b) => a + b).as("n2")),
+        "vec_id")
+      .select(avg($"p2" / $"n2")).head().getDouble(0)
+    assert(math.abs(ratio - 1.0) < 0.25, s"mean norm ratio $ratio")
+    // deterministic replay; different seed => different projection
+    val again = Similarity.randomProject(emb, k = 32, seed = 42L)
+    assert(pr.orderBy($"vec_id", $"dim").as[(Long, Int, Double)].collect().toSeq ==
+      again.orderBy($"vec_id", $"dim").as[(Long, Int, Double)].collect().toSeq)
+    val other = Similarity.randomProject(emb, k = 32, seed = 43L)
+      .orderBy($"vec_id", $"dim").as[(Long, Int, Double)].collect().toSeq
+    assert(other != pr.orderBy($"vec_id", $"dim").as[(Long, Int, Double)].collect().toSeq)
+    pr.unpersist(); emb.unpersist()
+  }
 }
