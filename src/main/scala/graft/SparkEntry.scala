@@ -1267,6 +1267,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q151_bpe_encode" -> ((s, dir) => {
+      // learn 50 BPE merges on the thresholded word-type table, encode
+      // every word type through the codegen'd literal codec; the greedy
+      // invariants (roundtrip concat, contiguous-substring tokens) are
+      // checked corpus-wide and pinned
+      operators.CorpusAnalytics.bpeSegment(Tables(s, dir, "documents"),
+        numMerges = 50, minFreq = 2L)
+    }),
+
+    "q149_bpe_pairs" -> ((s, dir) => {
+      // first BPE iteration: adjacent char-pair counts weighted by word
+      // frequency over the word-TYPE table (pairs generated once per
+      // word, not per occurrence); top-30, ties lexicographic
+      operators.CorpusAnalytics.bpePairStats(Tables(s, dir, "documents"), k = 30)
+    }),
+
+    "q150_zipf_slope" -> ((s, dir) => {
+      // rank-frequency OLS over the top-200 tokens; sums folded in
+      // explicit rank order (sorted collect_list -> aggregate), outputs
+      // rounded so nothing hinges on ln ulps
+      operators.CorpusAnalytics.zipfSlope(Tables(s, dir, "documents"), n = 200)
+    }),
+
+    "q147_seq_packing" -> ((s, dir) => {
+      // GPT-style concat-and-chunk packing index: per doc, its token
+      // offset in the id-ordered concatenated stream and the training
+      // sequences (L = 256) it spans; all-integer bucketed cumsum
+      operators.Packing.packSequences(Tables(s, dir, "documents"), seqLen = 256)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q148_distinct_sketch" -> ((s, dir) => {
+      // mergeable per-source HLL vocabulary sketches + ONE union row
+      // (sketches merge, tokens never recount); exact distincts ground
+      // the contract, estimates pinned within 5%
+      operators.CorpusAnalytics.distinctTokenSketch(Tables(s, dir, "documents"))
+    }),
+
     "q145_data_profile" -> ((s, dir) => {
       // Deequ-style column profiles in ONE aggregation pass (shared
       // Expand for the exact distincts); min/max aggregated on native
@@ -2953,6 +2991,67 @@ object SparkEntry {
       // pinned TRUE (q101/q103 contract discipline)
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS identity_cov, " +
         "TRUE AS mean_zero FROM embeddings"),
+
+    "q151_bpe_encode" ->
+      // n_word_types re-derived from the same tokenization; the greedy
+      // BPE invariant booleans pinned TRUE, n_merges pinned to the call
+      ("SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_word_types, " +
+        "CAST(50 AS BIGINT) AS n_merges, TRUE AS roundtrip_ok, TRUE AS substring_ok " +
+        "FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t " +
+        "FROM documents WHERE trim(text) <> '')"),
+
+    "q149_bpe_pairs" ->
+      // same word-type table, same char-pair windows (substring is
+      // char-based on both engines), integer weights — exact
+      ("WITH w AS (SELECT t AS w, count(*) AS freq FROM " +
+        "(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t " +
+        "FROM documents WHERE trim(text) <> '') GROUP BY t), " +
+        "p AS (SELECT unnest(list_transform(range(1, length(w)), " +
+        "i -> substring(w, CAST(i AS INT), 2))) AS pair, freq FROM w WHERE length(w) >= 2) " +
+        "SELECT pair, CAST(sum(freq) AS BIGINT) AS weight FROM p " +
+        "GROUP BY pair ORDER BY weight DESC, pair LIMIT 30"),
+
+    "q150_zipf_slope" ->
+      // same top-200 head (ties lex), same rank-ordered left-associative
+      // fold (list_reduce over list_prepend(0.0, ...) mirrors the
+      // aggregate fold), same division chain, rounded outputs
+      ("WITH tk AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "f AS (SELECT t, count(*) AS freq FROM tk GROUP BY t ORDER BY freq DESC, t LIMIT 200), " +
+        "r AS (SELECT row_number() OVER (ORDER BY freq DESC, t) AS rank, freq FROM f), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "list_reduce(list_prepend(0.0, list(ln(rank) ORDER BY rank)), (a,b) -> a+b) AS sx, " +
+        "list_reduce(list_prepend(0.0, list(ln(freq) ORDER BY rank)), (a,b) -> a+b) AS sy, " +
+        "list_reduce(list_prepend(0.0, list(ln(rank)*ln(freq) ORDER BY rank)), (a,b) -> a+b) AS sxy, " +
+        "list_reduce(list_prepend(0.0, list(ln(rank)*ln(rank) ORDER BY rank)), (a,b) -> a+b) AS sxx FROM r) " +
+        "SELECT CAST(n AS BIGINT) AS n_ranks, " +
+        "round((sxy - sx*sy/n)/(sxx - sx*sx/n), 4) AS slope, " +
+        "round(sy/n - ((sxy - sx*sy/n)/(sxx - sx*sx/n))*(sx/n), 4) AS intercept FROM s"),
+
+    "q147_seq_packing" ->
+      // same tokenization, id-ordered window cumsum, BIGINT floor
+      // division — every value integral, so the replay is exact
+      ("WITH d AS (SELECT doc_id, " +
+        "len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM d) " +
+        "SELECT doc_id, n_tokens, start_off, " +
+        "CAST(start_off // 256 AS BIGINT) AS first_seq, " +
+        "CAST((start_off + n_tokens - 1) // 256 AS BIGINT) AS last_seq " +
+        "FROM c ORDER BY doc_id"),
+
+    "q148_distinct_sketch" ->
+      // exact per-source + global distincts re-derived; the 5%-band
+      // booleans pinned TRUE (q101/q103 contract discipline)
+      ("WITH tk AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t " +
+        "FROM documents WHERE trim(text) <> '') " +
+        "SELECT * FROM (" +
+        "SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS n_exact, TRUE AS est_ok " +
+        "FROM tk GROUP BY source " +
+        "UNION ALL SELECT 'ALL', CAST(count(DISTINCT t) AS BIGINT), TRUE FROM tk" +
+        ") ORDER BY source"),
 
     "q145_data_profile" ->
       // per-column profile re-derived exactly; completeness rounds

@@ -1252,4 +1252,168 @@ object CorpusAnalytics {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy(col("bucket"))
   }
+
+  /** Mergeable distinct-vocabulary sketches (Apache DataSketches HLL via
+    * Spark's built-in `hll_sketch_agg` — Flajolet et al. 2007 lineage):
+    * per-source token-vocabulary estimates plus ONE union row obtained by
+    * merging the per-source sketches — never recounting. This is the
+    * 100 TB shape for "how big is the vocabulary per shard / overall":
+    * each shard folds to a kilobyte sketch (map-side partials, one tiny
+    * exchange), sketches persist and union across days or corpora in
+    * driver time, while an exact global distinct would re-shuffle every
+    * token of every shard each time the question is asked.
+    *
+    * Contract (q147 discipline): the estimate itself is
+    * implementation-defined, so each row carries the EXACT distinct count
+    * (which the oracle re-derives) and a pinned-TRUE boolean that the
+    * sketch landed within `relTol` of it — lgK = 12 has ~1.6% relative
+    * standard error, so 5% is a ≈3σ bound on real data.
+    */
+  def distinctTokenSketch(
+      docs: DataFrame,
+      lgConfigK: Int = 12,
+      relTol: Double = 0.05,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val tk = docs
+      .filter(trim(col(textCol)) =!= "")
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("t"))
+    val per = tk
+      .groupBy(col("source"))
+      .agg(
+        hll_sketch_agg(col("t"), lgConfigK).as("sk"),
+        countDistinct(col("t")).as("n_exact"))
+    val perOut = per.select(
+      col("source"), col("n_exact"),
+      (abs(hll_sketch_estimate(col("sk")).cast("double") - col("n_exact"))
+        <= lit(relTol) * col("n_exact")).as("est_ok"))
+    val globalExact = tk.agg(countDistinct(col("t")).as("n_exact"))
+    val globalOut = per
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(broadcast(globalExact)) // one row x one row
+      .select(
+        lit("ALL").as("source"), col("n_exact"),
+        (abs(hll_sketch_estimate(col("sk")).cast("double") - col("n_exact"))
+          <= lit(relTol) * col("n_exact")).as("est_ok"))
+    perOut.unionAll(globalOut).orderBy(col("source"))
+  }
+
+  /** BPE merge-candidate statistics (Sennrich et al. 2016 §3.2: the first
+    * byte-pair-encoding iteration — count adjacent symbol pairs across the
+    * corpus weighted by word frequency; the argmax pair is the first
+    * merge, and the top-k list is what a tokenizer trainer consumes).
+    * Two hash aggregations, both map-side combined: word → freq first
+    * (so a word's character pairs are generated ONCE, not per occurrence
+    * — at 100 TB the word-type table is orders of magnitude smaller than
+    * the token stream), then pair → Σfreq; top-k plans as
+    * `TakeOrderedAndProject`, ties broken lexicographically.
+    */
+  def bpePairStats(
+      docs: DataFrame,
+      k: Int = 30,
+      textCol: String = "text"): DataFrame = {
+    val words = docs
+      .filter(trim(col(textCol)) =!= "")
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("freq"),
+        explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** Learn-and-apply BPE segmentation (Sennrich et al. 2016): train
+    * `numMerges` merges on the thresholded word-TYPE frequency table
+    * (driver-side — the "fit small, apply distributed" shape of the
+    * k-means centroids: the type table under a frequency floor is orders
+    * of magnitude smaller than the token stream, which is exactly why
+    * sentencepiece trains on a sample), then encode every word type
+    * map-side through the codegen'd [[graft.functions.BpeEncode]]
+    * expression whose merge table rides as a literal reference object.
+    *
+    * q151's contract is self-certifying (q142 discipline): greedy BPE's
+    * defining invariants — every word's tokens concatenate back to the
+    * word, and every token is a contiguous substring of its word — are
+    * checked across the WHOLE corpus and pinned TRUE; n_word_types is
+    * re-derived by the oracle, n_merges pinned to the call.
+    */
+  def bpeSegment(
+      docs: DataFrame,
+      numMerges: Int = 50,
+      minFreq: Long = 2L,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .filter(trim(col(textCol)) =!= "")
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val trainTable = words
+      .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("w")) // deterministic driver order
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = graft.functions.Bpe.learn(trainTable, numMerges)
+    val codec = new graft.functions.BpeCodec(merges)
+    val encoded = words.select(col("w"),
+      graft.functions.Bpe.bpe_encode(col("w"), codec).as("toks"))
+    val checked = encoded.agg(
+      count(lit(1)).as("n_word_types"),
+      coalesce(sum(when(concat_ws("", col("toks")) =!= col("w"), 1L)), lit(0L)).as("bad_rt"),
+      coalesce(sum(when(
+        exists(col("toks"), t => instr(col("w"), t) === 0), 1L)), lit(0L)).as("bad_sub"))
+    checked.select(
+      col("n_word_types"),
+      lit(merges.length.toLong).as("n_merges"),
+      (col("bad_rt") === 0L).as("roundtrip_ok"),
+      (col("bad_sub") === 0L).as("substring_ok"))
+  }
+
+  /** Zipf rank-frequency fit (Zipf 1949; Piantadosi 2014 review): OLS
+    * slope of ln(freq) against ln(rank) over the top-`n` tokens — the
+    * one-number "is this corpus natural language or template soup?"
+    * diagnostic (natural text sits near −1; boilerplate flattens, spam
+    * steepens). The token-count agg is the only full-width exchange;
+    * the fit folds the n-row head in EXPLICIT rank order (sorted
+    * collect_list → `aggregate` fold, the engine-portable left-associative
+    * sum — a plain `sum()` re-associates partials nondeterministically),
+    * and ln enters once per term with the outputs rounded (q139's
+    * discipline: never let a result hinge on ln ulps).
+    */
+  def zipfSlope(
+      docs: DataFrame,
+      n: Int = 200,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 2, "need at least two ranks to fit")
+    val head = docs
+      .filter(trim(col(textCol)) =!= "")
+      .select(explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("t"))
+      .limit(n)
+      .select(
+        row_number().over(Window.orderBy(col("freq").desc, col("t"))).as("rank"),
+        col("freq"))
+    val folded = head
+      .agg(sort_array(collect_list(struct(col("rank"), col("freq")))).as("rf"))
+      .select(
+        size(col("rf")).cast("double").as("n"),
+        aggregate(col("rf"), lit(0.0), (a, e) => a + log(e("rank"))).as("sx"),
+        aggregate(col("rf"), lit(0.0), (a, e) => a + log(e("freq"))).as("sy"),
+        aggregate(col("rf"), lit(0.0),
+          (a, e) => a + log(e("rank")) * log(e("freq"))).as("sxy"),
+        aggregate(col("rf"), lit(0.0),
+          (a, e) => a + log(e("rank")) * log(e("rank"))).as("sxx"))
+    folded.select(
+      col("n").cast("long").as("n_ranks"),
+      round((col("sxy") - col("sx") * col("sy") / col("n"))
+        / (col("sxx") - col("sx") * col("sx") / col("n")), 4).as("slope"),
+      round(col("sy") / col("n")
+        - ((col("sxy") - col("sx") * col("sy") / col("n"))
+          / (col("sxx") - col("sx") * col("sx") / col("n")))
+          * (col("sx") / col("n")), 4).as("intercept"))
+  }
 }

@@ -55,7 +55,11 @@ object Plans {
     "q128_tfidf_keywords" -> "tf and df derive from one (doc, token) aggregate chain — exchanges carry compact token keys with map-side partials, the one-row N scalar broadcasts, and the per-doc top-k window sorts vocabulary-bounded partitions, never the corpus",
     "q129_bm25_search" -> "every per-term tf is a map-side array projection (the query terms live in the plan); the one-row N/avglen/df stats aggregate broadcasts back; top-n plans as TakeOrderedAndProject",
     "q131_mmr_select" -> "the candidate pool is distributed cosine scoring into TakeOrderedAndProject (per-partition heaps, poolSize-row merge); the greedy MMR refinement enters as a bounded Scan ExistingRDD — no pairwise shuffle anywhere",
-    "q134_label_noise" -> "the 5-NN build is the map-side matrix scan; votes hash-aggregate at most k rows per node and the argmax window partitions are vote-bounded — the widest exchange carries (id, label) pairs"
+    "q134_label_noise" -> "the 5-NN build is the map-side matrix scan; votes hash-aggregate at most k rows per node and the argmax window partitions are vote-bounded — the widest exchange carries (id, label) pairs",
+    "q142_whitening_contract" -> "the whitening fit never shuffles: the moment pass is a per-partition (n, sum-x, sum-xx^T) mapPartitions fold collected as one bounded row per partition, and the fitted d x d transform applies inside WholeStageCodegen as an expression reference object — no join, no exchange in the transform plan",
+    "q145_data_profile" -> "every profile metric folds into ONE wide aggregate: the exact multi-column distincts share a single Expand (rows x profiled-columns before partial agg — the textbook multi-distinct plan), min/max/null partials ride the same pass, and the report pivot is a literal-array explode of the one driver row — no second scan",
+    "q147_seq_packing" -> "the global token cumsum never global-sorts: the deterministic id-range bucket formula is a map-side projection, per-bucket totals hash-aggregate map-side into a B-row driver prefix that re-enters as a broadcast join, and each bucket window-sorts only its own slice",
+    "q148_distinct_sketch" -> "per-source HLL sketches partial-aggregate map-side (the exchange carries kilobyte sketch buffers, not tokens); the union row merges the per-source sketches with hll_union_agg — the token stream is never re-shuffled to answer the global question"
   )
 
   def main(args: Array[String]): Unit = {

@@ -596,4 +596,60 @@ class CorpusAnalyticsSpec extends SparkSpec {
       (1L, "removed"), (2L, "unchanged"), (3L, "changed"),
       (4L, "added"), (5L, "unchanged")))
   }
+
+  test("bpePairStats: hand case — type-weighted pairs, ties lexicographic") {
+    import spark.implicits._
+    // low x2, lower x1: lo/ow carry 2+1, we/er carry 1; single-char and
+    // blank tokens contribute nothing
+    val docs = Seq((1L, "low low lower"), (2L, "a  "), (3L, "low")).toDF("doc_id", "text")
+    val got = CorpusAnalytics.bpePairStats(docs, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("lo", 4L), ("ow", 4L), ("er", 1L), ("we", 1L)))
+  }
+
+  test("zipfSlope: exact power law fits slope -1, formula replayed") {
+    import spark.implicits._
+    // freqs 8,4,2,1 at ranks 1..4 are 2^-x on log2 — not a perfect ln-ln
+    // line vs rank, so replay the exact OLS; then check a true 1/rank law
+    val docs = Seq((1L, (("a " * 8) + ("b " * 4) + ("c " * 2) + "d").trim)).toDF("doc_id", "text")
+    val got = CorpusAnalytics.zipfSlope(docs, n = 4)
+      .as[(Long, Double, Double)].head()
+    val xs = Seq(1, 2, 3, 4).map(r => math.log(r.toDouble))
+    val ys = Seq(8, 4, 2, 1).map(f => math.log(f.toDouble))
+    val n = 4.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val intercept = sy / n - slope * (sx / n)
+    assert(got._1 == 4L)
+    assert(math.abs(got._2 - slope) < 1e-3 && math.abs(got._3 - intercept) < 1e-3)
+    // exact 1/rank law: freqs 12,6,4,3 = 12/rank -> slope exactly -1
+    val zdocs = Seq((1L, (("a " * 12) + ("b " * 6) + ("c " * 4) + ("d " * 3)).trim))
+      .toDF("doc_id", "text")
+    val z = CorpusAnalytics.zipfSlope(zdocs, n = 4).as[(Long, Double, Double)].head()
+    assert(math.abs(z._2 - (-1.0)) < 1e-9, s"power-law slope ${z._2}")
+  }
+
+  test("distinctTokenSketch: exact counts grounded, union row merges sketches") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a", "s1"), (2L, "c d", "s1"),
+      (3L, "a e", "s2"), (4L, " ", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusAnalytics.distinctTokenSketch(docs)
+      .as[(String, Long, Boolean)].collect().toSeq
+    // s1: {a,b,c,d} = 4; s2: {a,e} = 2; ALL: {a,b,c,d,e} = 5 (NOT 6 —
+    // the union merges, it does not add)
+    assert(got == Seq(("ALL", 5L, true), ("s1", 4L, true), ("s2", 2L, true)))
+  }
+
+  test("distinctTokenSketch: 5% band holds on the real corpus, every source") {
+    import spark.implicits._
+    val docs = Tables(spark, sf(), "documents")
+    val got = CorpusAnalytics.distinctTokenSketch(docs)
+      .as[(String, Long, Boolean)].collect()
+    assert(got.length > 1 && got.forall(_._3),
+      s"sketch out of band: ${got.filterNot(_._3).mkString(",")}")
+  }
 }

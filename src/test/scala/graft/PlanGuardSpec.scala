@@ -58,7 +58,15 @@ class PlanGuardSpec extends SparkSpec {
     "q133_perplexity_bands" ->
       "crossJoin(broadcast(cuts)): single-row tercile scalars; band labels are a map-side comparison",
     "q136_kappa_agreement" ->
-      "crossJoin(broadcast(pe)): single-row expected-agreement scalar joined to the single-row observed stats"
+      "crossJoin(broadcast(pe)): single-row expected-agreement scalar joined to the single-row observed stats",
+    "q139_pmi_collocations" ->
+      "crossJoin(broadcast(totals)): single-row bigram/unigram-total scalars, pair stream maps through",
+    "q141_vocab_growth" ->
+      "crossJoin(broadcast(nDocs)): single-row corpus-size scalar for the decile map",
+    "q147_seq_packing" ->
+      "crossJoin(broadcast(bounds)): single-row (min,max) id scalars for the deterministic bucket formula",
+    "q148_distinct_sketch" ->
+      "crossJoin(broadcast(globalExact)): single-row exact-distinct scalar beside the single-row union sketch"
   )
 
   test("no CartesianProduct / BroadcastNestedLoopJoin outside the exempt list") {
