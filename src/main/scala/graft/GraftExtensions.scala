@@ -81,6 +81,9 @@ object GraftSqlFunctions {
     ("top_k_pairs",
       "top_k_pairs(struct(score, id), k) - bounded top-k aggregate over (score, id) pairs",
       (args: Seq[Expression]) => TopKPairs(args(0), litInt(args(1), "top_k_pairs"))),
+    ("kll_sketch",
+      "kll_sketch(CAST(x AS DOUBLE), k) - KLL mergeable quantile sketch: struct(n, items[(v, w)])",
+      (args: Seq[Expression]) => KllDoubleSketch(args(0), litInt(args(1), "kll_sketch"))),
     // Spark ships these two for runtime join filtering but leaves them out
     // of the public registry; expose them so SQL/BI users get the same
     // Bloom set-membership path decontaminateBloom uses

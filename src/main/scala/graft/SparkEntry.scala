@@ -1267,6 +1267,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q152_kll_contract" -> ((s, dir) => {
+      // KLL mergeable quantile sketch vs exact: n (total weight) must
+      // match the row count EXACTLY (odd-level holdback preserves weight),
+      // estimates must be monotone in p, and each estimate's true rank
+      // must sit within eps*n of its target (eps = 0.05 at k = 200 —
+      // ~10x slack over KLL's ~2.3/k bound; realized error at sf0.01 is
+      // ~0.004). The oracle re-derives n and the exact interpolated
+      // median; the sketch-side floors are pinned TRUE.
+      import graft.functions.KllSketch
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(length(col("text")).cast("double").as("x"))
+      val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val sk = docs.agg(KllSketch.kll_sketch(col("x"), 200).as("sk"))
+      val ests = sk.select(
+        (ps.zipWithIndex.map { case (p, i) =>
+          KllSketch.kllQuantile(col("sk"), p).as(s"_e$i") } :+
+          col("sk").getField("n").as("_sk_n")): _*)
+      val agg = docs.crossJoin(broadcast(ests)).agg(
+        count(lit(1)).as("_n"),
+        (round(percentile(col("x"), lit(0.5)), 4).as("exact_p50") +:
+          ps.indices.map(i =>
+            sum(when(col("x") <= col(s"_e$i"), 1L).otherwise(0L)).as(s"_r$i"))): _*)
+      val eps = 0.05
+      val rankOk = ps.zipWithIndex.map { case (p, i) =>
+        abs(col(s"_r$i") - ceil(lit(p) * col("_n"))) <= lit(eps) * col("_n")
+      }.reduce(_ && _)
+      val monotone = ps.indices.sliding(2).map { w =>
+        col(s"_e${w(0)}") <= col(s"_e${w(1)}") }.reduce(_ && _)
+      agg.crossJoin(broadcast(ests.select(ps.indices.map(i => col(s"_e$i")) :+
+          col("_sk_n"): _*)))
+        .select(col("_n").as("n_rows"), col("exact_p50"),
+          (col("_sk_n") === col("_n")).as("n_match"),
+          monotone.as("monotone"), rankOk.as("rank_err_bound_met"))
+    }),
+
     "q151_bpe_encode" -> ((s, dir) => {
       // learn 50 BPE merges on the thresholded word-type table, encode
       // every word type through the codegen'd literal codec; the greedy
@@ -2991,6 +3026,15 @@ object SparkEntry {
       // pinned TRUE (q101/q103 contract discipline)
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS identity_cov, " +
         "TRUE AS mean_zero FROM embeddings"),
+
+    "q152_kll_contract" ->
+      // n and the exact interpolated median re-derived (quantile_cont ==
+      // Spark percentile, the q113 precedent); the sketch-side weight,
+      // monotonicity, and rank-error floors pinned TRUE
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 4) AS exact_p50, " +
+        "TRUE AS n_match, TRUE AS monotone, TRUE AS rank_err_bound_met " +
+        "FROM documents WHERE text IS NOT NULL"),
 
     "q151_bpe_encode" ->
       // n_word_types re-derived from the same tokenization; the greedy

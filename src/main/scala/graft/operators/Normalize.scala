@@ -127,6 +127,55 @@ object Normalize {
           (col("_pos") - col("_li").cast("double")), 4).as("normalized"))
   }
 
+  /** [[quantileNormalize]]'s 100 TB twin: the global rank table its
+    * scaladoc promises — "a merged t-digest/KLL lookup table broadcast to
+    * the groups" — made real with [[graft.functions.KllSketch]]. The exact
+    * version's one global total-order sort (its self-documented scale
+    * bottleneck) is replaced by ONE mergeable-sketch aggregate: each
+    * partition ships a bounded KLL summary, the merged one-row sketch is
+    * broadcast, and every row reads its interpolation endpoints
+    * g[floor(pos)] / g[floor(pos)+1] out of the summary with a codegen'd
+    * in-array fold ([[graft.functions.KllSketch.kllValueAtRank]]) — no
+    * join against a rank table, no sort anywhere outside the per-group
+    * windows (which parallelize across groups and are the SAME in both
+    * versions).
+    *
+    * Semantics are identical to [[quantileNormalize]] except that the
+    * global order statistics come from the sketch, so each endpoint sits
+    * within ±eps·n ranks of the true one (eps ~ 2.3/k one-level KLL
+    * bound; NormalizeSketchSpec pins the realized rank error and the
+    * sketch-vs-exact agreement on real data, and n — total weight — is
+    * always EXACT, so q and pos are bit-identical to the exact version).
+    */
+  def quantileNormalizeSketched(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      idCol: String = "doc_id",
+      k: Int = 400): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.KllSketch
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valueCol).cast("double").as("_x"))
+    val sk = v.agg(KllSketch.kll_sketch(col("_x"), k).as("_sk"))
+    val srk = v
+      .withColumn("_r", (row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("_x"), col(idCol))) - 1).cast("long"))
+      .withColumn("_ns", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .crossJoin(broadcast(sk))
+    val n = col("_sk").getField("n")
+    val q = when(col("_ns") === 1, lit(0.5))
+      .otherwise(col("_r").cast("double") / (col("_ns") - 1).cast("double"))
+    val pos = q * (n - 1).cast("double")
+    val li = floor(pos).cast("long")
+    // 1-based cumulative-weight targets for the two endpoints
+    val lo = KllSketch.kllValueAtRank(col("_sk").getField("items"), li + 1)
+    val hi = KllSketch.kllValueAtRank(col("_sk").getField("items"),
+      least(li + 1, n - 1) + 1)
+    srk.select(col(idCol), col(groupCol), col("_x").as(valueCol),
+      round(lo + (hi - lo) * (pos - li.cast("double")), 4).as("normalized"))
+  }
+
   /** Cohen's kappa (Cohen 1960) between two label columns — chance-
     * corrected agreement, the standard "are these two labelings actually
     * consistent?" statistic for annotator pairs, model-vs-gold audits, or
