@@ -1267,6 +1267,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q153_pq_ann_contract" -> ((s, dir) => {
+      // product-quantized retrieval vs exact: the oracle re-derives
+      // n_corpus, n_queries, and the exact-top-10 id checksum by brute
+      // force (q110's discipline); the PQ side is pinned by a recall
+      // floor (m=8, ksub=16, rerank=80 on dim-64 — ADC shortlist + exact
+      // re-rank; floor 0.6 with margin under the measured recall) and
+      // the code-range invariant
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val exact = operators.Similarity.topKPerQuery(corpus, queries, 10)
+      val books = operators.Similarity.pqCodebooks(corpus, m = 8, ksub = 16)
+      val encoded = operators.Similarity.pqEncode(corpus, books)
+      val pq = operators.Similarity.pqTopKPerQuery(encoded, books, queries, 10,
+        rerank = 80)
+      val hits = pq.select(col("query_id"), col("vec_id"))
+        .join(exact.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("_hits"))
+      val codesOk = encoded.agg(
+        min(array_min(col("codes"))).as("_cmin"),
+        max(array_max(col("codes"))).as("_cmax"),
+        min(size(col("codes"))).as("_szmin"), max(size(col("codes"))).as("_szmax"))
+      corpus.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
+        .crossJoin(exact.agg(sum(col("vec_id")).as("exact_topk_id_sum")))
+        .crossJoin(hits).crossJoin(codesOk)
+        .select(col("n_corpus"), col("n_queries"), col("exact_topk_id_sum"),
+          (col("_hits") * 10 >= col("n_queries") * 6).as("recall_floor_met"),
+          (col("_cmin") >= 0 && col("_cmax") <= 15 &&
+            col("_szmin") === 8 && col("_szmax") === 8).as("codes_bounded"))
+    }),
+
     "q152_kll_contract" -> ((s, dir) => {
       // KLL mergeable quantile sketch vs exact: n (total weight) must
       // match the row count EXACTLY (odd-level holdback preserves weight),
@@ -3026,6 +3059,27 @@ object SparkEntry {
       // pinned TRUE (q101/q103 contract discipline)
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS identity_cov, " +
         "TRUE AS mean_zero FROM embeddings"),
+
+    "q153_pq_ann_contract" ->
+      // exact side re-derived with q110's brute-force cosine kernel and
+      // (cos DESC, vec_id) tie-break; PQ-side floors pinned TRUE
+      ("WITH e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings WHERE vec_id >= 10), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM (" +
+        "SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings WHERE vec_id < 10)), " +
+        "s AS (SELECT query_id, e.vec_id AS vec_id, " +
+        "CASE WHEN e.nrm * qn = 0 THEN 0.0 " +
+        "ELSE list_sum(list_transform(list_zip(e.embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * qn) END AS cos " +
+        "FROM e, q WHERE e.vec_id <> query_id), " +
+        "r AS (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk FROM s) " +
+        "SELECT (SELECT count(*) FROM e) AS n_corpus, " +
+        "(SELECT count(*) FROM q) AS n_queries, " +
+        "(SELECT CAST(sum(vec_id) AS BIGINT) FROM r WHERE rk <= 10) AS exact_topk_id_sum, " +
+        "TRUE AS recall_floor_met, TRUE AS codes_bounded"),
 
     "q152_kll_contract" ->
       // n and the exact interpolated median re-derived (quantile_cont ==
