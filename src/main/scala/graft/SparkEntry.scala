@@ -1267,6 +1267,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q154_winnowing" -> ((s, dir) => {
+      // MOSS winnowing fingerprints: distinct window-min (pos, hash)
+      // pairs per doc, rightmost-min tie break encoded in the BIGINT key
+      // so DuckDB replays selection exactly
+      operators.CorpusAnalytics.winnowingFingerprints(
+        Tables(s, dir, "documents"), k = 5, w = 4)
+    }),
+
     "q153_pq_ann_contract" -> ((s, dir) => {
       // product-quantized retrieval vs exact: the oracle re-derives
       // n_corpus, n_queries, and the exact-top-10 id checksum by brute
@@ -3059,6 +3067,24 @@ object SparkEntry {
       // pinned TRUE (q101/q103 contract discipline)
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS identity_cov, " +
         "TRUE AS mean_zero FROM embeddings"),
+
+    "q154_winnowing" ->
+      // same gram hashes (md5 8-hex idiom), same composite key, same
+      // window-min selection via a sliding frame truncated to full
+      // windows (pos <= n-w; short docs keep their single truncated
+      // window at pos 0)
+      ("WITH d AS (SELECT doc_id, lower(text) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND length(lower(text)) >= 5), " +
+        "g AS (SELECT doc_id, i AS pos, " +
+        "CAST('0x' || substr(md5(substring(t, CAST(i + 1 AS INT), 5)), 1, 8) AS BIGINT) " +
+        "* 2097152 + (2097151 - i) AS key, length(t) - 4 AS n " +
+        "FROM d, UNNEST(range(length(t) - 4)) AS u(i)), " +
+        "wm AS (SELECT doc_id, pos, n, min(key) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey FROM g) " +
+        "SELECT DISTINCT doc_id, " +
+        "CAST(2097151 - (wkey % 2097152) AS BIGINT) AS pos, " +
+        "CAST(wkey // 2097152 AS BIGINT) AS fp " +
+        "FROM wm WHERE pos <= greatest(n - 4, 0)"),
 
     "q153_pq_ann_contract" ->
       // exact side re-derived with q110's brute-force cosine kernel and

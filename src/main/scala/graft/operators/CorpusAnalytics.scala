@@ -1416,4 +1416,60 @@ object CorpusAnalytics {
           / (col("sxx") - col("sx") * col("sx") / col("n")))
           * (col("sx") / col("n")), 4).as("intercept"))
   }
+
+  // ----------------------------------------------------------- winnowing
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): select, from every window of `w` consecutive
+    * char-`k`-gram hashes, the minimal hash (rightmost on ties), and keep
+    * the distinct selected (position, hash) pairs as the document's
+    * fingerprint set. The guarantee that makes this the local-dedup
+    * signal [[graft.functions.TextAnalysis.fingerprint]]'s whole-doc hash
+    * can't give: any shared substring of length >= k + w - 1 between two
+    * documents produces at least one IDENTICAL selected fingerprint in
+    * both, at ~2/(w+1) selection density — detect-overlap-anywhere with a
+    * bounded, content-positioned sketch per doc.
+    *
+    * Shape: everything happens INSIDE one row — gram hashes, sliding
+    * windows, in-window argmin, distinct — as array expressions
+    * (doc-length-bounded, codegen'd, zero shuffle anywhere); only the
+    * exploded fingerprint rows leave the map side. The rightmost-min tie
+    * break is encoded arithmetically (key = hash·2^21 + (2^21-1-pos), one
+    * BIGINT min per window — no struct comparators), which is also what
+    * lets DuckDB replay selection exactly (q154); position capacity is
+    * 2^21-1 chars/doc, asserted in-plan. At 100 TB: fingerprints are the
+    * JOIN KEY for plagiarism/overlap candidate generation — a shuffle of
+    * ~0.4 longs per char instead of text, and the candidate join carries
+    * bare (fp, doc) pairs, PPJoin-style.
+    */
+  def winnowingFingerprints(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 5,
+      w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, "winnowing: need k >= 2, w >= 1")
+    val posCap = 1L << 21
+    val t = lower(col(textCol))
+    val nGrams = (length(t) - k + 1).cast("long")
+    val keys = transform(sequence(lit(0L), nGrams - 1), i =>
+      conv(substring(md5(t.substr((i + 1).cast("int"), lit(k)).cast("binary")),
+        1, 8), 16, 10).cast("long") * posCap + (lit(posCap - 1) - i))
+    val winStarts = sequence(lit(0L), greatest(nGrams - w, lit(0L)))
+    val selected = array_distinct(transform(winStarts, s =>
+      array_min(slice(keys, (s + 1).cast("int"), lit(w)))))
+    docs
+      .filter(col(textCol).isNotNull && length(t) >= k)
+      // assert_true yields NULL when the invariant holds, so coalesce
+      // rides the guard on the filter itself (q111's discipline) — a
+      // doc past the position capacity fails the job, never mis-keys
+      .filter(coalesce(
+        assert_true(length(t) < posCap,
+          lit("winnowing: doc exceeds 2^21 chars")).cast("boolean"),
+        lit(true)))
+      .select(col(idCol), explode(selected).as("_key"))
+      .select(col(idCol),
+        (lit(posCap - 1) - pmod(col("_key"), lit(posCap))).as("pos"),
+        floor(col("_key") / posCap).cast("long").as("fp"))
+  }
 }
