@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-provided testdata tables (TESTDATA.md). */
 object Tables {
@@ -18,10 +18,14 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Load a table. `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4
-    * refuses by default (PARQUET_TYPE_ILLEGAL): read it as raw nanos via the
-    * legacy conf and normalize to TimestampType (microsecond, UTC) — same
-    * truncation DuckDB applies when casting TIMESTAMP_NS down.
+  /** Load a table. `events.ts` has shipped in two parquet encodings across
+    * testdata generations, both normalized here to TimestampType (micros,
+    * session TZ pinned UTC so wall-clock == instant):
+    *  - TIMESTAMP(NANOS), which Spark 4 refuses by default
+    *    (PARQUET_TYPE_ILLEGAL): read as raw nanos via the legacy conf and
+    *    truncate — same as DuckDB casting TIMESTAMP_NS down;
+    *  - TIMESTAMP(isAdjustedToUTC=false, MICROS) → Spark TIMESTAMP_NTZ:
+    *    cast to timestamp (values unchanged under the UTC session TZ).
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // bound the memo: long-lived drivers creating sessions over time must
@@ -32,6 +36,8 @@ object Tables {
       val df = s.read.parquet(path)
       if (name == "events" && df.schema("ts").dataType == LongType)
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+        df.withColumn("ts", col("ts").cast("timestamp"))
       else df
     })
   }
@@ -58,6 +64,12 @@ object Tables {
       }
       df.filter(col("ts") >= nanos(fromIncl) && col("ts") < nanos(toExcl))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else if (df.schema("ts").dataType == TimestampNTZType) {
+      // predicate on the RAW ntz column (pushes to row-group stats);
+      // conversion to TimestampType happens after the pruned scan
+      df.filter(col("ts") >= lit(fromIncl).cast("timestamp_ntz") &&
+          col("ts") < lit(toExcl).cast("timestamp_ntz"))
+        .withColumn("ts", col("ts").cast("timestamp"))
     } else {
       df.filter(col("ts") >= lit(fromIncl).cast("timestamp") &&
         col("ts") < lit(toExcl).cast("timestamp"))

@@ -15,11 +15,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // every registered query must produce an output — a throw is recorded
+    // in failed.json AND fails the run, so the correctness gate can never
+    // silently shrink (r8: 7 queries threw at analysis and simply vanished
+    // from CORRECTNESS_r08.json)
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // dev loop: SPARK_GRAFT_ONLY=q29_asof_join,q154_winnowing re-runs a
+    // subset; the driver sets nothing and always gets the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       spark.catalog.clearCache() // intra-query persists, see Bench
     }
@@ -38,6 +52,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed.nonEmpty) {
+      val fj = failed
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/failed.json"), fj)
+      System.err.println(
+        s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
+          failed.keys.mkString(", "))
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -1211,12 +1211,16 @@ object CorpusAnalytics {
     * says whether more crawl still buys new language or the corpus has
     * saturated (and sizes a tokenizer's vocab before training one).
     *
-    * All-integer arithmetic end to end. Each token's first appearance is
+    * All-integer bucket arithmetic. Each token's first appearance is
     * a min-aggregate over its bucket ids; the curve is a 10-row window
     * sum. The only full-width exchange is the (token → min bucket) hash
-    * aggregate, map-side combined above the explode; the doc→bucket map
-    * is rank·buckets/n on a global row_number — at 100 TB the ids are
-    * already epoch-ordered and the window collapses to an id-range bin.
+    * aggregate, map-side combined above the explode. The doc→bucket map
+    * is rank·buckets/n, but the global rank is NEVER a single-partition
+    * window: docs pre-bucket into 32 contiguous id ranges by a pure value
+    * formula, per-range doc counts fold to a 32-row driver prefix scan
+    * that broadcasts back as offsets, and each range ranks only its own
+    * slice ([[Packing.packSequences]]'s bucket-formula cumsum — balanced
+    * window sorts, no global sort, no driver bottleneck at 100 TB).
     */
   def vocabularyGrowth(
       docs: DataFrame,
@@ -1226,13 +1230,35 @@ object CorpusAnalytics {
       idCol: String = "doc_id"): DataFrame = {
     require(buckets >= 1, "need at least one bucket")
     val base = docs.filter(trim(col(textCol)) =!= "")
-    val nDocs = base.agg(count(lit(1)).as("n_docs"))
-    val bucketed = base
-      .withColumn("_r",
-        row_number().over(Window.orderBy(col(idCol))).cast("long") - 1)
-      .crossJoin(broadcast(nDocs)) // one row: a broadcast scalar
+    val preB = 32
+    val bounds = base.agg(
+      min(col(idCol)).as("lo"), max(col(idCol)).as("hi"),
+      count(lit(1)).as("n_docs"))
+    val pre = base
+      .crossJoin(broadcast(bounds)) // one row: broadcast scalars
+      .select(col(idCol), col(textCol), col("n_docs"),
+        // span+1 keeps hi in range preB-1; all-integer floor division
+        expr(s"(($idCol - lo) * $preB) div (hi - lo + 1)").as("_pb"))
+    // per-range doc counts → driver prefix offsets (≤ preB rows — a
+    // bounded driver step, not a data collect)
+    val cnts = pre.groupBy(col("_pb")).agg(count(lit(1)).as("c"))
+      .orderBy(col("_pb")).collect()
+    var acc = 0L
+    val offs = cnts.map { r =>
+      val off = acc; acc += r.getLong(1); (r.getLong(0), off)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = offs.toSeq.toDF("_pb", "_off")
+    // global rank = range offset + rank within the id range; identical to
+    // row_number() OVER (ORDER BY id) - 1, with only per-range sorts
+    val rk = row_number().over(
+      Window.partitionBy(col("_pb")).orderBy(col(idCol))).cast("long") - 1
+    val bucketed = pre
+      .join(broadcast(offDf), "_pb")
       .select(
-        floor(col("_r") * buckets / col("n_docs")).cast("int").as("bucket"),
+        floor((col("_off") + rk) * buckets / col("n_docs"))
+          .cast("int").as("bucket"),
         col(textCol))
     // unit of vocabulary: single tokens, or the q15/q102 word shingles
     // (distinct per doc — irrelevant for a min-bucket first appearance)
@@ -1430,17 +1456,22 @@ object CorpusAnalytics {
     * both, at ~2/(w+1) selection density — detect-overlap-anywhere with a
     * bounded, content-positioned sketch per doc.
     *
-    * Shape: everything happens INSIDE one row — gram hashes, sliding
-    * windows, in-window argmin, distinct — as array expressions
-    * (doc-length-bounded, codegen'd, zero shuffle anywhere); only the
-    * exploded fingerprint rows leave the map side. The rightmost-min tie
-    * break is encoded arithmetically (key = hash·2^21 + (2^21-1-pos), one
-    * BIGINT min per window — no struct comparators), which is also what
-    * lets DuckDB replay selection exactly (q154); position capacity is
-    * 2^21-1 chars/doc, asserted in-plan. At 100 TB: fingerprints are the
-    * JOIN KEY for plagiarism/overlap candidate generation — a shuffle of
-    * ~0.4 longs per char instead of text, and the candidate join carries
-    * bare (fp, doc) pairs, PPJoin-style.
+    * Shape: the gram-hash array is built ONCE per row inside the
+    * `posexplode` generator (Generate evaluates its child expression a
+    * single time per input row — the one place a doc-length array can be
+    * bound without projection collapse re-inlining it into O(n) lambda
+    * invocations, the quadratic trap the first cut of this operator hit),
+    * then selection is a per-doc sliding `min OVER (PARTITION BY doc
+    * ORDER BY pos ROWS w-1 FOLLOWING)` + DISTINCT — linear work, one
+    * shuffle on doc id (the distinct reuses the window's partitioning:
+    * hash(doc_id) satisfies the (doc_id, key) clustering). The
+    * rightmost-min tie break is encoded arithmetically (key = hash·2^21 +
+    * (2^21-1-pos), one BIGINT min per window — no struct comparators),
+    * which is also what lets DuckDB replay selection exactly (q154);
+    * position capacity is 2^21-1 chars/doc, asserted in-plan. At 100 TB:
+    * fingerprints are the JOIN KEY for plagiarism/overlap candidate
+    * generation — a shuffle of ~0.4 longs per char instead of text, and
+    * the candidate join carries bare (fp, doc) pairs, PPJoin-style.
     */
   def winnowingFingerprints(
       docs: DataFrame,
@@ -1450,16 +1481,21 @@ object CorpusAnalytics {
       w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, "winnowing: need k >= 2, w >= 1")
     val posCap = 1L << 21
-    val t = lower(col(textCol))
+    // the lowered text binds as a COLUMN before the generator: a lambda
+    // that says lower(text) inline re-lowercases the whole doc once per
+    // gram (O(n²) char copies — the residual hotspot after the window-min
+    // rewrite, 10.6 s → sub-second at sf0.1); a bound attribute is O(1)
+    val t = col("_t")
     val nGrams = (length(t) - k + 1).cast("long")
     val keys = transform(sequence(lit(0L), nGrams - 1), i =>
       conv(substring(md5(t.substr((i + 1).cast("int"), lit(k)).cast("binary")),
         1, 8), 16, 10).cast("long") * posCap + (lit(posCap - 1) - i))
-    val winStarts = sequence(lit(0L), greatest(nGrams - w, lit(0L)))
-    val selected = array_distinct(transform(winStarts, s =>
-      array_min(slice(keys, (s + 1).cast("int"), lit(w)))))
+    val winMin = min(col("_key")).over(Window.partitionBy(col(idCol))
+      .orderBy(col("_pos")).rowsBetween(Window.currentRow, w - 1))
     docs
-      .filter(col(textCol).isNotNull && length(t) >= k)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), lower(col(textCol)).as("_t"))
+      .filter(length(t) >= k)
       // assert_true yields NULL when the invariant holds, so coalesce
       // rides the guard on the filter itself (q111's discipline) — a
       // doc past the position capacity fails the job, never mis-keys
@@ -1467,9 +1503,28 @@ object CorpusAnalytics {
         assert_true(length(t) < posCap,
           lit("winnowing: doc exceeds 2^21 chars")).cast("boolean"),
         lit(true)))
-      .select(col(idCol), explode(selected).as("_key"))
+      // the ONE shuffle, placed BEFORE gram generation: repartitioning the
+      // doc table by id moves ~1 byte/char of text, pre-satisfies the
+      // window's and the distinct's clustering (no gram-row exchange ever
+      // forms — that would move ~16 bytes/char), and spreads the md5 work
+      // across executors even when the scan is a single small file/task.
+      // Explicit partition count: AQE would coalesce a byte-small doc
+      // shuffle to ONE partition, serializing the ~1000× larger generated
+      // gram stream behind it (measured 7 s vs 1 s at sf0.1)
+      .repartition(
+        docs.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+      // the generator binds the md5 array once per doc; trailing partial
+      // windows (pos > nGrams - w) are dropped EXCEPT the pos-0 window of
+      // a doc shorter than k + w - 1, which keeps its single truncated
+      // window (the frame clamps at the partition end) — slice semantics
+      // of the original formulation, and of the DuckDB oracle
+      .select(col(idCol), (nGrams - w).as("_last"),
+        posexplode(keys).as(Seq("_pos", "_key")))
+      .select(col(idCol), col("_last"), col("_pos"), winMin.as("_sel"))
+      .filter(col("_pos") <= greatest(col("_last"), lit(0L)))
+      .select(col(idCol), col("_sel")).distinct()
       .select(col(idCol),
-        (lit(posCap - 1) - pmod(col("_key"), lit(posCap))).as("pos"),
-        floor(col("_key") / posCap).cast("long").as("fp"))
+        (lit(posCap - 1) - pmod(col("_sel"), lit(posCap))).as("pos"),
+        floor(col("_sel") / posCap).cast("long").as("fp"))
   }
 }

@@ -59,7 +59,14 @@ object Plans {
     "q142_whitening_contract" -> "the whitening fit never shuffles: the moment pass is a per-partition (n, sum-x, sum-xx^T) mapPartitions fold collected as one bounded row per partition, and the fitted d x d transform applies inside WholeStageCodegen as an expression reference object — no join, no exchange in the transform plan",
     "q145_data_profile" -> "every profile metric folds into ONE wide aggregate: the exact multi-column distincts share a single Expand (rows x profiled-columns before partial agg — the textbook multi-distinct plan), min/max/null partials ride the same pass, and the report pivot is a literal-array explode of the one driver row — no second scan",
     "q147_seq_packing" -> "the global token cumsum never global-sorts: the deterministic id-range bucket formula is a map-side projection, per-bucket totals hash-aggregate map-side into a B-row driver prefix that re-enters as a broadcast join, and each bucket window-sorts only its own slice",
-    "q148_distinct_sketch" -> "per-source HLL sketches partial-aggregate map-side (the exchange carries kilobyte sketch buffers, not tokens); the union row merges the per-source sketches with hll_union_agg — the token stream is never re-shuffled to answer the global question"
+    "q148_distinct_sketch" -> "per-source HLL sketches partial-aggregate map-side (the exchange carries kilobyte sketch buffers, not tokens); the union row merges the per-source sketches with hll_union_agg — the token stream is never re-shuffled to answer the global question",
+    "q141_vocab_growth" -> "the decile map's global rank is DISTRIBUTED: a value-formula id-range bucket projection, 32-row count agg -> driver prefix -> broadcast join, and per-range row_number windows — no single-partition WindowExec over the corpus anywhere (r8's scale gap, now pinned by PlanGuardSpec); the token explode partial-aggregates into the min-bucket agg, the only full-width exchange",
+    "q149_bpe_pairs" -> "adjacent-pair candidates generate once per word TYPE — the word->freq hash agg collapses the token stream BEFORE pair generation, so the pair explode runs over the type table; both aggs partial map-side, top-k is TakeOrderedAndProject",
+    "q150_zipf_slope" -> "the token-count agg is the only full-width exchange; the OLS fold runs over the top-200 TakeOrderedAndProject head collected into one rank-ordered array — fixed-cardinality tail work, no global sort",
+    "q151_bpe_encode" -> "the learned merge table rides as a literal reference object inside the encode expression (WholeStageCodegen, no join/shuffle/UDF serialization); the roundtrip/substring contract folds into one wide aggregate pass over the encoded projection",
+    "q152_kll_contract" -> "KLL sketches partial-aggregate map-side — the exchange carries bounded sketch buffers, never values; the exact-quantile twin derives from grouped percentile aggs over the compact value stream and both meet in a one-row contract projection",
+    "q153_pq_ann_contract" -> "both the ADC shortlist and the exact re-rank score map-side against broadcast queries (codebooks are plan literals); shortlists are k-bounded top_k_pairs aggregates, and the exact path re-ranks only the shortlist join — the corpus shuffles nowhere",
+    "q154_winnowing" -> "the md5 gram-hash array binds ONCE per doc inside the posexplode Generate (projection collapse cannot re-inline it into per-window lambdas — r8's quadratic trap); selection is a per-doc sliding window-min whose hash(doc_id) partitioning the DISTINCT reuses (no second exchange) — linear work, one shuffle"
   )
 
   def main(args: Array[String]): Unit = {

@@ -43,6 +43,10 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(totals)): single-row totals scalar, corpus side streams through",
     "q110_quantized_ann_contract" ->
       "contract twin: broadcast query set + single-row stats/metric crossJoins (quantization stats are a one-row array pair)",
+    "q152_kll_contract" ->
+      "contract twin: single-row exact-quantile vs single-row merged-sketch crossJoins",
+    "q153_pq_ann_contract" ->
+      "contract twin: broadcast query set + single-row codebook/recall-metric crossJoins (q110's discipline)",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
@@ -69,19 +73,27 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(globalExact)): single-row exact-distinct scalar beside the single-row union sketch"
   )
 
+  /** One shared physical-plan pass for every rule in this suite (plan
+    * construction dominates the suite's runtime — don't pay it per rule).
+    */
+  private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val plan =
+        try fn(spark, sf()).queryExecution.sparkPlan
+        catch {
+          case e: Throwable =>
+            fail(s"$name failed to build a plan: ${e.getMessage}")
+        }
+      name -> plan
+    }
+
   test("no CartesianProduct / BroadcastNestedLoopJoin outside the exempt list") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan =
-          try fn(spark, sf()).queryExecution.executedPlan.toString
-          catch {
-            case e: Throwable =>
-              fail(s"$name failed to build a plan: ${e.getMessage}")
-          }
-        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
-          .filter(plan.contains)
-        if (bad.nonEmpty && !exempt.contains(name)) Some(s"$name: ${bad.mkString(",")}")
-        else None
+    val offenders = plans.flatMap { case (name, plan) =>
+      val s = plan.toString
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(s.contains)
+      if (bad.nonEmpty && !exempt.contains(name)) Some(s"$name: ${bad.mkString(",")}")
+      else None
     }
     assert(offenders.isEmpty,
       s"nested-loop joins outside the exempt list:\n  ${offenders.mkString("\n  ")}")
@@ -90,5 +102,51 @@ class PlanGuardSpec extends SparkSpec {
   test("exempt list is tight: every exempt query still plans (no stale names)") {
     val unknown = exempt.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"exempt entries with no matching query: $unknown")
+  }
+
+  /** Queries allowed a WindowExec with an EMPTY partition spec (the
+    * "Moving all data to a single partition" shape), each with the reason
+    * the windowed frame is bounded by construction — every one sits above
+    * a limit/top-k/fixed-cardinality reduction, so the single partition
+    * holds k rows, not the corpus. An empty-partition window over an
+    * UNBOUNDED input (r8's vocabularyGrowth global row_number) fails here
+    * instead of at 100 TB.
+    */
+  private val singlePartitionWindowExempt: Map[String, String] = Map(
+    "q126_weighted_sample" ->
+      "rank re-derived over the already-limit(k)'d sample (Sampling.scala:181) — k rows",
+    "q129_bm25_search" ->
+      "rank re-derived over the already-limit(topN)'d scores (Ranking.scala:115) — topN rows",
+    "q137_quantile_norm" ->
+      "exact small-N path by contract; the declared scale path is quantileNormalizeSketched (KLL)",
+    "q141_vocab_growth" ->
+      "running-vocab cumsum over the `buckets`-row curve (10 rows) — fixed cardinality",
+    "q150_zipf_slope" ->
+      "rank over the top-n=200 token head (TakeOrderedAndProject) — fixed cardinality"
+  )
+
+  private lazy val singlePartitionWindowOffenders: Set[String] = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    plans.flatMap { case (name, plan) =>
+      val empties = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (empties.nonEmpty) Some(name) else None
+    }.toSet
+  }
+
+  test("no single-partition WindowExec outside the exempt list") {
+    val offenders =
+      singlePartitionWindowOffenders -- singlePartitionWindowExempt.keySet
+    assert(offenders.isEmpty,
+      "single-partition WindowExec outside the exempt list " +
+        s"(unbounded global sort at scale):\n  ${offenders.toSeq.sorted.mkString("\n  ")}")
+  }
+
+  test("single-partition-window exempt list is EXACT (stale entries fail)") {
+    val stale =
+      singlePartitionWindowExempt.keySet -- singlePartitionWindowOffenders
+    assert(stale.isEmpty,
+      s"window-exempt entries whose query no longer plans a global window: $stale")
   }
 }
