@@ -1275,6 +1275,15 @@ object SparkEntry {
         Tables(s, dir, "documents"), k = 5, w = 4)
     }),
 
+    "q155_winnowing_overlap" -> ((s, dir) => {
+      // MOSS "report pairs": doc pairs sharing >= minShared winnowing
+      // fingerprints, PPJoin-style postings intersection with the
+      // boilerplate df cap; oracle replays fingerprints + cap + pair join
+      operators.CorpusAnalytics.winnowingOverlapPairs(
+        Tables(s, dir, "documents"), k = 5, w = 4, minShared = 3, maxDf = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q153_pq_ann_contract" -> ((s, dir) => {
       // product-quantized retrieval vs exact: the oracle re-derives
       // n_corpus, n_queries, and the exact-top-10 id checksum by brute
@@ -3085,6 +3094,28 @@ object SparkEntry {
         "CAST(2097151 - (wkey % 2097152) AS BIGINT) AS pos, " +
         "CAST(wkey // 2097152 AS BIGINT) AS fp " +
         "FROM wm WHERE pos <= greatest(n - 4, 0)"),
+
+    "q155_winnowing_overlap" ->
+      // q154's fingerprint CTE verbatim (same md5 gram hashes, composite
+      // keys, sliding frame, full-window filter), then postings distinct,
+      // the 2..maxDf df band, and the same self-join + HAVING
+      ("WITH d AS (SELECT doc_id, lower(text) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND length(lower(text)) >= 5), " +
+        "g AS (SELECT doc_id, i AS pos, " +
+        "CAST('0x' || substr(md5(substring(t, CAST(i + 1 AS INT), 5)), 1, 8) AS BIGINT) " +
+        "* 2097152 + (2097151 - i) AS key, length(t) - 4 AS n " +
+        "FROM d, UNNEST(range(length(t) - 4)) AS u(i)), " +
+        "wm AS (SELECT doc_id, pos, n, min(key) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey FROM g), " +
+        "fps AS (SELECT DISTINCT doc_id, CAST(wkey // 2097152 AS BIGINT) AS fp " +
+        "FROM wm WHERE pos <= greatest(n - 4, 0)), " +
+        "rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp) " +
+        "WHERE df BETWEEN 2 AND 20), " +
+        "pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r USING (fp)) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(count(*) AS BIGINT) AS shared_fps " +
+        "FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2"),
 
     "q153_pq_ann_contract" ->
       // exact side re-derived with q110's brute-force cosine kernel and

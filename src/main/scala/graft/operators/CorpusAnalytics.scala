@@ -1527,4 +1527,54 @@ object CorpusAnalytics {
         (lit(posCap - 1) - pmod(col("_sel"), lit(posCap))).as("pos"),
         floor(col("_sel") / posCap).cast("long").as("fp"))
   }
+
+  /** Winnowing overlap join — the consumer [[winnowingFingerprints]]
+    * exists for (Schleimer et al. 2003 §5, the MOSS "report pairs" step):
+    * document pairs sharing at least `minShared` selected fingerprints,
+    * with the shared count as the overlap strength. By the winnowing
+    * guarantee, ANY pair with a common substring of k + w − 1 chars or
+    * more shares at least one fingerprint — so this join is the
+    * detect-overlap-anywhere candidate generator for plagiarism /
+    * near-copy audits, at sketch cost instead of text cost.
+    *
+    * Scale shape: the pair join is PPJoin-style postings intersection —
+    * group by fingerprint, drop fingerprints in more than `maxDf` docs
+    * (corpus boilerplate generates quadratic candidates and carries no
+    * overlap signal — the stop-gram discipline of
+    * [[Dedup.containmentPairs]]), self-join the surviving ≤ maxDf-row
+    * postings lists, count per pair. Every exchange carries (fp, id)
+    * longs; per-fingerprint pair fan-out is bounded by maxDf², never
+    * |corpus|². The df cap makes recall selective, not exhaustive — raise
+    * it for small audits, keep it tight at corpus scale.
+    */
+  def winnowingOverlapPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Int = 3,
+      maxDf: Int = 20): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      "winnowing overlap: need minShared >= 1, maxDf >= 2")
+    // same fp can be selected at several positions of one doc: collapse to
+    // postings first (no shuffle — fingerprints arrive doc_id-partitioned).
+    // Persisted: the frame feeds the df agg AND both self-join sides — an
+    // unpersisted lineage re-hashes every gram of the corpus up to 4×
+    // (caller-visible lifecycle, same discipline as the dedup family)
+    val postings = winnowingFingerprints(docs, textCol, idCol, k, w)
+      .select(col(idCol), col("fp")).distinct().persist()
+    val rare = postings.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val pruned = postings.join(rare, "fp")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }
