@@ -1275,6 +1275,14 @@ object SparkEntry {
         Tables(s, dir, "documents"), k = 5, w = 4)
     }),
 
+    "q156_entropy" -> ((s, dir) => {
+      // char + word Shannon entropy per doc (gibberish detector):
+      // integer counts folded in sorted key order so the oracle replays
+      // the exact doubles; char side in-row, word side explode+agg
+      operators.CorpusAnalytics.entropySignals(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q155_winnowing_overlap" -> ((s, dir) => {
       // MOSS "report pairs": doc pairs sharing >= minShared winnowing
       // fingerprints, PPJoin-style postings intersection with the
@@ -3094,6 +3102,33 @@ object SparkEntry {
         "CAST(2097151 - (wkey % 2097152) AS BIGINT) AS pos, " +
         "CAST(wkey // 2097152 AS BIGINT) AS fp " +
         "FROM wm WHERE pos <= greatest(n - 4, 0)"),
+
+    "q156_entropy" ->
+      // same sorted-key left-associative folds: char terms in char order
+      // (in-list counts), word terms in token order (list(c ORDER BY tok));
+      // ln once per term, one division, round 4 — q150's float discipline
+      ("WITH d AS (SELECT doc_id, lower(text) AS t, text FROM documents " +
+        "WHERE text IS NOT NULL AND length(text) > 0), " +
+        "ch AS (SELECT doc_id, t, " +
+        "list_transform(range(length(t)), i -> substring(t, CAST(i + 1 AS INT), 1)) AS cs " +
+        "FROM d), " +
+        "ce AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars, " +
+        "round(ln(length(t)) - list_reduce(list_prepend(0.0, " +
+        "list_transform(list_sort(list_distinct(cs)), " +
+        "c -> len(list_filter(cs, x -> x = c)) * ln(len(list_filter(cs, x -> x = c))))), " +
+        "(a, b) -> a + b) / length(t), 4) AS char_entropy FROM ch), " +
+        "tk AS (SELECT doc_id, unnest(list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS tok " +
+        "FROM d), " +
+        "tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2), " +
+        "we AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "round(ln(sum(c)) - list_reduce(list_prepend(0.0, " +
+        "list_transform(list(c ORDER BY tok), x -> x * ln(x))), " +
+        "(a, b) -> a + b) / sum(c), 4) AS word_entropy FROM tc GROUP BY doc_id) " +
+        "SELECT ce.doc_id, n_chars, char_entropy, " +
+        "coalesce(n_tokens, 0) AS n_tokens, " +
+        "coalesce(word_entropy, 0.0) AS word_entropy " +
+        "FROM ce LEFT JOIN we ON ce.doc_id = we.doc_id ORDER BY ce.doc_id"),
 
     "q155_winnowing_overlap" ->
       // q154's fingerprint CTE verbatim (same md5 gram hashes, composite

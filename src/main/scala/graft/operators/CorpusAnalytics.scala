@@ -91,6 +91,62 @@ object CorpusAnalytics {
     when(total <= 0, lit(0.0)).otherwise(lit(1.0) - distinctBigrams / total)
   }
 
+  /** Per-document Shannon entropy signals — the gibberish / machine-junk
+    * detector every corpus filter stack carries (base64 blobs, minified
+    * code, and key-dumps sit far from natural-language entropy bands;
+    * CCNet/Gopher-style pipelines cut on exactly these): character-level
+    * and word-level entropy H = ln n − (Σ c·ln c)/n from integer counts.
+    *
+    * Float discipline (q150's): both entropies fold their count terms in
+    * SORTED key order, left-associative, so DuckDB replays the exact
+    * doubles; one division and one ln(n) per doc, outputs rounded to 4.
+    * Shapes: char entropy is IN-ROW (distinct-char set is alphabet-bounded,
+    * so the per-row work is O(|alphabet|·n) with no shuffle; the char
+    * array binds as a column — multi-referenced, so projection collapse
+    * cannot re-inline it). Word entropy's distinct-token set is NOT
+    * bounded, so it goes explode → (doc, token) count agg (map-side
+    * partials collapse the token stream) → per-doc sorted fold over the
+    * count structs — one 8-byte-keyed shuffle, never O(n²) per doc.
+    */
+  def entropySignals(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val chars = col("_chars")
+    val alphabet = array_sort(array_distinct(chars))
+    val charTerm = aggregate(
+      transform(alphabet, c => size(filter(chars, x => x === c)).cast("double")),
+      lit(0.0), (acc, n) => acc + n * log(n))
+    val n = length(col("_t")).cast("double")
+    val charSide = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), lower(col(textCol)).as("_t"))
+      .select(col(idCol), col("_t"),
+        transform(sequence(lit(1), length(col("_t"))),
+          i => col("_t").substr(i, lit(1))).as("_chars"))
+      .select(col(idCol),
+        length(col("_t")).cast("long").as("n_chars"),
+        round(log(n) - charTerm / n, 4).as("char_entropy"))
+    val tokenCounts = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val nt = col("n_tokens").cast("double")
+    val wordSide = tokenCounts
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        array_sort(collect_list(struct(col("tok"), col("c")))).as("_tc"))
+      .select(col(idCol), col("n_tokens"),
+        round(log(nt) - aggregate(col("_tc"), lit(0.0),
+          (acc, e) => acc + e.getField("c").cast("double") *
+            log(e.getField("c").cast("double"))) / nt, 4).as("word_entropy"))
+    charSide.join(wordSide, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"), col("char_entropy"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("word_entropy"), lit(0.0)).as("word_entropy"))
+  }
+
   /** PII redaction: emails → `<EMAIL>`, long digit runs (4+) → `<NUM>`.
     * Returns (redacted text, n_emails, n_nums) as struct fields. Map-side
     * scalar — codegen'd regexp kernels, no UDF.
