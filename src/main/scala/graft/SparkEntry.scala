@@ -1275,6 +1275,45 @@ object SparkEntry {
         Tables(s, dir, "documents"), k = 5, w = 4)
     }),
 
+    "q157_ivfpq_ann_contract" -> ((s, dir) => {
+      // IVFADC (coarse inverted lists + residual PQ + per-list ADC +
+      // exact re-rank — the production ANN layout): exact side re-derived
+      // by the oracle brute force (q110/q153 discipline); the composite
+      // is pinned by a recall floor at nprobe=4/8 lists probed, plus
+      // code-range and list-range invariants
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val exact = operators.Similarity.topKPerQuery(corpus, queries, 10)
+      val cents = operators.Similarity.kmeansCentroids(corpus, k = 8, iters = 0)
+      val books = operators.Similarity.pqResidualCodebooks(corpus, cents,
+        m = 8, ksub = 16)
+      val index = operators.Similarity.ivfPqEncode(corpus, cents, books)
+        .persist()
+      val ivfpq = operators.Similarity.ivfPqTopKPerQuery(index, cents, books,
+        queries, 10, nprobe = 4, rerank = 80)
+      val hits = ivfpq.select(col("query_id"), col("vec_id"))
+        .join(exact.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("_hits"))
+      val boundsOk = index.agg(
+        min(array_min(col("codes"))).as("_cmin"),
+        max(array_max(col("codes"))).as("_cmax"),
+        min(size(col("codes"))).as("_szmin"),
+        max(size(col("codes"))).as("_szmax"),
+        min(col("cluster")).as("_lmin"), max(col("cluster")).as("_lmax"))
+      corpus.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
+        .crossJoin(exact.agg(sum(col("vec_id")).as("exact_topk_id_sum")))
+        .crossJoin(hits).crossJoin(boundsOk)
+        .select(col("n_corpus"), col("n_queries"), col("exact_topk_id_sum"),
+          (col("_hits") * 10 >= col("n_queries") * 5).as("recall_floor_met"),
+          (col("_cmin") >= 0 && col("_cmax") <= 15 &&
+            col("_szmin") === 8 && col("_szmax") === 8).as("codes_bounded"),
+          (col("_lmin") >= 0 && col("_lmax") <= 7).as("lists_bounded"))
+    }),
+
     "q156_entropy" -> ((s, dir) => {
       // char + word Shannon entropy per doc (gibberish detector):
       // integer counts folded in sorted key order so the oracle replays
@@ -3102,6 +3141,28 @@ object SparkEntry {
         "CAST(2097151 - (wkey % 2097152) AS BIGINT) AS pos, " +
         "CAST(wkey // 2097152 AS BIGINT) AS fp " +
         "FROM wm WHERE pos <= greatest(n - 4, 0)"),
+
+    "q157_ivfpq_ann_contract" ->
+      // q153's exact-side oracle verbatim (brute-force cosine + (cos DESC,
+      // vec_id) tie-break); the IVFADC floors and range invariants pinned
+      // TRUE — recall floor 0.5 at nprobe=4/8 with margin under measured
+      ("WITH e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings WHERE vec_id >= 10), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM (" +
+        "SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings WHERE vec_id < 10)), " +
+        "s AS (SELECT query_id, e.vec_id AS vec_id, " +
+        "CASE WHEN e.nrm * qn = 0 THEN 0.0 " +
+        "ELSE list_sum(list_transform(list_zip(e.embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * qn) END AS cos " +
+        "FROM e, q WHERE e.vec_id <> query_id), " +
+        "r AS (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk FROM s) " +
+        "SELECT (SELECT count(*) FROM e) AS n_corpus, " +
+        "(SELECT count(*) FROM q) AS n_queries, " +
+        "(SELECT CAST(sum(vec_id) AS BIGINT) FROM r WHERE rk <= 10) AS exact_topk_id_sum, " +
+        "TRUE AS recall_floor_met, TRUE AS codes_bounded, TRUE AS lists_bounded"),
 
     "q156_entropy" ->
       // same sorted-key left-associative folds: char terms in char order
