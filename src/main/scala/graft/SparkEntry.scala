@@ -1275,6 +1275,15 @@ object SparkEntry {
         Tables(s, dir, "documents"), k = 5, w = 4)
     }),
 
+    "q158_nb_lang_predict" -> ((s, dir) => {
+      // trained multinomial NB over char trigrams (supervised lang-id):
+      // fit + self-predict in one plan; the oracle replays the whole
+      // model — counts, Laplace log-probs, sorted per-doc folds, rounded
+      // argmax with lex-greatest tie-break
+      operators.NaiveBayes.langPredict(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q157_ivfpq_ann_contract" -> ((s, dir) => {
       // IVFADC (coarse inverted lists + residual PQ + per-list ADC +
       // exact re-rank — the production ANN layout): exact side re-derived
@@ -3141,6 +3150,34 @@ object SparkEntry {
         "CAST(2097151 - (wkey % 2097152) AS BIGINT) AS pos, " +
         "CAST(wkey // 2097152 AS BIGINT) AS fp " +
         "FROM wm WHERE pos <= greatest(n - 4, 0)"),
+
+    "q158_nb_lang_predict" ->
+      // full model replay: per-class gram counts, Laplace ln((n+1)/(tot+V)),
+      // per-(doc, class) folds in gram order, priors, rounded argmax with
+      // lang DESC tie-break — q150/q156's fold discipline end to end
+      ("WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND lang IS NOT NULL AND length(lower(text)) >= 3), " +
+        "g AS (SELECT doc_id, lang, substring(t, CAST(i + 1 AS INT), 3) AS gram " +
+        "FROM d, UNNEST(range(length(t) - 2)) AS u(i)), " +
+        "dg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), " +
+        "cg AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY 1, 2), " +
+        "nl AS (SELECT lang, sum(n) AS tot FROM cg GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT gram) AS v FROM cg), " +
+        "pr AS (SELECT lang, ln(count(*) * 1.0 / (SELECT count(*) FROM d)) AS prior " +
+        "FROM d GROUP BY 1), " +
+        "sc AS (SELECT dg.doc_id, nl.lang, " +
+        "max(pr.prior) + list_reduce(list_prepend(0.0, " +
+        "list(dg.cnt * ln((coalesce(cg.n, 0) + 1.0) / (nl.tot + v.v)) ORDER BY dg.gram)), " +
+        "(a, b) -> a + b) AS score " +
+        "FROM dg CROSS JOIN nl CROSS JOIN v " +
+        "JOIN pr ON pr.lang = nl.lang " +
+        "LEFT JOIN cg ON cg.gram = dg.gram AND cg.lang = nl.lang " +
+        "GROUP BY dg.doc_id, nl.lang, nl.tot, v.v) " +
+        "SELECT doc_id, lang AS lang_pred, score FROM (" +
+        "SELECT doc_id, lang, round(score, 4) AS score, " +
+        "row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY round(score, 4) DESC, lang DESC) AS rk FROM sc) " +
+        "WHERE rk = 1 ORDER BY doc_id"),
 
     "q157_ivfpq_ann_contract" ->
       // q153's exact-side oracle verbatim (brute-force cosine + (cos DESC,

@@ -68,7 +68,8 @@ object Plans {
     "q153_pq_ann_contract" -> "both the ADC shortlist and the exact re-rank score map-side against broadcast queries (codebooks are plan literals); shortlists are k-bounded top_k_pairs aggregates, and the exact path re-ranks only the shortlist join — the corpus shuffles nowhere",
     "q154_winnowing" -> "the md5 gram-hash array binds ONCE per doc inside the posexplode Generate (projection collapse cannot re-inline it into per-window lambdas — r8's quadratic trap); selection is a per-doc sliding window-min whose hash(doc_id) partitioning the DISTINCT reuses (no second exchange) — linear work, one shuffle",
     "q155_winnowing_overlap" -> "PPJoin-style postings intersection over the PERSISTED fingerprint postings (InMemoryRelation feeds the df agg and both self-join sides — unpersisted lineage re-hashes every gram up to 4x); the df-band filter bounds per-fingerprint fan-out at maxDf^2 and every exchange carries (fp, id) longs",
-    "q157_ivfpq_ann_contract" -> "the IVFADC engine path probes inverted lists via a broadcast-hash EQUI-join on cluster (the |Q|*nprobe probe frame carries each query's residual LUT; corpus rows score with m array reads) — the only nested loops in the plan are the contract's brute-force exact side and single-row metric joins"
+    "q157_ivfpq_ann_contract" -> "the IVFADC engine path probes inverted lists via a broadcast-hash EQUI-join on cluster (the |Q|*nprobe probe frame carries each query's residual LUT; corpus rows score with m array reads) — the only nested loops in the plan are the contract's brute-force exact side and single-row metric joins",
+    "q158_nb_lang_predict" -> "one id-keyed text shuffle before gram generation serves the (id,lbl,gram) count AND the per-id scoring fold (no gram-row exchange anywhere); the k-class log-prob model joins back as a BroadcastHashJoin on the gram key and every class score folds map-side in one pass over the persisted doc-gram frame"
   )
 
   def main(args: Array[String]): Unit = {
