@@ -1275,6 +1275,14 @@ object SparkEntry {
         Tables(s, dir, "documents"), k = 5, w = 4)
     }),
 
+    "q159_trigram_ce" -> ((s, dir) => {
+      // interpolated trigram-LM cross-entropy (Jelinek-Mercer
+      // 0.6/0.3/0.1): the backoff-aware upgrade to q115's bigram CE
+      operators.CorpusAnalytics.trigramCrossEntropy(
+        Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q158_nb_lang_predict" -> ((s, dir) => {
       // trained multinomial NB over char trigrams (supervised lang-id):
       // fit + self-predict in one plan; the oracle replays the whole
@@ -3150,6 +3158,37 @@ object SparkEntry {
         "CAST(2097151 - (wkey % 2097152) AS BIGINT) AS pos, " +
         "CAST(wkey // 2097152 AS BIGINT) AS fp " +
         "FROM wm WHERE pos <= greatest(n - 4, 0)"),
+
+    "q159_trigram_ce" ->
+      // positions self-joins rebuild the trigram/bigram/token streams;
+      // the λ·(num/den) association matches the engine exactly (q115's
+      // ln/avg-at-4-decimals precedent)
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok, " +
+        "generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "tri AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2, c.tok AS w3 " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 " +
+        "JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2), " +
+        "bi AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2 " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "c3 AS (SELECT w1, w2, w3, count(*) AS n3 FROM tri GROUP BY 1, 2, 3), " +
+        "cc2 AS (SELECT w1, w2, count(*) AS nc2 FROM tri GROUP BY 1, 2), " +
+        "cb AS (SELECT w1, w2, count(*) AS nb FROM bi GROUP BY 1, 2), " +
+        "cc1 AS (SELECT w1, count(*) AS nc1 FROM bi GROUP BY 1), " +
+        "cw AS (SELECT tok, count(*) AS nw FROM toks GROUP BY 1), " +
+        "nt AS (SELECT count(*) AS n_tok FROM toks), " +
+        "perdoc AS (SELECT tri.doc_id, count(*) AS n_trigrams, " +
+        "round(-avg(ln(" +
+        "0.6 * (CAST(c3.n3 AS DOUBLE) / cc2.nc2) + " +
+        "0.3 * (CAST(cb.nb AS DOUBLE) / cc1.nc1) + " +
+        "0.1 * (CAST(cw.nw AS DOUBLE) / nt.n_tok))), 4) AS ce " +
+        "FROM tri JOIN c3 USING (w1, w2, w3) JOIN cc2 USING (w1, w2) " +
+        "JOIN cb ON cb.w1 = tri.w2 AND cb.w2 = tri.w3 " +
+        "JOIN cc1 ON cc1.w1 = tri.w2 JOIN cw ON cw.tok = tri.w3 " +
+        "CROSS JOIN nt GROUP BY tri.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams, " +
+        "COALESCE(ce, 0.0) AS cross_entropy " +
+        "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
 
     "q158_nb_lang_predict" ->
       // full model replay: per-class gram counts, Laplace ln((n+1)/(tot+V)),

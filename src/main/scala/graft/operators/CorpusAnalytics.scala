@@ -718,6 +718,87 @@ object CorpusAnalytics {
         coalesce(col("cross_entropy"), lit(0.0)).as("cross_entropy"))
   }
 
+  /** Per-document cross-entropy under an INTERPOLATED trigram LM
+    * (Jelinek-Mercer linear smoothing, Jelinek & Mercer 1980; the
+    * fixed-weight ancestor of KenLM-style filtering models):
+    * P(w₃|w₁w₂) = λ₃·C(w₁w₂w₃)/C(w₁w₂·) + λ₂·C(w₂w₃)/C(w₂·) + λ₁·C(w₃)/N.
+    * The backoff terms are what X115's unsmoothed bigram CE cannot give:
+    * a trigram seen once in a huge corpus no longer scores as certainty,
+    * and the signal separates fluent-but-novel text from template soup at
+    * a longer horizon than bigrams.
+    *
+    * Shape (q115's discipline, one order up): positional trigram/bigram
+    * generators are in-array transforms — no positions self-join — and
+    * each of the five count tables hash-aggregates its stream map-side
+    * before an 8-byte-key exchange (keys are tagged xxhash64 so the three
+    * stream vocabularies never collide); the token total enters as a
+    * one-row broadcast. Everything joins back to the trigram stream as
+    * equi-joins, CE is one per-doc avg. At 100 TB: count tables are
+    * vocabulary-bounded, the corpus shuffles only as 8-byte keys.
+    */
+  def trigramCrossEntropy(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      l3: Double = 0.6,
+      l2: Double = 0.3,
+      l1: Double = 0.1): DataFrame = {
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9,
+      "trigramCrossEntropy: interpolation weights must sum to 1")
+    val ts = tokens(col(textCol))
+    val base = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), ts.as("_ts"))
+    val trigrams = base
+      .filter(size(col("_ts")) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("_ts")) - 3),
+        i => struct(
+          xxhash64(element_at(col("_ts"), i + 1), element_at(col("_ts"), i + 2),
+            element_at(col("_ts"), i + 3)).as("tg"),
+          xxhash64(element_at(col("_ts"), i + 1),
+            element_at(col("_ts"), i + 2)).as("c2"),
+          xxhash64(lit("bg"), element_at(col("_ts"), i + 2),
+            element_at(col("_ts"), i + 3)).as("bg"),
+          xxhash64(lit("ug"), element_at(col("_ts"), i + 2)).as("c1"),
+          xxhash64(lit("w"), element_at(col("_ts"), i + 3)).as("w")))).as("p"))
+      .select(col(idCol), col("p.tg"), col("p.c2"), col("p.bg"),
+        col("p.c1"), col("p.w"))
+    val bigrams = base
+      .filter(size(col("_ts")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("_ts")) - 2),
+        i => struct(
+          xxhash64(lit("bg"), element_at(col("_ts"), i + 1),
+            element_at(col("_ts"), i + 2)).as("bg"),
+          xxhash64(lit("ug"), element_at(col("_ts"), i + 1)).as("c1")))).as("p"))
+      .select(col("p.bg"), col("p.c1"))
+    val toks = base.select(explode(col("_ts")).as("_t"))
+      .select(xxhash64(lit("w"), col("_t")).as("w"))
+    val c3 = trigrams.groupBy(col("tg")).agg(count(lit(1)).as("n3"))
+    val cc2 = trigrams.groupBy(col("c2")).agg(count(lit(1)).as("nc2"))
+    val cb = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("nb"))
+    val cc1 = bigrams.groupBy(col("c1")).agg(count(lit(1)).as("nc1"))
+    val cw = toks.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    // λ·(num/den) with this exact association on both engines — a
+    // (λ·num)/den association produces different doubles
+    val p = lit(l3) * (col("n3").cast("double") / col("nc2")) +
+      lit(l2) * (col("nb").cast("double") / col("nc1")) +
+      lit(l1) * (col("nw").cast("double") / col("n_tok"))
+    val perDoc = trigrams
+      .join(c3, "tg").join(cc2, "c2").join(cb, "bg")
+      .join(cc1, "c1").join(cw, "w")
+      .crossJoin(broadcast(nTok)) // one row: a broadcast scalar
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(-avg(log(p)), 4).as("cross_entropy"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("cross_entropy"), lit(0.0)).as("cross_entropy"))
+  }
+
   /** DSIR-style importance weights for targeted data selection (Xie et
     * al. 2023, arXiv:2302.03169): score every raw-corpus doc by how much
     * more likely its tokens are under a TARGET distribution (a curated

@@ -49,6 +49,8 @@ class PlanGuardSpec extends SparkSpec {
       "contract twin: broadcast query set + single-row codebook/recall-metric crossJoins (q110's discipline)",
     "q157_ivfpq_ann_contract" ->
       "contract twin: the IVFADC engine path probes via an equi-join on cluster; the BNLJ sites are the brute-force exact side (broadcast query set) + single-row metric crossJoins",
+    "q159_trigram_ce" ->
+      "crossJoin(broadcast(nTok)): single-row token-total scalar for the unigram backoff term; all count joins are 8-byte-key equi-joins",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
