@@ -1283,6 +1283,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q160_edit_join" -> ((s, dir) => {
+      // Ed-Join edit-similarity self-join over customer names: rarest-first
+      // q-gram prefix filtering (lossless — spec pins equality with the
+      // brute-force join) + codegen'd levenshtein verify at tau = 1
+      operators.EditJoin.editSimilarityJoin(
+        Tables(s, dir, "customer"), idCol = "c_custkey", strCol = "c_name",
+        q = 2, tau = 1)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     "q158_nb_lang_predict" -> ((s, dir) => {
       // trained multinomial NB over char trigrams (supervised lang-id):
       // fit + self-predict in one plan; the oracle replays the whole
@@ -3189,6 +3199,26 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q160_edit_join" ->
+      // replays the whole Ed-Join plan: distinct positional bigrams, global
+      // df, rarest-first (df, gram) prefix of q*tau+1 = 3, sentinel bucket
+      // for degenerate strings, pair join, length cull, levenshtein verify
+      ("WITH b AS (SELECT c_custkey AS id, c_name AS s FROM customer " +
+        "WHERE c_name IS NOT NULL), " +
+        "g AS (SELECT DISTINCT id, substring(s, CAST(i + 1 AS INT), 2) AS gram " +
+        "FROM b, UNNEST(range(length(s) - 1)) AS u(i)), " +
+        "f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1), " +
+        "pre AS (SELECT id, gram FROM (" +
+        "SELECT g.id, g.gram, row_number() OVER (PARTITION BY g.id " +
+        "ORDER BY f.df, g.gram) AS rk FROM g JOIN f USING (gram)) WHERE rk <= 3 " +
+        "UNION ALL SELECT id, '' AS gram FROM b WHERE length(s) - 1 <= 2), " +
+        "cand AS (SELECT DISTINCT p1.id AS id1, p2.id AS id2 " +
+        "FROM pre p1 JOIN pre p2 ON p1.gram = p2.gram AND p1.id < p2.id) " +
+        "SELECT id1, id2, CAST(levenshtein(b1.s, b2.s) AS BIGINT) AS dist " +
+        "FROM cand JOIN b b1 ON b1.id = id1 JOIN b b2 ON b2.id = id2 " +
+        "WHERE abs(length(b1.s) - length(b2.s)) <= 1 " +
+        "AND levenshtein(b1.s, b2.s) <= 1 ORDER BY id1, id2"),
 
     "q158_nb_lang_predict" ->
       // full model replay: per-class gram counts, Laplace ln((n+1)/(tot+V)),

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.EditJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ed-Join edit-similarity self-join: losslessness vs the brute-force
+  * quadratic join (the filter may only prune), per-edit-kind recall, the
+  * degenerate-short-string sentinel bucket, and tau=0 (exact-dup) mode.
+  */
+class EditJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(df: DataFrame, tau: Int): Set[(Long, Long, Long)] = {
+    val b = df.filter(col("s").isNotNull)
+    b.select(col("id").as("id1"), col("s").as("s1"))
+      .crossJoin(b.select(col("id").as("id2"), col("s").as("s2")))
+      .filter(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= tau)
+      .select("id1", "id2", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def edjoin(df: DataFrame, q: Int, tau: Int): Set[(Long, Long, Long)] =
+    EditJoin.editSimilarityJoin(df, "id", "s", q, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("matches brute force exactly on a mixed corpus (q=2, tau=1)") {
+    val df = Seq(
+      1L -> "spark analytics engine", 2L -> "spark analytics engines",
+      3L -> "spark analytic engine", 4L -> "flink analytics engine",
+      5L -> "completely different", 6L -> "completely different",
+      7L -> "ab", 8L -> "ac", 9L -> "b", 10L -> "xyz",
+      11L -> (null: String), 12L -> "spark analytics enginX"
+    ).toDF("id", "s")
+    assert(edjoin(df, 2, 1) == brute(df, 1))
+  }
+
+  test("matches brute force at tau=2 (q=2 and q=3)") {
+    val df = Seq(
+      1L -> "deduplicate", 2L -> "deduplicato", 3L -> "dedupliXXto",
+      4L -> "reduplicate", 5L -> "triplicate", 6L -> "pediculate"
+    ).toDF("id", "s")
+    assert(edjoin(df, 2, 2) == brute(df, 2))
+    assert(edjoin(df, 3, 2) == brute(df, 2))
+  }
+
+  test("catches substitution, insertion, and deletion edits") {
+    val df = Seq(
+      1L -> "abcdefgh", 2L -> "abcdefgX", // substitution
+      3L -> "abcdefghZ",                  // insertion vs 1
+      4L -> "abcdefg"                     // deletion vs 1
+    ).toDF("id", "s")
+    val out = edjoin(df, 2, 1)
+    assert(out.contains((1L, 2L, 1L)))
+    assert(out.contains((1L, 3L, 1L)))
+    assert(out.contains((1L, 4L, 1L)))
+    // 2-4 is also distance 1 (drop the X); 2-3 and 3-4 are distance 2
+    assert(out == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (2L, 4L, 1L)))
+  }
+
+  test("short strings below the gram bound pair via the sentinel bucket") {
+    // q=2, tau=1: strings with m = len-1 <= 2 grams have a vacuous prefix
+    // bound; "ab"/"ax" share NO bigram yet are distance 1 apart
+    val df = Seq(1L -> "ab", 2L -> "ax", 3L -> "zq").toDF("id", "s")
+    val out = edjoin(df, 2, 1)
+    assert(out.contains((1L, 2L, 1L)))
+    assert(out == brute(df, 1))
+  }
+
+  test("tau=0 degenerates to exact duplicate detection") {
+    val df = Seq(1L -> "same", 2L -> "same", 3L -> "Same").toDF("id", "s")
+    assert(edjoin(df, 2, 0) == Set((1L, 2L, 0L)))
+  }
+
+  test("sf0.001 customer names: lossless vs brute force end to end") {
+    val cust = Tables(spark, sf(), "customer")
+      .select(col("c_custkey").cast("long").as("id"), col("c_name").as("s"))
+    assert(edjoin(cust, 2, 1) == brute(cust, 1))
+  }
+}
