@@ -1283,6 +1283,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q161_kneser_ney_ce" -> ((s, dir) => {
+      // interpolated Kneser-Ney bigram cross-entropy (continuation-count
+      // backoff, absolute discount 0.75): the KenLM-style upgrade to
+      // q115's ML bigram CE
+      operators.CorpusAnalytics.kneserNeyCrossEntropy(
+        Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q160_edit_join" -> ((s, dir) => {
       // Ed-Join edit-similarity self-join over customer names: rarest-first
       // q-gram prefix filtering (lossless — spec pins equality with the
@@ -3197,6 +3206,30 @@ object SparkEntry {
         "JOIN cc1 ON cc1.w1 = tri.w2 JOIN cw ON cw.tok = tri.w3 " +
         "CROSS JOIN nt GROUP BY tri.doc_id) " +
         "SELECT d.doc_id, CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams, " +
+        "COALESCE(ce, 0.0) AS cross_entropy " +
+        "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q161_kneser_ney_ce" ->
+      // replays the full KN model: bigram counts, one-pass left-context
+      // count + distinct-continuation, distinct-predecessor, bigram-type
+      // total; the (c-D)/cu + (D*n1u/cu)*(n1w/nbt) association matches the
+      // engine term for term (q159's precedent)
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok, " +
+        "generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "bi AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2 " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), " +
+        "cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2), " +
+        "cu AS (SELECT w1, count(*) AS cu, count(DISTINCT w2) AS n1u FROM bi GROUP BY 1), " +
+        "cw AS (SELECT w2, count(DISTINCT w1) AS n1w FROM bi GROUP BY 1), " +
+        "nbt AS (SELECT count(*) AS nbt FROM cb), " +
+        "perdoc AS (SELECT bi.doc_id, count(*) AS n_bigrams, " +
+        "round(-avg(ln(" +
+        "(CAST(cb.cb AS DOUBLE) - 0.75) / cu.cu + " +
+        "(0.75 * cu.n1u / cu.cu) * (CAST(cw.n1w AS DOUBLE) / nbt.nbt))), 4) AS ce " +
+        "FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) JOIN cw USING (w2) " +
+        "CROSS JOIN nbt GROUP BY bi.doc_id) " +
+        "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
 

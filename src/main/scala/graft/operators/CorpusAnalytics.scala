@@ -799,6 +799,69 @@ object CorpusAnalytics {
         coalesce(col("cross_entropy"), lit(0.0)).as("cross_entropy"))
   }
 
+  /** Per-document cross-entropy under an interpolated KNESER-NEY bigram LM
+    * (Kneser & Ney 1995; Chen & Goodman 1998's interpolated form — the
+    * smoothing KenLM ships, i.e. what CCNet-style perplexity filters
+    * actually run): P(w|u) = (C(uw) − D)/C(u·) + (D·N₁₊(u·)/C(u·))·P_cont(w),
+    * P_cont(w) = N₁₊(·w)/N₁₊(··). Unlike X115's ML estimate or X159's
+    * Jelinek-Mercer mix, the backoff mass is CONTINUATION counts — "in how
+    * many distinct contexts does w appear" — so boilerplate tokens that are
+    * frequent in one template ("francisco" after "san") stop inflating the
+    * unigram floor. Absolute discount D = 0.75 (the Chen-Goodman default);
+    * self-scoring keeps C(uw) ≥ 1 > D, so the discounted numerator never
+    * clamps. Docs with fewer than 2 tokens report (0, 0.0).
+    *
+    * Shape (q115's discipline): the positional bigram generator is an
+    * in-array transform — never a positions self-join; THREE count tables
+    * (bigram; left-context count + distinct-continuation in ONE grouped
+    * agg; distinct-predecessor per right word), each hash-aggregating
+    * map-side before an 8-byte tagged-xxhash64 exchange; the distinct
+    * bigram-type total enters as a one-row broadcast. At 100 TB all count
+    * tables are vocabulary-bounded and the corpus shuffles only 8-byte
+    * keys. The (c−D)/cu + (D·n1u/cu)·(n1w/nbt) association mirrors the
+    * DuckDB oracle exactly (q159's precedent: a different association
+    * produces different doubles).
+    */
+  def kneserNeyCrossEntropy(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val ts = tokens(col(textCol))
+    val bigrams = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), ts.as("_ts"))
+      .filter(size(col("_ts")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("_ts")) - 2),
+        i => struct(
+          xxhash64(element_at(col("_ts"), i + 1), element_at(col("_ts"), i + 2)).as("bg"),
+          xxhash64(lit("l"), element_at(col("_ts"), i + 1)).as("ul"),
+          xxhash64(lit("r"), element_at(col("_ts"), i + 2)).as("wr")))).as("p"))
+      .select(col(idCol), col("p.bg"), col("p.ul"), col("p.wr"))
+    val bigramCounts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    // C(u·) and N1+(u·) fold in ONE grouped agg over the left context
+    val leftStats = bigrams.groupBy(col("ul"))
+      .agg(count(lit(1)).as("cu"), countDistinct(col("bg")).as("n1u"))
+    val rightStats = bigrams.groupBy(col("wr"))
+      .agg(countDistinct(col("bg")).as("n1w"))
+    val typeTotal = bigramCounts.agg(count(lit(1)).as("nbt"))
+    val p = (col("cb").cast("double") - lit(discount)) / col("cu") +
+      (lit(discount) * col("n1u") / col("cu")) *
+        (col("n1w").cast("double") / col("nbt"))
+    val perDoc = bigrams
+      .join(bigramCounts, "bg").join(leftStats, "ul").join(rightStats, "wr")
+      .crossJoin(broadcast(typeTotal)) // one row: a broadcast scalar
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(p)), 4).as("cross_entropy"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("cross_entropy"), lit(0.0)).as("cross_entropy"))
+  }
+
   /** DSIR-style importance weights for targeted data selection (Xie et
     * al. 2023, arXiv:2302.03169): score every raw-corpus doc by how much
     * more likely its tokens are under a TARGET distribution (a curated
