@@ -1292,6 +1292,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q163_count_min" -> ((s, dir) => {
+      // Count-Min sketch: depth x width mergeable counter table over the
+      // token stream, min-over-rows estimates for the exact top-20 probe
+      // set; estimates can only overcount — the oracle replays the whole
+      // sketch from the same md5-prefix bucket hash
+      operators.CorpusAnalytics.countMinFrequencies(
+        Tables(s, dir, "documents"))
+        .orderBy(col("token"))
+    }),
+
+    "q162_gopher_repetition" -> ((s, dir) => {
+      // Gopher/MassiveText within-doc repetition filters: top-{2,3,4}gram
+      // char fraction + duplicated-5gram coverage fraction; integer-derived
+      // single divisions, so the oracle replays exact doubles
+      operators.CorpusAnalytics.gopherRepetitionSignals(
+        Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q160_edit_join" -> ((s, dir) => {
       // Ed-Join edit-similarity self-join over customer names: rarest-first
       // q-gram prefix filtering (lossless — spec pins equality with the
@@ -3232,6 +3251,63 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q163_count_min" ->
+      // replays the entire sketch: same md5-prefix bucket hash (i|token,
+      // first 8 hex chars mod 256), same depth-4 counter table, same
+      // min-over-rows estimates for the same top-20 probe set
+      ("WITH tk AS (SELECT unnest(list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "f AS (SELECT tok, i FROM tk, (SELECT unnest([0, 1, 2, 3]) AS i) d), " +
+        "sk AS (SELECT i, CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || tok), 1, 8) AS BIGINT) % 256 AS bucket, " +
+        "count(*) AS cnt FROM f GROUP BY 1, 2), " +
+        "ex AS (SELECT tok, count(*) AS exact_count FROM tk GROUP BY 1 " +
+        "ORDER BY exact_count DESC, tok LIMIT 20), " +
+        "pr AS (SELECT tok, exact_count, i, " +
+        "CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || tok), 1, 8) AS BIGINT) % 256 AS bucket " +
+        "FROM ex, (SELECT unnest([0, 1, 2, 3]) AS i) d) " +
+        "SELECT tok AS token, exact_count, min(cnt) AS cms_estimate, " +
+        "min(cnt) - exact_count AS overestimate " +
+        "FROM pr JOIN sk USING (i, bucket) GROUP BY tok, exact_count ORDER BY token"),
+
+    "q162_gopher_repetition" ->
+      // replays the signals exactly: same token list, lockstep-unnest
+      // positional grams, (c DESC, gram) top-1 per (doc, n), coverage via
+      // DISTINCT covered positions; all ratios are single divisions of
+      // integer masses, round 4
+      ("WITH d AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "b AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tokens, " +
+        "CAST(list_reduce(list_prepend(0, list_transform(ts, t -> len(t))), " +
+        "(a, x) -> a + x) AS BIGINT) AS tok_chars FROM d), " +
+        "g AS (SELECT doc_id, n, unnest(list_transform(range(len(ts) - n + 1), " +
+        "i -> array_to_string(list_slice(ts, CAST(i + 1 AS INT), CAST(i + n AS INT)), ' '))) AS gram " +
+        "FROM b, (SELECT unnest([2, 3, 4]) AS n) ns WHERE len(ts) >= n), " +
+        "gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3), " +
+        "tops AS (SELECT doc_id, n, c * (length(gram) - (n - 1)) AS top_chars, " +
+        "row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram) AS rk FROM gc), " +
+        "tp AS (SELECT doc_id, " +
+        "max(CASE WHEN n = 2 THEN top_chars END) AS t2, " +
+        "max(CASE WHEN n = 3 THEN top_chars END) AS t3, " +
+        "max(CASE WHEN n = 4 THEN top_chars END) AS t4 " +
+        "FROM tops WHERE rk = 1 GROUP BY doc_id), " +
+        "g5 AS (SELECT doc_id, unnest(range(len(ts) - 4)) AS pos, " +
+        "unnest(list_transform(range(len(ts) - 4), " +
+        "i -> array_to_string(list_slice(ts, CAST(i + 1 AS INT), CAST(i + 5 AS INT)), ' '))) AS gram " +
+        "FROM b WHERE len(ts) >= 5), " +
+        "d5 AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING count(*) >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, tpos FROM (SELECT g5.doc_id AS doc_id, " +
+        "unnest(range(pos, pos + 5)) AS tpos FROM g5 JOIN d5 USING (doc_id, gram)) u), " +
+        "cc AS (SELECT cov.doc_id, CAST(sum(len(ts[CAST(tpos + 1 AS INT)])) AS BIGINT) AS cov_chars " +
+        "FROM cov JOIN b USING (doc_id) GROUP BY cov.doc_id) " +
+        "SELECT b.doc_id, n_tokens, tok_chars, " +
+        "CASE WHEN tok_chars > 0 THEN round(COALESCE(t2, 0) / CAST(tok_chars AS DOUBLE), 4) ELSE 0.0 END AS top_2gram_frac, " +
+        "CASE WHEN tok_chars > 0 THEN round(COALESCE(t3, 0) / CAST(tok_chars AS DOUBLE), 4) ELSE 0.0 END AS top_3gram_frac, " +
+        "CASE WHEN tok_chars > 0 THEN round(COALESCE(t4, 0) / CAST(tok_chars AS DOUBLE), 4) ELSE 0.0 END AS top_4gram_frac, " +
+        "CASE WHEN tok_chars > 0 THEN round(COALESCE(cov_chars, 0) / CAST(tok_chars AS DOUBLE), 4) ELSE 0.0 END AS dup_5gram_frac " +
+        "FROM b LEFT JOIN tp USING (doc_id) LEFT JOIN cc USING (doc_id) ORDER BY b.doc_id"),
 
     "q160_edit_join" ->
       // replays the whole Ed-Join plan: distinct positional bigrams, global

@@ -576,6 +576,56 @@ object CorpusAnalytics {
       .drop("_gtok", "_ttok", "_ngroups")
   }
 
+  /** Temperature (α) resampling across groups — the multilingual mixing
+    * recipe of XLM-R (Conneau et al. 2020, arXiv:1911.02116 §3.1) and
+    * mT5: target group shares q_i ∝ p_i^α flatten the natural
+    * distribution p_i (α < 1 boosts tail languages/sources; α = 1 keeps
+    * it; α = 0 is the uniform mixture — exactly [[mixtureResample]]'s
+    * target, which this operator generalizes). Implemented as a pure
+    * DOWN-sample: keep rate r_i = p_i^(α−1) / max_j p_j^(α−1), so the
+    * most-boosted (smallest) group keeps everything and no row is ever
+    * replicated — upsampling is the data loader's job (epoch-varying
+    * repeats belong there, not materialized in the corpus).
+    *
+    * Determinism/portability: the per-doc draw is the 16-bit md5 bucket
+    * ([[Sampling.pctBucket]]'s discipline — same row, same decision on
+    * every run, engine, and task retry; no `rand()`), and the keep rate
+    * is ROUNDED to 4 decimals before the comparison so the one pow/div
+    * chain can never flip a boundary row on cross-engine ulp drift
+    * (q133's rounded-band precedent).
+    *
+    * Shape: per-group token totals + the one-row max-boost scalar both
+    * broadcast back; the keep decision is a map-side comparison — the
+    * corpus itself NEVER shuffles, and (as with [[mixtureResample]]) a
+    * static `reference` makes the operator stateless under Structured
+    * Streaming.
+    */
+  def temperatureResample(
+      docs: DataFrame,
+      groupCol: String,
+      alpha: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      reference: Option[DataFrame] = None): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha in [0, 1]")
+    val perGroup = reference.getOrElse(docs)
+      .groupBy(col(groupCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("_gtok"))
+    val total = perGroup.agg(sum(col("_gtok")).cast("double").as("_ttok"))
+    val boosted = perGroup.crossJoin(broadcast(total))
+      .select(col(groupCol),
+        pow(col("_gtok") / col("_ttok"), lit(alpha - 1.0)).as("_boost"))
+    val maxBoost = boosted.agg(max(col("_boost")).as("_bmax"))
+    val rates = boosted.crossJoin(broadcast(maxBoost))
+      .select(col(groupCol),
+        round(col("_boost") / col("_bmax"), 4).as("keep_rate"))
+    val u = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long")
+    docs
+      .join(broadcast(rates), groupCol)
+      .filter(u.cast("double") < lit(65536.0) * col("keep_rate"))
+  }
+
   /** Duplicated-passage REMOVAL — the repair twin of [[dupNgramFraction]]
     * and the token-shingle analog of ExactSubstr dedup (Lee et al. 2021,
     * arXiv:2107.06499): delete every token covered by a word `n`-gram that
@@ -1641,6 +1691,163 @@ object CorpusAnalytics {
         - ((col("sxy") - col("sx") * col("sy") / col("n"))
           / (col("sxx") - col("sx") * col("sx") / col("n")))
           * (col("sx") / col("n")), 4).as("intercept"))
+  }
+
+  /** Count-Min sketch frequency estimation (Cormode & Muthukrishnan 2005,
+    * J. Algorithms — the mergeable fixed-memory frequency table every
+    * streaming/telemetry stack carries): `depth`×`width` counters, each
+    * occurrence increments one bucket per row via an independent hash;
+    * a key's estimate is the MIN over its `depth` buckets. Estimates
+    * NEVER undercount (each bucket holds the true count plus whatever
+    * collided into it); overestimates are bounded by e·N/width per row
+    * with probability 1−e^−depth.
+    *
+    * Returns the top-`topK` exact tokens (the contract probe set) as
+    * (token, exact_count, cms_estimate, overestimate) — the ≥-exact
+    * invariant is visible row by row, and the whole frame replays
+    * hash-exactly: the bucket hash is the engine-portable md5-prefix
+    * draw ([[Sampling.pctBucket]]'s discipline), not xxhash64.
+    *
+    * Shape: the sketch IS a bounded aggregate — the depth-fan-out token
+    * stream groups by (row, bucket), whose key cardinality is depth×width
+    * regardless of corpus size, so map-side partials collapse everything
+    * before one tiny exchange (the textbook mergeable-sketch shape: at
+    * 100 TB, per-shard sketches are these same partials). The probe side
+    * joins the broadcast sketch table; the exact side exists only for
+    * the contract and is a TakeOrderedAndProject top-k.
+    */
+  def countMinFrequencies(
+      docs: DataFrame,
+      textCol: String = "text",
+      depth: Int = 4,
+      width: Int = 256,
+      topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2, "need a real counter table")
+    def bucket(i: Column, tok: Column): Column =
+      pmod(conv(substring(md5(
+        concat(i.cast("string"), lit("|"), tok).cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(width.toLong))
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("tok"))
+    val sketch = toks
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"), col("tok"))
+      .select(col("i"), bucket(col("i"), col("tok")).as("bucket"))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = toks
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("tok"))
+      .limit(topK)
+    exact
+      .select(col("tok"), col("exact_count"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .select(col("tok"), col("exact_count"), col("i"),
+        bucket(col("i"), col("tok")).as("bucket"))
+      .join(broadcast(sketch), Seq("i", "bucket"))
+      .groupBy(col("tok"), col("exact_count"))
+      .agg(min(col("cnt")).as("cms_estimate"))
+      .select(col("tok").as("token"), col("exact_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("overestimate"))
+  }
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1 — the MassiveText repetition filters that
+    * most curation stacks since have copied): per document,
+    *
+    *  - `top_{2,3,4}gram_frac` — fraction of the doc's token-character
+    *    mass contained in occurrences of its single most frequent word
+    *    n-gram (count × gram char length / total token chars; ties break
+    *    to the lexicographically smallest gram). Template soup — nav
+    *    bars, cookie banners, SEO stuffing — pushes these toward 1.
+    *  - `dup_5gram_frac` — fraction of token-character mass at positions
+    *    covered by a word 5-gram occurring MORE THAN ONCE in the same
+    *    doc, overlap counted once (the paper's "duplicated n-gram
+    *    character fraction", coverage semantics — the cross-doc analog
+    *    is [[dupNgramFraction]]).
+    *
+    * Character mass excludes separators on both sides of every ratio
+    * (gram chars = length(gram) − (n−1) single-space joins); fractions
+    * are one integer-derived division rounded to 4 — no float folds to
+    * replay, so the oracle is exact. Docs shorter than n tokens score 0.
+    *
+    * Shape: everything is WITHIN-doc, so every shuffle is doc_id-keyed
+    * and partial aggregation collapses the gram stream map-side: one
+    * tagged generator explodes n∈{2,3,4} grams (strings — the group key
+    * includes doc_id, so per-key width is doc-bounded and no corpus-wide
+    * hot gram exists, unlike the corpus-keyed aggs that hash first), a
+    * (doc, n)-partitioned top-1 window over the already-reduced count
+    * rows, and a conditional-agg pivot back to one row per doc. The
+    * 5-gram coverage pass reuses [[removeDuplicatedPassages]]'s
+    * positional-gram + covered-position shape, scoped per doc. At 100 TB
+    * nothing here is corpus-global — the operator scales with documents,
+    * not with the cross-product of their content.
+    */
+  def gopherRepetitionSignals(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val base = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .select(col(idCol), col("ts"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        aggregate(col("ts"), lit(0L), (a, t) => a + length(t)).as("tok_chars"))
+    // tagged top-n-gram side: one generator for all three n values
+    val topGrams = Seq(2, 3, 4).map { n =>
+      base
+        .filter(size(col("ts")) >= n)
+        .select(col(idCol), lit(n).as("n"),
+          explode(transform(sequence(lit(0), size(col("ts")) - n),
+            i => concat_ws(" ", slice(col("ts"), i + 1, lit(n))))).as("gram"))
+    }.reduce(_ unionAll _)
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(idCol), col("n"))
+      .orderBy(col("c").desc, col("gram"))
+    val tops = topGrams
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("n"),
+        (col("c") * (length(col("gram")) - (col("n") - 1))).as("top_chars"))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("n") === 2, col("top_chars"))).as("t2"),
+        max(when(col("n") === 3, col("top_chars"))).as("t3"),
+        max(when(col("n") === 4, col("top_chars"))).as("t4"))
+    // within-doc duplicated 5-gram coverage (positions counted once)
+    val g5 = base
+      .filter(size(col("ts")) >= 5)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("ts")) - 5),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("ts"), i + 1, lit(5))).as("gram")))).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val dup5 = g5
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col(idCol), col("gram"))
+    val cov5 = g5
+      .join(dup5, Seq(idCol, "gram"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + 4)).as("tpos"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("tpos")).as("cov"))
+    val frac = (chars: Column) =>
+      when(col("tok_chars") > 0,
+        round(coalesce(chars, lit(0L)).cast("double") / col("tok_chars"), 4))
+        .otherwise(lit(0.0))
+    base
+      .join(tops, Seq(idCol), "left")
+      .join(cov5, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("tok_chars"),
+        frac(col("t2")).as("top_2gram_frac"),
+        frac(col("t3")).as("top_3gram_frac"),
+        frac(col("t4")).as("top_4gram_frac"),
+        frac(aggregate(coalesce(col("cov"), array().cast("array<int>")),
+          lit(0L), (a, p) => a + length(element_at(col("ts"), p + 1))))
+          .as("dup_5gram_frac"))
   }
 
   // ----------------------------------------------------------- winnowing

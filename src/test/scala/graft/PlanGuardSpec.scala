@@ -51,6 +51,8 @@ class PlanGuardSpec extends SparkSpec {
       "contract twin: the IVFADC engine path probes via an equi-join on cluster; the BNLJ sites are the brute-force exact side (broadcast query set) + single-row metric crossJoins",
     "q159_trigram_ce" ->
       "crossJoin(broadcast(nTok)): single-row token-total scalar for the unigram backoff term; all count joins are 8-byte-key equi-joins",
+    "q161_kneser_ney_ce" ->
+      "crossJoin(broadcast(bigram-type total)): single-row scalar for the continuation-probability denominator; all count joins are 8-byte-key equi-joins (q159's discipline)",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
