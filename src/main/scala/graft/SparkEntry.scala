@@ -1292,6 +1292,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q165_passage_keep_first" -> ((s, dir) => {
+      // faithful ExactSubstr "all but one" repair: strip tokens covered by
+      // NON-FIRST occurrences of duplicated trigrams (within-doc repeats
+      // included); the globally first (id, pos) copy survives
+      operators.CorpusAnalytics
+        .removeDuplicatedPassagesKeepFirst(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q164_temperature_resample" -> ((s, dir) => {
+      // XLM-R temperature (alpha=0.5) resampling by language: keep rate
+      // r_i = p_i^(alpha-1)/max_j p_j^(alpha-1) rounded to 4, md5 16-bit
+      // Bernoulli draw; compared as per-lang kept aggregates (q109's shape)
+      operators.CorpusAnalytics.temperatureResample(
+        Tables(s, dir, "documents"), groupCol = "lang", alpha = 0.5)
+        .groupBy(col("lang"), col("keep_rate"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     "q163_count_min" -> ((s, dir) => {
       // Count-Min sketch: depth x width mergeable counter table over the
       // token stream, min-over-rows estimates for the exact top-20 probe
@@ -3251,6 +3271,45 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q165_passage_keep_first" ->
+      // q107's positional-gram ground truth with the keep-first twist:
+      // occurrence rank by (doc_id, pos) per gram, covered = non-first
+      // occurrences of grams with count >= 2 (within-doc repeats count)
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+        "grams AS (SELECT doc_id, i AS pos, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS gram " +
+        "FROM toks, UNNEST(range(len(ts) - 2)) AS t(i) WHERE len(ts) >= 3), " +
+        "r AS (SELECT doc_id, pos, gram, " +
+        "row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk, " +
+        "count(*) OVER (PARTITION BY gram) AS c FROM grams), " +
+        "covered AS (SELECT DISTINCT doc_id, pos + o AS tpos " +
+        "FROM r, UNNEST([0,1,2]) AS u(o) WHERE c >= 2 AND rk > 1), " +
+        "kept AS (SELECT t.doc_id, i AS tpos, ts[i+1] AS tok " +
+        "FROM toks t, UNNEST(range(len(ts))) AS x(i) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM covered cv WHERE cv.doc_id = t.doc_id AND cv.tpos = i)) " +
+        "SELECT toks.doc_id, len(ts) AS n_tokens, " +
+        "len(ts) - coalesce(k.cnt, 0) AS n_removed, coalesce(k.txt, '') AS clean_text " +
+        "FROM toks LEFT JOIN (SELECT doc_id, count(*) AS cnt, " +
+        "string_agg(tok, ' ' ORDER BY tpos) AS txt FROM kept GROUP BY doc_id) k USING (doc_id) " +
+        "ORDER BY toks.doc_id"),
+
+    "q164_temperature_resample" ->
+      // same token count as q109, same md5 16-bit draw; the pow/div boost
+      // chain is rounded to 4 before the comparison so no boundary row can
+      // flip on cross-engine ulp drift
+      ("WITH g AS (SELECT lang, sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)) AS gtok " +
+        "FROM documents GROUP BY lang), " +
+        "t AS (SELECT CAST(sum(gtok) AS DOUBLE) AS ttok FROM g), " +
+        "bo AS (SELECT lang, pow(gtok / ttok, -0.5) AS boost FROM g, t), " +
+        "mx AS (SELECT max(boost) AS bmax FROM bo), " +
+        "r AS (SELECT lang, round(boost / bmax, 4) AS keep_rate FROM bo, mx) " +
+        "SELECT d.lang, keep_rate, count(*) AS n_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) AS kept_id_sum " +
+        "FROM documents d JOIN r USING (lang) " +
+        "WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) " +
+        "< 65536.0 * keep_rate " +
+        "GROUP BY 1, 2 ORDER BY d.lang"),
 
     "q163_count_min" ->
       // replays the entire sketch: same md5-prefix bucket hash (i|token,

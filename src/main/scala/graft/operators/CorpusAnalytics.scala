@@ -709,6 +709,67 @@ object CorpusAnalytics {
           .as("clean_text"))
   }
 
+  /** Duplicated-passage removal that KEEPS THE FIRST occurrence — the
+    * faithful ExactSubstr semantics (Lee et al. 2021, arXiv:2107.06499:
+    * "remove all but one occurrence"), where [[removeDuplicatedPassages]]
+    * is the stricter both-sides strip. One occurrence of every duplicated
+    * passage survives in the corpus — the canonical copy is the GLOBALLY
+    * FIRST one (min (id, pos) over the gram's occurrences; any total
+    * order works — callers with crawl timestamps pass them as `idCol`).
+    * Unlike the cross-doc-only strip, WITHIN-doc repeats count too: a doc
+    * that repeats its own boilerplate keeps one copy.
+    *
+    * A token position is removed iff some duplicated n-gram covering it
+    * is a non-first occurrence — so a first occurrence can still lose
+    * tokens that other grams' later occurrences cover, which is exactly
+    * the per-position Lee semantics (they strip byte ranges, we strip
+    * token positions).
+    *
+    * Same lossless-tokenization caveat and plan shape as
+    * [[removeDuplicatedPassages]]: literal-separator split, positional
+    * grams from one in-array generator, per-gram (count, min-(id,pos))
+    * hash agg on 8-byte xxhash64 keys, join-back, per-doc position-set
+    * agg, map-side indexed rebuild — three fixed-width-key shuffles.
+    */
+  def removeDuplicatedPassagesKeepFirst(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ", -1).as("ts"))
+    val grams = toks
+      .filter(size(col("ts")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("ts")) - n),
+        i => struct(i.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(n)))).as("gram")))).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val first = grams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col(idCol).as("fid"), col("pos").as("fpos"))).as("f"))
+      .filter(col("c") >= 2)
+      .select(col("gram"), col("f.fid").as("fid"), col("f.fpos").as("fpos"))
+    val covered = grams
+      .join(first, "gram")
+      .filter(!(col(idCol) === col("fid") && col("pos") === col("fpos")))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+    val coveredPerDoc = covered
+      .groupBy(col(idCol))
+      .agg(collect_set(col("tpos")).as("cov"))
+    toks
+      .join(coveredPerDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("ts"),
+          (t, i) => !coalesce(array_contains(col("cov"), i), lit(false))))
+          .as("clean_text"))
+  }
+
   /** Longest duplicated-passage run per document: the maximum count of
     * CONSECUTIVE token positions covered by cross-doc duplicated n-grams
     * (same coverage kernel as [[removeDuplicatedPassages]]) — the "how

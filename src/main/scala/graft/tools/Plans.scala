@@ -73,7 +73,9 @@ object Plans {
     "q160_edit_join" -> "only the q*tau+1 rarest prefix grams per string enter the candidate equi-join (rarest-first order from a hash agg + in-array sort — no window over the gram stream); an explicit-count round-robin repartition spreads the byte-small postings before the broadcast candidate join (AQE would coalesce them to one partition and serialize the 100x larger verify behind it); verification is the free length cull + banded thresholded levenshtein, dedup AFTER verify on the 40x narrower matched stream",
     "q161_kneser_ney_ce" -> "the positional bigram generator is an in-array transform (no positions self-join); all three count tables hash-aggregate map-side before 8-byte tagged-key exchanges, C(u-dot) and N1+(u-dot) fold in ONE grouped agg, and the bigram-type total enters as a one-row broadcast — the corpus shuffles only 8-byte keys",
     "q162_gopher_repetition" -> "everything is WITHIN-doc, so no corpus-global state exists: the tagged {2,3,4}-gram generator partial-aggregates (doc, n, gram) counts map-side, the top-1 window partitions by (doc, n) over the already-reduced count rows, and the 5-gram coverage pass joins positional grams back on (doc, gram) — every exchange is doc-keyed and the operator scales with documents, never their cross product",
-    "q163_count_min" -> "the sketch is a bounded aggregate: the depth-fan-out token stream partial-aggregates map-side into a (row, bucket) table whose key cardinality is depth x width regardless of corpus size, so the only sketch exchange carries at most 1024 counter rows; the probe side joins the broadcast counter table and the exact top-20 twin is a TakeOrderedAndProject"
+    "q163_count_min" -> "the sketch is a bounded aggregate: the depth-fan-out token stream partial-aggregates map-side into a (row, bucket) table whose key cardinality is depth x width regardless of corpus size, so the only sketch exchange carries at most 1024 counter rows; the probe side joins the broadcast counter table and the exact top-20 twin is a TakeOrderedAndProject",
+    "q164_temperature_resample" -> "the corpus never shuffles: per-group token totals and the one-row max-boost scalar broadcast back, and the keep decision is a map-side rounded-rate comparison against the md5 16-bit draw — the same stateless-under-streaming shape as mixtureResample",
+    "q165_passage_keep_first" -> "same three fixed-width-key exchanges as q107's strip-both twin: positional grams partial-aggregate into the per-gram (count, min-(id,pos)) election map-side, the join-back carries only NON-first occurrences, and reconstruction is a map-side indexed array filter — no per-token window sort anywhere"
   )
 
   def main(args: Array[String]): Unit = {

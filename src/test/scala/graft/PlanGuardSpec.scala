@@ -53,6 +53,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(nTok)): single-row token-total scalar for the unigram backoff term; all count joins are 8-byte-key equi-joins",
     "q161_kneser_ney_ce" ->
       "crossJoin(broadcast(bigram-type total)): single-row scalar for the continuation-probability denominator; all count joins are 8-byte-key equi-joins (q159's discipline)",
+    "q164_temperature_resample" ->
+      "crossJoin(broadcast(total/max-boost)): single-row scalars beside the bounded per-group token table; the keep decision is a map-side comparison and the corpus never shuffles (q109's discipline)",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
