@@ -1292,6 +1292,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q167_term_dispersion" -> ((s, dir) => {
+      // Gries' DP over sources for the top-20 corpus terms: 0.5 * sum of
+      // |term-share - part-share| with absent parts counted; sorted-part
+      // left-associative fold, round 4
+      operators.CorpusAnalytics.termDispersion(
+        Tables(s, dir, "documents"), groupCol = "source")
+        .orderBy(col("token"))
+    }),
+
+    "q166_lexical_diversity" -> ((s, dir) => {
+      // TTR / Guiraud root TTR / MATTR(w=25) per doc — entirely in-row
+      // sliding windows, integer-mass divisions, exact oracle replay
+      operators.CorpusAnalytics.lexicalDiversity(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q165_passage_keep_first" -> ((s, dir) => {
       // faithful ExactSubstr "all but one" repair: strip tokens covered by
       // NON-FIRST occurrences of duplicated trigrams (within-doc repeats
@@ -3271,6 +3287,49 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q167_term_dispersion" ->
+      // replays counts, shares, the absent-part spine, and the part-order
+      // left-associative |v-s| fold
+      ("WITH tk AS (SELECT source AS part, unnest(list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT part, tok, count(*) AS c FROM tk GROUP BY 1, 2), " +
+        "ps AS (SELECT part, CAST(sum(c) AS BIGINT) AS ptok FROM c GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(ptok) AS DOUBLE) AS ttok FROM ps), " +
+        "sh AS (SELECT part, ptok / ttok AS s FROM ps, t), " +
+        "top AS (SELECT tok, CAST(sum(c) AS BIGINT) AS total_count FROM c " +
+        "GROUP BY 1 ORDER BY total_count DESC, tok LIMIT 20), " +
+        "sp AS (SELECT tok, total_count, part, s FROM top, sh), " +
+        "d AS (SELECT sp.tok, sp.total_count, sp.part, " +
+        "abs(coalesce(c.c, 0) / CAST(sp.total_count AS DOUBLE) - sp.s) AS d " +
+        "FROM sp LEFT JOIN c ON c.tok = sp.tok AND c.part = sp.part) " +
+        "SELECT tok AS token, total_count, " +
+        "round(0.5 * list_reduce(list_prepend(0.0, list(d ORDER BY part)), " +
+        "(a, b) -> a + b), 4) AS dp " +
+        "FROM d GROUP BY tok, total_count ORDER BY token"),
+
+    "q166_lexical_diversity" ->
+      // replays the window arithmetic: same token list, list_slice +
+      // list_distinct per window, BIGINT distinct-count sum, one division;
+      // short docs fall back to plain TTR
+      ("WITH d AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "b AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(ts)) AS BIGINT) AS n_types FROM d), " +
+        "m AS (SELECT doc_id, CAST(list_reduce(list_prepend(0, " +
+        "list_transform(range(len(ts) - 25 + 1), " +
+        "i -> len(list_distinct(list_slice(ts, CAST(i + 1 AS INT), CAST(i + 25 AS INT)))))), " +
+        "(a, x) -> a + x) AS BIGINT) AS wsum, " +
+        "CAST(len(ts) - 25 + 1 AS BIGINT) AS nwin FROM b WHERE n_tokens >= 25) " +
+        "SELECT b.doc_id, n_tokens, n_types, " +
+        "CASE WHEN n_tokens > 0 THEN round(CAST(n_types AS DOUBLE) / n_tokens, 4) ELSE 0.0 END AS ttr, " +
+        "CASE WHEN n_tokens > 0 THEN round(n_types / sqrt(CAST(n_tokens AS DOUBLE)), 4) ELSE 0.0 END AS root_ttr, " +
+        "CASE WHEN n_tokens >= 25 THEN round(CAST(wsum AS DOUBLE) / (nwin * 25), 4) " +
+        "WHEN n_tokens > 0 THEN round(CAST(n_types AS DOUBLE) / n_tokens, 4) " +
+        "ELSE 0.0 END AS mattr " +
+        "FROM b LEFT JOIN m USING (doc_id) ORDER BY b.doc_id"),
 
     "q165_passage_keep_first" ->
       // q107's positional-gram ground truth with the keep-first twist:

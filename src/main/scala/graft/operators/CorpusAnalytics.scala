@@ -1754,6 +1754,119 @@ object CorpusAnalytics {
           * (col("sx") / col("n")), 4).as("intercept"))
   }
 
+  /** Corpus dispersion per term — Gries' DP (Gries 2008, "Dispersions and
+    * adjusted frequencies in corpora", IJCL 13:4): for each of the top-`k`
+    * corpus terms, DP = ½·Σ_parts |v_i − s_i|, where s_i is part i's share
+    * of all corpus tokens and v_i the share of the term's own occurrences
+    * falling in part i. DP ≈ 0 → the term is spread exactly like the
+    * corpus (a genuinely common word); DP → 1 → concentrated in one part
+    * (a bursty topic/boilerplate word masquerading as common — raw
+    * frequency cannot tell the two apart, which is the point). Parts are
+    * any grouping column: source, language, time-bucket.
+    *
+    * ABSENT parts count: |0 − s_i| = s_i, so the part spine is the
+    * bounded (top-k × parts) cross of two broadcast frames and per-term
+    * counts LEFT-join onto it. Float discipline: the |v−s| terms fold in
+    * SORTED part order, left-associative (q150's), shares are single
+    * divisions, output rounded to 4.
+    *
+    * Shape: one explode → (part, token) hash agg with map-side partials
+    * is the only corpus-width exchange; part sizes and term totals derive
+    * from it; everything downstream is bounded by k×parts rows.
+    */
+  def termDispersion(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String = "text",
+      topK: Int = 20): DataFrame = {
+    val counts = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("part"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("part"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // feeds part sizes, term totals, AND the spine join
+    val partSizes = counts
+      .groupBy(col("part"))
+      .agg(sum(col("c")).as("ptok"))
+    val total = partSizes.agg(sum(col("ptok")).cast("double").as("ttok"))
+    val shares = partSizes.crossJoin(broadcast(total))
+      .select(col("part"), (col("ptok") / col("ttok")).as("s"))
+    val top = counts
+      .groupBy(col("tok"))
+      .agg(sum(col("c")).as("total_count"))
+      .orderBy(col("total_count").desc, col("tok"))
+      .limit(topK)
+    // prune the count table to the top tokens FIRST (broadcast semi-shape)
+    // so the spine's left join is k x parts vs k x parts — broadcastable
+    val topCounts = counts
+      .join(broadcast(top.select(col("tok"))), Seq("tok"))
+    top
+      .crossJoin(broadcast(shares))
+      .join(topCounts.hint("broadcast"), Seq("tok", "part"), "left")
+      .select(col("tok"), col("total_count"), col("part"),
+        abs(coalesce(col("c"), lit(0L)).cast("double") / col("total_count") - col("s"))
+          .as("d"))
+      .groupBy(col("tok"), col("total_count"))
+      .agg(array_sort(collect_list(struct(col("part"), col("d")))).as("ds"))
+      .select(col("tok").as("token"), col("total_count"),
+        round(lit(0.5) * aggregate(col("ds"), lit(0.0),
+          (a, e) => a + e.getField("d")), 4).as("dp"))
+  }
+
+  /** Lexical-diversity signals (type-token ratio family): per document,
+    * TTR = types/tokens (length-biased — longer docs repeat), Guiraud's
+    * root TTR = types/√tokens (Guiraud 1954's length correction), and
+    * MATTR = the moving-average TTR (Covington & McFall 2010, J. Quant.
+    * Linguistics: mean distinct-share over every sliding window of `w`
+    * tokens — the length-INDEPENDENT diversity measure; docs shorter
+    * than `w` fall back to plain TTR, the paper's convention). Low
+    * MATTR + ordinary TTR separates locally-loopy template text from
+    * globally repetitive-but-locally-varied prose — the complement of
+    * [[gopherRepetitionSignals]]' char-mass view.
+    *
+    * Float discipline: TTR and MATTR are single divisions of integer
+    * masses (the window sum folds BIGINT distinct-counts, one division
+    * at the end); root TTR is one sqrt + one division. Round 4, exact
+    * oracle replay.
+    *
+    * Shape: entirely IN-ROW — windows are `slice`+`array_distinct` over
+    * the bound token array (O(n·w) per doc, bounded by the window
+    * constant), so the operator is a map-side projection with NO
+    * shuffle at any corpus size; the array binds as a multi-referenced
+    * column so projection collapse cannot re-inline it per window.
+    */
+  def lexicalDiversity(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      w: Int = 25): DataFrame = {
+    require(w >= 2, "window of at least 2 tokens")
+    val n = size(col("ts"))
+    val winDistinctSum = aggregate(
+      sequence(lit(0), n - w),
+      lit(0L),
+      (acc, i) => acc + size(array_distinct(slice(col("ts"), i + 1, lit(w)))))
+    val nWin = (n - w + 1).cast("long")
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .select(col(idCol), col("ts"),
+        n.cast("long").as("n_tokens"),
+        size(array_distinct(col("ts"))).cast("long").as("n_types"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") / col("n_tokens"), 4))
+          .otherwise(lit(0.0)).as("ttr"),
+        when(col("n_tokens") > 0,
+          round(col("n_types") / sqrt(col("n_tokens").cast("double")), 4))
+          .otherwise(lit(0.0)).as("root_ttr"),
+        when(col("n_tokens") >= w,
+          round(winDistinctSum.cast("double") / (nWin * w), 4))
+          .when(col("n_tokens") > 0,
+            round(col("n_types").cast("double") / col("n_tokens"), 4))
+          .otherwise(lit(0.0)).as("mattr"))
+  }
+
   /** Count-Min sketch frequency estimation (Cormode & Muthukrishnan 2005,
     * J. Algorithms — the mergeable fixed-memory frequency table every
     * streaming/telemetry stack carries): `depth`×`width` counters, each

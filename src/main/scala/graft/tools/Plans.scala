@@ -75,7 +75,9 @@ object Plans {
     "q162_gopher_repetition" -> "everything is WITHIN-doc, so no corpus-global state exists: the tagged {2,3,4}-gram generator partial-aggregates (doc, n, gram) counts map-side, the top-1 window partitions by (doc, n) over the already-reduced count rows, and the 5-gram coverage pass joins positional grams back on (doc, gram) — every exchange is doc-keyed and the operator scales with documents, never their cross product",
     "q163_count_min" -> "the sketch is a bounded aggregate: the depth-fan-out token stream partial-aggregates map-side into a (row, bucket) table whose key cardinality is depth x width regardless of corpus size, so the only sketch exchange carries at most 1024 counter rows; the probe side joins the broadcast counter table and the exact top-20 twin is a TakeOrderedAndProject",
     "q164_temperature_resample" -> "the corpus never shuffles: per-group token totals and the one-row max-boost scalar broadcast back, and the keep decision is a map-side rounded-rate comparison against the md5 16-bit draw — the same stateless-under-streaming shape as mixtureResample",
-    "q165_passage_keep_first" -> "same three fixed-width-key exchanges as q107's strip-both twin: positional grams partial-aggregate into the per-gram (count, min-(id,pos)) election map-side, the join-back carries only NON-first occurrences, and reconstruction is a map-side indexed array filter — no per-token window sort anywhere"
+    "q165_passage_keep_first" -> "same three fixed-width-key exchanges as q107's strip-both twin: positional grams partial-aggregate into the per-gram (count, min-(id,pos)) election map-side, the join-back carries only NON-first occurrences, and reconstruction is a map-side indexed array filter — no per-token window sort anywhere",
+    "q166_lexical_diversity" -> "a pure map-side projection: the sliding distinct-count windows evaluate in-row over the bound token array (no explode, no join, NO shuffle at any corpus size) — the only exchange in the plan is the output sort",
+    "q167_term_dispersion" -> "the (part, token) hash agg is the only corpus-width exchange (persisted: part sizes, term totals, and the probe side all derive from it); the count table prunes to the top-k tokens through a broadcast join, so the absent-part spine's left join is bounded-vs-bounded and hinted broadcast"
   )
 
   def main(args: Array[String]): Unit = {
