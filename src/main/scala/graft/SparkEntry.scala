@@ -1292,6 +1292,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q168_quality_classifier" -> ((s, dir) => {
+      // IRLS logistic quality classifier (reference-vs-rest on cheap text
+      // features): contract pins the MLE identities — vanishing gradient,
+      // sum-of-scores = n_pos (exact with an intercept) — plus re-derived
+      // counts; coefficients are float-sum order dependent, so identities,
+      // never raw coefficients, are what the oracle checks
+      operators.Quality.qualityClassifierContract(
+        Tables(s, dir, "documents"), labelExpr = col("source") === "src0")
+    }),
+
     "q167_term_dispersion" -> ((s, dir) => {
       // Gries' DP over sources for the top-20 corpus terms: 0.5 * sum of
       // |term-share - part-share| with absent parts counted; sorted-part
@@ -3287,6 +3297,14 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q168_quality_classifier" ->
+      // counts re-derived exactly; the MLE-identity booleans are pinned
+      // TRUE (gradient < 1e-6, |sum p - n_pos| < 1e-3, scores in (0,1))
+      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+        "TRUE AS converged, TRUE AS calibrated, TRUE AS probs_bounded " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''"),
 
     "q167_term_dispersion" ->
       // replays counts, shares, the absent-part spine, and the part-order

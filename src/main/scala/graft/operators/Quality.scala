@@ -126,4 +126,140 @@ object Quality {
         col("e.v").as("violations"),
         col("n").as("checked"))
   }
+
+  // ------------------------------------------------- quality classifier
+
+  /** Logistic-regression fit by IRLS/Newton (the classical GLM fit —
+    * Nelder & Wedderburn 1972; the mechanism behind the fastText-style
+    * "reference vs crawl" quality classifiers of GPT-3/LLaMA data work,
+    * with the n-gram bag swapped for cheap per-doc features so the whole
+    * thing stays a handful of aggregate passes).
+    *
+    * "Fit small, apply distributed" (the centroid/BPE/NB discipline):
+    * each of the `iters` Newton steps is ONE aggregation pass computing
+    * the gradient Xᵀ(y−p) and Hessian XᵀWX as (d+1)(d+4)/2 map-side
+    * partial sums — d is the feature count (intercept added here), so
+    * the exchange carries ~d² doubles per partition regardless of rows;
+    * the (d+1)×(d+1) solve is driver arithmetic. Returns the
+    * coefficient vector (intercept first).
+    *
+    * Coefficients are float-sum dependent (partial-agg association), so
+    * downstream contracts pin MLE IDENTITIES — gradient ≈ 0, Σp = Σy
+    * (exact at any optimum with an intercept) — never raw coefficients.
+    */
+  def logisticFit(
+      df: DataFrame,
+      featCols: Seq[String],
+      labelCol: String,
+      iters: Int = 8,
+      ridge: Double = 1e-8): Array[Double] = {
+    require(featCols.nonEmpty && iters >= 1, "features and iterations")
+    val d = featCols.length + 1
+    def x(i: Int): Column = if (i == 0) lit(1.0) else col(featCols(i - 1))
+    val y = col(labelCol).cast("double")
+    val beta = Array.fill(d)(0.0)
+    val persisted = df.persist()
+    try {
+      for (_ <- 0 until iters) {
+        val eta = (0 until d).map(i => lit(beta(i)) * x(i)).reduce(_ + _)
+        val p = lit(1.0) / (lit(1.0) + exp(-eta))
+        val w = p * (lit(1.0) - p)
+        val hAggs = for { i <- 0 until d; j <- i until d }
+          yield sum(w * x(i) * x(j)).as(s"h_${i}_$j")
+        val gAggs = (0 until d).map(i => sum((y - p) * x(i)).as(s"g_$i"))
+        val row = persisted.agg((hAggs ++ gAggs).head, (hAggs ++ gAggs).tail: _*).head()
+        val h = Array.ofDim[Double](d, d)
+        var k = 0
+        for (i <- 0 until d; j <- i until d) {
+          h(i)(j) = row.getDouble(k); h(j)(i) = row.getDouble(k); k += 1
+        }
+        (0 until d).foreach(i => h(i)(i) += ridge)
+        val g = (0 until d).map(i => row.getDouble(k + i)).toArray
+        val delta = solve(h, g)
+        (0 until d).foreach(i => beta(i) += delta(i))
+      }
+      beta
+    } finally { persisted.unpersist() }
+  }
+
+  /** Gaussian elimination with partial pivoting on a (small, driver-side)
+    * symmetric positive-definite system.
+    */
+  private def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val n = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (c <- 0 until n) {
+      val piv = (c until n).maxBy(r => math.abs(a(r)(c)))
+      val (ta, tb) = (a(c), b(c)); a(c) = a(piv); a(piv) = ta
+      b(c) = b(piv); b(piv) = tb
+      for (r <- c + 1 until n) {
+        val f = a(r)(c) / a(c)(c)
+        for (cc <- c until n) a(r)(cc) -= f * a(c)(cc)
+        b(r) -= f * b(c)
+      }
+    }
+    val out = new Array[Double](n)
+    for (r <- n - 1 to 0 by -1) {
+      var s = b(r)
+      for (cc <- r + 1 until n) s -= a(r)(cc) * out(cc)
+      out(r) = s / a(r)(r)
+    }
+    out
+  }
+
+  /** Score rows with a fitted model: adds `scoreCol` = σ(β·x). The
+    * coefficients enter as plan literals — a pure map-side codegen'd
+    * projection, no join, no shuffle, streaming-safe.
+    */
+  def logisticScore(
+      df: DataFrame,
+      featCols: Seq[String],
+      beta: Array[Double],
+      scoreCol: String = "score"): DataFrame = {
+    require(beta.length == featCols.length + 1, "intercept-first beta")
+    def x(i: Int): Column = if (i == 0) lit(1.0) else col(featCols(i - 1))
+    val eta = beta.indices.map(i => lit(beta(i)) * x(i)).reduce(_ + _)
+    df.withColumn(scoreCol, lit(1.0) / (lit(1.0) + exp(-eta)))
+  }
+
+  /** Quality-classifier contract frame: fit "is this doc from the
+    * reference slice?" on cheap text features, score the corpus, and pin
+    * the MLE identities that hold REGARDLESS of how separable the data
+    * is: the gradient vanishes at the optimum (converged) and, because
+    * the model carries an intercept, Σ score = n_pos exactly
+    * (calibrated). Row counts re-derive exactly; scores stay in (0, 1).
+    */
+  def qualityClassifierContract(
+      docs: DataFrame,
+      labelExpr: Column,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextAnalysis
+    val feats = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(
+        labelExpr.cast("int").as("y"),
+        log(lit(1.0) + TextAnalysis.tokenCount(col(textCol))).as("f_len"),
+        TextAnalysis.meanWordLength(col(textCol)).as("f_mwl"),
+        TextAnalysis.alphaRatio(col(textCol)).as("f_alpha"),
+        TextAnalysis.stopwordRatio(col(textCol)).as("f_stop"))
+    val featCols = Seq("f_len", "f_mwl", "f_alpha", "f_stop")
+    val beta = logisticFit(feats, featCols, "y")
+    val scored = logisticScore(feats, featCols, beta).persist()
+    val d = beta.length
+    def x(i: Int): Column = if (i == 0) lit(1.0) else col(featCols(i - 1))
+    val gAggs = (0 until d).map(i =>
+      abs(sum((col("y").cast("double") - col("score")) * x(i))).as(s"g_$i"))
+    val stats = scored.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("y")).cast("long").as("n_pos"),
+      sum(col("score")).as("_psum"),
+      min(col("score")).as("_pmin"),
+      max(col("score")).as("_pmax"),
+      greatest(gAggs: _*).as("_gmax"))
+    stats.select(
+      col("n_docs"), col("n_pos"),
+      (col("_gmax") < 1e-6).as("converged"),
+      (abs(col("_psum") - col("n_pos")) < 1e-3).as("calibrated"),
+      (col("_pmin") > 0.0 && col("_pmax") < 1.0).as("probs_bounded"))
+  }
 }

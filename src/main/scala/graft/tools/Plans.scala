@@ -77,7 +77,8 @@ object Plans {
     "q164_temperature_resample" -> "the corpus never shuffles: per-group token totals and the one-row max-boost scalar broadcast back, and the keep decision is a map-side rounded-rate comparison against the md5 16-bit draw — the same stateless-under-streaming shape as mixtureResample",
     "q165_passage_keep_first" -> "same three fixed-width-key exchanges as q107's strip-both twin: positional grams partial-aggregate into the per-gram (count, min-(id,pos)) election map-side, the join-back carries only NON-first occurrences, and reconstruction is a map-side indexed array filter — no per-token window sort anywhere",
     "q166_lexical_diversity" -> "a pure map-side projection: the sliding distinct-count windows evaluate in-row over the bound token array (no explode, no join, NO shuffle at any corpus size) — the only exchange in the plan is the output sort",
-    "q167_term_dispersion" -> "the (part, token) hash agg is the only corpus-width exchange (persisted: part sizes, term totals, and the probe side all derive from it); the count table prunes to the top-k tokens through a broadcast join, so the absent-part spine's left join is bounded-vs-bounded and hinted broadcast"
+    "q167_term_dispersion" -> "the (part, token) hash agg is the only corpus-width exchange (persisted: part sizes, term totals, and the probe side all derive from it); the count table prunes to the top-k tokens through a broadcast join, so the absent-part spine's left join is bounded-vs-bounded and hinted broadcast",
+    "q168_quality_classifier" -> "each Newton step is one aggregation pass over the persisted feature frame whose exchange carries ~d^2 doubles per partition regardless of rows; the solve is driver arithmetic on a 5x5 system, and scoring applies the coefficients as plan literals inside WholeStageCodegen — no join, no shuffle in the score path"
   )
 
   def main(args: Array[String]): Unit = {
