@@ -1292,6 +1292,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q169_transition_matrix" -> ((s, dir) => {
+      // first-order Markov transitions over per-user event streams:
+      // P(to|from) from lead-window adjacent pairs; one user shuffle,
+      // types^2-bounded count table, broadcast normalizer
+      operators.Sessions.transitionMatrix(Tables(s, dir, "events"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    "q170_rfm_segments" -> ((s, dir) => {
+      // RFM quintile segmentation per user: exact percentile cuts rounded
+      // to 4 before banding, DECIMAL-summed monetary, map-side band chain
+      operators.Sessions.rfmSegments(Tables(s, dir, "events"))
+        .orderBy(col("user_id"))
+    }),
+
     "q168_quality_classifier" -> ((s, dir) => {
       // IRLS logistic quality classifier (reference-vs-rest on cheap text
       // features): contract pins the MLE identities — vanishing gradient,
@@ -3297,6 +3312,42 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q169_transition_matrix" ->
+      // lead-window pair replay with the same (ts, event_id) total order;
+      // probabilities are one integer-derived division, round 4
+      ("WITH p AS (SELECT user_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+        "FROM events), " +
+        "c AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n " +
+        "FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT from_type, sum(n) AS ft FROM c GROUP BY 1) " +
+        "SELECT from_type, to_type, CAST(n AS BIGINT) AS n, " +
+        "round(n / CAST(ft AS DOUBLE), 4) AS p " +
+        "FROM c JOIN t USING (from_type) ORDER BY from_type, to_type"),
+
+    "q170_rfm_segments" ->
+      // same DECIMAL(18,2) monetary sum as q08, epoch-us recency, exact
+      // quantile_cont cuts rounded to 4 (the q34 percentile parity), same
+      // <=-chain banding
+      ("WITH pu AS (SELECT user_id, max(epoch_us(ts)) AS recency_us, " +
+        "count(*) AS frequency, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary " +
+        "FROM events GROUP BY 1), " +
+        "c AS (SELECT list_transform(quantile_cont(CAST(recency_us AS DOUBLE), [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS rc, " +
+        "list_transform(quantile_cont(CAST(frequency AS DOUBLE), [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS fc, " +
+        "list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]), x -> round(x, 4)) AS mc FROM pu), " +
+        "s AS (SELECT user_id, recency_us, frequency, round(monetary, 2) AS monetary, " +
+        "CASE WHEN CAST(recency_us AS DOUBLE) <= rc[1] THEN 1 WHEN CAST(recency_us AS DOUBLE) <= rc[2] THEN 2 " +
+        "WHEN CAST(recency_us AS DOUBLE) <= rc[3] THEN 3 WHEN CAST(recency_us AS DOUBLE) <= rc[4] THEN 4 ELSE 5 END AS r_score, " +
+        "CASE WHEN CAST(frequency AS DOUBLE) <= fc[1] THEN 1 WHEN CAST(frequency AS DOUBLE) <= fc[2] THEN 2 " +
+        "WHEN CAST(frequency AS DOUBLE) <= fc[3] THEN 3 WHEN CAST(frequency AS DOUBLE) <= fc[4] THEN 4 ELSE 5 END AS f_score, " +
+        "CASE WHEN pu.monetary <= mc[1] THEN 1 WHEN pu.monetary <= mc[2] THEN 2 " +
+        "WHEN pu.monetary <= mc[3] THEN 3 WHEN pu.monetary <= mc[4] THEN 4 ELSE 5 END AS m_score " +
+        "FROM pu, c) " +
+        "SELECT user_id, recency_us, frequency, monetary, r_score, f_score, m_score, " +
+        "CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment " +
+        "FROM s ORDER BY user_id"),
 
     "q168_quality_classifier" ->
       // counts re-derived exactly; the MLE-identity booleans are pinned

@@ -161,4 +161,92 @@ object Sessions {
       .select(col(userCol), col("rnk"), col(idCol), col(typeCol),
         col("n_events"), (col("n_events") > budget).as("truncated"))
   }
+
+  /** First-order Markov transition matrix over per-user event streams —
+    * the clickstream/behavior model every product-analytics stack derives
+    * (and the "what usually happens next" prior a funnel is checked
+    * against): for every ordered adjacent pair within a user's stream,
+    * P(to | from) = n(from→to) / n(from→·). Self-transitions count;
+    * each user's last event emits nothing.
+    *
+    * One shuffle: the lead window on (user; ts, id) — the (from, to)
+    * count table is types²-bounded so its agg collapses map-side, and
+    * the row-total normalizer joins back as a broadcast. Probabilities
+    * are one integer-derived division, round 4 — exact replay.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+    val counts = pairs
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts
+      .groupBy(col("from_type"))
+      .agg(sum(col("n")).as("_ft"))
+    counts
+      .join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("_ft"), 4).as("p"))
+  }
+
+  /** RFM segmentation (Hughes 1994 — the classical recency / frequency /
+    * monetary customer scoring): per user, recency = last-event time,
+    * frequency = event count, monetary = value total; each dimension is
+    * banded into quintiles against EXACT corpus-wide percentile cuts and
+    * the three 1–5 scores concatenate into the segment label ("555" =
+    * recent, constant, big spender).
+    *
+    * Determinism discipline: monetary sums as DECIMAL(18,2) (association-
+    * free — q08's dsum), the 12 cut points are exact `percentile`
+    * aggregates over the per-user frame ROUNDED to 4 before banding
+    * (q133's rounded-band precedent), and banding is a map-side chain of
+    * `<=` comparisons. Two aggs (per-user, then the one-row cuts) + one
+    * broadcast join; the event table shuffles once on user.
+    */
+  def rfmSegments(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(
+        max(unix_micros(col(tsCol))).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("monetary"))
+    val probs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val cuts = perUser.agg(
+      percentile(col("recency_us"), probs).as("_rc"),
+      percentile(col("frequency"), probs).as("_fc"),
+      percentile(col("monetary"), probs).as("_mc"))
+      .select(
+        transform(col("_rc"), c => round(c, 4)).as("_rc"),
+        transform(col("_fc"), c => round(c, 4)).as("_fc"),
+        transform(col("_mc"), c => round(c, 4)).as("_mc"))
+    def band(v: Column, cutsCol: Column): Column =
+      when(v <= element_at(cutsCol, 1), lit(1))
+        .when(v <= element_at(cutsCol, 2), lit(2))
+        .when(v <= element_at(cutsCol, 3), lit(3))
+        .when(v <= element_at(cutsCol, 4), lit(4))
+        .otherwise(lit(5))
+    perUser
+      .crossJoin(broadcast(cuts))
+      .select(col(userCol), col("recency_us"), col("frequency"),
+        round(col("monetary"), 2).as("monetary"),
+        band(col("recency_us").cast("double"), col("_rc")).as("r_score"),
+        band(col("frequency").cast("double"), col("_fc")).as("f_score"),
+        band(col("monetary"), col("_mc")).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
 }
