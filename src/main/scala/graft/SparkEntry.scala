@@ -1292,6 +1292,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q171_clustering_coeff" -> ((s, dir) => {
+      // Watts-Strogatz local clustering coefficient over the mutual 5-NN
+      // embedding graph: manifold-quality per vector; O(n*k^2) wedge
+      // closure, never n^2
+      operators.Graphs.clusteringCoefficient(Tables(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q169_transition_matrix" -> ((s, dir) => {
       // first-order Markov transitions over per-user event streams:
       // P(to|from) from lead-window adjacent pairs; one user shuffle,
@@ -3312,6 +3320,25 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q171_clustering_coeff" ->
+      // q134's exact 5-NN edge CTE, then mutualization, canonical-pair
+      // wedge closure, and C = 2T/d(d-1) — all integer-derived
+      (knnCosEdgeCte(5) +
+        ", m AS MATERIALIZED (SELECT e1.src, e1.dst FROM e e1 " +
+        "JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src), " +
+        "deg AS (SELECT src AS v, count(*) AS degree FROM m GROUP BY 1), " +
+        "eu AS (SELECT src AS a, dst AS b FROM m WHERE src < dst), " +
+        "tri AS (SELECT m1.src AS v, count(*) AS t FROM m m1 " +
+        "JOIN m m2 ON m1.src = m2.src AND m1.dst < m2.dst " +
+        "JOIN eu ON eu.a = m1.dst AND eu.b = m2.dst GROUP BY m1.src) " +
+        "SELECT emb.vec_id, CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree, " +
+        "CAST(coalesce(tri.t, 0) AS BIGINT) AS triangles, " +
+        "CASE WHEN coalesce(deg.degree, 0) >= 2 " +
+        "THEN round(2.0 * coalesce(tri.t, 0) / (deg.degree * (deg.degree - 1)), 4) " +
+        "ELSE 0.0 END AS coefficient " +
+        "FROM embeddings emb LEFT JOIN deg ON deg.v = emb.vec_id " +
+        "LEFT JOIN tri ON tri.v = emb.vec_id ORDER BY emb.vec_id"),
 
     "q169_transition_matrix" ->
       // lead-window pair replay with the same (ts, event_id) total order;

@@ -81,6 +81,69 @@ object Graphs {
           col("cos"), col("rnk"))
   }
 
+  /** Local clustering coefficient over the MUTUAL kNN graph (Watts &
+    * Strogatz 1998's C_i, computed node-iterator style — Schank & Wagner
+    * 2005): for each vector, the fraction of its mutual-neighbor pairs
+    * that are themselves mutual neighbors, C = 2T / d(d−1). On an
+    * embedding corpus this is the manifold-quality signal: high C = the
+    * point sits in a coherent cluster; C ≈ 0 at degree ≥ 2 = a hub
+    * stitching unrelated regions (embedding-space "bridge" docs — often
+    * templated or mixed-topic text worth reviewing).
+    *
+    * Mutualization (keep a↔b only if each is in the other's top-k) is
+    * the standard symmetrization that kills the asymmetric-hub artifact
+    * of raw kNN digraphs.
+    *
+    * Shape: edge build is [[knnEdges]] (map-side matrix scan under the
+    * gate, IVF path above it); mutualization is one (src,dst)=(dst,src)
+    * equi-join of the n·k edge list; wedges fan out at most deg² ≤ k²
+    * rows per node and close against the canonical edge set by an 8-byte
+    * pair join — total work O(n·k²), never n².
+    */
+  def clusteringCoefficient(
+      vectors: DataFrame,
+      k: Int = 5,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      matrixRowLimit: Long = 1L << 18): DataFrame =
+    clusteringCoefficientFromEdges(
+      vectors.select(col(idCol)),
+      knnEdges(vectors, k, vecCol, idCol, matrixRowLimit), idCol)
+
+  /** Graph kernel of [[clusteringCoefficient]], reusable over any directed
+    * neighbor list: mutualize, count wedges that close, C = 2T/d(d−1)
+    * (0 below degree 2).
+    */
+  def clusteringCoefficientFromEdges(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    val mutual = edges.as("e1")
+      .join(edges.as("e2"),
+        col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("src"), col("e1.dst").as("dst"))
+      .persist() // feeds degree, wedges (twice), and the canonical set
+    val deg = mutual.groupBy(col("src").as("v")).agg(count(lit(1)).as("degree"))
+    val canonical = mutual.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val wedges = mutual.as("m1")
+      .join(mutual.as("m2"),
+        col("m1.src") === col("m2.src") && col("m1.dst") < col("m2.dst"))
+      .select(col("m1.src").as("v"), col("m1.dst").as("a"), col("m2.dst").as("b"))
+    val tri = wedges.join(canonical, Seq("a", "b"))
+      .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
+    nodes
+      .join(deg, nodes(idCol) === deg("v"), "left").drop("v")
+      .join(tri, nodes(idCol) === tri("v"), "left").drop("v")
+      .select(col(idCol),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(coalesce(col("degree"), lit(0L)) >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1)), 4))
+          .otherwise(lit(0.0)).as("coefficient"))
+  }
+
   /** kNN label-consistency check (Wilson-editing / kNN label-noise
     * screening): predict each vector's label as the MAJORITY label of its
     * k nearest neighbors (ties: smaller label) and flag disagreement —
