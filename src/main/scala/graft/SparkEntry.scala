@@ -1292,6 +1292,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q172_replication_plan" -> ((s, dir) => {
+      // stochastic-rounding epoch replicas toward the uniform mixture:
+      // n = floor(w) + md5-Bernoulli(frac(w)); E[n] = w exactly
+      val docs = Tables(s, dir, "documents")
+      val weights = operators.CorpusAnalytics.mixtureWeights(docs, "lang")
+        .select(col("lang"), col("uniform_weight"))
+      operators.Sampling.replicationPlan(
+        docs.join(broadcast(weights), "lang")
+          .select(col("doc_id"), col("uniform_weight").as("weight")),
+        weightCol = "weight")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q173_eval_contamination" -> ((s, dir) => {
+      // per-EVAL-example contamination (q89's eval split: doc_id % 50 = 0):
+      // share of the eval doc's distinct 3-grams found anywhere in train;
+      // the train gram stream semi-filters against the broadcast eval
+      // universe and never shuffles
+      val docs = Tables(s, dir, "documents")
+      operators.CorpusAnalytics.evalContamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     "q171_clustering_coeff" -> ((s, dir) => {
       // Watts-Strogatz local clustering coefficient over the mutual 5-NN
       // embedding graph: manifold-quality per vector; O(n*k^2) wedge
@@ -3320,6 +3345,36 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q172_replication_plan" ->
+      // q92's rounded-6 uniform weights, then floor + the seeded 16-bit
+      // md5 draw against the rounded-4 fractional part
+      ("WITH g AS (SELECT lang, sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)) AS n_tokens " +
+        "FROM documents GROUP BY lang), " +
+        "t AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_groups FROM g), " +
+        "wgt AS (SELECT lang, round(CAST(total_tokens AS DOUBLE) / (n_groups * n_tokens), 6) AS w " +
+        "FROM g, t) " +
+        "SELECT d.doc_id, w AS weight, " +
+        "CAST(floor(w) + CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|rep'), 1, 4) AS BIGINT) AS DOUBLE) " +
+        "< 65536.0 * round(w - floor(w), 4) THEN 1 ELSE 0 END AS BIGINT) AS n_replicas " +
+        "FROM documents d JOIN wgt USING (lang) ORDER BY d.doc_id"),
+
+    "q173_eval_contamination" ->
+      // q89's shingle construction and eval split, aggregated per EVAL doc
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "ev AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0), " +
+        "tg AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0)), " +
+        "h AS (SELECT ev.doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit " +
+        "FROM ev LEFT JOIN tg ON ev.g = tg.g GROUP BY ev.doc_id) " +
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_hit, " +
+        "round(n_hit / CAST(n_grams AS DOUBLE), 4) AS contamination " +
+        "FROM h ORDER BY doc_id"),
 
     "q171_clustering_coeff" ->
       // q134's exact 5-NN edge CTE, then mutualization, canonical-pair

@@ -280,6 +280,49 @@ object CorpusAnalytics {
     * stays below ~g*fpp — q103's contract pins both properties against
     * the exact operator. Probe hash is xxhash64, matching the builder.
     */
+  /** Eval-side contamination report — the OTHER deliverable of
+    * decontamination (Brown et al. 2020 Appendix C measure both ways):
+    * [[decontaminate]] flags which TRAIN docs to drop; this reports, per
+    * EVAL example, how compromised it is — the share of its distinct word
+    * n-grams that appear anywhere in the training corpus. An eval doc at
+    * 1.0 is memorizable verbatim; benchmarks report scores "clean" vs
+    * "dirty" split exactly on this number.
+    *
+    * Shape (the train side NEVER shuffles): the bounded eval gram
+    * universe broadcasts, the train gram stream semi-filters against it
+    * map-side, and only the INTERSECTION (≤ eval-universe size) reaches
+    * the distinct agg; eval grams then left-join the broadcast hit set
+    * and aggregate per eval doc. Gram keys are xxhash64 8-byte longs
+    * (collision/oracle-pin argument as [[dupNgramFraction]]).
+    */
+  def evalContamination(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val nonBlank = (d: DataFrame) =>
+      d.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    val evalGrams = nonBlank(evalDocs)
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gs"))
+      .select(col(idCol), xxhash64(col("gs")).as("g"))
+    val evalUniverse = evalGrams.select(col("g")).distinct()
+    val hitSet = nonBlank(train)
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gs"))
+      .select(xxhash64(col("gs")).as("g"))
+      .join(broadcast(evalUniverse), "g")
+      .distinct()
+      .withColumn("_hit", lit(1))
+    evalGrams
+      .join(broadcast(hitSet), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4)
+          .as("contamination"))
+  }
+
   def decontaminateBloom(
       train: DataFrame,
       evalDocs: DataFrame,

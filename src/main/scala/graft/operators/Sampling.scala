@@ -181,4 +181,31 @@ object Sampling {
         .over(Window.orderBy(col("_key").desc, col(idCol))).cast("long"))
       .select(Seq(col("rnk"), col(idCol)) ++ keep.map(col): _*)
   }
+
+  /** Epoch replication plan — the UPSAMPLING half of mixture control that
+    * [[graft.operators.CorpusAnalytics.temperatureResample]] deliberately
+    * leaves to the loader: materialize per-doc replica counts for a
+    * target weight w ≥ 0 as n = ⌊w⌋ + Bernoulli(frac(w)) — stochastic
+    * rounding, the standard way to hit a fractional expected epoch count
+    * without epoch-to-epoch bias (E[n] = w exactly).
+    *
+    * The Bernoulli draw is the seeded 16-bit md5 bucket (same row → same
+    * plan on every run/engine/retry; no `rand()`), and the fractional
+    * part is ROUNDED to 4 before the comparison (the temperature-resample
+    * ulp discipline). Map-side scalar projection — no shuffle, no join;
+    * weights usually arrive via a broadcast group join upstream.
+    */
+  def replicationPlan(
+      df: DataFrame,
+      weightCol: String,
+      idCol: String = "doc_id",
+      seed: String = "rep"): DataFrame = {
+    val w = col(weightCol).cast("double")
+    val u = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit("|" + seed)).cast("binary")),
+      1, 4), 16, 10).cast("long")
+    df.withColumn("n_replicas",
+      (floor(w) + when(u.cast("double") < lit(65536.0) * round(w - floor(w), 4),
+        1L).otherwise(0L)).cast("long"))
+  }
 }

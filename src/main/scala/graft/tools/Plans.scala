@@ -81,7 +81,9 @@ object Plans {
     "q168_quality_classifier" -> "each Newton step is one aggregation pass over the persisted feature frame whose exchange carries ~d^2 doubles per partition regardless of rows; the solve is driver arithmetic on a 5x5 system, and scoring applies the coefficients as plan literals inside WholeStageCodegen — no join, no shuffle in the score path",
     "q169_transition_matrix" -> "one shuffle: the lead window on (user; ts, id); the (from, to) count table is types^2-bounded so its aggregate collapses map-side and the row-total normalizer joins back as a BroadcastHashJoin on the from key",
     "q170_rfm_segments" -> "the event table shuffles once (the per-user agg with DECIMAL monetary partials); the 12 quintile cuts are one tiny percentile aggregate over the per-user frame that re-enters as a one-row broadcast, and banding is a map-side <=-chain",
-    "q171_clustering_coeff" -> "the kNN edge build is the map-side matrix projection (no n^2 join); mutualization and the wedge closure are 8-byte-key equi-joins over the persisted n*k mutual edge list, with per-node fan-out capped at k^2 — total work O(n*k^2)"
+    "q171_clustering_coeff" -> "the kNN edge build is the map-side matrix projection (no n^2 join); mutualization and the wedge closure are 8-byte-key equi-joins over the persisted n*k mutual edge list, with per-node fan-out capped at k^2 — total work O(n*k^2)",
+    "q172_replication_plan" -> "the replica count is a map-side scalar (floor + seeded md5 Bernoulli, coefficients in the plan); the per-group weights enter through one BroadcastHashJoin on the group key — the corpus neither shuffles nor sorts",
+    "q173_eval_contamination" -> "the train gram stream never shuffles: it semi-filters map-side against the broadcast eval gram universe, only the intersection reaches the distinct agg, and the per-eval-doc count joins against the broadcast hit set"
   )
 
   def main(args: Array[String]): Unit = {
