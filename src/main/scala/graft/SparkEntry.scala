@@ -1292,6 +1292,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q174_canonical_text" -> ((s, dir) => {
+      // normalize-before-you-hash canonicalization: NFC + ASCII-control
+      // strip + space-run collapse + trim as ONE codegen'd expression;
+      // the oracle replays it with nfc_normalize + two RE2 replaces
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          functions.CanonicalText.canonical_text(col("text")).as("clean_text"),
+          (functions.CanonicalText.canonical_text(col("text")) =!= col("text"))
+            .as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q172_replication_plan" -> ((s, dir) => {
       // stochastic-rounding epoch replicas toward the uniform mixture:
       // n = floor(w) + md5-Bernoulli(frac(w)); E[n] = w exactly
@@ -3345,6 +3357,14 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q174_canonical_text" ->
+      // identical contract: nfc_normalize, ASCII controls -> spaces,
+      // space-run collapse, trim
+      ("SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+        "nfc_normalize(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text, " +
+        "trim(regexp_replace(regexp_replace(nfc_normalize(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) <> text AS changed " +
+        "FROM documents ORDER BY doc_id"),
 
     "q172_replication_plan" ->
       // q92's rounded-6 uniform weights, then floor + the seeded 16-bit

@@ -46,6 +46,36 @@ object ExprKernels {
     if (d == null) null else java.lang.Double.valueOf(math.sqrt(d.doubleValue()))
   }
 
+  // ------------------------------------------------------- canonical text
+
+  /** NFC-compose, map ASCII controls (U+0000–U+001F, U+007F) to spaces,
+    * collapse space runs, trim. Exactly replayable as DuckDB
+    * `trim(regexp_replace(regexp_replace(nfc_normalize(t),
+    * '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))` — C1 controls and
+    * Unicode spaces deliberately untouched (see CanonicalText scaladoc).
+    */
+  def canonText(text: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFC)
+    val n = nfc.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < n) {
+      val c0 = nfc.charAt(i)
+      val c = if (c0 < ' ' || c0 == '\u007f') ' ' else c0
+      if (c == ' ') { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   // -------------------------------------------------------------- shingles
 
   /** Distinct word n-gram shingles: lowercase, whitespace tokenize, join
