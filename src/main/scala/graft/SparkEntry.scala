@@ -1292,6 +1292,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q176_ewma_anomaly" -> ((s, dir) => {
+      // EWMA control chart over daily counts per event type: explicit
+      // prefix folds (DuckDB's list_reduce is the same fold, so the
+      // unrounded 3-sigma comparison replays bit-for-bit)
+      operators.Sessions.ewmaDailyCounts(Tables(s, dir, "events"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "q175_jaro_winkler_join" -> ((s, dir) => {
       // blocked Jaro-Winkler record linkage over part names: the block key
       // is the first TWO tokens (blocking cardinality is the scale knob —
@@ -3371,6 +3379,26 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q176_ewma_anomaly" ->
+      // same fold, same constants: (1.0 - 0.3) written as the expression,
+      // NOT 0.7 — the two parse to different doubles and the folds would
+      // diverge; list_reduce seeds with the first element exactly like
+      // the engine's aggregate(init = c_0)
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, list(struct_pack(day := day, n := n) ORDER BY day) AS cs " +
+        "FROM d GROUP BY 1), " +
+        "x AS (SELECT event_type, unnest(cs) AS ee, generate_subscripts(cs, 1) AS i, cs FROM a) " +
+        "SELECT event_type, (ee).day AS day, (ee).n AS n, " +
+        "round(list_reduce(list_transform(list_slice(cs, 1, i), s -> CAST((s).n AS DOUBLE)), " +
+        "(e, c) -> 0.3 * c + (1.0 - 0.3) * e), 4) AS ewma, " +
+        "CASE WHEN i = 1 THEN FALSE ELSE " +
+        "abs(CAST((ee).n AS DOUBLE) - list_reduce(list_transform(list_slice(cs, 1, i - 1), s -> CAST((s).n AS DOUBLE)), " +
+        "(e, c) -> 0.3 * c + (1.0 - 0.3) * e)) " +
+        "> 3.0 * sqrt(list_reduce(list_transform(list_slice(cs, 1, i - 1), s -> CAST((s).n AS DOUBLE)), " +
+        "(e, c) -> 0.3 * c + (1.0 - 0.3) * e)) END AS anomaly " +
+        "FROM x ORDER BY event_type, day"),
 
     "q175_jaro_winkler_join" ->
       // DuckDB's native jaro_winkler_similarity IS the kernel's contract

@@ -197,6 +197,53 @@ object Sessions {
         round(col("n") / col("_ft"), 4).as("p"))
   }
 
+  /** EWMA control chart over daily event counts (Roberts 1959 / Hunter
+    * 1986 — the classical drift-sensitive monitoring statistic; ops
+    * stacks run exactly this over ingest volumes): per event type, the
+    * exponentially weighted moving average e_i = α·c_i + (1−α)·e_{i−1}
+    * (e_0 = c_0) of the daily count series, plus a Poisson-style anomaly
+    * flag |c_i − e_{i−1}| > 3·√e_{i−1} — "today deviates from the
+    * smoothed history by more than 3 sigma".
+    *
+    * The recursion is computed as an EXPLICIT prefix fold per row
+    * (first element as seed, left-associative α·c + (1−α)·e — DuckDB's
+    * `list_reduce` is this exact fold, so every double replays
+    * bit-for-bit and the UNROUNDED 3σ comparison is engine-stable).
+    * O(days²) per type, and days are physically bounded — time passes
+    * at 86 400 s/day no matter how many rows the corpus has.
+    *
+    * Shape: one (type, day) hash agg with map-side partials collapses
+    * the event stream; the per-type ordered series is a bounded
+    * collect_list; everything after is in-row. One shuffle.
+    */
+  def ewmaDailyCounts(
+      events: DataFrame,
+      alpha: Double = 0.3,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+    def fold(upTo: Column): Column = {
+      val pre = transform(slice(col("cs"), lit(1), upTo),
+        x => x.getField("n").cast("double"))
+      aggregate(slice(pre, lit(2), size(pre) - 1), element_at(pre, 1),
+        (e, c) => lit(alpha) * c + lit(1.0 - alpha) * e)
+    }
+    series
+      .select(col(typeCol), posexplode(col("cs")).as(Seq("_i", "e")), col("cs"))
+      .select(col(typeCol),
+        col("e.day").as("day"), col("e.n").as("n"),
+        round(fold(col("_i") + 1), 4).as("ewma"),
+        when(col("_i") === 0, lit(false))
+          .otherwise(abs(col("e.n").cast("double") - fold(col("_i"))) >
+            lit(3.0) * sqrt(fold(col("_i")))).as("anomaly"))
+  }
+
   /** RFM segmentation (Hughes 1994 — the classical recency / frequency /
     * monetary customer scoring): per user, recency = last-event time,
     * frequency = event count, monetary = value total; each dimension is
