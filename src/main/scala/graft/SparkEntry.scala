@@ -1292,6 +1292,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q177_benford" -> ((s, dir) => {
+      // Benford first-digit audit of event values: digit from the string
+      // rendering (engine-stable, no log10-floor ulp trap), 9-row spine
+      operators.Quality.benfordTest(Tables(s, dir, "events"), "value")
+        .orderBy(col("digit"))
+    }),
+
     "q176_ewma_anomaly" -> ((s, dir) => {
       // EWMA control chart over daily counts per event type: explicit
       // prefix folds (DuckDB's list_reduce is the same fold, so the
@@ -3379,6 +3386,21 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q177_benford" ->
+      // same string-rendered first significant digit, same 9-digit spine,
+      // same ln ratio for the expected share
+      ("WITH c AS (SELECT CAST(regexp_extract(CAST(value AS VARCHAR), '[1-9]') AS INT) AS digit, " +
+        "count(*) AS n FROM events " +
+        "WHERE value IS NOT NULL AND regexp_extract(CAST(value AS VARCHAR), '[1-9]') <> '' " +
+        "GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM c), " +
+        "sp AS (SELECT unnest(range(1, 10)) AS digit) " +
+        "SELECT CAST(sp.digit AS INT) AS digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n, " +
+        "round(coalesce(c.n, 0) / tt, 4) AS observed, " +
+        "round(ln(1.0 + 1.0 / sp.digit) / ln(10.0), 4) AS expected, " +
+        "round(abs(coalesce(c.n, 0) / tt - ln(1.0 + 1.0 / sp.digit) / ln(10.0)), 4) AS abs_dev " +
+        "FROM sp LEFT JOIN c ON c.digit = sp.digit, t ORDER BY sp.digit"),
 
     "q176_ewma_anomaly" ->
       // same fold, same constants: (1.0 - 0.3) written as the expression,

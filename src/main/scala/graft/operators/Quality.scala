@@ -127,6 +127,46 @@ object Quality {
         col("n").as("checked"))
   }
 
+  // ---------------------------------------------------------- benford
+
+  /** Benford's-law first-digit audit (Newcomb 1881 / Benford 1938; Nigrini
+    * popularized it for fraud and data-quality screening): naturally
+    * occurring multiplicative quantities put digit d first with
+    * probability log10(1 + 1/d) — synthetic, truncated, or fabricated
+    * value columns deviate loudly. One row per digit 1–9 with observed vs
+    * expected share and the absolute deviation.
+    *
+    * The first significant digit is extracted from the value's STRING
+    * rendering (first [1-9] char) — deliberately not the log10/pow
+    * arithmetic, whose floor sits within an ulp of flipping for values
+    * near powers of ten and would make the digit engine-dependent; every
+    * engine renders the same double with the same leading significant
+    * digits. One hash agg over the digit column (9 keys — collapses
+    * map-side), a 9-row spine so absent digits report 0, one broadcast
+    * total.
+    */
+  def benfordTest(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = regexp_extract(col(valueCol).cast("string"), "[1-9]", 0)
+    val counts = df
+      .filter(col(valueCol).isNotNull && digit =!= "")
+      .select(digit.cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("_t"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val expected = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    val observed = coalesce(col("n"), lit(0L)) / col("_t")
+    spine
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(observed, 4).as("observed"),
+        round(expected, 4).as("expected"),
+        round(abs(observed - expected), 4).as("abs_dev"))
+  }
+
   // ------------------------------------------------- quality classifier
 
   /** Logistic-regression fit by IRLS/Newton (the classical GLM fit —

@@ -79,6 +79,28 @@ object StreamAggregates {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Tumbling-window APPROXIMATE distinct users — the live "how many
+    * unique actors this hour" panel at sketch cost: HLL++ partials
+    * (`approx_count_distinct`) merge inside the windowed state, so state
+    * per window is one bounded sketch buffer, never a user set. Exact
+    * distinct over a stream would hold every key in state (unbounded on
+    * an open id space) — the sketch is the 100 TB-shaped answer, with
+    * the usual ~2% default rsd (exact at small cardinalities, where the
+    * HLL++ sparse mode stores the ids themselves).
+    */
+  def windowedDistinctUsers(
+      logs: DataFrame,
+      bucket: String = "1 hour",
+      lateness: String = "10 minutes",
+      timeCol: String = "time",
+      userCol: String = "user_id"): DataFrame =
+    logs
+      .withWatermark(timeCol, lateness)
+      .groupBy(window(col(timeCol), bucket))
+      .agg(approx_count_distinct(col(userCol)).as("approx_users"))
+      .select(col("window.start").as("bucket_start"),
+        col("window.end").as("bucket_end"), col("approx_users"))
+
   /** Streaming exact dedup on a key (e.g. a message fingerprint): keeps the
     * first occurrence, drops re-deliveries arriving within the watermark
     * horizon. State = one entry per key inside the horizon, GC'd by the

@@ -57,6 +57,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(total/max-boost)): single-row scalars beside the bounded per-group token table; the keep decision is a map-side comparison and the corpus never shuffles (q109's discipline)",
     "q170_rfm_segments" ->
       "crossJoin(broadcast(cuts)): the single-row quintile-cut arrays beside the per-user aggregate; banding is a map-side <=-chain (q133's discipline)",
+    "q177_benford" ->
+      "crossJoin(broadcast(total)): the single-row digit total beside the 9-row spine",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->

@@ -35,6 +35,39 @@ class StreamAggregatesSpec extends SparkSpec {
     assert(got == Seq(("cid1", 2L), ("cid1", 1L), ("cid2", 1L)))
   }
 
+  test("windowedDistinctUsers: sketch counts distincts per window (batch backfill)") {
+    val logs = Seq(
+      (ts("2024-01-01 10:05:00"), 1L), (ts("2024-01-01 10:15:00"), 1L),
+      (ts("2024-01-01 10:25:00"), 2L), (ts("2024-01-01 10:35:00"), 3L),
+      (ts("2024-01-01 11:05:00"), 1L)
+    ).toDF("time", "user_id")
+    val got = StreamAggregates.windowedDistinctUsers(logs)
+      .orderBy("bucket_start")
+      .select($"approx_users").as[Long].collect().toSeq
+    // HLL++ is exact at these cardinalities (sparse mode)
+    assert(got == Seq(3L, 1L))
+  }
+
+  test("streaming: windowedDistinctUsers merges sketch state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val q = StreamAggregates.windowedDistinctUsers(
+      stream.toDS().toDF("time", "user_id"))
+      .writeStream.format("memory").queryName("wdu")
+      .outputMode("update").start()
+    try {
+      stream.addData((ts("2024-01-01 10:05:00"), 1L), (ts("2024-01-01 10:10:00"), 2L))
+      q.processAllAvailable()
+      stream.addData((ts("2024-01-01 10:20:00"), 2L), (ts("2024-01-01 10:30:00"), 3L))
+      q.processAllAvailable()
+      val latest = spark.table("wdu")
+        .orderBy($"bucket_start", $"approx_users".desc)
+        .select($"approx_users").as[Long].collect()
+      // update mode emits per batch; the final window state counts 3 users
+      assert(latest.max == 3L)
+    } finally q.stop()
+  }
+
   test("streaming: windowed counts accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)]
