@@ -1292,6 +1292,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q178_rake_keywords" -> ((s, dir) => {
+      // RAKE top-3 keyphrases per doc: stopword-run phrases, deg/freq word
+      // scores, position-ordered phrase folds, rounded-score ranking
+      operators.CorpusAnalytics.rakeTopPhrases(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     "q177_benford" -> ((s, dir) => {
       // Benford first-digit audit of event values: digit from the string
       // rendering (engine-stable, no log10-floor ulp trap), 9-row spine
@@ -3386,6 +3393,34 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q178_rake_keywords" ->
+      // full RAKE replay: same stopword list (interpolated from the one
+      // Scala constant), same running-sum phrase ids, same deg/freq
+      // divisions, same position-ordered fold and rounded-score ranking
+      ("WITH tk AS (SELECT doc_id, tok, pos, tok IN (" +
+        graft.functions.TextAnalysis.DefaultStopwords
+          .map(w => s"'$w'").mkString(", ") + ") AS is_stop FROM (" +
+        "SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) - 1 AS pos FROM (" +
+        "SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''))), " +
+        "ip AS (SELECT doc_id, pos, tok, is_stop, " +
+        "sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id " +
+        "FROM tk), " +
+        "ip2 AS (SELECT doc_id, pos, tok, phrase_id FROM ip WHERE NOT is_stop), " +
+        "ph AS (SELECT doc_id, phrase_id, count(*) AS plen, " +
+        "string_agg(tok, ' ' ORDER BY pos) AS phrase FROM ip2 GROUP BY 1, 2), " +
+        "wsc AS (SELECT ip2.doc_id, tok, " +
+        "CAST(count(*) + sum(plen - 1) AS DOUBLE) / count(*) AS wscore " +
+        "FROM ip2 JOIN ph USING (doc_id, phrase_id) GROUP BY ip2.doc_id, tok), " +
+        "psc AS (SELECT ip2.doc_id, ip2.phrase_id, " +
+        "round(list_reduce(list_prepend(0.0, list(wscore ORDER BY pos)), (a, b) -> a + b), 4) AS score " +
+        "FROM ip2 JOIN wsc ON wsc.doc_id = ip2.doc_id AND wsc.tok = ip2.tok GROUP BY 1, 2), " +
+        "r AS (SELECT p.doc_id, phrase, score, " +
+        "row_number() OVER (PARTITION BY p.doc_id ORDER BY score DESC, phrase) AS rnk " +
+        "FROM psc p JOIN ph ON ph.doc_id = p.doc_id AND ph.phrase_id = p.phrase_id) " +
+        "SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, score FROM r " +
+        "WHERE rnk <= 3 ORDER BY doc_id, rnk"),
 
     "q177_benford" ->
       // same string-rendered first significant digit, same 9-digit spine,

@@ -1797,6 +1797,73 @@ object CorpusAnalytics {
           * (col("sx") / col("n")), 4).as("intercept"))
   }
 
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010 — Rapid
+    * Automatic Keyword Extraction): candidate phrases are the maximal
+    * stopword-free token runs; each word scores deg(w)/freq(w) where
+    * deg(w) = freq(w) + Σ co-occurring words in its phrases; a phrase
+    * scores the sum of its member words. The unsupervised WITHIN-doc
+    * keyphrase pass — complements the corpus-statistical TF-IDF (X66)
+    * and BM25 (X129): RAKE needs no corpus statistics at all, so it
+    * works on day-one crawl drops with no df table.
+    *
+    * Determinism discipline: per-word scores are single divisions of
+    * integer masses; phrase scores fold member scores in POSITION order
+    * (left-associative); ranking uses the ROUNDED score with a
+    * lexicographic phrase tie-break (q139's ulp rules).
+    *
+    * Shape: everything is per-doc — the stopword-run phrase ids come
+    * from one running-sum window on (doc; pos) (doc-length-bounded
+    * partitions), word stats and phrase folds are doc-keyed hash aggs,
+    * and the final top-k window ranks ≤ phrases-per-doc rows. All
+    * exchanges hash on doc_id; nothing is corpus-global.
+    */
+  def rakeTopPhrases(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3,
+      stopwords: Seq[String] = TextAnalysis.DefaultStopwords): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isInCollection(stopwords))
+    val wSeq = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val inPhrase = toks
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1).otherwise(0)).over(wSeq))
+      .filter(!col("is_stop"))
+    val phrases = inPhrase
+      .groupBy(col(idCol), col("phrase_id"))
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("phrase"))
+    val wordScores = inPhrase
+      .join(phrases.select(col(idCol), col("phrase_id"), col("plen")),
+        Seq(idCol, "phrase_id"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("freq"),
+        sum(col("plen") - 1).as("cooc"))
+      .select(col(idCol), col("tok"),
+        ((col("freq") + col("cooc")).cast("double") / col("freq")).as("wscore"))
+    val scored = inPhrase
+      .join(wordScores, Seq(idCol, "tok"))
+      .groupBy(col(idCol), col("phrase_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("wscore")))).as("ws"))
+      .select(col(idCol), col("phrase_id"),
+        round(aggregate(col("ws"), lit(0.0),
+          (a, e) => a + e.getField("wscore")), 4).as("score"))
+      .join(phrases.select(col(idCol), col("phrase_id"), col("phrase")),
+        Seq(idCol, "phrase_id"))
+    val rankW = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("phrase"))
+    scored
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk").cast("long").as("rnk"),
+        col("phrase"), col("score"))
+  }
+
   /** Corpus dispersion per term — Gries' DP (Gries 2008, "Dispersions and
     * adjusted frequencies in corpora", IJCL 13:4): for each of the top-`k`
     * corpus terms, DP = ½·Σ_parts |v_i − s_i|, where s_i is part i's share
