@@ -1292,6 +1292,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q179_cusum" -> ((s, dir) => {
+      // Page's CUSUM level-shift detector per event type: one-sided sums
+      // with Poisson-scaled slack/threshold, explicit prefix folds
+      operators.Sessions.cusumDailyCounts(Tables(s, dir, "events"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "q178_rake_keywords" -> ((s, dir) => {
       // RAKE top-3 keyphrases per doc: stopword-run phrases, deg/freq word
       // scores, position-ordered phrase folds, rounded-score ranking
@@ -3393,6 +3400,27 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q179_cusum" ->
+      // same folds: mu from the in-row integer sum, k = 0.5*sqrt(mu),
+      // h = 4.0*sqrt(mu), max(0, acc + ...) left folds seeded 0.0
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, list(struct_pack(day := day, n := n) ORDER BY day) AS cs " +
+        "FROM d GROUP BY 1), " +
+        "x AS (SELECT event_type, unnest(cs) AS ee, generate_subscripts(cs, 1) AS i, cs, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(cs, s -> (s).n)), (p, q) -> p + q) AS DOUBLE) / len(cs) AS mu FROM a) " +
+        "SELECT event_type, (ee).day AS day, (ee).n AS n, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(list_slice(cs, 1, i), s -> CAST((s).n AS DOUBLE))), " +
+        "(acc, c) -> greatest(0.0, acc + (c - mu - 0.5 * sqrt(mu)))), 4) AS cusum_up, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(list_slice(cs, 1, i), s -> CAST((s).n AS DOUBLE))), " +
+        "(acc, c) -> greatest(0.0, acc + (mu - c - 0.5 * sqrt(mu)))), 4) AS cusum_down, " +
+        "(list_reduce(list_prepend(0.0, list_transform(list_slice(cs, 1, i), s -> CAST((s).n AS DOUBLE))), " +
+        "(acc, c) -> greatest(0.0, acc + (c - mu - 0.5 * sqrt(mu)))) > 4.0 * sqrt(mu) OR " +
+        "list_reduce(list_prepend(0.0, list_transform(list_slice(cs, 1, i), s -> CAST((s).n AS DOUBLE))), " +
+        "(acc, c) -> greatest(0.0, acc + (mu - c - 0.5 * sqrt(mu)))) > 4.0 * sqrt(mu)) AS alarm " +
+        "FROM x ORDER BY event_type, day"),
 
     "q178_rake_keywords" ->
       // full RAKE replay: same stopword list (interpolated from the one

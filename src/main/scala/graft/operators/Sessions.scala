@@ -244,6 +244,54 @@ object Sessions {
             lit(3.0) * sqrt(fold(col("_i")))).as("anomaly"))
   }
 
+  /** CUSUM change-point detection over daily event counts (Page 1954 —
+    * the sequential statistic that catches small SUSTAINED level shifts
+    * an EWMA's single-day 3σ test misses): per type, the one-sided sums
+    * S⁺_i = max(0, S⁺_{i−1} + (c_i − μ − k)) and
+    * S⁻_i = max(0, S⁻_{i−1} + (μ − c_i − k)) with Poisson-scaled slack
+    * k = `slack`·√μ and decision threshold h = `threshold`·√μ (classic
+    * 0.5σ/4σ tuning); alarm when either sum crosses h. μ is the type's
+    * own mean daily count.
+    *
+    * Same engine-parity shape as [[ewmaDailyCounts]]: explicit per-row
+    * prefix folds over the bounded per-type series (DuckDB's
+    * `list_reduce` is the same left fold, μ/k/h derive in-row from
+    * integer masses through identical op chains), so the unrounded
+    * alarm booleans replay bit-for-bit. One shuffle.
+    */
+  def cusumDailyCounts(
+      events: DataFrame,
+      slack: Double = 0.5,
+      threshold: Double = 4.0,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+    val mu = aggregate(col("cs"), lit(0L),
+      (a, e) => a + e.getField("n")).cast("double") / size(col("cs"))
+    val kk = lit(slack) * sqrt(mu)
+    val h = lit(threshold) * sqrt(mu)
+    def side(upTo: Column, upward: Boolean): Column = {
+      val pre = transform(slice(col("cs"), lit(1), upTo),
+        x => x.getField("n").cast("double"))
+      aggregate(pre, lit(0.0), (a, c) =>
+        greatest(lit(0.0),
+          a + (if (upward) c - mu - kk else mu - c - kk)))
+    }
+    series
+      .select(col(typeCol), posexplode(col("cs")).as(Seq("_i", "e")), col("cs"))
+      .select(col(typeCol),
+        col("e.day").as("day"), col("e.n").as("n"),
+        round(side(col("_i") + 1, upward = true), 4).as("cusum_up"),
+        round(side(col("_i") + 1, upward = false), 4).as("cusum_down"),
+        (side(col("_i") + 1, upward = true) > h ||
+          side(col("_i") + 1, upward = false) > h).as("alarm"))
+  }
+
   /** RFM segmentation (Hughes 1994 — the classical recency / frequency /
     * monetary customer scoring): per user, recency = last-event time,
     * frequency = event count, monetary = value total; each dimension is

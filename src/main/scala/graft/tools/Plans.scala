@@ -88,7 +88,8 @@ object Plans {
     "q175_jaro_winkler_join" -> "one equi-join on the two-token block key generates candidates (quadratic only within a block — blocking cardinality is the explicit scale knob, a hot block is an AQE skew case); the JW verify is a codegen'd map-side scalar on the joined pairs — no gram explode, no window, no second exchange",
     "q176_ewma_anomaly" -> "one shuffle: the (type, day) aggregate collapses the event stream map-side; the per-type series is a bounded array and every EWMA is an in-row prefix fold — no window, no self-join, nothing scales with row count past the first agg",
     "q177_benford" -> "the digit aggregate has 9 keys, so partial aggregation collapses the scan map-side and the exchange carries 9 counter rows; the spine join and the one-row total are broadcasts",
-    "q178_rake_keywords" -> "every exchange hashes on doc_id: one running-sum window on (doc; pos) assigns phrase ids over doc-length-bounded partitions, word stats and phrase folds are doc-keyed aggs, and the top-k window ranks at most phrases-per-doc rows — nothing corpus-global anywhere"
+    "q178_rake_keywords" -> "every exchange hashes on doc_id: one running-sum window on (doc; pos) assigns phrase ids over doc-length-bounded partitions, word stats and phrase folds are doc-keyed aggs, and the top-k window ranks at most phrases-per-doc rows — nothing corpus-global anywhere",
+    "q179_cusum" -> "q176's shape verbatim: one (type, day) aggregate collapsing map-side, bounded per-type series arrays, in-row prefix folds for both one-sided sums — no window, no self-join"
   )
 
   def main(args: Array[String]): Unit = {

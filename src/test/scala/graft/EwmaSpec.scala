@@ -44,6 +44,37 @@ class EwmaSpec extends SparkSpec {
     assert(!spike(0)._3)
   }
 
+  private def runCusum(counts: Seq[Int]) =
+    Sessions.cusumDailyCounts(series(counts))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+
+  test("CUSUM accumulates a sustained burst that EWMA's 3-sigma misses") {
+    // 20 days at 25 then 5 at 40: the first burst day sits exactly AT the
+    // EWMA 3-sigma fence (15 > 3*sqrt(25) is false) and smoothing absorbs
+    // the rest — but the one-sided sum accumulates ~9.4/day and crosses h
+    val shifted = Seq.fill(20)(25) ++ Seq.fill(5)(40)
+    val ewma = run(shifted)
+    assert(ewma.forall(!_._3), "no single day trips the EWMA alarm")
+    val cusum = runCusum(shifted)
+    assert(cusum.last._4, "the sustained burst must trip CUSUM")
+    // the upward sum grows monotonically through the burst
+    val ups = cusum.drop(20).map(_._2)
+    assert(ups.zip(ups.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("CUSUM hand fold") {
+    // mu = 20, k = 0.5*sqrt(20) = 2.2360679...
+    val out = runCusum(Seq(20, 20, 20))
+    // every step: max(0, acc + (20 - 20 - 2.236)) = 0
+    assert(out.forall(r => r._2 == 0.0 && r._3 == 0.0 && !r._4))
+  }
+
+  test("CUSUM one-sided sums stay non-negative") {
+    val out = runCusum(Seq(5, 50, 5, 50, 5))
+    assert(out.forall(r => r._2 >= 0.0 && r._3 >= 0.0))
+  }
+
   test("per-type series are independent") {
     val df = series(Seq(10, 10)).unionAll(series(Seq(3), "view"))
     val out = Sessions.ewmaDailyCounts(df).collect()

@@ -59,6 +59,10 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(cuts)): the single-row quintile-cut arrays beside the per-user aggregate; banding is a map-side <=-chain (q133's discipline)",
     "q177_benford" ->
       "crossJoin(broadcast(total)): the single-row digit total beside the 9-row spine",
+    "q167_term_dispersion" ->
+      "crossJoin(broadcast(total)): the single-row corpus-token scalar beside the bounded part-size table; the top-k x parts spine itself is bounded",
+    "q172_replication_plan" ->
+      "crossJoin(broadcast(totals)) inside the composed mixtureWeights: single-row totals scalar (q92's discipline); the replica decision is a map-side scalar",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
