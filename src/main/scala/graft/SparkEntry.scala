@@ -1292,6 +1292,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q180_kaplan_meier" -> ((s, dir) => {
+      // Kaplan-Meier retention curve over user lifetimes (churn = >1 day
+      // silent before corpus end — the corpus's own silence distribution
+      // tops out at ~2.4 days; else right-censored); integer-derived
+      // counts, fixed-order nested folds, exact replay
+      operators.Sessions.kaplanMeier(Tables(s, dir, "events"), churnGapDays = 1)
+        .orderBy(col("t_day"))
+    }),
+
     "q179_cusum" -> ((s, dir) => {
       // Page's CUSUM level-shift detector per event type: one-sided sums
       // with Poisson-scaled slack/threshold, explicit prefix folds
@@ -3400,6 +3409,33 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q180_kaplan_meier" ->
+      // same floor-division lifetimes, same censoring rule, same in-row
+      // histogram with nested prefix/product folds
+      ("WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l " +
+        "FROM events GROUP BY 1), " +
+        "e AS (SELECT max(epoch_us(ts)) AS endt FROM events), " +
+        "lt AS (SELECT CAST(floor((l - f) / 86400000000) AS BIGINT) AS t_day, " +
+        "CASE WHEN (endt - l) > 1 * 86400000000 THEN 1 ELSE 0 END AS churned FROM pu, e), " +
+        "h0 AS (SELECT t_day, count(*) AS n_total, CAST(sum(churned) AS BIGINT) AS n_deaths " +
+        "FROM lt GROUP BY 1), " +
+        "o AS (SELECT list(struct_pack(t_day := t_day, n_total := n_total, n_deaths := n_deaths) " +
+        "ORDER BY t_day) AS h FROM h0), " +
+        "o2 AS (SELECT h, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(h, s -> (s).n_total)), (a, b) -> a + b) AS BIGINT) AS n_users FROM o), " +
+        "x AS (SELECT h, n_users, unnest(h) AS ee, generate_subscripts(h, 1) AS i FROM o2) " +
+        "SELECT (ee).t_day AS t_day, " +
+        "n_users - CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_slice(h, 1, i - 1), s -> (s).n_total)), (a, b) -> a + b) AS BIGINT) AS n_risk, " +
+        "(ee).n_deaths AS n_deaths, " +
+        "(ee).n_total - (ee).n_deaths AS n_censored, " +
+        "round(list_reduce(list_prepend(1.0, list_transform(range(1, i + 1), j -> " +
+        "1.0 - CAST((h[CAST(j AS INT)]).n_deaths AS DOUBLE) / " +
+        "CAST(n_users - list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n_total)), " +
+        "(a, b) -> a + b) AS DOUBLE))), (a, b) -> a * b), 4) AS survival " +
+        "FROM x WHERE (ee).n_deaths > 0 ORDER BY t_day"),
 
     "q179_cusum" ->
       // same folds: mu from the in-row integer sum, k = 0.5*sqrt(mu),

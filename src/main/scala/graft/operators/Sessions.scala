@@ -292,6 +292,72 @@ object Sessions {
           side(col("_i") + 1, upward = false) > h).as("alarm"))
   }
 
+  /** Kaplan-Meier survival curve over user lifetimes (Kaplan & Meier
+    * 1958 — THE nonparametric retention estimator; product analytics
+    * "retention curves" are exactly this with churn as the event): a
+    * user's lifetime is last−first event in whole days; the user CHURNED
+    * (event observed) if silent for more than `churnGapDays` before the
+    * corpus's last timestamp, otherwise they are right-CENSORED — the
+    * distinction naive retention averages get wrong and KM exists to
+    * handle. S(t) = Π_{death days ≤ t} (1 − d_i / n_i), with n_i the
+    * number still at risk.
+    *
+    * Shape: one per-user agg (the only corpus-width shuffle), a one-row
+    * broadcast observation-end scalar, then the per-lifetime-day
+    * histogram — bounded by the calendar, not by rows — collects into
+    * ONE in-row array where prefix counts and the KM product evaluate
+    * as nested folds (O(days³) of driver-free in-row arithmetic on a
+    * physically bounded array; the d_i = 0 terms contribute an exact
+    * 1.0, so the product needs no conditional). Every count is integer-
+    * derived and the fold order is fixed, so the curve replays exactly.
+    */
+  def kaplanMeier(
+      events: DataFrame,
+      churnGapDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("_first"),
+        max(unix_micros(col(tsCol))).as("_last"))
+    val end = events.agg(max(unix_micros(col(tsCol))).as("_end"))
+    val dayUs = 86400000000L
+    val lifetimes = perUser
+      .crossJoin(broadcast(end))
+      .select(
+        ((col("_last") - col("_first")) / dayUs).cast("long").as("t_day"),
+        ((col("_end") - col("_last")) > churnGapDays * dayUs)
+          .cast("long").as("churned"))
+    val hist = lifetimes
+      .groupBy(col("t_day"))
+      .agg(count(lit(1)).as("n_total"), sum(col("churned")).as("n_deaths"))
+    val one = hist
+      .groupBy()
+      .agg(sort_array(collect_list(
+        struct(col("t_day"), col("n_total"), col("n_deaths")))).as("h"))
+      .select(col("h"),
+        aggregate(col("h"), lit(0L),
+          (a, e) => a + e.getField("n_total")).as("n_users"))
+    def nTot(e: Column): Column = e.getField("n_total")
+    def nDth(e: Column): Column = e.getField("n_deaths").cast("double")
+    one
+      .select(col("h"), col("n_users"),
+        posexplode(col("h")).as(Seq("_i", "e")))
+      .select(
+        col("e.t_day").as("t_day"),
+        (col("n_users") - aggregate(slice(col("h"), lit(1), col("_i")),
+          lit(0L), (a, e) => a + nTot(e))).as("n_risk"),
+        col("e.n_deaths").as("n_deaths"),
+        (col("e.n_total") - col("e.n_deaths")).as("n_censored"),
+        round(aggregate(
+          transform(sequence(lit(1), col("_i") + 1), j =>
+            lit(1.0) - nDth(element_at(col("h"), j)) /
+              (col("n_users") - aggregate(slice(col("h"), lit(1), j - 1),
+                lit(0L), (a, e) => a + nTot(e))).cast("double")),
+          lit(1.0), (a, x) => a * x), 4).as("survival"))
+      .filter(col("n_deaths") > 0)
+  }
+
   /** RFM segmentation (Hughes 1994 — the classical recency / frequency /
     * monetary customer scoring): per user, recency = last-event time,
     * frequency = event count, monetary = value total; each dimension is

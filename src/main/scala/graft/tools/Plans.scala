@@ -89,7 +89,8 @@ object Plans {
     "q176_ewma_anomaly" -> "one shuffle: the (type, day) aggregate collapses the event stream map-side; the per-type series is a bounded array and every EWMA is an in-row prefix fold — no window, no self-join, nothing scales with row count past the first agg",
     "q177_benford" -> "the digit aggregate has 9 keys, so partial aggregation collapses the scan map-side and the exchange carries 9 counter rows; the spine join and the one-row total are broadcasts",
     "q178_rake_keywords" -> "every exchange hashes on doc_id: one running-sum window on (doc; pos) assigns phrase ids over doc-length-bounded partitions, word stats and phrase folds are doc-keyed aggs, and the top-k window ranks at most phrases-per-doc rows — nothing corpus-global anywhere",
-    "q179_cusum" -> "q176's shape verbatim: one (type, day) aggregate collapsing map-side, bounded per-type series arrays, in-row prefix folds for both one-sided sums — no window, no self-join"
+    "q179_cusum" -> "q176's shape verbatim: one (type, day) aggregate collapsing map-side, bounded per-type series arrays, in-row prefix folds for both one-sided sums — no window, no self-join",
+    "q180_kaplan_meier" -> "one per-user aggregate is the only corpus-width exchange; the observation end is a one-row broadcast, and the calendar-bounded lifetime histogram collapses to a single in-row array where the KM product evaluates as nested folds — no window, no sort of user rows"
   )
 
   def main(args: Array[String]): Unit = {

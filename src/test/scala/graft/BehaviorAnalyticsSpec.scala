@@ -72,6 +72,38 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(out(4L)._1 == 5L && out(4L)._2 == 250.0)
   }
 
+  test("Kaplan-Meier hand curve with censoring") {
+    def day(d: Double) = ts((d * 86400).toLong)
+    // u1 churns at lifetime 10, u2 at 20, u4 at 0; u3 is active until
+    // half a day before the end -> censored at lifetime 99
+    val ev = Seq(
+      (1L, day(0), 1L), (2L, day(10), 1L),
+      (3L, day(0), 2L), (4L, day(20), 2L),
+      (5L, day(0), 3L), (6L, day(99.5), 3L),
+      (7L, day(0), 4L)).map { case (e, t, u) => (e, t, u) }
+      .toDF("event_id", "ts", "user_id")
+    val out = Sessions.kaplanMeier(ev, churnGapDays = 7).orderBy("t_day")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, 1L, 0L, 0.75),
+      (10L, 3L, 1L, 0L, 0.5),
+      (20L, 2L, 1L, 0L, 0.25)))
+  }
+
+  test("Kaplan-Meier: censored users hold the curve up") {
+    def day(d: Int) = ts(d.toLong * 86400)
+    // same deaths, but with 4 extra long-lived censored users the
+    // survival at t=0 rises from 0.75 to 7/8
+    val churners = Seq((1L, day(0), 1L), (2L, day(0), 2L), (20L, day(50), 9L))
+    val censored = (3L to 6L).flatMap(u =>
+      Seq((u * 10, day(0), u), (u * 10 + 1, day(50), u)))
+    val ev = (churners ++ censored).toDF("event_id", "ts", "user_id")
+    val out = Sessions.kaplanMeier(ev, churnGapDays = 7).orderBy("t_day")
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(out.head._1 == 0L && out.head._2 == 0.7143) // 1 - 2/7
+  }
+
   test("RFM is deterministic and complete over the corpus") {
     val ev = Tables(spark, sf(), "events")
     val a = Sessions.rfmSegments(ev).orderBy("user_id").collect()

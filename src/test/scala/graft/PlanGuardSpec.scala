@@ -63,6 +63,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(total)): the single-row corpus-token scalar beside the bounded part-size table; the top-k x parts spine itself is bounded",
     "q172_replication_plan" ->
       "crossJoin(broadcast(totals)) inside the composed mixtureWeights: single-row totals scalar (q92's discipline); the replica decision is a map-side scalar",
+    "q180_kaplan_meier" ->
+      "crossJoin(broadcast(end)): the single-row observation-end scalar beside the per-user aggregate",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
