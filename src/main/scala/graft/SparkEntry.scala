@@ -1292,6 +1292,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q181_retrieval_metrics" -> ((s, dir) => {
+      // IR eval triple (recall@10 / MRR / NDCG@10) scoring Matryoshka-style
+      // 16-dim truncated retrieval against the full-64-dim exact top-10 —
+      // both sides brute-force, so the oracle replays everything
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+      val exact = operators.Similarity.topKPerQuery(corpus, queries, 10)
+      val approx = operators.Similarity.topKPerQuery(
+        corpus.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+        queries.select(col("query_id"), slice(col("embedding"), 1, 16).as("embedding")),
+        10)
+      operators.Similarity.retrievalMetrics(exact, approx, 10)
+        .orderBy(col("query_id"))
+    }),
+
     "q180_kaplan_meier" -> ((s, dir) => {
       // Kaplan-Meier retention curve over user lifetimes (churn = >1 day
       // silent before corpus end — the corpus's own silence distribution
@@ -3409,6 +3426,45 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q181_retrieval_metrics" ->
+      // q110's cosine kernel on both the full and the 16-dim-truncated
+      // sides, then the same rank-ordered discount folds (ln(2) cancels in
+      // DCG/IDCG and is dropped on both engines)
+      ("WITH ec AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings WHERE vec_id >= 10), " +
+        "qf AS (SELECT vec_id AS query_id, embedding AS qv, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "s1 AS (SELECT query_id, ec.vec_id AS vec_id, " +
+        "CASE WHEN ec.nrm * qn = 0 THEN 0.0 " +
+        "ELSE list_sum(list_transform(list_zip(ec.embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (ec.nrm * qn) END AS cos " +
+        "FROM ec, qf WHERE ec.vec_id <> query_id), " +
+        "r1 AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk FROM s1), " +
+        "fe AS (SELECT query_id, list(vec_id ORDER BY rk) AS eids FROM r1 WHERE rk <= 10 GROUP BY 1), " +
+        "et AS (SELECT vec_id, list_slice(embedding, 1, 16) AS embedding, " +
+        "sqrt(list_sum(list_transform(list_slice(embedding, 1, 16), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings WHERE vec_id >= 10), " +
+        "qt AS (SELECT vec_id AS query_id, list_slice(embedding, 1, 16) AS qv, " +
+        "sqrt(list_sum(list_transform(list_slice(embedding, 1, 16), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "s2 AS (SELECT query_id, et.vec_id AS vec_id, " +
+        "CASE WHEN et.nrm * qn = 0 THEN 0.0 " +
+        "ELSE list_sum(list_transform(list_zip(et.embedding, qv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (et.nrm * qn) END AS cos " +
+        "FROM et, qt WHERE et.vec_id <> query_id), " +
+        "r2 AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk FROM s2), " +
+        "te AS (SELECT query_id, list(vec_id ORDER BY rk) AS aids FROM r2 WHERE rk <= 10 GROUP BY 1), " +
+        "m AS (SELECT fe.query_id, eids, aids FROM fe JOIN te USING (query_id)) " +
+        "SELECT query_id, " +
+        "round(len(list_intersect(aids, eids)) / CAST(10 AS DOUBLE), 4) AS recall_k, " +
+        "round(CASE WHEN list_position(aids, eids[1]) = 0 THEN 0.0 " +
+        "ELSE 1.0 / list_position(aids, eids[1]) END, 4) AS mrr, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(range(1, 11), i -> " +
+        "CASE WHEN list_contains(eids, aids[CAST(i AS INT)]) THEN 1.0 / ln(CAST(i + 1 AS DOUBLE)) ELSE 0.0 END)), (a, b) -> a + b) / " +
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 11), i -> " +
+        "1.0 / ln(CAST(i + 1 AS DOUBLE)))), (a, b) -> a + b), 4) AS ndcg " +
+        "FROM m ORDER BY query_id"),
 
     "q180_kaplan_meier" ->
       // same floor-division lifetimes, same censoring rule, same in-row

@@ -1369,4 +1369,46 @@ object Similarity {
         org.apache.spark.sql.Row(n, devCov < tol, devMean < tol)), 1),
       schema)
   }
+
+  /** Retrieval-quality metrics (the standard IR eval triple): per query,
+    * recall@k, MRR (reciprocal rank of the exact top-1 in the candidate
+    * list — Voorhees 1999), and binary-relevance NDCG@k (Järvelin &
+    * Kekäläinen 2002, rel = membership in the exact top-k). Both inputs
+    * are (query_id, vec_id, rnk) frames — exact ground truth vs any
+    * candidate system (IVF, PQ, LSH, truncated embeddings).
+    *
+    * The log2 discount's ln(2) factor cancels in the DCG/IDCG ratio and
+    * is dropped on BOTH sides (one fewer transcendental to keep in
+    * parity); the discount terms fold in rank order. All other numbers
+    * are integer-derived single divisions; outputs rounded to 4.
+    *
+    * Shape: two query-keyed collects (k-bounded lists), one equi-join on
+    * query_id, all metrics in-row — work scales with queries x k, never
+    * with the corpus.
+    */
+  def retrievalMetrics(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    def ranked(df: DataFrame, out: String) = df
+      .filter(col("rnk") <= k)
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("rnk"), col("vec_id")))),
+        e => e.getField("vec_id")).as(out))
+    val joined = ranked(exact, "eids").join(ranked(approx, "aids"), "query_id")
+    val pos = array_position(col("aids"), element_at(col("eids"), 1))
+    val discount = (i: Column) => lit(1.0) / log((i + 1).cast("double"))
+    val dcg = aggregate(
+      transform(sequence(lit(1), lit(k)), i =>
+        when(array_contains(col("eids"), element_at(col("aids"), i)), discount(i))
+          .otherwise(lit(0.0))),
+      lit(0.0), (a, x) => a + x)
+    val idcg = aggregate(
+      transform(sequence(lit(1), lit(k)), i => discount(i)),
+      lit(0.0), (a, x) => a + x)
+    joined.select(col("query_id"),
+      round(size(array_intersect(col("aids"), col("eids"))).cast("double") / k, 4)
+        .as("recall_k"),
+      round(when(pos === 0, lit(0.0)).otherwise(lit(1.0) / pos), 4).as("mrr"),
+      round(dcg / idcg, 4).as("ndcg"))
+  }
 }

@@ -65,6 +65,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(totals)) inside the composed mixtureWeights: single-row totals scalar (q92's discipline); the replica decision is a map-side scalar",
     "q180_kaplan_meier" ->
       "crossJoin(broadcast(end)): the single-row observation-end scalar beside the per-user aggregate",
+    "q181_retrieval_metrics" ->
+      "crossJoin(broadcast(query set)) on both retrieval sides: exact scoring is O(|corpus|*|Q|) by definition (q93's discipline); shuffles are k-bounded by TopKPairs",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
