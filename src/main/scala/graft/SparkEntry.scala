@@ -1292,6 +1292,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q182_readability" -> ((s, dir) => {
+      // Flesch-Kincaid grade + reading ease with the classic vowel-run
+      // syllable and terminal-punctuation sentence proxies — map-side
+      // regexp arithmetic, exact replay
+      Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          functions.TextAnalysis.readability(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_words").as("n_words"),
+          col("r.n_sentences").as("n_sentences"),
+          col("r.n_syllables").as("n_syllables"),
+          col("r.fk_grade").as("fk_grade"),
+          col("r.flesch_ease").as("flesch_ease"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q181_retrieval_metrics" -> ((s, dir) => {
       // IR eval triple (recall@10 / MRR / NDCG@10) scoring Matryoshka-style
       // 16-dim truncated retrieval against the full-64-dim exact top-10 —
@@ -3426,6 +3442,21 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q182_readability" ->
+      // same token count (q109's CASE), same vowel-run and punctuation-run
+      // proxies, same literal constants
+      ("WITH b AS (SELECT doc_id, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS w, " +
+        "CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE) AS sen, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS vr " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(sen AS BIGINT) AS n_sentences, " +
+        "CAST(greatest(w, vr) AS BIGINT) AS n_syllables, " +
+        "round(0.39 * (w / sen) + 11.8 * (greatest(w, vr) / greatest(w, 1.0)) - 15.59, 4) AS fk_grade, " +
+        "round(206.835 - 1.015 * (w / sen) - 84.6 * (greatest(w, vr) / greatest(w, 1.0)), 4) AS flesch_ease " +
+        "FROM b ORDER BY doc_id"),
 
     "q181_retrieval_metrics" ->
       // q110's cosine kernel on both the full and the 16-dim-truncated

@@ -105,6 +105,31 @@ object TextAnalysis {
       (acc, t) => pmod(acc * lit(1000003L) + tokHash(t), lit(2147483647L)))
   }
 
+  /** Flesch-Kincaid grade + Flesch reading ease (Kincaid et al. 1975 /
+    * Flesch 1948 — the readability pair every document-quality stack
+    * reports), with the classic cheap proxies: syllables ≈ vowel-group
+    * runs (floored at one per word) and sentences ≈ terminal-punctuation
+    * runs (floored at 1). Returns a struct
+    * (n_words, n_sentences, n_syllables, fk_grade, flesch_ease) — pure
+    * map-side regexp arithmetic, engine-replayable, rounded to 4.
+    */
+  def readability(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sentences = greatest(lit(1L),
+      regexp_count(text, lit("[.!?]+"))).cast("double")
+    val syllables = greatest(words,
+      regexp_count(lower(text), lit("[aeiouy]+")).cast("double"))
+    val safeWords = greatest(words, lit(1.0))
+    struct(
+      words.cast("long").as("n_words"),
+      sentences.cast("long").as("n_sentences"),
+      syllables.cast("long").as("n_syllables"),
+      round(lit(0.39) * (words / sentences)
+        + lit(11.8) * (syllables / safeWords) - lit(15.59), 4).as("fk_grade"),
+      round(lit(206.835) - lit(1.015) * (words / sentences)
+        - lit(84.6) * (syllables / safeWords), 4).as("flesch_ease"))
+  }
+
   val DefaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "it", "for", "on", "with", "as", "at", "by", "be", "this", "that",

@@ -91,7 +91,8 @@ object Plans {
     "q178_rake_keywords" -> "every exchange hashes on doc_id: one running-sum window on (doc; pos) assigns phrase ids over doc-length-bounded partitions, word stats and phrase folds are doc-keyed aggs, and the top-k window ranks at most phrases-per-doc rows — nothing corpus-global anywhere",
     "q179_cusum" -> "q176's shape verbatim: one (type, day) aggregate collapsing map-side, bounded per-type series arrays, in-row prefix folds for both one-sided sums — no window, no self-join",
     "q180_kaplan_meier" -> "one per-user aggregate is the only corpus-width exchange; the observation end is a one-row broadcast, and the calendar-bounded lifetime histogram collapses to a single in-row array where the KM product evaluates as nested folds — no window, no sort of user rows",
-    "q181_retrieval_metrics" -> "both retrieval sides are map-side broadcast-query scoring into k-bounded top_k_pairs aggregates (q93's shape); the metric layer is two query-keyed k-row collects joined on query_id with every metric an in-row fold — nothing past the scoring scales with the corpus"
+    "q181_retrieval_metrics" -> "both retrieval sides are map-side broadcast-query scoring into k-bounded top_k_pairs aggregates (q93's shape); the metric layer is two query-keyed k-row collects joined on query_id with every metric an in-row fold — nothing past the scoring scales with the corpus",
+    "q182_readability" -> "pure map-side regexp arithmetic inside WholeStageCodegen over the scan projection — no join, no aggregate, no shuffle except the output sort"
   )
 
   def main(args: Array[String]): Unit = {

@@ -56,4 +56,28 @@ class TextAnalysisSpec extends SparkSpec {
     val ba = eval1[Long](TextAnalysis.rollingHash(lit("beta alpha")))
     assert(ab != ba)
   }
+
+  test("readability: hand-computed FK on a simple sentence") {
+    // "the cat sat." -> 3 words, 1 sentence, vowel runs: e/a/a = 3
+    val r = eval1[org.apache.spark.sql.Row](
+      TextAnalysis.readability(lit("the cat sat.")))
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L && r.getLong(2) == 3L)
+    // fk = 0.39*3 + 11.8*1 - 15.59 = -2.62
+    assert(r.getDouble(3) == -2.62)
+    // ease = 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(r.getDouble(4) == 119.19)
+  }
+
+  test("readability: multisyllable words raise the grade; sentences floor at 1") {
+    val simple = eval1[org.apache.spark.sql.Row](
+      TextAnalysis.readability(lit("no punctuation here at all")))
+    assert(simple.getLong(1) == 1L) // sentence floor
+    val hard = eval1[org.apache.spark.sql.Row](
+      TextAnalysis.readability(lit("extraordinary communication prevails.")))
+    assert(hard.getDouble(3) > simple.getDouble(3))
+    // syllables never fall below the word count
+    val weird = eval1[org.apache.spark.sql.Row](
+      TextAnalysis.readability(lit("hmm pfft tsk")))
+    assert(weird.getLong(2) == 3L)
+  }
 }
