@@ -1292,6 +1292,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q184_association_rules" -> ((s, dir) => {
+      // market-basket support/confidence/lift over per-user event-type
+      // baskets, both rule directions; integer-mass divisions, round 4
+      operators.Sessions.associationRules(Tables(s, dir, "events"))
+        .orderBy(col("antecedent"), col("consequent"))
+    }),
+
+    "q183_windowed_pmi" -> ((s, dir) => {
+      // word2vec-window (±3) co-occurrence PMI, canonical unordered pairs;
+      // the oracle replays via a positions self-join, the engine via
+      // in-array shifted zips — counts and the ln ratio agree exactly
+      operators.CorpusAnalytics.windowedPmi(Tables(s, dir, "documents"))
+    }),
+
     "q182_readability" -> ((s, dir) => {
       // Flesch-Kincaid grade + reading ease with the classic vowel-run
       // syllable and terminal-punctuation sentence proxies — map-side
@@ -3442,6 +3456,44 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q184_association_rules" ->
+      // same distinct baskets, canonical pair self-join unioned to both
+      // directions, same division chains
+      ("WITH b AS (SELECT DISTINCT user_id AS u, event_type AS item FROM events), " +
+        "n AS (SELECT count(DISTINCT u) AS n_users FROM b), " +
+        "ic AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1), " +
+        "pc AS (SELECT x.item AS i1, y.item AS i2, count(*) AS n_both " +
+        "FROM b x JOIN b y ON x.u = y.u AND x.item < y.item GROUP BY 1, 2), " +
+        "bo AS (SELECT i1 AS antecedent, i2 AS consequent, n_both FROM pc " +
+        "UNION ALL SELECT i2, i1, n_both FROM pc) " +
+        "SELECT antecedent, consequent, CAST(n_both AS BIGINT) AS n_both, " +
+        "round(n_both / CAST(n_users AS DOUBLE), 4) AS support, " +
+        "round(n_both / CAST(ia.n_item AS DOUBLE), 4) AS confidence, " +
+        "round((CAST(n_both AS DOUBLE) * n_users) / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 4) AS lift " +
+        "FROM bo JOIN ic ia ON ia.item = antecedent JOIN ic ib ON ib.item = consequent, n " +
+        "WHERE n_both / CAST(n_users AS DOUBLE) >= 0.01 " +
+        "ORDER BY antecedent, consequent"),
+
+    "q183_windowed_pmi" ->
+      // positions self-join ground truth for the in-array shifted zips;
+      // same canonical least/greatest pairs, same num/den association,
+      // rounded-score ordering with pair tie-break
+      ("WITH d AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tk AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos FROM d), " +
+        "tot AS (SELECT count(*) AS t_uni FROM tk), " +
+        "pr AS (SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2 " +
+        "FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3), " +
+        "tp AS (SELECT count(*) AS t_pair FROM pr), " +
+        "uni AS (SELECT tok AS w, count(*) AS n_w FROM tk GROUP BY 1), " +
+        "bi AS (SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY 1, 2 HAVING count(*) >= 5) " +
+        "SELECT w1 || ' ' || w2 AS pair, CAST(n_ab AS BIGINT) AS n_ab, " +
+        "round(ln((CAST(n_ab AS DOUBLE) * t_uni * t_uni) / " +
+        "(CAST(t_pair AS DOUBLE) * ua.n_w * ub.n_w)), 4) AS pmi " +
+        "FROM bi JOIN uni ua ON ua.w = w1 JOIN uni ub ON ub.w = w2, tot, tp " +
+        "ORDER BY pmi DESC, pair LIMIT 30"),
 
     "q182_readability" ->
       // same token count (q109's CASE), same vowel-run and punctuation-run

@@ -1797,6 +1797,64 @@ object CorpusAnalytics {
           * (col("sx") / col("n")), 4).as("intercept"))
   }
 
+  /** Windowed co-occurrence PMI (Church-Hanks 1990 generalized to the
+    * ±`win` window — the word2vec/GloVe co-occurrence statistic, where
+    * [[pmiCollocations]] is the adjacent-only special case): unordered
+    * canonical pairs (least, greatest) of tokens at distance ≤ win,
+    * PMI = ln(C(a,b)·N² / (T·C(a)·C(b))) with T the pair total. The
+    * phrase-mining vs topic-association distinction: window pairs catch
+    * "merge … sort" co-occurring at distance 3 that bigram PMI is blind
+    * to.
+    *
+    * Shape mirrors [[pmiCollocations]] exactly: pair generation is an
+    * in-array zip_with per offset (flatten of `win` shifted zips — never
+    * a positions self-join), both count streams hash-aggregate directly
+    * above their generators, count joins on the word keys, totals as a
+    * one-row broadcast, ordering on the ROUNDED score, top-k =
+    * TakeOrderedAndProject.
+    */
+  def windowedPmi(
+      docs: DataFrame,
+      win: Int = 3,
+      k: Int = 30,
+      minCount: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    require(win >= 1, "window >= 1")
+    val ts0 = tokens(col(textCol))
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(ts0.as("ts"), size(ts0).as("n"))
+      .persist() // unigram + pair streams and the totals share one pass
+    val totals = toks.agg(
+      sum(col("n")).as("t_uni"),
+      sum((1 to win).map(d => greatest(col("n") - d, lit(0)))
+        .reduce(_ + _)).as("t_pair"))
+    val uni = toks
+      .select(explode(col("ts")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_w"))
+    val pairs = toks.filter(col("n") >= 2)
+      .select(explode(flatten(array((1 to win).map { d =>
+        zip_with(
+          slice(col("ts"), lit(1), greatest(col("n") - d, lit(0))),
+          slice(col("ts"), lit(1 + d), greatest(col("n") - d, lit(0))),
+          (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))
+      }: _*))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val num = col("n_ab").cast("double") * col("t_uni") * col("t_uni")
+    val den = col("t_pair").cast("double") * col("n_a") * col("n_b")
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("pair"),
+        col("n_ab"), round(log(num / den), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("pair"))
+      .limit(k)
+  }
+
   /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010 — Rapid
     * Automatic Keyword Extraction): candidate phrases are the maximal
     * stopword-free token runs; each word scores deg(w)/freq(w) where

@@ -292,6 +292,57 @@ object Sessions {
           side(col("_i") + 1, upward = false) > h).as("alarm"))
   }
 
+  /** Association rules over per-user event-type baskets (Agrawal,
+    * Imieliński & Swami 1993 — the market-basket support/confidence/lift
+    * triple, at the 1-item ⇒ 1-item level): which behaviors co-occur in
+    * the same users beyond what their base rates predict. Lift > 1 =
+    * genuine association; ≈ 1 = independence — the correction raw
+    * co-occurrence counts miss.
+    *
+    * Shape: baskets are the DISTINCT (user, type) pairs (one hash agg —
+    * the event stream collapses map-side); the pair build is a self-join
+    * on user with per-user fan-out bounded by types², item counts are a
+    * types-bounded agg, and the user total is a one-row broadcast. All
+    * three ratios are single divisions of integer masses, round 4; both
+    * rule directions are emitted.
+    */
+  def associationRules(
+      events: DataFrame,
+      minSupport: Double = 0.01,
+      userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val baskets = events
+      .select(col(userCol).as("u"), col(typeCol).as("item"))
+      .distinct()
+      .persist() // feeds item counts, the pair self-join, and the total
+    val nUsers = baskets.select(col("u")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val itemCounts = baskets
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairCounts = baskets.as("x")
+      .join(baskets.as("y"),
+        col("x.u") === col("y.u") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("i1"), col("y.item").as("i2"))
+      .agg(count(lit(1)).as("n_both"))
+    val both = pairCounts
+      .select(col("i1").as("antecedent"), col("i2").as("consequent"), col("n_both"))
+      .unionAll(pairCounts
+        .select(col("i2").as("antecedent"), col("i1").as("consequent"), col("n_both")))
+    both
+      .join(itemCounts.select(col("item").as("antecedent"), col("n_item").as("n_a")),
+        "antecedent")
+      .join(itemCounts.select(col("item").as("consequent"), col("n_item").as("n_b")),
+        "consequent")
+      .crossJoin(broadcast(nUsers))
+      .filter(col("n_both").cast("double") / col("n_users") >= minSupport)
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_users"), 4).as("support"),
+        round(col("n_both").cast("double") / col("n_a"), 4).as("confidence"),
+        round((col("n_both").cast("double") * col("n_users"))
+          / (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
+  }
+
   /** Kaplan-Meier survival curve over user lifetimes (Kaplan & Meier
     * 1958 — THE nonparametric retention estimator; product analytics
     * "retention curves" are exactly this with churn as the event): a

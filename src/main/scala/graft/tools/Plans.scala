@@ -92,7 +92,9 @@ object Plans {
     "q179_cusum" -> "q176's shape verbatim: one (type, day) aggregate collapsing map-side, bounded per-type series arrays, in-row prefix folds for both one-sided sums — no window, no self-join",
     "q180_kaplan_meier" -> "one per-user aggregate is the only corpus-width exchange; the observation end is a one-row broadcast, and the calendar-bounded lifetime histogram collapses to a single in-row array where the KM product evaluates as nested folds — no window, no sort of user rows",
     "q181_retrieval_metrics" -> "both retrieval sides are map-side broadcast-query scoring into k-bounded top_k_pairs aggregates (q93's shape); the metric layer is two query-keyed k-row collects joined on query_id with every metric an in-row fold — nothing past the scoring scales with the corpus",
-    "q182_readability" -> "pure map-side regexp arithmetic inside WholeStageCodegen over the scan projection — no join, no aggregate, no shuffle except the output sort"
+    "q182_readability" -> "pure map-side regexp arithmetic inside WholeStageCodegen over the scan projection — no join, no aggregate, no shuffle except the output sort",
+    "q183_windowed_pmi" -> "pairs generate map-side from w shifted in-array zips (no positions self-join anywhere in the plan); pair and unigram counts partial-aggregate above their generators, totals broadcast as one row, and the top-k is TakeOrderedAndProject",
+    "q184_association_rules" -> "the event stream collapses to distinct (user, type) baskets map-side; the pair self-join on user fans out at most types^2 rows per user, item counts are types-bounded, and the user total broadcasts — no corpus-scale exchange after the first distinct"
   )
 
   def main(args: Array[String]): Unit = {

@@ -67,6 +67,10 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(end)): the single-row observation-end scalar beside the per-user aggregate",
     "q181_retrieval_metrics" ->
       "crossJoin(broadcast(query set)) on both retrieval sides: exact scoring is O(|corpus|*|Q|) by definition (q93's discipline); shuffles are k-bounded by TopKPairs",
+    "q183_windowed_pmi" ->
+      "crossJoin(broadcast(totals)): single-row unigram/pair-total scalars, pair stream maps through (q139's discipline)",
+    "q184_association_rules" ->
+      "crossJoin(broadcast(n_users)): the single-row user total beside the types^2-bounded rule table",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
