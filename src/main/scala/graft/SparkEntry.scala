@@ -1292,6 +1292,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q185_gini" -> ((s, dir) => {
+      // Gini concentration of events-per-user and tokens-per-doc via the
+      // bounded value-histogram rank formula — no global sort of keys
+      val ev = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+      val docs = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(functions.TextAnalysis.tokenCount(col("text")).as("v"))
+      operators.Quality.giniConcentration(ev, "v")
+        .select(lit("events_per_user").as("dimension"), col("n"), col("total"), col("gini"))
+        .unionAll(operators.Quality.giniConcentration(docs, "v")
+          .select(lit("tokens_per_doc").as("dimension"), col("n"), col("total"), col("gini")))
+        .orderBy(col("dimension"))
+    }),
+
+    "q186_chi_square" -> ((s, dir) => {
+      // Pearson chi-square independence: event_type x ISO day-of-week;
+      // one bounded contingency agg, margins and the statistic by in-row
+      // sorted-cell folds
+      operators.Quality.chiSquareIndependence(
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            (weekday(to_date(col("ts"))) + 1).as("dow")),
+        "event_type", "dow")
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q184_association_rules" -> ((s, dir) => {
       // market-basket support/confidence/lift over per-user event-type
       // baskets, both rule directions; integer-mass divisions, round 4
@@ -3456,6 +3483,85 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q185_gini" ->
+      // same value histograms, same double-exact rank-formula folds
+      ("WITH ev AS (SELECT user_id, count(*) AS v FROM events GROUP BY 1), " +
+        "dv AS (SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS v " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "he AS (SELECT v, count(*) AS m FROM ev GROUP BY 1), " +
+        "hd AS (SELECT v, count(*) AS m FROM dv GROUP BY 1), " +
+        "ge AS (SELECT list(struct_pack(v := v, m := m) ORDER BY v) AS h FROM he), " +
+        "gd AS (SELECT list(struct_pack(v := v, m := m) ORDER BY v) AS h FROM hd), " +
+        "u AS (SELECT 'events_per_user' AS dimension, h FROM ge " +
+        "UNION ALL SELECT 'tokens_per_doc', h FROM gd) " +
+        "SELECT dimension, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h, e -> (e).m)), (x, y) -> x + y) AS BIGINT) AS n, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h, e -> (e).m * (e).v)), (x, y) -> x + y) AS BIGINT) AS total, " +
+        "round(2.0 * list_reduce(list_prepend(0.0, list_transform(range(1, len(h) + 1), j -> " +
+        "CAST((h[CAST(j AS INT)]).v AS DOUBLE) * (" +
+        "CAST((h[CAST(j AS INT)]).m AS DOUBLE) * CAST(1 + list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), p -> (p).m)), (x, y) -> x + y) AS DOUBLE) + " +
+        "CAST((h[CAST(j AS INT)]).m AS DOUBLE) * (CAST((h[CAST(j AS INT)]).m AS DOUBLE) - 1) / 2.0))), " +
+        "(x, y) -> x + y) / " +
+        "(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h, e -> (e).m)), (x, y) -> x + y) AS DOUBLE) * " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h, e -> (e).m * (e).v)), (x, y) -> x + y)) - " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h, e -> (e).m)), (x, y) -> x + y) + 1 AS DOUBLE) / " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h, e -> (e).m)), (x, y) -> x + y), 4) AS gini " +
+        "FROM u ORDER BY dimension"),
+
+    "q186_chi_square" ->
+      // same sorted cell array, same margin folds per cell, same
+      // fixed-order chi2 fold; dow = isodow matches weekday()+1
+      ("WITH cx AS (SELECT event_type AS a, CAST(isodow(CAST(ts AS DATE)) AS INT) AS b, " +
+        "count(*) AS o FROM events GROUP BY 1, 2), " +
+        "c0 AS (SELECT aa.a, bb.b, coalesce(cx.o, 0) AS o " +
+        "FROM (SELECT DISTINCT a FROM cx) aa CROSS JOIN (SELECT DISTINCT b FROM cx) bb " +
+        "LEFT JOIN cx ON cx.a = aa.a AND cx.b = bb.b), " +
+        "o1 AS (SELECT list(struct_pack(a := a, b := b, o := o) ORDER BY a, b, o) AS cs FROM c0), " +
+        "o2 AS (SELECT cs, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, e -> (e).o)), (x, y) -> x + y) AS DOUBLE) AS nn, " +
+        "len(list_distinct(list_transform(cs, e -> (e).a))) AS ka, " +
+        "len(list_distinct(list_transform(cs, e -> (e).b))) AS kb FROM o1), " +
+        "x AS (SELECT cs, nn, ka, kb, unnest(cs) AS ee FROM o2) " +
+        "SELECT (ee).a AS a, (ee).b AS b, (ee).o AS n_obs, " +
+        "round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).a = (ee).a THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) * " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).b = (ee).b THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) / nn, 4) AS n_exp, " +
+        "round((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).a = (ee).a THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) * " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).b = (ee).b THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) / nn " +
+        "- CAST((ee).o AS DOUBLE)) * " +
+        "(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).a = (ee).a THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) * " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).b = (ee).b THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) / nn " +
+        "- CAST((ee).o AS DOUBLE)) / " +
+        "(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).a = (ee).a THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) * " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).b = (ee).b THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) / nn), 4) AS contribution, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(cs, e2 -> " +
+        "(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).a = (e2).a THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) * " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).b = (e2).b THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) / nn " +
+        "- CAST((e2).o AS DOUBLE)) * " +
+        "(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).a = (e2).a THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) * " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).b = (e2).b THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) / nn " +
+        "- CAST((e2).o AS DOUBLE)) / " +
+        "(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).a = (e2).a THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) * " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, f -> " +
+        "CASE WHEN (f).b = (e2).b THEN (f).o ELSE CAST(0 AS BIGINT) END)), (p, q) -> p + q) AS DOUBLE) / nn))), " +
+        "(x2, y2) -> x2 + y2), 4) AS chi2_total, " +
+        "CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof " +
+        "FROM x ORDER BY a, b"),
 
     "q184_association_rules" ->
       // same distinct baskets, canonical pair self-join unioned to both

@@ -167,6 +167,120 @@ object Quality {
         round(abs(observed - expected), 4).as("abs_dev"))
   }
 
+  // ------------------------------------------------------ concentration
+
+  /** Gini concentration coefficient (Gini 1912, via the rank formula
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending values) — the
+    * inequality one-number for "is activity/volume concentrated in a few
+    * keys?": 0 = perfectly even, →1 = one key holds everything. Run it
+    * over events-per-user (whale detection) or tokens-per-doc
+    * (doc-length concentration).
+    *
+    * Scale shape: the input values are COUNTS, so the value HISTOGRAM is
+    * bounded by the max count, not by keys — the per-key frame reduces
+    * to (value, multiplicity) rows map-side, collects into ONE in-row
+    * array, and the rank formula evaluates by nested integer folds (a
+    * value block of multiplicity m starting at rank r contributes
+    * v·(m·r + m(m−1)/2)); everything stays integer until one final
+    * division, so the oracle replays exactly. No global sort of keys.
+    */
+  def giniConcentration(df: DataFrame, valueCol: String): DataFrame = {
+    val hist = df
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("m"))
+    hist
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("v"), col("m")))).as("h"))
+      .select(
+        aggregate(col("h"), lit(0L), (a, e) => a + e.getField("m")).as("n"),
+        aggregate(col("h"), lit(0L),
+          (a, e) => a + e.getField("m") * e.getField("v")).as("total"),
+        col("h"))
+      .select(col("n"), col("total"),
+        // the rank-formula fold runs in doubles over EXACT integer values
+        // (all intermediates < 2^53), m*(m-1) is even so /2.0 is exact —
+        // the whole chain replays bit-for-bit
+        round(
+          lit(2.0) * aggregate(
+            transform(sequence(lit(1), size(col("h"))), j => {
+              val e = element_at(col("h"), j)
+              val r = (lit(1L) + aggregate(slice(col("h"), lit(1), j - 1),
+                lit(0L), (a, p) => a + p.getField("m"))).cast("double")
+              val m = e.getField("m").cast("double")
+              e.getField("v").cast("double") * (m * r + m * (m - 1) / lit(2.0))
+            }),
+            lit(0.0), (a, x) => a + x)
+            / (col("n").cast("double") * col("total"))
+            - (col("n") + 1).cast("double") / col("n"), 4).as("gini"))
+  }
+
+  /** Pearson chi-square test of independence (Pearson 1900) between two
+    * bounded categorical columns — here the classic ops question "does
+    * behavior mix depend on the day of week?". Returns one row per
+    * contingency cell (observed, expected, contribution) plus the
+    * chi-square total and degrees of freedom on every row.
+    *
+    * Shape: ONE hash agg builds the contingency table (bounded by
+    * |A|·|B| cells, collapsing map-side); margins and the statistic all
+    * derive from the one collected cell array by in-row folds in sorted
+    * cell order — expected counts are single divisions of integer
+    * masses, so everything replays.
+    */
+  def chiSquareIndependence(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val observed = df
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    // densify to the full A x B cross: an absent cell has observed 0 but
+    // positive expected count and MUST contribute (a diagonal-only table
+    // would otherwise report half its true chi-square); both dimension
+    // sets are bounded, so the cross is a bounded-vs-bounded product
+    val cells = observed.select(col("a")).distinct()
+      .crossJoin(observed.select(col("b")).distinct())
+      .join(observed, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("o"), lit(0L)).as("o"))
+    val one = cells
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("a"), col("b"), col("o")))).as("cs"))
+      .select(col("cs"),
+        aggregate(col("cs"), lit(0L), (acc, e) => acc + e.getField("o"))
+          .cast("double").as("nn"),
+        size(array_distinct(transform(col("cs"), e => e.getField("a")))).as("ka"),
+        size(array_distinct(transform(col("cs"), e => e.getField("b")))).as("kb"))
+    def margin(keyField: String, key: Column): Column =
+      aggregate(col("cs"), lit(0L),
+        (acc, e) => acc + when(e.getField(keyField) === key, e.getField("o"))
+          .otherwise(lit(0L))).cast("double")
+    val expected = margin("a", col("e.a")) * margin("b", col("e.b")) / col("nn")
+    val contrib = (e: Column) =>
+      (e - col("e.o").cast("double")) * (e - col("e.o").cast("double")) / e
+    val perCell = one
+      .select(col("cs"), col("nn"), col("ka"), col("kb"),
+        explode(col("cs")).as("e"))
+      .select(col("cs"), col("nn"), col("ka"), col("kb"),
+        col("e.a").as("a"), col("e.b").as("b"), col("e.o").as("n_obs"),
+        expected.as("_exp"),
+        contrib(expected).as("_contrib"))
+    // chi2 total: fold the contributions in sorted cell order from the
+    // SAME array, so the sum's association is fixed on both engines
+    val chi2 = aggregate(col("cs"), lit(0.0), (acc, e) => {
+      val exKey = (aggregate(col("cs"), lit(0L),
+        (a2, f) => a2 + when(f.getField("a") === e.getField("a"), f.getField("o"))
+          .otherwise(lit(0L))).cast("double") *
+        aggregate(col("cs"), lit(0L),
+          (a2, f) => a2 + when(f.getField("b") === e.getField("b"), f.getField("o"))
+            .otherwise(lit(0L))).cast("double")) / col("nn")
+      acc + (exKey - e.getField("o").cast("double")) *
+        (exKey - e.getField("o").cast("double")) / exKey
+    })
+    perCell
+      .select(col("a"), col("b"), col("n_obs"),
+        round(col("_exp"), 4).as("n_exp"),
+        round(col("_contrib"), 4).as("contribution"),
+        round(chi2, 4).as("chi2_total"),
+        ((col("ka") - 1) * (col("kb") - 1)).cast("long").as("dof"))
+  }
+
   // ------------------------------------------------- quality classifier
 
   /** Logistic-regression fit by IRLS/Newton (the classical GLM fit —

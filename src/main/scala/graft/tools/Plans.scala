@@ -94,7 +94,9 @@ object Plans {
     "q181_retrieval_metrics" -> "both retrieval sides are map-side broadcast-query scoring into k-bounded top_k_pairs aggregates (q93's shape); the metric layer is two query-keyed k-row collects joined on query_id with every metric an in-row fold — nothing past the scoring scales with the corpus",
     "q182_readability" -> "pure map-side regexp arithmetic inside WholeStageCodegen over the scan projection — no join, no aggregate, no shuffle except the output sort",
     "q183_windowed_pmi" -> "pairs generate map-side from w shifted in-array zips (no positions self-join anywhere in the plan); pair and unigram counts partial-aggregate above their generators, totals broadcast as one row, and the top-k is TakeOrderedAndProject",
-    "q184_association_rules" -> "the event stream collapses to distinct (user, type) baskets map-side; the pair self-join on user fans out at most types^2 rows per user, item counts are types-bounded, and the user total broadcasts — no corpus-scale exchange after the first distinct"
+    "q184_association_rules" -> "the event stream collapses to distinct (user, type) baskets map-side; the pair self-join on user fans out at most types^2 rows per user, item counts are types-bounded, and the user total broadcasts — no corpus-scale exchange after the first distinct",
+    "q185_gini" -> "the per-key counts reduce to a value histogram bounded by the max count (not by keys), which collapses to one in-row array — the rank formula never sorts or windows the key population",
+    "q186_chi_square" -> "one bounded contingency aggregate collapses the event stream map-side; densification is a bounded-vs-bounded cross and everything after is in-row folds over the sorted cell array"
   )
 
   def main(args: Array[String]): Unit = {

@@ -71,6 +71,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(totals)): single-row unigram/pair-total scalars, pair stream maps through (q139's discipline)",
     "q184_association_rules" ->
       "crossJoin(broadcast(n_users)): the single-row user total beside the types^2-bounded rule table",
+    "q186_chi_square" ->
+      "distinct-A x distinct-B densification cross: both dimension sets are bounded categorical universes (types x weekdays), and absent cells must exist to contribute their expected mass",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->

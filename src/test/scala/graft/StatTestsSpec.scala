@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Quality
+
+/** Gini concentration and chi-square independence: hand-computed values
+  * on constructed distributions and contingency tables.
+  */
+class StatTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gini(vals: Seq[Long]): (Long, Long, Double) = {
+    val r = Quality.giniConcentration(vals.toDF("v"), "v").head()
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  test("Gini: perfect equality scores 0") {
+    assert(gini(Seq(5L, 5L, 5L, 5L)) == ((4L, 20L, 0.0)))
+  }
+
+  test("Gini: total concentration approaches 1 - 1/n") {
+    assert(gini(Seq(0L, 0L, 0L, 10L)) == ((4L, 10L, 0.75)))
+  }
+
+  test("Gini: hand-computed intermediate") {
+    // sorted 1,2,3,4: S2 = 30 -> G = 60/40 - 5/4 = 0.25
+    assert(gini(Seq(4L, 1L, 3L, 2L))._3 == 0.25)
+  }
+
+  test("Gini: duplicates rank as a block") {
+    // 1,1,2: S2 = 1*1 + 1*2 + 2*3 = 9 -> G = 18/(3*4) - 4/3 = 0.1667
+    assert(gini(Seq(2L, 1L, 1L))._3 == 0.1667)
+  }
+
+  test("chi-square: independent table scores 0") {
+    val rows = for { a <- Seq("x", "y"); b <- Seq(1, 2); _ <- 0 until 5 }
+      yield (a, b)
+    val out = Quality.chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
+      .collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getDouble(3) == 5.0)   // expected
+      assert(r.getDouble(5) == 0.0)   // chi2 total
+      assert(r.getLong(6) == 1L)      // dof (2-1)*(2-1)
+    }
+  }
+
+  test("chi-square: perfect association scores N") {
+    val rows = (Seq.fill(10)(("x", 1)) ++ Seq.fill(10)(("y", 2)))
+    val out = Quality.chiSquareIndependence(rows.toDF("a", "b"), "a", "b")
+      .collect()
+    // diagonal table: chi2 = N = 20
+    assert(out.head.getDouble(5) == 20.0)
+    out.foreach(r => assert(r.getDouble(3) == 5.0))
+  }
+}
