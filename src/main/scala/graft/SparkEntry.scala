@@ -1292,6 +1292,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q187_word_vectors" -> ((s, dir) => {
+      // Levy-Goldberg count-based word vectors: the ppmi_fro value pins
+      // the whole distributed vocab + window-co-occurrence + PPMI build
+      // against the oracle; the driver eigen step certifies itself
+      operators.CorpusAnalytics.wordVectorContract(Tables(s, dir, "documents"))
+    }),
+
     "q185_gini" -> ((s, dir) => {
       // Gini concentration of events-per-user and tokens-per-doc via the
       // bounded value-histogram rank formula — no global sort of keys
@@ -3483,6 +3490,33 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q187_word_vectors" ->
+      // re-derives the top-50 vocab, the +-3 symmetric window pair table,
+      // marginals, PPMI with the same num/den association, and the
+      // (w1, w2)-ordered Frobenius fold; eigen identities pinned TRUE
+      ("WITH d AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "tk AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos FROM d), " +
+        "voc AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tk GROUP BY 1 " +
+        "ORDER BY c DESC, tok LIMIT 50)), " +
+        "pr AS (SELECT a.tok AS w1, b.tok AS w2 FROM tk a JOIN tk b " +
+        "ON a.doc_id = b.doc_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 3 " +
+        "WHERE a.tok IN (SELECT tok FROM voc) AND b.tok IN (SELECT tok FROM voc)), " +
+        "pc AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM pc), " +
+        "ma AS (SELECT w1 AS w, CAST(sum(c) AS BIGINT) AS ca FROM pc GROUP BY 1), " +
+        "ent AS (SELECT pc.w1, pc.w2, greatest(0.0, " +
+        "ln((CAST(pc.c AS DOUBLE) * tt) / (CAST(m1.ca AS DOUBLE) * m2.ca))) AS p " +
+        "FROM pc JOIN ma m1 ON m1.w = pc.w1 JOIN ma m2 ON m2.w = pc.w2, t), " +
+        "fr AS (SELECT list(p ORDER BY w1, w2) AS ps FROM ent) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM voc) AS vocab_size, " +
+        "(SELECT tt FROM t) AS t_pairs, " +
+        "round(sqrt(list_reduce(list_prepend(0.0, list_transform(ps, x -> x * x)), " +
+        "(u, w) -> u + w)), 4) AS ppmi_fro, " +
+        "TRUE AS eigs_orthonormal, TRUE AS eigen_residual_ok, TRUE AS trace_ok " +
+        "FROM fr"),
 
     "q185_gini" ->
       // same value histograms, same double-exact rank-formula folds

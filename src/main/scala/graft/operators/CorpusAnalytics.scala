@@ -1855,6 +1855,151 @@ object CorpusAnalytics {
       .limit(k)
   }
 
+  /** Count-based word vectors: PPMI + truncated eigen-SVD (Levy &
+    * Goldberg 2014, "Neural word embedding as implicit matrix
+    * factorization" — the count-based construction word2vec implicitly
+    * performs; the day-one-corpus alternative when no trained embedding
+    * model exists). Pipeline: top-`v` vocabulary, symmetric ±`win`
+    * window co-occurrence counts restricted to it, PPMI = max(0,
+    * ln(C(a,b)·T / (C(a)·C(b)))), then a deterministic cyclic-Jacobi
+    * eigendecomposition of the V×V matrix with word vectors
+    * U_k·√λ_k (top-k positive eigenvalues, λ-desc order, canonical
+    * sign: largest-|component| positive).
+    *
+    * "Fit small": the distributed side is two bounded aggregates — the
+    * vocab top-k and the ≤V² co-occurrence table (both collapse
+    * map-side; the window pairs generate from in-array shifted zips,
+    * never a positions self-join) — and everything after is driver
+    * arithmetic on a V×V matrix, exactly the whitening/PCA discipline.
+    */
+  final case class WordVectorModel(
+      vocab: Array[String],
+      vectors: Array[Array[Double]],
+      tPairs: Long,
+      ppmiFro: Double,
+      orthonormal: Boolean,
+      residualOk: Boolean,
+      traceOk: Boolean)
+
+  def wordVectorModel(
+      docs: DataFrame,
+      v: Int = 50,
+      win: Int = 3,
+      k: Int = 8,
+      textCol: String = "text"): WordVectorModel = {
+    require(v >= 2 && k >= 1 && k <= v && win >= 1, "sane dimensions")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("ts"), size(tokens(col(textCol))).as("n"))
+    val vocab = toks
+      .select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(v)
+      .collect().map(_.getString(0))
+    val inVocab = (c: Column) => c.isInCollection(vocab.toSeq)
+    // ordered symmetric pairs: both directions of each shifted zip
+    val pairCounts = toks.filter(col("n") >= 2)
+      .select(explode(flatten(array((1 to win).flatMap { d =>
+        val l = slice(col("ts"), lit(1), greatest(col("n") - d, lit(0)))
+        val r = slice(col("ts"), lit(1 + d), greatest(col("n") - d, lit(0)))
+        Seq(
+          zip_with(l, r, (a, b) => struct(a.as("w1"), b.as("w2"))),
+          zip_with(r, l, (a, b) => struct(a.as("w1"), b.as("w2"))))
+      }: _*))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .filter(inVocab(col("w1")) && inVocab(col("w2")))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val idx = vocab.zipWithIndex.toMap
+    val tPairs = pairCounts.valuesIterator.sum
+    val ca = new Array[Long](vocab.length)
+    pairCounts.foreach { case ((a, _), c) => ca(idx(a)) += c }
+    val ddim = vocab.length
+    val ppmi = Array.ofDim[Double](ddim, ddim)
+    pairCounts.foreach { case ((a, b), c) =>
+      val i = idx(a); val j = idx(b)
+      val x = math.log((c.toDouble * tPairs) / (ca(i).toDouble * ca(j)))
+      ppmi(i)(j) = math.max(0.0, x)
+    }
+    // Frobenius: fold entries in sorted (w1, w2) order so the oracle
+    // replays the identical left-associative sum
+    val fro = {
+      var acc = 0.0
+      pairCounts.keys.toSeq.sorted.foreach { case (a, b) =>
+        val p = ppmi(idx(a))(idx(b)); acc += p * p
+      }
+      math.sqrt(acc)
+    }
+    val (eig, vmat) = Similarity.jacobiEigen(ppmi)
+    val order = eig.indices.sortBy(i => (-eig(i), i)).take(k).filter(eig(_) > 0)
+    val vectors = Array.tabulate(ddim) { wi =>
+      order.toArray.map { ei =>
+        // canonical sign: the largest-|component| entry of e_i positive
+        val colv = Array.tabulate(ddim)(r => vmat(r)(ei))
+        val mx = colv.indices.maxBy(r => (math.abs(colv(r)), -r))
+        val sgn = if (colv(mx) < 0) -1.0 else 1.0
+        sgn * vmat(wi)(ei) * math.sqrt(eig(ei))
+      }
+    }
+    // self-certifying identities
+    val ortho = {
+      var worst = 0.0
+      for (i <- 0 until ddim; j <- i until ddim) {
+        var s = 0.0
+        var r = 0
+        while (r < ddim) { s += vmat(r)(i) * vmat(r)(j); r += 1 }
+        worst = math.max(worst, math.abs(s - (if (i == j) 1.0 else 0.0)))
+      }
+      worst < 1e-8
+    }
+    val residual = {
+      var worst = 0.0
+      for (ei <- 0 until ddim) {
+        var r = 0
+        while (r < ddim) {
+          var s = 0.0
+          var c2 = 0
+          while (c2 < ddim) { s += ppmi(r)(c2) * vmat(c2)(ei); c2 += 1 }
+          worst = math.max(worst, math.abs(s - eig(ei) * vmat(r)(ei)))
+          r += 1
+        }
+      }
+      worst < 1e-6
+    }
+    val trace = {
+      val tr = (0 until ddim).map(i => ppmi(i)(i)).sum
+      math.abs(eig.sum - tr) < 1e-6
+    }
+    WordVectorModel(vocab, vectors, tPairs,
+      BigDecimal(fro).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      ortho, residual, trace)
+  }
+
+  /** The q187 contract frame over [[wordVectorModel]]: exact counts +
+    * the PPMI Frobenius norm (pinning the whole distributed matrix
+    * build against the oracle) + the driver-side eigen identities.
+    */
+  def wordVectorContract(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val m = wordVectorModel(docs, textCol = textCol)
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vocab_size", LongType, nullable = false),
+      StructField("t_pairs", LongType, nullable = false),
+      StructField("ppmi_fro", DoubleType, nullable = false),
+      StructField("eigs_orthonormal", BooleanType, nullable = false),
+      StructField("eigen_residual_ok", BooleanType, nullable = false),
+      StructField("trace_ok", BooleanType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        m.vocab.length.toLong, m.tPairs, m.ppmiFro,
+        m.orthonormal, m.residualOk, m.traceOk)), 1),
+      schema)
+  }
+
   /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010 — Rapid
     * Automatic Keyword Extraction): candidate phrases are the maximal
     * stopword-free token runs; each word scores deg(w)/freq(w) where
