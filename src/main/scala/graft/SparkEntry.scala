@@ -1292,6 +1292,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q188_lang_id_report" -> ((s, dir) => {
+      // sklearn-style per-class precision/recall/F1 over the trained NB
+      // lang-id's self-predictions; the oracle wraps q158's full model
+      // replay and joins the true labels back
+      val docs = Tables(s, dir, "documents")
+      val preds = operators.NaiveBayes.langPredict(docs)
+      operators.Quality.classificationReport(
+        preds.join(docs.select(col("doc_id"), col("lang").as("label")), "doc_id")
+          .select(col("label"), col("lang_pred")),
+        "label", "lang_pred")
+        .orderBy(col("clazz"))
+    }),
+
     "q187_word_vectors" -> ((s, dir) => {
       // Levy-Goldberg count-based word vectors: the ppmi_fro value pins
       // the whole distributed vocab + window-co-occurrence + PPMI build
@@ -2449,6 +2462,34 @@ object SparkEntry {
   /** Shared exact-kNN edge CTE for the graph-family oracles (q134/q135):
     * cosine scores kept on the edges, MATERIALIZED per the q131 lesson.
     */
+  /** q158's full NB model replay, shared verbatim by q188's report layer
+    * (which wraps it as a CTE and joins the true labels back).
+    */
+  private def nbPredictOracleSql: String =
+    "WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND lang IS NOT NULL AND length(lower(text)) >= 3), " +
+        "g AS (SELECT doc_id, lang, substring(t, CAST(i + 1 AS INT), 3) AS gram " +
+        "FROM d, UNNEST(range(length(t) - 2)) AS u(i)), " +
+        "dg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), " +
+        "cg AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY 1, 2), " +
+        "nl AS (SELECT lang, sum(n) AS tot FROM cg GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT gram) AS v FROM cg), " +
+        "pr AS (SELECT lang, ln(count(*) * 1.0 / (SELECT count(*) FROM d)) AS prior " +
+        "FROM d GROUP BY 1), " +
+        "sc AS (SELECT dg.doc_id, nl.lang, " +
+        "max(pr.prior) + list_reduce(list_prepend(0.0, " +
+        "list(dg.cnt * ln((coalesce(cg.n, 0) + 1.0) / (nl.tot + v.v)) ORDER BY dg.gram)), " +
+        "(a, b) -> a + b) AS score " +
+        "FROM dg CROSS JOIN nl CROSS JOIN v " +
+        "JOIN pr ON pr.lang = nl.lang " +
+        "LEFT JOIN cg ON cg.gram = dg.gram AND cg.lang = nl.lang " +
+        "GROUP BY dg.doc_id, nl.lang, nl.tot, v.v) " +
+        "SELECT doc_id, lang AS lang_pred, score FROM (" +
+        "SELECT doc_id, lang, round(score, 4) AS score, " +
+        "row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY round(score, 4) DESC, lang DESC) AS rk FROM sc) " +
+        "WHERE rk = 1 ORDER BY doc_id"
+
   private def knnCosEdgeCte(k: Int): String = {
     def l2(v: String) =
       s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -3491,6 +3532,34 @@ object SparkEntry {
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
 
+    "q188_lang_id_report" ->
+      // q158's model replay as a CTE + label join-back + the same margin
+      // divisions and (2pr)/(p+r) on unrounded p, r
+      ("WITH preds AS (" + nbPredictOracleSql.replace(" ORDER BY doc_id", "") + "), " +
+        "lp AS (SELECT d.lang AS label, p.lang_pred AS predicted " +
+        "FROM preds p JOIN documents d USING (doc_id)), " +
+        "c AS (SELECT label, predicted, count(*) AS n FROM lp GROUP BY 1, 2), " +
+        "cls AS (SELECT DISTINCT clazz FROM (SELECT label AS clazz FROM c " +
+        "UNION ALL SELECT predicted FROM c)), " +
+        "tp AS (SELECT label AS clazz, n AS tp FROM c WHERE label = predicted), " +
+        "lt AS (SELECT label AS clazz, CAST(sum(n) AS BIGINT) AS support FROM c GROUP BY 1), " +
+        "pt AS (SELECT predicted AS clazz, CAST(sum(n) AS BIGINT) AS npred FROM c GROUP BY 1) " +
+        "SELECT cls.clazz, coalesce(lt.support, 0) AS support, " +
+        "CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp, " +
+        "round(CASE WHEN coalesce(pt.npred, 0) > 0 " +
+        "THEN coalesce(tp.tp, 0) / CAST(pt.npred AS DOUBLE) ELSE 0.0 END, 4) AS precision, " +
+        "round(CASE WHEN coalesce(lt.support, 0) > 0 " +
+        "THEN coalesce(tp.tp, 0) / CAST(lt.support AS DOUBLE) ELSE 0.0 END, 4) AS recall, " +
+        "round(CASE WHEN (CASE WHEN coalesce(pt.npred, 0) > 0 THEN coalesce(tp.tp, 0) / CAST(pt.npred AS DOUBLE) ELSE 0.0 END) + " +
+        "(CASE WHEN coalesce(lt.support, 0) > 0 THEN coalesce(tp.tp, 0) / CAST(lt.support AS DOUBLE) ELSE 0.0 END) > 0 " +
+        "THEN 2.0 * (CASE WHEN coalesce(pt.npred, 0) > 0 THEN coalesce(tp.tp, 0) / CAST(pt.npred AS DOUBLE) ELSE 0.0 END) * " +
+        "(CASE WHEN coalesce(lt.support, 0) > 0 THEN coalesce(tp.tp, 0) / CAST(lt.support AS DOUBLE) ELSE 0.0 END) / " +
+        "((CASE WHEN coalesce(pt.npred, 0) > 0 THEN coalesce(tp.tp, 0) / CAST(pt.npred AS DOUBLE) ELSE 0.0 END) + " +
+        "(CASE WHEN coalesce(lt.support, 0) > 0 THEN coalesce(tp.tp, 0) / CAST(lt.support AS DOUBLE) ELSE 0.0 END)) " +
+        "ELSE 0.0 END, 4) AS f1 " +
+        "FROM cls LEFT JOIN lt USING (clazz) LEFT JOIN pt USING (clazz) " +
+        "LEFT JOIN tp USING (clazz) ORDER BY cls.clazz"),
+
     "q187_word_vectors" ->
       // re-derives the top-50 vocab, the +-3 symmetric window pair table,
       // marginals, PPMI with the same num/den association, and the
@@ -4074,32 +4143,8 @@ object SparkEntry {
         "AND levenshtein(b1.s, b2.s) <= 1 ORDER BY id1, id2"),
 
     "q158_nb_lang_predict" ->
-      // full model replay: per-class gram counts, Laplace ln((n+1)/(tot+V)),
-      // per-(doc, class) folds in gram order, priors, rounded argmax with
-      // lang DESC tie-break — q150/q156's fold discipline end to end
-      ("WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents " +
-        "WHERE text IS NOT NULL AND lang IS NOT NULL AND length(lower(text)) >= 3), " +
-        "g AS (SELECT doc_id, lang, substring(t, CAST(i + 1 AS INT), 3) AS gram " +
-        "FROM d, UNNEST(range(length(t) - 2)) AS u(i)), " +
-        "dg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), " +
-        "cg AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY 1, 2), " +
-        "nl AS (SELECT lang, sum(n) AS tot FROM cg GROUP BY 1), " +
-        "v AS (SELECT count(DISTINCT gram) AS v FROM cg), " +
-        "pr AS (SELECT lang, ln(count(*) * 1.0 / (SELECT count(*) FROM d)) AS prior " +
-        "FROM d GROUP BY 1), " +
-        "sc AS (SELECT dg.doc_id, nl.lang, " +
-        "max(pr.prior) + list_reduce(list_prepend(0.0, " +
-        "list(dg.cnt * ln((coalesce(cg.n, 0) + 1.0) / (nl.tot + v.v)) ORDER BY dg.gram)), " +
-        "(a, b) -> a + b) AS score " +
-        "FROM dg CROSS JOIN nl CROSS JOIN v " +
-        "JOIN pr ON pr.lang = nl.lang " +
-        "LEFT JOIN cg ON cg.gram = dg.gram AND cg.lang = nl.lang " +
-        "GROUP BY dg.doc_id, nl.lang, nl.tot, v.v) " +
-        "SELECT doc_id, lang AS lang_pred, score FROM (" +
-        "SELECT doc_id, lang, round(score, 4) AS score, " +
-        "row_number() OVER (PARTITION BY doc_id " +
-        "ORDER BY round(score, 4) DESC, lang DESC) AS rk FROM sc) " +
-        "WHERE rk = 1 ORDER BY doc_id"),
+      // full model replay (shared with q188's report layer): see nbPredictOracleSql
+      nbPredictOracleSql,
 
     "q157_ivfpq_ann_contract" ->
       // q153's exact-side oracle verbatim (brute-force cosine + (cos DESC,

@@ -281,6 +281,52 @@ object Quality {
         ((col("ka") - 1) * (col("kb") - 1)).cast("long").as("dof"))
   }
 
+  // ------------------------------------------------ classification report
+
+  /** Per-class precision / recall / F1 + support — the standard
+    * classification report (the sklearn-style summary) over any
+    * (label, prediction) frame. Missing denominators score 0.0 (a class
+    * never predicted has precision 0, never labeled has recall 0).
+    *
+    * Shape: ONE bounded (label, predicted) contingency agg collapsing
+    * map-side; class universe, margins, and diagonal derive from it as
+    * classes-bounded frames; every ratio is a single division of integer
+    * masses and F1 mirrors as (2·p·r)/(p+r) on unrounded p, r.
+    */
+  def classificationReport(
+      df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(labelCol).as("label"), col(predCol).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val classes = cells.select(col("label").as("clazz"))
+      .unionAll(cells.select(col("predicted").as("clazz")))
+      .distinct()
+    val tp = cells.filter(col("label") === col("predicted"))
+      .select(col("label").as("clazz"), col("n").as("_tp"))
+    val labelTot = cells.groupBy(col("label").as("clazz"))
+      .agg(sum(col("n")).as("_support"))
+    val predTot = cells.groupBy(col("predicted").as("clazz"))
+      .agg(sum(col("n")).as("_npred"))
+    val p = when(coalesce(col("_npred"), lit(0L)) > 0,
+      coalesce(col("_tp"), lit(0L)).cast("double") / col("_npred"))
+      .otherwise(lit(0.0))
+    val r = when(coalesce(col("_support"), lit(0L)) > 0,
+      coalesce(col("_tp"), lit(0L)).cast("double") / col("_support"))
+      .otherwise(lit(0.0))
+    classes
+      .join(labelTot, Seq("clazz"), "left")
+      .join(predTot, Seq("clazz"), "left")
+      .join(tp, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("_support"), lit(0L)).as("support"),
+        coalesce(col("_tp"), lit(0L)).as("tp"),
+        round(p, 4).as("precision"),
+        round(r, 4).as("recall"),
+        round(when(p + r > 0, lit(2.0) * p * r / (p + r))
+          .otherwise(lit(0.0)), 4).as("f1"))
+  }
+
   // ------------------------------------------------- quality classifier
 
   /** Logistic-regression fit by IRLS/Newton (the classical GLM fit —
