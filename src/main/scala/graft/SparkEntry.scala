@@ -1292,6 +1292,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q189_autocorrelation" -> ((s, dir) => {
+      // Box-Jenkins ACF of daily counts per type, lags 1..7 — fixed-order
+      // in-row folds over the calendar-bounded series, exact replay
+      operators.Sessions.autocorrelation(Tables(s, dir, "events"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
     "q188_lang_id_report" -> ((s, dir) => {
       // sklearn-style per-class precision/recall/F1 over the trained NB
       // lang-id's self-predictions; the oracle wraps q158's full model
@@ -3531,6 +3538,29 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q189_autocorrelation" ->
+      // same day-ordered series, same mu/denominator/lag-product folds
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, list_transform(" +
+        "list(struct_pack(day := day, n := n) ORDER BY day), " +
+        "e -> CAST((e).n AS DOUBLE)) AS xs FROM d GROUP BY 1), " +
+        "x AS (SELECT event_type, xs, unnest(range(1, 8)) AS lag FROM a) " +
+        "SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(len(xs) AS BIGINT) AS n_days, " +
+        "round(CASE WHEN list_reduce(list_prepend(0.0, list_transform(xs, v -> " +
+        "(v - list_reduce(list_prepend(0.0, xs), (p, q) -> p + q) / len(xs)) * " +
+        "(v - list_reduce(list_prepend(0.0, xs), (p, q) -> p + q) / len(xs)))), " +
+        "(p, q) -> p + q) > 0 THEN " +
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(xs) - lag + 1), t -> " +
+        "(xs[CAST(t AS INT)] - list_reduce(list_prepend(0.0, xs), (p, q) -> p + q) / len(xs)) * " +
+        "(xs[CAST(t + lag AS INT)] - list_reduce(list_prepend(0.0, xs), (p, q) -> p + q) / len(xs)))), " +
+        "(p, q) -> p + q) / " +
+        "list_reduce(list_prepend(0.0, list_transform(xs, v -> " +
+        "(v - list_reduce(list_prepend(0.0, xs), (p, q) -> p + q) / len(xs)) * " +
+        "(v - list_reduce(list_prepend(0.0, xs), (p, q) -> p + q) / len(xs)))), " +
+        "(p, q) -> p + q) ELSE 0.0 END, 4) AS acf " +
+        "FROM x WHERE lag < len(xs) ORDER BY event_type, lag"),
 
     "q188_lang_id_report" ->
       // q158's model replay as a CTE + label join-back + the same margin

@@ -409,6 +409,49 @@ object Sessions {
       .filter(col("n_deaths") > 0)
   }
 
+  /** Autocorrelation function of the daily count series (Box & Jenkins
+    * 1970's ACF, the standard periodicity/seasonality diagnostic —
+    * ρ(ℓ) = Σ(x_t−μ)(x_{t+ℓ}−μ) / Σ(x_t−μ)², biased estimator, the one
+    * every stats package plots): one row per (event type, lag 1..`maxLag`).
+    * A weekly cycle shows as a ρ(7) spike; white noise hovers near 0.
+    *
+    * Same engine-parity shape as [[ewmaDailyCounts]]: one (type, day)
+    * agg, the bounded per-type series collected in day order, μ and both
+    * sums as fixed-order in-row folds over the array — the whole chain
+    * replays exactly (integer counts, one μ division, products folded in
+    * day order).
+    */
+  def autocorrelation(
+      events: DataFrame,
+      maxLag: Int = 7,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(maxLag >= 1, "at least lag 1")
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+      .select(col(typeCol),
+        transform(col("cs"), e => e.getField("n").cast("double")).as("xs"))
+    val nDays = size(col("xs"))
+    val mu = aggregate(col("xs"), lit(0.0), (a, x) => a + x) / nDays
+    val denom = aggregate(col("xs"), lit(0.0),
+      (a, x) => a + (x - mu) * (x - mu))
+    series
+      .select(col(typeCol), col("xs"), explode(sequence(lit(1), lit(maxLag))).as("_lag"))
+      .filter(col("_lag") < size(col("xs")))
+      .select(col(typeCol), col("_lag").cast("long").as("lag"),
+        size(col("xs")).cast("long").as("n_days"),
+        round(when(denom > 0, aggregate(
+          sequence(lit(1), size(col("xs")) - col("_lag")),
+          lit(0.0),
+          (a, t) => a + (element_at(col("xs"), t) - mu) *
+            (element_at(col("xs"), t + col("_lag")) - mu)) / denom)
+          .otherwise(lit(0.0)), 4).as("acf"))
+  }
+
   /** RFM segmentation (Hughes 1994 — the classical recency / frequency /
     * monetary customer scoring): per user, recency = last-event time,
     * frequency = event count, monetary = value total; each dimension is

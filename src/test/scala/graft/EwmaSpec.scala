@@ -75,6 +75,30 @@ class EwmaSpec extends SparkSpec {
     assert(out.forall(r => r._2 >= 0.0 && r._3 >= 0.0))
   }
 
+  private def runAcf(counts: Seq[Int], maxLag: Int = 7) =
+    Sessions.autocorrelation(series(counts), maxLag = maxLag)
+      .orderBy("lag").collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+
+  test("ACF hand values on an alternating series") {
+    // 10,20 x4: mu=15, denom=200; lag1: 7*(-25)/200; lag2: 6*25/200
+    val acf = runAcf(Seq(10, 20, 10, 20, 10, 20, 10, 20))
+    assert(acf(1L) == -0.875)
+    assert(acf(2L) == 0.75)
+  }
+
+  test("ACF finds the planted period") {
+    // spike every 3 days: lag 3 correlates far above lag 1
+    val acf = runAcf(Seq(30, 10, 10, 30, 10, 10, 30, 10, 10, 30, 10, 10))
+    assert(acf(3L) > 0.5)
+    assert(acf(3L) > acf(1L) && acf(3L) > acf(2L))
+  }
+
+  test("ACF of a zero-variance series is 0 by the guard") {
+    val acf = runAcf(Seq(5, 5, 5, 5, 5))
+    assert(acf.values.forall(_ == 0.0))
+  }
+
   test("per-type series are independent") {
     val df = series(Seq(10, 10)).unionAll(series(Seq(3), "view"))
     val out = Sessions.ewmaDailyCounts(df).collect()
