@@ -1292,6 +1292,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q190_source_jsd" -> ((s, dir) => {
+      // pairwise Jensen-Shannon divergence between source unigram
+      // distributions over the shared top-100 vocab; token-ordered KL
+      // folds, zero terms exact 0
+      operators.CorpusAnalytics.sourceDivergenceMatrix(
+        Tables(s, dir, "documents"), groupCol = "source")
+        .orderBy(col("group_a"), col("group_b"))
+    }),
+
     "q189_autocorrelation" -> ((s, dir) => {
       // Box-Jenkins ACF of daily counts per type, lags 1..7 — fixed-order
       // in-row folds over the calendar-bounded series, exact replay
@@ -3538,6 +3547,33 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q190_source_jsd" ->
+      // same top-100 vocab, same densified token-ordered count arrays,
+      // same two KL folds with (p+q)/2.0 mixture and p>0 guards
+      ("WITH tk AS (SELECT source AS grp, unnest(list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS tok " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "voc AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tk GROUP BY 1 " +
+        "ORDER BY c DESC, tok LIMIT 100)), " +
+        "c0 AS (SELECT grp, tk.tok, count(*) AS c FROM tk JOIN voc ON voc.tok = tk.tok " +
+        "GROUP BY 1, 2), " +
+        "dn AS (SELECT g.grp, v.tok, coalesce(c0.c, 0) AS c " +
+        "FROM (SELECT DISTINCT grp FROM c0) g CROSS JOIN voc v " +
+        "LEFT JOIN c0 ON c0.grp = g.grp AND c0.tok = v.tok), " +
+        "ar AS (SELECT grp, list_transform(list(struct_pack(tok := tok, c := c) ORDER BY tok, c), " +
+        "e -> CAST((e).c AS DOUBLE)) AS cs FROM dn GROUP BY 1), " +
+        "ar2 AS (SELECT grp, cs, list_reduce(list_prepend(0.0, cs), (x, y) -> x + y) AS t FROM ar) " +
+        "SELECT l.grp AS group_a, r.grp AS group_b, " +
+        "round(0.5 * list_reduce(list_prepend(0.0, list_transform(range(1, len(l.cs) + 1), i -> " +
+        "CASE WHEN l.cs[CAST(i AS INT)] / l.t > 0 THEN (l.cs[CAST(i AS INT)] / l.t) * " +
+        "ln((l.cs[CAST(i AS INT)] / l.t) / ((l.cs[CAST(i AS INT)] / l.t + r.cs[CAST(i AS INT)] / r.t) / 2.0)) " +
+        "ELSE 0.0 END)), (x, y) -> x + y) + " +
+        "0.5 * list_reduce(list_prepend(0.0, list_transform(range(1, len(r.cs) + 1), i -> " +
+        "CASE WHEN r.cs[CAST(i AS INT)] / r.t > 0 THEN (r.cs[CAST(i AS INT)] / r.t) * " +
+        "ln((r.cs[CAST(i AS INT)] / r.t) / ((r.cs[CAST(i AS INT)] / r.t + l.cs[CAST(i AS INT)] / l.t) / 2.0)) " +
+        "ELSE 0.0 END)), (x, y) -> x + y), 4) AS jsd " +
+        "FROM ar2 l JOIN ar2 r ON l.grp < r.grp ORDER BY group_a, group_b"),
 
     "q189_autocorrelation" ->
       // same day-ordered series, same mu/denominator/lag-product folds

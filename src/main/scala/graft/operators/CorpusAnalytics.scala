@@ -1855,6 +1855,67 @@ object CorpusAnalytics {
       .limit(k)
   }
 
+  /** Pairwise Jensen-Shannon divergence between group unigram
+    * distributions (Lin 1991 — the symmetric, bounded [0, ln 2]
+    * distribution distance; the "how different are my sources, pairwise"
+    * matrix that corpus-mixture planning reads, where [[distributionDrift]]
+    * tracks ONE distribution over time): distributions are taken over
+    * the corpus top-`v` vocabulary (renormalized within it — a shared,
+    * deterministic support) and every pair of groups gets
+    * JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q).
+    *
+    * Shape: one (group, token) agg pruned to the broadcast top-v vocab,
+    * densified (absent tokens count 0 — the chi-square discipline),
+    * collected into one token-ordered array per group (v-bounded), and
+    * the groups² pair frame evaluates both KL folds in-row in token
+    * order — zero-probability terms contribute an exact 0. Everything
+    * after the count agg is bounded by groups × v, never by the corpus.
+    */
+  def sourceDivergenceMatrix(
+      docs: DataFrame,
+      groupCol: String,
+      v: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(v)
+      .select(col("tok"))
+    val counts = toks
+      .join(broadcast(vocab), "tok")
+      .groupBy(col("grp"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val dense = counts.select(col("grp")).distinct()
+      .crossJoin(broadcast(vocab))
+      .join(counts, Seq("grp", "tok"), "left")
+      .select(col("grp"), col("tok"), coalesce(col("c"), lit(0L)).as("c"))
+    val arrs = dense
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("c")))).as("a"))
+      .select(col("grp"),
+        transform(col("a"), e => e.getField("c").cast("double")).as("cs"))
+      .select(col("grp"), col("cs"),
+        aggregate(col("cs"), lit(0.0), (x, y) => x + y).as("t"))
+    val pairs = arrs.as("l")
+      .join(arrs.as("r"), col("l.grp") < col("r.grp"))
+    def kl(cs: Column, t: Column, os: Column, ot: Column): Column =
+      aggregate(
+        sequence(lit(1), size(cs)),
+        lit(0.0),
+        (acc, i) => {
+          val p = element_at(cs, i) / t
+          val q = element_at(os, i) / ot
+          val m = (p + q) / lit(2.0)
+          acc + when(p > 0, p * log(p / m)).otherwise(lit(0.0))
+        })
+    pairs.select(
+      col("l.grp").as("group_a"), col("r.grp").as("group_b"),
+      round(lit(0.5) * kl(col("l.cs"), col("l.t"), col("r.cs"), col("r.t"))
+        + lit(0.5) * kl(col("r.cs"), col("r.t"), col("l.cs"), col("l.t")), 4)
+        .as("jsd"))
+  }
+
   /** Count-based word vectors: PPMI + truncated eigen-SVD (Levy &
     * Goldberg 2014, "Neural word embedding as implicit matrix
     * factorization" — the count-based construction word2vec implicitly
