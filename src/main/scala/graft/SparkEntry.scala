@@ -1292,6 +1292,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q191_wilson_interval" -> ((s, dir) => {
+      // per-source Wilson 95% CI on the >=50-token pass rate — the
+      // small-n-honest proportion interval, fixed-order scalar chain
+      operators.Quality.wilsonInterval(
+        Tables(s, dir, "documents").filter(col("text").isNotNull),
+        "source",
+        functions.TextAnalysis.tokenCount(col("text")) >= 50)
+        .orderBy(col("grp"))
+    }),
+
     "q190_source_jsd" -> ((s, dir) => {
       // pairwise Jensen-Shannon divergence between source unigram
       // distributions over the shared top-100 vocab; token-ordered KL
@@ -3547,6 +3557,28 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q191_wilson_interval" ->
+      // same token-count pass predicate, same z = 1.96 chain with the
+      // identical op order, same [0,1] clips
+      ("WITH b AS (SELECT source AS grp, count(*) AS n, " +
+        "CAST(sum(CASE WHEN CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) >= 50 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_pass " +
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1) " +
+        "SELECT grp, CAST(n AS BIGINT) AS n, n_pass, " +
+        "round(CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE), 4) AS rate, " +
+        "round(greatest(0.0, " +
+        "((CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) - " +
+        "1.96 * sqrt((CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + " +
+        "CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / " +
+        "(1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS ci_low, " +
+        "round(least(1.0, " +
+        "((CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) + " +
+        "1.96 * sqrt((CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + " +
+        "CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / " +
+        "(1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE))), 4) AS ci_high " +
+        "FROM b ORDER BY grp"),
 
     "q190_source_jsd" ->
       // same top-100 vocab, same densified token-ordered count arrays,

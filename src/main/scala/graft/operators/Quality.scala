@@ -167,6 +167,37 @@ object Quality {
         round(abs(observed - expected), 4).as("abs_dev"))
   }
 
+  // -------------------------------------------------- proportion interval
+
+  /** Wilson score interval (Wilson 1927 — the proportion CI that behaves
+    * at small n and extreme rates, unlike the naive Wald interval; what a
+    * per-source "pass rate 83% ± ?" report should actually quote): for
+    * each group, the rate of rows satisfying `pass` with the 95% bounds
+    * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n), z = 1.96.
+    *
+    * One hash agg (map-side conditional partials); the interval is a
+    * fixed-order scalar chain over integer-derived p̂, so it replays
+    * exactly. Bounds are clipped to [0, 1] and rounded to 4.
+    */
+  def wilsonInterval(
+      df: DataFrame, groupCol: String, pass: Column,
+      z: Double = 1.96): DataFrame = {
+    val agg0 = df
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(pass.cast("long")).as("n_pass"))
+    val n = col("n").cast("double")
+    val p = col("n_pass").cast("double") / col("n")
+    val z2 = lit(z * z)
+    val center = p + z2 / (lit(2.0) * n)
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    val denom = lit(1.0) + z2 / n
+    agg0.select(col("grp"), col("n"), col("n_pass"),
+      round(p, 4).as("rate"),
+      round(greatest(lit(0.0), (center - spread) / denom), 4).as("ci_low"),
+      round(least(lit(1.0), (center + spread) / denom), 4).as("ci_high"))
+  }
+
   // ------------------------------------------------------ concentration
 
   /** Gini concentration coefficient (Gini 1912, via the rank formula

@@ -100,7 +100,8 @@ object Plans {
     "q187_word_vectors" -> "the distributed side is two bounded aggregates — the top-V vocab (TakeOrderedAndProject) and the window pair table generated from in-array shifted zips with map-side partials; the V x V matrix, PPMI, and Jacobi eigen run as bounded driver arithmetic (the whitening/PCA fit-small discipline)",
     "q188_lang_id_report" -> "the NB prediction plan is q158's (one id-keyed text shuffle, broadcast model); the report layer adds one bounded (label, predicted) contingency agg and classes-bounded margin joins — nothing new scales with the corpus",
     "q189_autocorrelation" -> "q176's shape: one (type, day) aggregate collapsing map-side, then every lag's correlation is an in-row fold over the calendar-bounded series — no window, no self-join, no lag exchange",
-    "q190_source_jsd" -> "the (group, token) aggregate prunes against the broadcast top-v vocab before its exchange; densification and the pair matrix are bounded-by-groups frames and both KL folds run in-row — the corpus is touched exactly twice (vocab agg + count agg)"
+    "q190_source_jsd" -> "the (group, token) aggregate prunes against the broadcast top-v vocab before its exchange; densification and the pair matrix are bounded-by-groups frames and both KL folds run in-row — the corpus is touched exactly twice (vocab agg + count agg)",
+    "q191_wilson_interval" -> "one hash aggregate with map-side conditional partials; the interval arithmetic is a codegen'd scalar chain on the groups-bounded result — nothing else touches the corpus"
   )
 
   def main(args: Array[String]): Unit = {

@@ -31,6 +31,35 @@ class StatTestsSpec extends SparkSpec {
     assert(gini(Seq(2L, 1L, 1L))._3 == 0.1667)
   }
 
+  private def wilson(pairs: (String, Boolean)*) =
+    Quality.wilsonInterval(
+      pairs.toSeq.toDF("g", "ok"), "g", org.apache.spark.sql.functions.col("ok"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+
+  test("Wilson interval brackets the rate and stays in [0,1]") {
+    val out = wilson((1 to 100).map(i => ("s", i <= 50)): _*)("s")
+    assert(out._3 == 0.5)
+    assert(out._4 > 0.4 && out._4 < 0.5 && out._5 > 0.5 && out._5 < 0.6)
+    // textbook: p=0.5, n=100 -> [0.4038, 0.5962]
+    assert(out._4 == 0.4038 && out._5 == 0.5962)
+  }
+
+  test("Wilson at a perfect rate: lower bound is n/(n+z^2), upper clips to 1") {
+    val out = wilson((1 to 10).map(_ => ("s", true)): _*)("s")
+    assert(out._3 == 1.0 && out._5 == 1.0)
+    val expect = 10.0 / (10.0 + 1.96 * 1.96)
+    assert(out._4 == (expect * 10000).round / 10000.0)
+  }
+
+  test("Wilson intervals tighten with n") {
+    val small = wilson((1 to 10).map(i => ("s", i <= 5)): _*)("s")
+    val big = wilson((1 to 1000).map(i => ("s", i <= 500)): _*)("s")
+    assert((big._5 - big._4) < (small._5 - small._4))
+  }
+
   test("chi-square: independent table scores 0") {
     val rows = for { a <- Seq("x", "y"); b <- Seq(1, 2); _ <- 0 until 5 }
       yield (a, b)
