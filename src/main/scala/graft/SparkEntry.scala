@@ -3958,8 +3958,8 @@ object SparkEntry {
         "FROM d GROUP BY 1), " +
         "x AS (SELECT event_type, unnest(cs) AS ee, generate_subscripts(cs, 1) AS i, cs FROM a) " +
         "SELECT event_type, (ee).day AS day, (ee).n AS n, " +
-        "round(list_reduce(list_transform(list_slice(cs, 1, i), s -> CAST((s).n AS DOUBLE)), " +
-        "(e, c) -> 0.3 * c + (1.0 - 0.3) * e), 4) AS ewma, " +
+        "floor(list_reduce(list_transform(list_slice(cs, 1, i), s -> CAST((s).n AS DOUBLE)), " +
+        "(e, c) -> 0.3 * c + (1.0 - 0.3) * e) * 10000 + 0.5) / 10000 AS ewma, " +
         "CASE WHEN i = 1 THEN FALSE ELSE " +
         "abs(CAST((ee).n AS DOUBLE) - list_reduce(list_transform(list_slice(cs, 1, i - 1), s -> CAST((s).n AS DOUBLE)), " +
         "(e, c) -> 0.3 * c + (1.0 - 0.3) * e)) " +
@@ -4117,10 +4117,10 @@ object SparkEntry {
         "(a, x) -> a + x) AS BIGINT) AS wsum, " +
         "CAST(len(ts) - 25 + 1 AS BIGINT) AS nwin FROM b WHERE n_tokens >= 25) " +
         "SELECT b.doc_id, n_tokens, n_types, " +
-        "CASE WHEN n_tokens > 0 THEN round(CAST(n_types AS DOUBLE) / n_tokens, 4) ELSE 0.0 END AS ttr, " +
-        "CASE WHEN n_tokens > 0 THEN round(n_types / sqrt(CAST(n_tokens AS DOUBLE)), 4) ELSE 0.0 END AS root_ttr, " +
-        "CASE WHEN n_tokens >= 25 THEN round(CAST(wsum AS DOUBLE) / (nwin * 25), 4) " +
-        "WHEN n_tokens > 0 THEN round(CAST(n_types AS DOUBLE) / n_tokens, 4) " +
+        "CASE WHEN n_tokens > 0 THEN floor(CAST(n_types AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000 ELSE 0.0 END AS ttr, " +
+        "CASE WHEN n_tokens > 0 THEN floor(n_types / sqrt(CAST(n_tokens AS DOUBLE)) * 10000 + 0.5) / 10000 ELSE 0.0 END AS root_ttr, " +
+        "CASE WHEN n_tokens >= 25 THEN floor(CAST(wsum AS DOUBLE) / (nwin * 25) * 10000 + 0.5) / 10000 " +
+        "WHEN n_tokens > 0 THEN floor(CAST(n_types AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000 " +
         "ELSE 0.0 END AS mattr " +
         "FROM b LEFT JOIN m USING (doc_id) ORDER BY b.doc_id"),
 

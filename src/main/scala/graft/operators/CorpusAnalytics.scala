@@ -2221,6 +2221,13 @@ object CorpusAnalytics {
       lit(0L),
       (acc, i) => acc + size(array_distinct(slice(col("ts"), i + 1, lit(w)))))
     val nWin = (n - w + 1).cast("long")
+    // arithmetic rounding (floor(x*1e4 + 0.5)/1e4) instead of round():
+    // Spark's round() rounds the shortest DECIMAL representation half-up
+    // while DuckDB rounds the BINARY value, so a ratio landing exactly on
+    // x.xxxx5 in decimal (e.g. 527/800 = 0.65875, stored as 0.65874999...)
+    // rounds differently; the floor form is the same IEEE chain on both
+    // engines and can never disagree (values here are non-negative)
+    val r4 = (c: Column) => floor(c * 10000 + lit(0.5)) / 10000
     docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol), tokens(col(textCol)).as("ts"))
@@ -2229,15 +2236,15 @@ object CorpusAnalytics {
         size(array_distinct(col("ts"))).cast("long").as("n_types"))
       .select(col(idCol), col("n_tokens"), col("n_types"),
         when(col("n_tokens") > 0,
-          round(col("n_types").cast("double") / col("n_tokens"), 4))
+          r4(col("n_types").cast("double") / col("n_tokens")))
           .otherwise(lit(0.0)).as("ttr"),
         when(col("n_tokens") > 0,
-          round(col("n_types") / sqrt(col("n_tokens").cast("double")), 4))
+          r4(col("n_types") / sqrt(col("n_tokens").cast("double"))))
           .otherwise(lit(0.0)).as("root_ttr"),
         when(col("n_tokens") >= w,
-          round(winDistinctSum.cast("double") / (nWin * w), 4))
+          r4(winDistinctSum.cast("double") / (nWin * w)))
           .when(col("n_tokens") > 0,
-            round(col("n_types").cast("double") / col("n_tokens"), 4))
+            r4(col("n_types").cast("double") / col("n_tokens")))
           .otherwise(lit(0.0)).as("mattr"))
   }
 

@@ -238,7 +238,10 @@ object Sessions {
       .select(col(typeCol), posexplode(col("cs")).as(Seq("_i", "e")), col("cs"))
       .select(col(typeCol),
         col("e.day").as("day"), col("e.n").as("n"),
-        round(fold(col("_i") + 1), 4).as("ewma"),
+        // arithmetic rounding (floor(x*1e4+0.5)/1e4): Spark's round()
+        // rounds the shortest decimal repr, DuckDB the binary value — a
+        // fold landing on a decimal x.xxxx5 boundary would disagree
+        (floor(fold(col("_i") + 1) * 10000 + lit(0.5)) / 10000).as("ewma"),
         when(col("_i") === 0, lit(false))
           .otherwise(abs(col("e.n").cast("double") - fold(col("_i"))) >
             lit(3.0) * sqrt(fold(col("_i")))).as("anomaly"))
