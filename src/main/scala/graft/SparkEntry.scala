@@ -1292,6 +1292,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q192_theil" -> ((s, dir) => {
+      // Theil T of tokens-per-doc decomposed between/within languages;
+      // histogram folds, 0*ln0 = 0, identity pinned at 1e-9
+      operators.Quality.theilDecomposition(
+        Tables(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("lang"),
+            functions.TextAnalysis.tokenCount(col("text")).as("v")),
+        "lang", "v")
+    }),
+
     "q191_wilson_interval" -> ((s, dir) => {
       // per-source Wilson 95% CI on the >=50-token pass rate — the
       // small-n-honest proportion interval, fixed-order scalar chain
@@ -3557,6 +3567,38 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q192_theil" ->
+      // same per-(lang, value) histograms, same value-ordered group folds
+      // and group-ordered decomposition folds; identity booleans TRUE
+      ("WITH dv AS (SELECT lang AS grp, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS v " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "h0 AS (SELECT grp, v, count(*) AS m FROM dv GROUP BY 1, 2), " +
+        "pg AS (SELECT grp, list(struct_pack(v := v, m := m) ORDER BY v, m) AS h, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list(struct_pack(v := v, m := m) ORDER BY v, m), e -> (e).m)), (x, y) -> x + y) AS BIGINT) AS ng, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list(struct_pack(v := v, m := m) ORDER BY v, m), e -> (e).m * (e).v)), (x, y) -> x + y) AS BIGINT) AS sg " +
+        "FROM h0 GROUP BY 1), " +
+        "o AS (SELECT list(struct_pack(grp := grp, h := h, ng := ng, sg := sg) ORDER BY grp, ng, sg) AS gs FROM pg), " +
+        "o2 AS (SELECT gs, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(gs, g -> (g).ng)), (x, y) -> x + y) AS BIGINT) AS n, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(gs, g -> (g).sg)), (x, y) -> x + y) AS BIGINT) AS s FROM o) " +
+        "SELECT n, s AS total, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(gs, g -> " +
+        "list_reduce(list_prepend(0.0, list_transform((g).h, e -> " +
+        "CASE WHEN (e).v > 0 THEN (e).m * (CAST((e).v AS DOUBLE) / (CAST(s AS DOUBLE) / n)) * " +
+        "ln(CAST((e).v AS DOUBLE) / (CAST(s AS DOUBLE) / n)) ELSE 0.0 END)), (x, y) -> x + y))), " +
+        "(x, y) -> x + y) / n, 4) AS theil_total, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(gs, g -> " +
+        "(CAST((g).sg AS DOUBLE) / s) * ln((CAST((g).sg AS DOUBLE) / (g).ng) / (CAST(s AS DOUBLE) / n)))), " +
+        "(x, y) -> x + y), 4) AS theil_between, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(gs, g -> " +
+        "(CAST((g).sg AS DOUBLE) / s) * (list_reduce(list_prepend(0.0, list_transform((g).h, e -> " +
+        "CASE WHEN (e).v > 0 THEN (e).m * (CAST((e).v AS DOUBLE) / (CAST((g).sg AS DOUBLE) / (g).ng)) * " +
+        "ln(CAST((e).v AS DOUBLE) / (CAST((g).sg AS DOUBLE) / (g).ng)) ELSE 0.0 END)), (x, y) -> x + y) / (g).ng))), " +
+        "(x, y) -> x + y), 4) AS theil_within, " +
+        "TRUE AS decomposition_ok " +
+        "FROM o2"),
 
     "q191_wilson_interval" ->
       // same token-count pass predicate, same z = 1.96 chain with the

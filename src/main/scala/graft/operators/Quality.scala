@@ -358,6 +358,69 @@ object Quality {
           .otherwise(lit(0.0)), 4).as("f1"))
   }
 
+  // ------------------------------------------------------------ theil
+
+  /** Theil T inequality index with its between/within-group decomposition
+    * (Theil 1967 — the property Gini famously lacks: total inequality
+    * splits EXACTLY into "sources differ from each other" plus
+    * "inequality inside each source", the first question a skewed corpus
+    * mixture raises). T = (1/n)·Σ (x/μ)·ln(x/μ);
+    * T_between = Σ_g (s_g/s)·ln(μ_g/μ); T_within = Σ_g (s_g/s)·T_g.
+    * Zero values contribute 0 (the x·ln x limit).
+    *
+    * Same scale shape as [[giniConcentration]]: count-valued inputs
+    * reduce to per-(group, value) histograms bounded by the max count;
+    * group stats and T_g are value-ordered in-row folds, the
+    * decomposition a group-ordered fold over the bounded group frame.
+    * ln-based terms never sit on decimal rounding boundaries, so plain
+    * round(4) replays. The decomposition identity is pinned as a
+    * boolean at 1e-9.
+    */
+  def theilDecomposition(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val hist = df
+      .groupBy(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("m"))
+    val perGroup = hist
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("v"), col("m")))).as("h"))
+      .select(col("grp"), col("h"),
+        aggregate(col("h"), lit(0L), (a, e) => a + e.getField("m")).as("ng"),
+        aggregate(col("h"), lit(0L),
+          (a, e) => a + e.getField("m") * e.getField("v")).as("sg"))
+    val one = perGroup
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("grp"), col("h"), col("ng"), col("sg"))))
+        .as("gs"))
+      .select(col("gs"),
+        aggregate(col("gs"), lit(0L), (a, g) => a + g.getField("ng")).as("n"),
+        aggregate(col("gs"), lit(0L), (a, g) => a + g.getField("sg")).as("s"))
+    val mu = col("s").cast("double") / col("n")
+    def theilOver(h: Column, m0: Column): Column =
+      aggregate(h, lit(0.0), (a, e) => {
+        val x = e.getField("v").cast("double")
+        a + when(x > 0,
+          e.getField("m") * (x / m0) * log(x / m0)).otherwise(lit(0.0))
+      })
+    val tTotal = aggregate(col("gs"), lit(0.0),
+      (a, g) => a + theilOver(g.getField("h"), mu)) / col("n")
+    val tBetween = aggregate(col("gs"), lit(0.0), (a, g) => {
+      val mug = g.getField("sg").cast("double") / g.getField("ng")
+      a + (g.getField("sg").cast("double") / col("s")) * log(mug / mu)
+    })
+    val tWithin = aggregate(col("gs"), lit(0.0), (a, g) => {
+      val mug = g.getField("sg").cast("double") / g.getField("ng")
+      val tg = theilOver(g.getField("h"), mug) / g.getField("ng")
+      a + (g.getField("sg").cast("double") / col("s")) * tg
+    })
+    one.select(
+      col("n"), col("s").as("total"),
+      round(tTotal, 4).as("theil_total"),
+      round(tBetween, 4).as("theil_between"),
+      round(tWithin, 4).as("theil_within"),
+      (abs(tTotal - (tBetween + tWithin)) < 1e-9).as("decomposition_ok"))
+  }
+
   // ------------------------------------------------- quality classifier
 
   /** Logistic-regression fit by IRLS/Newton (the classical GLM fit —

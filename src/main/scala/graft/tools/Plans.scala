@@ -101,7 +101,8 @@ object Plans {
     "q188_lang_id_report" -> "the NB prediction plan is q158's (one id-keyed text shuffle, broadcast model); the report layer adds one bounded (label, predicted) contingency agg and classes-bounded margin joins — nothing new scales with the corpus",
     "q189_autocorrelation" -> "q176's shape: one (type, day) aggregate collapsing map-side, then every lag's correlation is an in-row fold over the calendar-bounded series — no window, no self-join, no lag exchange",
     "q190_source_jsd" -> "the (group, token) aggregate prunes against the broadcast top-v vocab before its exchange; densification and the pair matrix are bounded-by-groups frames and both KL folds run in-row — the corpus is touched exactly twice (vocab agg + count agg)",
-    "q191_wilson_interval" -> "one hash aggregate with map-side conditional partials; the interval arithmetic is a codegen'd scalar chain on the groups-bounded result — nothing else touches the corpus"
+    "q191_wilson_interval" -> "one hash aggregate with map-side conditional partials; the interval arithmetic is a codegen'd scalar chain on the groups-bounded result — nothing else touches the corpus",
+    "q192_theil" -> "the per-(group, value) histogram is bounded by the max count, not rows; group stats, the index, and the decomposition all evaluate as in-row folds over two bounded array levels — no sort or window of the key population"
   )
 
   def main(args: Array[String]): Unit = {

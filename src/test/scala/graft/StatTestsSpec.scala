@@ -60,6 +60,41 @@ class StatTestsSpec extends SparkSpec {
     assert((big._5 - big._4) < (small._5 - small._4))
   }
 
+  private def theil(rows: (String, Long)*) = {
+    val r = Quality.theilDecomposition(rows.toSeq.toDF("g", "v"), "g", "v").head()
+    (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+  }
+
+  test("Theil: perfect equality scores 0 everywhere") {
+    val (n, t, tb, tw, ok) = theil(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+    assert(n == 4L && t == 0.0 && tb == 0.0 && tw == 0.0 && ok)
+  }
+
+  test("Theil: pure between-group inequality has zero within") {
+    // groups internally equal but different means
+    val (_, t, tb, tw, ok) = theil(("a", 2L), ("a", 2L), ("b", 8L), ("b", 8L))
+    assert(tw == 0.0 && tb > 0.0 && t == tb && ok)
+  }
+
+  test("Theil: pure within-group inequality has zero between") {
+    // both groups have the same mean 5 but unequal members
+    val (_, t, tb, tw, ok) = theil(("a", 2L), ("a", 8L), ("b", 2L), ("b", 8L))
+    assert(tb == 0.0 && tw > 0.0 && t == tw && ok)
+  }
+
+  test("Theil: the decomposition identity holds on mixed data") {
+    val (_, t, tb, tw, ok) = theil(
+      ("a", 1L), ("a", 9L), ("b", 20L), ("b", 30L), ("c", 5L))
+    assert(ok)
+    assert(math.abs(t - (tb + tw)) <= 0.0001)
+    assert(tb > 0 && tw > 0)
+  }
+
+  test("Theil: zero values contribute zero, not NaN") {
+    val (_, t, _, _, ok) = theil(("a", 0L), ("a", 10L), ("b", 5L))
+    assert(!t.isNaN && ok)
+  }
+
   test("chi-square: independent table scores 0") {
     val rows = for { a <- Seq("x", "y"); b <- Seq(1, 2); _ <- 0 until 5 }
       yield (a, b)
