@@ -4256,10 +4256,10 @@ object SparkEntry {
         "cc AS (SELECT cov.doc_id, CAST(sum(len(ts[CAST(tpos + 1 AS INT)])) AS BIGINT) AS cov_chars " +
         "FROM cov JOIN b USING (doc_id) GROUP BY cov.doc_id) " +
         "SELECT b.doc_id, n_tokens, tok_chars, " +
-        "CASE WHEN tok_chars > 0 THEN round(COALESCE(t2, 0) / CAST(tok_chars AS DOUBLE), 4) ELSE 0.0 END AS top_2gram_frac, " +
-        "CASE WHEN tok_chars > 0 THEN round(COALESCE(t3, 0) / CAST(tok_chars AS DOUBLE), 4) ELSE 0.0 END AS top_3gram_frac, " +
-        "CASE WHEN tok_chars > 0 THEN round(COALESCE(t4, 0) / CAST(tok_chars AS DOUBLE), 4) ELSE 0.0 END AS top_4gram_frac, " +
-        "CASE WHEN tok_chars > 0 THEN round(COALESCE(cov_chars, 0) / CAST(tok_chars AS DOUBLE), 4) ELSE 0.0 END AS dup_5gram_frac " +
+        "CASE WHEN tok_chars > 0 THEN floor(COALESCE(t2, 0) / CAST(tok_chars AS DOUBLE) * 10000 + 0.5) / 10000 ELSE 0.0 END AS top_2gram_frac, " +
+        "CASE WHEN tok_chars > 0 THEN floor(COALESCE(t3, 0) / CAST(tok_chars AS DOUBLE) * 10000 + 0.5) / 10000 ELSE 0.0 END AS top_3gram_frac, " +
+        "CASE WHEN tok_chars > 0 THEN floor(COALESCE(t4, 0) / CAST(tok_chars AS DOUBLE) * 10000 + 0.5) / 10000 ELSE 0.0 END AS top_4gram_frac, " +
+        "CASE WHEN tok_chars > 0 THEN floor(COALESCE(cov_chars, 0) / CAST(tok_chars AS DOUBLE) * 10000 + 0.5) / 10000 ELSE 0.0 END AS dup_5gram_frac " +
         "FROM b LEFT JOIN tp USING (doc_id) LEFT JOIN cc USING (doc_id) ORDER BY b.doc_id"),
 
     "q160_edit_join" ->

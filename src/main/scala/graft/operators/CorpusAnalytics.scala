@@ -2389,9 +2389,14 @@ object CorpusAnalytics {
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + 4)).as("tpos"))
       .groupBy(col(idCol))
       .agg(collect_set(col("tpos")).as("cov"))
+    // floor(x*1e4+0.5)/1e4, not round(): these are integer-mass ratios
+    // that CAN land exactly on decimal .xxxx5 boundaries, where Spark's
+    // repr-based round and DuckDB's binary round disagree (the
+    // lexicalDiversity lesson from the sf0.1 soak)
     val frac = (chars: Column) =>
       when(col("tok_chars") > 0,
-        round(coalesce(chars, lit(0L)).cast("double") / col("tok_chars"), 4))
+        floor(coalesce(chars, lit(0L)).cast("double") / col("tok_chars")
+          * 10000 + lit(0.5)) / 10000)
         .otherwise(lit(0.0))
     base
       .join(tops, Seq(idCol), "left")
