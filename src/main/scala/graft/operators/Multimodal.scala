@@ -248,4 +248,123 @@ object Multimodal {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long").as("id"), col(binCol).as("media")).as[MediaRow]
   }
+
+  // ------------------------------------------------- perceptual hashing
+
+  /** 64-bit average hash (aHash — the classic perceptual image
+    * fingerprint, Krawetz 2011 writeup of the folklore algorithm): the
+    * image collapses to an 8×8 luminance grid by EXACT integer block
+    * averaging (no resampling filter — bilinear redraws can differ across
+    * JVMs/platforms; block sums of the decoded pixels cannot), bit i set
+    * when block i's mean luminance strictly exceeds the grid mean.
+    * Non-decodable bytes hash to 0 (callers filter on decodability via
+    * [[extractMeta]]'s dims).
+    */
+  def aHash64(bytes: Array[Byte]): Long =
+    lumGrid(bytes, 8, 8) match {
+      case None => 0L
+      case Some(g) =>
+        // bit i: block mean > whole-image pixel mean, decided by exact
+        // integer cross-multiplication s_i*C > S*c_i — no float anywhere
+        val bigS = g.map(_._1).sum
+        val bigC = g.map(_._2).sum
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (g(i)._1 * bigC > bigS * g(i)._2) h |= (1L << i)
+          i += 1
+        }
+        h
+    }
+
+  /** 64-bit difference hash (dHash — gradient fingerprint, more robust to
+    * global brightness shifts than aHash): 9×8 block grid, bit (y·8+x)
+    * set when block (x,y) is strictly darker than its right neighbor —
+    * again exact integer cross-multiplication.
+    */
+  def dHash64(bytes: Array[Byte]): Long =
+    lumGrid(bytes, 9, 8) match {
+      case None => 0L
+      case Some(g) =>
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val l = g(y * 9 + x); val r = g(y * 9 + x + 1)
+            if (l._1 * r._2 < r._1 * l._2) h |= (1L << (y * 8 + x))
+            x += 1
+          }
+          y += 1
+        }
+        h
+    }
+
+  /** Perceptual near-duplicate image pairs: all (id1, id2) with
+    * Hamming(aHash) ≤ `maxHamming`, found SimHash-style — split the
+    * 64-bit hash into `maxHamming`+1 bands (pigeonhole: a qualifying
+    * pair agrees exactly on at least one band), candidate-join on
+    * (band_id, band_value), verify with one popcount. Never all-pairs;
+    * every exchange carries (band, id) longs.
+    */
+  def imageNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "0 <= maxHamming < 64")
+    import media.sparkSession.implicits._
+    val hashes = media.mapPartitions { rows =>
+      rows.map(r => (r.id, aHash64(r.media)))
+    }.toDF("id", "h")
+      .filter(col("h") =!= 0L) // non-decodable bytes don't pair
+      .persist()
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val banded = hashes.select(col("id"), col("h"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("h"), b * width) bitwiseAND
+            lit((1L << width) - 1)).as("v"))
+      }: _*)).as("bv"))
+      .select(col("id"), col("h"), col("bv.band"), col("bv.v"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private def lumGrid(bytes: Array[Byte], gw: Int, gh: Int): Option[Array[(Long, Long)]] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .filter(img => img.getWidth >= gw && img.getHeight >= gh)
+      .map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[(Long, Long)](gw * gh)
+        var gy = 0
+        while (gy < gh) {
+          val y0 = h.toLong * gy / gh; val y1 = h.toLong * (gy + 1) / gh
+          var gx = 0
+          while (gx < gw) {
+            val x0 = w.toLong * gx / gw; val x1 = w.toLong * (gx + 1) / gw
+            var sum = 0L; var cnt = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x.toInt, y.toInt)
+                sum += (((rgb >> 16) & 0xFF) * 299 +
+                  ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+                cnt += 1; x += 1
+              }
+              y += 1
+            }
+            out(gy * gw + gx) = (sum, cnt)
+            gx += 1
+          }
+          gy += 1
+        }
+        out
+      }
 }
