@@ -249,6 +249,89 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"), col(binCol).as("media")).as[MediaRow]
   }
 
+  // ---------------------------------------------------- audio features
+
+  /** Windowed audio energy features from REAL PCM decode (AudioSystem):
+    * per fixed `windowMs` window the RMS amplitude (normalized to
+    * [0, 1]), plus the clip-level silence fraction (windows under
+    * `silenceRms`) and peak — the trim-the-dead-air / discard-empty-clip
+    * signals an audio curation pass cuts on. 16-bit/8-bit PCM; sample
+    * sums accumulate in Long (exact), one sqrt per window. Returns None
+    * for non-audio bytes.
+    */
+  final case class AudioStats(
+      durationMs: Long, nWindows: Long, rmsMean: Double,
+      silenceFrac: Double, peak: Double)
+
+  def audioStats(
+      bytes: Array[Byte],
+      windowMs: Int = 100,
+      silenceRms: Double = 0.01): Option[AudioStats] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val bits = f.getSampleSizeInBits
+        if (bits != 16 && bits != 8) return None
+        val bytesPerFrame = f.getFrameSize
+        val data = in.readAllBytes()
+        val nFrames = data.length / bytesPerFrame
+        val rate = f.getFrameRate.toDouble
+        val perWin = math.max(1, (rate * windowMs / 1000.0).toInt)
+        val full = if (bits == 16) 32768.0 else 128.0
+        def sample(i: Int): Long = {
+          val off = i * bytesPerFrame // first channel
+          if (bits == 16) {
+            val lo = data(off) & 0xFF
+            val hi = data(off + 1)
+            if (f.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toLong
+            else ((hi << 8) | lo).toLong
+          } else (data(off) & 0xFF).toLong - 128L
+        }
+        var win = 0
+        var rmsSum = 0.0
+        var silent = 0L
+        var peak = 0.0
+        var i = 0
+        val nWins = nFrames / perWin
+        while (win < nWins) {
+          var sq = 0L
+          var j = 0
+          while (j < perWin) {
+            val s = sample(i)
+            sq += s * s
+            val a = math.abs(s) / full
+            if (a > peak) peak = a
+            i += 1; j += 1
+          }
+          val rms = math.sqrt(sq.toDouble / perWin) / full
+          rmsSum += rms
+          if (rms < silenceRms) silent += 1
+          win += 1
+        }
+        if (nWins == 0) None
+        else Some(AudioStats(
+          (nFrames * 1000L / rate.toLong),
+          nWins,
+          rmsSum / nWins,
+          silent.toDouble / nWins,
+          peak))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Distributed audio stats: one row per decodable clip. */
+  def extractAudioStats(
+      media: Dataset[MediaRow],
+      windowMs: Int = 100,
+      silenceRms: Double = 0.01): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => audioStats(r.media, windowMs, silenceRms).map(s =>
+        (r.id, s.durationMs, s.nWindows, s.rmsMean, s.silenceFrac, s.peak)))
+    }.toDF("id", "duration_ms", "n_windows", "rms_mean", "silence_frac", "peak")
+  }
+
   // ------------------------------------------------- perceptual hashing
 
   /** 64-bit average hash (aHash — the classic perceptual image
