@@ -1292,6 +1292,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q193_session_paths" -> ((s, dir) => {
+      // top-20 user journeys: gap-sessionized, types joined in (ts, id)
+      // order, frequency + share; one user-window exchange
+      operators.Sessions.sessionPaths(Tables(s, dir, "events"))
+    }),
+
     "q192_theil" -> ((s, dir) => {
       // Theil T of tokens-per-doc decomposed between/within languages;
       // histogram folds, 0*ln0 = 0, identity pinned at 1e-9
@@ -3567,6 +3573,22 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q193_session_paths" ->
+      // q64's session assignment replay + ordered string_agg paths
+      ("WITH w AS (SELECT user_id, event_id, event_type, ts, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 43200000000 " +
+        "THEN 1 ELSE 0 END AS isnew FROM events), " +
+        "s AS (SELECT user_id, event_type, ts, event_id, " +
+        "sum(isnew) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx FROM w), " +
+        "p AS (SELECT user_id, session_idx, " +
+        "string_agg(event_type, '>' ORDER BY ts, event_id) AS path FROM s GROUP BY 1, 2), " +
+        "t AS (SELECT count(*) AS n_sessions FROM p), " +
+        "c AS (SELECT path, count(*) AS n FROM p GROUP BY 1) " +
+        "SELECT path, CAST(n AS BIGINT) AS n, " +
+        "round(n / CAST(n_sessions AS DOUBLE), 4) AS share " +
+        "FROM c, t ORDER BY n DESC, path LIMIT 20"),
 
     "q192_theil" ->
       // same per-(lang, value) histograms, same value-ordered group folds

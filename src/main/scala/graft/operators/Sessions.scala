@@ -45,6 +45,48 @@ object Sessions {
         max(unix_micros(col(tsCol))).as("end_us"))
   }
 
+  /** Top-k session PATHS — the "most common user journeys" report every
+    * product-analytics stack leads with: sessions are [[sessionize]]'s
+    * gap-based sessions, a session's path is its event types joined in
+    * (ts, id) order, and the output is the k most frequent paths with
+    * their session counts and share of all sessions.
+    *
+    * Shape: the lag/running-sum session assignment is ONE (user; ts, id)
+    * window (the sessionize exchange), the per-session path is a sorted
+    * collect over doc-bounded session slices, the path frequency agg
+    * collapses map-side, and top-k is TakeOrderedAndProject. The share
+    * is one integer division, round 4.
+    */
+  def sessionPaths(
+      events: DataFrame,
+      k: Int = 20,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type",
+      gapSeconds: Long = 43200L): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gap = unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w))
+    val isNew = when(gap.isNull || gap > gapSeconds * 1000000L, 1L).otherwise(0L)
+    val paths = events
+      .withColumn("session_idx", sum(isNew).over(w))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(
+          unix_micros(col(tsCol)).as("us"), col(idCol).as("eid"),
+          col(typeCol).as("t")))),
+        e => e.getField("t"))).as("path"))
+    val total = paths.agg(count(lit(1)).as("n_sessions"))
+    paths
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("path"), col("n"),
+        round(col("n").cast("double") / col("n_sessions"), 4).as("share"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Ordered-step funnel: how many users completed step 1, step 1 then
     * step 2 (at-or-after), step 1→2→3, ... Each stage requires the step
     * event at-or-after the previous stage's FIRST qualifying time (the

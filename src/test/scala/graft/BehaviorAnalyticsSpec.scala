@@ -104,6 +104,28 @@ class BehaviorAnalyticsSpec extends SparkSpec {
     assert(out.head._1 == 0L && out.head._2 == 0.7143) // 1 - 2/7
   }
 
+  test("session paths: gap splits journeys, frequencies and shares add up") {
+    // user 1: a>b then (after the gap) a>c ; user 2: a>b
+    val gapS = 100L
+    val ev = Seq(
+      (1L, ts(0), 1L, "a"), (2L, ts(10), 1L, "b"),
+      (3L, ts(500), 1L, "a"), (4L, ts(510), 1L, "c"),
+      (5L, ts(0), 2L, "a"), (6L, ts(10), 2L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessions.sessionPaths(ev, k = 10, gapSeconds = gapS)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("a>b") == ((2L, 0.6667)))
+    assert(out("a>c") == ((1L, 0.3333)))
+  }
+
+  test("session paths order ties on event_id within equal timestamps") {
+    val ev = Seq(
+      (2L, ts(10), 1L, "b"), (1L, ts(10), 1L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessions.sessionPaths(ev, k = 5).collect()
+    assert(out.head.getString(0) == "a>b")
+  }
+
   test("RFM is deterministic and complete over the corpus") {
     val ev = Tables(spark, sf(), "events")
     val a = Sessions.rfmSegments(ev).orderBy("user_id").collect()
