@@ -1292,6 +1292,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q194_lsh_plan" -> ((s, dir) => {
+      // MMDS S-curve tuning table for 64 minhash signatures: candidate
+      // probability at noise (0.3) and target (0.8) similarity per (b, r)
+      // split, best split flagged — pure expression arithmetic
+      operators.Dedup.lshParameterPlan(s)
+        .orderBy(col("b"))
+    }),
+
     "q193_session_paths" -> ((s, dir) => {
       // top-20 user journeys: gap-sessionized, types joined in (ts, id)
       // order, frequency + share; one user-window exchange
@@ -3573,6 +3581,20 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q194_lsh_plan" ->
+      // same S-curve arithmetic; divisions forced to DOUBLE (DuckDB's
+      // bare 1.0/b is DECIMAL division and would diverge)
+      ("WITH g AS (SELECT b, 64 // b AS r FROM (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS b)), " +
+        "sc AS (SELECT b, r, " +
+        "(1.0 - pow(1.0 - pow(0.8, CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) - " +
+        "(1.0 - pow(1.0 - pow(0.3, CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) AS score FROM g) " +
+        "SELECT b, r, " +
+        "round(pow(CAST(1 AS DOUBLE) / b, CAST(1 AS DOUBLE) / r), 4) AS threshold_mid, " +
+        "round(1.0 - pow(1.0 - pow(0.3, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)), 4) AS p_noise, " +
+        "round(1.0 - pow(1.0 - pow(0.8, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)), 4) AS p_target, " +
+        "score = (SELECT max(score) FROM sc) AS is_best " +
+        "FROM sc ORDER BY b"),
 
     "q193_session_paths" ->
       // q64's session assignment replay + ordered string_agg paths

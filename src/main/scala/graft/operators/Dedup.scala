@@ -797,4 +797,41 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("n_a"), col("n_inter"),
         round(col("n_inter").cast("double") / col("n_a"), 4).as("containment"))
   }
+
+  /** LSH parameter planner — the S-curve (b, r) tuning table every
+    * MinHash deployment works from (Leskovec-Rajaraman-Ullman, MMDS ch.3):
+    * with b bands of r rows, a pair at Jaccard J becomes a candidate with
+    * p = 1 − (1 − J^r)^b. For every (b, r) split of `numHashes`
+    * signatures the planner reports the S-curve midpoint (1/b)^(1/r), the
+    * candidate probability at a "noise" similarity `jLow` (false-positive
+    * pressure) and at the "target" similarity `jHigh` (recall), and flags
+    * the split maximizing recall − noise. Pure expression arithmetic over
+    * a bands-bounded literal frame — replayable, no data touched.
+    */
+  def lshParameterPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = 64,
+      jLow: Double = 0.3,
+      jHigh: Double = 0.8): DataFrame = {
+    require(numHashes >= 2, "need at least 2 signatures")
+    import spark.implicits._
+    val splits = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .filter(_._2 >= 1)
+    val base = splits.toDF("b", "r")
+    def pAt(j: Double): Column =
+      lit(1.0) - pow(lit(1.0) - pow(lit(j), col("r").cast("double")),
+        col("b").cast("double"))
+    val scored = base.select(col("b"), col("r"),
+      round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 4).as("threshold_mid"),
+      round(pAt(jLow), 4).as("p_noise"),
+      round(pAt(jHigh), 4).as("p_target"),
+      (pAt(jHigh) - pAt(jLow)).as("_score"))
+    val best = scored.agg(max(col("_score")).as("_best"))
+    scored.crossJoin(broadcast(best))
+      .select(col("b"), col("r"), col("threshold_mid"),
+        col("p_noise"), col("p_target"),
+        (col("_score") === col("_best")).as("is_best"))
+  }
 }

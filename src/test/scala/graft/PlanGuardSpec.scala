@@ -77,6 +77,8 @@ class PlanGuardSpec extends SparkSpec {
       "groups x groups non-equi pair join over the v-bounded per-group array frame — the matrix is pairwise by definition and groups are a bounded dimension",
     "q193_session_paths" ->
       "crossJoin(broadcast(total)): the single-row session-count scalar beside the path frequency table",
+    "q194_lsh_plan" ->
+      "crossJoin(broadcast(best)): the single-row max-score scalar beside the divisor-bounded literal frame — no data is touched at all",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
