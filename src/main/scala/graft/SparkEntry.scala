@@ -1292,6 +1292,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q195_export_manifest" -> ((s, dir) => {
+      // 8-shard integrity manifest over documents: order-independent
+      // DECIMAL(38) checksum of md5-prefix row hashes per shard
+      operators.Export.exportManifest(
+        Tables(s, dir, "documents"), "doc_id",
+        Seq("doc_id", "text", "lang", "source"), shards = 8)
+        .orderBy(col("shard"))
+    }),
+
     "q194_lsh_plan" -> ((s, dir) => {
       // MMDS S-curve tuning table for 64 minhash signatures: candidate
       // probability at noise (0.3) and target (0.8) similarity per (b, r)
@@ -3581,6 +3590,15 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q195_export_manifest" ->
+      // same '|'-joined row hash (32-bit md5 prefix), same shard modulus,
+      // HUGEINT sum cast to match the DECIMAL(38,0) exactly
+      ("SELECT CAST(doc_id % 8 AS BIGINT) AS shard, count(*) AS n_rows, " +
+        "CAST(sum(CAST('0x' || substr(md5(" +
+        "CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang || '|' || source" +
+        "), 1, 8) AS BIGINT)) AS VARCHAR) AS content_checksum " +
+        "FROM documents GROUP BY 1 ORDER BY shard"),
 
     "q194_lsh_plan" ->
       // same S-curve arithmetic; divisions forced to DOUBLE (DuckDB's

@@ -44,4 +44,32 @@ object Export {
     spark.read.parquet(outDir)
       .groupBy(input_file_name().as("shard"))
       .agg(count(lit(1)).as("n_rows"))
+
+  /** Export integrity manifest: per shard, the row count and an
+    * ORDER-INDEPENDENT content checksum — the sum of a 32-bit md5 prefix
+    * of every row's '|'-joined key fields, accumulated as DECIMAL(38,0)
+    * so the sum is exact and MERGEABLE at any corpus size (a 64-bit sum
+    * would overflow near 2^31 rows/shard). A consumer re-derives the
+    * manifest after transfer and diffs — any dropped, duplicated, or
+    * corrupted row moves both the count and the checksum; reordering
+    * moves neither (parquet rewrites reorder freely).
+    *
+    * One hash agg with map-side partials; the md5 draw is the engine-
+    * portable [[graft.operators.Sampling.pctBucket]] discipline, so the
+    * whole manifest replays in any engine that can read the shards.
+    */
+  def exportManifest(
+      df: DataFrame,
+      idCol: String,
+      contentCols: Seq[String],
+      shards: Int): DataFrame = {
+    require(shards >= 1 && contentCols.nonEmpty, "shards and content columns")
+    val rowHash = conv(substring(md5(
+      concat_ws("|", contentCols.map(c => col(c).cast("string")): _*)
+        .cast("binary")), 1, 8), 16, 10).cast("long")
+    df.groupBy(pmod(col(idCol), lit(shards)).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rowHash.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("content_checksum"))
+  }
 }

@@ -103,7 +103,8 @@ object Plans {
     "q190_source_jsd" -> "the (group, token) aggregate prunes against the broadcast top-v vocab before its exchange; densification and the pair matrix are bounded-by-groups frames and both KL folds run in-row — the corpus is touched exactly twice (vocab agg + count agg)",
     "q191_wilson_interval" -> "one hash aggregate with map-side conditional partials; the interval arithmetic is a codegen'd scalar chain on the groups-bounded result — nothing else touches the corpus",
     "q192_theil" -> "the per-(group, value) histogram is bounded by the max count, not rows; group stats, the index, and the decomposition all evaluate as in-row folds over two bounded array levels — no sort or window of the key population",
-    "q193_session_paths" -> "one (user; ts, id) window assigns sessions (the q64 exchange); per-session paths collect over session-bounded slices, the path-frequency agg collapses map-side, and top-k plans as TakeOrderedAndProject — no global sort"
+    "q193_session_paths" -> "one (user; ts, id) window assigns sessions (the q64 exchange); per-session paths collect over session-bounded slices, the path-frequency agg collapses map-side, and top-k plans as TakeOrderedAndProject — no global sort",
+    "q195_export_manifest" -> "one hash aggregate: the md5 row hash evaluates map-side inside WholeStageCodegen and DECIMAL partials collapse before the shards-bounded exchange — the manifest costs a single scan"
   )
 
   def main(args: Array[String]): Unit = {

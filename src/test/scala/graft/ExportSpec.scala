@@ -41,4 +41,31 @@ class ExportSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(ids.sameElements(ids.sorted), "rows not sorted within shard")
   }
+
+  test("exportManifest: order-independent, corruption-sensitive") {
+    val docs = Seq(
+      (0L, "alpha", "en"), (1L, "beta", "de"),
+      (2L, "gamma", "en"), (3L, "delta", "fr"))
+      .toDF("doc_id", "text", "lang")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Export.exportManifest(df, "doc_id", Seq("doc_id", "text", "lang"), 2)
+        .orderBy("shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toString))
+        .toSeq
+    val base = manifest(docs)
+    assert(base.map(_._1) == Seq(0L, 1L) && base.forall(_._2 == 2L))
+    // reordering rows changes nothing
+    assert(manifest(docs.orderBy(org.apache.spark.sql.functions.col("text"))) == base)
+    // a corrupted field moves exactly its shard's checksum
+    val corrupted = Seq(
+      (0L, "alpha", "en"), (1L, "beta", "de"),
+      (2L, "GAMMA", "en"), (3L, "delta", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val bad = manifest(corrupted)
+    assert(bad(0)._3 != base(0)._3, "shard 0 checksum must move")
+    assert(bad(1)._3 == base(1)._3, "shard 1 untouched")
+    // a dropped row moves the count too
+    val dropped = manifest(docs.filter(org.apache.spark.sql.functions.col("doc_id") =!= 2L))
+    assert(dropped.head._2 == 1L)
+  }
 }
