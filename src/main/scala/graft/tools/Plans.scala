@@ -104,7 +104,10 @@ object Plans {
     "q191_wilson_interval" -> "one hash aggregate with map-side conditional partials; the interval arithmetic is a codegen'd scalar chain on the groups-bounded result — nothing else touches the corpus",
     "q192_theil" -> "the per-(group, value) histogram is bounded by the max count, not rows; group stats, the index, and the decomposition all evaluate as in-row folds over two bounded array levels — no sort or window of the key population",
     "q193_session_paths" -> "one (user; ts, id) window assigns sessions (the q64 exchange); per-session paths collect over session-bounded slices, the path-frequency agg collapses map-side, and top-k plans as TakeOrderedAndProject — no global sort",
-    "q195_export_manifest" -> "one hash aggregate: the md5 row hash evaluates map-side inside WholeStageCodegen and DECIMAL partials collapse before the shards-bounded exchange — the manifest costs a single scan"
+    "q195_export_manifest" -> "one hash aggregate: the md5 row hash evaluates map-side inside WholeStageCodegen and DECIMAL partials collapse before the shards-bounded exchange — the manifest costs a single scan",
+    "q156_entropy" -> "the char side is entirely in-row (alphabet-bounded distinct set, the char array bound as a multi-referenced column); the word side explodes into a (doc, token) hash agg with map-side partials and one per-doc sorted fold — one 8-byte-keyed exchange",
+    "q159_trigram_ce" -> "positional trigram/bigram generators are in-array transforms (no positions self-join anywhere); five vocabulary-bounded count tables hash-aggregate map-side over tagged-xxhash64 keys and join back as 8-byte equi-joins; the token total is a one-row broadcast",
+    "q194_lsh_plan" -> "no data is touched: the divisor-bounded literal frame evaluates the S-curve as codegen'd scalar arithmetic, and the best-split flag joins a one-row max scalar"
   )
 
   def main(args: Array[String]): Unit = {
