@@ -1292,6 +1292,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q197_heaps_fit" -> ((s, dir) => {
+      // Heaps' law V = K*N^beta over 10 md5-random cumulative samples;
+      // zipfSlope's OLS arithmetic in bucket order
+      operators.CorpusAnalytics.heapsFit(Tables(s, dir, "documents"))
+    }),
+
+    "q196_neyman_allocation" -> ((s, dir) => {
+      // Neyman-optimal stratified budget: 1000 rows allocated across
+      // languages proportional to N_h * sigma_h of tokens-per-doc
+      operators.Sampling.neymanAllocation(
+        Tables(s, dir, "documents").filter(col("text").isNotNull)
+          .select(col("lang"),
+            functions.TextAnalysis.tokenCount(col("text")).as("v")),
+        "lang", "v", budget = 1000L)
+        .orderBy(col("stratum"))
+    }),
+
     "q195_export_manifest" -> ((s, dir) => {
       // 8-shard integrity manifest over documents: order-independent
       // DECIMAL(38) checksum of md5-prefix row hashes per shard
@@ -3590,6 +3607,61 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q197_heaps_fit" ->
+      // same md5 bucket draw, same prefix folds, same OLS chain
+      ("WITH d AS (SELECT CAST((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) * 10) // 65536 AS INT) AS bucket, text " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "tk AS (SELECT bucket, unnest(list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w FROM d), " +
+        "pb AS (SELECT bucket, count(*) AS toks FROM tk GROUP BY 1), " +
+        "nw AS (SELECT first_bucket AS bucket, count(*) AS news FROM (" +
+        "SELECT w, min(bucket) AS first_bucket FROM tk GROUP BY 1) GROUP BY 1), " +
+        "sp AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket), " +
+        "o AS (SELECT list(struct_pack(bucket := sp.bucket, " +
+        "toks := coalesce(pb.toks, 0), news := coalesce(nw.news, 0)) ORDER BY sp.bucket) AS h " +
+        "FROM sp LEFT JOIN pb ON pb.bucket = sp.bucket LEFT JOIN nw ON nw.bucket = sp.bucket), " +
+        "p AS (SELECT list_filter(list_transform(range(1, 11), i -> " +
+        "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(i AS INT)), e -> (e).toks)), (a, b) -> a + b) > 0 " +
+        "AND list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(i AS INT)), e -> (e).news)), (a, b) -> a + b) > 0 " +
+        "THEN struct_pack(x := ln(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(i AS INT)), e -> (e).toks)), (a, b) -> a + b) AS DOUBLE)), " +
+        "y := ln(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(i AS INT)), e -> (e).news)), (a, b) -> a + b) AS DOUBLE))) " +
+        "ELSE NULL END), q -> q IS NOT NULL) AS pts FROM o) " +
+        "SELECT CAST(len(pts) AS BIGINT) AS n_points, " +
+        "round((list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).x * (q).y)), (a, b) -> a + b) - " +
+        "list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).x)), (a, b) -> a + b) * " +
+        "list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).y)), (a, b) -> a + b) / len(pts)) / " +
+        "(list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).x * (q).x)), (a, b) -> a + b) - " +
+        "list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).x)), (a, b) -> a + b) * " +
+        "list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).x)), (a, b) -> a + b) / len(pts)), 4) AS beta, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).y)), (a, b) -> a + b) / len(pts) - " +
+        "((list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).x * (q).y)), (a, b) -> a + b) - " +
+        "list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).x)), (a, b) -> a + b) * " +
+        "list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).y)), (a, b) -> a + b) / len(pts)) / " +
+        "(list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).x * (q).x)), (a, b) -> a + b) - " +
+        "list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).x)), (a, b) -> a + b) * " +
+        "list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).x)), (a, b) -> a + b) / len(pts))) * " +
+        "(list_reduce(list_prepend(0.0, list_transform(pts, q -> (q).x)), (a, b) -> a + b) / len(pts)), 4) AS ln_k " +
+        "FROM p"),
+
+    "q196_neyman_allocation" ->
+      // same exact integer moments, same sigma chain, same stratum-ordered
+      // normalizer fold and floor-form rounding
+      ("WITH dv AS (SELECT lang AS stratum, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS v " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "per AS (SELECT stratum, count(*) AS n, " +
+        "sqrt(CAST(sum(v * v) AS DOUBLE) * count(*) - CAST(sum(v) AS DOUBLE) * sum(v)) / count(*) AS sigma " +
+        "FROM dv GROUP BY 1), " +
+        "o AS (SELECT list(struct_pack(stratum := stratum, n := n, sigma := sigma) ORDER BY stratum, n, sigma) AS gs FROM per), " +
+        "o2 AS (SELECT gs, list_reduce(list_prepend(0.0, list_transform(gs, g -> (g).n * (g).sigma)), " +
+        "(x, y) -> x + y) AS z FROM o), " +
+        "x AS (SELECT unnest(gs) AS g, z FROM o2) " +
+        "SELECT (g).stratum AS stratum, CAST((g).n AS BIGINT) AS n, " +
+        "floor((g).sigma * 10000 + 0.5) / 10000 AS sigma, " +
+        "floor((g).n * (g).sigma / z * 10000 + 0.5) / 10000 AS share, " +
+        "CAST(floor(1000.0 * ((g).n * (g).sigma / z) + 0.5) AS BIGINT) AS alloc_n " +
+        "FROM x ORDER BY stratum"),
 
     "q195_export_manifest" ->
       // same '|'-joined row hash (32-bit md5 prefix), same shard modulus,

@@ -2410,6 +2410,78 @@ object CorpusAnalytics {
           .as("dup_5gram_frac"))
   }
 
+  /** Heaps'-law fit (Heaps 1978 / Herdan: V = K·N^β — vocabulary grows
+    * as a power of tokens seen; β ≈ 0.4–0.6 for natural language, near 1
+    * for id-like/unbounded-vocab junk and near 0 for template soup — the
+    * one-number companion to [[vocabularyGrowth]]'s curve and
+    * [[zipfSlope]]'s rank view): OLS of ln V on ln N over `buckets`
+    * cumulative sample points, taken in a DETERMINISTIC md5-random doc
+    * order (the canonical "vocabulary under random sampling" framing —
+    * and one map-side integer projection, no rank machinery). Returns
+    * (n_points, beta, ln_k).
+    *
+    * Shape: bucket = (md5-16-bit(id)·B) div 65536 is a map-side integer;
+    * per-bucket token totals and min-bucket first appearances are the
+    * familiar two hash aggs (map-side partials collapse the token
+    * stream); everything after folds in-row over the B-row spine —
+    * prefix sums, point construction, and the zipfSlope OLS arithmetic,
+    * all in bucket order. One full-width exchange (the unit agg).
+    */
+  def heapsFit(
+      docs: DataFrame,
+      buckets: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 3, "need at least 3 sample points to fit")
+    val u = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long")
+    val bucketed = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(((u * buckets) - pmod(u * buckets, lit(65536L)))
+        .divide(lit(65536L)).cast("int").as("bucket"),
+        col(textCol))
+    val toks = bucketed.select(col("bucket"), explode(tokens(col(textCol))).as("w"))
+    val perBucket = toks.groupBy(col("bucket")).agg(count(lit(1)).as("toks"))
+    val news = toks
+      .groupBy(col("w")).agg(min(col("bucket")).as("first_bucket"))
+      .groupBy(col("first_bucket").as("bucket"))
+      .agg(count(lit(1)).as("news"))
+    val spine = docs.sparkSession.range(0, buckets)
+      .select(col("id").cast("int").as("bucket"))
+    val one = spine
+      .join(perBucket, Seq("bucket"), "left")
+      .join(news, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("news"), lit(0L)).as("news"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("bucket"), col("toks"), col("news"))))
+        .as("h"))
+    def cum(field: String, i: Column): Column =
+      aggregate(slice(col("h"), lit(1), i), lit(0L),
+        (a, e) => a + e.getField(field))
+    val pts = filter(
+      transform(sequence(lit(1), lit(buckets)), i =>
+        struct(
+          when(cum("toks", i) > 0 && cum("news", i) > 0,
+            log(cum("toks", i).cast("double"))).as("x"),
+          when(cum("toks", i) > 0 && cum("news", i) > 0,
+            log(cum("news", i).cast("double"))).as("y"))),
+      p => p.getField("x").isNotNull)
+    def fsum(f: Column => Column): Column =
+      aggregate(pts, lit(0.0), (a, p) => a + f(p))
+    val n = size(pts).cast("double")
+    val sx = fsum(_.getField("x"))
+    val sy = fsum(_.getField("y"))
+    val sxy = fsum(p => p.getField("x") * p.getField("y"))
+    val sxx = fsum(p => p.getField("x") * p.getField("x"))
+    val beta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    one.select(
+      size(pts).cast("long").as("n_points"),
+      round(beta, 4).as("beta"),
+      round(sy / n - beta * (sx / n), 4).as("ln_k"))
+  }
+
   // ----------------------------------------------------------- winnowing
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —

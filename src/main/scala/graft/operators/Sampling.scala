@@ -182,6 +182,54 @@ object Sampling {
       .select(Seq(col("rnk"), col(idCol)) ++ keep.map(col): _*)
   }
 
+  /** Neyman-optimal stratified allocation (Neyman 1934 — the survey-
+    * sampling answer to "given a budget of n rows, how many from each
+    * stratum?": n_h ∝ N_h·σ_h, which minimizes the variance of the
+    * stratified mean; proportional allocation over-samples big uniform
+    * strata and starves small noisy ones). Input: a stratum column and a
+    * numeric value column (e.g. tokens per doc); output per stratum:
+    * size, σ (population), the allocation share, and the allocated
+    * count for `budget` rows.
+    *
+    * Exactness: per-stratum Σx and Σx² accumulate as exact integer
+    * masses (the value column is cast to long), σ = √((Σx²·N − (Σx)²))/N
+    * is one fixed chain, the Σ N_h·σ_h normalizer folds in SORTED
+    * stratum order (q150's discipline), and the allocated count uses the
+    * floor(x+0.5) arithmetic rounding. One hash agg + one bounded
+    * in-row fold pass.
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "positive budget")
+    val per = df
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("long")).as("s1"),
+        sum(col(valueCol).cast("long") * col(valueCol).cast("long")).as("s2"))
+      .select(col("stratum"), col("n"),
+        (sqrt((col("s2").cast("double") * col("n") -
+          col("s1").cast("double") * col("s1"))) / col("n")).as("sigma"))
+    val one = per
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("stratum"), col("n"), col("sigma"))))
+        .as("gs"))
+      .select(col("gs"),
+        aggregate(col("gs"), lit(0.0),
+          (a, g) => a + g.getField("n") * g.getField("sigma")).as("z"))
+    one
+      .select(explode(col("gs")).as("g"), col("z"))
+      .select(col("g.stratum").as("stratum"),
+        col("g.n").as("n"),
+        (floor(col("g.sigma") * 10000 + lit(0.5)) / 10000).as("sigma"),
+        (floor(col("g.n") * col("g.sigma") / col("z") * 10000 + lit(0.5)) / 10000)
+          .as("share"),
+        floor(lit(budget.toDouble) * (col("g.n") * col("g.sigma") / col("z"))
+          + lit(0.5)).cast("long").as("alloc_n"))
+  }
+
   /** Epoch replication plan — the UPSAMPLING half of mixture control that
     * [[graft.operators.CorpusAnalytics.temperatureResample]] deliberately
     * leaves to the loader: materialize per-doc replica counts for a

@@ -107,7 +107,9 @@ object Plans {
     "q195_export_manifest" -> "one hash aggregate: the md5 row hash evaluates map-side inside WholeStageCodegen and DECIMAL partials collapse before the shards-bounded exchange — the manifest costs a single scan",
     "q156_entropy" -> "the char side is entirely in-row (alphabet-bounded distinct set, the char array bound as a multi-referenced column); the word side explodes into a (doc, token) hash agg with map-side partials and one per-doc sorted fold — one 8-byte-keyed exchange",
     "q159_trigram_ce" -> "positional trigram/bigram generators are in-array transforms (no positions self-join anywhere); five vocabulary-bounded count tables hash-aggregate map-side over tagged-xxhash64 keys and join back as 8-byte equi-joins; the token total is a one-row broadcast",
-    "q194_lsh_plan" -> "no data is touched: the divisor-bounded literal frame evaluates the S-curve as codegen'd scalar arithmetic, and the best-split flag joins a one-row max scalar"
+    "q194_lsh_plan" -> "no data is touched: the divisor-bounded literal frame evaluates the S-curve as codegen'd scalar arithmetic, and the best-split flag joins a one-row max scalar",
+    "q196_neyman_allocation" -> "one hash aggregate carrying exact integer moment partials; the normalizer and allocations fold in-row over the strata-bounded array — the corpus is scanned once",
+    "q197_heaps_fit" -> "the bucket draw is a map-side integer projection (no rank machinery); per-bucket totals and first appearances are two map-side-collapsing hash aggs, and the OLS evaluates in-row over the 10-row spine"
   )
 
   def main(args: Array[String]): Unit = {
