@@ -1292,6 +1292,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q198_oov_rate" -> ((s, dir) => {
+      // per-doc OOV share against the corpus top-1000 vocab; floor-form
+      // rounding on the integer-mass ratio
+      operators.CorpusAnalytics.oovRate(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q197_heaps_fit" -> ((s, dir) => {
       // Heaps' law V = K*N^beta over 10 md5-random cumulative samples;
       // zipfSlope's OLS arithmetic in bucket order
@@ -3607,6 +3614,21 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q198_oov_rate" ->
+      // same top-1000 vocab (count DESC, token tie-break), same
+      // anti-membership counts, floor-form ratio
+      ("WITH tk AS (SELECT doc_id, unnest(list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS w " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "voc AS (SELECT w FROM (SELECT w, count(*) AS c FROM tk GROUP BY 1 " +
+        "ORDER BY c DESC, w LIMIT 1000)), " +
+        "agg AS (SELECT doc_id, count(*) AS n_tokens, " +
+        "CAST(sum(CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov " +
+        "FROM tk LEFT JOIN voc ON voc.w = tk.w GROUP BY 1) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_oov, " +
+        "floor(CAST(n_oov AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000 AS oov_rate " +
+        "FROM agg ORDER BY doc_id"),
 
     "q197_heaps_fit" ->
       // same md5 bucket draw, same prefix folds, same OLS chain

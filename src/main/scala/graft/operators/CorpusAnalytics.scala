@@ -2410,6 +2410,39 @@ object CorpusAnalytics {
           .as("dup_5gram_frac"))
   }
 
+  /** Out-of-vocabulary rate per document against the corpus top-`v`
+    * vocabulary — the tokenizer/vocab coverage signal (what share of a
+    * doc's tokens a fixed vocabulary cannot represent; the number a
+    * vocab-size decision is judged by, and a per-doc junk flag: id dumps
+    * and mojibake sit near 1.0). Returns (id, n_tokens, n_oov, oov_rate).
+    *
+    * Shape: the top-v vocab is a bounded TakeOrderedAndProject broadcast;
+    * scoring is one explode → anti-membership count per doc (map-side
+    * partials over doc-keyed rows). The rate is an integer-mass ratio
+    * rounded with the floor-form (decimal-boundary safe).
+    */
+  def oovRate(
+      docs: DataFrame,
+      v: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(v)
+      .select(col("w"), lit(1).as("_in"))
+    toks
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (floor(col("n_oov").cast("double") / col("n_tokens") * 10000 + lit(0.5))
+          / 10000).as("oov_rate"))
+  }
+
   /** Heaps'-law fit (Heaps 1978 / Herdan: V = K·N^β — vocabulary grows
     * as a power of tokens seen; β ≈ 0.4–0.6 for natural language, near 1
     * for id-like/unbounded-vocab junk and near 0 for template soup — the

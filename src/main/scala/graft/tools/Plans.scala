@@ -109,7 +109,8 @@ object Plans {
     "q159_trigram_ce" -> "positional trigram/bigram generators are in-array transforms (no positions self-join anywhere); five vocabulary-bounded count tables hash-aggregate map-side over tagged-xxhash64 keys and join back as 8-byte equi-joins; the token total is a one-row broadcast",
     "q194_lsh_plan" -> "no data is touched: the divisor-bounded literal frame evaluates the S-curve as codegen'd scalar arithmetic, and the best-split flag joins a one-row max scalar",
     "q196_neyman_allocation" -> "one hash aggregate carrying exact integer moment partials; the normalizer and allocations fold in-row over the strata-bounded array — the corpus is scanned once",
-    "q197_heaps_fit" -> "the bucket draw is a map-side integer projection (no rank machinery); per-bucket totals and first appearances are two map-side-collapsing hash aggs, and the OLS evaluates in-row over the 10-row spine"
+    "q197_heaps_fit" -> "the bucket draw is a map-side integer projection (no rank machinery); per-bucket totals and first appearances are two map-side-collapsing hash aggs, and the OLS evaluates in-row over the 10-row spine",
+    "q198_oov_rate" -> "the top-v vocab is a bounded TakeOrderedAndProject that joins back as a BroadcastHashJoin; the per-doc anti-membership count partial-aggregates map-side — one full-width token exchange total"
   )
 
   def main(args: Array[String]): Unit = {

@@ -52,4 +52,17 @@ class HeapsNeymanSpec extends SparkSpec {
     assert(out("big")._2 == 300L && out("small")._2 == 100L)
     assert(out.values.map(_._2).sum == 400L)
   }
+
+  test("OOV rate: in-vocab docs score 0, alien docs score 1") {
+    import graft.operators.CorpusAnalytics
+    val docs = ((0L until 50L).map(i => (i, "common words here again")) ++
+      Seq((100L, "zzqx1 zzqx2 zzqx3"), (101L, "common zzqx9")))
+      .toDF("doc_id", "text")
+    val out = CorpusAnalytics.oovRate(docs, v = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0L) == ((4L, 0L, 0.0)))
+    assert(out(100L) == ((3L, 3L, 1.0)))
+    assert(out(101L) == ((2L, 1L, 0.5)))
+  }
 }
