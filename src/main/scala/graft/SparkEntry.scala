@@ -1292,6 +1292,52 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q200_dataset_card" -> ((s, dir) => {
+      // the one-row dataset card a curation run publishes: size, token
+      // mass, exact-dup rate, quality pass rate, eval-contamination rate,
+      // mean length — every number a replayable composition of the
+      // engine's own signals, floor-form rounded
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text"))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(tok.cast("long")).as("n_tokens"),
+        countDistinct(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+          .as("_fps"),
+        sum(when(tok >= 50, 1L).otherwise(0L)).as("_npass"))
+      val contam = operators.CorpusAnalytics.evalContamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+        .agg(sum(col("n_grams")).as("_g"), sum(col("n_hit")).as("_h"))
+      def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + lit(0.5)) / 10000
+      base.crossJoin(broadcast(contam)).select(
+        col("n_docs"), col("n_tokens"),
+        r4(lit(1.0) - col("_fps").cast("double") / col("n_docs"))
+          .as("exact_dup_rate"),
+        r4(col("_npass").cast("double") / col("n_docs")).as("quality_pass_rate"),
+        r4(col("_h").cast("double") / col("_g")).as("eval_contamination_rate"),
+        r4(col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
+    }),
+
+    "q199_dedup_yield" -> ((s, dir) => {
+      // dedup planning curve: exact-Jaccard pair counts per 0.05 band at
+      // j >= 0.5 with suffix-cumulative "pairs removable at threshold t";
+      // bands come from floor(j*20) — exact arithmetic, no rounding
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, dir, "documents"),
+        n = 3, threshold = 0.5, bands = 32, numHashes = 32)
+      val banded = pairs
+        .select((floor(col("jaccard") * 20) / 20).as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+      banded.groupBy()
+        .agg(sort_array(collect_list(struct(col("band"), col("n_pairs")))).as("h"))
+        .select(posexplode(col("h")).as(Seq("_i", "e")), col("h"))
+        .select(col("e.band").as("band"), col("e.n_pairs").as("n_pairs"),
+          aggregate(
+            slice(col("h"), col("_i") + 1, size(col("h")) - col("_i")),
+            lit(0L), (a, x) => a + x.getField("n_pairs")).as("n_cum"))
+        .orderBy(col("band"))
+    }),
+
     "q198_oov_rate" -> ((s, dir) => {
       // per-doc OOV share against the corpus top-1000 vocab; floor-form
       // rounding on the integer-mass ratio
@@ -3614,6 +3660,55 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q200_dataset_card" ->
+      // q15's fingerprint, q109's token count, q191's pass predicate,
+      // q173's contamination chain — all re-derived in one statement
+      ("WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL), " +
+        "base AS (SELECT count(*) AS n_docs, " +
+        "sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)) AS n_tokens, " +
+        "count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS fps, " +
+        "CAST(sum(CASE WHEN CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) >= 50 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS npass FROM d), " +
+        "shx AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM d WHERE trim(text) <> ''), " +
+        "ev AS (SELECT doc_id, unnest(sh) AS g FROM shx WHERE doc_id % 50 = 0), " +
+        "tg AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM shx WHERE doc_id % 50 <> 0)), " +
+        "con AS (SELECT count(*) AS gt, " +
+        "CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ht " +
+        "FROM ev LEFT JOIN tg ON ev.g = tg.g) " +
+        "SELECT CAST(n_docs AS BIGINT) AS n_docs, n_tokens, " +
+        "floor((1.0 - CAST(fps AS DOUBLE) / n_docs) * 10000 + 0.5) / 10000 AS exact_dup_rate, " +
+        "floor(CAST(npass AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS quality_pass_rate, " +
+        "floor(CAST(ht AS DOUBLE) / gt * 10000 + 0.5) / 10000 AS eval_contamination_rate, " +
+        "floor(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS mean_tokens " +
+        "FROM base, con"),
+
+    "q199_dedup_yield" ->
+      // q22's brute-force exact-Jaccard ground truth at threshold 0.5,
+      // same floor(j*20)/20 banding and suffix-cumulative fold
+      ("WITH sh AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "pr AS (SELECT floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.sh, b.sh)))) * 20) / 20 AS band " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5), " +
+        "bd AS (SELECT band, count(*) AS n_pairs FROM pr GROUP BY 1), " +
+        "o AS (SELECT list(struct_pack(band := band, n_pairs := n_pairs) ORDER BY band, n_pairs) AS h FROM bd), " +
+        "x AS (SELECT unnest(h) AS e, generate_subscripts(h, 1) AS i, h FROM o) " +
+        "SELECT (e).band AS band, CAST((e).n_pairs AS BIGINT) AS n_pairs, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_slice(h, i, len(h)), p -> (p).n_pairs)), (u, w) -> u + w) AS BIGINT) AS n_cum " +
+        "FROM x ORDER BY band"),
 
     "q198_oov_rate" ->
       // same top-1000 vocab (count DESC, token tie-break), same

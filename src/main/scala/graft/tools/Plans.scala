@@ -110,7 +110,9 @@ object Plans {
     "q194_lsh_plan" -> "no data is touched: the divisor-bounded literal frame evaluates the S-curve as codegen'd scalar arithmetic, and the best-split flag joins a one-row max scalar",
     "q196_neyman_allocation" -> "one hash aggregate carrying exact integer moment partials; the normalizer and allocations fold in-row over the strata-bounded array — the corpus is scanned once",
     "q197_heaps_fit" -> "the bucket draw is a map-side integer projection (no rank machinery); per-bucket totals and first appearances are two map-side-collapsing hash aggs, and the OLS evaluates in-row over the 10-row spine",
-    "q198_oov_rate" -> "the top-v vocab is a bounded TakeOrderedAndProject that joins back as a BroadcastHashJoin; the per-doc anti-membership count partial-aggregates map-side — one full-width token exchange total"
+    "q198_oov_rate" -> "the top-v vocab is a bounded TakeOrderedAndProject that joins back as a BroadcastHashJoin; the per-doc anti-membership count partial-aggregates map-side — one full-width token exchange total",
+    "q199_dedup_yield" -> "the pair stream is q22's LSH-candidate + sorted-merge exact verify (never all-pairs); banding is a map-side floor projection and the curve's suffix sums fold in-row over the <= 10-band frame",
+    "q200_dataset_card" -> "two single-row aggregates (the doc-level masses with a shared Expand for the exact fingerprint distinct; the contamination totals whose train gram stream semi-filters against the broadcast eval universe) meet in a one-row broadcast cross"
   )
 
   def main(args: Array[String]): Unit = {

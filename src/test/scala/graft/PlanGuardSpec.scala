@@ -79,6 +79,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(total)): the single-row session-count scalar beside the path frequency table",
     "q194_lsh_plan" ->
       "crossJoin(broadcast(best)): the single-row max-score scalar beside the divisor-bounded literal frame — no data is touched at all",
+    "q200_dataset_card" ->
+      "crossJoin(broadcast(contamination totals)): two single-row aggregates meeting in the one-row card",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->

@@ -14,7 +14,7 @@ import duckdb
 
 HEAVY = {"q22_ngram_jaccard", "q57_split_leakage", "q73_neardup_clusters",
          "q84_lsh_contract", "q86_ann_recall", "q87_embed_pairs_exact",
-         "q98_survivorship", "q101_semdedup_contract"}
+         "q98_survivorship", "q101_semdedup_contract", "q199_dedup_yield"}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
