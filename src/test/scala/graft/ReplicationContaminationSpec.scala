@@ -39,6 +39,22 @@ class ReplicationContaminationSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("replication is unbiased across the weight range (property sweep)") {
+    // E[n] = w must hold for ANY fractional weight, not just 0.5: sweep
+    // the grid and bound every realized mean within a 5-sigma band
+    Seq(0.1, 0.25, 0.37, 0.62, 0.85, 1.5, 2.9).foreach { w =>
+      val n = 2000
+      val s = Sampling.replicationPlan(
+        (0L until n.toLong).map(i => (i, w)).toDF("doc_id", "weight"), "weight")
+        .agg(org.apache.spark.sql.functions.sum("n_replicas")).head().getLong(0)
+      val frac = w - math.floor(w)
+      val sd = math.sqrt(n * frac * (1 - frac))
+      val expect = n * w
+      assert(math.abs(s - expect) <= 5 * sd + 1e-9,
+        s"w=$w: sum $s vs E=$expect (sd $sd)")
+    }
+  }
+
   test("hand-computed contamination fractions") {
     val train = Seq((100L, "a b c q")).toDF("doc_id", "text")
     val eval_ = Seq(
