@@ -84,7 +84,15 @@ object Bench {
     // median of 3 full runs with the spread alongside
     val ingestRates = Seq.fill(3)(ingestBench(spark)).sorted
     val ingestRate = ingestRates(ingestRates.length / 2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"passes":$Passes,"ingest_recs_per_sec":$ingestRate,"ingest_recs_per_sec_min":${ingestRates.head},"ingest_recs_per_sec_max":${ingestRates.last},"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"passes":$Passes,"ingest_recs_per_sec":$ingestRate,"ingest_recs_per_sec_min":${ingestRates.head},"ingest_recs_per_sec_max":${ingestRates.last},"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line gets truncated by log-tail captures (BENCH_r08/r09
+    // both landed with "parsed": null) — ALSO write the full object to a
+    // standalone file any harness can read whole
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_results.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH: could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 
@@ -97,7 +105,12 @@ object Bench {
     * Returns rec/s, or -1 on any loss/timeout (a lossy pipe must not
     * masquerade as a fast one).
     */
-  private def ingestBench(spark: SparkSession, n: Int = 65536): Double = {
+  /** Per-batch progress lines of the most recent [[ingestBench]] run
+    * (diagnostic: batch count, input rows, addBatch/commit durations).
+    */
+  @volatile private[graft] var lastIngestProgress: Option[Seq[String]] = None
+
+  private[graft] def ingestBench(spark: SparkSession, n: Int = 65536): Double = {
     import java.nio.file.Files
     import java.util.UUID
     import graft.store.LogStore
@@ -147,6 +160,14 @@ object Bench {
           c = landed()
         }
         val secs = (System.nanoTime() - t0) / 1e9
+        lastIngestProgress = Some(q.recentProgress.toSeq.map { pr =>
+          val d = pr.durationMs
+          s"batch=${pr.batchId} rows=${pr.numInputRows} " +
+            s"addBatch=${d.getOrDefault("addBatch", -1L)}ms " +
+            s"getBatch=${d.getOrDefault("getBatch", -1L)}ms " +
+            s"commit=${d.getOrDefault("commitOffsets", -1L)}ms " +
+            s"trigger=${d.getOrDefault("triggerExecution", -1L)}ms"
+        })
         if (c < total) -1.0 else total / secs
       } finally q.stop()
     } catch {

@@ -81,8 +81,10 @@ object Schemas {
   *
   * Defaults mirror the reference's knobs (reference: venus/settings.py:26-41):
   * `dropFields` = DROP_FIELDS default ignore-list, `maxBatchAgeSeconds` =
-  * MAX_BATCH_AGE_SECONDS (micro-batch trigger interval),
-  * `maxBatchSize` = MAX_BATCH_SIZE (per-trigger rate cap).
+  * MAX_BATCH_AGE_SECONDS and `maxBatchSize` = MAX_BATCH_SIZE — the two
+  * halves of the micro-batcher's flush-by-size-or-age condition, enforced
+  * at the source (PushSocketSource `flushSize`/`flushAgeMs` defaults
+  * mirror these).
   */
 final case class IngestConfig(
     dropFields: Seq[String] = IngestConfig.DefaultDropFields,

@@ -16,6 +16,85 @@ final class LogStore(root: String) {
 
   private def path(table: String) = s"$root/$table"
 
+  // ---- union-schema sidecar -------------------------------------------
+  // The "table-format catalog" a 100 TB deployment would use, in miniature:
+  // every append folds its dataframe's schema into `_union_schema.json`
+  // under the table dir (underscore-prefixed = invisible to partition
+  // discovery), so [[read]] can SUPPLY the union schema instead of
+  // re-deriving it from every parquet footer (mergeSchema) on every read —
+  // at one footer per file that cost grows with epoch count and was paid
+  // per poll by anything monitoring the table (r9's ingest-throughput
+  // regression). Writers race benignly: a lost sidecar update merely
+  // delays a promoted column's visibility until the next epoch's append.
+
+  private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sidecarPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"${path(table)}/_union_schema.json")
+
+  private def recordedSchema(
+      spark: SparkSession,
+      table: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = sidecarPath(table)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } catch { case _: Throwable => None } finally in.close()
+    }
+  }
+
+  /** Fold `schema` into the recorded union: existing fields keep their
+    * recorded type and position, new fields append as nullable — exactly
+    * mergeSchema's union for the ADD COLUMN evolution this store supports.
+    * Written atomically (tmp + rename) so readers never see a torn file.
+    */
+  private def updateUnionSchema(
+      spark: SparkSession,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val existing = recordedSchema(spark, table)
+    val merged = existing match {
+      case None => schema
+      case Some(old) =>
+        val known = old.fieldNames.toSet
+        StructType(old.fields ++ schema.fields.filterNot(f => known(f.name))
+          .map(_.copy(nullable = true)))
+    }
+    if (existing.contains(merged)) return
+    val p = sidecarPath(table)
+    val fs = fsFor(spark, p)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s"._union_schema.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(merged.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+  }
+
+  /** The schema [[read]] will observe for `df` written with partition
+    * columns moved to directories: data fields first (write order), the
+    * partition fields re-appended at the end, mirroring Spark's
+    * data-then-partition column layout on discovery.
+    */
+  private def observedSchema(
+      df: DataFrame,
+      partCols: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val parts = partCols.filter(df.columns.contains)
+    StructType(
+      df.schema.fields.filterNot(f => parts.contains(f.name)) ++
+        parts.map(df.schema(_)))
+  }
+
   /** Append-mode partitioned write (reference insert path:
     * venus/db/write.py:78-79 `executemany INSERT`).
     *
@@ -31,6 +110,7 @@ final class LogStore(root: String) {
     val partitioned =
       if (df.columns.contains("date")) writer.partitionBy("date") else writer
     partitioned.parquet(path(table))
+    updateUnionSchema(df.sparkSession, table, observedSchema(df, Seq("date")))
   }
 
   /** Shredded append: promote selected top-level JSON payload fields into
@@ -75,27 +155,36 @@ final class LogStore(root: String) {
     import org.apache.spark.sql.functions.lit
     val parts =
       if (df.columns.contains("date")) Seq("date", "batch_id") else Seq("batch_id")
-    df.withColumn("batch_id", lit(s"$writerId-$batchId"))
+    val withBatch = df.withColumn("batch_id", lit(s"$writerId-$batchId"))
+    withBatch
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("parquet.bloom.filter.enabled#correlation_id", "true")
       .partitionBy(parts: _*)
       .parquet(path(table))
+    updateUnionSchema(df.sparkSession, table,
+      observedSchema(withBatch, Seq("date", "batch_id")))
   }
 
-  /** Full-history read with SCHEMA MERGE across epochs — the alembic-
+  /** Full-history read with SCHEMA UNION across epochs — the alembic-
     * migration analog (reference versions its DDL:
     * alembic/versions/37716151a213_initialise_database.py): a payload
     * field promoted to a real column mid-corpus ([[appendShredded]])
-    * means old epochs lack the column; merging unions the schemas and
-    * old rows read NULL there, exactly like a nullable ADD COLUMN.
-    * mergeSchema costs one footer read per file at planning — fine at
-    * this store's file counts; a 100 TB deployment tracks the union
-    * schema in a table-format catalog instead of re-deriving it.
+    * means old epochs lack the column; the union schema makes old rows
+    * read NULL there, exactly like a nullable ADD COLUMN.
+    *
+    * The union comes from the `_union_schema.json` sidecar each append
+    * maintains — one tiny file read at planning, independent of epoch
+    * count. Pre-sidecar stores (no sidecar file) fall back to a
+    * mergeSchema footer scan, which re-derives the same union at one
+    * footer read per file.
     */
   def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path(table))
+    recordedSchema(spark, table) match {
+      case Some(schema) => spark.read.schema(schema).parquet(path(table))
+      case None => spark.read.option("mergeSchema", "true").parquet(path(table))
+    }
 
   /** Per-date file census: (date, n_files, bytes). The observability feed
     * for compaction policy — a date whose file count grows while its bytes

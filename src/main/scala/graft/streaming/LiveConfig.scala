@@ -14,10 +14,11 @@ import java.util.Properties
   * on the NEXT batch — the same effective latency as the reference's poll
   * interval, with no shared mutable settings object. What hot-applies per
   * batch: `dropFields` (the DROP_FIELDS ignore-list, settings.py:26-37).
-  * What is fixed at query start: the trigger interval and per-trigger rate
-  * caps (`maxBatchAgeSeconds`, `maxBatchSize`) — Spark pins the trigger
-  * when the query starts, so those follow the stop/restart contract
-  * (checkpointed restart is lossless, see StreamIngestSpec).
+  * What is fixed at query start: the source's flush gate
+  * (`maxBatchAgeSeconds`, `maxBatchSize` → PushSocketSource
+  * `flushAgeMs`/`flushSize`) — source options are pinned when the query
+  * starts, so those follow the stop/restart contract (checkpointed restart
+  * is lossless, see StreamIngestSpec).
   */
 trait ConfigSource extends Serializable {
   /** The freshest config; called once per micro-batch on the driver. */

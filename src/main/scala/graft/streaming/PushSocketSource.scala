@@ -111,7 +111,9 @@ final class PushSocketTable(options: CaseInsensitiveStringMap) extends Table wit
         new PushSocketMicroBatchStream(
           options.getInt("port", 0),
           options.get("name"),
-          options.getInt("maxQueue", 10000))
+          options.getInt("maxQueue", 10000),
+          options.getInt("flushSize", 100),
+          options.getLong("flushAgeMs", 5000L))
     }
 }
 
@@ -123,7 +125,21 @@ final case class CountOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-final class PushSocketMicroBatchStream(requestedPort: Int, name: String, maxQueue: Int)
+/** @param flushSize  expose pending frames to the engine as soon as this
+  *                    many are buffered — the MAX_BATCH_SIZE flush half
+  *                    (reference: venus/db/write.py:58-59); under load,
+  *                    micro-batches fire back-to-back on size, not on a
+  *                    wall-clock cadence
+  * @param flushAgeMs  ... and no later than this after the oldest pending
+  *                    frame arrived — the MAX_BATCH_AGE_SECONDS half
+  *                    (write.py:24-28); bounds trickle latency
+  */
+final class PushSocketMicroBatchStream(
+    requestedPort: Int,
+    name: String,
+    maxQueue: Int,
+    flushSize: Int,
+    flushAgeMs: Long)
     extends MicroBatchStream {
 
   private val server = new ServerSocket(requestedPort)
@@ -132,9 +148,13 @@ final class PushSocketMicroBatchStream(requestedPort: Int, name: String, maxQueu
   @volatile private var stopped = false
   private val lock = new Object
   // rows [baseOffset, baseOffset + buffer.size) are retained; committed
-  // prefixes are trimmed
+  // prefixes are trimmed. `times` parallels `buffer` with admit timestamps
+  // (for the age half of the flush gate); `exposed` is the highest offset
+  // latestOffset has released to the engine.
   private var buffer = ListBuffer.empty[UTF8String]
+  private var times = ListBuffer.empty[Long]
   private var baseOffset = 0L
+  private var exposed = 0L
 
   private val acceptor = new Thread(s"push-socket-acceptor-$name") {
     override def run(): Unit =
@@ -184,13 +204,32 @@ final class PushSocketMicroBatchStream(requestedPort: Int, name: String, maxQueu
 
   private def admit(frame: String): Unit = lock.synchronized {
     if (buffer.size >= maxQueue) PushSocketSource.countDrop(name)
-    else buffer += UTF8String.fromString(frame)
+    else {
+      buffer += UTF8String.fromString(frame)
+      times += System.currentTimeMillis()
+    }
   }
 
   override def initialOffset(): Offset = CountOffset(0L)
   override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
-  override def latestOffset(): Offset =
-    lock.synchronized(CountOffset(baseOffset + buffer.size))
+
+  /** Size-or-age flush gate: pending frames become visible to the engine
+    * when at least `flushSize` are buffered OR the oldest pending frame is
+    * `flushAgeMs` old — the reference micro-batcher's exact dual condition
+    * (write.py:24-28,58-59). Paired with an as-available trigger, batches
+    * fire immediately at size under load and within the age bound under
+    * trickle, instead of on a fixed wall-clock cadence.
+    */
+  override def latestOffset(): Offset = lock.synchronized {
+    val total = baseOffset + buffer.size
+    val pending = total - exposed
+    if (pending > 0) {
+      val oldest = times((exposed - baseOffset).toInt)
+      if (pending >= flushSize || System.currentTimeMillis() - oldest >= flushAgeMs)
+        exposed = total
+    }
+    CountOffset(exposed)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[CountOffset].n, end.asInstanceOf[CountOffset].n)
@@ -218,7 +257,9 @@ final class PushSocketMicroBatchStream(requestedPort: Int, name: String, maxQueu
     val trim = (n - baseOffset).toInt
     if (trim > 0) {
       buffer = buffer.drop(trim)
+      times = times.drop(trim)
       baseOffset = n
+      if (exposed < n) exposed = n
     }
   }
 

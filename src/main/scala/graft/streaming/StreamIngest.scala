@@ -12,8 +12,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Semantics mapping:
   *  - micro-batcher flush-by-size-or-age (reference: write.py:24-28,58-59)
-  *    -> `Trigger.ProcessingTime(maxBatchAgeSeconds)`; per-trigger size caps
-  *    are source options (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`).
+  *    -> the SOURCE's size-or-age flush gate (PushSocketSource
+  *    `flushSize`/`flushAgeMs`) feeding an as-available trigger, so under
+  *    load batches fire on size back-to-back; per-trigger size caps for
+  *    other sources are source options (`maxFilesPerTrigger` /
+  *    `maxOffsetsPerTrigger`).
   *  - at-least-once retained-batch retry (reference: write.py:80-84)
   *    -> checkpointed + IDEMPOTENT epoch writes: each batch lands in its own
   *    `batch_id=<epoch>` partitions via dynamic partition overwrite
@@ -98,10 +101,19 @@ object StreamIngest {
       availableNow: Boolean = false): StreamingQuery = {
     // AvailableNow = the catch-up/backfill mode: drain everything currently
     // in the source in rate-capped batches, then stop — same checkpoint, so
-    // a nightly catch-up run and the live stream share one epoch lineage
+    // a nightly catch-up run and the live stream share one epoch lineage.
+    // Live mode triggers AS DATA BECOMES AVAILABLE (interval 0): the
+    // size-or-age micro-batcher lives in the SOURCE (PushSocketSource's
+    // flushSize/flushAgeMs gate, the reference's write.py:24-28,58-59 dual
+    // condition), so under load batches fire back-to-back on size instead
+    // of idling out a wall-clock cadence — a fixed ProcessingTime(age)
+    // trigger implements only the age half and caps throughput at
+    // burst/age. Sources without their own gate (files, MemoryStream)
+    // batch by their per-trigger rate caps (maxFilesPerTrigger etc.) and
+    // still satisfy the age bound trivially (flush latency ~ poll delay).
     val trigger =
       if (availableNow) Trigger.AvailableNow()
-      else Trigger.ProcessingTime(s"${configSource.current().maxBatchAgeSeconds} seconds")
+      else Trigger.ProcessingTime(0L)
     raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
