@@ -1309,7 +1309,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
         .agg(sum(col("n_grams")).as("_g"), sum(col("n_hit")).as("_h"))
-      def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + lit(0.5)) / 10000
+      // DECIMAL(20,4) on both engines so the gate compares exact decimals,
+      // never double repr (the floor-form values are exact at 4 places)
+      def r4(c: org.apache.spark.sql.Column) =
+        (floor(c * 10000 + lit(0.5)) / 10000).cast("decimal(20,4)")
       base.crossJoin(broadcast(contam)).select(
         col("n_docs"), col("n_tokens"),
         r4(lit(1.0) - col("_fps").cast("double") / col("n_docs"))
@@ -1317,6 +1320,38 @@ object SparkEntry {
         r4(col("_npass").cast("double") / col("n_docs")).as("quality_pass_rate"),
         r4(col("_h").cast("double") / col("_g")).as("eval_contamination_rate"),
         r4(col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
+    }),
+
+    "q201_hybrid_rrf" -> ((s, dir) => {
+      // hybrid search: BM25 top-20 for the fixed term query fused with the
+      // dense cosine top-20 around vec 0 by reciprocal-rank fusion — both
+      // input lists are k-bounded, so the fusion is a tiny outer join
+      val sparse = operators.Ranking.bm25Rank(Tables(s, dir, "documents"),
+        Seq("merge", "batch", "window", "stream"), topN = 20)
+      val emb = Tables(s, dir, "embeddings")
+      val dense = operators.Similarity.topKPerQuery(
+        emb, emb.filter(col("vec_id") === 0)
+          .withColumnRenamed("vec_id", "query_id"), k = 20)
+        .withColumnRenamed("vec_id", "doc_id")
+      operators.Ranking.rrfFuse(sparse, dense, topN = 10)
+        .orderBy(col("rnk"))
+    }),
+
+    "q202_token_burstiness" -> ((s, dir) => {
+      // Church-Gale Fano factors for the 20 highest-df tokens: function
+      // words sit near Poisson (~1), topical terms burst well above —
+      // integer moment sums, one (doc, token) shuffle
+      operators.CorpusAnalytics.tokenBurstiness(
+        Tables(s, dir, "documents"), topM = 20)
+        .orderBy(col("rnk"))
+    }),
+
+    "q203_embedding_isotropy" -> ((s, dir) => {
+      // embedding-space health before trusting any cosine threshold:
+      // centroid distance from origin vs mean norm (anisotropy), mean
+      // cosine to the centroid — fixed-point integer sums for cross-row
+      // determinism, dim-bounded shuffles only
+      operators.Similarity.isotropyAudit(Tables(s, dir, "embeddings"))
     }),
 
     "q199_dedup_yield" -> ((s, dir) => {
@@ -3661,6 +3696,88 @@ object SparkEntry {
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
 
+    "q201_hybrid_rrf" ->
+      // q129's BM25 CTE and q93's cosine kernel verbatim, then the RRF
+      // arithmetic: 1/(60+rank) sums over integer ranks, floor-form round
+      ("WITH perdoc AS (SELECT doc_id, len(ts) AS len, " +
+        "len(list_filter(ts, x -> x = 'merge')) AS tf0, " +
+        "len(list_filter(ts, x -> x = 'batch')) AS tf1, " +
+        "len(list_filter(ts, x -> x = 'window')) AS tf2, " +
+        "len(list_filter(ts, x -> x = 'stream')) AS tf3 " +
+        "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
+        "FROM documents WHERE trim(text) <> '')), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(len) AS DOUBLE) / count(*) AS avglen, " +
+        "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, " +
+        "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, " +
+        "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2, " +
+        "CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3 FROM perdoc), " +
+        "scored AS (SELECT doc_id, " +
+        "(ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / s.avglen))) + " +
+        "(ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / s.avglen))) + " +
+        "(ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / s.avglen))) + " +
+        "(ln(1 + (s.n - s.df3 + 0.5) / (s.df3 + 0.5)) * (CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / s.avglen))) AS score " +
+        "FROM perdoc CROSS JOIN s), " +
+        "bm AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk, doc_id " +
+        "FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20), " +
+        "e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings), " +
+        "qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0), " +
+        "ds AS (SELECT e.vec_id, CASE WHEN e.nrm * qn = 0 THEN 0.0 " +
+        "ELSE list_sum(list_transform(list_zip(e.embedding, qe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * qn) END AS cos " +
+        "FROM e, qv WHERE e.vec_id <> 0), " +
+        "dn AS (SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk, vec_id AS doc_id " +
+        "FROM ds ORDER BY cos DESC, vec_id LIMIT 20), " +
+        "f AS (SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id, " +
+        "COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + bm.rnk AS DOUBLE), 0.0) + " +
+        "COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + dn.rnk AS DOUBLE), 0.0) AS fs, " +
+        "bm.rnk IS NOT NULL AS in_sparse, dn.rnk IS NOT NULL AS in_dense " +
+        "FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id), " +
+        "t AS (SELECT * FROM f ORDER BY fs DESC, doc_id LIMIT 10) " +
+        "SELECT CAST(row_number() OVER (ORDER BY fs DESC, doc_id) AS BIGINT) AS rnk, " +
+        "doc_id, floor(fs * 10000 + 0.5) / 10000 AS rrf, in_sparse, in_dense " +
+        "FROM t ORDER BY rnk"),
+
+    "q202_token_burstiness" ->
+      // same tokenizer as q129's oracle; df/Σc/Σc² integer moments, every
+      // double division once at the end, floor-form display
+      ("WITH base AS (SELECT doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "tf AS (SELECT doc_id, token, count(*) AS c FROM (" +
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token " +
+        "FROM base) GROUP BY doc_id, token), " +
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base), " +
+        "m AS (SELECT token, count(*) AS df, sum(c) AS s1, sum(c * c) AS s2 " +
+        "FROM tf GROUP BY token), " +
+        "top AS (SELECT token, df, s1, s2 FROM m ORDER BY df DESC, token LIMIT 20) " +
+        "SELECT CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT) AS rnk, " +
+        "token, CAST(df AS BIGINT) AS df, CAST(s1 AS BIGINT) AS n_total, " +
+        "floor(((CAST(s2 AS DOUBLE) / n.n - (CAST(s1 AS DOUBLE) / n.n) * (CAST(s1 AS DOUBLE) / n.n)) / (CAST(s1 AS DOUBLE) / n.n)) * 10000 + 0.5) / 10000 AS fano " +
+        "FROM top, n ORDER BY rnk"),
+
+    "q203_embedding_isotropy" ->
+      // same 2^20 fixed-point quantization for every cross-row sum, same
+      // in-order list folds for the per-row norms/dot as q23's kernel
+      ("WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL), " +
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(max(len(embedding)) AS BIGINT) AS dim, " +
+        "sum(CAST(floor(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1048576.0) AS BIGINT)) AS qn FROM v), " +
+        "px AS (SELECT unnest(range(len(embedding))) AS p, unnest(embedding) AS x FROM v), " +
+        "ps AS (SELECT p, sum(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS s FROM px GROUP BY p), " +
+        "cs AS (SELECT list(s ORDER BY p) AS cs FROM ps), " +
+        "cent AS (SELECT list_transform(cs.cs, s -> CAST(s AS DOUBLE) / CAST(nb.n AS DOUBLE) / 1048576.0) AS c, " +
+        "nb.n AS n, nb.dim AS dim, nb.qn AS qn FROM cs, nb), " +
+        "qc AS (SELECT sum(CAST(floor((CASE WHEN nrm * cn = 0 THEN 0.0 ELSE dp / (nrm * cn) END) * 1048576.0) AS BIGINT)) AS qc FROM (" +
+        "SELECT sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm, " +
+        "sqrt(list_sum(list_transform(c.c, y -> y * y))) AS cn, " +
+        "list_sum(list_transform(list_zip(v.embedding, c.c), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dp " +
+        "FROM v, cent c)) " +
+        "SELECT cent.n AS n, cent.dim AS dim, " +
+        "floor((CAST(cent.qn AS DOUBLE) / CAST(cent.n AS DOUBLE) / 1048576.0) * 10000 + 0.5) / 10000 AS mean_norm, " +
+        "round(sqrt(list_sum(list_transform(cent.c, y -> y * y))), 4) AS centroid_norm, " +
+        "floor((CAST(qc.qc AS DOUBLE) / CAST(cent.n AS DOUBLE) / 1048576.0) * 10000 + 0.5) / 10000 AS mean_cos_centroid, " +
+        "round(sqrt(list_sum(list_transform(cent.c, y -> y * y))) / (CAST(cent.qn AS DOUBLE) / CAST(cent.n AS DOUBLE) / 1048576.0), 4) AS anisotropy " +
+        "FROM cent, qc"),
+
     "q200_dataset_card" ->
       // q15's fingerprint, q109's token count, q191's pass predicate,
       // q173's contamination chain — all re-derived in one statement
@@ -3683,10 +3800,10 @@ object SparkEntry {
         "CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ht " +
         "FROM ev LEFT JOIN tg ON ev.g = tg.g) " +
         "SELECT CAST(n_docs AS BIGINT) AS n_docs, n_tokens, " +
-        "floor((1.0 - CAST(fps AS DOUBLE) / n_docs) * 10000 + 0.5) / 10000 AS exact_dup_rate, " +
-        "floor(CAST(npass AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS quality_pass_rate, " +
-        "floor(CAST(ht AS DOUBLE) / gt * 10000 + 0.5) / 10000 AS eval_contamination_rate, " +
-        "floor(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS mean_tokens " +
+        "CAST(floor((1.0 - CAST(fps AS DOUBLE) / n_docs) * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS exact_dup_rate, " +
+        "CAST(floor(CAST(npass AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS quality_pass_rate, " +
+        "CAST(floor(CAST(ht AS DOUBLE) / gt * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS eval_contamination_rate, " +
+        "CAST(floor(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS mean_tokens " +
         "FROM base, con"),
 
     "q199_dedup_yield" ->

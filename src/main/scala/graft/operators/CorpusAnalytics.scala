@@ -543,6 +543,50 @@ object CorpusAnalytics {
           .as("dup_fraction"))
   }
 
+  /** Token burstiness (Church & Gale 1995): for the `topM` highest-df
+    * tokens, the Fano factor var/mean of the token's per-document count
+    * over ALL documents (zero-count docs included) — topical "bursty"
+    * terms score >> 1 while function words sit near Poisson (~1). The
+    * classic content-vs-function-word audit for stopword-list induction
+    * and quality-filter tuning.
+    *
+    * Shape: one (doc, token) tf aggregate (the [[Ranking]] tokenizer), one
+    * per-token moment aggregate over it — df, Σc, Σc² are exact integer
+    * sums (order-free), N is a one-row broadcast scalar, and every double
+    * division happens once at the end, so the oracle replays bit-for-bit.
+    * Top-M selection is `orderBy.limit` = TakeOrderedAndProject; display
+    * rounding is floor-form (the values are rational — q162 discipline).
+    */
+  def tokenBurstiness(
+      docs: DataFrame,
+      topM: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(topM > 0, "need a positive topM")
+    val base = docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+    val tf = base
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+    val n = base.agg(count(lit(1)).cast("double").as("_n"))
+    val moments = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("c")).as("_s1"),
+        sum(col("c") * col("c")).as("_s2"))
+    val mean = col("_s1").cast("double") / col("_n")
+    val ex2 = col("_s2").cast("double") / col("_n")
+    val fano = (ex2 - mean * mean) / mean
+    moments.crossJoin(broadcast(n))
+      .select(col("token"), col("df"), col("_s1").as("n_total"),
+        (floor(fano * 10000 + lit(0.5)) / 10000).as("fano"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(topM)
+      .withColumn("rnk", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("token"))).cast("long"))
+      .select(col("rnk"), col("token"), col("df"), col("n_total"), col("fano"))
+  }
+
   /** Temporal n-gram novelty: per document, the share of its DISTINCT word
     * n-grams whose FIRST corpus occurrence (min id over containing docs)
     * is strictly earlier than this document — novelty = 1 - that share.

@@ -90,11 +90,15 @@ object Normalize {
     * is mirrored. Monotone within each group by construction.
     *
     * Shape: per-group rank windows run in parallel across groups; the
-    * global rank is ONE total-order sort — the scale bottleneck, which at
-    * 100 TB becomes a merged t-digest/KLL lookup table broadcast to the
-    * groups (the formula is unchanged, only g's construction). The
-    * corpus-size scalar is a bounded driver count like
-    * [[Graphs.pageRank]]'s N.
+    * global rank is a DISTRIBUTED range-partitioned sort — `_x` range
+    * buckets rank locally in parallel and shift by their bucket's
+    * cumulative offset, so no single-partition WindowExec exists anywhere
+    * in the plan. The offsets table is one row per shuffle partition (a
+    * bounded driver step like [[Graphs.pageRank]]'s N), and the persist
+    * pins the sampled range boundaries so the count pass and the rank pass
+    * see identical buckets. For a cheaper approximate global table at
+    * extreme scale, [[quantileNormalizeSketched]] swaps the exact rank
+    * table for a merged KLL summary with the same interpolation formula.
     */
   def quantileNormalize(
       df: DataFrame,
@@ -111,8 +115,25 @@ object Normalize {
       .withColumn("_r", (row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("_x"), col(idCol))) - 1).cast("long"))
       .withColumn("_ns", count(lit(1)).over(Window.partitionBy(col(groupCol))))
-    val g = v.select(col("_x").as("_gx"),
-      (row_number().over(Window.orderBy(col("_x"), col(idCol))) - 1).cast("long").as("_gi"))
+    // exact global rank, distributed: range buckets rank locally, then
+    // shift by the bucket's cumulative offset (one bounded row per bucket)
+    val spark0 = v.sparkSession
+    val p = math.max(1, spark0.sessionState.conf.numShufflePartitions)
+    val vr = v.repartitionByRange(p, col("_x"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    var acc = 0L
+    val offRows = vr.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_pid")).collect()
+      .map { r => val o = acc; acc += r.getLong(1); (r.getInt(0), o) }
+      .toSeq
+    import spark0.implicits._
+    val off = spark0.createDataset(offRows).toDF("_pid", "_off")
+    val g = vr
+      .withColumn("_lr", (row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(col("_x"), col(idCol))) - 1).cast("long"))
+      .join(broadcast(off), "_pid")
+      .select(col("_x").as("_gx"), (col("_lr") + col("_off")).as("_gi"))
     val q = when(col("_ns") === 1, lit(0.5))
       .otherwise(col("_r").cast("double") / (col("_ns") - 1).cast("double"))
     val pos = q * lit((n - 1).toDouble)

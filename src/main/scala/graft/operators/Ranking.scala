@@ -115,4 +115,47 @@ object Ranking {
         .over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
       .select(col("rnk"), col(idCol), round(col("score"), 4).as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * ranked retrieval lists — the standard hybrid-search combiner for a
+    * sparse (BM25) and a dense (embedding top-k) ranking:
+    * score(d) = Σ_lists 1/(kConst + rank_list(d)), kConst = 60 by
+    * convention; documents absent from a list simply contribute nothing.
+    *
+    * Scale shape: both inputs are top-k lists — k-BOUNDED frames, whatever
+    * the corpus size behind them — so the fusion is a full-outer equi-join
+    * of two tiny frames plus one ordered limit; the heavy lifting happened
+    * upstream in [[bm25Rank]] / [[graft.operators.Similarity.topKPerQuery]],
+    * each with its own bounded-shuffle story. Fused scores are sums of
+    * 1/(kConst+rank) doubles in a fixed (sparse + dense) association, so
+    * both engines replay the identical IEEE chain; display rounding is
+    * floor-form (exact-decimal-boundary-safe, the q162 discipline).
+    *
+    * Inputs must carry (`idCol`, `rnk`); ties in fused score break by id.
+    */
+  def rrfFuse(
+      sparse: DataFrame,
+      dense: DataFrame,
+      idCol: String = "doc_id",
+      kConst: Int = 60,
+      topN: Int = 10): DataFrame = {
+    require(kConst > 0 && topN > 0, "need positive kConst and topN")
+    val s = sparse.select(col(idCol), col("rnk").as("_rs"))
+    val d = dense.select(col(idCol), col("rnk").as("_rd"))
+    val fused = s.join(d, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(kConst.toDouble) + col("_rs").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kConst.toDouble) + col("_rd").cast("double")), lit(0.0)))
+          .as("_f"),
+        col("_rs").isNotNull.as("in_sparse"),
+        col("_rd").isNotNull.as("in_dense"))
+      .orderBy(col("_f").desc, col(idCol))
+      .limit(topN)
+    fused
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("_f").desc, col(idCol))).cast("long"))
+      .select(col("rnk"), col(idCol),
+        (floor(col("_f") * 10000 + lit(0.5)) / 10000).as("rrf"),
+        col("in_sparse"), col("in_dense"))
+  }
 }

@@ -1411,4 +1411,64 @@ object Similarity {
       round(when(pos === 0, lit(0.0)).otherwise(lit(1.0) / pos), 4).as("mrr"),
       round(dcg / idcg, 4).as("ndcg"))
   }
+
+  /** Embedding-space isotropy audit (Ethayarajh 2019's anisotropy measure,
+    * operationalized): one grounding row per corpus —
+    * (n, dim, mean_norm, centroid_norm, mean_cos_centroid, anisotropy) —
+    * where anisotropy = ||centroid|| / mean||x||. A well-spread embedding
+    * space has a centroid near the origin (anisotropy ~ 0); a collapsed
+    * one ("all vectors point the same way", the common failure of
+    * uncalibrated encoders) pushes it toward 1 and silently wrecks
+    * cosine-based dedup/ANN thresholds — audit BEFORE trusting q23-q25.
+    *
+    * Cross-engine determinism: cross-row float sums are order-dependent,
+    * so every cross-row aggregate here is an INTEGER sum of
+    * floor(value * 2^20) fixed-point quantizations (exact IEEE ops on
+    * every engine; float32 inputs scaled by 2^20 stay inside double's 53
+    * bits) — per-position centroid sums, the norm sum, and the
+    * cos-to-centroid sum. Per-row folds (norm, dot) stay in index order
+    * (VectorOps kernels / DuckDB list_sum), which both engines replay
+    * bit-identically. 64-bit headroom: |Σ floor(x·2^20)| < rows · 2^20 ·
+    * max|x| — fine past 10^12 rows of unit-normed vectors; a 100 TB
+    * deployment with larger values moves the sums to decimal(38,0).
+    *
+    * Shape: one posexplode keyed by position (dim-bounded keys, map-side
+    * partials), one corpus scalar agg, the dim-length centroid rides back
+    * as a broadcast one-row array, and the final cos pass is map-side
+    * against that literal — three passes over the vectors, zero
+    * corpus-sized shuffles.
+    */
+  def isotropyAudit(
+      emb: DataFrame,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val Q = 1048576.0 // 2^20
+    def q20(c: Column): Column = floor(c * lit(Q)).cast("long")
+    val v = emb.filter(col(vecCol).isNotNull)
+    val posSums = v
+      .select(posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .groupBy(col("_p"))
+      .agg(sum(q20(col("_x").cast("double"))).as("_s"))
+      .agg(sort_array(collect_list(struct(col("_p"), col("_s")))).as("_ps"))
+      .select(transform(col("_ps"), e => e.getField("_s")).as("_cs"))
+    val base = v.agg(
+      count(lit(1)).as("n"),
+      max(size(col(vecCol))).cast("long").as("dim"),
+      sum(q20(norm(col(vecCol)))).as("_qn"))
+    val withCentroid = base.crossJoin(broadcast(posSums))
+      .select(col("n"), col("dim"), col("_qn"),
+        transform(col("_cs"),
+          s => s.cast("double") / col("n").cast("double") / lit(Q)).as("_c"))
+    val cosSum = v
+      .crossJoin(broadcast(withCentroid.select(col("_c").as("_cb"))))
+      .agg(sum(q20(cosine(col(vecCol), col("_cb")))).as("_qc"))
+    def deq(c: Column): Column = c.cast("double") / col("n").cast("double") / lit(Q)
+    val centroidNorm = norm(col("_c"))
+    withCentroid.crossJoin(broadcast(cosSum))
+      .select(col("n"), col("dim"),
+        (floor(deq(col("_qn")) * 10000 + lit(0.5)) / 10000).as("mean_norm"),
+        round(centroidNorm, 4).as("centroid_norm"),
+        (floor(deq(col("_qc")) * 10000 + lit(0.5)) / 10000).as("mean_cos_centroid"),
+        round(centroidNorm / deq(col("_qn")), 4).as("anisotropy"))
+  }
 }

@@ -112,7 +112,11 @@ object Plans {
     "q197_heaps_fit" -> "the bucket draw is a map-side integer projection (no rank machinery); per-bucket totals and first appearances are two map-side-collapsing hash aggs, and the OLS evaluates in-row over the 10-row spine",
     "q198_oov_rate" -> "the top-v vocab is a bounded TakeOrderedAndProject that joins back as a BroadcastHashJoin; the per-doc anti-membership count partial-aggregates map-side — one full-width token exchange total",
     "q199_dedup_yield" -> "the pair stream is q22's LSH-candidate + sorted-merge exact verify (never all-pairs); banding is a map-side floor projection and the curve's suffix sums fold in-row over the <= 10-band frame",
-    "q200_dataset_card" -> "two single-row aggregates (the doc-level masses with a shared Expand for the exact fingerprint distinct; the contamination totals whose train gram stream semi-filters against the broadcast eval universe) meet in a one-row broadcast cross"
+    "q200_dataset_card" -> "two single-row aggregates (the doc-level masses with a shared Expand for the exact fingerprint distinct; the contamination totals whose train gram stream semi-filters against the broadcast eval universe) meet in a one-row broadcast cross",
+    "q137_quantile_norm" -> "the global rank is DISTRIBUTED (r10): repartitionByRange on (_x, id) -> per-bucket row_number windows partitioned by spark_partition_id -> bounded per-bucket offset broadcast — NO single-partition WindowExec anywhere (PlanGuardSpec pins it); per-group ranks parallelize across groups as before and the endpoint lookups are rank-keyed equi-joins",
+    "q201_hybrid_rrf" -> "both retrieval legs are k-bounded before fusion: BM25's TakeOrderedAndProject head and the dense top_k_pairs aggregate; the RRF outer join and both rank windows run over <= 20-row frames — nothing after the legs scales with the corpus",
+    "q202_token_burstiness" -> "one (doc, token) tf exchange with map-side partials is the only corpus-width shuffle; the per-token moment agg rides the same keys, the one-row N broadcasts, and top-M is TakeOrderedAndProject",
+    "q203_embedding_isotropy" -> "three corpus passes, zero corpus-sized exchanges: the posexplode collapses into dim-bounded per-position integer sums map-side, the scalar agg is one row, and the cos pass scores map-side against the broadcast centroid array"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{CorpusAnalytics, Ranking, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Property pins for the round-10 additions: RRF fusion, token
+  * burstiness, and the embedding isotropy audit.
+  */
+class HybridAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: both-list documents outrank single-list ones at equal rank") {
+    val sparse = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rnk")
+    val dense = Seq((11L, 1L), (13L, 2L), (12L, 3L)).toDF("doc_id", "rnk")
+    val out = Ranking.rrfFuse(sparse, dense, topN = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getBoolean(3), r.getBoolean(4)))
+    // 11 (ranks 2+1) and 12 (3+3) appear in both; 11 must lead overall
+    assert(out.head._1 == 11L && out.head._3 && out.head._4)
+    val byDoc = out.map(t => t._1 -> t._2).toMap
+    assert(byDoc(12L) < byDoc(10L) || byDoc(12L) < byDoc(13L),
+      "a both-list doc at mid ranks beats at least one single-list doc")
+    // single-list docs carry the right flags
+    val flags = out.map(t => t._1 -> (t._3, t._4)).toMap
+    assert(flags(10L) == ((true, false)) && flags(13L) == ((false, true)))
+  }
+
+  test("tokenBurstiness: uniform token ~ Fano 0, concentrated token bursts") {
+    val docs = (1L to 8L).map { i =>
+      // 'the' once per doc (uniform); 'spark' four times in doc 1 only
+      val extra = if (i == 1) " spark spark spark spark" else ""
+      (i, s"the filler$extra")
+    }.toDF("doc_id", "text")
+    val out = CorpusAnalytics.tokenBurstiness(docs, topM = 10)
+      .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(out("the") == 0.0, "once-per-doc token has zero variance")
+    // spark: mean 4/8=0.5, ex2 16/8=2, var 1.75, fano 3.5
+    assert(out("spark") == 3.5)
+  }
+
+  test("isotropyAudit: collapsed space ~ anisotropy 1, symmetric space ~ 0") {
+    val same = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r1 = Similarity.isotropyAudit(same).head()
+    assert(r1.getLong(0) == 3L && r1.getLong(1) == 2L)
+    assert(math.abs(r1.getDouble(5) - 1.0) < 0.01, "identical vectors collapse")
+    assert(math.abs(r1.getDouble(4) - 1.0) < 0.01, "cos to centroid ~ 1")
+
+    val sym = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val r2 = Similarity.isotropyAudit(sym).head()
+    assert(r2.getDouble(3) < 0.01, "symmetric centroid sits at the origin")
+    assert(r2.getDouble(5) < 0.01, "anisotropy ~ 0")
+  }
+}

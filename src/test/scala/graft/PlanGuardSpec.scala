@@ -104,7 +104,13 @@ class PlanGuardSpec extends SparkSpec {
     "q147_seq_packing" ->
       "crossJoin(broadcast(bounds)): single-row (min,max) id scalars for the deterministic bucket formula",
     "q148_distinct_sketch" ->
-      "crossJoin(broadcast(globalExact)): single-row exact-distinct scalar beside the single-row union sketch"
+      "crossJoin(broadcast(globalExact)): single-row exact-distinct scalar beside the single-row union sketch",
+    "q201_hybrid_rrf" ->
+      "crossJoin(broadcast(query vector)) inside the dense top-k (q93's discipline) + the one-row BM25 stats scalar; the fusion join itself is a k-bounded equi-join",
+    "q202_token_burstiness" ->
+      "crossJoin(broadcast(n)): single-row corpus-size scalar beside the per-token moment table",
+    "q203_embedding_isotropy" ->
+      "crossJoin(broadcast(...)) chain of ONE-ROW frames: centroid array, scalar counts, cos sum — nothing corpus-sized on either side"
   )
 
   /** One shared physical-plan pass for every rule in this suite (plan
@@ -151,12 +157,14 @@ class PlanGuardSpec extends SparkSpec {
       "rank re-derived over the already-limit(k)'d sample (Sampling.scala:181) — k rows",
     "q129_bm25_search" ->
       "rank re-derived over the already-limit(topN)'d scores (Ranking.scala:115) — topN rows",
-    "q137_quantile_norm" ->
-      "exact small-N path by contract; the declared scale path is quantileNormalizeSketched (KLL)",
     "q141_vocab_growth" ->
       "running-vocab cumsum over the `buckets`-row curve (10 rows) — fixed cardinality",
     "q150_zipf_slope" ->
-      "rank over the top-n=200 token head (TakeOrderedAndProject) — fixed cardinality"
+      "rank over the top-n=200 token head (TakeOrderedAndProject) — fixed cardinality",
+    "q201_hybrid_rrf" ->
+      "ranks re-derived over the already-limit(topN)'d fused list (and bm25Rank's limit(20) head) — k rows",
+    "q202_token_burstiness" ->
+      "rank re-derived over the already-limit(topM)'d moment head — topM rows"
   )
 
   private lazy val singlePartitionWindowOffenders: Set[String] = {

@@ -30,12 +30,13 @@ class YieldCardSpec extends SparkSpec {
     val r = SparkEntry.queries("q200_dataset_card")(spark, sf("sf0.01")).head()
     val (nDocs, nToks) = (r.getLong(0), r.getLong(1))
     assert(nDocs == 500L && nToks > 0)
+    // rate columns are DECIMAL(20,4) (exact-decimal gate parity, r10)
     Seq(2, 3, 4).foreach { i =>
-      val v = r.getDouble(i)
+      val v = r.getDecimal(i).doubleValue()
       assert(v >= 0.0 && v <= 1.0, s"rate col $i = $v")
     }
     // mean tokens consistent with the masses (floor-form of the ratio)
-    val mean = r.getDouble(5)
+    val mean = r.getDecimal(5).doubleValue()
     assert(math.abs(mean - nToks.toDouble / nDocs) < 0.0001)
   }
 }

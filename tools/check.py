@@ -5,16 +5,20 @@ graft.Verify (rows, schema-ish, and values with column names sorted).
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--skip-heavy]
 
---skip-heavy drops the brute-force all-pairs oracles (q22, q57, q73) whose
-DuckDB side is quadratic in document count — use for sf0.1 soak runs,
-where those two would take hours (the driver's gate runs sf0.01 only).
+--skip-heavy drops the brute-force oracles whose DuckDB side does NOT
+finish at sf0.1 (measured r10: q73's clustering oracle ran >35 min before
+being killed; q22/q57/q98 share its kernels) — use for sf0.1 soak runs
+(the driver's gate runs sf0.01 only, where everything runs). The
+approximate family's contract twins q84/q86/q87/q101 are deliberately
+NOT in this set anymore: measured at sf0.1 they cost 780s/3.2s/3.3s/56s,
+so the soak pins the LSH containment and ANN recall floors at 10x the
+gate scale (r9 VERDICT item 5).
 """
 import json, math, sys
 import duckdb
 
 HEAVY = {"q22_ngram_jaccard", "q57_split_leakage", "q73_neardup_clusters",
-         "q84_lsh_contract", "q86_ann_recall", "q87_embed_pairs_exact",
-         "q98_survivorship", "q101_semdedup_contract", "q199_dedup_yield"}
+         "q98_survivorship", "q199_dedup_yield"}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
