@@ -1729,11 +1729,15 @@ object SparkEntry {
 
     "q160_edit_join" -> ((s, dir) => {
       // Ed-Join edit-similarity self-join over customer names: rarest-first
-      // q-gram prefix filtering (lossless — spec pins equality with the
-      // brute-force join) + codegen'd levenshtein verify at tau = 1
+      // positional q-gram prefix + location filtering (lossless — spec pins
+      // equality with the brute-force join) + codegen'd levenshtein verify
+      // at tau = 1. q = 3 because the names are digit-templated: bigrams
+      // have ~100-symbol entropy and flood the candidate join (~8M pairs),
+      // trigrams ~1000 (measured ~5x fewer candidates, same output — q is
+      // filter tightness, never semantics)
       operators.EditJoin.editSimilarityJoin(
         Tables(s, dir, "customer"), idCol = "c_custkey", strCol = "c_name",
-        q = 2, tau = 1)
+        q = 3, tau = 1)
         .orderBy(col("id1"), col("id2"))
     }),
 

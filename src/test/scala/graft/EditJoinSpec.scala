@@ -79,4 +79,21 @@ class EditJoinSpec extends SparkSpec {
       .select(col("c_custkey").cast("long").as("id"), col("c_name").as("s"))
     assert(edjoin(cust, 2, 1) == brute(cust, 1))
   }
+
+  test("randomized dense corpora: positional location filter stays lossless") {
+    // small alphabet + short strings = maximal positional-gram collisions
+    // and plenty of true pairs: the adversarial regime for the r10
+    // |pos1-pos2| <= tau candidate condition
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val strs = (1L to 60L).map { i =>
+        val len = 3 + rnd.nextInt(8)
+        i -> (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val df = strs.toDF("id", "s")
+      val tau = 1 + (trial % 2)
+      assert(edjoin(df, 2, tau) == brute(df, tau),
+        s"trial $trial (tau=$tau) diverged from brute force")
+    }
+  }
 }

@@ -9,16 +9,16 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--skip-heavy]
 finish at sf0.1 (measured r10: q73's clustering oracle ran >35 min before
 being killed; q22/q57/q98 share its kernels) — use for sf0.1 soak runs
 (the driver's gate runs sf0.01 only, where everything runs). The
-approximate family's contract twins q84/q86/q87/q101 are deliberately
-NOT in this set anymore: measured at sf0.1 they cost 780s/3.2s/3.3s/56s,
-so the soak pins the LSH containment and ANN recall floors at 10x the
-gate scale (r9 VERDICT item 5).
+approximate family's contract twins q84/q86/q87/q101 and the yield curve
+q199 are deliberately NOT in this set anymore: measured at sf0.1 they
+cost 780s/3.2s/3.3s/56s/780s, so the soak pins the LSH containment, ANN
+recall floors, and banding at 10x the gate scale (r9 VERDICT item 5).
 """
 import json, math, sys
 import duckdb
 
 HEAVY = {"q22_ngram_jaccard", "q57_split_leakage", "q73_neardup_clusters",
-         "q98_survivorship", "q199_dedup_yield"}
+         "q98_survivorship"}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
