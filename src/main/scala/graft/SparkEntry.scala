@@ -1322,6 +1322,23 @@ object SparkEntry {
         r4(col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
     }),
 
+    "q204_winsorize" -> ((s, dir) => {
+      // per-type winsorization of event values into the exact [p05, p95]
+      // band — keeps every row, bounds outlier leverage; one grouped
+      // percentile agg broadcast back, map-side clip
+      operators.Normalize.winsorize(Tables(s, dir, "events"),
+        groupCol = "event_type", valueCol = "value", idCol = "event_id")
+        .orderBy(col("event_id"))
+    }),
+
+    "q205_temporal_split" -> ((s, dir) => {
+      // embargoed (purged) temporal split over the event stream: train
+      // < p60, 10% embargo band dropped, test >= p70 — the split audit
+      // whose min/max make the leakage gap a checkable fact
+      operators.Sampling.temporalSplit(Tables(s, dir, "events"), "ts")
+        .orderBy(col("split"))
+    }),
+
     "q201_hybrid_rrf" -> ((s, dir) => {
       // hybrid search: BM25 top-20 for the fixed term query fused with the
       // dense cosine top-20 around vec 0 by reciprocal-rank fusion — both
@@ -3699,6 +3716,30 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q204_winsorize" ->
+      // same exact interpolated percentiles (quantile_cont = the q34-
+      // proven kernel), same least/greatest clip, floor-form display
+      ("WITH c AS (SELECT event_type, " +
+        "quantile_cont(CAST(value AS DOUBLE), 0.05) AS lo, " +
+        "quantile_cont(CAST(value AS DOUBLE), 0.95) AS hi " +
+        "FROM events GROUP BY 1) " +
+        "SELECT e.event_type, e.event_id, CAST(e.value AS DOUBLE) AS value, " +
+        "floor(least(greatest(CAST(e.value AS DOUBLE), c.lo), c.hi) * 10000 + 0.5) / 10000 AS clipped, " +
+        "(CAST(e.value AS DOUBLE) < c.lo OR CAST(e.value AS DOUBLE) > c.hi) AS was_clipped " +
+        "FROM events e JOIN c USING (event_type) ORDER BY e.event_id"),
+
+    "q205_temporal_split" ->
+      // same exact time quantiles over epoch micros, same boundary
+      // comparisons; min/max are exact integers
+      ("WITH v AS (SELECT epoch_us(ts) AS t FROM events), " +
+        "c AS (SELECT quantile_cont(CAST(t AS DOUBLE), 0.6) AS t1, " +
+        "quantile_cont(CAST(t AS DOUBLE), 0.7) AS t2 FROM v) " +
+        "SELECT CASE WHEN CAST(t AS DOUBLE) < c.t1 THEN 'train' " +
+        "WHEN CAST(t AS DOUBLE) >= c.t2 THEN 'test' ELSE 'embargo' END AS split, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(min(t) AS BIGINT) AS min_ts, CAST(max(t) AS BIGINT) AS max_ts " +
+        "FROM v, c GROUP BY 1 ORDER BY split"),
 
     "q201_hybrid_rrf" ->
       // q129's BM25 CTE and q93's cosine kernel verbatim, then the RRF

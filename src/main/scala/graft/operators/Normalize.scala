@@ -197,6 +197,40 @@ object Normalize {
       round(lo + (hi - lo) * (pos - li.cast("double")), 4).as("normalized"))
   }
 
+  /** Per-group winsorization: clip `valueCol` into the group's exact
+    * interpolated [lo, hi] percentile band — the outlier treatment that
+    * keeps every row (unlike a fence FILTER) while bounding the leverage
+    * any single extreme value has on downstream moments; the standard
+    * pre-normalization step for heavy-tailed reward/score columns.
+    *
+    * Shape: ONE grouped percentile aggregate (the q34-proven exact
+    * `percentile` kernel, sort-based within each group over the compact
+    * (group, value) stream) broadcasts back under AQE and the clip is a
+    * map-side least/greatest — the fact table shuffles only for the stats
+    * agg. Display rounding is floor-form: interpolated percentiles of
+    * 2-decimal inputs are rational and can land exactly on x.xxxx5
+    * boundaries (the r9 soak lesson), where round() diverges across
+    * engines and the identical floor(x·10⁴+0.5) chain cannot.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val x = col(valueCol).cast("double")
+    val cuts = df.groupBy(col(groupCol)).agg(
+      percentile(x, lit(lo)).as("_lo"),
+      percentile(x, lit(hi)).as("_hi"))
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + lit(0.5)) / 10000
+    df.join(cuts, groupCol)
+      .select(col(groupCol), col(idCol), x.as(valueCol),
+        r4(least(greatest(x, col("_lo")), col("_hi"))).as("clipped"),
+        (x < col("_lo") || x > col("_hi")).as("was_clipped"))
+  }
+
   /** Cohen's kappa (Cohen 1960) between two label columns — chance-
     * corrected agreement, the standard "are these two labelings actually
     * consistent?" statistic for annotator pairs, model-vs-gold audits, or

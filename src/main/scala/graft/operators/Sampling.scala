@@ -256,4 +256,43 @@ object Sampling {
       (floor(w) + when(u.cast("double") < lit(65536.0) * round(w - floor(w), 4),
         1L).otherwise(0L)).cast("long"))
   }
+
+  /** Embargoed temporal split (the financial-ML "purged" split, de Prado
+    * 2018, applied to event streams): train on everything before the
+    * `trainQ` time quantile, test on everything from the `testQ` quantile
+    * on, and DROP the embargo band between them — the gap that keeps
+    * leakage-by-adjacency (sessions, trends, near-duplicate events
+    * straddling the boundary) out of the test set. The complement of
+    * q56/q57's hash split: hash splits assume exchangeable rows; temporal
+    * data is not exchangeable.
+    *
+    * Returns the per-split audit frame (split, n_rows, min_ts, max_ts in
+    * epoch micros) — min/max make the embargo gap a checkable fact.
+    * Cutoffs are exact interpolated percentiles of the micros (the
+    * q34-proven kernel; micros sit far inside double's 53 bits), labeling
+    * is a map-side comparison against the broadcast one-row cutoffs, and
+    * the audit is a 3-key aggregate — the stream shuffles once for the
+    * percentile agg and once for the 3-group audit.
+    */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      trainQ: Double = 0.6,
+      testQ: Double = 0.7): DataFrame = {
+    require(trainQ > 0 && testQ < 1 && trainQ <= testQ, "need 0 < trainQ <= testQ < 1")
+    val t = unix_micros(col(tsCol))
+    val v = df.select(t.as("_t"))
+    val cuts = v.agg(
+      percentile(col("_t").cast("double"), lit(trainQ)).as("_t1"),
+      percentile(col("_t").cast("double"), lit(testQ)).as("_t2"))
+    v.crossJoin(broadcast(cuts))
+      .select(col("_t"),
+        when(col("_t").cast("double") < col("_t1"), "train")
+          .when(col("_t").cast("double") >= col("_t2"), "test")
+          .otherwise("embargo").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("_t")).as("min_ts"),
+        max(col("_t")).as("max_ts"))
+  }
 }

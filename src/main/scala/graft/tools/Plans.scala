@@ -116,7 +116,9 @@ object Plans {
     "q137_quantile_norm" -> "the global rank is DISTRIBUTED (r10): repartitionByRange on (_x, id) -> per-bucket row_number windows partitioned by spark_partition_id -> bounded per-bucket offset broadcast — NO single-partition WindowExec anywhere (PlanGuardSpec pins it); per-group ranks parallelize across groups as before and the endpoint lookups are rank-keyed equi-joins",
     "q201_hybrid_rrf" -> "both retrieval legs are k-bounded before fusion: BM25's TakeOrderedAndProject head and the dense top_k_pairs aggregate; the RRF outer join and both rank windows run over <= 20-row frames — nothing after the legs scales with the corpus",
     "q202_token_burstiness" -> "one (doc, token) tf exchange with map-side partials is the only corpus-width shuffle; the per-token moment agg rides the same keys, the one-row N broadcasts, and top-M is TakeOrderedAndProject",
-    "q203_embedding_isotropy" -> "three corpus passes, zero corpus-sized exchanges: the posexplode collapses into dim-bounded per-position integer sums map-side, the scalar agg is one row, and the cos pass scores map-side against the broadcast centroid array"
+    "q203_embedding_isotropy" -> "three corpus passes, zero corpus-sized exchanges: the posexplode collapses into dim-bounded per-position integer sums map-side, the scalar agg is one row, and the cos pass scores map-side against the broadcast centroid array",
+    "q204_winsorize" -> "one grouped percentile aggregate over the compact (type, value) stream broadcasts back (BroadcastHashJoin on the 5-row cuts table); the clip is a map-side least/greatest inside WholeStageCodegen",
+    "q205_temporal_split" -> "the one-row quantile-cutoff pair broadcasts beside the stream (cardinality-1 nested loop); labeling is a map-side comparison and the audit is a 3-key hash agg with map-side partials"
   )
 
   def main(args: Array[String]): Unit = {

@@ -110,7 +110,9 @@ class PlanGuardSpec extends SparkSpec {
     "q202_token_burstiness" ->
       "crossJoin(broadcast(n)): single-row corpus-size scalar beside the per-token moment table",
     "q203_embedding_isotropy" ->
-      "crossJoin(broadcast(...)) chain of ONE-ROW frames: centroid array, scalar counts, cos sum — nothing corpus-sized on either side"
+      "crossJoin(broadcast(...)) chain of ONE-ROW frames: centroid array, scalar counts, cos sum — nothing corpus-sized on either side",
+    "q205_temporal_split" ->
+      "crossJoin(broadcast(cuts)): the single-row quantile-cutoff pair beside the stream; labeling is a map-side comparison"
   )
 
   /** One shared physical-plan pass for every rule in this suite (plan
