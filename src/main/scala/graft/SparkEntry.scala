@@ -1322,6 +1322,15 @@ object SparkEntry {
         r4(col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
     }),
 
+    "q206_conformal_interval" -> ((s, dir) => {
+      // split-conformal calibration of the n_chars ~ tokens OLS predictor:
+      // exact order-statistic threshold on the doc_id%5 calibration split,
+      // empirical coverage audited on the rest (alpha = 0.1)
+      val docs = Tables(s, dir, "documents")
+        .withColumn("tok", functions.TextAnalysis.tokenCount(col("text")).cast("long"))
+      operators.Quality.conformalInterval(docs, xCol = "tok", yCol = "n_chars")
+    }),
+
     "q204_winsorize" -> ((s, dir) => {
       // per-type winsorization of event values into the exact [p05, p95]
       // band — keeps every row, bounds outlier leverage; one grouped
@@ -3716,6 +3725,36 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q206_conformal_interval" ->
+      // same exact decimal moments -> double OLS, same residual chain,
+      // same integer-rank order statistic (rank via row_number instead of
+      // the k-bounded TakeOrdered — both select the k-th smallest), and
+      // k from the exact integer form of ceil(0.9 * (n_cal + 1))
+      ("WITH b AS (SELECT doc_id AS id, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DECIMAL(18,2)) AS x, " +
+        "CAST(n_chars AS DECIMAL(18,2)) AS y " +
+        "FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx, " +
+        "CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * x) AS DOUBLE) AS sxx, " +
+        "CAST(sum(x * y) AS DOUBLE) AS sxy FROM b), " +
+        "f AS (SELECT bb, sy / n - bb * (sx / n) AS aa FROM (" +
+        "SELECT n, sx, sy, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS bb FROM m)), " +
+        "s AS (SELECT id, abs(CAST(y AS DOUBLE) - (aa + bb * CAST(x AS DOUBLE))) AS r, " +
+        "(id % 5 = 0) AS cal FROM b, f), " +
+        "kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal, " +
+        "least((9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10, CAST(count(*) AS BIGINT)) AS k " +
+        "FROM s WHERE cal), " +
+        "q AS (SELECT r AS qh FROM (SELECT r, row_number() OVER (ORDER BY r, id) AS rk " +
+        "FROM s WHERE cal), kk WHERE rk = kk.k) " +
+        "SELECT kk.n_cal AS n_cal, CAST(count(*) AS BIGINT) AS n_eval, kk.k AS k, " +
+        "floor(f.bb * 10000 + 0.5) / 10000 AS slope, " +
+        "floor(f.aa * 10000 + 0.5) / 10000 AS intercept, " +
+        "floor(q.qh * 10000 + 0.5) / 10000 AS q_hat, " +
+        "floor((CAST(sum(CASE WHEN s.r <= q.qh THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS coverage " +
+        "FROM s, kk, q, f WHERE NOT s.cal " +
+        "GROUP BY kk.n_cal, kk.k, f.bb, f.aa, q.qh"),
 
     "q204_winsorize" ->
       // same exact interpolated percentiles (quantile_cont = the q34-

@@ -556,4 +556,82 @@ object Quality {
       (abs(col("_psum") - col("n_pos")) < 1e-3).as("calibrated"),
       (col("_pmin") > 0.0 && col("_pmax") < 1.0).as("probs_bounded"))
   }
+
+  // --------------------------------------------------- conformal
+
+  /** Split-conformal prediction-interval calibration (Vovk 2005; the
+    * distribution-free uncertainty wrapper modern filtering pipelines put
+    * around any point predictor): fit a base predictor on the full frame,
+    * take the ceil((n_cal+1)(1−α))-th smallest absolute residual on a
+    * held-out calibration split as the interval half-width q̂, and report
+    * the EMPIRICAL coverage of ŷ ± q̂ on the remaining rows — by the
+    * exchangeability theorem coverage ≥ 1−α in expectation, and the audit
+    * row makes the realized value a checkable fact.
+    *
+    * Base predictor: OLS of `yCol` on `xCol` whose moments are EXACT
+    * decimal/integer sums (the q46 discipline — slope and intercept are
+    * ratios of exact sums, bit-replayable on any engine). Threshold: an
+    * exact ORDER STATISTIC, not an interpolated quantile — rank k =
+    * ceil((n_cal+1)(1−α)) via `orderBy.limit(k)` = TakeOrderedAndProject
+    * (per-partition k-heaps; conformal calibration sets are bounded by
+    * design — statistical sufficiency saturates around 10⁴ rows, so k
+    * never scales with the corpus). Everything else is map-side
+    * arithmetic + one audit aggregate.
+    *
+    * Output row: (n_cal, n_eval, k, slope, intercept, q_hat, coverage) —
+    * rational display values floor-form rounded.
+    */
+  def conformalInterval(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      idCol: String = "doc_id",
+      alpha: Double = 0.1,
+      calMod: Int = 5): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(calMod >= 2, "calMod >= 2 so both splits are non-empty")
+    val x = col(xCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val y = col(yCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol).as("_id"), x.as("_x"), y.as("_y"))
+      .persist()
+    // exact decimal moments (order-free), ratios in double ONCE at the end
+    // (the q46 discipline — decimal x decimal of the wide sums would
+    // overflow 38 digits, so the exact sums cast to double first and the
+    // identical IEEE chain replays on both engines)
+    val fit = base.agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(col("_x")).cast("double").as("_sx"),
+      sum(col("_y")).cast("double").as("_sy"),
+      sum(col("_x") * col("_x")).cast("double").as("_sxx"),
+      sum(col("_x") * col("_y")).cast("double").as("_sxy"))
+      .select(col("_n"), col("_sx"), col("_sy"),
+        ((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx"))).as("_b"))
+      .select(col("_b"),
+        (col("_sy") / col("_n") - col("_b") * (col("_sx") / col("_n"))).as("_a"))
+    val scored = base.crossJoin(broadcast(fit))
+      .select(col("_id"),
+        abs(col("_y").cast("double") -
+          (col("_a") + col("_b") * col("_x").cast("double"))).as("_r"),
+        (pmod(col("_id"), lit(calMod)) === 0).as("_cal"),
+        col("_a"), col("_b"))
+    val cal = scored.filter(col("_cal"))
+    val nCal = cal.count()
+    val k = math.ceil((nCal + 1) * (1 - alpha)).toLong.min(nCal)
+    // exact k-th smallest calibration residual: k-bounded TakeOrdered
+    val qhat = cal.orderBy(col("_r"), col("_id")).limit(k.toInt)
+      .agg(max(col("_r")).as("_q"))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    scored.filter(!col("_cal"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("_r") <= col("_q"), 1L).otherwise(0L)).as("_cov"),
+        first(col("_a")).as("_fa"), first(col("_b")).as("_fb"),
+        first(col("_q")).as("_fq"))
+      .select(lit(nCal).as("n_cal"), col("n_eval"), lit(k).as("k"),
+        r4(col("_fb")).as("slope"), r4(col("_fa")).as("intercept"),
+        r4(col("_fq")).as("q_hat"),
+        r4(col("_cov").cast("double") / col("n_eval")).as("coverage"))
+  }
 }

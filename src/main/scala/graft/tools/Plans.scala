@@ -118,7 +118,8 @@ object Plans {
     "q202_token_burstiness" -> "one (doc, token) tf exchange with map-side partials is the only corpus-width shuffle; the per-token moment agg rides the same keys, the one-row N broadcasts, and top-M is TakeOrderedAndProject",
     "q203_embedding_isotropy" -> "three corpus passes, zero corpus-sized exchanges: the posexplode collapses into dim-bounded per-position integer sums map-side, the scalar agg is one row, and the cos pass scores map-side against the broadcast centroid array",
     "q204_winsorize" -> "one grouped percentile aggregate over the compact (type, value) stream broadcasts back (BroadcastHashJoin on the 5-row cuts table); the clip is a map-side least/greatest inside WholeStageCodegen",
-    "q205_temporal_split" -> "the one-row quantile-cutoff pair broadcasts beside the stream (cardinality-1 nested loop); labeling is a map-side comparison and the audit is a 3-key hash agg with map-side partials"
+    "q205_temporal_split" -> "the one-row quantile-cutoff pair broadcasts beside the stream (cardinality-1 nested loop); labeling is a map-side comparison and the audit is a 3-key hash agg with map-side partials",
+    "q206_conformal_interval" -> "exact decimal moments collapse map-side into the one-row OLS fit; residuals score map-side against the broadcast fit; the threshold is a k-bounded TakeOrderedAndProject over the calibration sliver; coverage is one more single-row agg — nothing corpus-sized shuffles"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+
+/** Split-conformal calibration: the finite-sample coverage guarantee on
+  * synthetic exchangeable data, the exact order-statistic rank, and the
+  * degenerate perfect-fit case.
+  */
+class ConformalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coverage >= 1 - alpha on exchangeable synthetic data") {
+    // y = 3x + deterministic pseudo-noise in [-5, 5): exchangeable across
+    // the id%5 calibration/eval split because noise depends on a hash, not
+    // on the split key
+    val df = (1L to 2000L).map { i =>
+      val noise = ((i * 2654435761L) % 1000) / 100.0 - 5.0
+      (i, i % 100, 3.0 * (i % 100) + noise)
+    }.toDF("doc_id", "x", "y")
+    val r = Quality.conformalInterval(df, "x", "y", alpha = 0.1).head()
+    val (nCal, k, coverage) = (r.getLong(0), r.getLong(2), r.getDouble(6))
+    assert(k == math.ceil((nCal + 1) * 0.9).toLong)
+    assert(coverage >= 0.85, s"coverage $coverage broke the conformal floor")
+    assert(coverage <= 1.0)
+  }
+
+  test("perfect linear data: q_hat 0, coverage 1") {
+    val df = (1L to 500L).map(i => (i, i % 50, 2.0 * (i % 50) + 7.0))
+      .toDF("doc_id", "x", "y")
+    val r = Quality.conformalInterval(df, "x", "y").head()
+    assert(r.getDouble(5) == 0.0, "perfect fit has zero residual threshold")
+    assert(r.getDouble(6) == 1.0, "every eval point is covered at q_hat 0")
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 7.0, "exact OLS recovery")
+  }
+}

@@ -112,7 +112,9 @@ class PlanGuardSpec extends SparkSpec {
     "q203_embedding_isotropy" ->
       "crossJoin(broadcast(...)) chain of ONE-ROW frames: centroid array, scalar counts, cos sum — nothing corpus-sized on either side",
     "q205_temporal_split" ->
-      "crossJoin(broadcast(cuts)): the single-row quantile-cutoff pair beside the stream; labeling is a map-side comparison"
+      "crossJoin(broadcast(cuts)): the single-row quantile-cutoff pair beside the stream; labeling is a map-side comparison",
+    "q206_conformal_interval" ->
+      "crossJoin(broadcast(...)) of ONE-ROW frames only: the OLS fit and the k-th-residual threshold beside the scored stream"
   )
 
   /** One shared physical-plan pass for every rule in this suite (plan
