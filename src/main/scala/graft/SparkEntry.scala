@@ -1322,6 +1322,18 @@ object SparkEntry {
         r4(col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
     }),
 
+    "q207_score_auc" -> ((s, dir) => {
+      // exact ROC AUC (Mann-Whitney with midranks) of the stopword-ratio
+      // quality signal against the src0 label — the "does this score
+      // separate anything?" audit; global ranks via the q137 distributed
+      // range-partition machinery, tie midranks as integer (min+max)
+      // pairs, one decimal-exact sum
+      operators.Ranking.scoreAuc(
+        Tables(s, dir, "documents").filter(col("text").isNotNull),
+        functions.TextAnalysis.stopwordRatio(col("text")),
+        col("source") === "src0")
+    }),
+
     "q206_conformal_interval" -> ((s, dir) => {
       // split-conformal calibration of the n_chars ~ tokens OLS predictor:
       // exact order-statistic threshold on the doc_id%5 calibration split,
@@ -3725,6 +3737,26 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q207_score_auc" ->
+      // same score expression as q17's oracle (unrounded), ranks via
+      // row_number (the two engines' rank machineries agree because ties
+      // break on id), integer midrank pairs, divisions once at the end
+      ("WITH v AS (SELECT doc_id AS id, " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS DOUBLE) / " +
+        "len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s, " +
+        "(source = 'src0') AS l FROM documents WHERE text IS NOT NULL), " +
+        "r AS (SELECT id, s, l, row_number() OVER (ORDER BY s, id) AS rk FROM v), " +
+        "m AS (SELECT s, min(rk) + max(rk) AS m2 FROM r GROUP BY s), " +
+        "a AS (SELECT CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
+        "CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS nn, " +
+        "CAST(sum(CASE WHEN l THEN m2 ELSE 0 END) AS DOUBLE) AS sp2 " +
+        "FROM r JOIN m USING (s)) " +
+        "SELECT np AS n_pos, nn AS n_neg, " +
+        "floor(((sp2 / 2 - CAST(np AS DOUBLE) * (np + 1) / 2) / " +
+        "(CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))) * 10000 + 0.5) / 10000 AS auc " +
+        "FROM a"),
 
     "q206_conformal_interval" ->
       // same exact decimal moments -> double OLS, same residual chain,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,6 +114,59 @@ object Ranking {
       .withColumn("rnk", row_number()
         .over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
       .select(col("rnk"), col(idCol), round(col("score"), 4).as("score"))
+  }
+
+  /** ROC AUC of a score column against a boolean label, computed exactly
+    * via the Mann-Whitney U rank statistic with midrank tie handling —
+    * the standard "does this quality signal actually separate the
+    * classes?" audit run before any score threshold goes into a filter
+    * config. One grounding row: (n_pos, n_neg, auc).
+    *
+    * Scale shape: the global score rank is the DISTRIBUTED
+    * range-partitioned rank (the q137 machinery — per-bucket local ranks
+    * + bounded cumulative offsets, no single-partition WindowExec); ties
+    * collapse to per-score (min+max) INTEGER midrank pairs summed in
+    * decimal (exact in any order at any scale, so the oracle replays
+    * bit-for-bit); the final divisions happen once. Display is floor-form
+    * (U/(n⁺n⁻) is rational).
+    */
+  def scoreAuc(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val spark0 = df.sparkSession
+    val v = df.filter(scoreCol.isNotNull)
+      .select(col(idCol).as("_id"), scoreCol.cast("double").as("_s"),
+        labelCol.as("_l"))
+    val p = math.max(1, spark0.sessionState.conf.numShufflePartitions)
+    val vr = v.repartitionByRange(p, col("_s"), col("_id"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    var acc = 0L
+    val offRows = vr.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_pid")).collect()
+      .map { r => val o = acc; acc += r.getLong(1); (r.getInt(0), o) }
+      .toSeq
+    import spark0.implicits._
+    val off = spark0.createDataset(offRows).toDF("_pid", "_off")
+    val ranked = vr
+      .withColumn("_lr", row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(col("_s"), col("_id"))).cast("long"))
+      .join(broadcast(off), "_pid")
+      .select(col("_s"), col("_l"), (col("_lr") + col("_off")).as("_r"))
+    val mid = ranked.groupBy(col("_s"))
+      .agg((min(col("_r")) + max(col("_r"))).as("_m2"))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    ranked.join(mid, "_s")
+      .agg(sum(when(col("_l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("_l"), 0L).otherwise(1L)).as("n_neg"),
+        sum(when(col("_l"), col("_m2")).otherwise(lit(0L))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_sp2"))
+      .select(col("n_pos"), col("n_neg"),
+        (floor(((col("_sp2").cast("double") / 2 - np * (col("n_pos") + 1).cast("double") / 2) /
+          (np * nn)) * 10000 + lit(0.5)) / 10000).as("auc"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two

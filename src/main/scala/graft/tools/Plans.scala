@@ -119,7 +119,8 @@ object Plans {
     "q203_embedding_isotropy" -> "three corpus passes, zero corpus-sized exchanges: the posexplode collapses into dim-bounded per-position integer sums map-side, the scalar agg is one row, and the cos pass scores map-side against the broadcast centroid array",
     "q204_winsorize" -> "one grouped percentile aggregate over the compact (type, value) stream broadcasts back (BroadcastHashJoin on the 5-row cuts table); the clip is a map-side least/greatest inside WholeStageCodegen",
     "q205_temporal_split" -> "the one-row quantile-cutoff pair broadcasts beside the stream (cardinality-1 nested loop); labeling is a map-side comparison and the audit is a 3-key hash agg with map-side partials",
-    "q206_conformal_interval" -> "exact decimal moments collapse map-side into the one-row OLS fit; residuals score map-side against the broadcast fit; the threshold is a k-bounded TakeOrderedAndProject over the calibration sliver; coverage is one more single-row agg — nothing corpus-sized shuffles"
+    "q206_conformal_interval" -> "exact decimal moments collapse map-side into the one-row OLS fit; residuals score map-side against the broadcast fit; the threshold is a k-bounded TakeOrderedAndProject over the calibration sliver; coverage is one more single-row agg — nothing corpus-sized shuffles",
+    "q207_score_auc" -> "the global score rank is the q137 distributed shape (range exchange, per-bucket windows by partition id, bounded offset broadcast); midranks are a score-keyed agg + join-back; the U statistic folds into ONE single-row aggregate — no single-partition WindowExec, no nested loop"
   )
 
   def main(args: Array[String]): Unit = {

@@ -37,6 +37,22 @@ class HybridAuditSpec extends SparkSpec {
     assert(out("spark") == 3.5)
   }
 
+  test("scoreAuc: separation 1, reversal 0, constant-score ties 0.5") {
+    def auc(rows: Seq[(Long, Double, Boolean)]): Double =
+      Ranking.scoreAuc(rows.toDF("doc_id", "s", "l"), col("s"), col("l"))
+        .head().getDouble(2)
+    val sep = (1L to 40L).map(i => (i, if (i <= 20) 0.1 else 0.9, i > 20))
+    assert(auc(sep) == 1.0, "perfect separation")
+    assert(auc(sep.map(t => t.copy(_3 = !t._3))) == 0.0, "perfect reversal")
+    val const = (1L to 40L).map(i => (i, 0.5, i % 2 == 0))
+    assert(auc(const) == 0.5, "all-ties midranks give exactly chance")
+    // tie block straddling the classes: midranks, not arbitrary order
+    val mixed = Seq((1L, 0.1, false), (2L, 0.5, false), (3L, 0.5, true),
+      (4L, 0.9, true))
+    // U = (2.5 + 4) - 2*3/2 = 3.5; AUC = 3.5/4
+    assert(auc(mixed) == 0.875)
+  }
+
   test("isotropyAudit: collapsed space ~ anisotropy 1, symmetric space ~ 0") {
     val same = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f))
