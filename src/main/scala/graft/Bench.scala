@@ -119,15 +119,12 @@ object Bench {
       val root = Files.createTempDirectory("graft-bench-ingest").toString
       val store = new LogStore(s"$root/store")
       val name = s"bench-${UUID.randomUUID()}"
-      val raw = spark.readStream
-        .format("graft.streaming.PushSocketSourceProvider")
-        .option("name", name)
-        .option("port", "0")
-        // absorb the full burst without drops (IngestBurstSpec's zero-loss
-        // floor): senders outrun the micro-batch drain, so the HWM must
-        // cover the whole in-flight burst
-        .option("maxQueue", (2 * n).toString)
-        .load()
+      // absorb the full burst without drops (IngestBurstSpec's zero-loss
+      // floor): senders outrun the micro-batch drain, so the HWM must
+      // cover the whole in-flight burst. Flush gate = IngestConfig
+      // defaults (the reference's MAX_BATCH_SIZE/AGE knobs).
+      val raw = PushSocketSource.readStream(spark, name,
+        config = graft.model.IngestConfig(), maxQueue = 2 * n)
       val q = StreamIngest.start(raw, store, s"$root/ckpt")
       try {
         val bindDeadline = System.currentTimeMillis() + 15000

@@ -3746,7 +3746,8 @@ object SparkEntry {
         "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
         s"t -> list_contains($duckStopwords, t))) AS DOUBLE) / " +
         "len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s, " +
-        "(source = 'src0') AS l FROM documents WHERE text IS NOT NULL), " +
+        "(source = 'src0') AS l FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL), " +
         "r AS (SELECT id, s, l, row_number() OVER (ORDER BY s, id) AS rk FROM v), " +
         "m AS (SELECT s, min(rk) + max(rk) AS m2 FROM r GROUP BY s), " +
         "a AS (SELECT CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
@@ -3767,7 +3768,8 @@ object SparkEntry {
         "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DECIMAL(18,2)) AS x, " +
         "CAST(n_chars AS DECIMAL(18,2)) AS y " +
-        "FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL " +
+        "AND doc_id IS NOT NULL), " +
         "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx, " +
         "CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * x) AS DOUBLE) AS sxx, " +
         "CAST(sum(x * y) AS DOUBLE) AS sxy FROM b), " +
@@ -3803,7 +3805,7 @@ object SparkEntry {
     "q205_temporal_split" ->
       // same exact time quantiles over epoch micros, same boundary
       // comparisons; min/max are exact integers
-      ("WITH v AS (SELECT epoch_us(ts) AS t FROM events), " +
+      ("WITH v AS (SELECT epoch_us(ts) AS t FROM events WHERE ts IS NOT NULL), " +
         "c AS (SELECT quantile_cont(CAST(t AS DOUBLE), 0.6) AS t1, " +
         "quantile_cont(CAST(t AS DOUBLE), 0.7) AS t2 FROM v) " +
         "SELECT CASE WHEN CAST(t AS DOUBLE) < c.t1 THEN 'train' " +

@@ -115,25 +115,10 @@ object Normalize {
       .withColumn("_r", (row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("_x"), col(idCol))) - 1).cast("long"))
       .withColumn("_ns", count(lit(1)).over(Window.partitionBy(col(groupCol))))
-    // exact global rank, distributed: range buckets rank locally, then
-    // shift by the bucket's cumulative offset (one bounded row per bucket)
-    val spark0 = v.sparkSession
-    val p = math.max(1, spark0.sessionState.conf.numShufflePartitions)
-    val vr = v.repartitionByRange(p, col("_x"), col(idCol))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
-    var acc = 0L
-    val offRows = vr.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-      .orderBy(col("_pid")).collect()
-      .map { r => val o = acc; acc += r.getLong(1); (r.getInt(0), o) }
-      .toSeq
-    import spark0.implicits._
-    val off = spark0.createDataset(offRows).toDF("_pid", "_off")
-    val g = vr
-      .withColumn("_lr", (row_number().over(
-        Window.partitionBy(col("_pid")).orderBy(col("_x"), col(idCol))) - 1).cast("long"))
-      .join(broadcast(off), "_pid")
-      .select(col("_x").as("_gx"), (col("_lr") + col("_off")).as("_gi"))
+    // exact global rank, distributed (the shared [[GlobalRank]] machinery:
+    // range buckets rank locally, bounded cumulative offsets shift them)
+    val g = GlobalRank.withGlobalIndex(v, "_x", idCol, "_gi")
+      .select(col("_x").as("_gx"), col("_gi"))
     val q = when(col("_ns") === 1, lit(0.5))
       .otherwise(col("_r").cast("double") / (col("_ns") - 1).cast("double"))
     val pos = q * lit((n - 1).toDouble)

@@ -573,10 +573,12 @@ object Quality {
     * ratios of exact sums, bit-replayable on any engine). Threshold: an
     * exact ORDER STATISTIC, not an interpolated quantile — rank k =
     * ceil((n_cal+1)(1−α)) via `orderBy.limit(k)` = TakeOrderedAndProject
-    * (per-partition k-heaps; conformal calibration sets are bounded by
-    * design — statistical sufficiency saturates around 10⁴ rows, so k
-    * never scales with the corpus). Everything else is map-side
-    * arithmetic + one audit aggregate.
+    * (per-partition k-heaps). k scales with the CALIBRATION split, so the
+    * caller bounds that split — conformal validity saturates around 10⁴
+    * calibration rows, so at corpus scale pre-sample the id space (or
+    * raise `calMod`) rather than keeping a fixed fraction; an unbounded
+    * split fails loudly on the Int guard instead of melting the limit.
+    * Everything else is map-side arithmetic + one audit aggregate.
     *
     * Output row: (n_cal, n_eval, k, slope, intercept, q_hat, coverage) —
     * rational display values floor-form rounded.
@@ -592,7 +594,8 @@ object Quality {
     require(calMod >= 2, "calMod >= 2 so both splits are non-empty")
     val x = col(xCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
     val y = col(yCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
-    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull && col(idCol).isNotNull)
       .select(col(idCol).as("_id"), x.as("_x"), y.as("_y"))
       .persist()
     // exact decimal moments (order-free), ratios in double ONCE at the end
@@ -619,7 +622,15 @@ object Quality {
     val cal = scored.filter(col("_cal"))
     val nCal = cal.count()
     val k = math.ceil((nCal + 1) * (1 - alpha)).toLong.min(nCal)
-    // exact k-th smallest calibration residual: k-bounded TakeOrdered
+    // the threshold is the k-th smallest calibration residual via a
+    // k-bounded TakeOrdered — k grows with the calibration split, so the
+    // CALLER bounds the split (conformal validity needs ~10^4 calibration
+    // rows, not a fixed fraction of a 100 TB corpus: pre-sample the id
+    // space or raise calMod). Guarded here so an unbounded split fails
+    // loudly instead of overflowing limit()'s Int.
+    require(k <= Int.MaxValue.toLong,
+      s"calibration split too large for an exact order statistic (k=$k); " +
+        "sample the calibration ids or raise calMod")
     val qhat = cal.orderBy(col("_r"), col("_id")).limit(k.toInt)
       .agg(max(col("_r")).as("_q"))
     def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000

@@ -136,25 +136,15 @@ object Ranking {
       labelCol: Column,
       idCol: String = "doc_id"): DataFrame = {
     val spark0 = df.sparkSession
-    val v = df.filter(scoreCol.isNotNull)
+    // null labels would land in the otherwise() branch and count as
+    // NEGATIVES, silently diluting the statistic — unlabeled rows are out
+    val v = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
       .select(col(idCol).as("_id"), scoreCol.cast("double").as("_s"),
         labelCol.as("_l"))
-    val p = math.max(1, spark0.sessionState.conf.numShufflePartitions)
-    val vr = v.repartitionByRange(p, col("_s"), col("_id"))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
-    var acc = 0L
-    val offRows = vr.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-      .orderBy(col("_pid")).collect()
-      .map { r => val o = acc; acc += r.getLong(1); (r.getInt(0), o) }
-      .toSeq
-    import spark0.implicits._
-    val off = spark0.createDataset(offRows).toDF("_pid", "_off")
-    val ranked = vr
-      .withColumn("_lr", row_number().over(
-        Window.partitionBy(col("_pid")).orderBy(col("_s"), col("_id"))).cast("long"))
-      .join(broadcast(off), "_pid")
-      .select(col("_s"), col("_l"), (col("_lr") + col("_off")).as("_r"))
+    // 1-based Mann-Whitney ranks from the shared distributed-rank
+    // machinery (0-based index + 1)
+    val ranked = GlobalRank.withGlobalIndex(v, "_s", "_id", "_r0")
+      .select(col("_s"), col("_l"), (col("_r0") + 1).as("_r"))
     val mid = ranked.groupBy(col("_s"))
       .agg((min(col("_r")) + max(col("_r"))).as("_m2"))
     val np = col("n_pos").cast("double")

@@ -280,8 +280,10 @@ object Sampling {
       trainQ: Double = 0.6,
       testQ: Double = 0.7): DataFrame = {
     require(trainQ > 0 && testQ < 1 && trainQ <= testQ, "need 0 < trainQ <= testQ < 1")
+    // null timestamps would otherwise fall through the CASE into the
+    // embargo bucket and corrupt its audit row — exclude them explicitly
     val t = unix_micros(col(tsCol))
-    val v = df.select(t.as("_t"))
+    val v = df.filter(col(tsCol).isNotNull).select(t.as("_t"))
     val cuts = v.agg(
       percentile(col("_t").cast("double"), lit(trainQ)).as("_t1"),
       percentile(col("_t").cast("double"), lit(testQ)).as("_t2"))

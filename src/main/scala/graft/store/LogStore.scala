@@ -33,11 +33,27 @@ final class LogStore(root: String) {
   private def sidecarPath(table: String) =
     new org.apache.hadoop.fs.Path(s"${path(table)}/_union_schema.json")
 
+  /** The recorded union schema, or None when the sidecar is absent OR
+    * momentarily unreadable (a reader can race the delete+rename window of
+    * a concurrent [[updateUnionSchema]] on filesystems without atomic
+    * rename-over — [[read]] then falls back to the mergeSchema scan, which
+    * is slower but always correct). Callers that must distinguish
+    * absent-vs-unreadable use [[recordedSchemaStrict]].
+    */
   private def recordedSchema(
       spark: SparkSession,
+      table: String): Option[org.apache.spark.sql.types.StructType] =
+    try recordedSchemaStrict(fsFor(spark, sidecarPath(table)), table)
+    catch { case _: Throwable => None }
+
+  /** Absent → None; present → Some(schema); present-but-unreadable →
+    * THROWS (so a writer never mistakes a transient read failure for an
+    * empty sidecar and narrows the recorded union).
+    */
+  private def recordedSchemaStrict(
+      fs: org.apache.hadoop.fs.FileSystem,
       table: String): Option[org.apache.spark.sql.types.StructType] = {
     val p = sidecarPath(table)
-    val fs = fsFor(spark, p)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -47,7 +63,7 @@ final class LogStore(root: String) {
         Some(org.apache.spark.sql.types.DataType
           .fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-      } catch { case _: Throwable => None } finally in.close()
+      } finally in.close()
     }
   }
 
@@ -61,7 +77,12 @@ final class LogStore(root: String) {
       table: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     import org.apache.spark.sql.types.StructType
-    val existing = recordedSchema(spark, table)
+    // strict read: a transiently unreadable sidecar must SKIP this update
+    // (the next append retries), never be treated as absent — overwriting
+    // with only this epoch's schema would permanently narrow the union
+    val existing =
+      try recordedSchemaStrict(fsFor(spark, sidecarPath(table)), table)
+      catch { case _: Throwable => return }
     val merged = existing match {
       case None => schema
       case Some(old) =>

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,6 +73,28 @@ object PushSocketSource {
     if (name != null) ports.put(name, port)
   private[streaming] def countDrop(name: String): Unit =
     if (name != null) drops.merge(name, 1L, (a, b) => a + b)
+
+  /** Reader builder wiring an [[graft.model.IngestConfig]] to the source's
+    * micro-batcher: `maxBatchSize` → `flushSize`, `maxBatchAgeSeconds` →
+    * `flushAgeMs` — the reference's MAX_BATCH_SIZE / MAX_BATCH_AGE_SECONDS
+    * knobs land where the flush decision now lives. Source options are
+    * pinned at query start (the stop/restart contract LiveConfig
+    * documents).
+    */
+  def readStream(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      port: Int = 0,
+      config: graft.model.IngestConfig = graft.model.IngestConfig(),
+      maxQueue: Int = 10000): org.apache.spark.sql.DataFrame =
+    spark.readStream
+      .format("graft.streaming.PushSocketSourceProvider")
+      .option("name", name)
+      .option("port", port.toString)
+      .option("maxQueue", maxQueue.toString)
+      .option("flushSize", config.maxBatchSize.toString)
+      .option("flushAgeMs", (config.maxBatchAgeSeconds * 1000L).toString)
+      .load()
 
   /** Minimal PUSH-side client, the `tests/sender.py` analog: connect and
     * write one frame per message. Used by the e2e spec and usable as a
@@ -140,7 +162,7 @@ final class PushSocketMicroBatchStream(
     maxQueue: Int,
     flushSize: Int,
     flushAgeMs: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val server = new ServerSocket(requestedPort)
   PushSocketSource.register(name, server.getLocalPort)
@@ -219,13 +241,35 @@ final class PushSocketMicroBatchStream(
     * (write.py:24-28,58-59). Paired with an as-available trigger, batches
     * fire immediately at size under load and within the age bound under
     * trickle, instead of on a fixed wall-clock cadence.
+    *
+    * Trigger.AvailableNow bypasses the gate: the engine announces the
+    * catch-up run via [[prepareForTriggerAvailableNow]] and its contract
+    * is "drain everything currently in the source" — a fresh sub-size
+    * tail must be exposed, not held for more data that will never be
+    * consumed by this run.
     */
-  override def latestOffset(): Offset = lock.synchronized {
+  @volatile private var drainAll = false
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    lock.synchronized { drainAll = true }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset =
+    lock.synchronized(CountOffset(baseOffset + buffer.size))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    gatedLatestOffset()
+
+  override def latestOffset(): Offset = gatedLatestOffset()
+
+  private def gatedLatestOffset(): Offset = lock.synchronized {
     val total = baseOffset + buffer.size
     val pending = total - exposed
     if (pending > 0) {
       val oldest = times((exposed - baseOffset).toInt)
-      if (pending >= flushSize || System.currentTimeMillis() - oldest >= flushAgeMs)
+      if (drainAll || pending >= flushSize ||
+        System.currentTimeMillis() - oldest >= flushAgeMs)
         exposed = total
     }
     CountOffset(exposed)

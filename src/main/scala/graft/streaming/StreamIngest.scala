@@ -46,8 +46,10 @@ object StreamIngest {
       store: LogStore,
       checkpoint: String,
       config: IngestConfig = IngestConfig(),
-      availableNow: Boolean = false): StreamingQuery =
-    start(raw, store, checkpoint, ConfigSource.Static(config), availableNow)
+      availableNow: Boolean = false,
+      sourceFlushGated: Boolean = true): StreamingQuery =
+    start(raw, store, checkpoint, ConfigSource.Static(config), availableNow,
+      sourceFlushGated = sourceFlushGated)
 
   /** [[start]] with live config refresh: `configSource.current()` is
     * resolved at the top of EVERY micro-batch, so a changed ignore-list
@@ -60,11 +62,12 @@ object StreamIngest {
       store: LogStore,
       checkpoint: String,
       configSource: ConfigSource,
-      availableNow: Boolean): StreamingQuery =
+      availableNow: Boolean,
+      sourceFlushGated: Boolean): StreamingQuery =
     startIngest(raw, store, checkpoint, configSource,
       writerId = "logs", table = "logs",
       transform = (df, cfg) => IngestTransform(df, cfg),
-      availableNow = availableNow)
+      availableNow = availableNow, sourceFlushGated = sourceFlushGated)
 
   /** Streaming ingest for the `metric` table (reference's second hypertable,
     * migration:66-78) — same trigger/checkpoint/idempotence contract as
@@ -75,11 +78,12 @@ object StreamIngest {
       store: LogStore,
       checkpoint: String,
       config: IngestConfig = IngestConfig(),
-      availableNow: Boolean = false): StreamingQuery =
+      availableNow: Boolean = false,
+      sourceFlushGated: Boolean = true): StreamingQuery =
     startIngest(raw, store, checkpoint, ConfigSource.Static(config),
       writerId = "metric", table = "metric",
       transform = (df, _) => graft.ingest.MetricIngest(df),
-      availableNow = availableNow)
+      availableNow = availableNow, sourceFlushGated = sourceFlushGated)
 
   /** Shared batch lifecycle for every ingest stream: one persist of the raw
     * micro-batch feeding both the table write and the dead-letter side
@@ -98,7 +102,8 @@ object StreamIngest {
       writerId: String,
       table: String,
       transform: (DataFrame, IngestConfig) => DataFrame,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      sourceFlushGated: Boolean = true): StreamingQuery = {
     // AvailableNow = the catch-up/backfill mode: drain everything currently
     // in the source in rate-capped batches, then stop — same checkpoint, so
     // a nightly catch-up run and the live stream share one epoch lineage.
@@ -108,12 +113,16 @@ object StreamIngest {
     // condition), so under load batches fire back-to-back on size instead
     // of idling out a wall-clock cadence — a fixed ProcessingTime(age)
     // trigger implements only the age half and caps throughput at
-    // burst/age. Sources without their own gate (files, MemoryStream)
-    // batch by their per-trigger rate caps (maxFilesPerTrigger etc.) and
-    // still satisfy the age bound trivially (flush latency ~ poll delay).
+    // burst/age. Sources WITHOUT their own gate (files, Kafka) pass
+    // sourceFlushGated = false and keep the wall-clock age cadence — an
+    // as-available trigger would poll/list such a source every ~10 ms
+    // (directory listings at corpus scale are not free) for no batching
+    // benefit.
     val trigger =
       if (availableNow) Trigger.AvailableNow()
-      else Trigger.ProcessingTime(0L)
+      else if (sourceFlushGated) Trigger.ProcessingTime(0L)
+      else Trigger.ProcessingTime(
+        s"${configSource.current().maxBatchAgeSeconds} seconds")
     raw.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)

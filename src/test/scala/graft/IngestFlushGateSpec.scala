@@ -45,6 +45,22 @@ class IngestFlushGateSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("prepareForTriggerAvailableNow bypasses the gate (catch-up drains the tail)") {
+    // flushSize far above the send + an hour-long age: without the bypass
+    // these frames stay invisible and an AvailableNow catch-up run would
+    // snapshot the old offset and terminate having ingested nothing
+    val s = new PushSocketMicroBatchStream(0, "gate-drain", 1000,
+      flushSize = 1000, flushAgeMs = 3600000L)
+    try {
+      val port = PushSocketSource.boundPort("gate-drain").get
+      sendAndSettle(port, (1 to 5).map(i => s"r$i"))
+      assert(offset(s) == 0L, "fresh sub-size pending is gate-held")
+      s.prepareForTriggerAvailableNow()
+      assert(offset(s) == 5L,
+        "AvailableNow preparation must expose the whole backlog")
+    } finally s.stop()
+  }
+
   test("exposure is monotone across commit trims") {
     val s = new PushSocketMicroBatchStream(0, "gate-commit", 1000,
       flushSize = 2, flushAgeMs = 60000L)

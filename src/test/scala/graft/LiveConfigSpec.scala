@@ -92,7 +92,7 @@ class LiveConfigSpec extends SparkSpec {
     val src = new ConfigSource.FromFile(cfgFile.toString, ttlMs = 0)
 
     val q = StreamIngest.start(stream.toDF(), store, s"$root/ckpt", src,
-      availableNow = false)
+      availableNow = false, sourceFlushGated = true)
     try {
       stream.addData(Seq(record("before-reload")))
       q.processAllAvailable()

@@ -117,4 +117,5 @@ class PushSocketSourceSpec extends SparkSpec {
       assert(PushSocketSource.dropped(name) == 0)
     } finally q.stop()
   }
+
 }
