@@ -1322,6 +1322,16 @@ object SparkEntry {
         r4(col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
     }),
 
+    "q208_ols_crossval" -> ((s, dir) => {
+      // 5-fold jackknife-complement cross-validation of the n_chars ~
+      // tokens OLS: per-fold held-out slope/intercept/RMSE from ONE moment
+      // aggregate (complement = global - fold) — the fit-stability audit
+      val docs = Tables(s, dir, "documents")
+        .withColumn("tok", functions.TextAnalysis.tokenCount(col("text")).cast("long"))
+      operators.Quality.olsCrossVal(docs, xCol = "tok", yCol = "n_chars")
+        .orderBy(col("fold"))
+    }),
+
     "q207_score_auc" -> ((s, dir) => {
       // exact ROC AUC (Mann-Whitney with midranks) of the stopword-ratio
       // quality signal against the src0 label — the "does this score
@@ -3737,6 +3747,40 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
         "COALESCE(ce, 0.0) AS cross_entropy " +
         "FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id"),
+
+    "q208_ols_crossval" ->
+      // q206's exact decimal moments per fold, complement subtraction in
+      // decimal, double ratios once, and 2^20 fixed-point residual sums
+      ("WITH b AS (SELECT doc_id AS id, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DECIMAL(18,2)) AS x, " +
+        "CAST(n_chars AS DECIMAL(18,2)) AS y, doc_id % 5 AS f " +
+        "FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL " +
+        "AND doc_id IS NOT NULL), " +
+        "fm AS (SELECT f, count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * x) AS sxx, sum(x * y) AS sxy FROM b GROUP BY f), " +
+        "g AS (SELECT sum(n) AS gn, sum(sx) AS gsx, sum(sy) AS gsy, " +
+        "sum(sxx) AS gsxx, sum(sxy) AS gsxy FROM fm), " +
+        "c AS (SELECT f, n, bb, " +
+        "CAST(gsy - sy AS DOUBLE) / CAST(gn - n AS DOUBLE) - " +
+        "bb * (CAST(gsx - sx AS DOUBLE) / CAST(gn - n AS DOUBLE)) AS aa " +
+        "FROM (SELECT f, n, gn, gsx, gsy, sx, sy, " +
+        "(CAST(gn - n AS DOUBLE) * CAST(gsxy - sxy AS DOUBLE) - " +
+        "CAST(gsx - sx AS DOUBLE) * CAST(gsy - sy AS DOUBLE)) / " +
+        "(CAST(gn - n AS DOUBLE) * CAST(gsxx - sxx AS DOUBLE) - " +
+        "CAST(gsx - sx AS DOUBLE) * CAST(gsx - sx AS DOUBLE)) AS bb " +
+        "FROM fm CROSS JOIN g)), " +
+        "r AS (SELECT b.f, c.n, c.aa, c.bb, " +
+        "CAST(y AS DOUBLE) - (c.aa + c.bb * CAST(x AS DOUBLE)) AS rr " +
+        "FROM b JOIN c ON b.f = c.f), " +
+        "q AS (SELECT f, n, aa, bb, " +
+        "sum(CAST(floor(rr * rr * 1048576.0) AS BIGINT)) AS q2 " +
+        "FROM r GROUP BY f, n, aa, bb) " +
+        "SELECT CAST(f AS BIGINT) AS fold, CAST(n AS BIGINT) AS n_fold, " +
+        "floor(bb * 10000 + 0.5) / 10000 AS slope, " +
+        "floor(aa * 10000 + 0.5) / 10000 AS intercept, " +
+        "round(sqrt(CAST(q2 AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)), 4) AS rmse " +
+        "FROM q ORDER BY fold"),
 
     "q207_score_auc" ->
       // same score expression as q17's oracle (unrounded), ranks via

@@ -583,6 +583,73 @@ object Quality {
     * Output row: (n_cal, n_eval, k, slope, intercept, q_hat, coverage) —
     * rational display values floor-form rounded.
     */
+  /** k-fold cross-validation of the OLS base predictor — the fit-stability
+    * audit behind any "train a filter threshold on a sample" step: for
+    * each fold f, coefficients are fit on the COMPLEMENT (all rows not in
+    * f) and evaluated on f (held-out RMSE). The jackknife trick makes one
+    * pass suffice: complement moments = global moments − fold moments, so
+    * k complement fits cost ONE grouped aggregate, not k training passes.
+    *
+    * Exactness chain: per-fold moments are exact decimal/integer sums;
+    * complement subtraction stays decimal-exact; each fold's slope/
+    * intercept is a double ratio computed once; held-out squared
+    * residuals cross-row-sum as floor(r²·2^20) INTEGERS (the q203
+    * quantization discipline — order-free on any engine), so the oracle
+    * replays every number. Output: one row per fold
+    * (fold, n_fold, slope, intercept, rmse), fold-ordered.
+    *
+    * Shape: one fold-keyed moment aggregate (k-bounded), one k-row
+    * broadcast of coefficients back, one fold-keyed residual aggregate —
+    * two passes over the frame, nothing corpus-sized shuffles.
+    */
+  def olsCrossVal(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      idCol: String = "doc_id",
+      k: Int = 5): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    val Q = 1048576.0 // 2^20
+    val x = col(xCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val y = col(yCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("_id"), x.as("_x"), y.as("_y"),
+        pmod(col(idCol), lit(k)).as("_f"))
+      .persist()
+    val fm = base.groupBy(col("_f")).agg(
+      count(lit(1)).as("_n"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+    val g = fm.agg(
+      sum(col("_n")).as("_gn"),
+      sum(col("_sx")).as("_gsx"), sum(col("_sy")).as("_gsy"),
+      sum(col("_sxx")).as("_gsxx"), sum(col("_sxy")).as("_gsxy"))
+    // complement moments (decimal-exact), then the double ratios once
+    val cn = (col("_gn") - col("_n")).cast("double")
+    val csx = (col("_gsx") - col("_sx")).cast("double")
+    val csy = (col("_gsy") - col("_sy")).cast("double")
+    val csxx = (col("_gsxx") - col("_sxx")).cast("double")
+    val csxy = (col("_gsxy") - col("_sxy")).cast("double")
+    val b = (cn * csxy - csx * csy) / (cn * csxx - csx * csx)
+    val coef = fm.crossJoin(broadcast(g))
+      .select(col("_f"), col("_n").as("n_fold"), b.as("_b"),
+        (csy / cn - b * (csx / cn)).as("_a"))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    base.join(broadcast(coef), "_f")
+      .select(col("_f"), col("n_fold"), col("_a"), col("_b"),
+        (col("_y").cast("double") -
+          (col("_a") + col("_b") * col("_x").cast("double"))).as("_r"))
+      .groupBy(col("_f"), col("n_fold"), col("_a"), col("_b"))
+      .agg(sum(floor(col("_r") * col("_r") * lit(Q)).cast("long")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_q2"))
+      .select(col("_f").as("fold"), col("n_fold"),
+        r4(col("_b")).as("slope"), r4(col("_a")).as("intercept"),
+        round(sqrt(col("_q2").cast("double") / lit(Q) /
+          col("n_fold").cast("double")), 4).as("rmse"))
+  }
+
   def conformalInterval(
       df: DataFrame,
       xCol: String,

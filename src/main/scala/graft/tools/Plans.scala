@@ -120,7 +120,8 @@ object Plans {
     "q204_winsorize" -> "one grouped percentile aggregate over the compact (type, value) stream broadcasts back (BroadcastHashJoin on the 5-row cuts table); the clip is a map-side least/greatest inside WholeStageCodegen",
     "q205_temporal_split" -> "the one-row quantile-cutoff pair broadcasts beside the stream (cardinality-1 nested loop); labeling is a map-side comparison and the audit is a 3-key hash agg with map-side partials",
     "q206_conformal_interval" -> "exact decimal moments collapse map-side into the one-row OLS fit; residuals score map-side against the broadcast fit; the threshold is a k-bounded TakeOrderedAndProject over the calibration sliver; coverage is one more single-row agg — nothing corpus-sized shuffles",
-    "q207_score_auc" -> "the global score rank is the q137 distributed shape (range exchange, per-bucket windows by partition id, bounded offset broadcast); midranks are a score-keyed agg + join-back; the U statistic folds into ONE single-row aggregate — no single-partition WindowExec, no nested loop"
+    "q207_score_auc" -> "the global score rank is the q137 distributed shape (range exchange, per-bucket windows by partition id, bounded offset broadcast); midranks are a score-keyed agg + join-back; the U statistic folds into ONE single-row aggregate — no single-partition WindowExec, no nested loop",
+    "q208_ols_crossval" -> "one fold-keyed moment aggregate (k rows) + a one-row global cross; the k complement fits broadcast back and the held-out residual pass is a second fold-keyed aggregate with map-side integer partials — two scans, zero corpus-sized shuffles"
   )
 
   def main(args: Array[String]): Unit = {

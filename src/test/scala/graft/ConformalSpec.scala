@@ -25,6 +25,31 @@ class ConformalSpec extends SparkSpec {
     assert(coverage <= 1.0)
   }
 
+  test("olsCrossVal: perfect linear data recovers exact fits, rmse 0, folds partition") {
+    val df = (1L to 500L).map(i => (i, i % 50, 2.0 * (i % 50) + 7.0))
+      .toDF("doc_id", "x", "y")
+    val rows = Quality.olsCrossVal(df, "x", "y", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(rows.map(_._2).sum == 500L, "folds partition the frame")
+    rows.foreach { case (f, _, slope, intercept, rmse) =>
+      assert(slope == 2.0 && intercept == 7.0 && rmse == 0.0,
+        s"fold $f: complement fit must recover the exact line")
+    }
+  }
+
+  test("olsCrossVal: noisy-but-exchangeable data gives stable fold fits") {
+    val df = (1L to 2000L).map { i =>
+      val noise = ((i * 2654435761L) % 1000) / 100.0 - 5.0
+      (i, i % 100, 3.0 * (i % 100) + noise)
+    }.toDF("doc_id", "x", "y")
+    val slopes = Quality.olsCrossVal(df, "x", "y", k = 5)
+      .collect().map(_.getDouble(2))
+    assert(slopes.max - slopes.min < 0.05,
+      s"complement fits should barely move: ${slopes.toSeq}")
+  }
+
   test("perfect linear data: q_hat 0, coverage 1") {
     val df = (1L to 500L).map(i => (i, i % 50, 2.0 * (i % 50) + 7.0))
       .toDF("doc_id", "x", "y")

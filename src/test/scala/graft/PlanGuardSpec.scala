@@ -114,7 +114,9 @@ class PlanGuardSpec extends SparkSpec {
     "q205_temporal_split" ->
       "crossJoin(broadcast(cuts)): the single-row quantile-cutoff pair beside the stream; labeling is a map-side comparison",
     "q206_conformal_interval" ->
-      "crossJoin(broadcast(...)) of ONE-ROW frames only: the OLS fit and the k-th-residual threshold beside the scored stream"
+      "crossJoin(broadcast(...)) of ONE-ROW frames only: the OLS fit and the k-th-residual threshold beside the scored stream",
+    "q208_ols_crossval" ->
+      "crossJoin(broadcast(global moments)): the single-row global-moment frame beside the k-row fold-moment table"
   )
 
   /** One shared physical-plan pass for every rule in this suite (plan
