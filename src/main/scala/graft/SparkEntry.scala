@@ -1322,6 +1322,62 @@ object SparkEntry {
         r4(col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
     }),
 
+    // q200a-q200d: one-column bisection diagnostics for the dataset card
+    // (r10 VERDICT item 1). Each emits n_docs plus exactly ONE of q200's
+    // rates so a gate mismatch localizes WHICH column an independent
+    // oracle computes differently. Same builders, same floor-form
+    // DECIMAL(20,4) rendering as q200 itself.
+    "q200a_card_dup_rate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      def r4(c: org.apache.spark.sql.Column) =
+        (floor(c * 10000 + lit(0.5)) / 10000).cast("decimal(20,4)")
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+          .as("_fps"))
+        .select(col("n_docs"),
+          r4(lit(1.0) - col("_fps").cast("double") / col("n_docs"))
+            .as("exact_dup_rate"))
+    }),
+
+    "q200b_card_quality_rate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text"))
+      def r4(c: org.apache.spark.sql.Column) =
+        (floor(c * 10000 + lit(0.5)) / 10000).cast("decimal(20,4)")
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(tok >= 50, 1L).otherwise(0L)).as("_npass"))
+        .select(col("n_docs"),
+          r4(col("_npass").cast("double") / col("n_docs")).as("quality_pass_rate"))
+    }),
+
+    "q200c_card_contam_rate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      def r4(c: org.apache.spark.sql.Column) =
+        (floor(c * 10000 + lit(0.5)) / 10000).cast("decimal(20,4)")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val contam = operators.CorpusAnalytics.evalContamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+        .agg(sum(col("n_grams")).as("_g"), sum(col("n_hit")).as("_h"))
+      n.crossJoin(broadcast(contam)).select(
+        col("n_docs"),
+        r4(col("_h").cast("double") / col("_g")).as("eval_contamination_rate"))
+    }),
+
+    "q200d_card_mean_tokens" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text"))
+      def r4(c: org.apache.spark.sql.Column) =
+        (floor(c * 10000 + lit(0.5)) / 10000).cast("decimal(20,4)")
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(tok.cast("long")).as("n_tokens"))
+        .select(col("n_docs"), col("n_tokens"),
+          r4(col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
+    }),
+
     "q208_ols_crossval" -> ((s, dir) => {
       // 5-fold jackknife-complement cross-validation of the n_chars ~
       // tokens OLS: per-fold held-out slope/intercept/RMSE from ONE moment
@@ -3961,12 +4017,64 @@ object SparkEntry {
         "con AS (SELECT count(*) AS gt, " +
         "CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ht " +
         "FROM ev LEFT JOIN tg ON ev.g = tg.g) " +
-        "SELECT CAST(n_docs AS BIGINT) AS n_docs, n_tokens, " +
+        // n_tokens MUST be re-cast in the FINAL projection: DuckDB's
+        // sum(BIGINT) is HUGEINT (int128), and a HUGEINT column survives
+        // the base CTE into the output where some client conversions
+        // (e.g. pandas df()) render it float64 ("27165.0") while Spark's
+        // parquet long renders "27165" — a hash mismatch with identical
+        // values. Every other oracle casts sums at the final select; this
+        // one previously leaked the raw HUGEINT (r9/r10 driver-red).
+        "SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
         "CAST(floor((1.0 - CAST(fps AS DOUBLE) / n_docs) * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS exact_dup_rate, " +
         "CAST(floor(CAST(npass AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS quality_pass_rate, " +
         "CAST(floor(CAST(ht AS DOUBLE) / gt * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS eval_contamination_rate, " +
         "CAST(floor(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS mean_tokens " +
         "FROM base, con"),
+
+    "q200a_card_dup_rate" ->
+      // q200's exact-dup column in isolation (bisection diagnostic)
+      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(floor((1.0 - CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS DOUBLE) " +
+        "/ count(*)) * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS exact_dup_rate " +
+        "FROM documents WHERE text IS NOT NULL"),
+
+    "q200b_card_quality_rate" ->
+      // q200's quality-pass column in isolation (bisection diagnostic)
+      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(floor(CAST(sum(CASE WHEN CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) >= 50 " +
+        "THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS quality_pass_rate " +
+        "FROM documents WHERE text IS NOT NULL"),
+
+    "q200c_card_contam_rate" ->
+      // q200's eval-contamination column in isolation (bisection
+      // diagnostic): same %50 eval split, same <3-token whole-doc shingle
+      ("WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL), " +
+        "shx AS (SELECT doc_id, (" +
+        "SELECT CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')]) " +
+        "ELSE list_distinct(list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) END " +
+        "FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') toks)) sh " +
+        "FROM d WHERE trim(text) <> ''), " +
+        "ev AS (SELECT doc_id, unnest(sh) AS g FROM shx WHERE doc_id % 50 = 0), " +
+        "tg AS (SELECT DISTINCT g FROM (SELECT unnest(sh) AS g FROM shx WHERE doc_id % 50 <> 0)), " +
+        "con AS (SELECT count(*) AS gt, " +
+        "CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ht " +
+        "FROM ev LEFT JOIN tg ON ev.g = tg.g), " +
+        "n AS (SELECT count(*) AS n_docs FROM d) " +
+        "SELECT CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(floor(CAST(ht AS DOUBLE) / gt * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS eval_contamination_rate " +
+        "FROM n, con"),
+
+    "q200d_card_mean_tokens" ->
+      // q200's token-mass columns in isolation (bisection diagnostic);
+      // n_tokens re-cast at the FINAL projection (HUGEINT discipline)
+      ("WITH base AS (SELECT count(*) AS n_docs, " +
+        "sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)) AS n_tokens " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(floor(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS mean_tokens " +
+        "FROM base"),
 
     "q199_dedup_yield" ->
       // q22's brute-force exact-Jaccard ground truth at threshold 0.5,

@@ -81,6 +81,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(best)): the single-row max-score scalar beside the divisor-bounded literal frame — no data is touched at all",
     "q200_dataset_card" ->
       "crossJoin(broadcast(contamination totals)): two single-row aggregates meeting in the one-row card",
+    "q200c_card_contam_rate" ->
+      "crossJoin(broadcast(contamination totals)): q200's contamination column bisected out, same two single-row aggregates",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
