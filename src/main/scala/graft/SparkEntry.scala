@@ -1960,9 +1960,15 @@ object SparkEntry {
         (ps.zipWithIndex.map { case (p, i) =>
           KllSketch.kllQuantile(col("sk"), p).as(s"_e$i") } :+
           col("sk").getField("n").as("_sk_n")): _*)
+      // the exact median comes from the distributed rank (bit-identical
+      // to the ungrouped percentile aggregate it replaces, no
+      // corpus-cardinality buffer) — and dropping Percentile from the agg
+      // leaves a pure codegen'd count/sum HashAggregate
+      val p50 = operators.GlobalRank.percentileValues(
+        docs, "x", "x", Seq(0.5)).fold(lit(null).cast("double"))(a => lit(a(0)))
       val agg = docs.crossJoin(broadcast(ests)).agg(
         count(lit(1)).as("_n"),
-        (round(percentile(col("x"), lit(0.5)), 4).as("exact_p50") +:
+        (round(max(p50), 4).as("exact_p50") +:
           ps.indices.map(i =>
             sum(when(col("x") <= col(s"_e$i"), 1L).otherwise(0L)).as(s"_r$i"))): _*)
       val eps = 0.05

@@ -1113,8 +1113,12 @@ object CorpusAnalytics {
       .agg(count(lit(1)).as("n_tokens"),
         sum(log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets)) -
             log((col("cr") + 1.0) / (col("rt") + buckets))).as("_lw"))
-    val median = perDoc.agg(
-      percentile(col("_lw"), lit(0.5)).as("_med"))
+    // exact interpolated median via the distributed rank (bit-identical
+    // to the percentile aggregate this replaces, but never buffering the
+    // per-doc weights in one unsplittable aggregation state — the r10
+    // scale flag; see GlobalRank.percentileValues)
+    val median = GlobalRank.percentileLiterals(
+      perDoc, "_lw", idCol, Seq(0.5), Seq("_med"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .crossJoin(broadcast(median))
       .select(col(idCol),
@@ -1429,9 +1433,10 @@ object CorpusAnalytics {
     val ce = bigramCrossEntropy(docs, textCol, idCol)
       .filter(col("n_bigrams") >= 1)
       .persist()
-    val cuts = ce.agg(
-      percentile(col("cross_entropy"), lit(lo)).as("c_lo"),
-      percentile(col("cross_entropy"), lit(hi)).as("c_hi"))
+    // distributed-rank percentiles (bit-identical to the ungrouped
+    // percentile aggregate; no corpus-cardinality aggregation buffer)
+    val cuts = GlobalRank.percentileLiterals(
+      ce, "cross_entropy", idCol, Seq(lo, hi), Seq("c_lo", "c_hi"))
     ce.crossJoin(broadcast(cuts))
       .select(col(idCol), col("cross_entropy"),
         when(col("cross_entropy") <= col("c_lo"), lit("head"))

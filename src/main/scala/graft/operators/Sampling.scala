@@ -284,9 +284,13 @@ object Sampling {
     // embargo bucket and corrupt its audit row — exclude them explicitly
     val t = unix_micros(col(tsCol))
     val v = df.filter(col(tsCol).isNotNull).select(t.as("_t"))
-    val cuts = v.agg(
-      percentile(col("_t").cast("double"), lit(trainQ)).as("_t1"),
-      percentile(col("_t").cast("double"), lit(testQ)).as("_t2"))
+    // distributed-rank percentiles (bit-identical to the ungrouped
+    // percentile aggregate; no stream-cardinality aggregation buffer) —
+    // _t doubles as the range-partition tie-break: positional values are
+    // invariant to tie order
+    val cuts = GlobalRank.percentileLiterals(
+      v.select(col("_t").cast("double").as("_t")), "_t", "_t",
+      Seq(trainQ, testQ), Seq("_t1", "_t2"))
     v.crossJoin(broadcast(cuts))
       .select(col("_t"),
         when(col("_t").cast("double") < col("_t1"), "train")

@@ -505,8 +505,10 @@ object Sessions {
     * recent, constant, big spender).
     *
     * Determinism discipline: monetary sums as DECIMAL(18,2) (association-
-    * free — q08's dsum), the 12 cut points are exact `percentile`
-    * aggregates over the per-user frame ROUNDED to 4 before banding
+    * free — q08's dsum), the 12 cut points are exact distributed-rank
+    * percentiles ([[GlobalRank.percentileValues]] — bit-identical to the
+    * `percentile` aggregate, no user-cardinality aggregation buffer)
+    * over the per-user frame ROUNDED to 4 before banding
     * (q133's rounded-band precedent), and banding is a map-side chain of
     * `<=` comparisons. Two aggs (per-user, then the one-row cuts) + one
     * broadcast join; the event table shuffles once on user.
@@ -523,11 +525,21 @@ object Sessions {
         count(lit(1)).as("frequency"),
         sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("monetary"))
-    val probs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
-    val cuts = perUser.agg(
-      percentile(col("recency_us"), probs).as("_rc"),
-      percentile(col("frequency"), probs).as("_fc"),
-      percentile(col("monetary"), probs).as("_mc"))
+      .persist()
+    // the 12 cut points via the distributed rank — three small range
+    // shuffles of the persisted per-user frame instead of three
+    // user-cardinality aggregation buffers in one state (bit-identical
+    // values; rounding stays Spark-side exactly as before)
+    val probs = Seq(0.2, 0.4, 0.6, 0.8)
+    def cutsArray(valCol: String): Column = {
+      val vs = GlobalRank.percentileValues(perUser, valCol, userCol, probs)
+      array(probs.indices.map(i =>
+        vs.fold(lit(null).cast("double"))(a => lit(a(i)))): _*)
+    }
+    val cuts = perUser.sparkSession.range(1)
+      .select(cutsArray("recency_us").as("_rc"),
+        cutsArray("frequency").as("_fc"),
+        cutsArray("monetary").as("_mc"))
       .select(
         transform(col("_rc"), c => round(c, 4)).as("_rc"),
         transform(col("_fc"), c => round(c, 4)).as("_fc"),

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.GlobalRank
+
+/** [[GlobalRank.percentileValues]] must be BIT-IDENTICAL to Spark's exact
+  * `percentile` aggregate — it replaces ungrouped percentile call sites
+  * (q116's median, q133's tercile cuts, q152's exact_p50, the temporal
+  * split and RFM cutoffs) whose oracle parity was established against
+  * that aggregate's interpolation arithmetic. Randomized trials compare
+  * raw doubles with ==, not a tolerance.
+  */
+class GlobalRankSpec extends SparkSpec {
+
+  test("percentileValues == percentile aggregate, randomized (25 rounds, bit-exact)") {
+    import spark.implicits._
+    val genVals = for {
+      n <- Gen.choose(1, 200)
+      // heavy ties: values drawn from a small integer lattice plus a few
+      // arbitrary doubles, so lower==higher and hk==lk branches all fire
+      vs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(0, 9).map(_.toDouble),
+        Gen.choose(-1e6, 1e6)))
+    } yield vs
+    val probs = Seq(0.0, 0.1, 1.0 / 3, 0.5, 0.75, 0.9, 1.0)
+    val params = Gen.Parameters.default
+    for (round <- 0 until 25) {
+      val vs = genVals.apply(params, Seed(round.toLong))
+        .getOrElse(sys.error(s"gen failed at $round"))
+      val df = vs.zipWithIndex.toDF("v", "id")
+      val expected = df
+        .agg(percentile(col("v"), array(probs.map(lit): _*)).as("p"))
+        .collect()(0).getSeq[Double](0)
+      val got = GlobalRank.percentileValues(df, "v", "id", probs).get
+      assert(got.length == expected.length)
+      got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g == e,
+          s"round $round prob ${probs(i)}: got $g expected $e (n=${vs.length})")
+      }
+    }
+  }
+
+  test("percentileValues ignores nulls, like the aggregate") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1.0, 1), Row(null, 2), Row(3.0, 3), Row(null, 4)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType, true),
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType, false))))
+    val expected = df.agg(percentile(col("v"), lit(0.5))).collect()(0).getDouble(0)
+    val got = GlobalRank.percentileValues(df, "v", "id", Seq(0.5)).get
+    assert(got(0) == expected)
+  }
+
+  test("percentileValues on an empty / all-null frame is None (aggregate's NULL)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Int)].toDF("v", "id")
+    assert(GlobalRank.percentileValues(empty, "v", "id", Seq(0.5)).isEmpty)
+    val literals = GlobalRank.percentileLiterals(empty, "v", "id", Seq(0.5), Seq("m"))
+    val r = literals.collect()(0)
+    assert(r.isNullAt(0) && literals.columns.sameElements(Array("m")))
+  }
+
+  test("percentileValues single row: every prob returns that value") {
+    import spark.implicits._
+    val df = Seq((42.5, 0)).toDF("v", "id")
+    val got = GlobalRank.percentileValues(df, "v", "id", Seq(0.0, 0.3, 1.0)).get
+    assert(got.forall(_ == 42.5))
+  }
+
+  test("percentileLiterals column names and one-row shape") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, i)).toDF("v", "id")
+    val lits = GlobalRank.percentileLiterals(df, "v", "id", Seq(0.25, 0.5), Seq("a", "b"))
+    val expected = df.agg(
+      percentile(col("v"), lit(0.25)), percentile(col("v"), lit(0.5))).collect()(0)
+    val r = lits.collect()
+    assert(r.length == 1 && lits.columns.sameElements(Array("a", "b")))
+    assert(r(0).getDouble(0) == expected.getDouble(0))
+    assert(r(0).getDouble(1) == expected.getDouble(1))
+  }
+}

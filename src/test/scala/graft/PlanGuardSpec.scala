@@ -199,4 +199,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(stale.isEmpty,
       s"window-exempt entries whose query no longer plans a global window: $stale")
   }
+
+  test("no ungrouped exact-percentile aggregate anywhere (r10 q116 flag)") {
+    // an exact Percentile with NO grouping keys buffers every input value
+    // in one unsplittable aggregation state — an executor OOM at corpus
+    // scale. GlobalRank.percentileValues is the sanctioned replacement
+    // (bit-identical interpolation, bounded per-partition state); grouped
+    // percentile (q34/q75/winsorize/MAD) is allowed: its state is bounded
+    // by the group's cardinality, which those callers bound by
+    // construction. No exempt list — there is no legitimate ungrouped
+    // use.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    val offenders = plans.flatMap { case (name, plan) =>
+      val bad = plan.collect {
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty &&
+          a.aggregateExpressions.exists(
+            _.aggregateFunction.isInstanceOf[Percentile]) => a
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"ungrouped exact percentile (unsplittable corpus-sized buffer):\n  ${offenders.sorted.mkString("\n  ")}")
+  }
 }
