@@ -571,14 +571,18 @@ object Quality {
     * Base predictor: OLS of `yCol` on `xCol` whose moments are EXACT
     * decimal/integer sums (the q46 discipline — slope and intercept are
     * ratios of exact sums, bit-replayable on any engine). Threshold: an
-    * exact ORDER STATISTIC, not an interpolated quantile — rank k =
-    * ceil((n_cal+1)(1−α)) via `orderBy.limit(k)` = TakeOrderedAndProject
-    * (per-partition k-heaps). k scales with the CALIBRATION split, so the
-    * caller bounds that split — conformal validity saturates around 10⁴
-    * calibration rows, so at corpus scale pre-sample the id space (or
-    * raise `calMod`) rather than keeping a fixed fraction; an unbounded
-    * split fails loudly on the Int guard instead of melting the limit.
-    * Everything else is map-side arithmetic + one audit aggregate.
+    * exact ORDER STATISTIC, not an interpolated quantile — the residual
+    * at global rank k−1 = ceil((n_cal+1)(1−α))−1 under (residual, id)
+    * order via [[GlobalRank.withGlobalIndexAndCount]] (range-partitioned
+    * local ranks + bounded per-partition offsets). Safe BY CONSTRUCTION
+    * at any calibration size: nothing k-sized is collected, heaped, or
+    * buffered — the r10 flag on the previous `orderBy.limit(k)` shape,
+    * whose TakeOrdered pulled k rows toward the driver behind an
+    * Int.MaxValue guard far beyond what memory survives. (Conformal
+    * validity still saturates around 10⁴ calibration rows — pre-sampling
+    * the id space remains statistically sensible, just no longer a
+    * safety requirement.) Everything else is map-side arithmetic + one
+    * audit aggregate.
     *
     * Output row: (n_cal, n_eval, k, slope, intercept, q_hat, coverage) —
     * rational display values floor-form rounded.
@@ -687,18 +691,16 @@ object Quality {
         (pmod(col("_id"), lit(calMod)) === 0).as("_cal"),
         col("_a"), col("_b"))
     val cal = scored.filter(col("_cal"))
-    val nCal = cal.count()
+    // the k-th smallest calibration residual as a DISTRIBUTED order
+    // statistic: global rank under (_r, _id), filter to index k-1 — the
+    // ranked row's _r is exactly max(_r) over the ordered first k, so the
+    // value is bit-identical to the previous orderBy.limit(k) shape, but
+    // nothing k-sized is collected or heaped at any calibration size
+    // (n_cal falls out of the rank pass's offset collection for free)
+    val (rankedCal, nCal) = GlobalRank.withGlobalIndexAndCount(
+      cal.select(col("_r"), col("_id")), "_r", "_id", "_cx")
     val k = math.ceil((nCal + 1) * (1 - alpha)).toLong.min(nCal)
-    // the threshold is the k-th smallest calibration residual via a
-    // k-bounded TakeOrdered — k grows with the calibration split, so the
-    // CALLER bounds the split (conformal validity needs ~10^4 calibration
-    // rows, not a fixed fraction of a 100 TB corpus: pre-sample the id
-    // space or raise calMod). Guarded here so an unbounded split fails
-    // loudly instead of overflowing limit()'s Int.
-    require(k <= Int.MaxValue.toLong,
-      s"calibration split too large for an exact order statistic (k=$k); " +
-        "sample the calibration ids or raise calMod")
-    val qhat = cal.orderBy(col("_r"), col("_id")).limit(k.toInt)
+    val qhat = rankedCal.filter(col("_cx") === k - 1)
       .agg(max(col("_r")).as("_q"))
     def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
     scored.filter(!col("_cal"))

