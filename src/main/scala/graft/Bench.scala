@@ -125,7 +125,10 @@ object Bench {
       // defaults (the reference's MAX_BATCH_SIZE/AGE knobs).
       val raw = PushSocketSource.readStream(spark, name,
         config = graft.model.IngestConfig(), maxQueue = 2 * n)
-      val q = StreamIngest.start(raw, store, s"$root/ckpt")
+      // the push source carries its own size-or-age flush gate -> opt in
+      // to the as-available trigger (batches fire back-to-back on size)
+      val q = StreamIngest.start(raw, store, s"$root/ckpt",
+        sourceFlushGated = true)
       try {
         val bindDeadline = System.currentTimeMillis() + 15000
         while (PushSocketSource.boundPort(name).isEmpty &&

@@ -34,9 +34,10 @@ final class LogStore(root: String) {
     new org.apache.hadoop.fs.Path(s"${path(table)}/_union_schema.json")
 
   /** The recorded union schema, or None when the sidecar is absent OR
-    * momentarily unreadable (a reader can race the delete+rename window of
-    * a concurrent [[updateUnionSchema]] on filesystems without atomic
-    * rename-over — [[read]] then falls back to the mergeSchema scan, which
+    * momentarily unreadable ([[updateUnionSchema]] replaces it atomically,
+    * so on POSIX/HDFS there is no absent window; on a filesystem without
+    * atomic replace an update is skipped, and an unreadable read still
+    * lands here — [[read]] then falls back to the mergeSchema scan, which
     * is slower but always correct). Callers that must distinguish
     * absent-vs-unreadable use [[recordedSchemaStrict]].
     */
@@ -98,7 +99,27 @@ final class LogStore(root: String) {
     val out = fs.create(tmp, true)
     try out.write(merged.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+    // atomic replace via FileContext's overwrite rename (POSIX/HDFS
+    // semantics): the sidecar is never ABSENT mid-update. The previous
+    // delete-then-rename fallback opened a window where a concurrent
+    // writer's strict read saw no sidecar (None, not an error) and
+    // rewrote the union with only its own epoch's schema — permanently
+    // narrowing it. On a filesystem with no atomic replace, drop the tmp
+    // and SKIP (the next append retries the merge; read() falls back to
+    // the mergeSchema scan meanwhile), never delete the live sidecar.
+    val replaced =
+      if (fs.rename(tmp, p)) true
+      else
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+            .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          true
+        } catch { case _: Throwable => false }
+    if (!replaced) {
+      try fs.delete(tmp, false)
+      catch { case _: Throwable => () }
+    }
   }
 
   /** The schema [[read]] will observe for `df` written with partition

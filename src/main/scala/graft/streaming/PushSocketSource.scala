@@ -5,7 +5,7 @@ import java.net.{ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.ConcurrentHashMap
 
-import scala.collection.mutable.ListBuffer
+import scala.collection.mutable.ArrayDeque
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -172,9 +172,13 @@ final class PushSocketMicroBatchStream(
   // rows [baseOffset, baseOffset + buffer.size) are retained; committed
   // prefixes are trimmed. `times` parallels `buffer` with admit timestamps
   // (for the age half of the flush gate); `exposed` is the highest offset
-  // latestOffset has released to the engine.
-  private var buffer = ListBuffer.empty[UTF8String]
-  private var times = ListBuffer.empty[Long]
+  // latestOffset has released to the engine. ArrayDeque: the flush gate
+  // indexes the oldest-pending timestamp and commit trims a prefix on
+  // every micro-batch — both O(1)/amortized-O(1) on a deque, where the
+  // previous ListBuffer paid a linear scan/copy under the same lock the
+  // acceptor threads contend on.
+  private val buffer = ArrayDeque.empty[UTF8String]
+  private val times = ArrayDeque.empty[Long]
   private var baseOffset = 0L
   private var exposed = 0L
 
@@ -244,14 +248,20 @@ final class PushSocketMicroBatchStream(
     *
     * Trigger.AvailableNow bypasses the gate: the engine announces the
     * catch-up run via [[prepareForTriggerAvailableNow]] and its contract
-    * is "drain everything currently in the source" — a fresh sub-size
-    * tail must be exposed, not held for more data that will never be
-    * consumed by this run.
+    * is "drain everything in the source AT PREPARE TIME" — a fresh
+    * sub-size tail must be exposed, not held for more data, and frames
+    * arriving DURING the catch-up run must NOT extend it (with live
+    * producers an uncapped drain would never terminate), so prepare
+    * snapshots the end offset and the gate caps exposure there.
     */
   @volatile private var drainAll = false
+  private var preparedOffset = Long.MaxValue // under lock; set at prepare
 
   override def prepareForTriggerAvailableNow(): Unit =
-    lock.synchronized { drainAll = true }
+    lock.synchronized {
+      drainAll = true
+      preparedOffset = baseOffset + buffer.size
+    }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -265,12 +275,13 @@ final class PushSocketMicroBatchStream(
 
   private def gatedLatestOffset(): Offset = lock.synchronized {
     val total = baseOffset + buffer.size
-    val pending = total - exposed
+    val cap = if (drainAll) math.min(total, preparedOffset) else total
+    val pending = cap - exposed
     if (pending > 0) {
       val oldest = times((exposed - baseOffset).toInt)
       if (drainAll || pending >= flushSize ||
         System.currentTimeMillis() - oldest >= flushAgeMs)
-        exposed = total
+        exposed = cap
     }
     CountOffset(exposed)
   }
@@ -300,8 +311,8 @@ final class PushSocketMicroBatchStream(
     val n = end.asInstanceOf[CountOffset].n
     val trim = (n - baseOffset).toInt
     if (trim > 0) {
-      buffer = buffer.drop(trim)
-      times = times.drop(trim)
+      buffer.dropInPlace(trim)
+      times.dropInPlace(trim)
       baseOffset = n
       if (exposed < n) exposed = n
     }

@@ -47,7 +47,7 @@ object StreamIngest {
       checkpoint: String,
       config: IngestConfig = IngestConfig(),
       availableNow: Boolean = false,
-      sourceFlushGated: Boolean = true): StreamingQuery =
+      sourceFlushGated: Boolean = false): StreamingQuery =
     start(raw, store, checkpoint, ConfigSource.Static(config), availableNow,
       sourceFlushGated = sourceFlushGated)
 
@@ -79,7 +79,7 @@ object StreamIngest {
       checkpoint: String,
       config: IngestConfig = IngestConfig(),
       availableNow: Boolean = false,
-      sourceFlushGated: Boolean = true): StreamingQuery =
+      sourceFlushGated: Boolean = false): StreamingQuery =
     startIngest(raw, store, checkpoint, ConfigSource.Static(config),
       writerId = "metric", table = "metric",
       transform = (df, _) => graft.ingest.MetricIngest(df),
@@ -103,7 +103,7 @@ object StreamIngest {
       table: String,
       transform: (DataFrame, IngestConfig) => DataFrame,
       availableNow: Boolean = false,
-      sourceFlushGated: Boolean = true): StreamingQuery = {
+      sourceFlushGated: Boolean = false): StreamingQuery = {
     // AvailableNow = the catch-up/backfill mode: drain everything currently
     // in the source in rate-capped batches, then stop — same checkpoint, so
     // a nightly catch-up run and the live stream share one epoch lineage.
@@ -113,11 +113,13 @@ object StreamIngest {
     // condition), so under load batches fire back-to-back on size instead
     // of idling out a wall-clock cadence — a fixed ProcessingTime(age)
     // trigger implements only the age half and caps throughput at
-    // burst/age. Sources WITHOUT their own gate (files, Kafka) pass
-    // sourceFlushGated = false and keep the wall-clock age cadence — an
-    // as-available trigger would poll/list such a source every ~10 ms
-    // (directory listings at corpus scale are not free) for no batching
-    // benefit.
+    // burst/age. Only a source that carries its own flush gate
+    // (PushSocketSource) should OPT IN with sourceFlushGated = true; the
+    // default is false so that files/Kafka/memory sources keep the
+    // wall-clock age cadence — an as-available trigger would poll/list
+    // such a source every ~10 ms (directory listings at corpus scale are
+    // not free) for no batching benefit, which is exactly the busy-poll a
+    // caller-remembered true default silently caused (r10 advice).
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else if (sourceFlushGated) Trigger.ProcessingTime(0L)

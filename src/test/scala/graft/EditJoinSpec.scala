@@ -74,26 +74,30 @@ class EditJoinSpec extends SparkSpec {
     assert(edjoin(df, 2, 0) == Set((1L, 2L, 0L)))
   }
 
-  test("sf0.001 customer names: lossless vs brute force end to end") {
+  test("sf0.001 customer names: lossless vs brute force end to end (q=2 and q=3)") {
     val cust = Tables(spark, sf(), "customer")
       .select(col("c_custkey").cast("long").as("id"), col("c_name").as("s"))
-    assert(edjoin(cust, 2, 1) == brute(cust, 1))
+    val expected = brute(cust, 1)
+    assert(edjoin(cust, 2, 1) == expected)
+    // q=3 is the SHIPPED q160 configuration — pin it brute-force too
+    assert(edjoin(cust, 3, 1) == expected)
   }
 
   test("randomized dense corpora: positional location filter stays lossless") {
     // small alphabet + short strings = maximal positional-gram collisions
     // and plenty of true pairs: the adversarial regime for the r10
-    // |pos1-pos2| <= tau candidate condition
+    // |pos1-pos2| <= tau candidate condition; q=3 is the production q160
+    // configuration, q=2 the denser-collision one
     val rnd = new scala.util.Random(4242)
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 3; q <- Seq(2, 3)) {
       val strs = (1L to 60L).map { i =>
         val len = 3 + rnd.nextInt(8)
         i -> (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
       }
       val df = strs.toDF("id", "s")
       val tau = 1 + (trial % 2)
-      assert(edjoin(df, 2, tau) == brute(df, tau),
-        s"trial $trial (tau=$tau) diverged from brute force")
+      assert(edjoin(df, q, tau) == brute(df, tau),
+        s"trial $trial (q=$q tau=$tau) diverged from brute force")
     }
   }
 }

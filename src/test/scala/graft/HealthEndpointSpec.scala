@@ -37,7 +37,8 @@ class HealthEndpointSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-health").toString
     val store = new LogStore(s"$root/store")
     val stream = MemoryStream[String]
-    val q = StreamIngest.start(stream.toDF(), store, s"$root/ckpt")
+    val q = StreamIngest.start(stream.toDF(), store, s"$root/ckpt",
+      sourceFlushGated = true)
     val ep = HealthEndpoint.forQuery(q)
     try {
       assert(probe(ep.port) == "ok")

@@ -24,7 +24,8 @@ class IngestBurstSpec extends SparkSpec {
       s"""{"created":${1700000000 + i % 86400}.5,"message":"m$i","correlation_id":"00000000-0000-0000-0000-${f"$i%012d"}","k":$i}"""
     }
     val t0 = System.nanoTime()
-    val q = StreamIngest.start(stream.toDF(), store, s"$root/ckpt")
+    val q = StreamIngest.start(stream.toDF(), store, s"$root/ckpt",
+      sourceFlushGated = true)
     try {
       records.grouped(16384).foreach(batch => stream.addData(batch))
       q.processAllAvailable()

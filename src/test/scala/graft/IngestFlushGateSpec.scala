@@ -58,6 +58,12 @@ class IngestFlushGateSpec extends AnyFunSuite {
       s.prepareForTriggerAvailableNow()
       assert(offset(s) == 5L,
         "AvailableNow preparation must expose the whole backlog")
+      // frames arriving DURING the catch-up run must not extend it: the
+      // prepare-time snapshot caps exposure, or a drain with live
+      // producers never terminates (SupportsTriggerAvailableNow contract)
+      sendAndSettle(port, Seq("late-1", "late-2"))
+      assert(offset(s) == 5L,
+        "post-prepare arrivals stay invisible to the AvailableNow run")
     } finally s.stop()
   }
 

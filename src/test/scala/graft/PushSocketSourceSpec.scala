@@ -32,7 +32,8 @@ class PushSocketSourceSpec extends SparkSpec {
       .option("name", name)
       .option("port", "0")
       .load()
-    val q = StreamIngest.start(raw, store, s"$root/ckpt")
+    val q = StreamIngest.start(raw, store, s"$root/ckpt",
+      sourceFlushGated = true) // push source carries its own flush gate
     try {
       // the source (and its server socket) is created lazily when the
       // stream plans its first batch — wait for the port registration
@@ -80,7 +81,8 @@ class PushSocketSourceSpec extends SparkSpec {
       .option("name", name)
       .option("port", "0")
       .load()
-    val q = StreamIngest.start(raw, store, s"$root/ckpt")
+    val q = StreamIngest.start(raw, store, s"$root/ckpt",
+      sourceFlushGated = true) // push source carries its own flush gate
     try {
       val bindDeadline = System.currentTimeMillis() + 15000
       while (PushSocketSource.boundPort(name).isEmpty &&

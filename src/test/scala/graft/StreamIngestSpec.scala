@@ -25,7 +25,8 @@ class StreamIngestSpec extends SparkSpec {
     val stream = MemoryStream[String]
 
     val sent = (1 to 25).map(_ => UUID.randomUUID().toString)
-    val q = StreamIngest.start(stream.toDF(), store, s"$root/ckpt")
+    val q = StreamIngest.start(stream.toDF(), store, s"$root/ckpt",
+      sourceFlushGated = true) // MemoryStream polling is free: immediate batches
     try {
       // two "producers" interleaved (test_sender.py:64-94 shape)
       val (p1, p2) = sent.splitAt(12)
@@ -60,7 +61,8 @@ class StreamIngestSpec extends SparkSpec {
     val store = new LogStore(s"$root/store")
     val stream = MemoryStream[String]
     val batch1 = (1 to 10).map(i => record(s"pre-$i"))
-    val q1 = StreamIngest.start(stream.toDF(), store, s"$root/ckpt")
+    val q1 = StreamIngest.start(stream.toDF(), store, s"$root/ckpt",
+      sourceFlushGated = true)
     try {
       stream.addData(batch1)
       q1.processAllAvailable()
@@ -69,7 +71,8 @@ class StreamIngestSpec extends SparkSpec {
     // same checkpoint, new query instance — the recovery path the
     // reference approximates with retained-batch retry (write.py:80-84)
     val batch2 = (1 to 10).map(i => record(s"post-$i"))
-    val q2 = StreamIngest.start(stream.toDF(), store, s"$root/ckpt")
+    val q2 = StreamIngest.start(stream.toDF(), store, s"$root/ckpt",
+      sourceFlushGated = true)
     try {
       stream.addData(batch2)
       q2.processAllAvailable()
@@ -88,7 +91,8 @@ class StreamIngestSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-metric").toString
     val store = new LogStore(s"$root/store")
     val stream = MemoryStream[String]
-    val q = StreamIngest.startMetric(stream.toDF(), store, s"$root/ckpt")
+    val q = StreamIngest.startMetric(stream.toDF(), store, s"$root/ckpt",
+      sourceFlushGated = true)
     try {
       // metric wire shape: created + free-form numeric payload
       // (reference: metric table, migration:66-78)
@@ -127,7 +131,8 @@ class StreamIngestSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1)
       .text(srcDir.toString)
       .withColumnRenamed("value", "value")
-    val q = StreamIngest.start(raw, store, s"$root/ckpt")
+    val q = StreamIngest.start(raw, store, s"$root/ckpt",
+      sourceFlushGated = true) // eager polling for test speed; prod file sources keep the age cadence
     try q.processAllAvailable() finally q.stop()
 
     val logs = store.read(spark, "logs")
@@ -174,7 +179,8 @@ class StreamIngestSpec extends SparkSpec {
     val stream = MemoryStream[String]
     val listener = new graft.streaming.IngestMetricsListener
     spark.streams.addListener(listener)
-    val q = StreamIngest.start(stream.toDF(), store, s"$root/ckpt")
+    val q = StreamIngest.start(stream.toDF(), store, s"$root/ckpt",
+      sourceFlushGated = true)
     try {
       stream.addData((1 to 20).map(i => record(s"m$i")))
       q.processAllAvailable()
