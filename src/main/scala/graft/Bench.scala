@@ -17,6 +17,26 @@ import org.apache.spark.sql.SparkSession
   * measured pass still re-reads parquet and re-shuffles.
   */
 object Bench {
+
+  /** Bench-only twins of oracle-gated queries whose PRODUCTION shape
+    * differs from the engine-portable one the gate replays: q116 ships
+    * the md5-prefix bucket hash so DuckDB can re-derive every number
+    * (~2/3 of its runtime by its own scaladoc); a deployment would pass
+    * the xxhash64 bucket hash — identical semantics under any uniform
+    * hash, no oracle. Benching both makes the gap a measured fact.
+    * (Also resolvable by name in [[graft.tools.Scratch]].)
+    */
+  private[graft] val benchOnly: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    "q116_importance_weights_xxh" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(s, dir, "documents")
+      operators.CorpusAnalytics.importanceWeights(
+        docs, docs.filter(col("lang") === "en"),
+        bucketHash = Some((t: org.apache.spark.sql.Column) =>
+          pmod(xxhash64(t), lit(4096))))
+        .orderBy(col("doc_id"))
+    }))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,9 +65,14 @@ object Bench {
       "q94_batch_retrieval_lsh", "q73_neardup_clusters",
       // q101 re-runs q100's whole pipeline PLUS the brute-force global
       // graph it is graded against — q100 is the benched engine path
-      "q101_semdedup_contract")
+      "q101_semdedup_contract",
+      // the sub3 soak twins re-run q22/q57/q73/q98's kernels on a 1/3
+      // subsample purely to pin them above gate scale — benching them
+      // would double-count the full-corpus queries already timed
+      "q22b_ngram_jaccard_sub3", "q57b_split_leakage_sub3",
+      "q73b_neardup_clusters_sub3", "q98b_survivorship_sub3")
     val Passes = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = (SparkEntry.queries.toSeq ++ benchOnly).sortBy(_._1)
       .filterNot(q => contractTwins(q._1)).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -890,6 +890,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- sf0.1-soak twins of the heavy exact-pair oracles (r10 item 5):
+    // the SAME engine paths over the deterministic doc_id % 3 == 0
+    // subsample. Their brute-force DuckDB sides cost ~1/9 of the full
+    // corpus (quadratic pair universe), so the soak can evaluate the
+    // kernels ABOVE gate scale where the full oracles are 780 s-to-35 min
+    // jobs it must skip. Subsetting is consistent by construction: every
+    // per-doc signal (shingles, md5 split label, text length) depends
+    // only on the doc itself, and pair/cluster semantics only on the
+    // input set.
+
+    "q22b_ngram_jaccard_sub3" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        Tables(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        n = 3, threshold = 0.1, bands = 32, numHashes = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q57b_split_leakage_sub3" -> ((s, dir) => {
+      operators.Sampling.crossSplitLeakage(
+        Tables(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        threshold = 0.1, trainPct = 90)
+        .select(col("id_a"), col("id_b"), col("jaccard"), col("split_a"), col("split_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q73b_neardup_clusters_sub3" -> ((s, dir) => {
+      Dedup.neardupClusters(
+        Tables(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        threshold = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q98b_survivorship_sub3" -> ((s, dir) => {
+      Dedup.survivorship(
+        Tables(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        threshold = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
     "q100_semantic_dedup" -> ((s, dir) => {
       // SemDeDup keep/drop table: k-means partition, within-cluster exact
       // cosine components, keeper = farthest-from-centroid (tie -> lowest
@@ -2890,7 +2929,29 @@ object SparkEntry {
     s"$base$rounds SELECT rnk, vec_id, round(score, 4) AS score FROM ($union) ORDER BY rnk"
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** base query -> its doc_id%3==0 soak twin (see the q22b…q98b block in
+    * [[queries]]): the twin's oracle is the base oracle with every
+    * `documents` reference swapped for the subsample, so the two can
+    * never drift.
+    */
+  private val heavySub3Twins: Seq[(String, String)] = Seq(
+    "q22_ngram_jaccard" -> "q22b_ngram_jaccard_sub3",
+    "q57_split_leakage" -> "q57b_split_leakage_sub3",
+    "q73_neardup_clusters" -> "q73b_neardup_clusters_sub3",
+    "q98_survivorship" -> "q98b_survivorship_sub3")
+
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base ++ heavySub3Twins.map { case (b, twin) =>
+      // no subquery alias: q98's base keeps its own (`documents d`), the
+      // others reference columns unqualified (DuckDB allows unaliased
+      // FROM-subqueries)
+      twin -> base(b).replace("FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 3 = 0)")
+    }
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_point_lookup" ->
       "SELECT event_id, event_type, value FROM events WHERE user_id = 7 ORDER BY event_id",
 

@@ -1113,6 +1113,11 @@ object CorpusAnalytics {
       .agg(count(lit(1)).as("n_tokens"),
         sum(log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets)) -
             log((col("cr") + 1.0) / (col("rt") + buckets))).as("_lw"))
+      // both the median pass and the scoring join consume perDoc — persist
+      // the compact (id, n_tokens, _lw) frame so the token-hash pipeline
+      // (the operator's dominant cost) runs ONCE (intra-query lifecycle,
+      // the GlobalRank discipline: Bench clears caches between queries)
+      .persist()
     // exact interpolated median via the distributed rank (bit-identical
     // to the percentile aggregate this replaces, but never buffering the
     // per-doc weights in one unsplittable aggregation state — the r10

@@ -22,7 +22,9 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables(spark, sfDir, "lineitem").count() // warm session
-    val fn = graft.SparkEntry.queries(name)
+    val fn = graft.SparkEntry.queries.get(name)
+      .orElse(graft.Bench.benchOnly.toMap.get(name))
+      .getOrElse(sys.error(s"unknown query: $name"))
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
