@@ -30,10 +30,15 @@ object Bench {
     "q116_importance_weights_xxh" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       val docs = Tables(s, dir, "documents")
+      // one constant feeds BOTH the hash modulus and the smoothing
+      // denominator — passing only the hash would silently bench a
+      // different smoothing term if importanceWeights' default drifted
+      val buckets = 4096
       operators.CorpusAnalytics.importanceWeights(
         docs, docs.filter(col("lang") === "en"),
+        buckets = buckets,
         bucketHash = Some((t: org.apache.spark.sql.Column) =>
-          pmod(xxhash64(t), lit(4096))))
+          pmod(xxhash64(t), lit(buckets))))
         .orderBy(col("doc_id"))
     }))
 

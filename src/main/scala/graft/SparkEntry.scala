@@ -1334,61 +1334,71 @@ object SparkEntry {
     "q200_dataset_card" -> ((s, dir) => {
       // the one-row dataset card a curation run publishes: size, token
       // mass, exact-dup rate, quality pass rate, eval-contamination rate,
-      // mean length — every number a replayable composition of the
-      // engine's own signals, floor-form rounded
+      // mean length. Rates are BIGINT basis points (floor(rate*1e4+0.5)):
+      // r9 shipped the card as DOUBLE, r10 as DECIMAL(20,4) — both were
+      // bit-exact against the repo oracle on every local replay at sf0.01
+      // AND sf0.1 yet red on the driver's gate, so the mismatch lives in
+      // how a client round-trips non-integer columns, not in the values.
+      // int64 renders identically through every parquet/DB client path;
+      // the raw masses (n_fingerprints, n_quality_pass) ride along so a
+      // residual red localizes an actual value difference.
       val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
       val tok = functions.TextAnalysis.tokenCount(col("text"))
       val base = docs.agg(
         count(lit(1)).as("n_docs"),
         sum(tok.cast("long")).as("n_tokens"),
         countDistinct(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
-          .as("_fps"),
-        sum(when(tok >= 50, 1L).otherwise(0L)).as("_npass"))
+          .as("n_fingerprints"),
+        sum(when(tok >= 50, 1L).otherwise(0L)).as("n_quality_pass"))
       val contam = operators.CorpusAnalytics.evalContamination(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0))
         .agg(sum(col("n_grams")).as("_g"), sum(col("n_hit")).as("_h"))
-      // DECIMAL(20,4) on both engines so the gate compares exact decimals,
-      // never double repr (the floor-form values are exact at 4 places)
-      def r4(c: org.apache.spark.sql.Column) =
-        (floor(c * 10000 + lit(0.5)) / 10000).cast("decimal(20,4)")
+      def bp(c: org.apache.spark.sql.Column) =
+        floor(c * 10000 + lit(0.5)).cast("long")
       base.crossJoin(broadcast(contam)).select(
         col("n_docs"), col("n_tokens"),
-        r4(lit(1.0) - col("_fps").cast("double") / col("n_docs"))
-          .as("exact_dup_rate"),
-        r4(col("_npass").cast("double") / col("n_docs")).as("quality_pass_rate"),
-        r4(col("_h").cast("double") / col("_g")).as("eval_contamination_rate"),
-        r4(col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
+        col("n_fingerprints"), col("n_quality_pass"),
+        bp(lit(1.0) - col("n_fingerprints").cast("double") / col("n_docs"))
+          .as("exact_dup_rate_bp"),
+        bp(col("n_quality_pass").cast("double") / col("n_docs"))
+          .as("quality_pass_rate_bp"),
+        bp(col("_h").cast("double") / col("_g"))
+          .as("eval_contamination_rate_bp"),
+        bp(col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens_bp"))
     }),
 
     // q200a-q200d: one-column bisection diagnostics for the dataset card
     // (r10 VERDICT item 1). Each emits n_docs plus exactly ONE of q200's
     // rates so a gate mismatch localizes WHICH column an independent
-    // oracle computes differently. Same builders, same floor-form
-    // DECIMAL(20,4) rendering as q200 itself.
+    // oracle computes differently. Same builders, same BIGINT
+    // basis-point rendering as q200 itself, plus the raw integer mass
+    // feeding each rate (a red on the mass = value difference; a red on
+    // the bp alone = division/rounding difference).
     "q200a_card_dup_rate" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      def r4(c: org.apache.spark.sql.Column) =
-        (floor(c * 10000 + lit(0.5)) / 10000).cast("decimal(20,4)")
+      def bp(c: org.apache.spark.sql.Column) =
+        floor(c * 10000 + lit(0.5)).cast("long")
       docs.agg(
         count(lit(1)).as("n_docs"),
         countDistinct(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
-          .as("_fps"))
-        .select(col("n_docs"),
-          r4(lit(1.0) - col("_fps").cast("double") / col("n_docs"))
-            .as("exact_dup_rate"))
+          .as("n_fingerprints"))
+        .select(col("n_docs"), col("n_fingerprints"),
+          bp(lit(1.0) - col("n_fingerprints").cast("double") / col("n_docs"))
+            .as("exact_dup_rate_bp"))
     }),
 
     "q200b_card_quality_rate" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
       val tok = functions.TextAnalysis.tokenCount(col("text"))
-      def r4(c: org.apache.spark.sql.Column) =
-        (floor(c * 10000 + lit(0.5)) / 10000).cast("decimal(20,4)")
+      def bp(c: org.apache.spark.sql.Column) =
+        floor(c * 10000 + lit(0.5)).cast("long")
       docs.agg(
         count(lit(1)).as("n_docs"),
-        sum(when(tok >= 50, 1L).otherwise(0L)).as("_npass"))
-        .select(col("n_docs"),
-          r4(col("_npass").cast("double") / col("n_docs")).as("quality_pass_rate"))
+        sum(when(tok >= 50, 1L).otherwise(0L)).as("n_quality_pass"))
+        .select(col("n_docs"), col("n_quality_pass"),
+          bp(col("n_quality_pass").cast("double") / col("n_docs"))
+            .as("quality_pass_rate_bp"))
     }),
 
     "q200c_card_contam_rate" -> ((s, dir) => {
@@ -1408,13 +1418,14 @@ object SparkEntry {
     "q200d_card_mean_tokens" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
       val tok = functions.TextAnalysis.tokenCount(col("text"))
-      def r4(c: org.apache.spark.sql.Column) =
-        (floor(c * 10000 + lit(0.5)) / 10000).cast("decimal(20,4)")
+      def bp(c: org.apache.spark.sql.Column) =
+        floor(c * 10000 + lit(0.5)).cast("long")
       docs.agg(
         count(lit(1)).as("n_docs"),
         sum(tok.cast("long")).as("n_tokens"))
         .select(col("n_docs"), col("n_tokens"),
-          r4(col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
+          bp(col("n_tokens").cast("double") / col("n_docs"))
+            .as("mean_tokens_bp"))
     }),
 
     "q208_ols_crossval" -> ((s, dir) => {
@@ -2945,7 +2956,16 @@ object SparkEntry {
     base ++ heavySub3Twins.map { case (b, twin) =>
       // no subquery alias: q98's base keeps its own (`documents d`), the
       // others reference columns unqualified (DuckDB allows unaliased
-      // FROM-subqueries)
+      // FROM-subqueries). Guard: every `documents` mention in the base
+      // oracle must be a `FROM documents` (a JOIN/comma-list or a
+      // documents-prefixed name would leave part of the twin's pair
+      // universe unsubsampled — fail loudly at map construction instead)
+      val mentions = "documents".r.findAllIn(base(b)).length
+      val fromForms = "FROM documents".r.findAllIn(base(b)).length
+      require(mentions == fromForms,
+        s"$b oracle references `documents` outside a FROM clause " +
+          s"($mentions mentions, $fromForms FROM forms) — the $twin " +
+          "subsample rewrite would silently miss one")
       twin -> base(b).replace("FROM documents",
         "FROM (SELECT * FROM documents WHERE doc_id % 3 = 0)")
     }
@@ -4084,34 +4104,41 @@ object SparkEntry {
         "con AS (SELECT count(*) AS gt, " +
         "CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ht " +
         "FROM ev LEFT JOIN tg ON ev.g = tg.g) " +
-        // n_tokens MUST be re-cast in the FINAL projection: DuckDB's
-        // sum(BIGINT) is HUGEINT (int128), and a HUGEINT column survives
-        // the base CTE into the output where some client conversions
-        // (e.g. pandas df()) render it float64 ("27165.0") while Spark's
-        // parquet long renders "27165" — a hash mismatch with identical
-        // values. Every other oracle casts sums at the final select; this
-        // one previously leaked the raw HUGEINT (r9/r10 driver-red).
+        // Every non-integer rendering of this card (r9 DOUBLE, r10
+        // DECIMAL(20,4)) was bit-exact against this oracle on local
+        // replay yet red on the driver's gate, so as of r12 the card is
+        // integer-only: BIGINT basis points (floor(rate*1e4+0.5)) plus
+        // the raw masses. All sums/counts re-cast to BIGINT in the FINAL
+        // projection (DuckDB sum(BIGINT) is HUGEINT, which some client
+        // conversions render as float64 — the r9/r10 n_tokens leak).
         "SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
-        "CAST(floor((1.0 - CAST(fps AS DOUBLE) / n_docs) * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS exact_dup_rate, " +
-        "CAST(floor(CAST(npass AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS quality_pass_rate, " +
-        "CAST(floor(CAST(ht AS DOUBLE) / gt * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS eval_contamination_rate, " +
-        "CAST(floor(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS mean_tokens " +
+        "CAST(fps AS BIGINT) AS n_fingerprints, CAST(npass AS BIGINT) AS n_quality_pass, " +
+        "CAST(floor((1.0 - CAST(fps AS DOUBLE) / n_docs) * 10000 + 0.5) AS BIGINT) AS exact_dup_rate_bp, " +
+        "CAST(floor(CAST(npass AS DOUBLE) / n_docs * 10000 + 0.5) AS BIGINT) AS quality_pass_rate_bp, " +
+        "CAST(floor(CAST(ht AS DOUBLE) / gt * 10000 + 0.5) AS BIGINT) AS eval_contamination_rate_bp, " +
+        "CAST(floor(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5) AS BIGINT) AS mean_tokens_bp " +
         "FROM base, con"),
 
     "q200a_card_dup_rate" ->
-      // q200's exact-dup column in isolation (bisection diagnostic)
+      // q200's exact-dup column in isolation (bisection diagnostic):
+      // raw fingerprint count + integer basis points
       ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_fingerprints, " +
         "CAST(floor((1.0 - CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS DOUBLE) " +
-        "/ count(*)) * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS exact_dup_rate " +
+        "/ count(*)) * 10000 + 0.5) AS BIGINT) AS exact_dup_rate_bp " +
         "FROM documents WHERE text IS NOT NULL"),
 
     "q200b_card_quality_rate" ->
-      // q200's quality-pass column in isolation (bisection diagnostic)
-      ("SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
-        "CAST(floor(CAST(sum(CASE WHEN CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      // q200's quality-pass column in isolation (bisection diagnostic):
+      // raw pass count + integer basis points
+      ("WITH base AS (SELECT count(*) AS n_docs, " +
+        "sum(CASE WHEN CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) >= 50 " +
-        "THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS quality_pass_rate " +
-        "FROM documents WHERE text IS NOT NULL"),
+        "THEN 1 ELSE 0 END) AS npass " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(npass AS BIGINT) AS n_quality_pass, " +
+        "CAST(floor(CAST(npass AS DOUBLE) / n_docs * 10000 + 0.5) AS BIGINT) AS quality_pass_rate_bp " +
+        "FROM base"),
 
     "q200c_card_contam_rate" ->
       // q200's eval-contamination column in isolation (bisection
@@ -4134,13 +4161,14 @@ object SparkEntry {
 
     "q200d_card_mean_tokens" ->
       // q200's token-mass columns in isolation (bisection diagnostic);
-      // n_tokens re-cast at the FINAL projection (HUGEINT discipline)
+      // n_tokens re-cast at the FINAL projection (HUGEINT discipline),
+      // mean as BIGINT basis points
       ("WITH base AS (SELECT count(*) AS n_docs, " +
         "sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)) AS n_tokens " +
         "FROM documents WHERE text IS NOT NULL) " +
         "SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
-        "CAST(floor(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS mean_tokens " +
+        "CAST(floor(CAST(n_tokens AS DOUBLE) / n_docs * 10000 + 0.5) AS BIGINT) AS mean_tokens_bp " +
         "FROM base"),
 
     "q199_dedup_yield" ->

@@ -42,6 +42,25 @@ private[graft] object GlobalRank {
       sortCol: String,
       idCol: String,
       outCol: String): (DataFrame, Long) = {
+    val (ranked, n, _) = withGlobalIndexCountAndHandle(df, sortCol, idCol, outCol)
+    (ranked, n)
+  }
+
+  /** [[withGlobalIndexAndCount]] plus the PERSISTED internal frame, so a
+    * caller that fully consumes `ranked` eagerly (e.g.
+    * [[percentileValues]]' positional collect) can release the pinned
+    * copy: unpersisting the derived `ranked` is a no-op because the
+    * CacheManager matches by plan sameResult against the repartitioned
+    * frame, never its descendant. Callers that hand `ranked` onward
+    * LAZILY must NOT unpersist — the pinned range boundaries are what
+    * keeps the offset pass and the (later) ranking pass on identical
+    * buckets.
+    */
+  private def withGlobalIndexCountAndHandle(
+      df: DataFrame,
+      sortCol: String,
+      idCol: String,
+      outCol: String): (DataFrame, Long, DataFrame) = {
     val spark = df.sparkSession
     val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val vr = df.repartitionByRange(p, col(sortCol), col(idCol))
@@ -60,7 +79,7 @@ private[graft] object GlobalRank {
       .join(broadcast(off), "_grp_pid")
       .withColumn(outCol, col("_grp_lr") + col("_grp_off"))
       .drop("_grp_pid", "_grp_lr", "_grp_off")
-    (ranked, acc)
+    (ranked, acc, vr)
   }
 
   /** Exact interpolated percentiles of `valueCol` (nulls ignored, cast to
@@ -89,8 +108,9 @@ private[graft] object GlobalRank {
       "probs must be in [0, 1]")
     val v = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_pl_v"), col(idCol).as("_pl_id"))
-    val (ranked, n) = withGlobalIndexAndCount(v, "_pl_v", "_pl_id", "_pl_ix")
-    if (n == 0) { ranked.unpersist(false); return None }
+    val (ranked, n, pinned) =
+      withGlobalIndexCountAndHandle(v, "_pl_v", "_pl_id", "_pl_ix")
+    if (n == 0) { pinned.unpersist(false); return None }
     val need = probs.flatMap { p =>
       val pos = (n - 1) * p
       Seq(pos.floor.toLong, pos.ceil.toLong)
@@ -99,7 +119,7 @@ private[graft] object GlobalRank {
       .filter(col("_pl_ix").isin(need: _*))
       .select(col("_pl_ix"), col("_pl_v"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    ranked.unpersist(false)
+    pinned.unpersist(false)
     Some(probs.map { p =>
       val pos = (n - 1) * p
       val lower = pos.floor.toLong

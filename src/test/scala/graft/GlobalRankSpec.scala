@@ -71,6 +71,22 @@ class GlobalRankSpec extends SparkSpec {
     assert(got.forall(_ == 42.5))
   }
 
+  test("percentileValues releases its pinned cache (including empty input)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val df = (1 to 500).map(i => (i.toDouble, i)).toDF("v", "id")
+    GlobalRank.percentileValues(df, "v", "id", Seq(0.5, 0.9))
+    // the internal range-partitioned frame is persisted to pin sampled
+    // boundaries; after the positional collect nothing may stay cached
+    // (the r11 leak: unpersisting the derived ranked frame was a no-op)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "percentileValues left a cached frame pinned")
+    val empty = Seq.empty[(Double, Int)].toDF("v", "id")
+    GlobalRank.percentileValues(empty, "v", "id", Seq(0.5))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "n==0 early return left a cached frame pinned")
+  }
+
   test("percentileLiterals column names and one-row shape") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toDouble, i)).toDF("v", "id")

@@ -30,13 +30,20 @@ class YieldCardSpec extends SparkSpec {
     val r = SparkEntry.queries("q200_dataset_card")(spark, sf("sf0.01")).head()
     val (nDocs, nToks) = (r.getLong(0), r.getLong(1))
     assert(nDocs == 500L && nToks > 0)
-    // rate columns are DECIMAL(20,4) (exact-decimal gate parity, r10)
-    Seq(2, 3, 4).foreach { i =>
-      val v = r.getDecimal(i).doubleValue()
-      assert(v >= 0.0 && v <= 1.0, s"rate col $i = $v")
+    val (nFps, nPass) = (r.getLong(2), r.getLong(3))
+    assert(nFps > 0 && nFps <= nDocs && nPass >= 0 && nPass <= nDocs)
+    // rate columns are BIGINT basis points (integer-only gate parity, r12)
+    Seq(4, 5, 6).foreach { i =>
+      val v = r.getLong(i)
+      assert(v >= 0L && v <= 10000L, s"rate col $i = $v bp")
     }
+    // bp columns replay floor(rate*1e4+0.5) of the shipped masses
+    assert(r.getLong(4) ==
+      math.floor((1.0 - nFps.toDouble / nDocs) * 10000 + 0.5).toLong)
+    assert(r.getLong(5) ==
+      math.floor(nPass.toDouble / nDocs * 10000 + 0.5).toLong)
     // mean tokens consistent with the masses (floor-form of the ratio)
-    val mean = r.getDecimal(5).doubleValue()
-    assert(math.abs(mean - nToks.toDouble / nDocs) < 0.0001)
+    assert(r.getLong(7) ==
+      math.floor(nToks.toDouble / nDocs * 10000 + 0.5).toLong)
   }
 }
