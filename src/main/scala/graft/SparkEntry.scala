@@ -523,11 +523,14 @@ object SparkEntry {
     // ---- percentiles ----
 
     "q34_percentile" -> ((s, dir) => {
-      Tables(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      // exact grouped p50/p90 via distributed order statistics (r13:
+      // GlobalRank.groupedPercentileTable — bit-identical to the grouped
+      // percentile aggregate, without its whole-group buffer)
+      operators.GlobalRank.groupedPercentileTable(
+        Tables(s, dir, "events"), "event_type", "value",
+        Seq(0.5, 0.9), Seq("_p50", "_p90"))
+        .select(col("event_type"),
+          round(col("_p50"), 4).as("p50"), round(col("_p90"), 4).as("p90"))
         .orderBy(col("event_type"))
     }),
 
@@ -1340,8 +1343,9 @@ object SparkEntry {
       // AND sf0.1 yet red on the driver's gate, so the mismatch lives in
       // how a client round-trips non-integer columns, not in the values.
       // int64 renders identically through every parquet/DB client path;
-      // the raw masses (n_fingerprints, n_quality_pass) ride along so a
-      // residual red localizes an actual value difference.
+      // the raw masses (n_fingerprints, n_quality_pass, n_eval_grams,
+      // n_eval_hits) ride along so a residual red on ANY rate column
+      // localizes to value-vs-rounding, contamination included.
       val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
       val tok = functions.TextAnalysis.tokenCount(col("text"))
       val base = docs.agg(
@@ -1359,6 +1363,8 @@ object SparkEntry {
       base.crossJoin(broadcast(contam)).select(
         col("n_docs"), col("n_tokens"),
         col("n_fingerprints"), col("n_quality_pass"),
+        col("_g").cast("long").as("n_eval_grams"),
+        col("_h").cast("long").as("n_eval_hits"),
         bp(lit(1.0) - col("n_fingerprints").cast("double") / col("n_docs"))
           .as("exact_dup_rate_bp"),
         bp(col("n_quality_pass").cast("double") / col("n_docs"))
@@ -1403,8 +1409,8 @@ object SparkEntry {
 
     "q200c_card_contam_rate" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      def r4(c: org.apache.spark.sql.Column) =
-        (floor(c * 10000 + lit(0.5)) / 10000).cast("decimal(20,4)")
+      def bp(c: org.apache.spark.sql.Column) =
+        floor(c * 10000 + lit(0.5)).cast("long")
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val contam = operators.CorpusAnalytics.evalContamination(
         docs.filter(col("doc_id") % 50 =!= 0),
@@ -1412,7 +1418,10 @@ object SparkEntry {
         .agg(sum(col("n_grams")).as("_g"), sum(col("n_hit")).as("_h"))
       n.crossJoin(broadcast(contam)).select(
         col("n_docs"),
-        r4(col("_h").cast("double") / col("_g")).as("eval_contamination_rate"))
+        col("_g").cast("long").as("n_eval_grams"),
+        col("_h").cast("long").as("n_eval_hits"),
+        bp(col("_h").cast("double") / col("_g"))
+          .as("eval_contamination_rate_bp"))
     }),
 
     "q200d_card_mean_tokens" -> ((s, dir) => {
@@ -1461,8 +1470,8 @@ object SparkEntry {
 
     "q204_winsorize" -> ((s, dir) => {
       // per-type winsorization of event values into the exact [p05, p95]
-      // band — keeps every row, bounds outlier leverage; one grouped
-      // percentile agg broadcast back, map-side clip
+      // band — keeps every row, bounds outlier leverage; grouped
+      // distributed order statistics broadcast back, map-side clip
       operators.Normalize.winsorize(Tables(s, dir, "events"),
         groupCol = "event_type", valueCol = "value", idCol = "event_id")
         .orderBy(col("event_id"))
@@ -2289,13 +2298,18 @@ object SparkEntry {
     "q75_approx_quantile" -> ((s, dir) => {
       // approx_percentile vs exact within 2%: sketch values are
       // engine-specific, the bounded-error CONTRACT is the checked output
-      // (robust at sf>=0.01 group sizes; see q37 for the same pattern)
-      val exact = expr("percentile(value, 0.5)")
-      Tables(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(round(exact, 4).as("exact_p50"),
-          (abs(expr("approx_percentile(value, 0.5, 10000)") - exact) <= exact * 0.02)
-            .as("approx_close"))
+      // (robust at sf>=0.01 group sizes; see q37 for the same pattern).
+      // The exact side is the r13 bounded grouped-order-statistic table,
+      // broadcast beside the sketch agg
+      val ev = Tables(s, dir, "events")
+      val exact = operators.GlobalRank.groupedPercentileTable(
+        ev, "event_type", "value", Seq(0.5), Seq("_ex"))
+      ev.groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5, 10000)").as("_ap"))
+        .join(broadcast(exact), "event_type")
+        .select(col("event_type"),
+          round(col("_ex"), 4).as("exact_p50"),
+          (abs(col("_ap") - col("_ex")) <= col("_ex") * 0.02).as("approx_close"))
         .orderBy(col("event_type"))
     }),
 
@@ -2960,14 +2974,19 @@ object SparkEntry {
       // oracle must be a `FROM documents` (a JOIN/comma-list or a
       // documents-prefixed name would leave part of the twin's pair
       // universe unsubsampled — fail loudly at map construction instead)
-      val mentions = "documents".r.findAllIn(base(b)).length
-      val fromForms = "FROM documents".r.findAllIn(base(b)).length
+      // both regexes are whole-word-anchored so the guard and the
+      // rewrite agree: `documentsx`/`from documents` (lowercase) count
+      // as mentions but NOT as rewritable FROM forms → loud failure,
+      // never a silent partial rewrite
+      val mentions = "\\bdocuments\\b".r.findAllIn(base(b)).length
+      val fromForms = "FROM documents\\b".r.findAllIn(base(b)).length
       require(mentions == fromForms,
         s"$b oracle references `documents` outside a FROM clause " +
           s"($mentions mentions, $fromForms FROM forms) — the $twin " +
           "subsample rewrite would silently miss one")
-      twin -> base(b).replace("FROM documents",
-        "FROM (SELECT * FROM documents WHERE doc_id % 3 = 0)")
+      twin -> "FROM documents\\b".r.replaceAllIn(base(b),
+        java.util.regex.Matcher.quoteReplacement(
+          "FROM (SELECT * FROM documents WHERE doc_id % 3 = 0)"))
     }
   }
 
@@ -4113,6 +4132,7 @@ object SparkEntry {
         // conversions render as float64 — the r9/r10 n_tokens leak).
         "SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
         "CAST(fps AS BIGINT) AS n_fingerprints, CAST(npass AS BIGINT) AS n_quality_pass, " +
+        "CAST(gt AS BIGINT) AS n_eval_grams, CAST(ht AS BIGINT) AS n_eval_hits, " +
         "CAST(floor((1.0 - CAST(fps AS DOUBLE) / n_docs) * 10000 + 0.5) AS BIGINT) AS exact_dup_rate_bp, " +
         "CAST(floor(CAST(npass AS DOUBLE) / n_docs * 10000 + 0.5) AS BIGINT) AS quality_pass_rate_bp, " +
         "CAST(floor(CAST(ht AS DOUBLE) / gt * 10000 + 0.5) AS BIGINT) AS eval_contamination_rate_bp, " +
@@ -4156,7 +4176,8 @@ object SparkEntry {
         "FROM ev LEFT JOIN tg ON ev.g = tg.g), " +
         "n AS (SELECT count(*) AS n_docs FROM d) " +
         "SELECT CAST(n_docs AS BIGINT) AS n_docs, " +
-        "CAST(floor(CAST(ht AS DOUBLE) / gt * 10000 + 0.5) / 10000 AS DECIMAL(20,4)) AS eval_contamination_rate " +
+        "CAST(gt AS BIGINT) AS n_eval_grams, CAST(ht AS BIGINT) AS n_eval_hits, " +
+        "CAST(floor(CAST(ht AS DOUBLE) / gt * 10000 + 0.5) AS BIGINT) AS eval_contamination_rate_bp " +
         "FROM n, con"),
 
     "q200d_card_mean_tokens" ->

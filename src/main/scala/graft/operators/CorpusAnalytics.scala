@@ -44,13 +44,18 @@ object CorpusAnalytics {
     * (id, top_term, score).
     *
     * Three aggregations, all on the token stream: per-(doc, term) tf,
-    * per-term df, then a window top-1 per doc with a deterministic
-    * (score desc, term asc) tie-break. The df side is a term-cardinality
-    * table — broadcast-joined when small, shuffle-joined otherwise (left
-    * to AQE; both sides are already partitioned by term after their aggs).
-    * The corpus size N enters the plan as a broadcast one-row aggregate
-    * (a pruned count-only scan), NOT an eager `docs.count()` — no extra
-    * driver-blocking pass over the corpus before planning.
+    * per-term df, then a per-doc top-1 as a `min_by` hash aggregate over
+    * (−score, term) — maximizing score with the deterministic
+    * (score desc, term asc) tie-break, WITHOUT a per-doc window sort:
+    * map-side partials collapse each partition's terms to one candidate
+    * per doc before the doc-keyed exchange (r13; the window form
+    * shuffled and sorted the full scored stream). The df side is a
+    * term-cardinality table — broadcast-joined when small,
+    * shuffle-joined otherwise (left to AQE; both sides are already
+    * partitioned by term after their aggs). The corpus size N enters the
+    * plan as a broadcast one-row aggregate (a pruned count-only scan),
+    * NOT an eager `docs.count()` — no extra driver-blocking pass over
+    * the corpus before planning.
     */
   def tfidfTopTerm(
       docs: DataFrame,
@@ -72,12 +77,11 @@ object CorpusAnalytics {
       .crossJoin(broadcast(nDocs)) // one row: a broadcast scalar, not a shuffle
       .select(col(idCol), col("term"),
         (col("tf") * log(col("n_docs") / col("df"))).as("score"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("term"))
     scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col(idCol), col("term").as("top_term"), col("score"))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("term"), col("score")),
+        struct(negate(col("score")), col("term"))).as("_t"))
+      .select(col(idCol), col("_t.term").as("top_term"), col("_t.score").as("score"))
   }
 
   /** Duplicate word-bigram ratio — the Gopher-style repetition quality

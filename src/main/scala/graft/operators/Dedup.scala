@@ -776,12 +776,23 @@ object Dedup {
       .persist()
     // prefixLen(m) = m - ceil(tau*m) + 1, all-integer
     val prefix = perDoc
-      .select(col(idCol).as("a_id"), explode(slice(col("gs"), lit(1),
-        (col("m") - floor((col("m") * tauNum + (tauDen - 1)) / tauDen) + 1)
-          .cast("int"))).as("gram"))
-    val candidates = prefix
-      .join(grams.select(col(idCol).as("b_id"), col("gram")), "gram")
-      .filter(col("a_id") =!= col("b_id"))
+      .select(col(idCol).as("a_id"), col("m").as("m_a"),
+        explode(slice(col("gs"), lit(1),
+          (col("m") - floor((col("m") * tauNum + (tauDen - 1)) / tauDen) + 1)
+            .cast("int"))).as("gram"))
+    // PPJoin length filter (Xiao et al. WWW'08 §3.2): the intersection is
+    // capped by |S(b)|, so containment >= tau forces
+    // m_b*tauDen >= m_a*tauNum — prune those pairs in the candidate
+    // stage, before the distinct shuffle and the array-verify joins.
+    // Lossless: drops only pairs that can never reach the threshold.
+    // Probe side re-explodes the persisted perDoc gram sets (same
+    // distinct grams as the raw stream) so m_b rides along for free.
+    val candidates = perDoc
+      .select(col(idCol).as("b_id"), col("m").as("m_b"),
+        explode(col("gs")).as("gram"))
+      .join(prefix, "gram")
+      .filter(col("a_id") =!= col("b_id") &&
+        col("m_b") * tauDen >= col("m_a") * tauNum)
       .select(col("a_id"), col("b_id"))
       .distinct()
     // SHUFFLE_HASH: unique-id build sides — don't sort gram-array rows

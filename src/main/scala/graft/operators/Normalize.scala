@@ -46,11 +46,13 @@ object Normalize {
     * mean/stddev fence toward itself but moves neither median.
     *
     * Medians are EXACT interpolated percentiles (the q34-proven
-    * `percentile` kernel, which DuckDB's `quantile_cont` reproduces
-    * bit-for-bit), computed in two grouped aggregations: median, then —
-    * after a stats join-back — the median of absolute deviations. Exact
-    * grouped percentile is sort-based within each group, but only the
-    * (group, value) pair stream shuffles, twice, and both fences and
+    * `percentile` arithmetic, which DuckDB's `quantile_cont` reproduces
+    * bit-for-bit), computed by [[GlobalRank.groupedPercentileTable]] —
+    * range-bucketed distributed order statistics, so no aggregation
+    * state ever holds a whole group (the grouped twin of the r10 q116
+    * flag: "grouped by lang/event_type" bounds the group COUNT, not the
+    * group SIZE) — median first, then, after the tiny med table
+    * broadcasts back, the median of absolute deviations. Both fences and
     * counts come from unrounded values (rounding is display-only).
     */
   def madOutliers(
@@ -58,19 +60,19 @@ object Normalize {
       groupCol: String,
       valueCol: String,
       cut: Double = 3.0): DataFrame = {
-    val med = df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol).cast("double"), lit(0.5)).as("_med"))
-    val withMed = df.join(med, groupCol)
-    val mad = withMed.groupBy(col(groupCol))
-      .agg(percentile(abs(col(valueCol).cast("double") - col("_med")), lit(0.5))
-        .as("_mad"))
-    withMed.join(mad, groupCol)
+    val med = GlobalRank.groupedPercentileTable(
+      df, groupCol, valueCol, Seq(0.5), Seq("_med"))
+    val withMed = df.join(broadcast(med), groupCol)
+      .withColumn("_dev", abs(col(valueCol).cast("double") - col("_med")))
+    val mad = GlobalRank.groupedPercentileTable(
+      withMed, groupCol, "_dev", Seq(0.5), Seq("_mad"))
+    withMed.join(broadcast(mad), groupCol)
       .groupBy(col(groupCol))
       .agg(
         round(first(col("_med")), 4).as("med"),
         round(first(col("_mad")), 4).as("mad"),
-        sum(when(abs(col(valueCol).cast("double") - col("_med")) >
-          lit(cut) * col("_mad"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("_dev") > lit(cut) * col("_mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -188,11 +190,13 @@ object Normalize {
     * any single extreme value has on downstream moments; the standard
     * pre-normalization step for heavy-tailed reward/score columns.
     *
-    * Shape: ONE grouped percentile aggregate (the q34-proven exact
-    * `percentile` kernel, sort-based within each group over the compact
-    * (group, value) stream) broadcasts back under AQE and the clip is a
-    * map-side least/greatest — the fact table shuffles only for the stats
-    * agg. Display rounding is floor-form: interpolated percentiles of
+    * Shape: the per-group [lo, hi] cuts come from
+    * [[GlobalRank.groupedPercentileTable]] (range-bucketed distributed
+    * order statistics — bit-identical to the grouped `percentile`
+    * aggregate it replaces, without that aggregate's whole-group
+    * buffer), broadcast back, and the clip is a map-side
+    * least/greatest — the fact table never shuffles at all. Display
+    * rounding is floor-form: interpolated percentiles of
     * 2-decimal inputs are rational and can land exactly on x.xxxx5
     * boundaries (the r9 soak lesson), where round() diverges across
     * engines and the identical floor(x·10⁴+0.5) chain cannot.
@@ -206,11 +210,10 @@ object Normalize {
       hi: Double = 0.95): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
     val x = col(valueCol).cast("double")
-    val cuts = df.groupBy(col(groupCol)).agg(
-      percentile(x, lit(lo)).as("_lo"),
-      percentile(x, lit(hi)).as("_hi"))
+    val cuts = GlobalRank.groupedPercentileTable(
+      df, groupCol, valueCol, Seq(lo, hi), Seq("_lo", "_hi"))
     def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + lit(0.5)) / 10000
-    df.join(cuts, groupCol)
+    df.join(broadcast(cuts), groupCol)
       .select(col(groupCol), col(idCol), x.as(valueCol),
         r4(least(greatest(x, col("_lo")), col("_hi"))).as("clipped"),
         (x < col("_lo") || x > col("_hi")).as("was_clipped"))

@@ -45,7 +45,7 @@ object Plans {
     "q109_mixture_resample" -> "the corpus never shuffles: per-group token totals broadcast back (BroadcastHashJoin) and the one-row corpus total enters as a broadcast nested-loop of cardinality 1 — the keep decision is a map-side integer predicate",
     "q110_quantized_ann_contract" -> "both retrieval paths score map-side against broadcast queries into k-bounded top_k_pairs aggregates; quantization stats join as a broadcast one-row array pair — the corpus is scanned twice, shuffled never",
     "q111_group_topk" -> "group-wise top-k is a k-bounded ObjectHashAggregate (top_k_pairs partial heaps per partition per group) — NOT a window Exchange+Sort of every row of every group",
-    "q113_mad_outliers" -> "two sort-based grouped percentile aggregates over the compact (type, value) pair stream; the fences join back and outlier counting is one more hash agg — the fact table itself is never window-sorted",
+    "q113_mad_outliers" -> "two GlobalRank.groupedPercentileTable passes (r13: range-bucketed distributed order statistics — per-(bucket, type) windows, bounded offsets, driver interpolation of <= 2 rows per type) replace the grouped percentile aggregates whose state held whole groups; the broadcast fences join back map-side and outlier counting is one hash agg",
     "q57_split_leakage" -> "the split tag is computed ONCE per doc and rides the band explode, so same-split collisions (~82%) drop BEFORE the pair distinct; shingle-array verify joins plan as ShuffledHashJoin (no sort ever touches array-payload rows)",
     "q115_bigram_ce" -> "positional bigrams generate map-side from the token array (no positions self-join anywhere in the plan); bigram and continuation counts partial-aggregate before their 8-byte-key exchanges; the ln/avg is a post-join projection into one per-doc hash agg",
     "q116_importance_weights" -> "the corpus shuffles only by the 8-byte bucket id; both model sides reduce to fixed buckets-row count tables; totals and the exact interpolated median enter as one-row broadcasts — the keep decision is a map-side comparison",
@@ -64,7 +64,7 @@ object Plans {
     "q149_bpe_pairs" -> "adjacent-pair candidates generate once per word TYPE — the word->freq hash agg collapses the token stream BEFORE pair generation, so the pair explode runs over the type table; both aggs partial map-side, top-k is TakeOrderedAndProject",
     "q150_zipf_slope" -> "the token-count agg is the only full-width exchange; the OLS fold runs over the top-200 TakeOrderedAndProject head collected into one rank-ordered array — fixed-cardinality tail work, no global sort",
     "q151_bpe_encode" -> "the learned merge table rides as a literal reference object inside the encode expression (WholeStageCodegen, no join/shuffle/UDF serialization); the roundtrip/substring contract folds into one wide aggregate pass over the encoded projection",
-    "q152_kll_contract" -> "KLL sketches partial-aggregate map-side — the exchange carries bounded sketch buffers, never values; the exact-quantile twin derives from grouped percentile aggs over the compact value stream and both meet in a one-row contract projection",
+    "q152_kll_contract" -> "KLL sketches partial-aggregate map-side — the exchange carries bounded sketch buffers, never values; the exact-median twin is GlobalRank.percentileValues (distributed rank, no corpus-sized buffer) and both meet in a one-row contract projection",
     "q153_pq_ann_contract" -> "both the ADC shortlist and the exact re-rank score map-side against broadcast queries (codebooks are plan literals); shortlists are k-bounded top_k_pairs aggregates, and the exact path re-ranks only the shortlist join — the corpus shuffles nowhere",
     "q154_winnowing" -> "the md5 gram-hash array binds ONCE per doc inside the posexplode Generate (projection collapse cannot re-inline it into per-window lambdas — r8's quadratic trap); selection is a per-doc sliding window-min whose hash(doc_id) partitioning the DISTINCT reuses (no second exchange) — linear work, one shuffle",
     "q155_winnowing_overlap" -> "PPJoin-style postings intersection over the PERSISTED fingerprint postings (InMemoryRelation feeds the df agg and both self-join sides — unpersisted lineage re-hashes every gram up to 4x); the df-band filter bounds per-fingerprint fan-out at maxDf^2 and every exchange carries (fp, id) longs",
@@ -117,7 +117,7 @@ object Plans {
     "q201_hybrid_rrf" -> "both retrieval legs are k-bounded before fusion: BM25's TakeOrderedAndProject head and the dense top_k_pairs aggregate; the RRF outer join and both rank windows run over <= 20-row frames — nothing after the legs scales with the corpus",
     "q202_token_burstiness" -> "one (doc, token) tf exchange with map-side partials is the only corpus-width shuffle; the per-token moment agg rides the same keys, the one-row N broadcasts, and top-M is TakeOrderedAndProject",
     "q203_embedding_isotropy" -> "three corpus passes, zero corpus-sized exchanges: the posexplode collapses into dim-bounded per-position integer sums map-side, the scalar agg is one row, and the cos pass scores map-side against the broadcast centroid array",
-    "q204_winsorize" -> "one grouped percentile aggregate over the compact (type, value) stream broadcasts back (BroadcastHashJoin on the 5-row cuts table); the clip is a map-side least/greatest inside WholeStageCodegen",
+    "q204_winsorize" -> "per-type cuts come from GlobalRank.groupedPercentileTable (r13): range exchange on (type, value), per-(bucket, type) row_number windows, bounded cell-count offsets, <= 2 positional rows per type pulled for driver interpolation — no aggregation state ever holds a whole group; the 5-row cuts table broadcasts back and the clip is a map-side least/greatest inside WholeStageCodegen",
     "q205_temporal_split" -> "the one-row quantile-cutoff pair broadcasts beside the stream (cardinality-1 nested loop); labeling is a map-side comparison and the audit is a 3-key hash agg with map-side partials",
     "q206_conformal_interval" -> "exact decimal moments collapse map-side into the one-row OLS fit; residuals score map-side against the broadcast fit; the threshold is a k-bounded TakeOrderedAndProject over the calibration sliver; coverage is one more single-row agg — nothing corpus-sized shuffles",
     "q207_score_auc" -> "the global score rank is the q137 distributed shape (range exchange, per-bucket windows by partition id, bounded offset broadcast); midranks are a score-keyed agg + join-back; the U statistic folds into ONE single-row aggregate — no single-partition WindowExec, no nested loop",

@@ -200,26 +200,27 @@ class PlanGuardSpec extends SparkSpec {
       s"window-exempt entries whose query no longer plans a global window: $stale")
   }
 
-  test("no ungrouped exact-percentile aggregate anywhere (r10 q116 flag)") {
-    // an exact Percentile with NO grouping keys buffers every input value
-    // in one unsplittable aggregation state — an executor OOM at corpus
-    // scale. GlobalRank.percentileValues is the sanctioned replacement
-    // (bit-identical interpolation, bounded per-partition state); grouped
-    // percentile (q34/q75/winsorize/MAD) is allowed: its state is bounded
-    // by the group's cardinality, which those callers bound by
-    // construction. No exempt list — there is no legitimate ungrouped
-    // use.
+  test("no exact-percentile aggregate anywhere, grouped or not (r10 q116 flag, r13 grouped)") {
+    // an exact Percentile buffers every input value of its (group's)
+    // state in one unsplittable aggregation buffer — an executor OOM at
+    // corpus scale. Ungrouped was banned in r10 (GlobalRank
+    // .percentileValues is the sanctioned replacement); r13 extends the
+    // ban to GROUPED percentile too: "grouped by lang/event_type" bounds
+    // the group COUNT, not the group SIZE — ten groups over 100 TB still
+    // buffer 10 TB each. GlobalRank.groupedPercentileTable is the
+    // bit-identical bounded replacement (q34/q75/winsorize/MAD all ride
+    // it now). No exempt list — approximate sketches
+    // (ApproximatePercentile, KllSketch) are unaffected.
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
     val offenders = plans.flatMap { case (name, plan) =>
       val bad = plan.collect {
-        case a: BaseAggregateExec if a.groupingExpressions.isEmpty &&
-          a.aggregateExpressions.exists(
+        case a: BaseAggregateExec if a.aggregateExpressions.exists(
             _.aggregateFunction.isInstanceOf[Percentile]) => a
       }
       if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
-      s"ungrouped exact percentile (unsplittable corpus-sized buffer):\n  ${offenders.sorted.mkString("\n  ")}")
+      s"exact percentile aggregate (unsplittable whole-group buffer):\n  ${offenders.sorted.mkString("\n  ")}")
   }
 }

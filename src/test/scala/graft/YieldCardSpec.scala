@@ -32,18 +32,24 @@ class YieldCardSpec extends SparkSpec {
     assert(nDocs == 500L && nToks > 0)
     val (nFps, nPass) = (r.getLong(2), r.getLong(3))
     assert(nFps > 0 && nFps <= nDocs && nPass >= 0 && nPass <= nDocs)
+    // contamination masses ride along as of r13 (ADVICE item: a red on
+    // the contamination bp must localize to value-vs-rounding too)
+    val (nGrams, nHits) = (r.getLong(4), r.getLong(5))
+    assert(nGrams > 0 && nHits >= 0 && nHits <= nGrams)
     // rate columns are BIGINT basis points (integer-only gate parity, r12)
-    Seq(4, 5, 6).foreach { i =>
+    Seq(6, 7, 8).foreach { i =>
       val v = r.getLong(i)
       assert(v >= 0L && v <= 10000L, s"rate col $i = $v bp")
     }
     // bp columns replay floor(rate*1e4+0.5) of the shipped masses
-    assert(r.getLong(4) ==
+    assert(r.getLong(6) ==
       math.floor((1.0 - nFps.toDouble / nDocs) * 10000 + 0.5).toLong)
-    assert(r.getLong(5) ==
-      math.floor(nPass.toDouble / nDocs * 10000 + 0.5).toLong)
-    // mean tokens consistent with the masses (floor-form of the ratio)
     assert(r.getLong(7) ==
+      math.floor(nPass.toDouble / nDocs * 10000 + 0.5).toLong)
+    assert(r.getLong(8) ==
+      math.floor(nHits.toDouble / nGrams * 10000 + 0.5).toLong)
+    // mean tokens consistent with the masses (floor-form of the ratio)
+    assert(r.getLong(9) ==
       math.floor(nToks.toDouble / nDocs * 10000 + 0.5).toLong)
   }
 }
