@@ -27,7 +27,7 @@ object Plans {
     "q61_heavy_hitters" -> "MisraGries partial_misra_gries map-side: the shuffle carries one k-entry sketch per partition, not rows",
     "q64_sessionize" -> "lag + running-sum + session agg share ONE exchange on user_id (window spec reuse)",
     "q66_word_freq" -> "explode collapses map-side (partial count before the token shuffle); top-k is TakeOrderedAndProject, no global sort",
-    "q67_tfidf" -> "token-stream agg computed once (persisted InMemoryRelation feeds both tf join and df agg); top-1 is one window pass per doc",
+    "q67_tfidf" -> "token-stream agg computed once (persisted InMemoryRelation feeds both tf join and df agg); top-1 is a min_by hash aggregate with map-side partials (r13) — each partition ships one candidate per doc, no per-doc window sort",
     "q76_embed_centroid" -> "posexplode (64x fan-out) collapses immediately: partial decimal sums map-side, shuffle carries labels x dims, not elements",
     "q88_search_indexed" -> "trigram sidecar prunes the scan's file list BEFORE planning: InMemoryFileIndex holds only candidate files (vs 16 in the store), exact ILIKE applied to the pruned read",
     "q89_decontaminate" -> "eval gram universe distinct-aggregates then BroadcastHashJoin: the train gram stream is scored map-side and partial-aggregates before its only shuffle (per-doc hit counts)",
@@ -41,7 +41,7 @@ object Plans {
     "q105_curation_pipeline" -> "gate -> dedup -> decontamination fuse into one plan: gate predicates evaluate map-side on the first scan, dedup winners and contamination hits reduce to compact id/key aggregates joined back — no stage materializes an intermediate corpus",
     "q106_interval_overlap" -> "both-sides-interval overlap plans as a hash equi-join on _bin (NO BroadcastNestedLoopJoin); the canonical-cell claim is a post-join filter, so no dedup exchange follows the join",
     "q107_passage_removal" -> "positional gram stream partial-aggregates into the min!=max cross-doc test map-side; the only wide exchanges carry (gram) and (doc, position-set) — reconstruction is a map-side indexed array filter, never a per-token window sort",
-    "q108_containment_pairs" -> "only rarest-first PREFIX grams enter the candidate equi-join (stop-gram postings generate no candidates); exact verify is an array_intersect projection after two compact id joins — the full gram cross product never forms",
+    "q108_containment_pairs" -> "only rarest-first PREFIX grams enter the candidate equi-join (stop-gram postings generate no candidates) and the WWW'08 length filter (m_b*tauDen >= m_a*tauNum, r13) drops never-qualifying short-b pairs before the pair distinct; exact verify is an array_intersect projection after two compact id joins — the full gram cross product never forms",
     "q109_mixture_resample" -> "the corpus never shuffles: per-group token totals broadcast back (BroadcastHashJoin) and the one-row corpus total enters as a broadcast nested-loop of cardinality 1 — the keep decision is a map-side integer predicate",
     "q110_quantized_ann_contract" -> "both retrieval paths score map-side against broadcast queries into k-bounded top_k_pairs aggregates; quantization stats join as a broadcast one-row array pair — the corpus is scanned twice, shuffled never",
     "q111_group_topk" -> "group-wise top-k is a k-bounded ObjectHashAggregate (top_k_pairs partial heaps per partition per group) — NOT a window Exchange+Sort of every row of every group",
