@@ -2390,8 +2390,9 @@ object CorpusAnalytics {
     * tagged generator explodes n∈{2,3,4} grams (strings — the group key
     * includes doc_id, so per-key width is doc-bounded and no corpus-wide
     * hot gram exists, unlike the corpus-keyed aggs that hash first), a
-    * (doc, n)-partitioned top-1 window over the already-reduced count
-    * rows, and a conditional-agg pivot back to one row per doc. The
+    * per-(doc, n) min_by argmax over the already-reduced count rows
+    * (hash agg with map-side partials — no top-1 window sort), and a
+    * conditional-agg pivot back to one row per doc. The
     * 5-gram coverage pass reuses [[removeDuplicatedPassages]]'s
     * positional-gram + covered-position shape, scoped per doc. At 100 TB
     * nothing here is corpus-global — the operator scales with documents,
@@ -2417,13 +2418,16 @@ object CorpusAnalytics {
     }.reduce(_ unionAll _)
       .groupBy(col(idCol), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col(idCol), col("n"))
-      .orderBy(col("c").desc, col("gram"))
+    // per-(doc, n) top gram as a min_by hash agg on (-count, gram) —
+    // same (count desc, gram asc) winner as a row_number window, with
+    // map-side partials and no per-key sort (r13, the q67 shape)
     val tops = topGrams
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy(col(idCol), col("n"))
+      .agg(min_by(struct(col("c"), col("gram")),
+        struct(negate(col("c")), col("gram"))).as("_top"))
       .select(col(idCol), col("n"),
-        (col("c") * (length(col("gram")) - (col("n") - 1))).as("top_chars"))
+        (col("_top.c") * (length(col("_top.gram")) - (col("n") - 1)))
+          .as("top_chars"))
       .groupBy(col(idCol))
       .agg(
         max(when(col("n") === 2, col("top_chars"))).as("t2"),

@@ -153,9 +153,9 @@ object Graphs {
     *
     * Shape: the neighbor build is [[knnNeighbors]] (map-side matrix scan
     * under the gate); the vote is a (src, label) hash agg over ≤ k rows
-    * per node; the argmax window partitions hold at most k rows. One
-    * id-keyed equi-join brings neighbor labels in, one brings the
-    * prediction back to the owner.
+    * per node; the argmax is a min_by hash agg (map-side partials, no
+    * window sort). One id-keyed equi-join brings neighbor labels in, one
+    * brings the prediction back to the owner.
     */
   def labelConsistency(
       vectors: DataFrame,
@@ -168,11 +168,14 @@ object Graphs {
       .join(vectors.select(col(idCol).as("dst"), col(labelCol).as("_nl")), "dst")
       .groupBy(col("src"), col("_nl"))
       .agg(count(lit(1)).as("c"))
+    // argmax vote as a min_by hash agg on (-count, label) — same
+    // (count desc, label asc) winner as the former row_number window,
+    // without the window's extra exchange + sort (r13, the q67 shape)
     val predicted = votes
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("src")).orderBy(col("c").desc, col("_nl"))))
-      .filter(col("_rn") === 1)
-      .select(col("src").as(idCol), col("_nl").as("predicted"))
+      .groupBy(col("src"))
+      .agg(min_by(col("_nl"), struct(negate(col("c")), col("_nl")))
+        .as("predicted"))
+      .select(col("src").as(idCol), col("predicted"))
     vectors.select(col(idCol), col(labelCol))
       .join(predicted, idCol)
       .select(col(idCol), col(labelCol), col("predicted"),
