@@ -55,7 +55,7 @@ object Plans {
     "q128_tfidf_keywords" -> "tf and df derive from one (doc, token) aggregate chain — exchanges carry compact token keys with map-side partials, the one-row N scalar broadcasts, and the per-doc top-k window sorts vocabulary-bounded partitions, never the corpus",
     "q129_bm25_search" -> "every per-term tf is a map-side array projection (the query terms live in the plan); the one-row N/avglen/df stats aggregate broadcasts back; top-n plans as TakeOrderedAndProject",
     "q131_mmr_select" -> "the candidate pool is distributed cosine scoring into TakeOrderedAndProject (per-partition heaps, poolSize-row merge); the greedy MMR refinement enters as a bounded Scan ExistingRDD — no pairwise shuffle anywhere",
-    "q134_label_noise" -> "the 5-NN build is the map-side matrix scan; votes hash-aggregate at most k rows per node and the argmax window partitions are vote-bounded — the widest exchange carries (id, label) pairs",
+    "q134_label_noise" -> "the 5-NN build is the map-side matrix scan; votes hash-aggregate at most k rows per node and the argmax is a min_by hash agg with map-side partials (r13 — no window exchange+sort) — the widest exchange carries (id, label) pairs",
     "q142_whitening_contract" -> "the whitening fit never shuffles: the moment pass is a per-partition (n, sum-x, sum-xx^T) mapPartitions fold collected as one bounded row per partition, and the fitted d x d transform applies inside WholeStageCodegen as an expression reference object — no join, no exchange in the transform plan",
     "q145_data_profile" -> "every profile metric folds into ONE wide aggregate: the exact multi-column distincts share a single Expand (rows x profiled-columns before partial agg — the textbook multi-distinct plan), min/max/null partials ride the same pass, and the report pivot is a literal-array explode of the one driver row — no second scan",
     "q147_seq_packing" -> "the global token cumsum never global-sorts: the deterministic id-range bucket formula is a map-side projection, per-bucket totals hash-aggregate map-side into a B-row driver prefix that re-enters as a broadcast join, and each bucket window-sorts only its own slice",
@@ -72,7 +72,7 @@ object Plans {
     "q158_nb_lang_predict" -> "one id-keyed text shuffle before gram generation serves the (id,lbl,gram) count AND the per-id scoring fold (no gram-row exchange anywhere); the k-class log-prob model joins back as a BroadcastHashJoin on the gram key and every class score folds map-side in one pass over the persisted doc-gram frame",
     "q160_edit_join" -> "only the q*tau+1 rarest prefix grams per string enter the candidate equi-join (rarest-first order from a hash agg + in-array sort — no window over the gram stream); an explicit-count round-robin repartition spreads the byte-small postings before the broadcast candidate join (AQE would coalesce them to one partition and serialize the 100x larger verify behind it); verification is the free length cull + banded thresholded levenshtein, dedup AFTER verify on the 40x narrower matched stream",
     "q161_kneser_ney_ce" -> "the positional bigram generator is an in-array transform (no positions self-join); all three count tables hash-aggregate map-side before 8-byte tagged-key exchanges, C(u-dot) and N1+(u-dot) fold in ONE grouped agg, and the bigram-type total enters as a one-row broadcast — the corpus shuffles only 8-byte keys",
-    "q162_gopher_repetition" -> "everything is WITHIN-doc, so no corpus-global state exists: the tagged {2,3,4}-gram generator partial-aggregates (doc, n, gram) counts map-side, the top-1 window partitions by (doc, n) over the already-reduced count rows, and the 5-gram coverage pass joins positional grams back on (doc, gram) — every exchange is doc-keyed and the operator scales with documents, never their cross product",
+    "q162_gopher_repetition" -> "everything is WITHIN-doc, so no corpus-global state exists: the tagged {2,3,4}-gram generator partial-aggregates (doc, n, gram) counts map-side, the per-(doc, n) top gram is a min_by hash agg over the already-reduced count rows (r13 — map-side partials, no top-1 window sort), and the 5-gram coverage pass joins positional grams back on (doc, gram) — every exchange is doc-keyed and the operator scales with documents, never their cross product",
     "q163_count_min" -> "the sketch is a bounded aggregate: the depth-fan-out token stream partial-aggregates map-side into a (row, bucket) table whose key cardinality is depth x width regardless of corpus size, so the only sketch exchange carries at most 1024 counter rows; the probe side joins the broadcast counter table and the exact top-20 twin is a TakeOrderedAndProject",
     "q164_temperature_resample" -> "the corpus never shuffles: per-group token totals and the one-row max-boost scalar broadcast back, and the keep decision is a map-side rounded-rate comparison against the md5 16-bit draw — the same stateless-under-streaming shape as mixtureResample",
     "q165_passage_keep_first" -> "same three fixed-width-key exchanges as q107's strip-both twin: positional grams partial-aggregate into the per-gram (count, min-(id,pos)) election map-side, the join-back carries only NON-first occurrences, and reconstruction is a map-side indexed array filter — no per-token window sort anywhere",
