@@ -40,6 +40,21 @@ object Bench {
         bucketHash = Some((t: org.apache.spark.sql.Column) =>
           pmod(xxhash64(t), lit(buckets))))
         .orderBy(col("doc_id"))
+    }),
+    "q163_count_min_xxh" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // same constant feeds the sketch width and the hash modulus (the
+      // q116 twin's drift guard); md5's cost in the gate query is the
+      // oracle-portability tax — this twin measures the xxhash64 shape
+      // a deployment would run
+      val width = 256
+      operators.CorpusAnalytics.countMinFrequencies(
+        Tables(s, dir, "documents"),
+        width = width,
+        bucketHash = Some((i: org.apache.spark.sql.Column,
+            tok: org.apache.spark.sql.Column) =>
+          pmod(xxhash64(i.cast("string"), tok), lit(width.toLong))))
+        .orderBy(col("token"))
     }))
 
   def main(args: Array[String]): Unit = {

@@ -2334,12 +2334,19 @@ object CorpusAnalytics {
       textCol: String = "text",
       depth: Int = 4,
       width: Int = 256,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20,
+      bucketHash: Option[(Column, Column) => Column] = None): DataFrame = {
     require(depth >= 1 && width >= 2, "need a real counter table")
-    def bucket(i: Column, tok: Column): Column =
-      pmod(conv(substring(md5(
-        concat(i.cast("string"), lit("|"), tok).cast("binary")), 1, 8), 16, 10)
-        .cast("long"), lit(width.toLong))
+    // default bucket hash is md5-prefix so DuckDB replays the WHOLE
+    // sketch (the gate pin); a deployment passes xxhash64 via
+    // `bucketHash` — identical CM semantics under any uniform hash
+    // (Bench's q163_count_min_xxh measures that production shape)
+    def bucket(i: Column, tok: Column): Column = bucketHash
+      .map(h => h(i, tok))
+      .getOrElse(
+        pmod(conv(substring(md5(
+          concat(i.cast("string"), lit("|"), tok).cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(width.toLong)))
     val toks = docs
       .filter(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("tok"))
