@@ -41,6 +41,22 @@ object Bench {
           pmod(xxhash64(t), lit(buckets))))
         .orderBy(col("doc_id"))
     }),
+    "q119_hashed_features_xxh" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      // hashing-trick vectorizer with the xxhash64 bucket a deployment
+      // would use (hashedFeatures' md5 default exists only so the
+      // oracle replays bucket ids); same projection as the gate query
+      val dim = 256
+      operators.CorpusAnalytics.hashedFeatures(
+        Tables(s, dir, "documents"), dim = dim,
+        bucketHash = Some((t: org.apache.spark.sql.Column) =>
+          pmod(xxhash64(t), lit(dim.toLong))))
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "v")))
+        .filter(col("v") =!= 0)
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          round(col("v").cast("double"), 4).as("value"))
+        .orderBy(col("doc_id"), col("dim"))
+    }),
     "q163_count_min_xxh" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       // same constant feeds the sketch width and the hash modulus (the
