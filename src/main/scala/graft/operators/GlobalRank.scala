@@ -190,6 +190,15 @@ private[graft] object GlobalRank {
     val cells = vr.groupBy(col("_gp_pid"), col("_gp_g"))
       .agg(count(col("_gp_v")).as("_nn"), count(lit(1)).as("_na"))
       .collect()
+    // loud misuse guard, not a tuning knob: the bounded-driver contract
+    // is |partitions| × |groups|. Past ~2M cells the caller is in the
+    // high-cardinality-group regime this helper does not serve — per-key
+    // KLL sketches (graft.functions.KllSketch.kll_sketch, mergeable and
+    // bounded) are the scale path there.
+    require(cells.length <= 2000000,
+      s"groupedPercentileTable: ${cells.length} (partition, group) cells — " +
+        "group cardinality is too high for the bounded-driver exact path; " +
+        "use a grouped KllSketch.kll_sketch aggregate instead")
     val byG = cells.groupBy(r => r.get(1))
     val offRows = Seq.newBuilder[Row]
     val nByG = scala.collection.mutable.LinkedHashMap[Any, Long]()
