@@ -200,6 +200,29 @@ class PlanGuardSpec extends SparkSpec {
       s"window-exempt entries whose query no longer plans a global window: $stale")
   }
 
+  test("no fractional DECIMAL in any final output schema (r12 gate-parity rule)") {
+    // the driver's gate reads Spark parquet and DuckDB results through
+    // client paths that disagree on trailing-zero decimal rendering
+    // ("0.5540" vs "0.554" — the r10/r11 q200 red, three rounds of it).
+    // DECIMAL is welcome INSIDE a plan (exact order-free moments, the
+    // q46 discipline) but a scale > 0 decimal must be cast away before
+    // the final projection; one-row rates ship as BIGINT basis points
+    // plus raw integer masses. Scale-0 decimals are exempt: they render
+    // with no fractional part on every client path (q195's DECIMAL(38,0)
+    // checksum NEEDS the width — an order-free row-hash sum over 10^12
+    // rows overflows BIGINT — and has been gate-green since r9).
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = plans.flatMap { case (name, plan) =>
+      val dec = plan.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] &&
+          f.dataType.asInstanceOf[DecimalType].scale > 0 => f.name
+      }
+      if (dec.nonEmpty) Some(s"$name: ${dec.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"fractional DECIMAL reached a final output schema:\n  ${offenders.sorted.mkString("\n  ")}")
+  }
+
   test("no exact-percentile aggregate anywhere, grouped or not (r10 q116 flag, r13 grouped)") {
     // an exact Percentile buffers every input value of its (group's)
     // state in one unsplittable aggregation buffer — an executor OOM at
