@@ -2968,26 +2968,33 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     base ++ heavySub3Twins.map { case (b, twin) =>
-      // no subquery alias: q98's base keeps its own (`documents d`), the
-      // others reference columns unqualified (DuckDB allows unaliased
-      // FROM-subqueries). Guard: every `documents` mention in the base
-      // oracle must be a `FROM documents` (a JOIN/comma-list or a
-      // documents-prefixed name would leave part of the twin's pair
-      // universe unsubsampled — fail loudly at map construction instead)
-      // both regexes are whole-word-anchored so the guard and the
-      // rewrite agree: `documentsx`/`from documents` (lowercase) count
-      // as mentions but NOT as rewritable FROM forms → loud failure,
-      // never a silent partial rewrite
-      val mentions = "\\bdocuments\\b".r.findAllIn(base(b)).length
-      val fromForms = "FROM documents\\b".r.findAllIn(base(b)).length
-      require(mentions == fromForms,
-        s"$b oracle references `documents` outside a FROM clause " +
-          s"($mentions mentions, $fromForms FROM forms) — the $twin " +
-          "subsample rewrite would silently miss one")
-      twin -> "FROM documents\\b".r.replaceAllIn(base(b),
-        java.util.regex.Matcher.quoteReplacement(
-          "FROM (SELECT * FROM documents WHERE doc_id % 3 = 0)"))
+      twin -> subsampleRewrite(b, base(b), twin)
     }
+  }
+
+  /** A base oracle with every `FROM documents` swapped for the doc_id%3
+    * subsample — the sub3-twin derivation (see [[oracleSql]]). No
+    * subquery alias: q98's base keeps its own (`documents d`), the
+    * others reference columns unqualified (DuckDB allows unaliased
+    * FROM-subqueries). Guard: every `documents` mention in the base
+    * oracle must be a `FROM documents` (a JOIN/comma-list or a
+    * documents-prefixed name would leave part of the twin's pair
+    * universe unsubsampled — fail loudly at map construction instead).
+    * Both regexes are whole-word-anchored so the guard and the rewrite
+    * agree: `documentsx` / lowercase `from documents` count as mentions
+    * but NOT as rewritable FROM forms → loud failure, never a silent
+    * partial rewrite (SubsampleRewriteSpec pins all three behaviors).
+    */
+  private[graft] def subsampleRewrite(b: String, sql: String, twin: String): String = {
+    val mentions = "\\bdocuments\\b".r.findAllIn(sql).length
+    val fromForms = "FROM documents\\b".r.findAllIn(sql).length
+    require(mentions == fromForms,
+      s"$b oracle references `documents` outside a FROM clause " +
+        s"($mentions mentions, $fromForms FROM forms) — the $twin " +
+        "subsample rewrite would silently miss one")
+    "FROM documents\\b".r.replaceAllIn(sql,
+      java.util.regex.Matcher.quoteReplacement(
+        "FROM (SELECT * FROM documents WHERE doc_id % 3 = 0)"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
