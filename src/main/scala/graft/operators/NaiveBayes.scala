@@ -91,14 +91,25 @@ object NaiveBayes {
     val folded = scoredGrams.groupBy(col(idCol))
       .agg(array_sort(collect_list(
         struct(col("_g"), col("_cnt"), col("_lps")))).as("_sorted"))
+    // ONE pass over the sorted grams accumulates all k class sums via
+    // zip_with (r13; was k separate folds re-scanning the array). Each
+    // class's partial-sum sequence is unchanged — acc_i' = acc_i +
+    // cnt·lps_i in the same sorted-gram left-associative order — so
+    // every double is bit-identical to the k-fold form the oracle
+    // replays. Bound as a column: _sums is multi-referenced below, so
+    // projection collapse cannot re-inline the aggregate k times (the
+    // entropy-kernel discipline).
+    val zeros = array(langs.indices.map(_ => lit(0.0)): _*)
+    val sums = F.aggregate(col("_sorted"), zeros,
+      (acc, e) => zip_with(acc, e.getField("_lps"),
+        (a, l) => a + e.getField("_cnt").cast("double") * l))
+    val withSums = folded.withColumn("_sums", sums)
     val scores = langs.indices.map { i =>
-      round(lit(priors(i)) + F.aggregate(col("_sorted"), lit(0.0),
-        (acc, e) => acc + e.getField("_cnt").cast("double") *
-          element_at(e.getField("_lps"), i + 1)), 4)
+      round(lit(priors(i)) + element_at(col("_sums"), i + 1), 4)
     }
     val best = array_max(array(langs.indices.map(i =>
       struct(scores(i).as("score"), lit(langs(i)).as("lang"))): _*))
-    folded.select(col(idCol),
+    withSums.select(col(idCol),
       best.getField("lang").as("lang_pred"),
       best.getField("score").as("score"))
   }
