@@ -185,17 +185,38 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.SimHash.simhash64(split(lower(trim(text)), "\\s+"))
 
-  /** SimHash near-dup candidates: exact-match on simhash value (Hamming
-    * distance 0 buckets). For distance<=k at scale, index each of the k+1
-    * hash segments as its own bucket key (pigeonhole) — segment variant
-    * below via `simhashBands`.
+  /** SimHash exact-collision duplicate GROUPS (Hamming distance 0) — the
+    * per-bucket report form of [[simhashNearDup]]'s pair stream: one row
+    * per simhash value with more than one member, its full population `n`,
+    * and up to `maxIds` member ids (sorted) as evidence. The id list is
+    * CAPPED by construction: an uncapped collect_list buffers the whole
+    * group in one aggregation state, and a degenerate hot value (template
+    * spam, empty-ish docs all hashing alike) makes that an executor OOM at
+    * corpus scale — the grouped-percentile failure shape, one level down.
+    * Plan: one exchange on simhash; the rank/count windows are sort-based
+    * (spillable, never a whole-group heap) and the follow-up aggregate
+    * reuses their partitioning with its collect_list bounded at `maxIds`
+    * rows per group. For distance<=k at scale use [[simhashNearDup]]
+    * (pigeonhole segment LSH), which never materializes a group at all.
     */
-  def simhashDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+  def simhashDuplicates(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxIds: Int = 100): DataFrame = {
+    require(maxIds > 0, "maxIds must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("simhash"))
     docs
       .withColumn("simhash", simhash(col(textCol)))
-      .groupBy("simhash")
-      .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("n"))
-      .filter(col("n") > 1)
+      .select(col("simhash"), col(idCol))
+      .withColumn("_rn", row_number().over(byHash.orderBy(col(idCol))))
+      .withColumn("_n", count(lit(1)).over(byHash))
+      .filter(col("_n") > 1 && col("_rn") <= maxIds)
+      .groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"),
+        first(col("_n")).as("n"))
+  }
 
   /** Pigeonhole segments of a 64-bit simhash for Hamming-distance-k LSH:
     * two docs within distance k share at least one of k+1 segments exactly.

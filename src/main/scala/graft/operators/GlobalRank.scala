@@ -99,6 +99,47 @@ private[graft] object GlobalRank {
     * invariant to how equal values are ordered among themselves, so the
     * result is deterministic even when ids collide.
     */
+  /** `df` plus a global WEIGHTED prefix sum `outCol`: for each row, the
+    * sum of `weightCol` over all rows strictly BEFORE it in `orderCol`
+    * order — the distributed form of "cumulative mass below this value"
+    * that rank-formula statistics (Gini blocks, Lorenz points, weighted
+    * CDFs) need. `orderCol` must be unique per row (callers pass a
+    * value-histogram's value column); weights must be long-typed.
+    *
+    * Same machinery and lifecycle as [[withGlobalIndex]]: range-partition
+    * on the order key (persisted to pin the sampled boundaries), one
+    * bounded per-partition weight total to the driver for the offsets,
+    * and a per-partition running-sum window — no task ever holds more
+    * than its range bucket, no single-partition WindowExec. The returned
+    * frame references the pinned copy lazily; Bench/Verify clear caches
+    * between queries.
+    */
+  def weightedPrefixSums(
+      df: DataFrame,
+      orderCol: String,
+      weightCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val vr = df.repartitionByRange(p, col(orderCol))
+      .withColumn("_wps_pid", spark_partition_id())
+      .persist()
+    var acc = 0L
+    val offRows = vr.groupBy(col("_wps_pid")).agg(sum(col(weightCol)).as("_w"))
+      .orderBy(col("_wps_pid")).collect()
+      .map { r => val o = acc; acc += r.getLong(1); (r.getInt(0), o) }
+      .toSeq
+    import spark.implicits._
+    val off = spark.createDataset(offRows).toDF("_wps_pid", "_wps_off")
+    vr.withColumn("_wps_run",
+        coalesce(sum(col(weightCol)).over(
+          Window.partitionBy(col("_wps_pid")).orderBy(col(orderCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(off), "_wps_pid")
+      .withColumn(outCol, col("_wps_run") + col("_wps_off"))
+      .drop("_wps_pid", "_wps_run", "_wps_off")
+  }
+
   def percentileValues(
       df: DataFrame,
       valueCol: String,

@@ -209,38 +209,38 @@ object Quality {
     *
     * Scale shape: the input values are COUNTS, so the value HISTOGRAM is
     * bounded by the max count, not by keys — the per-key frame reduces
-    * to (value, multiplicity) rows map-side, collects into ONE in-row
-    * array, and the rank formula evaluates by nested integer folds (a
-    * value block of multiplicity m starting at rank r contributes
-    * v·(m·r + m(m−1)/2)); everything stays integer until one final
-    * division, so the oracle replays exactly. No global sort of keys.
+    * to (value, multiplicity) rows map-side, then stays DISTRIBUTED: the
+    * cumulative mass below each value comes from
+    * [[GlobalRank.weightedPrefixSums]] (range-partitioned running sums,
+    * never a whole-histogram array in one aggregation state — the r12
+    * grouped-percentile discipline), each row's rank-formula block
+    * v·(m·r + m(m−1)/2) is an EXACT integer summed as DECIMAL(38,0)
+    * (order-free, so the distributed sum is reproducible and never loses
+    * precision past 2^53 the way an ordered double fold eventually
+    * would), and everything stays integer until one final division — so
+    * the oracle replays exactly. No global sort of keys, no in-row
+    * quadratic prefix re-scan.
     */
   def giniConcentration(df: DataFrame, valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val hist = df
       .groupBy(col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("m"))
-    hist
-      .groupBy()
-      .agg(sort_array(collect_list(struct(col("v"), col("m")))).as("h"))
-      .select(
-        aggregate(col("h"), lit(0L), (a, e) => a + e.getField("m")).as("n"),
-        aggregate(col("h"), lit(0L),
-          (a, e) => a + e.getField("m") * e.getField("v")).as("total"),
-        col("h"))
+    // ranks are 1-based: a value block of multiplicity m whose first
+    // member sits at rank r = 1 + (mass strictly below v) contributes
+    // v·(m·r + m(m−1)/2); m·(m−1) is even so the long division is exact
+    GlobalRank.weightedPrefixSums(hist, "v", "m", "_below")
+      .select(col("v"), col("m"),
+        (col("v").cast(dec) *
+          (col("m").cast(dec) * (col("_below") + 1L).cast(dec) +
+            (col("m") * (col("m") - 1L) / 2L).cast(dec))).as("_blk"))
+      .agg(
+        coalesce(sum(col("m")), lit(0L)).as("n"),
+        coalesce(sum(col("m") * col("v")), lit(0L)).as("total"),
+        sum(col("_blk")).as("_num"))
       .select(col("n"), col("total"),
-        // the rank-formula fold runs in doubles over EXACT integer values
-        // (all intermediates < 2^53), m*(m-1) is even so /2.0 is exact —
-        // the whole chain replays bit-for-bit
         round(
-          lit(2.0) * aggregate(
-            transform(sequence(lit(1), size(col("h"))), j => {
-              val e = element_at(col("h"), j)
-              val r = (lit(1L) + aggregate(slice(col("h"), lit(1), j - 1),
-                lit(0L), (a, p) => a + p.getField("m"))).cast("double")
-              val m = e.getField("m").cast("double")
-              e.getField("v").cast("double") * (m * r + m * (m - 1) / lit(2.0))
-            }),
-            lit(0.0), (a, x) => a + x)
+          lit(2.0) * col("_num").cast("double")
             / (col("n").cast("double") * col("total"))
             - (col("n") + 1).cast("double") / col("n"), 4).as("gini"))
   }
@@ -369,32 +369,30 @@ object Quality {
     * Zero values contribute 0 (the x·ln x limit).
     *
     * Same scale shape as [[giniConcentration]]: count-valued inputs
-    * reduce to per-(group, value) histograms bounded by the max count;
-    * group stats and T_g are value-ordered in-row folds, the
-    * decomposition a group-ordered fold over the bounded group frame.
-    * ln-based terms never sit on decimal rounding boundaries, so plain
-    * round(4) replays. The decomposition identity is pinned as a
-    * boolean at 1e-9.
+    * reduce to per-(group, value) histograms bounded by the max count.
+    * The only histogram ever materialized in one row is a single GROUP's
+    * (the value-ordered in-row fold that keeps the float chain
+    * engine-replayable); the global totals are order-free integer
+    * aggregates broadcast back as one row, and the final decomposition
+    * folds over a GROUPS-bounded scalar frame — never over all groups'
+    * histograms concatenated into one aggregation state (the r12
+    * grouped-percentile discipline). Term-for-term the same IEEE chain
+    * as folding everything in one row, because each group's inner fold
+    * starts at 0.0 and the outer folds add whole-group scalars in sorted
+    * group order either way. ln-based terms never sit on decimal
+    * rounding boundaries, so plain round(4) replays. The decomposition
+    * identity is pinned as a boolean at 1e-9.
     */
   def theilDecomposition(
       df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val hist = df
       .groupBy(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
       .agg(count(lit(1)).as("m"))
-    val perGroup = hist
-      .groupBy(col("grp"))
-      .agg(sort_array(collect_list(struct(col("v"), col("m")))).as("h"))
-      .select(col("grp"), col("h"),
-        aggregate(col("h"), lit(0L), (a, e) => a + e.getField("m")).as("ng"),
-        aggregate(col("h"), lit(0L),
-          (a, e) => a + e.getField("m") * e.getField("v")).as("sg"))
-    val one = perGroup
-      .groupBy()
-      .agg(sort_array(collect_list(struct(col("grp"), col("h"), col("ng"), col("sg"))))
-        .as("gs"))
-      .select(col("gs"),
-        aggregate(col("gs"), lit(0L), (a, g) => a + g.getField("ng")).as("n"),
-        aggregate(col("gs"), lit(0L), (a, g) => a + g.getField("sg")).as("s"))
+    // global mass and total: order-free integer aggregates, one-row
+    // broadcast (never collected inside a histogram row)
+    val totals = hist.agg(
+      coalesce(sum(col("m")), lit(0L)).as("n"),
+      coalesce(sum(col("m") * col("v")), lit(0L)).as("s"))
     val mu = col("s").cast("double") / col("n")
     def theilOver(h: Column, m0: Column): Column =
       aggregate(h, lit(0.0), (a, e) => {
@@ -402,17 +400,28 @@ object Quality {
         a + when(x > 0,
           e.getField("m") * (x / m0) * log(x / m0)).otherwise(lit(0.0))
       })
+    val mug = col("sg").cast("double") / col("ng")
+    val perGroup = hist
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("v"), col("m")))).as("h"),
+        sum(col("m")).as("ng"),
+        sum(col("m") * col("v")).as("sg"))
+      .crossJoin(broadcast(totals))
+      .select(col("grp"), col("n"), col("s"),
+        theilOver(col("h"), mu).as("_tmu"),
+        ((col("sg").cast("double") / col("s")) * log(mug / mu)).as("_tb"),
+        ((col("sg").cast("double") / col("s")) *
+          (theilOver(col("h"), mug) / col("ng"))).as("_tw"))
+    val one = perGroup
+      .groupBy(col("n"), col("s"))
+      .agg(sort_array(collect_list(struct(col("grp"), col("_tmu"),
+        col("_tb"), col("_tw")))).as("gs"))
     val tTotal = aggregate(col("gs"), lit(0.0),
-      (a, g) => a + theilOver(g.getField("h"), mu)) / col("n")
-    val tBetween = aggregate(col("gs"), lit(0.0), (a, g) => {
-      val mug = g.getField("sg").cast("double") / g.getField("ng")
-      a + (g.getField("sg").cast("double") / col("s")) * log(mug / mu)
-    })
-    val tWithin = aggregate(col("gs"), lit(0.0), (a, g) => {
-      val mug = g.getField("sg").cast("double") / g.getField("ng")
-      val tg = theilOver(g.getField("h"), mug) / g.getField("ng")
-      a + (g.getField("sg").cast("double") / col("s")) * tg
-    })
+      (a, g) => a + g.getField("_tmu")) / col("n")
+    val tBetween = aggregate(col("gs"), lit(0.0),
+      (a, g) => a + g.getField("_tb"))
+    val tWithin = aggregate(col("gs"), lit(0.0),
+      (a, g) => a + g.getField("_tw"))
     one.select(
       col("n"), col("s").as("total"),
       round(tTotal, 4).as("theil_total"),

@@ -255,4 +255,21 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == brute && got.nonEmpty)
   }
+
+  test("simhashDuplicates reports collision groups with a capped id list") {
+    // six copies of one text + two of another + a singleton: the hot group
+    // keeps its FULL population n but only maxIds evidence ids
+    val d = (Seq.tabulate(6)(i => (i.toLong, "same same same text")) ++
+      Seq((10L, "another repeated body"), (11L, "another repeated body"),
+        (20L, "a singleton document"))).toDF("doc_id", "text")
+    val got = Dedup.simhashDuplicates(d, maxIds = 3)
+      .select(col("ids"), col("n"))
+      .as[(Seq[Long], Long)].collect().toSet
+    assert(got == Set((Seq(0L, 1L, 2L), 6L), (Seq(10L, 11L), 2L)))
+    // default cap keeps everything when groups are small
+    val full = Dedup.simhashDuplicates(d)
+      .select(col("ids"), col("n"))
+      .as[(Seq[Long], Long)].collect().toSet
+    assert(full == Set((Seq(0L, 1L, 2L, 3L, 4L, 5L), 6L), (Seq(10L, 11L), 2L)))
+  }
 }

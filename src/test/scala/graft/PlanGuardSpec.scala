@@ -75,6 +75,8 @@ class PlanGuardSpec extends SparkSpec {
       "distinct-A x distinct-B densification cross: both dimension sets are bounded categorical universes (types x weekdays), and absent cells must exist to contribute their expected mass",
     "q190_source_jsd" ->
       "groups x groups non-equi pair join over the v-bounded per-group array frame — the matrix is pairwise by definition and groups are a bounded dimension",
+    "q192_theil" ->
+      "crossJoin(broadcast(totals)): the single-row global mass/total scalars beside the groups-bounded per-group frame",
     "q193_session_paths" ->
       "crossJoin(broadcast(total)): the single-row session-count scalar beside the path frequency table",
     "q194_lsh_plan" ->
