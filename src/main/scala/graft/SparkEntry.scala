@@ -1447,6 +1447,39 @@ object SparkEntry {
         .orderBy(col("fold"))
     }),
 
+    "q209_calibration" -> ((s, dir) => {
+      // reliability-diagram table of the stopword-ratio quality signal
+      // read as a probability of the src0 label — q207's discrimination
+      // audit completed by its calibration half (Guo et al. ICML'17:
+      // the two disagree, which is the point of reporting both). Score
+      // enters as the exact integer rational (stopword hits / tokens);
+      // every output column is BIGINT (bin draw and fixed-point sums by
+      // integral division, displays in basis points)
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      operators.Quality.calibrationReport(
+        d, size(stops).cast("long"), size(toks).cast("long"),
+        col("source") === "src0")
+        .orderBy(col("bin"))
+    }),
+
+    "q210_calibration_summary" -> ((s, dir) => {
+      // q209 rolled into the two headline numbers: ECE (bin-mass-weighted
+      // |mean score - positive rate|) and mean Brier, both in basis
+      // points beside their masses
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      operators.Quality.calibrationSummary(
+        d, size(stops).cast("long"), size(toks).cast("long"),
+        col("source") === "src0")
+    }),
+
     "q207_score_auc" -> ((s, dir) => {
       // exact ROC AUC (Mann-Whitney with midranks) of the stopword-ratio
       // quality signal against the src0 label — the "does this score
@@ -3950,6 +3983,60 @@ object SparkEntry {
         "floor(aa * 10000 + 0.5) / 10000 AS intercept, " +
         "round(sqrt(CAST(q2 AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE)), 4) AS rmse " +
         "FROM q ORDER BY fold"),
+
+    "q209_calibration" ->
+      // same integer rational (stopword hits / tokens), same HUGEINT
+      // integral divisions for the bin draw and the 2^20 fixed-point
+      // quantizations, same double-association bp renderings
+      ("WITH v AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS HUGEINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS HUGEINT) AS den, " +
+        "(source = 'src0') AS y FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "b AS (SELECT least(9, num * 10 // den) AS bin, " +
+        "num * 1048576 // den AS sq20, " +
+        "(num - CASE WHEN y THEN den ELSE 0 END) * (num - CASE WHEN y THEN den ELSE 0 END) " +
+        "* 1048576 // (den * den) AS bq20, " +
+        "CASE WHEN y THEN 1 ELSE 0 END AS pos FROM v), " +
+        "p AS (SELECT bin, count(*) AS n, sum(pos) AS n_pos, " +
+        "sum(sq20) AS ssum, sum(bq20) AS bsum FROM b GROUP BY bin) " +
+        "SELECT bin, n, n_pos, score_q20_sum, brier_q20_sum, mean_score_bp, " +
+        "pos_rate_bp, abs(mean_score_bp - pos_rate_bp) AS gap_bp FROM " +
+        "(SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n, " +
+        "CAST(n_pos AS BIGINT) AS n_pos, " +
+        "CAST(ssum AS BIGINT) AS score_q20_sum, CAST(bsum AS BIGINT) AS brier_q20_sum, " +
+        "CAST(floor(CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS mean_score_bp, " +
+        "CAST(floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS pos_rate_bp " +
+        "FROM p) ORDER BY bin"),
+
+    "q210_calibration_summary" ->
+      // q209's bin table folded in sorted bin order (list_reduce over the
+      // ORDER BY bin list — the engine-portable left association), Brier
+      // mass as an order-free integer sum
+      ("WITH v AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS HUGEINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS HUGEINT) AS den, " +
+        "(source = 'src0') AS y FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "b AS (SELECT least(9, num * 10 // den) AS bin, " +
+        "num * 1048576 // den AS sq20, " +
+        "(num - CASE WHEN y THEN den ELSE 0 END) * (num - CASE WHEN y THEN den ELSE 0 END) " +
+        "* 1048576 // (den * den) AS bq20, " +
+        "CASE WHEN y THEN 1 ELSE 0 END AS pos FROM v), " +
+        "p AS (SELECT bin, count(*) AS n, sum(pos) AS n_pos, " +
+        "sum(sq20) AS ssum, sum(bq20) AS bsum FROM b GROUP BY bin), " +
+        "o AS (SELECT list(struct_pack(bin := bin, n := n, n_pos := n_pos, s := ssum) ORDER BY bin) AS bs, " +
+        "sum(n) AS nn, sum(n_pos) AS np, sum(bsum) AS bb FROM p) " +
+        "SELECT CAST(nn AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos, " +
+        "CAST(floor(list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
+        "CAST((e).n AS DOUBLE) / CAST(nn AS DOUBLE) * " +
+        "abs(CAST((e).s AS DOUBLE) / (CAST((e).n AS DOUBLE) * 1048576.0) - " +
+        "CAST((e).n_pos AS DOUBLE) / CAST((e).n AS DOUBLE)))), " +
+        "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
+        "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
+        "FROM o"),
 
     "q207_score_auc" ->
       // same score expression as q17's oracle (unrounded), ranks via

@@ -723,4 +723,107 @@ object Quality {
         r4(col("_fq")).as("q_hat"),
         r4(col("_cov").cast("double") / col("n_eval")).as("coverage"))
   }
+
+  /** Calibration audit of a [0,1]-valued scorer against a binary outcome
+    * over `bins` equal-width score bins — the reliability-diagram table
+    * behind expected calibration error (Naeini et al. AAAI 2015; Guo et
+    * al. ICML 2017). Per bin: population, positives, mean score, realized
+    * positive rate, and their gap. A calibrated scorer has mean-score ≈
+    * positive-rate in every bin; [[graft.operators.Ranking.scoreAuc]]'s
+    * discrimination says nothing about that (Guo et al.'s point — modern
+    * scorers separate well and calibrate badly), so the audit shelf needs
+    * both numbers.
+    *
+    * The score enters as an integer RATIONAL (num/den, clamped to [0,1])
+    * so every derived quantity is engine-exact: the bin draw is an exact
+    * integral division num·B div den (clamped to B−1 at num=den), the
+    * mean score sums per-row fixed-point quantizations num·2^20 div den
+    * (the q203 fixed-point discipline — never a cross-row double sum),
+    * and the per-row Brier term (p−y)² quantizes the same way from the
+    * exact rational (num−y·den)²·2^20 div den². All products run in
+    * DECIMAL(38,0) (no long overflow at any input), all quotients are
+    * ≤ 2^20 longs. Displays are BIGINT basis points beside their raw
+    * integer masses (the q200 card discipline) — the report is
+    * integer-typed end to end.
+    *
+    * Scale shape: one map-side projection, one hash aggregate keyed by
+    * bin — B-bounded output, map-side partials, no window, no collect.
+    */
+  def calibrationReport(
+      df: DataFrame,
+      scoreNum: Column,
+      scoreDen: Column,
+      label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000, "2 <= bins <= 10000")
+    val rows = df
+      .filter(scoreNum.isNotNull && scoreDen.isNotNull && label.isNotNull &&
+        scoreDen.cast("long") > 0L)
+      .select(
+        greatest(lit(0L), least(scoreNum.cast("long"), scoreDen.cast("long")))
+          .as("_num"),
+        scoreDen.cast("long").as("_den"),
+        label.cast("boolean").as("_y"))
+    val binned = rows.selectExpr(
+      s"least(CAST(${bins - 1} AS BIGINT), " +
+        s"CAST(_num AS DECIMAL(38,0)) * $bins div CAST(_den AS DECIMAL(38,0))) AS bin",
+      "CAST(_num AS DECIMAL(38,0)) * 1048576 div CAST(_den AS DECIMAL(38,0)) AS _sq20",
+      "(CAST(_num AS DECIMAL(38,0)) - CASE WHEN _y THEN CAST(_den AS DECIMAL(38,0)) ELSE 0 END) " +
+        "* (CAST(_num AS DECIMAL(38,0)) - CASE WHEN _y THEN CAST(_den AS DECIMAL(38,0)) ELSE 0 END) " +
+        "* 1048576 div (CAST(_den AS DECIMAL(38,0)) * CAST(_den AS DECIMAL(38,0))) AS _bq20",
+      "CASE WHEN _y THEN 1 ELSE 0 END AS _pos")
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    val meanScore = col("score_q20_sum").cast("double") /
+      (col("n").cast("double") * 1048576.0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_pos")).as("n_pos"),
+        // decimal accumulators: a per-row term is ≤ 2^20, so a long sum
+        // only overflows past ~8.8e12 rows per bin — but under ANSI that
+        // is a query-killing throw, not a wrap, so don't build it in
+        sum(col("_sq20").cast(dec)).cast("long").as("score_q20_sum"),
+        sum(col("_bq20").cast(dec)).cast("long").as("brier_q20_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("score_q20_sum"), col("brier_q20_sum"),
+        bp(meanScore).as("mean_score_bp"),
+        bp(col("n_pos").cast("double") / col("n")).as("pos_rate_bp"),
+        abs(bp(meanScore) -
+          bp(col("n_pos").cast("double") / col("n"))).as("gap_bp"))
+  }
+
+  /** One-row roll-up of [[calibrationReport]]: expected calibration error
+    * ECE = Σ_b (n_b/N)·|mean_b − rate_b| and the mean Brier score, both
+    * as BIGINT basis points beside their integer masses. The ECE fold
+    * runs over the B-bounded bin table in sorted bin order (sorted
+    * collect → left fold, the engine-portable association for a ≤B-term
+    * double sum); the Brier mass is an order-free integer sum.
+    */
+  def calibrationSummary(
+      df: DataFrame,
+      scoreNum: Column,
+      scoreDen: Column,
+      label: Column,
+      bins: Int = 10): DataFrame = {
+    val rep = calibrationReport(df, scoreNum, scoreDen, label, bins)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    rep
+      .groupBy()
+      .agg(
+        sort_array(collect_list(struct(
+          col("bin"), col("n"), col("n_pos"), col("score_q20_sum")))).as("bs"),
+        sum(col("n")).as("n"),
+        sum(col("n_pos")).as("n_pos"),
+        sum(col("brier_q20_sum").cast(dec)).as("_b"))
+      .select(col("n"), col("n_pos"),
+        bp(aggregate(col("bs"), lit(0.0), (a, e) => {
+          val nb = e.getField("n").cast("double")
+          a + nb / col("n").cast("double") *
+            abs(e.getField("score_q20_sum").cast("double") / (nb * 1048576.0) -
+              e.getField("n_pos").cast("double") / nb)
+        })).as("ece_bp"),
+        bp(col("_b").cast("double") /
+          (col("n").cast("double") * 1048576.0)).as("brier_bp"))
+  }
 }

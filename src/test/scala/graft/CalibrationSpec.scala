@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+
+class CalibrationSpec extends SparkSpec {
+
+  // (num, den, y): p = num/den against outcome y
+  private def frame(rows: Seq[(Long, Long, Boolean)]) = {
+    import spark.implicits._
+    rows.toDF("num", "den", "y")
+  }
+
+  private def report(rows: Seq[(Long, Long, Boolean)], bins: Int = 10) =
+    Quality.calibrationReport(
+      frame(rows), col("num"), col("den"), col("y"), bins)
+
+  test("hand-computed bins: draw, fixed-point masses, bp renderings") {
+    import spark.implicits._
+    val got = report(Seq(
+      (1L, 4L, false), // p=0.25 -> bin 2, sq20 262144, brier (1/16)*2^20
+      (3L, 4L, true),  // p=0.75 -> bin 7, sq20 786432, brier (1/16)*2^20
+      (4L, 4L, true),  // p=1.00 -> bin clamps to 9, brier 0
+      (0L, 5L, false)  // p=0    -> bin 0, brier 0
+    )).orderBy(col("bin"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 0L, 0L, 0L, 0L, 0L),
+      (2L, 1L, 0L, 262144L, 65536L, 2500L, 0L, 2500L),
+      (7L, 1L, 1L, 786432L, 65536L, 7500L, 10000L, 2500L),
+      (9L, 1L, 1L, 1048576L, 0L, 10000L, 10000L, 0L)))
+  }
+
+  test("hand-computed summary: ECE is the bin-mass-weighted gap, Brier the q20 mean") {
+    import spark.implicits._
+    val got = Quality.calibrationSummary(
+      frame(Seq((1L, 4L, false), (3L, 4L, true), (4L, 4L, true), (0L, 5L, false))),
+      col("num"), col("den"), col("y"))
+      .as[(Long, Long, Long, Long)].collect().head
+    // ECE = (1/4)(0 + 0.25 + 0.25 + 0) = 0.125; Brier = 2*65536/(4*2^20)
+    assert(got == ((4L, 2L, 1250L, 313L)))
+  }
+
+  test("a perfectly calibrated 0/1 scorer has zero gap, ECE, and Brier") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i => (if (i % 3 == 0) 1L else 0L, 1L, i % 3 == 0))
+    val rep = report(rows)
+    assert(rep.filter(col("gap_bp") =!= 0L || col("brier_q20_sum") =!= 0L).isEmpty)
+    val s = Quality.calibrationSummary(
+      frame(rows), col("num"), col("den"), col("y"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(s == ((40L, 13L, 0L, 0L)))
+  }
+
+  test("scores clamp to [0, den] and invalid rows drop") {
+    import spark.implicits._
+    val got = report(Seq(
+      (7L, 4L, true),   // clamps to 4/4 -> bin 9, exact score 1, brier 0
+      (-3L, 4L, false), // clamps to 0 -> bin 0
+      (1L, 0L, true)    // den=0: dropped
+    )).orderBy(col("bin"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 0L, 0L, 0L, 0L, 0L),
+      (9L, 1L, 1L, 1048576L, 0L, 10000L, 10000L, 0L)))
+  }
+
+  test("bins parameter drives the draw") {
+    import spark.implicits._
+    val got = report(Seq((1L, 2L, false), (3L, 4L, true)), bins = 4)
+      .select(col("bin")).as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 3L)) // 0.5 -> bin 2 of 4; 0.75 -> bin 3
+  }
+}
