@@ -2240,6 +2240,24 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(2)) === 1))
     }),
 
+    "q211_psi" -> ((s, dir) => {
+      // population stability index over q117's even/odd snapshot split,
+      // with the industry decision band drawn from the rounded value
+      val docs = Tables(s, dir, "documents")
+      operators.CorpusAnalytics.psiStability(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
+
+    "q212_drift_attribution" -> ((s, dir) => {
+      // WHERE the mix moved: top-20 hash buckets by PSI contribution with
+      // raw masses, exact ppm rates, and the min-token sample per bucket
+      val docs = Tables(s, dir, "documents")
+      operators.CorpusAnalytics.driftAttribution(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    }),
+
     "q118_contamination_provenance" -> ((s, dir) => {
       // q89's split at pair granularity: WHICH eval doc leaked into which
       // train doc, with the shared distinct-gram count as evidence
@@ -5540,6 +5558,46 @@ object SparkEntry {
         "round(sum(pb * ln(pb / pa)), 4) AS kl_ba, " +
         "round(sum(pa * ln(pa / ((pa + pb) / 2))) / 2 + sum(pb * ln(pb / ((pa + pb) / 2))) / 2, 4) AS js " +
         "FROM probs"),
+
+    "q211_psi" ->
+      // q117's bucket/smoothing machinery, the PSI sum, band from the
+      // rounded value
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "bucketed AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 1024 AS b FROM toks), " +
+        "a AS (SELECT b, count(*) AS ca FROM bucketed WHERE doc_id % 2 = 0 GROUP BY b), " +
+        "bb AS (SELECT b, count(*) AS cb FROM bucketed WHERE doc_id % 2 = 1 GROUP BY b), " +
+        "att AS (SELECT sum(ca) AS na FROM a), btt AS (SELECT sum(cb) AS nb FROM bb), " +
+        "spine AS (SELECT range AS b FROM range(1024)), " +
+        "probs AS (SELECT (COALESCE(ca, 0) + 1.0) / (na + 1024) AS pa, " +
+        "(COALESCE(cb, 0) + 1.0) / (nb + 1024) AS pb, na, nb " +
+        "FROM spine LEFT JOIN a USING (b) LEFT JOIN bb USING (b), att, btt), " +
+        "s AS (SELECT CAST(max(na) AS BIGINT) AS n_tokens_a, CAST(max(nb) AS BIGINT) AS n_tokens_b, " +
+        "round(sum((pa - pb) * ln(pa / pb)), 4) AS psi FROM probs) " +
+        "SELECT n_tokens_a, n_tokens_b, psi, " +
+        "CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate' ELSE 'major' END AS band FROM s"),
+
+    "q212_drift_attribution" ->
+      // same bucket draw with the token kept; one grouped agg carries both
+      // sides' masses and the min-token sample; HUGEINT integral ppm
+      // rates; top-20 by the identically-associated double term
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "bucketed AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 1024 AS b, tok FROM toks), " +
+        "counts AS (SELECT b, sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb, min(tok) AS sample_tok " +
+        "FROM bucketed GROUP BY b), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts), " +
+        "spine AS (SELECT range AS b FROM range(1024)), " +
+        "x AS (SELECT b, COALESCE(ca, 0) AS n_a, COALESCE(cb, 0) AS n_b, sample_tok, na, nb, " +
+        "((COALESCE(ca, 0) + 1.0) / (na + 1024) - (COALESCE(cb, 0) + 1.0) / (nb + 1024)) * " +
+        "ln(((COALESCE(ca, 0) + 1.0) / (na + 1024)) / ((COALESCE(cb, 0) + 1.0) / (nb + 1024))) AS term " +
+        "FROM spine LEFT JOIN counts USING (b), t) " +
+        "SELECT CAST(b AS BIGINT) AS bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, sample_tok, " +
+        "CAST(CAST(n_a AS HUGEINT) * 1000000 // CAST(na AS HUGEINT) AS BIGINT) AS rate_a_ppm, " +
+        "CAST(CAST(n_b AS HUGEINT) * 1000000 // CAST(nb AS HUGEINT) AS BIGINT) AS rate_b_ppm, " +
+        "CAST(floor(term * 1000000 + 0.5) AS BIGINT) AS psi_term_ppm " +
+        "FROM x ORDER BY term DESC, b LIMIT 20"),
 
     "q118_contamination_provenance" ->
       // q89's exact shingle construction, kept at pair granularity

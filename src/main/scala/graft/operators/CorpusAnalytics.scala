@@ -1277,6 +1277,110 @@ object CorpusAnalytics {
         round(sum(pa * log(pa / m)) / 2 + sum(pb * log(pb / m)) / 2, 4).as("js"))
   }
 
+  /** Population stability index between two corpus snapshots (the
+    * credit-scoring drift statistic — Siddiqi 2006 — generalized to the
+    * hashed unigram mix): PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over the same
+    * add-1-smoothed `buckets`-bucket distributions as
+    * [[distributionDrift]], with the industry decision bands attached
+    * (< 0.1 stable, < 0.25 moderate, else major). Every term is ≥ 0 and
+    * unbounded above — unlike JS's [0, ln 2] — which is exactly why ops
+    * teams band it rather than threshold it. The band is drawn from the
+    * ROUNDED psi so the displayed (psi, band) pair is always consistent.
+    *
+    * Same machinery and scale shape as [[distributionDrift]]: corpus
+    * size only ever flows through the 8-byte bucket id; the final row
+    * folds a `buckets`-row spine.
+    */
+  def psiStability(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String = "text",
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 1, "need at least 2 hash buckets")
+    val bucketed = (d: DataFrame) => d
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .select((conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % buckets).as("b"))
+    val ca = bucketed(corpusA).groupBy(col("b")).agg(count(lit(1)).as("ca"))
+    val cb = bucketed(corpusB).groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val totals = ca.agg(sum(col("ca")).as("na"))
+      .crossJoin(cb.agg(sum(col("cb")).as("nb")))
+    val spine = corpusA.sparkSession.range(buckets).select(col("id").as("b"))
+    val pa = (coalesce(col("ca"), lit(0L)) + 1.0) / (col("na") + buckets)
+    val pb = (coalesce(col("cb"), lit(0L)) + 1.0) / (col("nb") + buckets)
+    spine
+      .join(ca, Seq("b"), "left")
+      .join(cb, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .agg(
+        first(col("na")).as("n_tokens_a"),
+        first(col("nb")).as("n_tokens_b"),
+        round(sum((pa - pb) * log(pa / pb)), 4).as("psi"))
+      .select(col("n_tokens_a"), col("n_tokens_b"), col("psi"),
+        when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") < 0.25, lit("moderate"))
+          .otherwise(lit("major")).as("band"))
+  }
+
+  /** Drift ATTRIBUTION — [[psiStability]]/[[distributionDrift]] answer
+    * "did the mix move?"; this answers "WHERE": the top-`k` hash buckets
+    * by PSI contribution, each with its raw masses, exact parts-per-
+    * million rates on both sides, and the lexicographically-least token
+    * observed in the bucket as a human-readable sample of the vocabulary
+    * region that moved. The report a crawl-ops team debugs a drift alarm
+    * with.
+    *
+    * Scale shape: ONE union + ONE hash aggregate keyed by bucket carries
+    * both sides' counts and the sample token (min — no token list is
+    * ever collected); rates are exact DECIMAL integral divisions; the
+    * top-k is a TakeOrderedAndProject on (term DESC, bucket) — k-bounded
+    * per partition, never a full sort. The PSI term is the only double,
+    * displayed as floor(term·1e6 + 0.5) ppm (ln-based, never on a
+    * decimal boundary).
+    */
+  def driftAttribution(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String = "text",
+      buckets: Int = 1024,
+      k: Int = 20): DataFrame = {
+    require(buckets > 1 && k >= 1, "need >=2 buckets and k>=1")
+    val bucketed = (d: DataFrame, side: Int) => d
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .select((conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % buckets).as("b"),
+        col("tok"), lit(side).as("_s"))
+    val counts = bucketed(corpusA, 0).unionAll(bucketed(corpusB, 1))
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("_s") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("cb"),
+        min(col("tok")).as("sample_tok"))
+    val totals = counts.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val spine = corpusA.sparkSession.range(buckets).select(col("id").as("b"))
+    val pa = (coalesce(col("ca"), lit(0L)) + 1.0) / (col("na") + buckets)
+    val pb = (coalesce(col("cb"), lit(0L)) + 1.0) / (col("nb") + buckets)
+    spine
+      .join(counts, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b").as("bucket"),
+        coalesce(col("ca"), lit(0L)).as("n_a"),
+        coalesce(col("cb"), lit(0L)).as("n_b"),
+        col("sample_tok"), col("na"), col("nb"),
+        ((pa - pb) * log(pa / pb)).as("_term"))
+      .selectExpr("bucket", "n_a", "n_b", "sample_tok",
+        "CAST(n_a AS DECIMAL(38,0)) * 1000000 div CAST(na AS DECIMAL(38,0)) AS rate_a_ppm",
+        "CAST(n_b AS DECIMAL(38,0)) * 1000000 div CAST(nb AS DECIMAL(38,0)) AS rate_b_ppm",
+        "CAST(floor(_term * 1000000 + 0.5) AS BIGINT) AS psi_term_ppm",
+        "_term")
+      .orderBy(col("_term").desc, col("bucket"))
+      .limit(k)
+      .drop("_term")
+  }
+
   /** Contamination PROVENANCE — [[decontaminate]] answers "is this train
     * doc contaminated?"; this answers "by WHICH benchmark doc, and how
     * hard?": one row per (train doc, eval doc) pair sharing at least one

@@ -398,6 +398,53 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(js > 0 && js <= math.log(2) + 1e-9, s"JS bounded by ln 2 ($js)")
   }
 
+  test("psiStability: identical corpora are stable at 0; disjoint vocabularies band up") {
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon zeta"))
+      .toDF("doc_id", "text")
+    val same = CorpusAnalytics.psiStability(a, a)
+      .as[(Long, Long, Double, String)].head()
+    assert(same == ((8L, 8L, 0.0, "stable")))
+    val b = Seq((3L, "omega psi chi phi"), (4L, "psi chi upsilon tau"))
+      .toDF("doc_id", "text")
+    val (na, nb, psi, band) = CorpusAnalytics.psiStability(a, b)
+      .as[(Long, Long, Double, String)].head()
+    assert(na == 8L && nb == 8L && psi > 0)
+    assert(Set("stable", "moderate", "major").contains(band))
+    // band is drawn from the displayed value
+    assert((psi < 0.1) == (band == "stable"))
+    assert((psi >= 0.1 && psi < 0.25) == (band == "moderate"))
+  }
+
+  test("driftAttribution: top buckets carry the moved vocabulary with exact masses") {
+    // corpus A is dominated by one token absent from B: its bucket must
+    // lead the attribution with the token as the sample
+    val a = Seq((1L, Seq.fill(50)("driftword").mkString(" ")),
+      (2L, "shared common words here")).toDF("doc_id", "text")
+    val b = Seq((3L, "shared common words here"),
+      (4L, "shared common words here")).toDF("doc_id", "text")
+    val top = CorpusAnalytics.driftAttribution(a, b, k = 3)
+      .as[(Long, Long, Long, String, Long, Long, Long)].collect()
+    assert(top.length == 3)
+    val lead = top.head
+    assert(lead._4 == "driftword" && lead._2 == 50L && lead._3 == 0L)
+    // exact integral ppm: 50 tokens of 54 on side A
+    assert(lead._5 == 50L * 1000000L / 54L && lead._6 == 0L)
+    assert(lead._7 > 0L, "the dominant moved bucket has a positive PSI term")
+  }
+
+  test("driftAttribution at k=buckets sums back to psiStability's statistic") {
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon zeta"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "omega psi chi phi"), (4L, "psi chi upsilon tau"))
+      .toDF("doc_id", "text")
+    val psi = CorpusAnalytics.psiStability(a, b)
+      .as[(Long, Long, Double, String)].head()._3
+    val termSum = CorpusAnalytics.driftAttribution(a, b, k = 1024)
+      .agg(sum(col("psi_term_ppm"))).as[Long].head() / 1e6
+    assert(math.abs(termSum - psi) < 1e-3,
+      s"attribution terms must reconstruct PSI ($termSum vs $psi)")
+  }
+
   test("contaminationProvenance: pair-level shared-gram evidence") {
     val train = Seq(
       (1L, "the quick brown fox jumps high"),   // shares grams with eval 100

@@ -85,6 +85,10 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(contamination totals)): two single-row aggregates meeting in the one-row card",
     "q200c_card_contam_rate" ->
       "crossJoin(broadcast(contamination totals)): q200's contamination column bisected out, same two single-row aggregates",
+    "q211_psi" ->
+      "crossJoin(broadcast(totals)): single-row token totals; the data side is the fixed buckets-row spine (q117's discipline)",
+    "q212_drift_attribution" ->
+      "crossJoin(broadcast(totals)): single-row token totals beside the fixed buckets-row spine (q117's discipline); the top-k is a TakeOrderedAndProject",
     "q116_importance_weights" ->
       "crossJoin(broadcast(totals/median)): single-row scalars, corpus side streams through",
     "q117_distribution_drift" ->
