@@ -121,7 +121,11 @@ object Plans {
     "q205_temporal_split" -> "the one-row quantile-cutoff pair broadcasts beside the stream (cardinality-1 nested loop); labeling is a map-side comparison and the audit is a 3-key hash agg with map-side partials",
     "q206_conformal_interval" -> "exact decimal moments collapse map-side into the one-row OLS fit; residuals score map-side against the broadcast fit; the threshold is a k-bounded TakeOrderedAndProject over the calibration sliver; coverage is one more single-row agg — nothing corpus-sized shuffles",
     "q207_score_auc" -> "the global score rank is the q137 distributed shape (range exchange, per-bucket windows by partition id, bounded offset broadcast); midranks are a score-keyed agg + join-back; the U statistic folds into ONE single-row aggregate — no single-partition WindowExec, no nested loop",
-    "q208_ols_crossval" -> "one fold-keyed moment aggregate (k rows) + a one-row global cross; the k complement fits broadcast back and the held-out residual pass is a second fold-keyed aggregate with map-side integer partials — two scans, zero corpus-sized shuffles"
+    "q208_ols_crossval" -> "one fold-keyed moment aggregate (k rows) + a one-row global cross; the k complement fits broadcast back and the held-out residual pass is a second fold-keyed aggregate with map-side integer partials — two scans, zero corpus-sized shuffles",
+    "q209_calibration" -> "one map-side projection (rational score, DECIMAL integral bin draw, 2^20 quantizations) + ONE bin-keyed hash aggregate with map-side partials — the only exchange carries B bins, not rows; every output column BIGINT",
+    "q210_calibration_summary" -> "q209's bin aggregate collapses into a single-row roll-up: the ECE fold runs over the B-row sorted bin array in-row, the Brier mass is an order-free decimal sum — nothing corpus-sized past the first exchange",
+    "q211_psi" -> "token stream partial-aggregates map-side into bucket counts (the only wide exchange carries 8-byte bucket ids); spine join + one-row totals broadcast; the PSI fold is a single-row aggregate over the fixed bucket spine",
+    "q212_drift_attribution" -> "ONE union + ONE bucket-keyed aggregate carries both sides' masses AND the min-token sample (SortAggregate — the string min buffer is variable-width so Spark skips hash agg — but partials still run map-side and only bucket rows shuffle); ppm rates are DECIMAL integral divisions; top-k is TakeOrderedAndProject — per-partition k-heaps, no global sort"
   )
 
   def main(args: Array[String]): Unit = {
