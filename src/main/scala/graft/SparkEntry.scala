@@ -1480,6 +1480,37 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q213_fairness_audit" -> ((s, dir) => {
+      // per-language confusion masses + selection/TPR/FPR of the
+      // thresholded stopword-ratio filter against the src0 label — the
+      // "does this quality filter starve a language?" audit. The decision
+      // is the exact cross-multiplication num*20 >= den*3 (threshold
+      // 0.15), so the whole report is integer-typed
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      operators.Quality.fairnessAudit(d, "lang",
+        size(stops).cast("long"), size(toks).cast("long"),
+        col("source") === "src0", thrNum = 3L, thrDen = 20L)
+        .orderBy(col("group_key"))
+    }),
+
+    "q214_fairness_gaps" -> ((s, dir) => {
+      // q213 rolled into the worst-case cross-group gaps: demographic
+      // parity (selection-rate spread) and equalized odds (the larger of
+      // the TPR/FPR spreads)
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      operators.Quality.fairnessGaps(d, "lang",
+        size(stops).cast("long"), size(toks).cast("long"),
+        col("source") === "src0", thrNum = 3L, thrDen = 20L)
+    }),
+
     "q207_score_auc" -> ((s, dir) => {
       // exact ROC AUC (Mann-Whitney with midranks) of the stopword-ratio
       // quality signal against the src0 label — the "does this score
@@ -4055,6 +4086,66 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q213_fairness_audit" ->
+      // same rational, same HUGEINT cross-multiplied decision, same
+      // NULL-when-undefined rate semantics
+      ("WITH v AS (SELECT lang AS group_key, " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS den, " +
+        "(source = 'src0') AS y FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL AND lang IS NOT NULL), " +
+        "p AS (SELECT group_key, y, " +
+        "CAST(num AS HUGEINT) * 20 >= CAST(den AS HUGEINT) * 3 AS pred FROM v), " +
+        "a AS (SELECT group_key, count(*) AS n, " +
+        "sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_label_pos, " +
+        "sum(CASE WHEN pred THEN 1 ELSE 0 END) AS n_pred_pos, " +
+        "sum(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS tp, " +
+        "sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS fp, " +
+        "sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS fn, " +
+        "sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS tn " +
+        "FROM p GROUP BY group_key) " +
+        "SELECT group_key, CAST(n AS BIGINT) AS n, " +
+        "CAST(n_label_pos AS BIGINT) AS n_label_pos, " +
+        "CAST(n_pred_pos AS BIGINT) AS n_pred_pos, " +
+        "CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, " +
+        "CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn, " +
+        "CAST(floor(CAST(n_pred_pos AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS selection_rate_bp, " +
+        "CASE WHEN n_label_pos > 0 THEN CAST(floor(CAST(tp AS DOUBLE) / CAST(n_label_pos AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS tpr_bp, " +
+        "CASE WHEN n - n_label_pos > 0 THEN CAST(floor(CAST(fp AS DOUBLE) / CAST(n - n_label_pos AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS fpr_bp " +
+        "FROM a ORDER BY group_key"),
+
+    "q214_fairness_gaps" ->
+      // q213's per-group rates reduced to integer max-min spreads; the
+      // equalized-odds CASE mirrors Spark's null-skipping greatest
+      ("WITH v AS (SELECT lang AS group_key, " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS den, " +
+        "(source = 'src0') AS y FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL AND lang IS NOT NULL), " +
+        "p AS (SELECT group_key, y, " +
+        "CAST(num AS HUGEINT) * 20 >= CAST(den AS HUGEINT) * 3 AS pred FROM v), " +
+        "a AS (SELECT group_key, count(*) AS n, " +
+        "sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_label_pos, " +
+        "sum(CASE WHEN pred THEN 1 ELSE 0 END) AS n_pred_pos, " +
+        "sum(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS tp, " +
+        "sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS fp " +
+        "FROM p GROUP BY group_key), " +
+        "r AS (SELECT " +
+        "CAST(floor(CAST(n_pred_pos AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS sel, " +
+        "CASE WHEN n_label_pos > 0 THEN CAST(floor(CAST(tp AS DOUBLE) / CAST(n_label_pos AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS tpr, " +
+        "CASE WHEN n - n_label_pos > 0 THEN CAST(floor(CAST(fp AS DOUBLE) / CAST(n - n_label_pos AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS fpr " +
+        "FROM a), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "max(sel) - min(sel) AS parity_gap_bp, " +
+        "max(tpr) - min(tpr) AS tpr_gap_bp, " +
+        "max(fpr) - min(fpr) AS fpr_gap_bp FROM r) " +
+        "SELECT n_groups, parity_gap_bp, tpr_gap_bp, fpr_gap_bp, " +
+        "CASE WHEN tpr_gap_bp IS NULL THEN fpr_gap_bp " +
+        "WHEN fpr_gap_bp IS NULL THEN tpr_gap_bp " +
+        "ELSE greatest(tpr_gap_bp, fpr_gap_bp) END AS eo_gap_bp FROM g"),
 
     "q207_score_auc" ->
       // same score expression as q17's oracle (unrounded), ranks via

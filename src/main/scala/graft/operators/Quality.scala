@@ -792,6 +792,86 @@ object Quality {
           bp(col("n_pos").cast("double") / col("n"))).as("gap_bp"))
   }
 
+  /** Group-fairness audit of a thresholded scorer (Barocas-Hardt-
+    * Narayanan 2019; Hardt et al. NeurIPS 2016): per group, the full
+    * confusion-matrix masses plus the three rates the standard criteria
+    * read — selection rate (demographic parity), TPR and FPR (equalized
+    * odds). The audit a curation team runs before shipping a quality
+    * filter that might silently starve a language or source of its
+    * training share.
+    *
+    * Everything is integer by construction: the decision
+    * score ≥ threshold evaluates as the cross-multiplication
+    * num·thrDen ≥ thrNum·den in DECIMAL (exact — no division, no float
+    * threshold), the masses are counts, and the rates are BIGINT basis
+    * points (floor(r·1e4 + 0.5)); a rate whose denominator is empty
+    * (no positives / no negatives in the group) is NULL, mirroring its
+    * undefinedness. One hash aggregate keyed by group — map-side
+    * partials, groups-bounded output, no window, no collect.
+    */
+  def fairnessAudit(
+      df: DataFrame,
+      groupCol: String,
+      scoreNum: Column,
+      scoreDen: Column,
+      label: Column,
+      thrNum: Long,
+      thrDen: Long): DataFrame = {
+    require(thrDen > 0 && thrNum >= 0, "threshold as a non-negative rational")
+    val rows = df
+      .filter(col(groupCol).isNotNull && scoreNum.isNotNull &&
+        scoreDen.isNotNull && label.isNotNull && scoreDen.cast("long") > 0L)
+      .select(col(groupCol).as("grp"),
+        scoreNum.cast("long").as("_num"), scoreDen.cast("long").as("_den"),
+        label.cast("boolean").as("_y"))
+      .selectExpr("grp", "_y",
+        s"CAST(_num AS DECIMAL(38,0)) * $thrDen >= " +
+          s"CAST(_den AS DECIMAL(38,0)) * $thrNum AS _pred")
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    rows.groupBy(col("grp").as("group_key"))
+      .agg(count(lit(1)).as("n"),
+        cnt(col("_y")).as("n_label_pos"),
+        cnt(col("_pred")).as("n_pred_pos"),
+        cnt(col("_pred") && col("_y")).as("tp"),
+        cnt(col("_pred") && !col("_y")).as("fp"),
+        cnt(!col("_pred") && col("_y")).as("fn"),
+        cnt(!col("_pred") && !col("_y")).as("tn"))
+      .select(col("group_key"), col("n"), col("n_label_pos"),
+        col("n_pred_pos"), col("tp"), col("fp"), col("fn"), col("tn"),
+        bp(col("n_pred_pos").cast("double") / col("n")).as("selection_rate_bp"),
+        when(col("n_label_pos") > 0,
+          bp(col("tp").cast("double") / col("n_label_pos"))).as("tpr_bp"),
+        when(col("n") - col("n_label_pos") > 0,
+          bp(col("fp").cast("double") / (col("n") - col("n_label_pos"))))
+          .as("fpr_bp"))
+  }
+
+  /** One-row roll-up of [[fairnessAudit]]: the worst-case cross-group
+    * gaps the fairness criteria threshold on — demographic parity gap
+    * (max − min selection rate), TPR/FPR gaps over the groups where each
+    * is defined, and the equalized-odds gap (the larger of the two). All
+    * integer arithmetic over the groups-bounded audit frame.
+    */
+  def fairnessGaps(
+      df: DataFrame,
+      groupCol: String,
+      scoreNum: Column,
+      scoreDen: Column,
+      label: Column,
+      thrNum: Long,
+      thrDen: Long): DataFrame = {
+    fairnessAudit(df, groupCol, scoreNum, scoreDen, label, thrNum, thrDen)
+      .agg(count(lit(1)).as("n_groups"),
+        (max(col("selection_rate_bp")) - min(col("selection_rate_bp")))
+          .as("parity_gap_bp"),
+        (max(col("tpr_bp")) - min(col("tpr_bp"))).as("tpr_gap_bp"),
+        (max(col("fpr_bp")) - min(col("fpr_bp"))).as("fpr_gap_bp"))
+      .select(col("n_groups"), col("parity_gap_bp"), col("tpr_gap_bp"),
+        col("fpr_gap_bp"),
+        greatest(col("tpr_gap_bp"), col("fpr_gap_bp")).as("eo_gap_bp"))
+  }
+
   /** One-row roll-up of [[calibrationReport]]: expected calibration error
     * ECE = Σ_b (n_b/N)·|mean_b − rate_b| and the mean Brier score, both
     * as BIGINT basis points beside their integer masses. The ECE fold
