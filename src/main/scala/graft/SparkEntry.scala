@@ -1480,6 +1480,17 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q215_score_drift" -> ((s, dir) => {
+      // numeric PSI of the event value distribution, even vs odd event
+      // ids: reference-decile bins (exact distributed order statistics
+      // as plan literals), one union + one bin-keyed agg, banded PSI
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.scoreDrift(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value", "event_id")
+    }),
+
     "q213_fairness_audit" -> ((s, dir) => {
       // per-language confusion masses + selection/TPR/FPR of the
       // thresholded stopword-ratio filter against the src0 label — the
@@ -4086,6 +4097,33 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q215_score_drift" ->
+      // quantile_cont deciles over the even-id reference (q205's exact
+      // interpolation parity), the same <-chain bin draw, the same
+      // smoothed PSI sum over the 10-bin spine, band from the rounded
+      // value
+      ("WITH r AS (SELECT CAST(value AS DOUBLE) AS v FROM events " +
+        "WHERE value IS NOT NULL AND event_id % 2 = 0), " +
+        "c AS (SELECT " +
+        (1 until 10).map(i => s"quantile_cont(v, 0.$i) AS c$i").mkString(", ") +
+        " FROM r), " +
+        "u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "b AS (SELECT CASE " +
+        (1 until 10).map(i => s"WHEN v < c$i THEN ${i - 1}").mkString(" ") +
+        " ELSE 9 END AS bin, s FROM u, c), " +
+        "p AS (SELECT bin, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS cr, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cc FROM b GROUP BY bin), " +
+        "t AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM p), " +
+        "spine AS (SELECT range AS bin FROM range(10)), " +
+        "probs AS (SELECT (COALESCE(cr, 0) + 1.0) / (nr + 10) AS pr, " +
+        "(COALESCE(cc, 0) + 1.0) / (nc + 10) AS pc, nr, nc " +
+        "FROM spine LEFT JOIN p USING (bin), t), " +
+        "f AS (SELECT CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur, " +
+        "round(sum((pr - pc) * ln(pr / pc)), 4) AS psi FROM probs) " +
+        "SELECT n_ref, n_cur, psi, " +
+        "CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate' ELSE 'major' END AS band FROM f"),
 
     "q213_fairness_audit" ->
       // same rational, same HUGEINT cross-multiplied decision, same

@@ -792,6 +792,63 @@ object Quality {
           bp(col("n_pos").cast("double") / col("n"))).as("gap_bp"))
   }
 
+  /** Numeric-feature PSI — the form the industry actually monitors
+    * (model scores, numeric features; Siddiqi 2006): equal-frequency
+    * bins are cut from the REFERENCE snapshot's exact deciles (so the
+    * reference occupies each bin ~uniformly and any drift shows as
+    * mass imbalance), both snapshots count into those bins, and
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with add-1 smoothing over the
+    * B-bin spine, banded like the token-mix PSI (< 0.1 stable, < 0.25
+    * moderate, else major; band from the ROUNDED value).
+    *
+    * The cutpoints are exact interpolated order statistics from
+    * [[GlobalRank.percentileValues]] (distributed ranks — no
+    * whole-column aggregation state, the r13 percentile discipline) and
+    * enter the plan as literals, so binning is a map-side comparison
+    * chain; counting is ONE union + ONE bin-keyed hash aggregate; the
+    * PSI fold runs over the fixed B-row spine. Corpus size only ever
+    * flows through an 8-byte bin id.
+    */
+  def scoreDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      idCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 1 && bins <= 10000, "2 <= bins <= 10000")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val cuts = GlobalRank.percentileValues(ref, valueCol, idCol, probs)
+      .getOrElse(throw new IllegalArgumentException(
+        "scoreDrift needs a non-empty reference"))
+    val binExpr = cuts.zipWithIndex.reverse
+      .foldLeft(lit((bins - 1).toLong)) { case (els, (c, i)) =>
+        when(col("_v") < lit(c), lit(i.toLong)).otherwise(els)
+      }
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val counts = sided(ref, 0).unionAll(sided(cur, 1))
+      .select(binExpr.as("bin"), col("_s"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("cr"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("cc"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+    val spine = ref.sparkSession.range(bins).select(col("id").as("bin"))
+    val pr = (coalesce(col("cr"), lit(0L)) + 1.0) / (col("nr") + bins)
+    val pc = (coalesce(col("cc"), lit(0L)) + 1.0) / (col("nc") + bins)
+    spine
+      .join(counts, Seq("bin"), "left")
+      .crossJoin(broadcast(totals))
+      .agg(
+        first(col("nr")).as("n_ref"),
+        first(col("nc")).as("n_cur"),
+        round(sum((pr - pc) * log(pr / pc)), 4).as("psi"))
+      .select(col("n_ref"), col("n_cur"), col("psi"),
+        when(col("psi") < 0.1, lit("stable"))
+          .when(col("psi") < 0.25, lit("moderate"))
+          .otherwise(lit("major")).as("band"))
+  }
+
   /** Group-fairness audit of a thresholded scorer (Barocas-Hardt-
     * Narayanan 2019; Hardt et al. NeurIPS 2016): per group, the full
     * confusion-matrix masses plus the three rates the standard criteria

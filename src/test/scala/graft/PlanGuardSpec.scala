@@ -85,6 +85,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(contamination totals)): two single-row aggregates meeting in the one-row card",
     "q200c_card_contam_rate" ->
       "crossJoin(broadcast(contamination totals)): q200's contamination column bisected out, same two single-row aggregates",
+    "q215_score_drift" ->
+      "crossJoin(broadcast(totals)): single-row side totals; the data side is the fixed bins-row spine (the q117/q211 discipline); decile cutpoints are plan literals",
     "q211_psi" ->
       "crossJoin(broadcast(totals)): single-row token totals; the data side is the fixed buckets-row spine (q117's discipline)",
     "q212_drift_attribution" ->

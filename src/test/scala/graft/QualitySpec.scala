@@ -72,4 +72,29 @@ class QualitySpec extends SparkSpec {
       .as[(String, Boolean, Long, Long)].collect()
     assert(rep.forall(_._2), s"real-corpus constraints must pass: ${rep.mkString(",")}")
   }
+
+  test("scoreDrift: identical snapshots are stable at 0; a shifted snapshot bands major") {
+    import spark.implicits._
+    val ref = (0 until 200).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val same = Quality.scoreDrift(ref, ref, "v", "id")
+      .as[(Long, Long, Double, String)].head()
+    assert(same == ((200L, 200L, 0.0, "stable")))
+    val shifted = (0 until 200).map(i => (i.toLong, i.toDouble + 1000.0))
+      .toDF("id", "v")
+    val (nr, nc, psi, band) = Quality.scoreDrift(ref, shifted, "v", "id")
+      .as[(Long, Long, Double, String)].head()
+    // every shifted value lands in the top reference bin: maximal drift
+    assert(nr == 200L && nc == 200L && psi > 0.25 && band == "major")
+  }
+
+  test("scoreDrift bins are cut from the reference, not the union") {
+    import spark.implicits._
+    val ref = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    // cur concentrated in the middle reference bins: moderate mass
+    // imbalance, not an out-of-range artifact
+    val cur = (0 until 100).map(i => (i.toLong, 50.0 + (i % 10))).toDF("id", "v")
+    val (_, _, psi, _) = Quality.scoreDrift(ref, cur, "v", "id")
+      .as[(Long, Long, Double, String)].head()
+    assert(psi > 0.25, s"concentration into two bins must register ($psi)")
+  }
 }
