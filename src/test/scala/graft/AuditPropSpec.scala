@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Properties over randomized inputs for the audit shelf: the calibration
+  * report's masses must tile the input exactly and its summary must be
+  * recomputable from the report; the fairness audit's confusion masses
+  * must tile each group; PSI must be non-negative and zero exactly on
+  * identical snapshots.
+  */
+class AuditPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.apply(params, Seed(seed)).getOrElse(sys.error(s"gen failed at $seed"))
+
+  private val rowGen = for {
+    den <- Gen.choose(1L, 40L)
+    num <- Gen.choose(0L, den)
+    y <- Gen.oneOf(true, false)
+  } yield (num, den, y)
+
+  test("calibration bins tile the input; summary recomputes from the report (15 rounds)") {
+    for (round <- 0 until 15) {
+      val rows = draw(Gen.listOfN(60, rowGen), 7000L + round)
+      val df = rows.toDF("num", "den", "y")
+      val rep = Quality.calibrationReport(df, col("num"), col("den"), col("y"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      assert(rep.map(_._2).sum == rows.size, s"round $round: bins must tile rows")
+      assert(rep.map(_._3).sum == rows.count(_._3), s"round $round: positives tile")
+      assert(rep.forall(r => r._1 >= 0 && r._1 < 10))
+      assert(rep.forall(r => r._4 >= 0 && r._4 <= r._2 * 1048576L),
+        s"round $round: q20 mass bounded by n*2^20")
+      assert(rep.forall(r => r._8 == math.abs(r._6 - r._7)))
+      val (n, nPos, eceBp, brierBp) = Quality.calibrationSummary(
+        df, col("num"), col("den"), col("y"))
+        .as[(Long, Long, Long, Long)].collect().head
+      assert(n == rows.size && nPos == rows.count(_._3))
+      assert(eceBp >= 0 && eceBp <= 10000 && brierBp >= 0 && brierBp <= 10000)
+      // recompute ECE from the report in sorted bin order
+      val ece = rep.sortBy(_._1).map { r =>
+        r._2.toDouble / n * math.abs(
+          r._4.toDouble / (r._2.toDouble * 1048576.0) - r._3.toDouble / r._2)
+      }.sum
+      assert(math.floor(ece * 10000 + 0.5).toLong == eceBp,
+        s"round $round: summary ECE must recompute from the report")
+    }
+  }
+
+  test("fairness confusion masses tile every group; gaps recompute (15 rounds)") {
+    val gGen = for {
+      g <- Gen.oneOf("g1", "g2", "g3")
+      r <- rowGen
+    } yield (g, r._1, r._2, r._3)
+    for (round <- 0 until 15) {
+      val rows = draw(Gen.listOfN(50, gGen), 8000L + round)
+      val df = rows.toDF("g", "num", "den", "y")
+      val audit = Quality.fairnessAudit(
+        df, "g", col("num"), col("den"), col("y"), 1L, 2L)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+        .collect()
+      audit.foreach { a =>
+        assert(a._5 + a._6 + a._7 + a._8 == a._2, s"round $round: tp+fp+fn+tn == n")
+        assert(a._5 + a._7 == a._3, s"round $round: tp+fn == n_label_pos")
+        assert(a._5 + a._6 == a._4, s"round $round: tp+fp == n_pred_pos")
+        assert(a._10.isEmpty == (a._3 == 0) && a._11.isEmpty == (a._2 == a._3))
+      }
+      val gaps = Quality.fairnessGaps(
+        df, "g", col("num"), col("den"), col("y"), 1L, 2L)
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      assert(gaps._1 == audit.length)
+      val sel = audit.map(_._9)
+      assert(gaps._2 == sel.max - sel.min, s"round $round: parity gap recomputes")
+      val tprs = audit.flatMap(_._10)
+      if (tprs.nonEmpty) assert(gaps._3 == tprs.max - tprs.min)
+    }
+  }
+
+  test("scoreDrift is non-negative on arbitrary snapshots, zero on identical (10 rounds)") {
+    val vGen = Gen.choose(-1000, 1000).map(_.toDouble / 7.0)
+    for (round <- 0 until 10) {
+      val a = draw(Gen.listOfN(80, vGen), 9000L + round)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val b = draw(Gen.listOfN(80, vGen), 9500L + round)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val psi = Quality.scoreDrift(a, b, "v", "id")
+        .select(col("psi")).as[Double].head()
+      assert(psi >= 0.0, s"round $round: PSI is a sum of non-negative terms ($psi)")
+      val zero = Quality.scoreDrift(a, a, "v", "id")
+        .select(col("psi")).as[Double].head()
+      assert(zero == 0.0, s"round $round: identical snapshots drift 0 ($zero)")
+    }
+  }
+}
