@@ -1480,6 +1480,20 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q216_grouped_calibration" -> ((s, dir) => {
+      // q210's ECE/Brier per language — multicalibration-lite: a scorer
+      // calibrated on average can be miscalibrated in every subpopulation
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      operators.Quality.calibrationByGroup(d, "lang",
+        size(stops).cast("long"), size(toks).cast("long"),
+        col("source") === "src0")
+        .orderBy(col("group_key"))
+    }),
+
     "q215_score_drift" -> ((s, dir) => {
       // numeric PSI of the event value distribution, even vs odd event
       // ids: reference-decile bins (exact distributed order statistics
@@ -4097,6 +4111,34 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q216_grouped_calibration" ->
+      // q210's fold per language group: the same per-(group, bin) masses,
+      // the same ORDER BY bin list fold, the same bp renderings
+      ("WITH v AS (SELECT lang AS group_key, " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS HUGEINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS HUGEINT) AS den, " +
+        "(source = 'src0') AS y FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL AND lang IS NOT NULL), " +
+        "b AS (SELECT group_key, least(9, num * 10 // den) AS bin, " +
+        "num * 1048576 // den AS sq20, " +
+        "(num - CASE WHEN y THEN den ELSE 0 END) * (num - CASE WHEN y THEN den ELSE 0 END) " +
+        "* 1048576 // (den * den) AS bq20, " +
+        "CASE WHEN y THEN 1 ELSE 0 END AS pos FROM v), " +
+        "p AS (SELECT group_key, bin, count(*) AS bn, sum(pos) AS bpos, " +
+        "sum(sq20) AS bs, sum(bq20) AS bb FROM b GROUP BY group_key, bin), " +
+        "o AS (SELECT group_key, " +
+        "list(struct_pack(bin := bin, bn := bn, bpos := bpos, bs := bs) ORDER BY bin) AS gs, " +
+        "sum(bn) AS nn, sum(bpos) AS np, sum(bb) AS bbt FROM p GROUP BY group_key) " +
+        "SELECT group_key, CAST(nn AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos, " +
+        "CAST(floor(list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).bn AS DOUBLE) / CAST(nn AS DOUBLE) * " +
+        "abs(CAST((e).bs AS DOUBLE) / (CAST((e).bn AS DOUBLE) * 1048576.0) - " +
+        "CAST((e).bpos AS DOUBLE) / CAST((e).bn AS DOUBLE)))), " +
+        "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
+        "CAST(floor(CAST(bbt AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
+        "FROM o ORDER BY group_key"),
 
     "q215_score_drift" ->
       // quantile_cont deciles over the even-id reference (q205's exact

@@ -792,6 +792,70 @@ object Quality {
           bp(col("n_pos").cast("double") / col("n"))).as("gap_bp"))
   }
 
+  /** Per-group calibration — multicalibration-lite (Hébert-Johnson et
+    * al. ICML 2018): a scorer calibrated ON AVERAGE can be badly
+    * miscalibrated within every subpopulation, so the audit that matters
+    * for a per-language/per-source filter is [[calibrationSummary]]
+    * computed per group. One row per group: masses, ECE, and mean Brier,
+    * all integer-typed under exactly the discipline of the global report
+    * (DECIMAL integral divisions, 2^20 fixed-point masses, BIGINT basis
+    * points).
+    *
+    * Scale shape: one map-side projection, one hash aggregate keyed by
+    * (group, bin) — output groups × B, map-side partials — then the
+    * per-group ECE folds over each group's ≤B-row sorted bin array
+    * (B-bounded per-group state, nothing value-sized collected).
+    */
+  def calibrationByGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreNum: Column,
+      scoreDen: Column,
+      label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000, "2 <= bins <= 10000")
+    val rows = df
+      .filter(col(groupCol).isNotNull && scoreNum.isNotNull &&
+        scoreDen.isNotNull && label.isNotNull && scoreDen.cast("long") > 0L)
+      .select(col(groupCol).as("_grp"),
+        greatest(lit(0L), least(scoreNum.cast("long"), scoreDen.cast("long")))
+          .as("_num"),
+        scoreDen.cast("long").as("_den"),
+        label.cast("boolean").as("_y"))
+    val binned = rows.selectExpr("_grp",
+      s"least(CAST(${bins - 1} AS BIGINT), " +
+        s"CAST(_num AS DECIMAL(38,0)) * $bins div CAST(_den AS DECIMAL(38,0))) AS bin",
+      "CAST(_num AS DECIMAL(38,0)) * 1048576 div CAST(_den AS DECIMAL(38,0)) AS _sq20",
+      "(CAST(_num AS DECIMAL(38,0)) - CASE WHEN _y THEN CAST(_den AS DECIMAL(38,0)) ELSE 0 END) " +
+        "* (CAST(_num AS DECIMAL(38,0)) - CASE WHEN _y THEN CAST(_den AS DECIMAL(38,0)) ELSE 0 END) " +
+        "* 1048576 div (CAST(_den AS DECIMAL(38,0)) * CAST(_den AS DECIMAL(38,0))) AS _bq20",
+      "CASE WHEN _y THEN 1 ELSE 0 END AS _pos")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    binned
+      .groupBy(col("_grp"), col("bin"))
+      .agg(count(lit(1)).as("bn"),
+        sum(col("_pos")).as("bpos"),
+        sum(col("_sq20").cast(dec)).cast("long").as("bs"),
+        sum(col("_bq20").cast(dec)).as("bb"))
+      .groupBy(col("_grp").as("group_key"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("bin"), col("bn"), col("bpos"), col("bs")))).as("gs"),
+        sum(col("bn")).as("n"),
+        sum(col("bpos")).as("n_pos"),
+        sum(col("bb")).as("_b"))
+      .select(col("group_key"), col("n"), col("n_pos"),
+        bp(aggregate(col("gs"), lit(0.0), (a, e) => {
+          val nb = e.getField("bn").cast("double")
+          a + nb / col("n").cast("double") *
+            abs(e.getField("bs").cast("double") / (nb * 1048576.0) -
+              e.getField("bpos").cast("double") / nb)
+        })).as("ece_bp"),
+        bp(col("_b").cast("double") /
+          (col("n").cast("double") * 1048576.0)).as("brier_bp"))
+  }
+
   /** Numeric-feature PSI — the form the industry actually monitors
     * (model scores, numeric features; Siddiqi 2006): equal-frequency
     * bins are cut from the REFERENCE snapshot's exact deciles (so the

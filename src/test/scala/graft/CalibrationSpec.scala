@@ -65,6 +65,24 @@ class CalibrationSpec extends SparkSpec {
       (9L, 1L, 1L, 1048576L, 0L, 10000L, 10000L, 0L)))
   }
 
+  test("per-group calibration equals the global summary on each group's slice") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g1", 1L, 4L, false), ("g1", 3L, 4L, true), ("g1", 4L, 4L, true),
+      ("g2", 0L, 5L, false), ("g2", 2L, 4L, true), ("g2", 1L, 2L, false))
+    val df = rows.toDF("g", "num", "den", "y")
+    val grouped = Quality.calibrationByGroup(
+      df, "g", col("num"), col("den"), col("y"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    for (g <- Seq("g1", "g2")) {
+      val slice = Quality.calibrationSummary(
+        df.filter(col("g") === g), col("num"), col("den"), col("y"))
+        .as[(Long, Long, Long, Long)].collect().head
+      assert(grouped(g) == slice, s"group $g must match its slice's summary")
+    }
+  }
+
   test("bins parameter drives the draw") {
     import spark.implicits._
     val got = report(Seq((1L, 2L, false), (3L, 4L, true)), bins = 4)
