@@ -1480,6 +1480,38 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q217_governance_card" -> ((s, dir) => {
+      // the one-row filter-governance card a curation run publishes next
+      // to q200's dataset card: the audit shelf's headline numbers —
+      // calibration (ECE/Brier), fairness (parity / equalized-odds
+      // gaps), and corpus drift (token-mix PSI) — every column BIGINT
+      // (the q200 integer-card discipline; PSI enters as
+      // floor(psi*1e4+0.5) of the already-rounded statistic). Each
+      // column is BISECTABLE BY CONSTRUCTION: it is exactly one already
+      // hash-green standalone query's value (q210 / q214 / q211), so a
+      // red here localizes without dedicated a/b/c/d twins.
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val cal = operators.Quality.calibrationSummary(
+        d, size(stops).cast("long"), size(toks).cast("long"),
+        col("source") === "src0")
+        .select(col("n").as("n_docs"), col("n_pos").as("n_src0"),
+          col("ece_bp"), col("brier_bp"))
+      val fair = operators.Quality.fairnessGaps(d, "lang",
+        size(stops).cast("long"), size(toks).cast("long"),
+        col("source") === "src0", thrNum = 3L, thrDen = 20L)
+        .select(col("n_groups"), col("parity_gap_bp"), col("eo_gap_bp"))
+      val docs = Tables(s, dir, "documents")
+      val drift = operators.CorpusAnalytics.psiStability(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .select(floor(col("psi") * 10000 + lit(0.5)).cast("long").as("psi_bp"))
+      cal.crossJoin(broadcast(fair)).crossJoin(broadcast(drift))
+    }),
+
     "q216_grouped_calibration" -> ((s, dir) => {
       // q210's ECE/Brier per language — multicalibration-lite: a scorer
       // calibrated on average can be miscalibrated in every subpopulation
@@ -4111,6 +4143,73 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q217_governance_card" ->
+      // q210's calibration CTEs, q214's fairness CTEs, and q211's PSI
+      // CTEs verbatim (renamed), meeting in one integer row
+      ("WITH vc AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS HUGEINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS HUGEINT) AS den, " +
+        "(source = 'src0') AS y FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "bc AS (SELECT least(9, num * 10 // den) AS bin, " +
+        "num * 1048576 // den AS sq20, " +
+        "(num - CASE WHEN y THEN den ELSE 0 END) * (num - CASE WHEN y THEN den ELSE 0 END) " +
+        "* 1048576 // (den * den) AS bq20, " +
+        "CASE WHEN y THEN 1 ELSE 0 END AS pos FROM vc), " +
+        "pcal AS (SELECT bin, count(*) AS n, sum(pos) AS n_pos, " +
+        "sum(sq20) AS ssum, sum(bq20) AS bsum FROM bc GROUP BY bin), " +
+        "ocal AS (SELECT list(struct_pack(bin := bin, n := n, n_pos := n_pos, s := ssum) ORDER BY bin) AS bs, " +
+        "sum(n) AS nn, sum(n_pos) AS np, sum(bsum) AS bb FROM pcal), " +
+        "calrow AS (SELECT CAST(nn AS BIGINT) AS n_docs, CAST(np AS BIGINT) AS n_src0, " +
+        "CAST(floor(list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
+        "CAST((e).n AS DOUBLE) / CAST(nn AS DOUBLE) * " +
+        "abs(CAST((e).s AS DOUBLE) / (CAST((e).n AS DOUBLE) * 1048576.0) - " +
+        "CAST((e).n_pos AS DOUBLE) / CAST((e).n AS DOUBLE)))), " +
+        "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
+        "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
+        "FROM ocal), " +
+        "vf AS (SELECT lang AS group_key, " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS den, " +
+        "(source = 'src0') AS y FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL AND lang IS NOT NULL), " +
+        "pf AS (SELECT group_key, y, " +
+        "CAST(num AS HUGEINT) * 20 >= CAST(den AS HUGEINT) * 3 AS pred FROM vf), " +
+        "af AS (SELECT group_key, count(*) AS n, " +
+        "sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_label_pos, " +
+        "sum(CASE WHEN pred THEN 1 ELSE 0 END) AS n_pred_pos, " +
+        "sum(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS tp, " +
+        "sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS fp " +
+        "FROM pf GROUP BY group_key), " +
+        "rf AS (SELECT " +
+        "CAST(floor(CAST(n_pred_pos AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS sel, " +
+        "CASE WHEN n_label_pos > 0 THEN CAST(floor(CAST(tp AS DOUBLE) / CAST(n_label_pos AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS tpr, " +
+        "CASE WHEN n - n_label_pos > 0 THEN CAST(floor(CAST(fp AS DOUBLE) / CAST(n - n_label_pos AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS fpr " +
+        "FROM af), " +
+        "gf AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "max(sel) - min(sel) AS parity_gap_bp, " +
+        "max(tpr) - min(tpr) AS tpr_gap_bp, " +
+        "max(fpr) - min(fpr) AS fpr_gap_bp FROM rf), " +
+        "fairrow AS (SELECT n_groups, parity_gap_bp, " +
+        "CASE WHEN tpr_gap_bp IS NULL THEN fpr_gap_bp " +
+        "WHEN fpr_gap_bp IS NULL THEN tpr_gap_bp " +
+        "ELSE greatest(tpr_gap_bp, fpr_gap_bp) END AS eo_gap_bp FROM gf), " +
+        "toksd AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "bucketd AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 1024 AS b FROM toksd), " +
+        "ad AS (SELECT b, count(*) AS ca FROM bucketd WHERE doc_id % 2 = 0 GROUP BY b), " +
+        "bd AS (SELECT b, count(*) AS cb FROM bucketd WHERE doc_id % 2 = 1 GROUP BY b), " +
+        "attd AS (SELECT sum(ca) AS na FROM ad), bttd AS (SELECT sum(cb) AS nb FROM bd), " +
+        "spined AS (SELECT range AS b FROM range(1024)), " +
+        "probsd AS (SELECT (COALESCE(ca, 0) + 1.0) / (na + 1024) AS pa, " +
+        "(COALESCE(cb, 0) + 1.0) / (nb + 1024) AS pb " +
+        "FROM spined LEFT JOIN ad USING (b) LEFT JOIN bd USING (b), attd, bttd), " +
+        "psirow AS (SELECT CAST(floor(round(sum((pa - pb) * ln(pa / pb)), 4) * 10000 + 0.5) AS BIGINT) AS psi_bp FROM probsd) " +
+        "SELECT n_docs, n_src0, ece_bp, brier_bp, n_groups, parity_gap_bp, eo_gap_bp, psi_bp " +
+        "FROM calrow, fairrow, psirow"),
 
     "q216_grouped_calibration" ->
       // q210's fold per language group: the same per-(group, bin) masses,

@@ -85,6 +85,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(contamination totals)): two single-row aggregates meeting in the one-row card",
     "q200c_card_contam_rate" ->
       "crossJoin(broadcast(contamination totals)): q200's contamination column bisected out, same two single-row aggregates",
+    "q217_governance_card" ->
+      "crossJoin(broadcast(...)) chain of ONE-ROW audit frames (calibration summary x fairness gaps x PSI) meeting in the one-row card (the q200 discipline)",
     "q215_score_drift" ->
       "crossJoin(broadcast(totals)): single-row side totals; the data side is the fixed bins-row spine (the q117/q211 discipline); decile cutpoints are plan literals",
     "q211_psi" ->
