@@ -125,7 +125,10 @@ private[graft] object GlobalRank {
       .withColumn("_wps_pid", spark_partition_id())
       .persist()
     var acc = 0L
-    val offRows = vr.groupBy(col("_wps_pid")).agg(sum(col(weightCol)).as("_w"))
+    // coalesce: a partition whose weights are all null must contribute a
+    // zero offset, not a driver-side NPE
+    val offRows = vr.groupBy(col("_wps_pid"))
+      .agg(coalesce(sum(col(weightCol)), lit(0L)).as("_w"))
       .orderBy(col("_wps_pid")).collect()
       .map { r => val o = acc; acc += r.getLong(1); (r.getInt(0), o) }
       .toSeq
