@@ -1480,6 +1480,18 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q218_spearman" -> ((s, dir) => {
+      // Spearman rank correlation (exact tie midranks via the q137
+      // distributed-rank machinery, doubled-midrank integer moments)
+      // between the stopword-ratio quality signal and the token count —
+      // the "can the cheap signal replace the expensive one?" audit
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      operators.Quality.spearmanCorrelation(d,
+        functions.TextAnalysis.stopwordRatio(col("text")),
+        functions.TextAnalysis.tokenCount(col("text")),
+        "doc_id")
+    }),
+
     "q217_governance_card" -> ((s, dir) => {
       // the one-row filter-governance card a curation run publishes next
       // to q200's dataset card: the audit shelf's headline numbers —
@@ -4143,6 +4155,34 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q218_spearman" ->
+      // q207's score expression and row_number/(min+max) midrank idiom on
+      // BOTH axes, exact HUGEINT moments, one double expression at the end
+      ("WITH v AS (SELECT doc_id AS id, " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS DOUBLE) / " +
+        "len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS x, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS y " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "rx AS (SELECT id, x, row_number() OVER (ORDER BY x, id) AS r FROM v), " +
+        "mx AS (SELECT x, min(r) + max(r) AS m2 FROM rx GROUP BY x), " +
+        "jx AS (SELECT id, m2 AS mxv FROM rx JOIN mx USING (x)), " +
+        "ry AS (SELECT id, y, row_number() OVER (ORDER BY y, id) AS r FROM v), " +
+        "my AS (SELECT y, min(r) + max(r) AS m2 FROM ry GROUP BY y), " +
+        "jy AS (SELECT id, m2 AS myv FROM ry JOIN my USING (y)), " +
+        "j AS (SELECT mxv, myv FROM jx JOIN jy USING (id)), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "sum(CAST(mxv AS HUGEINT)) AS sx, sum(CAST(myv AS HUGEINT)) AS sy, " +
+        "sum(CAST(mxv AS HUGEINT) * CAST(mxv AS HUGEINT)) AS sxx, " +
+        "sum(CAST(myv AS HUGEINT) * CAST(myv AS HUGEINT)) AS syy, " +
+        "sum(CAST(mxv AS HUGEINT) * CAST(myv AS HUGEINT)) AS sxy FROM j) " +
+        "SELECT n, floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) " +
+        "* 10000 + 0.5) / 10000 AS rho FROM a"),
 
     "q217_governance_card" ->
       // q210's calibration CTEs, q214's fairness CTEs, and q211's PSI

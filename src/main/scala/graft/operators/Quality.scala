@@ -856,6 +856,61 @@ object Quality {
           (col("n").cast("double") * 1048576.0)).as("brier_bp"))
   }
 
+  /** Spearman rank correlation with exact tie midranks (Spearman 1904;
+    * the tie form = Pearson over midranks) — the "do these two quality
+    * signals rank documents the same way?" audit that decides whether a
+    * cheap signal can replace an expensive one. Reported with the row
+    * count and floor-form 4-digit rounding.
+    *
+    * Exactness: each column global-ranks via the distributed
+    * [[GlobalRank.withGlobalIndex]] machinery (range partitions, never a
+    * single-partition window), ties collapse to integer DOUBLED midranks
+    * m2 = min(rank)+max(rank) (the [[graft.operators.Ranking.scoreAuc]]
+    * idiom — Spearman is affine-invariant in the ranks, so 2·midrank
+    * keeps every moment an exact integer), and all five moments sum as
+    * DECIMAL(38,0) before ONE double expression at the end — so the
+    * oracle replays bit-for-bit.
+    *
+    * Scale shape: two rank passes + two value-keyed midrank aggs + an
+    * id equi-join + one single-row moment aggregate — every exchange
+    * carries (id, rank) pairs or less; nothing is collected.
+    */
+  def spearmanCorrelation(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      idCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df
+      .filter(xCol.isNotNull && yCol.isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        xCol.cast("double").as("_x"), yCol.cast("double").as("_y"))
+    def m2Of(valCol: String, out: String): DataFrame = {
+      val ranked = GlobalRank.withGlobalIndex(
+        v.select(col(valCol), col("_id")), valCol, "_id", "_r0")
+        .select(col(valCol), col("_id"), (col("_r0") + 1).as("_r"))
+      val mid = ranked.groupBy(col(valCol))
+        .agg((min(col("_r")) + max(col("_r"))).as(out))
+      ranked.join(mid, valCol).select(col("_id"), col(out))
+    }
+    val joined = m2Of("_x", "_mx").join(m2Of("_y", "_my"), "_id")
+    val d = (c: Column) => c.cast("double")
+    joined.agg(
+      count(lit(1)).as("n"),
+      sum(col("_mx").cast(dec)).as("_sx"),
+      sum(col("_my").cast(dec)).as("_sy"),
+      // products in DECIMAL: m2 ≤ 2n, so a long m2² overflows (ANSI
+      // throw) already around n ≈ 1.5e9 rows
+      sum(col("_mx").cast(dec) * col("_mx").cast(dec)).as("_sxx"),
+      sum(col("_my").cast(dec) * col("_my").cast(dec)).as("_syy"),
+      sum(col("_mx").cast(dec) * col("_my").cast(dec)).as("_sxy"))
+      .select(col("n"),
+        (floor((d(col("n")) * d(col("_sxy")) - d(col("_sx")) * d(col("_sy"))) /
+          sqrt((d(col("n")) * d(col("_sxx")) - d(col("_sx")) * d(col("_sx"))) *
+            (d(col("n")) * d(col("_syy")) - d(col("_sy")) * d(col("_sy"))))
+          * 10000 + lit(0.5)) / 10000).as("rho"))
+  }
+
   /** Numeric-feature PSI — the form the industry actually monitors
     * (model scores, numeric features; Siddiqi 2006): equal-frequency
     * bins are cut from the REFERENCE snapshot's exact deciles (so the

@@ -73,6 +73,28 @@ class QualitySpec extends SparkSpec {
     assert(rep.forall(_._2), s"real-corpus constraints must pass: ${rep.mkString(",")}")
   }
 
+  test("spearmanCorrelation: monotone 1, reversed -1, ties hand-checked, affine-invariant") {
+    import spark.implicits._
+    val mono = (1 to 20).map(i => (i.toLong, i.toDouble, i * i.toDouble))
+      .toDF("id", "x", "y")
+    assert(Quality.spearmanCorrelation(mono, col("x"), col("y"), "id")
+      .as[(Long, Double)].head() == ((20L, 1.0)))
+    val rev = (1 to 20).map(i => (i.toLong, i.toDouble, -i.toDouble))
+      .toDF("id", "x", "y")
+    assert(Quality.spearmanCorrelation(rev, col("x"), col("y"), "id")
+      .as[(Long, Double)].head() == ((20L, -1.0)))
+    // ties: x=(1,2,2,3), y=(1,3,3,4) — midranks align perfectly -> 1.0
+    val tied = Seq((1L, 1.0, 1.0), (2L, 2.0, 3.0), (3L, 2.0, 3.0), (4L, 3.0, 4.0))
+      .toDF("id", "x", "y")
+    assert(Quality.spearmanCorrelation(tied, col("x"), col("y"), "id")
+      .as[(Long, Double)].head() == ((4L, 1.0)))
+    // rank statistic: invariant under a monotone transform of either axis
+    val warped = mono.select(col("id"), (col("x") * 7.0 + 3.0).as("x"),
+      exp(col("y") / 400.0).as("y"))
+    assert(Quality.spearmanCorrelation(warped, col("x"), col("y"), "id")
+      .as[(Long, Double)].head() == ((20L, 1.0)))
+  }
+
   test("scoreDrift: identical snapshots are stable at 0; a shifted snapshot bands major") {
     import spark.implicits._
     val ref = (0 until 200).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
