@@ -1480,6 +1480,20 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q219_rbo" -> ((s, dir) => {
+      // rank-biased overlap between the BM25 top-10 and the dense cosine
+      // top-10 (q201's two input lists): does the dense ranking agree
+      // with the lexical one where the weight is — at the top?
+      val sparse = operators.Ranking.bm25Rank(Tables(s, dir, "documents"),
+        Seq("merge", "batch", "window", "stream"), topN = 10)
+      val emb = Tables(s, dir, "embeddings")
+      val dense = operators.Similarity.topKPerQuery(
+        emb, emb.filter(col("vec_id") === 0)
+          .withColumnRenamed("vec_id", "query_id"), k = 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      operators.Ranking.rboOverlap(sparse, dense)
+    }),
+
     "q218_spearman" -> ((s, dir) => {
       // Spearman rank correlation (exact tie midranks via the q137
       // distributed-rank machinery, doubled-midrank integer moments)
@@ -4155,6 +4169,50 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q219_rbo" -> {
+      // q201's bm/dn list CTEs at LIMIT 10, then the RBO fold with the
+      // SAME iterated-multiplication weight literals the Spark plan uses
+      // (shortest-round-trip decimal text -> identical doubles)
+      val w = Array.iterate(1.0, 10)(_ * 0.9)
+      val terms = (1 to 10).map { d =>
+        s"${w(d - 1)} * CAST(len(list_filter(ms, m -> m <= $d)) AS DOUBLE) / ${d.toDouble}"
+      }.mkString(" + ")
+      ("WITH perdoc AS (SELECT doc_id, len(ts) AS len, " +
+        "len(list_filter(ts, x -> x = 'merge')) AS tf0, " +
+        "len(list_filter(ts, x -> x = 'batch')) AS tf1, " +
+        "len(list_filter(ts, x -> x = 'window')) AS tf2, " +
+        "len(list_filter(ts, x -> x = 'stream')) AS tf3 " +
+        "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
+        "FROM documents WHERE trim(text) <> '')), " +
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(len) AS DOUBLE) / count(*) AS avglen, " +
+        "CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, " +
+        "CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, " +
+        "CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2, " +
+        "CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3 FROM perdoc), " +
+        "scored AS (SELECT doc_id, " +
+        "(ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / s.avglen))) + " +
+        "(ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / s.avglen))) + " +
+        "(ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / s.avglen))) + " +
+        "(ln(1 + (s.n - s.df3 + 0.5) / (s.df3 + 0.5)) * (CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / s.avglen))) AS score " +
+        "FROM perdoc CROSS JOIN s), " +
+        "bm AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk, doc_id " +
+        "FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10), " +
+        "e AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings), " +
+        "qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0), " +
+        "ds AS (SELECT e.vec_id, CASE WHEN e.nrm * qn = 0 THEN 0.0 " +
+        "ELSE list_sum(list_transform(list_zip(e.embedding, qe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (e.nrm * qn) END AS cos " +
+        "FROM e, qv WHERE e.vec_id <> 0), " +
+        "dn AS (SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk, vec_id AS doc_id " +
+        "FROM ds ORDER BY cos DESC, vec_id LIMIT 10), " +
+        "mdl AS (SELECT greatest(bm.rnk, dn.rnk) AS md FROM bm JOIN dn USING (doc_id)), " +
+        // COALESCE: DuckDB's list() over zero rows is NULL where Spark's
+        // collect_list is [] — an empty overlap must fold to rbo 0.0
+        "o AS (SELECT list_sort(COALESCE(list(md), [])) AS ms, CAST(count(*) AS BIGINT) AS n_overlap FROM mdl) " +
+        s"SELECT n_overlap, floor(${1.0 - 0.9} * ($terms) * 10000 + 0.5) / 10000 AS rbo FROM o")
+    },
 
     "q218_spearman" ->
       // q207's score expression and row_number/(min+max) midrank idiom on

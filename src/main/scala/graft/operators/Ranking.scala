@@ -201,4 +201,44 @@ object Ranking {
         (floor(col("_f") * 10000 + lit(0.5)) / 10000).as("rrf"),
         col("in_sparse"), col("in_dense"))
   }
+
+  /** Rank-biased overlap at a fixed depth (Webber, Moffat & Zobel, TOIS
+    * 2010): RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_{:d} ∩ B_{:d}|/d — the
+    * standard top-weighted similarity between two ranked lists (here:
+    * does the dense ranking agree with BM25 where it matters, at the
+    * top?). p ≈ 0.9 concentrates ~86% of the weight in the top 10.
+    *
+    * Both inputs are (rnk, id) top-k frames — k-BOUNDED whatever corpus
+    * sits behind them — so this is one tiny equi-join (a common doc with
+    * ranks (ra, rb) enters every prefix intersection from depth
+    * max(ra, rb) on) plus one in-row fold over the ≤k max-rank array.
+    * The geometric weights enter as PLAN LITERALS generated by iterated
+    * multiplication (their shortest-round-trip decimal text parses to
+    * identical doubles in the oracle — no cross-engine pow()), and the
+    * depth sum folds left-associated, so the display replays exactly.
+    */
+  def rboOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String = "doc_id",
+      p: Double = 0.9,
+      depth: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 1000, "1 <= depth <= 1000")
+    require(p > 0 && p < 1, "p in (0, 1)")
+    val ar = a.filter(col("rnk") <= depth)
+      .select(col(idCol), col("rnk").cast("long").as("_ra"))
+    val br = b.filter(col("rnk") <= depth)
+      .select(col(idCol), col("rnk").cast("long").as("_rb"))
+    val md = ar.join(br, idCol)
+      .select(greatest(col("_ra"), col("_rb")).as("_md"))
+    val w: Array[Double] = Array.iterate(1.0, depth)(_ * p)
+    val terms = (1 to depth).map { d =>
+      lit(w(d - 1)) *
+        size(filter(col("ms"), m => m <= d)).cast("double") / d.toDouble
+    }.reduce(_ + _)
+    md.agg(sort_array(collect_list(col("_md"))).as("ms"),
+        count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"),
+        (floor(lit(1.0 - p) * terms * 10000 + lit(0.5)) / 10000).as("rbo"))
+  }
 }

@@ -70,4 +70,22 @@ class HybridAuditSpec extends SparkSpec {
     assert(r2.getDouble(3) < 0.01, "symmetric centroid sits at the origin")
     assert(r2.getDouble(5) < 0.01, "anisotropy ~ 0")
   }
+
+  test("rboOverlap: identical lists 1-p^k, disjoint 0, swapped-pair hand case") {
+    import spark.implicits._
+    def lst(ids: Long*) = ids.zipWithIndex
+      .map { case (id, i) => (i.toLong + 1, id) }.toDF("rnk", "doc_id")
+    val a = lst(1L to 10L: _*)
+    val same = Ranking.rboOverlap(a, a).as[(Long, Double)].head()
+    // A_d = 1 at every depth: RBO = (1-p)*sum(p^(d-1)) = 1 - p^10
+    assert(same._1 == 10L &&
+      same._2 == math.floor((1 - math.pow(0.9, 10)) * 10000 + 0.5) / 10000)
+    val disjoint = Ranking.rboOverlap(a, lst(101L to 110L: _*))
+      .as[(Long, Double)].head()
+    assert(disjoint == ((0L, 0.0)))
+    // depth 2, p=0.5, A=[1,2] vs B=[2,1]: A_1=0, A_2=1 -> 0.5*0.5*1 = 0.25
+    val swapped = Ranking.rboOverlap(lst(1L, 2L), lst(2L, 1L),
+      p = 0.5, depth = 2).as[(Long, Double)].head()
+    assert(swapped == ((2L, 0.25)))
+  }
 }

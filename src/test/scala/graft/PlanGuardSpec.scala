@@ -119,6 +119,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(globalExact)): single-row exact-distinct scalar beside the single-row union sketch",
     "q201_hybrid_rrf" ->
       "crossJoin(broadcast(query vector)) inside the dense top-k (q93's discipline) + the one-row BM25 stats scalar; the fusion join itself is a k-bounded equi-join",
+    "q219_rbo" ->
+      "q201's input lists verbatim: crossJoin(broadcast(query vector)) in the dense top-k + the one-row BM25 stats scalar; the RBO join itself is a k-bounded equi-join",
     "q202_token_burstiness" ->
       "crossJoin(broadcast(n)): single-row corpus-size scalar beside the per-token moment table",
     "q203_embedding_isotropy" ->
@@ -181,6 +183,8 @@ class PlanGuardSpec extends SparkSpec {
       "rank over the top-n=200 token head (TakeOrderedAndProject) — fixed cardinality",
     "q201_hybrid_rrf" ->
       "ranks re-derived over the already-limit(topN)'d fused list (and bm25Rank's limit(20) head) — k rows",
+    "q219_rbo" ->
+      "bm25Rank's rank over its already-limit(10)'d head — k rows (q201's discipline)",
     "q202_token_burstiness" ->
       "rank re-derived over the already-limit(topM)'d moment head — topM rows"
   )
