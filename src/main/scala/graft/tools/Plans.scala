@@ -125,6 +125,8 @@ object Plans {
     "q209_calibration" -> "one map-side projection (rational score, DECIMAL integral bin draw, 2^20 quantizations) + ONE bin-keyed hash aggregate with map-side partials — the only exchange carries B bins, not rows; every output column BIGINT",
     "q210_calibration_summary" -> "q209's bin aggregate collapses into a single-row roll-up: the ECE fold runs over the B-row sorted bin array in-row, the Brier mass is an order-free decimal sum — nothing corpus-sized past the first exchange",
     "q211_psi" -> "token stream partial-aggregates map-side into bucket counts (the only wide exchange carries 8-byte bucket ids); spine join + one-row totals broadcast; the PSI fold is a single-row aggregate over the fixed bucket spine",
+    "q218_spearman" -> "two distributed rank passes (range exchange + per-pid windows + bounded offset broadcast each), value-keyed midrank aggs + join-backs, an id equi-join, ONE single-row moment aggregate — every exchange carries (id, rank) pairs; no single-partition window, nothing collected",
+    "q219_rbo" -> "both top-k lists are k-bounded upstream products; the overlap is one tiny equi-join and the RBO fold runs in-row over the <=k max-rank array — no corpus-sized work at all past the list builders",
     "q215_score_drift" -> "reference deciles enter as PLAN LITERALS (percentileValues runs its own distributed-rank pass first); binning is a map-side CASE chain, the union partial-aggregates into 10 bin rows before the only exchange, and the PSI fold is a single-row agg over the fixed spine",
     "q213_fairness_audit" -> "one map-side projection (rational score, DECIMAL cross-multiplied decision) + ONE group-keyed hash aggregate with map-side partials — the only exchange carries groups, not rows; rates integer-rendered in the final project",
     "q212_drift_attribution" -> "ONE union + ONE bucket-keyed aggregate carries both sides' masses AND the min-token sample (SortAggregate — the string min buffer is variable-width so Spark skips hash agg — but partials still run map-side and only bucket rows shuffle); ppm rates are DECIMAL integral divisions; top-k is TakeOrderedAndProject — per-partition k-heaps, no global sort"
