@@ -81,6 +81,24 @@ class CalibrationMonitorSpec extends SparkSpec {
     assert(out(1).cum_ece_bp == 5000L, "cumulative blends both windows")
   }
 
+  test("randomized windows agree with the batch summary (8 rounds)") {
+    val rnd = new scala.util.Random(4242)
+    for (round <- 0 until 8) {
+      val rows = Seq.fill(30) {
+        val den = 1L + rnd.nextInt(40)
+        (rnd.nextInt(45).toLong - 2L, den, rnd.nextBoolean()) // clamps exercise
+      }
+      val out = run()(
+        rows.zipWithIndex.map { case ((n, d, y), i) => Pred("s", at(0, i), n, d, y) },
+        Seq(Pred("s", at(1, 0), 1L, 2L, true)))
+      val batch = Quality.calibrationSummary(
+        rows.toDF("num", "den", "y"), col("num"), col("den"), col("y"))
+        .as[(Long, Long, Long, Long)].collect().head
+      assert((out.head.n, out.head.n_pos, out.head.ece_bp, out.head.brier_bp)
+        == batch, s"round $round")
+    }
+  }
+
   test("sources are monitored independently; zero-den rows drop") {
     val out = run(ceiling = 5000L)(
       Seq(Pred("p", at(0, 0), 1L, 1L, true), Pred("p", at(0, 1), 0L, 1L, false),

@@ -60,6 +60,18 @@ class ParityMonitorSpec extends SparkSpec {
     assert(out.head.n_events == 7L && out.head.n_groups_active == 3L)
   }
 
+  test("randomized windows agree with the batch gap (8 rounds)") {
+    val rnd = new scala.util.Random(1717)
+    val gs = Vector("en", "de", "fr")
+    for (round <- 0 until 8) {
+      val rows = Seq.fill(25)((gs(rnd.nextInt(3)), rnd.nextBoolean()))
+      val out = run(gs)(
+        rows.zipWithIndex.map { case ((g, p), i) => Decision("s", at(0, i), g, p) },
+        Seq(Decision("s", at(1, 0), "en", true)))
+      assert(out.head.parity_gap_bp == batchGap(rows), s"round $round")
+    }
+  }
+
   test("rollover and the cumulative gap blend across windows") {
     val out = run(Seq("a", "b"))(
       Seq(Decision("s", at(0, 0), "a", true), Decision("s", at(0, 1), "b", false)),
