@@ -1480,6 +1480,17 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q220_ks_test" -> ((s, dir) => {
+      // exact two-sample KS over q215's even/odd event-value split — the
+      // binless CDF-distance companion to the binned PSI; the supremum is
+      // an integer max of |cum_a*n_b - cum_b*n_a| cross-masses
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.ksTest(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
     "q219_rbo" -> ((s, dir) => {
       // rank-biased overlap between the BM25 top-10 and the dense cosine
       // top-10 (q201's two input lists): does the dense ranking agree
@@ -4169,6 +4180,29 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q220_ks_test" ->
+      // same per-value masses, inclusive cumulative window sums in value
+      // order, the HUGEINT cross-mass max, and the same double chain
+      // (lambda spelled left-associated exactly as the Spark expression)
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "c AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma, " +
+        "sum(cb) OVER (ORDER BY v) AS cumb FROM pv), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv), " +
+        "m AS (SELECT max(abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT) - " +
+        "CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT))) AS dnum, " +
+        "max(na) AS na, max(nb) AS nb FROM c, t) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "floor(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 10000 + 0.5) / 10000 AS ks_d, " +
+        "floor(least(1.0, 2.0 * exp(-2.0 * " +
+        "(sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) * " +
+        "(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))) * " +
+        "(sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) * " +
+        "(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS p_value " +
+        "FROM m"),
 
     "q219_rbo" -> {
       // q201's bm/dn list CTEs at LIMIT 10, then the RBO fold with the

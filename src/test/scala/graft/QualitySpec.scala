@@ -73,6 +73,23 @@ class QualitySpec extends SparkSpec {
     assert(rep.forall(_._2), s"real-corpus constraints must pass: ${rep.mkString(",")}")
   }
 
+  test("ksTest: identical 0/p=1, disjoint-support 1, overlap hand case") {
+    import spark.implicits._
+    def f(vs: Double*) = vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val a = f(1.0, 2.0, 3.0, 4.0)
+    val same = Quality.ksTest(a, a, "v")
+      .as[(Long, Long, Double, Double)].head()
+    assert(same == ((4L, 4L, 0.0, 1.0)))
+    val apart = Quality.ksTest(a, f(10.0, 11.0, 12.0, 13.0), "v")
+      .as[(Long, Long, Double, Double)].head()
+    assert(apart._3 == 1.0 && apart._4 < 0.05)
+    // a={1,2}, b={2,3}: sup at v=1 and v=2 is |1/2 - 0/2| = 0.5
+    val hand = Quality.ksTest(f(1.0, 2.0), f(2.0, 3.0), "v")
+      .as[(Long, Long, Double, Double)].head()
+    assert(hand._1 == 2L && hand._2 == 2L && hand._3 == 0.5)
+  }
+
   test("spearmanCorrelation: monotone 1, reversed -1, ties hand-checked, affine-invariant") {
     import spark.implicits._
     val mono = (1 to 20).map(i => (i.toLong, i.toDouble, i * i.toDouble))
