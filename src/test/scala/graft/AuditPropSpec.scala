@@ -80,6 +80,53 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("ksTest is bounded, symmetric, and zero on identical samples (10 rounds)") {
+    val vGen = Gen.choose(0, 60).map(_.toDouble / 3.0)
+    for (round <- 0 until 10) {
+      val a = draw(Gen.listOfN(40, vGen), 11000L + round)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val b = draw(Gen.listOfN(40, vGen), 11500L + round)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val ab = Quality.ksTest(a, b, "v").as[(Long, Long, Double, Double)].head()
+      val ba = Quality.ksTest(b, a, "v").as[(Long, Long, Double, Double)].head()
+      assert(ab._3 >= 0.0 && ab._3 <= 1.0 && ab._4 >= 0.0 && ab._4 <= 1.0)
+      assert(ab._3 == ba._3 && ab._4 == ba._4, s"round $round: KS is symmetric")
+      val same = Quality.ksTest(a, a, "v").as[(Long, Long, Double, Double)].head()
+      assert(same._3 == 0.0 && same._4 == 1.0, s"round $round")
+    }
+  }
+
+  test("spearman is bounded and symmetric (10 rounds)") {
+    val vGen = Gen.choose(-50, 50).map(_.toDouble)
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(30, Gen.zip(vGen, vGen)), 12000L + round)
+        .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val xy = Quality.spearmanCorrelation(rows, col("x"), col("y"), "id")
+        .as[(Long, Double)].head()
+      val yx = Quality.spearmanCorrelation(rows, col("y"), col("x"), "id")
+        .as[(Long, Double)].head()
+      assert(xy._2 >= -1.0 && xy._2 <= 1.0, s"round $round: |rho| <= 1 (${xy._2})")
+      assert(xy._2 == yx._2, s"round $round: rho is symmetric")
+    }
+  }
+
+  test("rboOverlap is bounded by 1 - p^k and symmetric (10 rounds)") {
+    import graft.operators.Ranking
+    for (round <- 0 until 10) {
+      val rnd = new scala.util.Random(13000L + round)
+      def lst() = rnd.shuffle((1L to 15L).toList).take(10)
+        .zipWithIndex.map { case (id, i) => (i.toLong + 1, id) }
+        .toDF("rnk", "doc_id")
+      val a = lst(); val b = lst()
+      val cap = math.floor((1 - math.pow(0.9, 10)) * 10000 + 0.5) / 10000
+      val ab = Ranking.rboOverlap(a, b).as[(Long, Double)].head()
+      val ba = Ranking.rboOverlap(b, a).as[(Long, Double)].head()
+      assert(ab._2 >= 0.0 && ab._2 <= cap, s"round $round: rbo in [0, 1-p^k]")
+      assert(ab == ba, s"round $round: rbo is symmetric")
+    }
+  }
+
   test("scoreDrift is non-negative on arbitrary snapshots, zero on identical (10 rounds)") {
     val vGen = Gen.choose(-1000, 1000).map(_.toDouble / 7.0)
     for (round <- 0 until 10) {
