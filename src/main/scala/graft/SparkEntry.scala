@@ -1546,7 +1546,26 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         docs.filter(pmod(col("doc_id"), lit(2)) === 1))
         .select(floor(col("psi") * 10000 + lit(0.5)).cast("long").as("psi_bp"))
+      // r14: the two newest audits join the card, same bisects-by-
+      // construction contract — ks_d_bp is exactly q220's ks_d and
+      // spearman_bp exactly q218's rho, both as floor(x*1e4+0.5) of the
+      // already-rounded statistic (the psi_bp idiom)
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      val ks = operators.Quality.ksTest(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+        .select(floor(col("ks_d") * 10000 + lit(0.5)).cast("long")
+          .as("ks_d_bp"))
+      val dsp = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val sp = operators.Quality.spearmanCorrelation(dsp,
+        functions.TextAnalysis.stopwordRatio(col("text")),
+        functions.TextAnalysis.tokenCount(col("text")),
+        "doc_id")
+        .select(floor(col("rho") * 10000 + lit(0.5)).cast("long")
+          .as("spearman_bp"))
       cal.crossJoin(broadcast(fair)).crossJoin(broadcast(drift))
+        .crossJoin(broadcast(ks)).crossJoin(broadcast(sp))
     }),
 
     "q216_grouped_calibration" -> ((s, dir) => {
@@ -4339,9 +4358,49 @@ object SparkEntry {
         "probsd AS (SELECT (COALESCE(ca, 0) + 1.0) / (na + 1024) AS pa, " +
         "(COALESCE(cb, 0) + 1.0) / (nb + 1024) AS pb " +
         "FROM spined LEFT JOIN ad USING (b) LEFT JOIN bd USING (b), attd, bttd), " +
-        "psirow AS (SELECT CAST(floor(round(sum((pa - pb) * ln(pa / pb)), 4) * 10000 + 0.5) AS BIGINT) AS psi_bp FROM probsd) " +
-        "SELECT n_docs, n_src0, ece_bp, brier_bp, n_groups, parity_gap_bp, eo_gap_bp, psi_bp " +
-        "FROM calrow, fairrow, psirow"),
+        "psirow AS (SELECT CAST(floor(round(sum((pa - pb) * ln(pa / pb)), 4) * 10000 + 0.5) AS BIGINT) AS psi_bp FROM probsd), " +
+        // q220's KS CTEs verbatim (renamed), bp of the rounded ks_d
+        "ksu AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "kspv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM ksu GROUP BY v), " +
+        "ksc AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma, " +
+        "sum(cb) OVER (ORDER BY v) AS cumb FROM kspv), " +
+        "kst AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM kspv), " +
+        "ksm AS (SELECT max(abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT) - " +
+        "CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT))) AS dnum, " +
+        "max(na) AS na, max(nb) AS nb FROM ksc, kst), " +
+        "ksrow AS (SELECT CAST(floor(" +
+        "floor(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 10000 + 0.5) / 10000 " +
+        "* 10000 + 0.5) AS BIGINT) AS ks_d_bp FROM ksm), " +
+        // q218's Spearman CTEs verbatim (renamed), bp of the rounded rho
+        "spv AS (SELECT doc_id AS id, " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS DOUBLE) / " +
+        "len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS x, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS y " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "sprx AS (SELECT id, x, row_number() OVER (ORDER BY x, id) AS r FROM spv), " +
+        "spmx AS (SELECT x, min(r) + max(r) AS m2 FROM sprx GROUP BY x), " +
+        "spjx AS (SELECT id, m2 AS mxv FROM sprx JOIN spmx USING (x)), " +
+        "spry AS (SELECT id, y, row_number() OVER (ORDER BY y, id) AS r FROM spv), " +
+        "spmy AS (SELECT y, min(r) + max(r) AS m2 FROM spry GROUP BY y), " +
+        "spjy AS (SELECT id, m2 AS myv FROM spry JOIN spmy USING (y)), " +
+        "spj AS (SELECT mxv, myv FROM spjx JOIN spjy USING (id)), " +
+        "spa AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "sum(CAST(mxv AS HUGEINT)) AS sx, sum(CAST(myv AS HUGEINT)) AS sy, " +
+        "sum(CAST(mxv AS HUGEINT) * CAST(mxv AS HUGEINT)) AS sxx, " +
+        "sum(CAST(myv AS HUGEINT) * CAST(myv AS HUGEINT)) AS syy, " +
+        "sum(CAST(mxv AS HUGEINT) * CAST(myv AS HUGEINT)) AS sxy FROM spj), " +
+        "sprow AS (SELECT CAST(floor(" +
+        "floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) " +
+        "* 10000 + 0.5) / 10000 * 10000 + 0.5) AS BIGINT) AS spearman_bp FROM spa) " +
+        "SELECT n_docs, n_src0, ece_bp, brier_bp, n_groups, parity_gap_bp, eo_gap_bp, psi_bp, ks_d_bp, spearman_bp " +
+        "FROM calrow, fairrow, psirow, ksrow, sprow"),
 
     "q216_grouped_calibration" ->
       // q210's fold per language group: the same per-(group, bin) masses,
