@@ -769,6 +769,15 @@ object Dedup {
     * global order, and (df, hash) is one; collision odds and the q108
     * oracle pin follow dupNgramFraction's argument), and the gram arrays
     * stay bounded by doc length.
+    *
+    * Persist lifecycle (the [[GlobalRank]] discipline): the internal
+    * per-doc gram relation is persisted because three downstream legs
+    * (prefix generation and both verify joins) consume it. A caller that
+    * hands the result onward LAZILY must leave the pin alone — it is what
+    * keeps the legs consistent and cheap; Bench/Verify clear caches
+    * between queries. A library caller that consumes the result EAGERLY
+    * and wants the memory back should use [[containmentPairsWithHandle]]
+    * and unpersist the handle after the consume.
     */
   def containmentPairs(
       docs: DataFrame,
@@ -776,7 +785,22 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 3,
       tauNum: Int = 3,
-      tauDen: Int = 5): DataFrame = {
+      tauDen: Int = 5): DataFrame =
+    containmentPairsWithHandle(docs, textCol, idCol, n, tauNum, tauDen)._1
+
+  /** [[containmentPairs]] plus the persisted internal per-doc frame, for
+    * eager consumers: collect/write the pairs first, then
+    * `handle.unpersist()` to release the pin (unpersisting the RESULT is
+    * a no-op — the CacheManager matches the persisted plan, never its
+    * descendants).
+    */
+  def containmentPairsWithHandle(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      tauNum: Int = 3,
+      tauDen: Int = 5): (DataFrame, DataFrame) = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau must be in (0, 1]")
     val grams = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
@@ -818,7 +842,7 @@ object Dedup {
       .distinct()
     // SHUFFLE_HASH: unique-id build sides — don't sort gram-array rows
     // (same reasoning as ngramJaccardPairs' verify joins)
-    candidates
+    val pairs = candidates
       .join(perDoc.select(col(idCol).as("a_id"), col("gs").as("ga"),
         col("m").as("n_a")).hint("SHUFFLE_HASH"), "a_id")
       .join(perDoc.select(col(idCol).as("b_id"), col("gs").as("gb"))
@@ -828,6 +852,7 @@ object Dedup {
       .filter(col("n_inter") * tauDen >= col("n_a") * tauNum)
       .select(col("a_id"), col("b_id"), col("n_a"), col("n_inter"),
         round(col("n_inter").cast("double") / col("n_a"), 4).as("containment"))
+    (pairs, perDoc)
   }
 
   /** LSH parameter planner — the S-curve (b, r) tuning table every

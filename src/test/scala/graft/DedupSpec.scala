@@ -239,6 +239,18 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((2L, 1L, 2L, 2L, 1.0)))
   }
 
+  test("containmentPairsWithHandle: eager consume + unpersist leaves the cache empty") {
+    spark.catalog.clearCache() // earlier tests in the suite may hold pins
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d"), (3L, "z y x w")
+    ).toDF("doc_id", "text")
+    val (pairs, handle) = Dedup.containmentPairsWithHandle(docs)
+    assert(pairs.count() == 1L)
+    handle.unpersist(true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "library eager-consume lifecycle must release the per-doc pin")
+  }
+
   test("containmentPairs prefix filter agrees with brute force on real data") {
     val docs = Tables(spark, sf(), "documents")
     val got = Dedup.containmentPairs(docs)
