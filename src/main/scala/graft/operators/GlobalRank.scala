@@ -242,7 +242,8 @@ private[graft] object GlobalRank {
     require(cells.length <= 2000000,
       s"groupedPercentileTable: ${cells.length} (partition, group) cells — " +
         "group cardinality is too high for the bounded-driver exact path; " +
-        "use a grouped KllSketch.kll_sketch aggregate instead")
+        "use groupedPercentileAuto (which switches to grouped " +
+        "KllSketch.kll_sketch summaries in this regime) instead")
     val byG = cells.groupBy(r => r.get(1))
     val offRows = Seq.newBuilder[Row]
     val nByG = scala.collection.mutable.LinkedHashMap[Any, Long]()
@@ -308,6 +309,56 @@ private[graft] object GlobalRank {
     spark.createDataFrame(resRows.asJava,
       StructType(gField.copy(name = groupCol) +:
         outCols.map(c => StructField(c, DoubleType, nullable = true))))
+  }
+
+  /** [[groupedPercentileTable]] with the scale fallback built in — the
+    * entry point operators should reach for when the group cardinality is
+    * not known in advance. The exact range-bucketed path serves the
+    * low-cardinality/huge-group regime its bounded-driver contract
+    * targets; past the cell budget (where [[groupedPercentileTable]]
+    * deliberately throws) this switches to per-group mergeable KLL
+    * sketches ([[graft.functions.KllSketch]]) — one bounded summary per
+    * (group, partition) crosses the shuffle, and each output value sits
+    * within the one-level KLL rank bound (~2.3/k of the group size) of
+    * the true order statistic.
+    *
+    * The regime test is the CONSERVATIVE estimate |groups| × |shuffle
+    * partitions| >= maxCells (one cheap distinct-count of the group
+    * column; actual cells can be fewer when groups cluster, but an
+    * auto-switch must not risk the 2M-cell throw). Differences from the
+    * exact path on the sketch side, both documented here because they are
+    * inherent to summaries: values are at-rank ceil(p·n) (no
+    * interpolation between adjacent order statistics), and an all-null
+    * group yields null outputs exactly like the exact path.
+    */
+  def groupedPercentileAuto(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      probs: Seq[Double],
+      outCols: Seq[String],
+      sketchK: Int = 400,
+      maxCells: Long = 2000000L): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be in [0, 1]")
+    require(probs.length == outCols.length, "one output column per prob")
+    val spark = df.sparkSession
+    val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val nGroups = df.select(col(groupCol)).distinct().count()
+    if (nGroups <= maxCells / p) {
+      groupedPercentileTable(df, groupCol, valueCol, probs, outCols)
+    } else {
+      import graft.functions.KllSketch
+      val sk = df.groupBy(col(groupCol))
+        .agg(KllSketch.kll_sketch(col(valueCol).cast("double"), sketchK)
+          .as("_gpa_sk"))
+      val n = col("_gpa_sk").getField("n")
+      val qs = probs.zip(outCols).map { case (pr, oc) =>
+        val t = greatest(lit(1L), ceil(lit(pr) * n).cast("long"))
+        KllSketch.kllValueAtRank(col("_gpa_sk").getField("items"), t).as(oc)
+      }
+      sk.select(col(groupCol) +: qs: _*)
+    }
   }
 
   /** [[percentileValues]] as a ONE-ROW DataFrame of double literals named

@@ -146,6 +146,33 @@ class GlobalRankSpec extends SparkSpec {
       "groupedPercentileTable left a cached frame pinned")
   }
 
+  test("groupedPercentileAuto: exact under the cell budget, KLL at-rank above it") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
+    val probs = Seq(0.0, 0.5, 1.0)
+    val names = Seq("p0", "p50", "p100")
+    def toMap(rows: Array[Row]) = rows
+      .map(r => r.getString(0) -> (1 to 3).map(r.getDouble).toSeq).toMap
+    // under the budget: bit-identical to the exact table (same path)
+    val exact = toMap(GlobalRank.groupedPercentileTable(
+      df, "g", "v", probs, names).collect())
+    val auto = toMap(GlobalRank.groupedPercentileAuto(
+      df, "g", "v", probs, names).collect())
+    assert(auto == exact)
+    // maxCells = 1 forces the regime where the exact path's guard would
+    // refuse: the sketch path answers instead. sketchK above every group
+    // size means the KLL buffer never compacts, so value-at-rank
+    // ceil(p*n) is the EXACT order statistic — deterministic to assert.
+    val sk = toMap(GlobalRank.groupedPercentileAuto(
+      df, "g", "v", probs, names, sketchK = 1024, maxCells = 1L).collect())
+    // g0 = {3,6,...,399} (n=133), g1 = {1,4,...,400} (n=134),
+    // g2 = {2,5,...,398} (n=133); p50 rank = ceil(n/2) = 67
+    assert(sk == Map(
+      "g0" -> Seq(3.0, 201.0, 399.0),
+      "g1" -> Seq(1.0, 199.0, 400.0),
+      "g2" -> Seq(2.0, 200.0, 398.0)))
+  }
+
   test("percentileLiterals column names and one-row shape") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i.toDouble, i)).toDF("v", "id")
