@@ -122,38 +122,41 @@ object Ranking {
     * classes?" audit run before any score threshold goes into a filter
     * config. One grounding row: (n_pos, n_neg, auc).
     *
-    * Scale shape: the global score rank is the DISTRIBUTED
-    * range-partitioned rank (the q137 machinery — per-bucket local ranks
-    * + bounded cumulative offsets, no single-partition WindowExec); ties
-    * collapse to per-score (min+max) INTEGER midrank pairs summed in
-    * decimal (exact in any order at any scale, so the oracle replays
-    * bit-for-bit); the final divisions happen once. Display is floor-form
-    * (U/(n⁺n⁻) is rational).
+    * Scale shape: rows collapse FIRST to the per-score histogram
+    * (count, positives), so the only row-level exchange is one hash
+    * aggregate; the doubled midrank of every tie class comes straight
+    * from the histogram — m2 = 2·prefix + count + 1 via ONE
+    * [[GlobalRank.weightedPrefixSums]] pass over a distinct-score-sized
+    * frame (the r14 Spearman discipline — no row-level rank pass, no
+    * join back) — and Σ_pos m2 = Σ_scores positives·m2 sums in decimal
+    * (exact in any order at any scale, so the oracle replays
+    * bit-for-bit); the final divisions happen once. Display is
+    * floor-form (U/(n⁺n⁻) is rational). `idCol` is retained for API
+    * stability but unused: midranks are functions of the score value
+    * alone, so no tie-break id is needed.
     */
   def scoreAuc(
       df: DataFrame,
       scoreCol: Column,
       labelCol: Column,
       idCol: String = "doc_id"): DataFrame = {
-    val spark0 = df.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // null labels would land in the otherwise() branch and count as
     // NEGATIVES, silently diluting the statistic — unlabeled rows are out
     val v = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
-      .select(col(idCol).as("_id"), scoreCol.cast("double").as("_s"),
-        labelCol.as("_l"))
-    // 1-based Mann-Whitney ranks from the shared distributed-rank
-    // machinery (0-based index + 1)
-    val ranked = GlobalRank.withGlobalIndex(v, "_s", "_id", "_r0")
-      .select(col("_s"), col("_l"), (col("_r0") + 1).as("_r"))
-    val mid = ranked.groupBy(col("_s"))
-      .agg((min(col("_r")) + max(col("_r"))).as("_m2"))
+      .select(scoreCol.cast("double").as("_s"), labelCol.as("_l"))
+    val hist = v.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_hc"),
+        sum(when(col("_l"), 1L).otherwise(0L)).as("_hp"))
+    val withM2 = GlobalRank.weightedPrefixSums(hist, "_s", "_hc", "_pfx")
+      .select(col("_hc"), col("_hp"),
+        (lit(2L) * col("_pfx") + col("_hc") + lit(1L)).as("_m2"))
     val np = col("n_pos").cast("double")
     val nn = col("n_neg").cast("double")
-    ranked.join(mid, "_s")
-      .agg(sum(when(col("_l"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col("_l"), 0L).otherwise(1L)).as("n_neg"),
-        sum(when(col("_l"), col("_m2")).otherwise(lit(0L))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("_sp2"))
+    withM2.agg(
+        sum(col("_hp")).as("n_pos"),
+        sum(col("_hc") - col("_hp")).as("n_neg"),
+        sum(col("_hp").cast(dec) * col("_m2").cast(dec)).as("_sp2"))
       .select(col("n_pos"), col("n_neg"),
         (floor(((col("_sp2").cast("double") / 2 - np * (col("n_pos") + 1).cast("double") / 2) /
           (np * nn)) * 10000 + lit(0.5)) / 10000).as("auc"))
