@@ -1480,6 +1480,18 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q221_mann_whitney" -> ((s, dir) => {
+      // two-sample Mann-Whitney rank-sum over q220's even/odd event-value
+      // split — the stochastic-dominance companion to the KS distance:
+      // doubled rank sum from histogram midranks (exact integer), the
+      // common-language effect size in bp, tie-corrected normal z
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.mannWhitneyU(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
     "q220_ks_test" -> ((s, dir) => {
       // exact two-sample KS over q215's even/odd event-value split — the
       // binless CDF-distance companion to the binned PSI; the supremum is
@@ -4199,6 +4211,32 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q221_mann_whitney" ->
+      // same per-value masses as q220, histogram midranks spelled
+      // 2·prefix + count + 1 from the inclusive window sum, HUGEINT
+      // doubled rank-sum and tie moments, and the double chain
+      // left-associated exactly as the Spark expression
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "m AS (SELECT ca, cb, ca + cb AS ct, " +
+        "2 * (sum(ca + cb) OVER (ORDER BY v) - (ca + cb)) + (ca + cb) + 1 AS m2 FROM pv), " +
+        "a AS (SELECT sum(ca) AS na, sum(cb) AS nb, " +
+        "sum(CAST(ca AS HUGEINT) * CAST(m2 AS HUGEINT)) AS r2, " +
+        "sum(CAST(ct AS HUGEINT) * CAST(ct AS HUGEINT) * CAST(ct AS HUGEINT) - CAST(ct AS HUGEINT)) AS t3 FROM m), " +
+        "f AS (SELECT na, nb, r2 - CAST(na AS HUGEINT) * (CAST(na AS HUGEINT) + 1) AS u2, t3, " +
+        "CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd FROM a), " +
+        "g AS (SELECT na, nb, u2, nad, nbd, CAST(u2 AS DOUBLE) / 2 AS ud, " +
+        "nad * nbd / 12 * ((nad + nbd + 1) - CAST(t3 AS DOUBLE) / ((nad + nbd) * (nad + nbd - 1))) AS sigma2 FROM f) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CAST(u2 AS BIGINT) AS u2, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor(ud / (nad * nbd) * 10000 + 0.5) AS BIGINT) END AS auc_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND sigma2 > 0 THEN " +
+        "floor((ud - nad * nbd / 2) / sqrt(sigma2) * 10000 + 0.5) / 10000 END AS z " +
+        "FROM g"),
 
     "q220_ks_test" ->
       // same per-value masses, inclusive cumulative window sums in value

@@ -918,6 +918,82 @@ object Quality {
           .as("p_value"))
   }
 
+  /** Two-sample Mann-Whitney U (Wilcoxon rank-sum) test with exact tie
+    * midranks (Mann & Whitney 1947) — the nonparametric "did the values
+    * SHIFT between these two snapshots?" location test that completes
+    * the two-sample family: KS asks how far apart the CDFs get anywhere,
+    * PSI how much binned mass moved, U whether one side stochastically
+    * dominates. One row: (n_a, n_b, u2, auc_bp, z).
+    *
+    * Exactness: per-value counts (c_a, c_b) come from one value-keyed
+    * hash aggregate; the doubled midrank of each tie class is
+    * m2 = 2·prefix + count + 1 from ONE [[GlobalRank.weightedPrefixSums]]
+    * pass over the distinct-value table (the Spearman/scoreAuc r14
+    * kernel); the DOUBLED rank sum 2R_a = Σ c_a·m2 is a DECIMAL(38,0)
+    * integer, so `u2` = 2U_a = 2R_a − n_a(n_a+1) is EXACT and
+    * engine-portable with no float boundary anywhere. `auc_bp` is the
+    * common-language effect size U/(n_a·n_b) in basis points (the
+    * probability a random a-value exceeds a random b-value, ties half);
+    * `z` is the tie-corrected normal approximation
+    * (U − n_a·n_b/2) / √(n_a·n_b/12·((n+1) − ΣT/(n(n−1)))), ΣT = Σ t³−t
+    * over tie classes — an integer DECIMAL sum — rounded floor-form to 4
+    * digits, null when the variance degenerates (all values tied).
+    *
+    * Scale shape: one union + one value-keyed hash agg (the only
+    * corpus-wide exchange carries distinct values), one bounded
+    * prefix-sum pass, one single-row moment aggregate — the ksTest plan
+    * with a different final formula.
+    */
+  def mannWhitneyU(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val perValue = sided(a, 0).unionAll(sided(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+    val withM2 = GlobalRank.weightedPrefixSums(
+        perValue.withColumn("_ct", col("_ca") + col("_cb")),
+        "_v", "_ct", "_pfx")
+      .select(col("_ca"), col("_cb"), col("_ct"),
+        (lit(2L) * col("_pfx") + col("_ct") + lit(1L)).as("_m2"))
+    val na = col("n_a").cast(dec)
+    val nb = col("n_b").cast(dec)
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val nd = nad + nbd
+    // 2U as exact DECIMAL, then the double chain once
+    val u2 = (col("_r2") - na * (na + lit(1))).as("u2d")
+    val moments = withM2.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_cb")), lit(0L)).as("n_b"),
+      coalesce(sum(col("_ca").cast(dec) * col("_m2").cast(dec)),
+        lit(0).cast(dec)).as("_r2"),
+      coalesce(sum(col("_ct").cast(dec) * col("_ct").cast(dec) *
+        col("_ct").cast(dec) - col("_ct").cast(dec)),
+        lit(0).cast(dec)).as("_t3"))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    val ud = col("u2d").cast("double") / 2
+    val sigma2 = nad * nbd / 12 *
+      ((nd + 1) - col("_t3").cast("double") / (nd * (nd - 1)))
+    moments
+      .select(col("n_a"), col("n_b"), col("_t3"), u2)
+      .select(col("n_a"), col("n_b"),
+        col("u2d").cast("long").as("u2"),
+        // guard the integer cast: an empty side makes the rate NaN, and
+        // ANSI mode turns floor(NaN).cast(long) into a throw
+        when(col("n_a") > 0 && col("n_b") > 0,
+          floor(ud / (nad * nbd) * 10000 + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("auc_bp"),
+        when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0,
+          r4((ud - nad * nbd / 2) / sqrt(sigma2)))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Spearman rank correlation with exact tie midranks (Spearman 1904;
     * the tie form = Pearson over midranks) — the "do these two quality
     * signals rank documents the same way?" audit that decides whether a

@@ -120,13 +120,14 @@ object Plans {
     "q204_winsorize" -> "per-type cuts come from GlobalRank.groupedPercentileTable (r13): range exchange on (type, value), per-(bucket, type) row_number windows, bounded cell-count offsets, <= 2 positional rows per type pulled for driver interpolation — no aggregation state ever holds a whole group; the 5-row cuts table broadcasts back and the clip is a map-side least/greatest inside WholeStageCodegen",
     "q205_temporal_split" -> "the one-row quantile-cutoff pair broadcasts beside the stream (cardinality-1 nested loop); labeling is a map-side comparison and the audit is a 3-key hash agg with map-side partials",
     "q206_conformal_interval" -> "exact decimal moments collapse map-side into the one-row OLS fit; residuals score map-side against the broadcast fit; the threshold is a k-bounded TakeOrderedAndProject over the calibration sliver; coverage is one more single-row agg — nothing corpus-sized shuffles",
-    "q207_score_auc" -> "the global score rank is the q137 distributed shape (range exchange, per-bucket windows by partition id, bounded offset broadcast); midranks are a score-keyed agg + join-back; the U statistic folds into ONE single-row aggregate — no single-partition WindowExec, no nested loop",
+    "q207_score_auc" -> "rows collapse to the per-score histogram in ONE row-level hash aggregate; midranks come from a distinct-score prefix-sum pass (range exchange + per-pid running sums + bounded offset broadcast — the r14 histogram-midrank kernel); the U statistic folds into ONE single-row aggregate — no row-level rank pass, no join back, no single-partition WindowExec",
     "q208_ols_crossval" -> "one fold-keyed moment aggregate (k rows) + a one-row global cross; the k complement fits broadcast back and the held-out residual pass is a second fold-keyed aggregate with map-side integer partials — two scans, zero corpus-sized shuffles",
     "q209_calibration" -> "one map-side projection (rational score, DECIMAL integral bin draw, 2^20 quantizations) + ONE bin-keyed hash aggregate with map-side partials — the only exchange carries B bins, not rows; every output column BIGINT",
     "q210_calibration_summary" -> "q209's bin aggregate collapses into a single-row roll-up: the ECE fold runs over the B-row sorted bin array in-row, the Brier mass is an order-free decimal sum — nothing corpus-sized past the first exchange",
     "q211_psi" -> "token stream partial-aggregates map-side into bucket counts (the only wide exchange carries 8-byte bucket ids); spine join + one-row totals broadcast; the PSI fold is a single-row aggregate over the fixed bucket spine",
-    "q218_spearman" -> "two distributed rank passes (range exchange + per-pid windows + bounded offset broadcast each), value-keyed midrank aggs + join-backs, an id equi-join, ONE single-row moment aggregate — every exchange carries (id, rank) pairs; no single-partition window, nothing collected",
+    "q218_spearman" -> "rows collapse to the joint (x, y) histogram in ONE row-level hash aggregate (persisted — three consumers); each axis's midranks come from a distinct-value prefix-sum pass (2·prefix + count + 1 — the r14 histogram-midrank kernel), join back on distinct values only, and the five moments fold count-weighted into ONE single-row aggregate — no row-level rank pass, no id join, nothing collected",
     "q219_rbo" -> "both top-k lists are k-bounded upstream products; the overlap is one tiny equi-join and the RBO fold runs in-row over the <=k max-rank array — no corpus-sized work at all past the list builders",
+    "q221_mann_whitney" -> "q220's per-value union aggregate (the only corpus-wide exchange carries distinct values), ONE prefix-sum pass turns the histogram into doubled midranks, and the rank-sum + tie moments fold into ONE single-row DECIMAL aggregate — the ksTest plan with a different final formula, no nested loop anywhere",
     "q215_score_drift" -> "reference deciles enter as PLAN LITERALS (percentileValues runs its own distributed-rank pass first); binning is a map-side CASE chain, the union partial-aggregates into 10 bin rows before the only exchange, and the PSI fold is a single-row agg over the fixed spine",
     "q213_fairness_audit" -> "one map-side projection (rational score, DECIMAL cross-multiplied decision) + ONE group-keyed hash aggregate with map-side partials — the only exchange carries groups, not rows; rates integer-rendered in the final project",
     "q212_drift_attribution" -> "ONE union + ONE bucket-keyed aggregate carries both sides' masses AND the min-token sample (SortAggregate — the string min buffer is variable-width so Spark skips hash agg — but partials still run map-side and only bucket rows shuffle); ppm rates are DECIMAL integral divisions; top-k is TakeOrderedAndProject — per-partition k-heaps, no global sort"

@@ -111,6 +111,33 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("mannWhitneyU: U_a + U_b tiles 2·n_a·n_b, effect antisymmetric, identical-samples null (10 rounds)") {
+    val vGen = Gen.choose(-20, 20).map(_.toDouble)
+    for (round <- 0 until 10) {
+      val as = draw(Gen.listOfN(25, vGen), 14000L + round)
+      val bs = draw(Gen.listOfN(35, vGen), 14500L + round)
+      val aDf = as.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val bDf = bs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val ab = Quality.mannWhitneyU(aDf, bDf, "v")
+        .as[(Long, Long, Long, Option[Long], Option[Double])].head()
+      val ba = Quality.mannWhitneyU(bDf, aDf, "v")
+        .as[(Long, Long, Long, Option[Long], Option[Double])].head()
+      assert(ab._1 == 25L && ab._2 == 35L)
+      // U_a + U_b = n_a·n_b exactly, midranks or not
+      assert(ab._3 + ba._3 == 2L * 25L * 35L, s"round $round: doubled U must tile")
+      assert(ab._4.get >= 0L && ab._4.get <= 10000L, s"round $round: auc in bp range")
+      ab._5.zip(ba._5).foreach { case (z1, z2) =>
+        // half-up floor rounding can split a .00005 boundary one ulp
+        // apart between +x and -x — antisymmetry holds to one display bp
+        assert(math.abs(z1 + z2) <= 1.0001e-4, s"round $round: z antisymmetric ($z1, $z2)")
+      }
+      val same = Quality.mannWhitneyU(aDf, aDf, "v")
+        .as[(Long, Long, Long, Option[Long], Option[Double])].head()
+      assert(same._4.contains(5000L) && (same._5.isEmpty || same._5.contains(0.0)),
+        s"round $round: identical samples sit at the null")
+    }
+  }
+
   test("rboOverlap is bounded by 1 - p^k and symmetric (10 rounds)") {
     import graft.operators.Ranking
     for (round <- 0 until 10) {
