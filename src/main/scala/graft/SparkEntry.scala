@@ -1480,6 +1480,18 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q222_wasserstein" -> ((s, dir) => {
+      // exact 1-Wasserstein transport distance over q220's even/odd
+      // event-value split — "how much mass moved and how far": integer
+      // cross-mass CDF gaps x value gaps, 2^20 fixed-point sum, plus the
+      // range-normalized bp rendering
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.wassersteinDistance(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
     "q221_mann_whitney" -> ((s, dir) => {
       // two-sample Mann-Whitney rank-sum over q220's even/odd event-value
       // split — the stochastic-dominance companion to the KS distance:
@@ -4211,6 +4223,30 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q222_wasserstein" ->
+      // q220's per-value masses and inclusive cumulative sums, lead() for
+      // the next-value gap, HUGEINT cross-mass numerators, per-gap
+      // floor(term*2^20) quantization summed as integers, displays once
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma, " +
+        "sum(cb) OVER (ORDER BY v) AS cumb, " +
+        "lead(v) OVER (ORDER BY v) AS vn FROM pv), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb, " +
+        "min(v) AS vmin, max(v) AS vmax FROM pv), " +
+        "q AS (SELECT CAST(floor(CAST(abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT) - " +
+        "CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT)) AS DOUBLE) * (vn - v) / " +
+        "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1048576) AS BIGINT) AS qq " +
+        "FROM c, t WHERE vn IS NOT NULL), " +
+        "f AS (SELECT COALESCE(sum(qq), 0) AS s2 FROM q) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "floor(CAST(s2 AS DOUBLE) / 1048576 * 10000 + 0.5) / 10000 AS w1, " +
+        "CASE WHEN vmax > vmin THEN " +
+        "CAST(floor(CAST(s2 AS DOUBLE) / 1048576 / (vmax - vmin) * 10000 + 0.5) AS BIGINT) END AS w1_norm_bp " +
+        "FROM f, t"),
 
     "q221_mann_whitney" ->
       // same per-value masses as q220, histogram midranks spelled

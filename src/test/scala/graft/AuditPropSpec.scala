@@ -138,6 +138,33 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("wassersteinDistance: symmetric, zero on identical, translation-exact (10 rounds)") {
+    val vGen = Gen.choose(-30, 30).map(_.toDouble)
+    for (round <- 0 until 10) {
+      val as = draw(Gen.listOfN(25, vGen), 15000L + round)
+      val bs = draw(Gen.listOfN(25, vGen), 15500L + round)
+      def df(vs: Seq[Double]) =
+        vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val ab = Quality.wassersteinDistance(df(as), df(bs), "v")
+        .as[(Long, Long, Double, Option[Long])].head()
+      val ba = Quality.wassersteinDistance(df(bs), df(as), "v")
+        .as[(Long, Long, Double, Option[Long])].head()
+      assert(ab._3 >= 0.0, s"round $round: W1 >= 0")
+      assert(ab._3 == ba._3, s"round $round: W1 symmetric")
+      val same = Quality.wassersteinDistance(df(as), df(as), "v")
+        .as[(Long, Long, Double, Option[Long])].head()
+      assert(same._3 == 0.0, s"round $round: W1(a, a) = 0")
+      // equal-size translation: W1(a, a + c) = c, up to the one-sided
+      // floor(2^20) quantization (each gap term truncates down)
+      val c = 7.25
+      val shifted = Quality.wassersteinDistance(
+        df(as), df(as.map(_ + c)), "v")
+        .as[(Long, Long, Double, Option[Long])].head()
+      assert(shifted._3 <= c + 1e-9 && shifted._3 >= c - 1e-3,
+        s"round $round: translation cost ${shifted._3} must be ~$c")
+    }
+  }
+
   test("rboOverlap is bounded by 1 - p^k and symmetric (10 rounds)") {
     import graft.operators.Ranking
     for (round <- 0 until 10) {

@@ -91,6 +91,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(totals)): single-row side totals; the data side is the fixed bins-row spine (the q117/q211 discipline); decile cutpoints are plan literals",
     "q220_ks_test" ->
       "crossJoin(broadcast(totals)): the single-row side totals beside the distinct-value cumulative table — the cross-mass needs both totals on every row",
+    "q222_wasserstein" ->
+      "crossJoin(broadcast(totals)): the single-row side totals + value range beside the distinct-value cumulative table (q220's discipline); the next-value gap is an index equi-join",
     "q211_psi" ->
       "crossJoin(broadcast(totals)): single-row token totals; the data side is the fixed buckets-row spine (q117's discipline)",
     "q212_drift_attribution" ->
