@@ -1480,6 +1480,22 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q223_pr_curve" -> ((s, dir) => {
+      // operating-characteristic sweep of the calibration family's
+      // stopword-rational score against the src0 label: which threshold
+      // bin should the keep-filter ship? confusion masses BIGINT, rates
+      // in basis points, suffix sums folded in-row over the 10-bin array
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      operators.Quality.prCurve(d,
+        size(stops).cast("long"), size(toks).cast("long"),
+        col("source") === "src0")
+        .orderBy(col("thr_bin"))
+    }),
+
     "q222_wasserstein" -> ((s, dir) => {
       // exact 1-Wasserstein transport distance over q220's even/odd
       // event-value split — "how much mass moved and how far": integer
@@ -4223,6 +4239,34 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q223_pr_curve" ->
+      // q209's score rational and integral bin draw, a 10-row threshold
+      // spine, suffix sums per threshold, integer masses and bp rates
+      ("WITH v AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS HUGEINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS HUGEINT) AS den, " +
+        "(source = 'src0') AS y FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "b AS (SELECT least(9, num * 10 // den) AS bin, " +
+        "CASE WHEN y THEN 1 ELSE 0 END AS pos FROM v), " +
+        "p AS (SELECT bin, count(*) AS n, sum(pos) AS np FROM b GROUP BY bin), " +
+        "tot AS (SELECT COALESCE(sum(np), 0) AS pp FROM p), " +
+        "sp AS (SELECT range AS thr FROM range(10)), " +
+        "s AS (SELECT thr, " +
+        "COALESCE(sum(CASE WHEN bin >= thr THEN np ELSE 0 END), 0) AS tp, " +
+        "COALESCE(sum(CASE WHEN bin >= thr THEN n - np ELSE 0 END), 0) AS fp " +
+        "FROM sp LEFT JOIN p ON true GROUP BY thr) " +
+        "SELECT CAST(thr AS BIGINT) AS thr_bin, CAST(tp AS BIGINT) AS tp, " +
+        "CAST(fp AS BIGINT) AS fp, CAST(pp - tp AS BIGINT) AS fn, " +
+        "CASE WHEN tp + fp > 0 THEN " +
+        "CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS precision_bp, " +
+        "CASE WHEN pp > 0 THEN " +
+        "CAST(floor(CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS recall_bp, " +
+        "CASE WHEN 2 * tp + fp + (pp - tp) > 0 THEN " +
+        "CAST(floor(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + (pp - tp) AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS f1_bp " +
+        "FROM s, tot ORDER BY thr_bin"),
 
     "q222_wasserstein" ->
       // q220's per-value masses and inclusive cumulative sums, lead() for

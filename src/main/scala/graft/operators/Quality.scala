@@ -994,6 +994,74 @@ object Quality {
           .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Precision/recall/F1 threshold sweep — the operating-characteristic
+    * table behind every filter-threshold decision: for each candidate
+    * cut b/B over a rational score num/den, the confusion masses and
+    * rates of the rule "keep when score lands in bin >= b" (bins drawn
+    * exactly like [[calibrationReport]]: integral division, no float
+    * boundary). [[graft.operators.Ranking.scoreAuc]] says whether the
+    * signal separates at all; THIS says which threshold to ship. One row
+    * per threshold: (thr_bin, tp, fp, fn, precision_bp, recall_bp,
+    * f1_bp) — masses BIGINT, rates basis points, null where undefined
+    * (no predicted positives / no labeled positives).
+    *
+    * Scale shape: one map-side projection + ONE bin-keyed hash aggregate
+    * (the only exchange carries B bins); the per-threshold suffix sums
+    * run as in-row folds over the collected B-row bin array (the
+    * calibrationSummary idiom) and explode into the B-row report — no
+    * window, no non-equi join.
+    */
+  def prCurve(
+      df: DataFrame,
+      scoreNum: Column,
+      scoreDen: Column,
+      label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 1 && bins <= 1000, "2 <= bins <= 1000")
+    val rows = df
+      .filter(scoreNum.isNotNull && scoreDen.isNotNull && label.isNotNull &&
+        scoreDen.cast("long") > 0)
+      .select(
+        greatest(lit(0L), least(scoreNum.cast("long"), scoreDen.cast("long")))
+          .as("_num"),
+        scoreDen.cast("long").as("_den"),
+        label.cast("boolean").as("_y"))
+    val binned = rows.selectExpr(
+      s"least(CAST(${bins - 1} AS BIGINT), " +
+        s"CAST(_num AS DECIMAL(38,0)) * $bins div CAST(_den AS DECIMAL(38,0))) AS bin",
+      "CASE WHEN _y THEN 1 ELSE 0 END AS _pos")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("_n"), sum(col("_pos")).as("_np"))
+    val one = binned.groupBy().agg(
+      sort_array(collect_list(struct(col("bin"), col("_n"), col("_np"))))
+        .as("bs"),
+      coalesce(sum(col("_np")), lit(0L)).as("_p"))
+    def suffix(b: Column, f: Column => Column): Column =
+      aggregate(col("bs"), lit(0L), (acc, e) =>
+        acc + when(e.getField("bin") >= b, f(e)).otherwise(lit(0L)))
+    val entries = transform(
+      sequence(lit(0L), lit((bins - 1).toLong)),
+      b => struct(
+        b.as("thr_bin"),
+        suffix(b, e => e.getField("_np")).as("tp"),
+        suffix(b, e => e.getField("_n") - e.getField("_np")).as("fp")))
+    def bp(numC: Column, denC: Column) =
+      when(denC > 0,
+        floor(numC.cast("double") / denC.cast("double") * 10000 + lit(0.5))
+          .cast("long"))
+        .otherwise(lit(null).cast("long"))
+    one
+      .select(col("_p"), explode(entries).as("e"))
+      .select(col("e.thr_bin").as("thr_bin"),
+        col("e.tp").as("tp"), col("e.fp").as("fp"),
+        (col("_p") - col("e.tp")).as("fn"),
+        bp(col("e.tp"), col("e.tp") + col("e.fp")).as("precision_bp"),
+        bp(col("e.tp"), col("_p")).as("recall_bp"),
+        bp(lit(2L) * col("e.tp"),
+          lit(2L) * col("e.tp") + col("e.fp") + (col("_p") - col("e.tp")))
+          .as("f1_bp"))
+  }
+
   /** Exact two-sample 1-Wasserstein (earth mover's) distance
     * (Monge 1781 / Kantorovich 1942; in one dimension
     * W₁ = ∫|F_a − F_b| dx, Vallender 1974) — the "how much mass moved,

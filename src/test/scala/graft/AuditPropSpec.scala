@@ -138,6 +138,30 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("prCurve: masses tile, suffix sums monotone, threshold 0 keeps everything (10 rounds)") {
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(60, rowGen), 16000L + round)
+      val df = rows.toDF("num", "den", "y")
+      val rep = Quality.prCurve(df, col("num"), col("den"), col("y"))
+        .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect().sortBy(_._1)
+      val p = rows.count(_._3).toLong
+      assert(rep.length == 10)
+      assert(rep.forall(r => r._2 + r._4 == p),
+        s"round $round: tp + fn must tile labeled positives at every threshold")
+      assert(rep.head._2 == p && rep.head._3 == rows.size - p,
+        s"round $round: threshold 0 predicts everything positive")
+      val kept = rep.map(r => r._2 + r._3)
+      assert(kept.zip(kept.tail).forall { case (a, b) => a >= b },
+        s"round $round: predicted-positive mass shrinks as the threshold rises")
+      rep.foreach { r =>
+        r._5.foreach(v => assert(v >= 0 && v <= 10000))
+        r._6.foreach(v => assert(v >= 0 && v <= 10000))
+        r._7.foreach(v => assert(v >= 0 && v <= 10000))
+      }
+    }
+  }
+
   test("wassersteinDistance: symmetric, zero on identical, translation-exact (10 rounds)") {
     val vGen = Gen.choose(-30, 30).map(_.toDouble)
     for (round <- 0 until 10) {
