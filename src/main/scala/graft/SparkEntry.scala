@@ -1480,6 +1480,26 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q224_kendall_tau" -> ((s, dir) => {
+      // Kendall tau-b between the stopword-ratio decile and the
+      // token-count decile — pairwise ordinal agreement of the two
+      // quality bands (q218's Spearman asks the midrank version); the
+      // 10x10 grid collapses distributed, C/D via the bounded driver
+      // Fenwick pass
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val prep = d.select(
+        size(stops).cast("long").as("num"),
+        size(toks).cast("long").as("den"),
+        functions.TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+        .selectExpr(
+          "least(CAST(9 AS BIGINT), CAST(num AS DECIMAL(38,0)) * 10 div CAST(den AS DECIMAL(38,0))) AS xb",
+          "least(CAST(9 AS BIGINT), tok div 10) AS yb")
+      operators.Quality.kendallTauB(prep, col("xb"), col("yb"))
+    }),
+
     "q223_pr_curve" -> ((s, dir) => {
       // operating-characteristic sweep of the calibration family's
       // stopword-rational score against the src0 label: which threshold
@@ -4239,6 +4259,37 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q224_kendall_tau" ->
+      // same integral decile draws, the quadratic cell self-join (the
+      // grid is 10x10 — the oracle can afford what the engine's Fenwick
+      // pass avoids), HUGEINT tie terms, one double chain
+      ("WITH v AS (SELECT " +
+        "least(9, CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS HUGEINT) * 10 // " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS HUGEINT)) AS xb, " +
+        "least(9, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS HUGEINT) // 10) AS yb " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "cells AS (SELECT xb, yb, count(*) AS c FROM v GROUP BY xb, yb), " +
+        "cd AS (SELECT " +
+        "COALESCE(sum(CASE WHEN c2.xb > c1.xb AND c2.yb > c1.yb " +
+        "THEN CAST(c1.c AS HUGEINT) * CAST(c2.c AS HUGEINT) ELSE 0 END), 0) AS cc, " +
+        "COALESCE(sum(CASE WHEN c2.xb > c1.xb AND c2.yb < c1.yb " +
+        "THEN CAST(c1.c AS HUGEINT) * CAST(c2.c AS HUGEINT) ELSE 0 END), 0) AS dd " +
+        "FROM cells c1, cells c2), " +
+        "t AS (SELECT sum(c) AS n FROM cells), " +
+        "tx AS (SELECT COALESCE(sum(CAST(s AS HUGEINT) * (CAST(s AS HUGEINT) - 1) // 2), 0) AS n1 " +
+        "FROM (SELECT sum(c) AS s FROM cells GROUP BY xb)), " +
+        "ty AS (SELECT COALESCE(sum(CAST(s AS HUGEINT) * (CAST(s AS HUGEINT) - 1) // 2), 0) AS n2 " +
+        "FROM (SELECT sum(c) AS s FROM cells GROUP BY yb)), " +
+        "f AS (SELECT CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) // 2 AS n0, " +
+        "n, cc, dd, n1, n2 FROM t, cd, tx, ty) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(cc AS BIGINT) AS n_concordant, " +
+        "CAST(dd AS BIGINT) AS n_discordant, " +
+        "CASE WHEN n0 > n1 AND n0 > n2 THEN " +
+        "floor(CAST(cc - dd AS DOUBLE) / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)) * 10000 + 0.5) / 10000 END AS tau_b " +
+        "FROM f"),
 
     "q223_pr_curve" ->
       // q209's score rational and integral bin draw, a 10-row threshold

@@ -1203,6 +1203,90 @@ object Quality {
           * 10000 + lit(0.5)) / 10000).as("rho"))
   }
 
+  /** Kendall tau-b rank correlation with full tie correction (Kendall
+    * 1938; tau-b per Kendall 1945) between two ORDINAL columns — the
+    * pairwise-agreement companion to [[spearmanCorrelation]]: Spearman
+    * correlates midranks, tau-b asks directly "of all comparable pairs,
+    * how many order the same way?" — the statistic quoted for
+    * band-vs-band and rating-vs-rating agreement. One row:
+    * (n, n_concordant, n_discordant, tau_b).
+    *
+    * Contract: inputs are ordinals (bands, deciles, ratings — integral
+    * casts), so the (x, y) grid is BOUNDED by the band-space square.
+    * The corpus collapses to grid cells in ONE distributed hash
+    * aggregate; the concordant/discordant masses then come from a
+    * driver pass over the collected grid (a Fenwick tree over the y
+    * axis in ascending x order — O(cells·log), the [[Graphs]]
+    * fit-small-scalars discipline, with a loud guard past `maxCells`).
+    * All masses are BigInt-exact; tau-b = (C−D)/√((n₀−n₁)(n₀−n₂))
+    * happens in ONE double chain, floor-rounded, null when either axis
+    * is constant. C and D render as BIGINT (exact below n ≈ 4·10⁹ pairs
+    * of pairs — past that, read tau_b, which is computed from the exact
+    * BigInt masses regardless).
+    */
+  def kendallTauB(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      maxCells: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType}
+    val spark = df.sparkSession
+    val cells = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_c"))
+      .collect()
+    require(cells.length <= maxCells,
+      s"kendallTauB: ${cells.length} grid cells — this is the ordinal " +
+        "(band/decile/rating) pairwise audit; bucket continuous axes first")
+    val yRanks = cells.map(_.getLong(1)).distinct.sorted.zipWithIndex.toMap
+    val fen = new Array[Long](yRanks.size + 1)
+    def fenAdd(i0: Int, v: Long): Unit = {
+      var i = i0 + 1
+      while (i < fen.length) { fen(i) += v; i += i & -i }
+    }
+    def fenPrefix(i0: Int): Long = { // inclusive prefix of ranks <= i0
+      var i = i0 + 1; var s = 0L
+      while (i > 0) { s += fen(i); i -= i & -i }
+      s
+    }
+    var cBig = BigInt(0); var dBig = BigInt(0)
+    var inserted = 0L
+    cells.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach { case (_, grp) =>
+      grp.foreach { r =>
+        val yr = yRanks(r.getLong(1)); val c = r.getLong(2)
+        val below = if (yr == 0) 0L else fenPrefix(yr - 1)
+        val above = inserted - fenPrefix(yr)
+        cBig += BigInt(c) * below
+        dBig += BigInt(c) * above
+      }
+      grp.foreach { r => fenAdd(yRanks(r.getLong(1)), r.getLong(2)) }
+      inserted += grp.map(_.getLong(2)).sum
+    }
+    val n = BigInt(inserted)
+    def tiePairs(key: Row => Long): BigInt =
+      cells.groupBy(key).values.map { g =>
+        val t = BigInt(g.map(_.getLong(2)).sum); t * (t - 1) / 2
+      }.sum
+    val n0 = n * (n - 1) / 2
+    val n1 = tiePairs(_.getLong(0))
+    val n2 = tiePairs(_.getLong(1))
+    val tau: Any =
+      if (n0 > n1 && n0 > n2) {
+        val t = (cBig - dBig).toDouble /
+          math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+        math.floor(t * 10000 + 0.5) / 10000
+      } else null
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(inserted, cBig.toLong, dBig.toLong, tau)),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("n_concordant", LongType, nullable = false),
+        StructField("n_discordant", LongType, nullable = false),
+        StructField("tau_b", DoubleType, nullable = true))))
+  }
+
   /** Numeric-feature PSI — the form the industry actually monitors
     * (model scores, numeric features; Siddiqi 2006): equal-frequency
     * bins are cut from the REFERENCE snapshot's exact deciles (so the

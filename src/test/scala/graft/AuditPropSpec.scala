@@ -138,6 +138,40 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("kendallTauB == brute-force pair scan; bounds and perfect agreement (10 rounds)") {
+    val oGen = Gen.choose(0L, 6L)
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(40, Gen.zip(oGen, oGen)), 17000L + round)
+      val df = rows.toDF("x", "y")
+      val got = Quality.kendallTauB(df, col("x"), col("y"))
+        .as[(Long, Long, Long, Option[Double])].head()
+      // brute force over all unordered pairs
+      var cc = 0L; var dd = 0L; var tx = 0L; var ty = 0L
+      for (i <- rows.indices; j <- (i + 1) until rows.size) {
+        val (x1, y1) = rows(i); val (x2, y2) = rows(j)
+        if (x1 != x2 && y1 != y2) {
+          if ((x1 < x2) == (y1 < y2)) cc += 1 else dd += 1
+        }
+        if (x1 == x2) tx += 1
+        if (y1 == y2) ty += 1
+      }
+      val n0 = rows.size.toLong * (rows.size - 1) / 2
+      assert(got._1 == rows.size && got._2 == cc && got._3 == dd,
+        s"round $round: C/D must equal the brute pair scan ($got vs $cc/$dd)")
+      val expTau =
+        if (n0 > tx && n0 > ty)
+          Some(math.floor((cc - dd).toDouble /
+            math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble) * 10000 + 0.5) / 10000)
+        else None
+      assert(got._4 == expTau, s"round $round: tau_b mismatch")
+      got._4.foreach(t => assert(t >= -1.0 && t <= 1.0))
+      val perfect = Quality.kendallTauB(df, col("x"), col("x"))
+        .as[(Long, Long, Long, Option[Double])].head()
+      assert(perfect._3 == 0L && (perfect._4.isEmpty || perfect._4.contains(1.0)),
+        s"round $round: x-vs-x must be perfectly concordant")
+    }
+  }
+
   test("prCurve: masses tile, suffix sums monotone, threshold 0 keeps everything (10 rounds)") {
     for (round <- 0 until 10) {
       val rows = draw(Gen.listOfN(60, rowGen), 16000L + round)
