@@ -1480,6 +1480,17 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q225_uncertainty_coeff" -> ((s, dir) => {
+      // Theil's U both ways + mutual information for lang x source —
+      // the DIRECTIONAL association q186's chi-square can't give: how
+      // much of the language mix does knowing the source explain, and
+      // the (different) reverse; sorted-list entropy folds, nats
+      operators.Quality.uncertaintyCoefficient(
+        Tables(s, dir, "documents")
+          .filter(col("lang").isNotNull && col("source").isNotNull),
+        col("lang"), col("source"))
+    }),
+
     "q224_kendall_tau" -> ((s, dir) => {
       // Kendall tau-b between the stopword-ratio decile and the
       // token-count decile — pairwise ordinal agreement of the two
@@ -4259,6 +4270,39 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q225_uncertainty_coeff" ->
+      // same cells/marginals, the same SORTED list folds (ORDER BY key =
+      // Spark's sort_array + array_distinct first-occurrence order),
+      // negations and ratio divisions in the same positions
+      ("WITH v AS (SELECT lang AS x, source AS y FROM documents " +
+        "WHERE lang IS NOT NULL AND source IS NOT NULL), " +
+        "cells AS (SELECT x, y, count(*) AS c FROM v GROUP BY x, y), " +
+        "rx AS (SELECT x, sum(c) AS r FROM cells GROUP BY x), " +
+        "ry AS (SELECT y, sum(c) AS s FROM cells GROUP BY y), " +
+        "j AS (SELECT cells.x, cells.y, c, r, s FROM cells " +
+        "JOIN rx USING (x) JOIN ry USING (y)), " +
+        "t AS (SELECT sum(c) AS n, (SELECT count(*) FROM rx) AS kx, " +
+        "(SELECT count(*) FROM ry) AS ky FROM cells), " +
+        "lx AS (SELECT list(struct_pack(m := r) ORDER BY x) AS xs FROM rx), " +
+        "ly AS (SELECT list(struct_pack(m := s) ORDER BY y) AS ys FROM ry), " +
+        "lc AS (SELECT list(struct_pack(c := c, r := r, s := s) ORDER BY x, y) AS cs FROM j), " +
+        "f AS (SELECT n, kx, ky, " +
+        "-(list_reduce(list_prepend(0.0, list_transform(xs, e -> " +
+        "CAST((e).m AS DOUBLE) / CAST(n AS DOUBLE) * ln(CAST((e).m AS DOUBLE) / CAST(n AS DOUBLE)))), (a, b) -> a + b)) AS hxr, " +
+        "-(list_reduce(list_prepend(0.0, list_transform(ys, e -> " +
+        "CAST((e).m AS DOUBLE) / CAST(n AS DOUBLE) * ln(CAST((e).m AS DOUBLE) / CAST(n AS DOUBLE)))), (a, b) -> a + b)) AS hyr, " +
+        "list_reduce(list_prepend(0.0, list_transform(cs, e -> " +
+        "CAST((e).c AS DOUBLE) / CAST(n AS DOUBLE) * " +
+        "ln(CAST(n AS DOUBLE) * CAST((e).c AS DOUBLE) / (CAST((e).r AS DOUBLE) * CAST((e).s AS DOUBLE))))), (a, b) -> a + b) AS mir " +
+        "FROM lx, ly, lc, t) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(kx AS BIGINT) AS k_x, CAST(ky AS BIGINT) AS k_y, " +
+        "floor(hxr * 10000 + 0.5) / 10000 AS h_x, " +
+        "floor(hyr * 10000 + 0.5) / 10000 AS h_y, " +
+        "floor(mir * 10000 + 0.5) / 10000 AS mi, " +
+        "CASE WHEN kx > 1 THEN floor(mir / hxr * 10000 + 0.5) / 10000 END AS u_xy, " +
+        "CASE WHEN ky > 1 THEN floor(mir / hyr * 10000 + 0.5) / 10000 END AS u_yx " +
+        "FROM f"),
 
     "q224_kendall_tau" ->
       // same integral decile draws, the quadratic cell self-join (the

@@ -1203,6 +1203,68 @@ object Quality {
           * 10000 + lit(0.5)) / 10000).as("rho"))
   }
 
+  /** Uncertainty coefficient (Theil's U, 1970) + mutual information for
+    * two categorical columns — the DIRECTIONAL association audit
+    * [[chiSquareIndependence]] can't give: U(X|Y) = I(X;Y)/H(X) is the
+    * fraction of X's entropy that knowing Y removes ("how much does the
+    * source tell you about the language?" is a different number from the
+    * reverse). One row: (n, k_x, k_y, h_x, h_y, mi, u_xy, u_yx), nats
+    * floor-rounded to 4 digits, U null when the conditioned axis is
+    * constant.
+    *
+    * Float discipline: every entropy/MI term folds over SORTED collected
+    * arrays (cells by (x, y), marginals by key — the q186 chi-square
+    * idiom: bounded label spaces make the lists in-row, and a
+    * deterministic fold order makes the double sums engine-replayable);
+    * marginal lists derive in-row from the sorted cell list via
+    * array_distinct (first-occurrence order of a sorted list is the
+    * sorted order). Ratios use the UNROUNDED folds and round once.
+    *
+    * Scale shape: one row-level hash aggregate to cells, two cell-sized
+    * marginal aggregates + broadcast joins, one single-row fold. No
+    * cross join, no window.
+    */
+  def uncertaintyCoefficient(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val v = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(xCol.as("_x"), yCol.as("_y"))
+    val cells = v.groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_c"))
+    val ra = cells.groupBy(col("_x")).agg(sum(col("_c")).as("_r"))
+    val cb = cells.groupBy(col("_y")).agg(sum(col("_c")).as("_s"))
+    val one = cells
+      .join(broadcast(ra), "_x").join(broadcast(cb), "_y")
+      .groupBy()
+      .agg(
+        sort_array(collect_list(struct(
+          col("_x"), col("_y"), col("_c"), col("_r"), col("_s")))).as("cs"),
+        sum(col("_c")).as("n"),
+        countDistinct(col("_x")).as("k_x"),
+        countDistinct(col("_y")).as("k_y"))
+    val nd = col("n").cast("double")
+    def margList(key: String, mass: String) = array_distinct(
+      transform(col("cs"), e =>
+        struct(e.getField(key).as("k"), e.getField(mass).as("m"))))
+    def entropy(list: Column) = -aggregate(list, lit(0.0), (a, e) =>
+      a + e.getField("m").cast("double") / nd *
+        log(e.getField("m").cast("double") / nd))
+    val hx = entropy(margList("_x", "_r"))
+    val hy = entropy(margList("_y", "_s"))
+    val mi = aggregate(col("cs"), lit(0.0), (a, e) =>
+      a + e.getField("_c").cast("double") / nd *
+        log(nd * e.getField("_c").cast("double") /
+          (e.getField("_r").cast("double") * e.getField("_s").cast("double"))))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    one.select(
+      col("n"), col("k_x"), col("k_y"),
+      r4(hx).as("h_x"), r4(hy).as("h_y"), r4(mi).as("mi"),
+      when(col("k_x") > 1, r4(mi / hx))
+        .otherwise(lit(null).cast("double")).as("u_xy"),
+      when(col("k_y") > 1, r4(mi / hy))
+        .otherwise(lit(null).cast("double")).as("u_yx"))
+  }
+
   /** Kendall tau-b rank correlation with full tie correction (Kendall
     * 1938; tau-b per Kendall 1945) between two ORDINAL columns — the
     * pairwise-agreement companion to [[spearmanCorrelation]]: Spearman

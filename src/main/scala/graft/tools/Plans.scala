@@ -131,6 +131,7 @@ object Plans {
     "q222_wasserstein" -> "q220's per-value union aggregate, three bounded prefix-sum passes (two cumulative masses + a positional index), the next-value gap via an index equi-join, per-gap floor(term*2^20) integers summed in ONE single-row aggregate beside the one-row totals broadcast — the transport integral with no window wider than a range bucket",
     "q223_pr_curve" -> "one map-side projection (rational score, DECIMAL integral bin draw) + ONE bin-keyed hash aggregate (the only exchange carries 10 bins); the per-threshold suffix sums are in-row folds over the collected bin array exploding into the 10-row report — no window, no non-equi join",
     "q224_kendall_tau" -> "the corpus collapses to the 10x10 ordinal grid in ONE distributed hash aggregate (integral DECIMAL bin draws map-side); concordant/discordant masses come from a bounded driver Fenwick pass over the collected grid (loud maxCells guard) — the quadratic pair scan exists only in the DuckDB oracle",
+    "q225_uncertainty_coeff" -> "one row-level hash aggregate to label cells, two cell-sized marginal aggregates + broadcast joins, then every entropy/MI term folds in-row over SORTED collected lists (marginals derive via array_distinct of the sorted cell list) — deterministic double sums, no cross join, no window",
     "q215_score_drift" -> "reference deciles enter as PLAN LITERALS (percentileValues runs its own distributed-rank pass first); binning is a map-side CASE chain, the union partial-aggregates into 10 bin rows before the only exchange, and the PSI fold is a single-row agg over the fixed spine",
     "q213_fairness_audit" -> "one map-side projection (rational score, DECIMAL cross-multiplied decision) + ONE group-keyed hash aggregate with map-side partials — the only exchange carries groups, not rows; rates integer-rendered in the final project",
     "q212_drift_attribution" -> "ONE union + ONE bucket-keyed aggregate carries both sides' masses AND the min-token sample (SortAggregate — the string min buffer is variable-width so Spark skips hash agg — but partials still run map-side and only bucket rows shuffle); ppm rates are DECIMAL integral divisions; top-k is TakeOrderedAndProject — per-partition k-heaps, no global sort"

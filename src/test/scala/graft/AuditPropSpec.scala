@@ -138,6 +138,34 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("uncertaintyCoefficient: U in [0,1], MI bounded by entropies, identity and independence (10 rounds)") {
+    val lGen = Gen.oneOf("a", "b", "c", "d")
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(50, Gen.zip(lGen, lGen)), 18000L + round)
+      val df = rows.toDF("x", "y")
+      val got = Quality.uncertaintyCoefficient(df, col("x"), col("y"))
+        .as[(Long, Long, Long, Double, Double, Double, Option[Double], Option[Double])]
+        .head()
+      assert(got._6 >= -1e-4 && got._6 <= math.min(got._4, got._5) + 1e-4,
+        s"round $round: 0 <= MI <= min(H) (${got._6} vs ${got._4}/${got._5})")
+      got._7.foreach(u => assert(u >= -1e-4 && u <= 1.0001, s"round $round: U in [0,1]"))
+      got._8.foreach(u => assert(u >= -1e-4 && u <= 1.0001, s"round $round: U in [0,1]"))
+      val self = Quality.uncertaintyCoefficient(df, col("x"), col("x"))
+        .as[(Long, Long, Long, Double, Double, Double, Option[Double], Option[Double])]
+        .head()
+      assert(self._6 == self._4 && (self._7.isEmpty || self._7.contains(1.0)),
+        s"round $round: X explains all of X")
+    }
+    // a product grid is independent by construction: MI folds to 0
+    val prod = (for { x <- Seq("a", "b"); y <- Seq("u", "v", "w"); _ <- 1 to 4 }
+      yield (x, y)).toDF("x", "y")
+    val ind = Quality.uncertaintyCoefficient(prod, col("x"), col("y"))
+      .as[(Long, Long, Long, Double, Double, Double, Option[Double], Option[Double])]
+      .head()
+    assert(ind._6 == 0.0 && ind._7.contains(0.0) && ind._8.contains(0.0),
+      "independent columns must report zero MI and zero U")
+  }
+
   test("kendallTauB == brute-force pair scan; bounds and perfect agreement (10 rounds)") {
     val oGen = Gen.choose(0L, 6L)
     for (round <- 0 until 10) {
