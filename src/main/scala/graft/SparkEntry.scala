@@ -1480,6 +1480,35 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q226_rate_diff" -> ((s, dir) => {
+      // two-proportion z comparison of the stopword-pass rate between
+      // sources src0 and src1 — the A/B answer q191's per-group Wilson
+      // CIs only hint at; four integer masses, one double chain
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val pass = size(stops).cast("long") * 20 >= size(toks).cast("long") * 3
+      operators.Quality.proportionDiff(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") === "src1"),
+        pass)
+    }),
+
+    "q227_mcnemar" -> ((s, dir) => {
+      // McNemar's paired test: the stopword keep-rule vs the token-count
+      // keep-rule on the SAME documents — is their disagreement biased
+      // in one direction? four decision masses, the (b-c)^2/(b+c) chain
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      operators.Quality.mcnemarTest(d,
+        size(stops).cast("long") * 20 >= size(toks).cast("long") * 3,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long") >= 40)
+    }),
+
     "q225_uncertainty_coeff" -> ((s, dir) => {
       // Theil's U both ways + mutual information for lang x source —
       // the DIRECTIONAL association q186's chi-square can't give: how
@@ -4270,6 +4299,55 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q226_rate_diff" ->
+      // same integer pass masses per side, the same pooled-z double chain
+      ("WITH d AS (SELECT source, " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) * 20 >= " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) * 3 AS pass " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "a AS (SELECT count(*) AS na, COALESCE(sum(CASE WHEN pass THEN 1 ELSE 0 END), 0) AS ka " +
+        "FROM d WHERE source = 'src0'), " +
+        "b AS (SELECT count(*) AS nb, COALESCE(sum(CASE WHEN pass THEN 1 ELSE 0 END), 0) AS kb " +
+        "FROM d WHERE source = 'src1'), " +
+        "f AS (SELECT na, ka, nb, kb, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd, " +
+        "CAST(ka AS DOUBLE) AS kad, CAST(kb AS DOUBLE) AS kbd FROM a, b), " +
+        "g AS (SELECT *, (kad + kbd) / (nad + nbd) AS pp FROM f) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(ka AS BIGINT) AS k_a, " +
+        "CAST(nb AS BIGINT) AS n_b, CAST(kb AS BIGINT) AS k_b, " +
+        "CASE WHEN na > 0 THEN CAST(floor(kad / nad * 10000 + 0.5) AS BIGINT) END AS rate_a_bp, " +
+        "CASE WHEN nb > 0 THEN CAST(floor(kbd / nbd * 10000 + 0.5) AS BIGINT) END AS rate_b_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN CAST(floor((kad / nad - kbd / nbd) * 10000 + 0.5) AS BIGINT) END AS diff_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND ka + kb > 0 AND ka + kb < na + nb THEN " +
+        "floor((kad / nad - kbd / nbd) / sqrt(pp * (1.0 - pp) * (1.0 / nad + 1.0 / nbd)) * 10000 + 0.5) / 10000 END AS z " +
+        "FROM g"),
+
+    "q227_mcnemar" ->
+      // the same four conditional masses and the same (b-c)^2/(b+c)
+      // and continuity-corrected chains
+      ("WITH d AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) * 20 >= " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) * 3 AS ra, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) >= 40 AS rb " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "m AS (SELECT count(*) AS n, " +
+        "COALESCE(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END), 0) AS nboth, " +
+        "COALESCE(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END), 0) AS b, " +
+        "COALESCE(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END), 0) AS c, " +
+        "COALESCE(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END), 0) AS nneither FROM d) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(nboth AS BIGINT) AS n_both, " +
+        "CAST(b AS BIGINT) AS n_only_a, CAST(c AS BIGINT) AS n_only_b, " +
+        "CAST(nneither AS BIGINT) AS n_neither, " +
+        "CASE WHEN b + c > 0 THEN " +
+        "floor((CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) / " +
+        "(CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) * 10000 + 0.5) / 10000 END AS chi2, " +
+        "CASE WHEN b + c > 0 THEN " +
+        "floor((abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1) * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1) / " +
+        "(CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) * 10000 + 0.5) / 10000 END AS chi2_cc " +
+        "FROM m"),
 
     "q225_uncertainty_coeff" ->
       // same cells/marginals, the same SORTED list folds (ORDER BY key =

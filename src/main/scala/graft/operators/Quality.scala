@@ -1203,6 +1203,92 @@ object Quality {
           * 10000 + lit(0.5)) / 10000).as("rho"))
   }
 
+  /** Two-proportion z comparison — the A/B answer [[wilsonInterval]]'s
+    * per-group CIs only hint at: "did the pass rate actually DIFFER
+    * between these two slices?", with the pooled two-proportion z
+    * statistic (the standard large-sample test). One row:
+    * (n_a, k_a, n_b, k_b, rate_a_bp, rate_b_bp, diff_bp, z) — masses
+    * BIGINT, rates and the signed difference in basis points, z
+    * floor-rounded, null when the pooled rate degenerates (all pass or
+    * none) or a side is empty.
+    *
+    * Scale shape: one single-row conditional aggregate per side (map-side
+    * partials; nothing but two counters per side crosses the shuffle),
+    * one broadcast meet. Every displayed number derives from the four
+    * integer masses in one double chain.
+    */
+  def proportionDiff(
+      a: DataFrame,
+      b: DataFrame,
+      pass: Column): DataFrame = {
+    def side(d: DataFrame, np: String, kp: String) = d
+      .filter(pass.isNotNull)
+      .agg(count(lit(1)).as(np),
+        coalesce(sum(when(pass, 1L).otherwise(0L)), lit(0L)).as(kp))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val kad = col("k_a").cast("double")
+    val kbd = col("k_b").cast("double")
+    val pp = (kad + kbd) / (nad + nbd)
+    val z = (kad / nad - kbd / nbd) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / nad + lit(1.0) / nbd))
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    side(a, "n_a", "k_a").crossJoin(broadcast(side(b, "n_b", "k_b")))
+      .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        when(col("n_a") > 0, bp(kad / nad))
+          .otherwise(lit(null).cast("long")).as("rate_a_bp"),
+        when(col("n_b") > 0, bp(kbd / nbd))
+          .otherwise(lit(null).cast("long")).as("rate_b_bp"),
+        when(col("n_a") > 0 && col("n_b") > 0, bp(kad / nad - kbd / nbd))
+          .otherwise(lit(null).cast("long")).as("diff_bp"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("k_a") + col("k_b") > 0 &&
+          col("k_a") + col("k_b") < col("n_a") + col("n_b"), r4(z))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** McNemar's test for PAIRED decision rules (McNemar 1947) — "the new
+    * filter and the old filter disagree on some documents; is the
+    * disagreement BIASED in one direction, or just noise?" — the audit
+    * for replacing one keep-rule with another, where [[proportionDiff]]
+    * (unpaired slices) would throw away the pairing. One row:
+    * (n, n_both, n_only_a, n_only_b, n_neither, chi2, chi2_cc) — the
+    * four decision masses BIGINT, the statistic (b−c)²/(b+c) and its
+    * continuity-corrected form (|b−c|−1)²/(b+c), both floor-rounded,
+    * null when the rules never disagree.
+    *
+    * Scale shape: ONE single-row conditional aggregate (four map-side
+    * counters); the statistics are one double chain over two integers.
+    */
+  def mcnemarTest(
+      df: DataFrame,
+      ruleA: Column,
+      ruleB: Column): DataFrame = {
+    val bd = col("n_only_a").cast("double")
+    val cd = col("n_only_b").cast("double")
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    df.filter(ruleA.isNotNull && ruleB.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(ruleA && ruleB, 1L).otherwise(0L)), lit(0L))
+          .as("n_both"),
+        coalesce(sum(when(ruleA && !ruleB, 1L).otherwise(0L)), lit(0L))
+          .as("n_only_a"),
+        coalesce(sum(when(!ruleA && ruleB, 1L).otherwise(0L)), lit(0L))
+          .as("n_only_b"),
+        coalesce(sum(when(!ruleA && !ruleB, 1L).otherwise(0L)), lit(0L))
+          .as("n_neither"))
+      .select(col("n"), col("n_both"), col("n_only_a"), col("n_only_b"),
+        col("n_neither"),
+        when(col("n_only_a") + col("n_only_b") > 0,
+          r4((bd - cd) * (bd - cd) / (bd + cd)))
+          .otherwise(lit(null).cast("double")).as("chi2"),
+        when(col("n_only_a") + col("n_only_b") > 0,
+          r4((abs(bd - cd) - 1) * (abs(bd - cd) - 1) / (bd + cd)))
+          .otherwise(lit(null).cast("double")).as("chi2_cc"))
+  }
+
   /** Uncertainty coefficient (Theil's U, 1970) + mutual information for
     * two categorical columns — the DIRECTIONAL association audit
     * [[chiSquareIndependence]] can't give: U(X|Y) = I(X;Y)/H(X) is the

@@ -138,6 +138,41 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("proportionDiff and mcnemarTest: masses tile, symmetry laws hold (10 rounds)") {
+    val pGen = Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))
+    for (round <- 0 until 10) {
+      val as = draw(Gen.listOfN(30, Gen.oneOf(true, false)), 19000L + round)
+      val bs = draw(Gen.listOfN(20, Gen.oneOf(true, false)), 19500L + round)
+      def df(vs: Seq[Boolean]) = vs.toDF("p")
+      val ab = Quality.proportionDiff(df(as), df(bs), col("p"))
+        .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long], Option[Double])]
+        .head()
+      val ba = Quality.proportionDiff(df(bs), df(as), col("p"))
+        .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long], Option[Double])]
+        .head()
+      assert(ab._1 == 30L && ab._2 == as.count(identity))
+      // signed difference flips within one display bp; z flips likewise
+      assert(math.abs(ab._7.get + ba._7.get) <= 1L, s"round $round: diff antisymmetric")
+      ab._8.zip(ba._8).foreach { case (z1, z2) =>
+        assert(math.abs(z1 + z2) <= 1.0001e-4, s"round $round: z antisymmetric")
+      }
+      val same = Quality.proportionDiff(df(as), df(as), col("p"))
+        .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long], Option[Double])]
+        .head()
+      assert(same._7.contains(0L) && (same._8.isEmpty || same._8.contains(0.0)),
+        s"round $round: identical slices differ by zero")
+      val pairs = draw(Gen.listOfN(40, pGen), 19800L + round)
+      val pdf = pairs.toDF("a", "b")
+      val m = Quality.mcnemarTest(pdf, col("a"), col("b"))
+        .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double])].head()
+      val sw = Quality.mcnemarTest(pdf, col("b"), col("a"))
+        .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double])].head()
+      assert(m._2 + m._3 + m._4 + m._5 == m._1, s"round $round: decision masses tile")
+      assert(m._3 == sw._4 && m._4 == sw._3 && m._6 == sw._6 && m._7 == sw._7,
+        s"round $round: swapping the rules swaps the off-diagonal, not the statistic")
+    }
+  }
+
   test("uncertaintyCoefficient: U in [0,1], MI bounded by entropies, identity and independence (10 rounds)") {
     val lGen = Gen.oneOf("a", "b", "c", "d")
     for (round <- 0 until 10) {
