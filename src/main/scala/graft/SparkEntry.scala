@@ -1480,6 +1480,38 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q228_fleiss_kappa" -> ((s, dir) => {
+      // Fleiss' kappa for THREE cheap quality raters at once — stopword
+      // band, token band, char band — the multi-rater agreement q136's
+      // pairwise Cohen can't report; one conditional aggregate, integer
+      // vote masses
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val num = size(stops).cast("long")
+      val den = size(toks).cast("long")
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.fleissKappa(d, Seq(
+        when(num * 10 < den, 0L).when(num * 5 < den, 1L).otherwise(2L),
+        when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L)),
+        numCategories = 3)
+    }),
+
+    "q229_anova" -> ((s, dir) => {
+      // one-way ANOVA F + eta^2 of token count across the 20 sources —
+      // does the mean length differ by source, and how much variance
+      // does source explain? per-group integral moments, sorted fold
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.anovaF(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
     "q226_rate_diff" -> ((s, dir) => {
       // two-proportion z comparison of the stopword-pass rate between
       // sources src0 and src1 — the A/B answer q191's per-group Wilson
@@ -4299,6 +4331,65 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q228_fleiss_kappa" ->
+      // the same three band raters, per-row vote squares, k*C conditional
+      // masses, and the P-bar/P-e/kappa double chains spelled identically
+      ("WITH base AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS den, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "r AS (SELECT " +
+        "CASE WHEN num * 10 < den THEN 0 WHEN num * 5 < den THEN 1 ELSE 2 END AS r0, " +
+        "CASE WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END AS r1, " +
+        "CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS r2 FROM base), " +
+        "b AS (SELECT " +
+        "(CASE WHEN r0 = 0 THEN 1 ELSE 0 END + CASE WHEN r1 = 0 THEN 1 ELSE 0 END + CASE WHEN r2 = 0 THEN 1 ELSE 0 END) AS v0, " +
+        "(CASE WHEN r0 = 1 THEN 1 ELSE 0 END + CASE WHEN r1 = 1 THEN 1 ELSE 0 END + CASE WHEN r2 = 1 THEN 1 ELSE 0 END) AS v1, " +
+        "(CASE WHEN r0 = 2 THEN 1 ELSE 0 END + CASE WHEN r1 = 2 THEN 1 ELSE 0 END + CASE WHEN r2 = 2 THEN 1 ELSE 0 END) AS v2 FROM r), " +
+        "m AS (SELECT count(*) AS n, " +
+        "COALESCE(sum(v0 * v0 + v1 * v1 + v2 * v2), 0) AS ss, " +
+        "COALESCE(sum(v0), 0) AS c0, COALESCE(sum(v1), 0) AS c1, COALESCE(sum(v2), 0) AS c2 FROM b), " +
+        "f AS (SELECT n, " +
+        "(CAST(ss AS DOUBLE) - CAST(n AS DOUBLE) * 3.0) / " +
+        "(CAST(n AS DOUBLE) * 3.0 * (3.0 - 1)) AS pbar, " +
+        "CAST(CAST(c0 AS HUGEINT) * CAST(c0 AS HUGEINT) + CAST(c1 AS HUGEINT) * CAST(c1 AS HUGEINT) + " +
+        "CAST(c2 AS HUGEINT) * CAST(c2 AS HUGEINT) AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * 3.0 * (CAST(n AS DOUBLE) * 3.0)) AS pe, " +
+        "CAST(c0 AS HUGEINT) * CAST(c0 AS HUGEINT) + CAST(c1 AS HUGEINT) * CAST(c1 AS HUGEINT) + " +
+        "CAST(c2 AS HUGEINT) * CAST(c2 AS HUGEINT) AS cesum FROM m) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_raters, " +
+        "CASE WHEN n > 0 THEN floor(pbar * 10000 + 0.5) / 10000 END AS p_bar, " +
+        "CASE WHEN n > 0 THEN floor(pe * 10000 + 0.5) / 10000 END AS p_e, " +
+        "CASE WHEN n > 0 AND cesum <> CAST(n AS HUGEINT) * 3 * (CAST(n AS HUGEINT) * 3) THEN " +
+        "floor((pbar - pe) / (1.0 - pe) * 10000 + 0.5) / 10000 END AS kappa " +
+        "FROM f"),
+
+    "q229_anova" ->
+      // same per-group integral moments, the same ORDER BY group fold
+      // for the between-mass, the same F and eta^2 chains
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "grp AS (SELECT g, count(*) AS n, sum(CAST(tok AS HUGEINT)) AS s, " +
+        "sum(CAST(tok AS HUGEINT) * CAST(tok AS HUGEINT)) AS q FROM v GROUP BY g), " +
+        "one AS (SELECT list(struct_pack(n := n, s := s) ORDER BY g) AS gs, " +
+        "sum(n) AS n, count(*) AS k, sum(s) AS st, sum(q) AS qt FROM grp), " +
+        "f AS (SELECT n, k, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE) / CAST((e).n AS DOUBLE))), (a, b) -> a + b) - " +
+        "CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS ssb, " +
+        "CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS sst " +
+        "FROM one) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups, " +
+        "CASE WHEN k > 1 AND n > k AND sst - ssb > 0 THEN " +
+        "floor(ssb / (CAST(k AS DOUBLE) - 1) / ((sst - ssb) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) * 10000 + 0.5) / 10000 END AS f, " +
+        "CASE WHEN sst > 0 THEN CAST(floor(ssb / sst * 10000 + 0.5) AS BIGINT) END AS eta2_bp " +
+        "FROM f"),
 
     "q226_rate_diff" ->
       // same integer pass masses per side, the same pooled-z double chain

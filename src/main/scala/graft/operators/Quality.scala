@@ -1289,6 +1289,123 @@ object Quality {
           .otherwise(lit(null).cast("double")).as("chi2_cc"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for MORE
+    * THAN TWO raters over a shared category space, what
+    * [[graft.operators.Normalize.cohenKappa]] (pairwise) can't report:
+    * "do the three cheap quality bands agree beyond their marginals?"
+    * asked of all raters at once. One row:
+    * (n, k_raters, p_bar, p_e, kappa), all statistics floor-rounded,
+    * kappa null when chance agreement saturates.
+    *
+    * Exactness: with per-item category votes n_ij,
+    * P̄ = (Σ_ij n_ij² − N·k)/(N·k·(k−1)) and P̄_e = Σ_j c_j²/(N·k)² clear
+    * to INTEGER sums — Σ n_ij² is a per-row integer expression over the
+    * fixed category range, the category totals c_j are k·C conditional
+    * counters — so everything is one conditional aggregate and the
+    * divisions happen once.
+    *
+    * Scale shape: ONE single-row aggregate with map-side partials
+    * (C + 2 counters cross the shuffle); no join, no window.
+    */
+  def fleissKappa(
+      df: DataFrame,
+      raters: Seq[Column],
+      numCategories: Int): DataFrame = {
+    require(raters.size >= 2, "Fleiss needs at least 2 raters")
+    require(numCategories >= 2 && numCategories <= 1000, "2 <= categories <= 1000")
+    val k = raters.size
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df
+      .filter(raters.map(_.isNotNull).reduce(_ && _))
+      .select(raters.zipWithIndex.map { case (r, i) =>
+        r.cast("long").as(s"_r$i") }: _*)
+    def votes(j: Int): Column = raters.indices
+      .map(i => when(col(s"_r$i") === j.toLong, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val rowSumSq = (0 until numCategories)
+      .map(j => votes(j) * votes(j)).reduce(_ + _)
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        coalesce(sum(rowSumSq), lit(0L)).as("_ss")) ++
+        (0 until numCategories).map(j =>
+          coalesce(sum(votes(j)), lit(0L)).as(s"_c$j"))
+    val one = v.agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    val kd = lit(k.toDouble)
+    val pbar = (col("_ss").cast("double") - nd * kd) /
+      (nd * kd * (kd - 1))
+    val ce = (0 until numCategories)
+      .map(j => col(s"_c$j").cast(dec) * col(s"_c$j").cast(dec))
+      .reduce(_ + _)
+    val pe = ce.cast("double") / (nd * kd * (nd * kd))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    one.select(
+      col("n"), lit(k.toLong).as("k_raters"),
+      when(col("n") > 0, r4(pbar)).otherwise(lit(null).cast("double"))
+        .as("p_bar"),
+      when(col("n") > 0, r4(pe)).otherwise(lit(null).cast("double"))
+        .as("p_e"),
+      when(col("n") > 0 &&
+        ce =!= col("n").cast(dec) * lit(k) * (col("n").cast(dec) * lit(k)),
+        r4((pbar - pe) / (lit(1.0) - pe)))
+        .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
+  /** One-way ANOVA F + eta² over an INTEGRAL measure (Fisher 1925) —
+    * "does mean token count actually differ by source, and how much of
+    * the variance does source explain?" — the k-group mean-shift test
+    * completing the two-sample family ([[mannWhitneyU]] compares two
+    * distributions; this compares k group MEANS). One row:
+    * (n, k_groups, f, eta2_bp), F floor-rounded, eta² in basis points,
+    * null when degenerate (k < 2, N <= k, or zero within-variance).
+    *
+    * Exactness: per-group (n_g, Σv, Σv²) are INTEGER sums in
+    * DECIMAL(38,0) (the measure is integral by contract — token counts,
+    * char counts, event counts), so the only float work is the final
+    * SSB/SST chain, whose Σ s_g²/n_g term folds over the SORTED
+    * collected group list (groups are a bounded dimension — the q186
+    * fold idiom) and replays engine-for-engine.
+    *
+    * Scale shape: ONE group-keyed hash aggregate with map-side partials
+    * (three counters per group cross the shuffle), one single-row fold.
+    */
+  def anovaF(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+    val groups = v.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_v").cast(dec)).as("_s"),
+        sum(col("_v").cast(dec) * col("_v").cast(dec)).as("_q"))
+    val one = groups.groupBy().agg(
+      sort_array(collect_list(struct(col("_g"), col("_n"), col("_s"))))
+        .as("gs"),
+      sum(col("_n")).as("n"),
+      count(lit(1)).as("k_groups"),
+      sum(col("_s")).as("_st"),
+      sum(col("_q")).as("_qt"))
+    val nd = col("n").cast("double")
+    val kd = col("k_groups").cast("double")
+    val sd = col("_st").cast("double")
+    val ssb = aggregate(col("gs"), lit(0.0), (a, e) =>
+      a + e.getField("_s").cast("double") * e.getField("_s").cast("double") /
+        e.getField("_n").cast("double")) - sd * sd / nd
+    val sst = col("_qt").cast("double") - sd * sd / nd
+    val ssw = sst - ssb
+    val f = ssb / (kd - 1) / (ssw / (nd - kd))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    one.select(
+      col("n"), col("k_groups"),
+      when(col("k_groups") > 1 && col("n") > col("k_groups") && ssw > 0,
+        r4(f)).otherwise(lit(null).cast("double")).as("f"),
+      when(sst > 0,
+        floor(ssb / sst * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("eta2_bp"))
+  }
+
   /** Uncertainty coefficient (Theil's U, 1970) + mutual information for
     * two categorical columns — the DIRECTIONAL association audit
     * [[chiSquareIndependence]] can't give: U(X|Y) = I(X;Y)/H(X) is the

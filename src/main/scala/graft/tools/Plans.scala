@@ -134,6 +134,8 @@ object Plans {
     "q225_uncertainty_coeff" -> "one row-level hash aggregate to label cells, two cell-sized marginal aggregates + broadcast joins, then every entropy/MI term folds in-row over SORTED collected lists (marginals derive via array_distinct of the sorted cell list) — deterministic double sums, no cross join, no window",
     "q226_rate_diff" -> "one single-row conditional aggregate per slice (map-side partials — two counters per side cross the shuffle), one broadcast meet, every display from the four integer masses in one double chain",
     "q227_mcnemar" -> "ONE single-row conditional aggregate (four map-side decision counters over the paired rules); the statistic is one double chain over two integers — the cheapest plan any query in the registry can have",
+    "q228_fleiss_kappa" -> "ONE single-row conditional aggregate: per-row vote squares and C + 2 counters partial map-side, so only five numbers cross the shuffle; P-bar and P-e are integer rationals dividing once — no join, no window",
+    "q229_anova" -> "ONE group-keyed hash aggregate with map-side partials (three integral DECIMAL moments per group); the between-mass folds over the SORTED collected group list in-row and F/eta2 divide once — groups are a bounded dimension, nothing corpus-sized past the first exchange",
     "q215_score_drift" -> "reference deciles enter as PLAN LITERALS (percentileValues runs its own distributed-rank pass first); binning is a map-side CASE chain, the union partial-aggregates into 10 bin rows before the only exchange, and the PSI fold is a single-row agg over the fixed spine",
     "q213_fairness_audit" -> "one map-side projection (rational score, DECIMAL cross-multiplied decision) + ONE group-keyed hash aggregate with map-side partials — the only exchange carries groups, not rows; rates integer-rendered in the final project",
     "q212_drift_attribution" -> "ONE union + ONE bucket-keyed aggregate carries both sides' masses AND the min-token sample (SortAggregate — the string min buffer is variable-width so Spark skips hash agg — but partials still run map-side and only bucket rows shuffle); ppm rates are DECIMAL integral divisions; top-k is TakeOrderedAndProject — per-partition k-heaps, no global sort"

@@ -173,6 +173,51 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("fleissKappa: perfect agreement is 1, vote masses bound p_e, bounds hold (10 rounds)") {
+    val cGen = Gen.choose(0L, 2L)
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(40, Gen.zip(cGen, cGen, cGen)), 20000L + round)
+      val df = rows.toDF("r0", "r1", "r2")
+      val got = Quality.fleissKappa(df,
+        Seq(col("r0"), col("r1"), col("r2")), 3)
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double])].head()
+      assert(got._1 == 40L && got._2 == 3L)
+      assert(got._3.exists(p => p >= 0.0 && p <= 1.0), s"round $round: p_bar in [0,1]")
+      assert(got._4.exists(p => p >= 0.0 && p <= 1.0001), s"round $round: p_e in [0,1]")
+      got._5.foreach(k => assert(k <= 1.0, s"round $round: kappa <= 1"))
+      val perfect = Quality.fleissKappa(df,
+        Seq(col("r0"), col("r0"), col("r0")), 3)
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double])].head()
+      assert(perfect._3.contains(1.0), s"round $round: unanimous raters have p_bar 1")
+      assert(perfect._5.isEmpty || perfect._5.contains(1.0),
+        s"round $round: unanimous kappa is 1 (or null when one category takes all)")
+    }
+  }
+
+  test("anovaF: F non-negative, eta2 in range, zero within-variance and single-group degenerate (10 rounds)") {
+    val gGen = Gen.oneOf("a", "b", "c")
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(45, Gen.zip(gGen, Gen.choose(0L, 50L))), 21000L + round)
+      val df = rows.toDF("g", "v")
+      val got = Quality.anovaF(df, col("v"), col("g"))
+        .as[(Long, Long, Option[Double], Option[Long])].head()
+      assert(got._1 == 45L)
+      got._3.foreach(f => assert(f >= 0.0, s"round $round: F >= 0"))
+      got._4.foreach(e => assert(e >= 0L && e <= 10000L, s"round $round: eta2 in bp range"))
+      // group-constant values: all variance is between groups
+      val sep = Quality.anovaF(
+        rows.map { case (g, _) => (g, g.head.toLong) }.toDF("g", "v"),
+        col("v"), col("g"))
+        .as[(Long, Long, Option[Double], Option[Long])].head()
+      assert(sep._3.isEmpty && (sep._4.isEmpty || sep._4.contains(10000L)),
+        s"round $round: zero within-variance must null F and saturate eta2")
+      val single = Quality.anovaF(df.withColumn("g", lit("one")), col("v"), col("g"))
+        .as[(Long, Long, Option[Double], Option[Long])].head()
+      assert(single._3.isEmpty && (single._4.isEmpty || single._4.contains(0L)),
+        s"round $round: one group has no between-variance")
+    }
+  }
+
   test("uncertaintyCoefficient: U in [0,1], MI bounded by entropies, identity and independence (10 rounds)") {
     val lGen = Gen.oneOf("a", "b", "c", "d")
     for (round <- 0 until 10) {
