@@ -1480,6 +1480,36 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q230_brown_forsythe" -> ((s, dir) => {
+      // Brown-Forsythe robust variance-homogeneity: did the token-count
+      // SPREAD change across sources where q229 asked about the mean?
+      // exact group medians doubled to integers, anovaF on |2v - 2m|
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.brownForsythe(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
+    "q231_cronbach_alpha" -> ((s, dir) => {
+      // Cronbach's alpha over q228's three quality bands: do the cheap
+      // sub-signals hang together as one scale before anyone averages
+      // them? integer variance numerators, one aggregate
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val num = size(stops).cast("long")
+      val den = size(toks).cast("long")
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.cronbachAlpha(d, Seq(
+        when(num * 10 < den, 0L).when(num * 5 < den, 1L).otherwise(2L),
+        when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L)))
+    }),
+
     "q228_fleiss_kappa" -> ((s, dir) => {
       // Fleiss' kappa for THREE cheap quality raters at once — stopword
       // band, token band, char band — the multi-rater agreement q136's
@@ -4331,6 +4361,62 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q230_brown_forsythe" ->
+      // quantile_cont == the exact grouped order statistic (q205/q215
+      // interpolation-parity precedent), doubled to an integer center,
+      // then q229's ANOVA chain verbatim on the doubled deviations
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "med AS (SELECT g, CAST(quantile_cont(tok, 0.5) * 2 AS BIGINT) AS m2 FROM v GROUP BY g), " +
+        "dd AS (SELECT g, abs(2 * tok - m2) AS tok2 FROM v JOIN med USING (g)), " +
+        "grp AS (SELECT g, count(*) AS n, sum(CAST(tok2 AS HUGEINT)) AS s, " +
+        "sum(CAST(tok2 AS HUGEINT) * CAST(tok2 AS HUGEINT)) AS q FROM dd GROUP BY g), " +
+        "one AS (SELECT list(struct_pack(n := n, s := s) ORDER BY g) AS gs, " +
+        "sum(n) AS n, count(*) AS k, sum(s) AS st, sum(q) AS qt FROM grp), " +
+        "f AS (SELECT n, k, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE) / CAST((e).n AS DOUBLE))), (a, b) -> a + b) - " +
+        "CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS ssb, " +
+        "CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS sst " +
+        "FROM one) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups, " +
+        "CASE WHEN k > 1 AND n > k AND sst - ssb > 0 THEN " +
+        "floor(ssb / (CAST(k AS DOUBLE) - 1) / ((sst - ssb) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) * 10000 + 0.5) / 10000 END AS f, " +
+        "CASE WHEN sst > 0 THEN CAST(floor(ssb / sst * 10000 + 0.5) AS BIGINT) END AS eta2_bp " +
+        "FROM f"),
+
+    "q231_cronbach_alpha" ->
+      // q228's band raters as items, integer variance numerators
+      // n*Sum(x^2) - Sum(x)^2 per item and for the row total, the
+      // k/(k-1) literal spelled as its exact double 1.5
+      ("WITH base AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS den, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "r AS (SELECT " +
+        "CASE WHEN num * 10 < den THEN 0 WHEN num * 5 < den THEN 1 ELSE 2 END AS r0, " +
+        "CASE WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END AS r1, " +
+        "CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS r2 FROM base), " +
+        "v AS (SELECT r0, r1, r2, r0 + r1 + r2 AS t FROM r), " +
+        "m AS (SELECT count(*) AS n, " +
+        "sum(CAST(t AS HUGEINT)) AS st, sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS qt, " +
+        "sum(CAST(r0 AS HUGEINT)) AS s0, sum(CAST(r0 AS HUGEINT) * CAST(r0 AS HUGEINT)) AS q0, " +
+        "sum(CAST(r1 AS HUGEINT)) AS s1, sum(CAST(r1 AS HUGEINT) * CAST(r1 AS HUGEINT)) AS q1, " +
+        "sum(CAST(r2 AS HUGEINT)) AS s2, sum(CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT)) AS q2 FROM v), " +
+        "f AS (SELECT n, " +
+        "(CAST(n AS HUGEINT) * q0 - s0 * s0) + (CAST(n AS HUGEINT) * q1 - s1 * s1) + " +
+        "(CAST(n AS HUGEINT) * q2 - s2 * s2) AS vi, " +
+        "CAST(n AS HUGEINT) * qt - st * st AS vt FROM m) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_items, " +
+        "CASE WHEN n > 1 AND vt <> 0 THEN " +
+        "floor(1.5 * (1.0 - CAST(vi AS DOUBLE) / CAST(vt AS DOUBLE)) * 10000 + 0.5) / 10000 END AS alpha " +
+        "FROM f"),
 
     "q228_fleiss_kappa" ->
       // the same three band raters, per-row vote squares, k*C conditional

@@ -1406,6 +1406,83 @@ object Quality {
         .otherwise(lit(null).cast("long")).as("eta2_bp"))
   }
 
+  /** Brown-Forsythe variance-homogeneity test (Brown & Forsythe 1974 —
+    * Levene's test with the MEDIAN center, the robust form): "did the
+    * SPREAD change across groups?" where [[anovaF]] asks about the mean
+    * — a mixture whose sources agree on mean token count but not on its
+    * variance still needs re-weighting. One row:
+    * (n, k_groups, f, eta2_bp) — the one-way F over absolute deviations
+    * from the group median.
+    *
+    * Exactness trick: over an INTEGRAL measure the doubled deviation
+    * |2·v − 2·median| is itself integral (an exact median of integers
+    * is k or k+0.5, so 2·median is an integer), and the F statistic is
+    * scale-invariant, so running [[anovaF]]'s integer-moment machinery
+    * on doubled deviations computes the Brown-Forsythe F with no float
+    * anywhere before the final chain. Group medians are exact
+    * distributed order statistics ([[GlobalRank.groupedPercentileTable]]
+    * — bounded-driver contract, broadcast back as a groups-sized
+    * table); the deviation projection is map-side.
+    */
+  def brownForsythe(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+    val med = GlobalRank.groupedPercentileTable(v, "_g", "_v", Seq(0.5), Seq("_m"))
+    val dev = v.join(broadcast(med), "_g")
+      .select(col("_g"),
+        abs(lit(2L) * col("_v") - (col("_m") * 2).cast("long")).as("_d"))
+    anovaF(dev, col("_d"), col("_g"))
+  }
+
+  /** Cronbach's alpha (Cronbach 1951) — internal consistency of k
+    * INTEGRAL item scores measuring one construct: "do the quality
+    * sub-signals hang together as a scale, or is each measuring its own
+    * thing?" — the audit run before averaging sub-scores into one
+    * quality number. One row: (n, k_items, alpha), floor-rounded, null
+    * when the total-score variance is zero.
+    *
+    * Exactness: α = k/(k−1)·(1 − Σσ²ᵢ/σ²ₜ) where every variance
+    * numerator clears to the integer n·Σx² − (Σx)² (the n(n−1)
+    * denominators cancel in the ratio), summed per item and for the
+    * per-row total score — all DECIMAL(38,0) moments in ONE single-row
+    * aggregate (2k+2 counters cross the shuffle), one double chain.
+    */
+  def cronbachAlpha(
+      df: DataFrame,
+      items: Seq[Column]): DataFrame = {
+    require(items.size >= 2, "alpha needs at least 2 items")
+    val k = items.size
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df
+      .filter(items.map(_.isNotNull).reduce(_ && _))
+      .select((items.zipWithIndex.map { case (c, i) =>
+        c.cast("long").as(s"_x$i") } :+
+        items.map(_.cast("long")).reduce(_ + _).as("_t")): _*)
+    val aggs =
+      Seq(count(lit(1)).as("n"),
+        sum(col("_t").cast(dec)).as("_st"),
+        sum(col("_t").cast(dec) * col("_t").cast(dec)).as("_qt")) ++
+        (0 until k).flatMap(i => Seq(
+          sum(col(s"_x$i").cast(dec)).as(s"_s$i"),
+          sum(col(s"_x$i").cast(dec) * col(s"_x$i").cast(dec)).as(s"_q$i")))
+    val one = v.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast(dec)
+    def vnum(s: Column, q: Column): Column = nD * q - s * s
+    val vItems = (0 until k)
+      .map(i => vnum(col(s"_s$i"), col(s"_q$i"))).reduce(_ + _)
+    val vTotal = vnum(col("_st"), col("_qt"))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    one.select(
+      col("n"), lit(k.toLong).as("k_items"),
+      when(col("n") > 1 && vTotal =!= lit(0).cast(dec),
+        r4(lit(k.toDouble / (k - 1)) *
+          (lit(1.0) - vItems.cast("double") / vTotal.cast("double"))))
+        .otherwise(lit(null).cast("double")).as("alpha"))
+  }
+
   /** Uncertainty coefficient (Theil's U, 1970) + mutual information for
     * two categorical columns — the DIRECTIONAL association audit
     * [[chiSquareIndependence]] can't give: U(X|Y) = I(X;Y)/H(X) is the

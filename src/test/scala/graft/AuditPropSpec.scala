@@ -218,6 +218,48 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("brownForsythe: translation-invariant, F >= 0, group-constant degenerate (10 rounds)") {
+    val gGen = Gen.oneOf("a", "b", "c")
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(45, Gen.zip(gGen, Gen.choose(0L, 60L))), 22000L + round)
+      val df = rows.toDF("g", "v")
+      val got = Quality.brownForsythe(df, col("v"), col("g"))
+        .as[(Long, Long, Option[Double], Option[Long])].head()
+      got._3.foreach(f => assert(f >= 0.0, s"round $round: F >= 0"))
+      // shifting every value by a constant moves the medians with it:
+      // the deviations, and the statistic, are EXACTLY unchanged
+      val shifted = Quality.brownForsythe(
+        rows.map { case (g, v) => (g, v + 1000L) }.toDF("g", "v"),
+        col("v"), col("g"))
+        .as[(Long, Long, Option[Double], Option[Long])].head()
+      assert(got == shifted, s"round $round: translation invariance must be exact")
+      val const = Quality.brownForsythe(
+        rows.map { case (g, _) => (g, g.head.toLong) }.toDF("g", "v"),
+        col("v"), col("g"))
+        .as[(Long, Long, Option[Double], Option[Long])].head()
+      assert(const._3.isEmpty && const._4.isEmpty,
+        s"round $round: zero spread everywhere nulls the test")
+    }
+  }
+
+  test("cronbachAlpha: identical items score exactly 1, alpha <= 1 (10 rounds)") {
+    val iGen = Gen.choose(0L, 5L)
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(40, Gen.zip(iGen, iGen, iGen)), 23000L + round)
+      val df = rows.toDF("a", "b", "c")
+      val got = Quality.cronbachAlpha(df, Seq(col("a"), col("b"), col("c")))
+        .as[(Long, Long, Option[Double])].head()
+      assert(got._1 == 40L && got._2 == 3L)
+      got._3.foreach(a => assert(a <= 1.0, s"round $round: alpha <= 1 ($a)"))
+      val same = Quality.cronbachAlpha(df, Seq(col("a"), col("a"), col("a")))
+        .as[(Long, Long, Option[Double])].head()
+      // k identical items: item-variance sum is k*v, total variance k^2*v,
+      // so alpha = k/(k-1) * (1 - 1/k) = 1 exactly (or null if v = 0)
+      assert(same._3.isEmpty || same._3.contains(1.0),
+        s"round $round: identical items must score exactly 1")
+    }
+  }
+
   test("uncertaintyCoefficient: U in [0,1], MI bounded by entropies, identity and independence (10 rounds)") {
     val lGen = Gen.oneOf("a", "b", "c", "d")
     for (round <- 0 until 10) {
