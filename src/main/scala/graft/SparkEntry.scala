@@ -1480,6 +1480,23 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q232_fdr_screen" -> ((s, dir) => {
+      // the meta-audit: per-source KS-vs-rest screen over token counts
+      // (which source's length distribution deviates from the corpus?),
+      // then Benjamini-Hochberg so 20 simultaneous tests don't buy one
+      // false drift alarm per screen by chance
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val ks = operators.Quality.groupedKsTest(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+      operators.Quality.bhAdjust(ks, col("group_key"), col("p_value"))
+        .join(broadcast(ks.select(col("group_key").as("test_key"),
+          col("n_g"), col("ks_d"))), "test_key")
+        .select(col("test_key"), col("n_g"), col("ks_d"), col("p_value"),
+          col("p_rank"), col("p_adj"), col("reject"))
+    }),
+
     "q230_brown_forsythe" -> ((s, dir) => {
       // Brown-Forsythe robust variance-homogeneity: did the token-count
       // SPREAD change across sources where q229 asked about the mean?
@@ -4361,6 +4378,47 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q232_fdr_screen" ->
+      // the per-group KS spine (groups x pooled values, per-group window
+      // cumsum, HUGEINT cross-masses vs the complement), q220's display
+      // chains, then the BH step-up as 1-based list arithmetic
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "pgv AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM pgv GROUP BY v), " +
+        "gr AS (SELECT g, sum(c) AS ng FROM pgv GROUP BY g), " +
+        "t AS (SELECT sum(cv) AS n FROM pv), " +
+        "ca AS (SELECT v, sum(cv) OVER (ORDER BY v) AS cumall FROM pv), " +
+        "sp AS (SELECT gr.g, gr.ng, ca.v, ca.cumall FROM gr, ca), " +
+        "jj AS (SELECT sp.g, sp.ng, sp.v, sp.cumall, COALESCE(pgv.c, 0) AS c " +
+        "FROM sp LEFT JOIN pgv ON pgv.g = sp.g AND pgv.v = sp.v), " +
+        "w AS (SELECT g, ng, cumall, " +
+        "sum(c) OVER (PARTITION BY g ORDER BY v) AS cumg FROM jj), " +
+        "dd AS (SELECT g, max(ng) AS ng, " +
+        "max(abs(CAST(cumg AS HUGEINT) * (CAST(n AS HUGEINT) - CAST(ng AS HUGEINT)) - " +
+        "(CAST(cumall AS HUGEINT) - CAST(cumg AS HUGEINT)) * CAST(ng AS HUGEINT))) AS dnum " +
+        "FROM w, t GROUP BY g), " +
+        "ks AS (SELECT g, ng, CAST(n AS BIGINT) - ng AS nrest, dnum FROM dd, t), " +
+        "kr AS (SELECT g, ng, nrest, " +
+        "floor(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)) * 10000 + 0.5) / 10000 AS ks_d, " +
+        "floor(least(1.0, 2.0 * exp(-2.0 * " +
+        "(sqrt(CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE) / (CAST(ng AS DOUBLE) + CAST(nrest AS DOUBLE))) * " +
+        "(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)))) * " +
+        "(sqrt(CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE) / (CAST(ng AS DOUBLE) + CAST(nrest AS DOUBLE))) * " +
+        "(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS p " +
+        "FROM ks), " +
+        "l AS (SELECT list(struct_pack(p := p, k := g) ORDER BY p, g) AS ps, count(*) AS m FROM kr), " +
+        "wsx AS (SELECT ps, m, list_transform(range(1, CAST(m + 1 AS BIGINT)), " +
+        "i -> ps[i].p * CAST(m AS DOUBLE) / CAST(i AS DOUBLE)) AS ws FROM l), " +
+        "ex AS (SELECT unnest(range(1, CAST(m + 1 AS BIGINT))) AS j, ps, ws, m FROM wsx), " +
+        "bh AS (SELECT ps[j].k AS test_key, ps[j].p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
+        "floor(least(1.0, list_min(ws[j:m])) * 10000 + 0.5) / 10000 AS p_adj FROM ex) " +
+        "SELECT bh.test_key, kr.ng AS n_g, kr.ks_d, bh.p_value, bh.p_rank, bh.p_adj, " +
+        "(bh.p_adj <= 0.1) AS reject " +
+        "FROM bh JOIN kr ON kr.g = bh.test_key"),
 
     "q230_brown_forsythe" ->
       // quantile_cont == the exact grouped order statistic (q205/q215

@@ -1406,6 +1406,122 @@ object Quality {
         .otherwise(lit(null).cast("long")).as("eta2_bp"))
   }
 
+  /** Per-group two-sample KS screen — [[ksTest]] asked once PER GROUP
+    * against the group's complement: "WHICH source's value distribution
+    * deviates from the rest of the corpus?" — the fan-out form that
+    * turns the pairwise test into a screening report (feed the p-values
+    * to [[bhAdjust]] to control the screen's false discoveries). One
+    * row per group: (group_key, n_g, n_rest, ks_d, p_value), the
+    * ksTest display chains verbatim.
+    *
+    * Exactness: the supremum for group g must scan ALL pooled distinct
+    * values (a value absent from g can still move the complement's
+    * CDF), so the per-group cumulative runs over the groups × values
+    * spine — groups are a bounded dimension (the q186 cross
+    * discipline), values carry the same integer cross-mass numerators
+    * as [[ksTest]] with cum_rest = cum_all − cum_g.
+    *
+    * Scale shape: one row-level hash agg to (group, value) cells
+    * (persisted — three consumers), one value-keyed roll-up + ONE
+    * `weightedPrefixSums` pass for the global cumulative, a broadcast
+    * cross with the bounded group table, a PARTITIONED window per group
+    * (never single-partition), one group-keyed max.
+    */
+  def groupedKsTest(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
+    val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val groups = perGV.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
+    val totals = perV.agg(coalesce(sum(col("_cv")), lit(0L)).as("_n"))
+    val cumAll = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_xa")
+      .select(col("_v"), (col("_xa") + col("_cv")).as("_cumall"))
+    val spine = cumAll.crossJoin(broadcast(groups))
+      .join(perGV, Seq("_g", "_v"), "left")
+      .select(col("_g"), col("_ng"), col("_v"), col("_cumall"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val cumG = sum(col("_c")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_g")).orderBy(col("_v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+    val num = abs(col("_cumg").cast(dec) *
+        (col("_n") - col("_ng")).cast(dec) -
+      (col("_cumall") - col("_cumg")).cast(dec) * col("_ng").cast(dec))
+    val ngd = col("_ng").cast("double")
+    val nrd = col("n_rest").cast("double")
+    val d = col("_dnum").cast("double") / (ngd * nrd)
+    val lambda = sqrt(ngd * nrd / (ngd + nrd)) * d
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    spine
+      .withColumn("_cumg", cumG)
+      .crossJoin(broadcast(totals))
+      .groupBy(col("_g"), col("_ng"), col("_n"))
+      .agg(max(num).as("_dnum"))
+      .select(col("_g").as("group_key"), col("_ng").as("n_g"),
+        (col("_n") - col("_ng")).as("n_rest"), col("_ng"), col("_dnum"))
+      .select(col("group_key"), col("n_g"), col("n_rest"),
+        r4(d).as("ks_d"),
+        r4(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * lambda * lambda)))
+          .as("p_value"))
+  }
+
+  /** Benjamini-Hochberg FDR adjustment (Benjamini & Hochberg 1995) —
+    * the meta-audit this shelf earns once it reports MANY p-values at
+    * once: at 20 sources and α = 0.05, one "significant" drift per
+    * screen is expected by chance; BH adjusts each p to the smallest
+    * FDR level at which it would be rejected (step-up:
+    * adj_j = min_{i≥j} p_i·m/i, clamped to 1), controlling the expected
+    * fraction of false alarms among the alarms. One row per test:
+    * (test_key, p_value, p_rank, p_adj, reject) — reject from the
+    * ROUNDED adjusted p (the band-from-rounded discipline).
+    *
+    * Scale shape: the input is a screening REPORT (one row per
+    * group/test — a bounded frame by construction), so the sort, the
+    * p·m/i transform, and the suffix-min all run as in-row folds over
+    * one collected sorted list (the calibration idiom) and explode back
+    * to rows. Ties order deterministically by (p, key).
+    */
+  def bhAdjust(
+      df: DataFrame,
+      keyCol: Column,
+      pCol: Column,
+      fdrQ: Double = 0.1): DataFrame = {
+    require(fdrQ > 0 && fdrQ < 1, "FDR level must be in (0, 1)")
+    val v = df.filter(keyCol.isNotNull && pCol.isNotNull)
+      .select(pCol.cast("double").as("_p"), keyCol.as("_k"))
+    val one = v.groupBy().agg(
+      sort_array(collect_list(struct(col("_p"), col("_k")))).as("ps"),
+      count(lit(1)).as("m"))
+    val md = col("m").cast("double")
+    // w_i = p_(i)·m/i in sorted order, 1-based — the same element_at
+    // chain the oracle spells with list indexing
+    val ws = transform(sequence(lit(1L), col("m")),
+      i => element_at(col("ps"), i.cast("int")).getField("_p") * md /
+        i.cast("double"))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    val entries = transform(sequence(lit(1L), col("m")), j => struct(
+      j.as("rnk"),
+      element_at(col("ps"), j.cast("int")).getField("_k").as("k"),
+      element_at(col("ps"), j.cast("int")).getField("_p").as("p"),
+      least(lit(1.0), array_min(slice(col("ws"), j.cast("int"),
+        (col("m") - j + 1).cast("int")))).as("adj")))
+    one
+      // sequence(1, 0) would step DOWNWARD — an empty report must yield
+      // an empty frame, not an element_at(0) throw
+      .filter(col("m") > 0)
+      .select(col("m"), col("ps"), ws.as("ws"))
+      .select(explode(entries).as("e"))
+      .select(col("e.k").as("test_key"), col("e.p").as("p_value"),
+        col("e.rnk").as("p_rank"),
+        r4(col("e.adj")).as("p_adj"),
+        (r4(col("e.adj")) <= fdrQ).as("reject"))
+  }
+
   /** Brown-Forsythe variance-homogeneity test (Brown & Forsythe 1974 —
     * Levene's test with the MEDIAN center, the robust form): "did the
     * SPREAD change across groups?" where [[anovaF]] asks about the mean

@@ -218,6 +218,45 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("groupedKsTest row == ksTest(group, complement), every group (8 rounds)") {
+    val gGen = Gen.oneOf("a", "b", "c")
+    for (round <- 0 until 8) {
+      val rows = draw(Gen.listOfN(60, Gen.zip(gGen, Gen.choose(0L, 25L))), 24000L + round)
+      val df = rows.toDF("g", "v")
+      val screen = Quality.groupedKsTest(df, col("v"), col("g"))
+        .as[(String, Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      rows.map(_._1).distinct.foreach { g =>
+        val pair = Quality.ksTest(
+          df.filter(col("g") === g), df.filter(col("g") =!= g), "v")
+          .as[(Long, Long, Double, Double)].head()
+        val row = screen(g)
+        assert((row._2, row._3, row._4, row._5) == pair,
+          s"round $round group $g: screen row $row must equal the pairwise test $pair")
+      }
+    }
+  }
+
+  test("bhAdjust: textbook step-up, monotone in rank, adj >= p, singleton fixpoint") {
+    val ps = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.05), ("t4", 0.2))
+      .toDF("k", "p")
+    val got = Quality.bhAdjust(ps, col("k"), col("p"), fdrQ = 0.05)
+      .as[(String, Double, Long, Double, Boolean)].collect().sortBy(_._3)
+    // w = [.04, .04, .0667, .2]; suffix mins = [.04, .04, .0667, .2]
+    assert(got.map(r => (r._1, r._4, r._5)).toSeq == Seq(
+      ("t1", 0.04, true), ("t2", 0.04, true),
+      ("t3", 0.0667, false), ("t4", 0.2, false)))
+    val adj = got.map(_._4)
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b },
+      "adjusted p must be non-decreasing in rank")
+    assert(got.forall(r => r._4 >= r._2 - 1e-9), "adjustment never helps a p-value")
+    val single = Quality.bhAdjust(Seq(("only", 0.03)).toDF("k", "p"),
+      col("k"), col("p"))
+      .as[(String, Double, Long, Double, Boolean)].head()
+    assert(single._4 == 0.03 && single._3 == 1L,
+      "a single test adjusts to itself")
+  }
+
   test("brownForsythe: translation-invariant, F >= 0, group-constant degenerate (10 rounds)") {
     val gGen = Gen.oneOf("a", "b", "c")
     for (round <- 0 until 10) {

@@ -95,6 +95,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(totals)): the single-row side totals + value range beside the distinct-value cumulative table (q220's discipline); the next-value gap is an index equi-join",
     "q226_rate_diff" ->
       "crossJoin(broadcast(...)): two ONE-ROW conditional aggregates (one per slice) meeting in the one-row comparison (the q200 discipline)",
+    "q232_fdr_screen" ->
+      "crossJoin(broadcast(groups)) building the bounded groups x values KS spine (the q186 bounded-dimension discipline — a value absent from a group still moves its complement's CDF) + the one-row totals broadcast (q220's discipline)",
     "q211_psi" ->
       "crossJoin(broadcast(totals)): single-row token totals; the data side is the fixed buckets-row spine (q117's discipline)",
     "q212_drift_attribution" ->
