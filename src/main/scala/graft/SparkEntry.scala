@@ -1487,9 +1487,11 @@ object SparkEntry {
       // false drift alarm per screen by chance
       val d = Tables(s, dir, "documents")
         .filter(col("text").isNotNull && col("source").isNotNull)
+      // persisted: the 20-row screen feeds BOTH the BH pass and the
+      // join-back (intra-query lifecycle, Bench/Verify clear caches)
       val ks = operators.Quality.groupedKsTest(d,
         functions.TextAnalysis.tokenCount(col("text")).cast("long"),
-        col("source"))
+        col("source")).persist()
       operators.Quality.bhAdjust(ks, col("group_key"), col("p_value"))
         .join(broadcast(ks.select(col("group_key").as("test_key"),
           col("n_g"), col("ks_d"))), "test_key")
