@@ -1480,6 +1480,33 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    "q233_cochran_q" -> ((s, dir) => {
+      // Cochran's Q omnibus over the THREE keep-rules on the same
+      // documents — q227's McNemar generalized: is any filter
+      // systematically stricter? integer rational, one aggregate
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.cochranQ(d, Seq(
+        size(stops).cast("long") * 20 >= size(toks).cast("long") * 3,
+        tok >= 40,
+        col("n_chars") >= 280))
+    }),
+
+    "q234_kruskal_wallis" -> ((s, dir) => {
+      // Kruskal-Wallis rank ANOVA of token count across sources — the
+      // nonparametric third leg beside q229 (means) and q230 (spreads):
+      // histogram midranks, doubled rank sums, exact tie correction
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.kruskalWallis(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
     "q232_fdr_screen" -> ((s, dir) => {
       // the meta-audit: per-source KS-vs-rest screen over token counts
       // (which source's length distribution deviates from the corpus?),
@@ -4380,6 +4407,62 @@ object SparkEntry {
         "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
         "CAST(floor(CAST(bb AS DOUBLE) / (CAST(nn AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp " +
         "FROM o"),
+
+    "q233_cochran_q" ->
+      // the same three pass indicators, k+2 HUGEINT masses, the same
+      // integer-rational Q chain
+      ("WITH base AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS den, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "d AS (SELECT CASE WHEN num * 20 >= den * 3 THEN 1 ELSE 0 END AS r0, " +
+        "CASE WHEN tok >= 40 THEN 1 ELSE 0 END AS r1, " +
+        "CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END AS r2 FROM base), " +
+        "m AS (SELECT count(*) AS n, " +
+        "COALESCE(sum(CAST(r0 + r1 + r2 AS HUGEINT)), 0) AS t, " +
+        "COALESCE(sum(CAST(r0 + r1 + r2 AS HUGEINT) * CAST(r0 + r1 + r2 AS HUGEINT)), 0) AS u2, " +
+        "COALESCE(sum(CAST(r0 AS HUGEINT)), 0) AS c0, " +
+        "COALESCE(sum(CAST(r1 AS HUGEINT)), 0) AS c1, " +
+        "COALESCE(sum(CAST(r2 AS HUGEINT)), 0) AS c2 FROM d) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_rules, " +
+        "CASE WHEN 3 * t <> u2 THEN " +
+        "floor(2.0 * CAST(3 * (c0 * c0 + c1 * c1 + c2 * c2) - t * t AS DOUBLE) / " +
+        "CAST(3 * t - u2 AS DOUBLE) * 10000 + 0.5) / 10000 END AS q_stat " +
+        "FROM m"),
+
+    "q234_kruskal_wallis" ->
+      // q221's midrank spelling per pooled value, per-group HUGEINT
+      // doubled rank sums, the ORDER BY g fold, the same H and
+      // tie-correction chains
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "pgv AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM pgv GROUP BY v), " +
+        "m2 AS (SELECT v, 2 * (sum(cv) OVER (ORDER BY v) - cv) + cv + 1 AS m2, " +
+        "CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT) - CAST(cv AS HUGEINT) AS t3 FROM pv), " +
+        "tt AS (SELECT COALESCE(sum(t3), 0) AS tt FROM m2), " +
+        "pg AS (SELECT g, sum(c) AS ng, " +
+        "sum(CAST(c AS HUGEINT) * CAST(m2 AS HUGEINT)) AS r2 " +
+        "FROM pgv JOIN m2 USING (v) GROUP BY g), " +
+        "one AS (SELECT list(struct_pack(ng := ng, r2 := r2) ORDER BY g) AS gs, " +
+        "sum(ng) AS n, count(*) AS k FROM pg), " +
+        "f AS (SELECT n, k, tt, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).r2 AS DOUBLE) * CAST((e).r2 AS DOUBLE) / 4 / CAST((e).ng AS DOUBLE))), (a, b) -> a + b) AS fold " +
+        "FROM one, tt), " +
+        "g2 AS (SELECT n, k, " +
+        "12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * fold - 3 * (CAST(n AS DOUBLE) + 1) AS h, " +
+        "1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr " +
+        "FROM f) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups, " +
+        "CASE WHEN k > 1 THEN floor(h * 10000 + 0.5) / 10000 END AS h, " +
+        "CASE WHEN k > 1 AND corr > 0 THEN floor(h / corr * 10000 + 0.5) / 10000 END AS h_adj " +
+        "FROM g2"),
 
     "q232_fdr_screen" ->
       // the per-group KS spine (groups x pooled values, per-group window

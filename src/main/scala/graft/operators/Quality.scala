@@ -1599,6 +1599,109 @@ object Quality {
         .otherwise(lit(null).cast("double")).as("alpha"))
   }
 
+  /** Cochran's Q test (Cochran 1950) — [[mcnemarTest]] generalized to k
+    * PAIRED binary rules on the same corpus: "the three keep-filters
+    * disagree document by document; is any of them systematically
+    * stricter?" — the omnibus check run before pairwise McNemars. One
+    * row: (n, k_rules, q_stat), floor-rounded, null when every document
+    * is unanimous (the statistic's undefined case).
+    *
+    * Exactness: Q = (k−1)·(k·Σc_j² − T²) / (k·T − Σu_i²) with c_j the
+    * per-rule pass masses, u_i the per-row pass counts, T = Σu — an
+    * INTEGER rational (DECIMAL sums, k+2 counters) with one division.
+    *
+    * Scale shape: ONE single-row conditional aggregate with map-side
+    * partials; no join, no window.
+    */
+  def cochranQ(
+      df: DataFrame,
+      rules: Seq[Column]): DataFrame = {
+    require(rules.size >= 2, "Cochran's Q needs at least 2 rules")
+    val k = rules.size
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(rules.map(_.isNotNull).reduce(_ && _))
+      .select((rules.zipWithIndex.map { case (r, i) =>
+        when(r, 1L).otherwise(0L).as(s"_r$i") } :+
+        rules.map(r => when(r, 1L).otherwise(0L)).reduce(_ + _).as("_u")): _*)
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("_u").cast(dec)), lit(0).cast(dec)).as("_t"),
+      coalesce(sum(col("_u").cast(dec) * col("_u").cast(dec)),
+        lit(0).cast(dec)).as("_u2")) ++
+      (0 until k).map(i =>
+        coalesce(sum(col(s"_r$i").cast(dec)), lit(0).cast(dec)).as(s"_c$i"))
+    val one = v.agg(aggs.head, aggs.tail: _*)
+    val cSq = (0 until k).map(i => col(s"_c$i") * col(s"_c$i")).reduce(_ + _)
+    val num = (lit(k) * cSq - col("_t") * col("_t")).cast("double")
+    val den = (lit(k) * col("_t") - col("_u2")).cast("double")
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    one.select(
+      col("n"), lit(k.toLong).as("k_rules"),
+      when(lit(k) * col("_t") =!= col("_u2"),
+        r4(lit((k - 1).toDouble) * num / den))
+        .otherwise(lit(null).cast("double")).as("q_stat"))
+  }
+
+  /** Kruskal-Wallis H test with tie correction (Kruskal & Wallis 1952)
+    * — the RANK one-way ANOVA: [[mannWhitneyU]] generalized to k groups,
+    * the nonparametric third leg of the k-group family beside
+    * [[anovaF]] (means) and [[brownForsythe]] (spreads) — the test to
+    * reach for when the measure is heavy-tailed and a mean shift is the
+    * wrong question. One row: (n, k_groups, h, h_adj), floor-rounded,
+    * h_adj null when every value is tied (the correction's undefined
+    * case); h null when k < 2.
+    *
+    * Exactness: the r14 histogram-midrank kernel again — per-(group,
+    * value) cells from ONE row-level aggregate, doubled midranks
+    * m2 = 2·prefix + count + 1 from ONE [[GlobalRank.weightedPrefixSums]]
+    * pass over the value table, per-group DOUBLED rank sums
+    * R2_g = Σ c·m2 as DECIMAL integers, and the tie masses Σt³−t
+    * likewise; the only float work is the final
+    * H = 12/(n(n+1))·Σ(R2_g²/4)/n_g − 3(n+1) chain, whose Σ folds over
+    * the SORTED collected group list (bounded dimension, the q229
+    * idiom), and the division by the tie factor 1 − ΣT/(n³−n).
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
+    val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val m2 = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_pfx")
+      .select(col("_v"),
+        (lit(2L) * col("_pfx") + col("_cv") + lit(1L)).as("_m2"),
+        (col("_cv").cast(dec) * col("_cv").cast(dec) * col("_cv").cast(dec) -
+          col("_cv").cast(dec)).as("_t3"))
+    val ties = m2.agg(coalesce(sum(col("_t3")), lit(0).cast(dec)).as("_tt"))
+    val perG = perGV.join(m2.select(col("_v"), col("_m2")), "_v")
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(col("_c").cast(dec) * col("_m2").cast(dec)).as("_r2"))
+    val one = perG.groupBy().agg(
+      sort_array(collect_list(struct(col("_g"), col("_ng"), col("_r2"))))
+        .as("gs"),
+      sum(col("_ng")).as("n"),
+      count(lit(1)).as("k_groups"))
+    val nd = col("n").cast("double")
+    // Σ R_g²/n_g with R_g = R2_g/2: fold R2²/4/n_g in sorted group order
+    val fold = aggregate(col("gs"), lit(0.0), (a, e) =>
+      a + e.getField("_r2").cast("double") * e.getField("_r2").cast("double") /
+        4 / e.getField("_ng").cast("double"))
+    val h = lit(12.0) / (nd * (nd + 1)) * fold - lit(3.0) * (nd + 1)
+    val corr = lit(1.0) - col("_tt").cast("double") / (nd * nd * nd - nd)
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    one.crossJoin(broadcast(ties)).select(
+      col("n"), col("k_groups"),
+      when(col("k_groups") > 1, r4(h))
+        .otherwise(lit(null).cast("double")).as("h"),
+      when(col("k_groups") > 1 && corr > 0, r4(h / corr))
+        .otherwise(lit(null).cast("double")).as("h_adj"))
+  }
+
   /** Uncertainty coefficient (Theil's U, 1970) + mutual information for
     * two categorical columns — the DIRECTIONAL association audit
     * [[chiSquareIndependence]] can't give: U(X|Y) = I(X;Y)/H(X) is the

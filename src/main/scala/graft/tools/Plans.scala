@@ -139,6 +139,8 @@ object Plans {
     "q230_brown_forsythe" -> "exact group medians via the bounded groupedPercentileTable machinery broadcast back as a groups-sized table, a map-side |2v - 2m| integral projection, then q229's ANOVA plan verbatim on the doubled deviations — scale-invariance of F makes the doubling free",
     "q231_cronbach_alpha" -> "ONE single-row aggregate of 2k+2 integral DECIMAL moments (per-item and total-score sums and squares partial map-side); every variance numerator is the integer n*Sum(x^2) - Sum(x)^2 and alpha divides once — no join, no window",
     "q232_fdr_screen" -> "one hash agg to (group, value) cells, one prefix-sum pass for the global CDF, a broadcast cross with the BOUNDED group table building the per-group spine, a PARTITIONED window per group (never single-partition), one group-keyed max; the BH step-up then runs entirely in-row over the 20-row screening report",
+    "q233_cochran_q" -> "ONE single-row conditional aggregate (k+2 DECIMAL masses partial map-side — per-rule passes, row-sum, row-sum squares); Q is an integer rational dividing once — q227's plan with one more counter",
+    "q234_kruskal_wallis" -> "one hash agg to (group, value) cells, ONE prefix-sum pass turns the pooled value histogram into doubled midranks, per-group DECIMAL rank sums, the Σ R²/n fold over the SORTED bounded group list, tie masses beside it as a one-row broadcast — the ksTest/mannWhitney plan family generalized to k groups",
     "q215_score_drift" -> "reference deciles enter as PLAN LITERALS (percentileValues runs its own distributed-rank pass first); binning is a map-side CASE chain, the union partial-aggregates into 10 bin rows before the only exchange, and the PSI fold is a single-row agg over the fixed spine",
     "q213_fairness_audit" -> "one map-side projection (rational score, DECIMAL cross-multiplied decision) + ONE group-keyed hash aggregate with map-side partials — the only exchange carries groups, not rows; rates integer-rendered in the final project",
     "q212_drift_attribution" -> "ONE union + ONE bucket-keyed aggregate carries both sides' masses AND the min-token sample (SortAggregate — the string min buffer is variable-width so Spark skips hash agg — but partials still run map-side and only bucket rows shuffle); ppm rates are DECIMAL integral divisions; top-k is TakeOrderedAndProject — per-partition k-heaps, no global sort"

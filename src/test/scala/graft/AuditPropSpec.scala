@@ -257,6 +257,58 @@ class AuditPropSpec extends SparkSpec {
       "a single test adjusts to itself")
   }
 
+  test("cochranQ with two rules equals McNemar's uncorrected chi2 (10 rounds)") {
+    val pGen = Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(40, pGen), 25000L + round)
+      val df = rows.toDF("a", "b")
+      val q = Quality.cochranQ(df, Seq(col("a"), col("b")))
+        .as[(Long, Long, Option[Double])].head()
+      val mc = Quality.mcnemarTest(df, col("a"), col("b"))
+        .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double])].head()
+      // the textbook identity: Q(2 rules) = (b-c)^2/(b+c); both sides are
+      // 4-digit floor renderings of the same rational
+      (q._3, mc._6) match {
+        case (Some(qv), Some(cv)) =>
+          assert(math.abs(qv - cv) <= 1.0001e-4, s"round $round: Q $qv vs McNemar $cv")
+        case (a, b) => assert(a.isEmpty && b.isEmpty, s"round $round: degeneracy must agree")
+      }
+      val unanimous = Quality.cochranQ(df, Seq(col("a"), col("a"), col("a")))
+        .as[(Long, Long, Option[Double])].head()
+      assert(unanimous._3.isEmpty,
+        s"round $round: identical rules never disagree — Q undefined")
+    }
+  }
+
+  test("kruskalWallis with two groups equals the squared tie-corrected MWU z (10 rounds)") {
+    val vGen = Gen.choose(0L, 15L)
+    for (round <- 0 until 10) {
+      val as = draw(Gen.listOfN(25, vGen), 26000L + round)
+      val bs = draw(Gen.listOfN(30, vGen), 26500L + round)
+      val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("g", "v")
+      val kw = Quality.kruskalWallis(df, col("v"), col("g"))
+        .as[(Long, Long, Option[Double], Option[Double])].head()
+      assert(kw._1 == 55L && kw._2 == 2L)
+      val z = Quality.mannWhitneyU(
+        as.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"),
+        bs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"),
+        "v")
+        .as[(Long, Long, Long, Option[Long], Option[Double])].head()._5
+      (kw._4, z) match {
+        case (Some(h), Some(zv)) =>
+          // both are 4-digit renderings computed through different float
+          // chains — agree to a display unit plus rounding slack
+          assert(math.abs(h - zv * zv) < 3e-3,
+            s"round $round: H_adj $h must equal z^2 ${zv * zv}")
+        case _ => // degenerate (all tied) — both sides null-family
+      }
+      val const = Quality.kruskalWallis(
+        df.withColumn("v", lit(7L)), col("v"), col("g"))
+        .as[(Long, Long, Option[Double], Option[Double])].head()
+      assert(const._4.isEmpty, s"round $round: all-tied correction is undefined")
+    }
+  }
+
   test("brownForsythe: translation-invariant, F >= 0, group-constant degenerate (10 rounds)") {
     val gGen = Gen.oneOf("a", "b", "c")
     for (round <- 0 until 10) {

@@ -97,6 +97,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(...)): two ONE-ROW conditional aggregates (one per slice) meeting in the one-row comparison (the q200 discipline)",
     "q232_fdr_screen" ->
       "crossJoin(broadcast(groups)) building the bounded groups x values KS spine (the q186 bounded-dimension discipline — a value absent from a group still moves its complement's CDF) + the one-row totals broadcast (q220's discipline)",
+    "q234_kruskal_wallis" ->
+      "crossJoin(broadcast(ties)): the single-row tie-mass scalar beside the one-row group roll-up (q220's totals discipline)",
     "q211_psi" ->
       "crossJoin(broadcast(totals)): single-row token totals; the data side is the fixed buckets-row spine (q117's discipline)",
     "q212_drift_attribution" ->
