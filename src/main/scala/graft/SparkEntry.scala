@@ -1519,11 +1519,19 @@ object SparkEntry {
       val ks = operators.Quality.groupedKsTest(d,
         functions.TextAnalysis.tokenCount(col("text")).cast("long"),
         col("source")).persist()
+      // the three transcendental-derived displays go out as BIGINT basis
+      // points (the q200 integer-card discipline): the BH arithmetic runs
+      // on the rounded doubles as before, only the FINAL rendering is
+      // integral, and reject derives from the integer form
+      def bp(c: org.apache.spark.sql.Column) =
+        floor(c * 10000 + lit(0.5)).cast("long")
       operators.Quality.bhAdjust(ks, col("group_key"), col("p_value"))
         .join(broadcast(ks.select(col("group_key").as("test_key"),
           col("n_g"), col("ks_d"))), "test_key")
-        .select(col("test_key"), col("n_g"), col("ks_d"), col("p_value"),
-          col("p_rank"), col("p_adj"), col("reject"))
+        .select(col("test_key"), col("n_g"),
+          bp(col("ks_d")).as("ks_d_bp"), bp(col("p_value")).as("p_bp"),
+          col("p_rank"), bp(col("p_adj")).as("p_adj_bp"),
+          (bp(col("p_adj")) <= 1000L).as("reject"))
     }),
 
     "q230_brown_forsythe" -> ((s, dir) => {
@@ -4501,8 +4509,12 @@ object SparkEntry {
         "ex AS (SELECT unnest(range(1, CAST(m + 1 AS BIGINT))) AS j, ps, ws, m FROM wsx), " +
         "bh AS (SELECT ps[j].k AS test_key, ps[j].p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
         "floor(least(1.0, list_min(ws[j:m])) * 10000 + 0.5) / 10000 AS p_adj FROM ex) " +
-        "SELECT bh.test_key, kr.ng AS n_g, kr.ks_d, bh.p_value, bh.p_rank, bh.p_adj, " +
-        "(bh.p_adj <= 0.1) AS reject " +
+        "SELECT bh.test_key, kr.ng AS n_g, " +
+        "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
+        "CAST(floor(bh.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +
+        "bh.p_rank, " +
+        "CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) AS p_adj_bp, " +
+        "(CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) <= 1000) AS reject " +
         "FROM bh JOIN kr ON kr.g = bh.test_key"),
 
     "q230_brown_forsythe" ->
@@ -4796,9 +4808,11 @@ object SparkEntry {
         "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
         "m AS (SELECT ca, cb, ca + cb AS ct, " +
         "2 * (sum(ca + cb) OVER (ORDER BY v) - (ca + cb)) + (ca + cb) + 1 AS m2 FROM pv), " +
-        "a AS (SELECT sum(ca) AS na, sum(cb) AS nb, " +
-        "sum(CAST(ca AS HUGEINT) * CAST(m2 AS HUGEINT)) AS r2, " +
-        "sum(CAST(ct AS HUGEINT) * CAST(ct AS HUGEINT) * CAST(ct AS HUGEINT) - CAST(ct AS HUGEINT)) AS t3 FROM m), " +
+        // COALESCE mirrors the engine's empty-frame semantics: counts of
+        // an empty relation are 0, not NULL (u2 then folds to exact 0)
+        "a AS (SELECT COALESCE(sum(ca), 0) AS na, COALESCE(sum(cb), 0) AS nb, " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * CAST(m2 AS HUGEINT)), 0) AS r2, " +
+        "COALESCE(sum(CAST(ct AS HUGEINT) * CAST(ct AS HUGEINT) * CAST(ct AS HUGEINT) - CAST(ct AS HUGEINT)), 0) AS t3 FROM m), " +
         "f AS (SELECT na, nb, r2 - CAST(na AS HUGEINT) * (CAST(na AS HUGEINT) + 1) AS u2, t3, " +
         "CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd FROM a), " +
         "g AS (SELECT na, nb, u2, nad, nbd, CAST(u2 AS DOUBLE) / 2 AS ud, " +

@@ -1120,10 +1120,13 @@ object Quality {
     cums
       .join(nxt, "_ix") // inner: the last value's CDF gap is zero anyway
       .crossJoin(broadcast(totals))
-      .agg(
-        first(col("_na")).as("_na"), first(col("_nb")).as("_nb"),
-        first(col("_vmin")).as("_vmin"), first(col("_vmax")).as("_vmax"),
-        coalesce(sum(term), lit(0L)).as("_s2"))
+      // aggregate ONLY the gap mass here: with < 2 distinct pooled values
+      // the gap join is empty, and a first(_na) over zero rows would
+      // report NULL counts while the oracle's totals CTE reports the real
+      // ones — so n_a/n_b/vmin/vmax come from the totals row AFTER the
+      // aggregation, unconditionally
+      .agg(coalesce(sum(term), lit(0L)).as("_s2"))
+      .crossJoin(broadcast(totals))
       .select(col("_na").as("n_a"), col("_nb").as("n_b"),
         r4(w1d).as("w1"),
         when(col("_vmax") > col("_vmin"),
@@ -1742,9 +1745,14 @@ object Quality {
         countDistinct(col("_x")).as("k_x"),
         countDistinct(col("_y")).as("k_y"))
     val nd = col("n").cast("double")
-    def margList(key: String, mass: String) = array_distinct(
+    // sort_array AFTER the distinct: the cell list is sorted by (x, y),
+    // so the y-keyed distinct comes out in first-occurrence order (grouped
+    // by ascending x) — but the oracle folds ORDER BY the marginal key,
+    // and double addition is non-associative, so the fold order must be
+    // the key order on BOTH axes (for x it is already; sorting is a no-op)
+    def margList(key: String, mass: String) = sort_array(array_distinct(
       transform(col("cs"), e =>
-        struct(e.getField(key).as("k"), e.getField(mass).as("m"))))
+        struct(e.getField(key).as("k"), e.getField(mass).as("m")))))
     def entropy(list: Column) = -aggregate(list, lit(0.0), (a, e) =>
       a + e.getField("m").cast("double") / nd *
         log(e.getField("m").cast("double") / nd))
@@ -1793,12 +1801,18 @@ object Quality {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType}
     val spark = df.sparkSession
+    // collect through limit(maxCells + 1): the guard must fire BEFORE the
+    // grid materializes on the driver — a miscall on a continuous
+    // (unbucketed) column would otherwise OOM the driver before the
+    // require ever ran. If the limited fetch comes back within budget it
+    // IS the complete grid (limit only truncates past the bound).
     val cells = df.filter(xCol.isNotNull && yCol.isNotNull)
       .select(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
       .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_c"))
+      .limit(maxCells + 1)
       .collect()
     require(cells.length <= maxCells,
-      s"kendallTauB: ${cells.length} grid cells — this is the ordinal " +
+      s"kendallTauB: > $maxCells grid cells — this is the ordinal " +
         "(band/decile/rating) pairwise audit; bucket continuous axes first")
     val yRanks = cells.map(_.getLong(1)).distinct.sorted.zipWithIndex.toMap
     val fen = new Array[Long](yRanks.size + 1)

@@ -107,7 +107,10 @@ object CalibrationMonitor extends Serializable {
             }
             valid.foreach { p =>
               val w = p.ts.getTime / windowMs
-              if (w != st.win) {
+              // an out-of-order event across micro-batches (w < st.win) CLAMPS into
+              // the current window: a close-and-reopen here would emit duplicate
+              // window_start rows and split one window's counts across two emissions
+              if (w > st.win) {
                 close(st)
                 st = BinsState(w, zero, zero, zero, zero,
                   st.cumN, st.cumNPos, st.cumS20, st.cumB20)

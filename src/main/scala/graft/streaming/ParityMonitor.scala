@@ -106,7 +106,10 @@ object ParityMonitor {
             }
             sorted.foreach { e =>
               val w = e.ts.getTime / windowMs
-              if (w != st.win) {
+              // an out-of-order event across micro-batches (w < st.win) CLAMPS into
+              // the current window: a close-and-reopen here would emit duplicate
+              // window_start rows and split one window's counts across two emissions
+              if (w > st.win) {
                 close(st)
                 st = ParityState(w, zero, zero, st.cumN, st.cumNPred)
               }

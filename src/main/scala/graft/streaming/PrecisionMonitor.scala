@@ -88,7 +88,10 @@ object PrecisionMonitor extends Serializable {
             }
             sorted.foreach { e =>
               val w = e.ts.getTime / windowMs
-              if (w != st.win) {
+              // an out-of-order event across micro-batches (w < st.win) CLAMPS into
+              // the current window: a close-and-reopen here would emit duplicate
+              // window_start rows and split one window's counts across two emissions
+              if (w > st.win) {
                 close(st)
                 st = ConfState(w, 0, 0, 0, 0, st.ctp, st.cfp, st.cfn, st.ctn)
               }

@@ -23,6 +23,13 @@ import java.sql.Timestamp
   * one-shot tests end; a monitor must keep watching). The two ln terms
   * are driver-precomputed constants, so the state is two counters per
   * source and the llr is exact integer-weighted arithmetic on them.
+  *
+  * Ordering: events are processed in event-time order within each
+  * micro-batch; an event arriving LATE relative to the open window
+  * (possible only across batches) clamps into the current window — it
+  * still counts as SPRT evidence, and crucially it can never force a
+  * close, so a decision is only ever emitted on a genuine window
+  * advance with the full window's evidence behind it.
   */
 object SprtMonitor extends Serializable {
 
@@ -81,7 +88,10 @@ object SprtMonitor extends Serializable {
             }
             sorted.foreach { t =>
               val w = t.ts.getTime / windowMs
-              if (w != st.win) st = close(st).copy(win = w)
+              // an out-of-order event across micro-batches (w < st.win) CLAMPS into
+              // the current window: a close-and-reopen here would emit duplicate
+              // window_start rows and split one window's counts across two emissions
+              if (w > st.win) st = close(st).copy(win = w)
               st = st.copy(n = st.n + 1,
                 k = if (t.pass) st.k + 1 else st.k)
             }

@@ -106,7 +106,10 @@ object TopKMonitor {
             }
             sorted.foreach { e =>
               val w = e.ts.getTime / windowMs
-              if (w != st.win) {
+              // an out-of-order event across micro-batches (w < st.win) CLAMPS into
+              // the current window: a close-and-reopen here would emit duplicate
+              // window_start rows and split one window's counts across two emissions
+              if (w > st.win) {
                 close(st)
                 st = MgState(w, 0L, Vector.empty, Vector.empty,
                   st.cumKeys, st.cumCounts)

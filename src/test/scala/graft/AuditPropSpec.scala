@@ -464,6 +464,20 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("wassersteinDistance: single-distinct-value input still reports the real counts") {
+    // < 2 pooled distinct values -> the next-value gap join is EMPTY; the
+    // counts must come from the totals row, not from an aggregate over
+    // the empty gap frame (which reported NULL n_a/n_b before r15)
+    def df(vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Quality.wassersteinDistance(
+      df(Seq.fill(5)(3.0)), df(Seq.fill(7)(3.0)), "v")
+      .as[(Long, Long, Double, Option[Long])].head()
+    assert(got._1 == 5L && got._2 == 7L, s"real counts expected, got $got")
+    assert(got._3 == 0.0 && got._4.isEmpty,
+      s"degenerate range: w1 0, normalized display null, got $got")
+  }
+
   test("rboOverlap is bounded by 1 - p^k and symmetric (10 rounds)") {
     import graft.operators.Ranking
     for (round <- 0 until 10) {

@@ -67,6 +67,24 @@ class SprtMonitorSpec extends SparkSpec {
     assert(out.head.decision == "accept_h0" && !out.head.alarm)
   }
 
+  test("a late event across batches clamps into the current window: no close, no partial-evidence decision") {
+    // batch 1 opens window 1 with 4 passes (llr inside the boundaries);
+    // batch 2 delivers one LATE pass stamped in window 0 — pre-clamp this
+    // closed-and-reopened window 1, emitting a premature row (and at the
+    // boundary, a decision on partial evidence); now it must count as a
+    // 5th trial of the open window instead
+    val out = run(0.1, 0.5)(
+      (0 until 4).map(i => Trial("s", at(1, i), true)),
+      Seq(Trial("s", at(0, 0), true)), // late: window 0 < open window 1
+      Seq(Trial("s", at(2, 0), false))) // genuine advance closes window 1
+    assert(out.size == 1, s"exactly one emission expected, got $out")
+    assert(out.head.window_start == 1L * HourMs)
+    // all 5 passes (4 in-order + 1 clamped) in one window: llr = 5*ln(5)
+    // crosses upper = ln(19) -> the decision rests on the FULL evidence
+    assert(out.head.n_trials == 5L && out.head.n_pass == 5L)
+    assert(out.head.decision == "reject_h0" && out.head.alarm)
+  }
+
   test("sources run independent tests") {
     val out = run(0.1, 0.5)(
       (0 until 5).map(i => Trial("hot", at(0, i), true)) ++
