@@ -1473,6 +1473,57 @@ object Quality {
           .as("p_value"))
   }
 
+  /** [[groupedKsTest]] with the scale fallback built in — the entry
+    * point for a CONTINUOUS metric (score drift, latency) whose
+    * distinct-value table may approach the row count. The exact screen's
+    * per-group spine is groups × distinct values; on integral measures
+    * (token counts, bands) that is cheap, but a continuous metric fans
+    * the broadcast cross out by |groups| · |rows| — the one shape in the
+    * screen that does not survive a 100× scale-up.
+    *
+    * Regime test (the [[GlobalRank.groupedPercentileAuto]] precedent):
+    * one distinct-count of the value column. Within `maxDistinct` the
+    * exact path runs verbatim. Past it, distinct values collapse to
+    * `bins` equi-index bins BEFORE the spine forms: the positional index
+    * of each distinct value (one weight-1 [[GlobalRank.weightedPrefixSums]]
+    * pass — the q222 index kernel) maps to bin = ix·bins div nd, rows
+    * join the distinct-value-sized bin map on the value key, and the
+    * exact machinery reruns on bin ids with the spine now bounded by
+    * groups × bins. The switch is visible in the plan (the regime count
+    * + the extra value-keyed equi-join) and documented here rather than
+    * silent: counts (n_g, n_rest) are exact either way; the binned ks_d
+    * is the supremum RESTRICTED to bin boundaries — a one-sided lower
+    * bound of the exact D (and p_value correspondingly conservative
+    * upward), with resolution set by the heaviest in-bin CDF rise. When
+    * `bins` ≥ the distinct count the index map is injective and the
+    * binned screen EQUALS the exact one row-for-row (the spec's
+    * reduction law).
+    */
+  def groupedKsTestAuto(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column,
+      maxDistinct: Long = 2000000L,
+      bins: Int = 8192): DataFrame = {
+    require(bins >= 2, "groupedKsTestAuto: at least 2 bins")
+    require(maxDistinct >= 0, "groupedKsTestAuto: non-negative budget")
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
+    val nd = v.select(col("_v")).distinct().count()
+    if (nd <= maxDistinct) groupedKsTest(df, valueCol, groupCol)
+    else {
+      val binMap = GlobalRank.weightedPrefixSums(
+          v.select(col("_v")).distinct().withColumn("_one", lit(1L)),
+          "_v", "_one", "_ix")
+        .select(col("_v"),
+          expr(s"CAST(_ix * ${bins.toLong}L AS BIGINT) div ${nd}L")
+            .as("_bv"))
+      groupedKsTest(
+        v.join(binMap, "_v").select(col("_g"), col("_bv")),
+        col("_bv"), col("_g"))
+    }
+  }
+
   /** Benjamini-Hochberg FDR adjustment (Benjamini & Hochberg 1995) —
     * the meta-audit this shelf earns once it reports MANY p-values at
     * once: at 20 sources and α = 0.05, one "significant" drift per

@@ -237,6 +237,41 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("groupedKsTestAuto: reduction law (bins >= distinct ==> binned == exact) and budget trip (8 rounds)") {
+    val gGen = Gen.oneOf("a", "b", "c")
+    for (round <- 0 until 8) {
+      val rows = draw(Gen.listOfN(60, Gen.zip(gGen, Gen.choose(0L, 25L))), 26000L + round)
+      val df = rows.toDF("g", "v")
+      val exact = Quality.groupedKsTest(df, col("v"), col("g"))
+        .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      // budget 0 forces the binned path; 64 bins >= 26 distinct values
+      // makes the index map injective -> identical screen, row for row
+      val reduced = Quality.groupedKsTestAuto(df, col("v"), col("g"),
+        maxDistinct = 0L, bins = 64)
+        .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(reduced == exact,
+        s"round $round: injective binning must reproduce the exact screen")
+      // within budget the auto path IS the exact path
+      val auto = Quality.groupedKsTestAuto(df, col("v"), col("g"))
+        .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(auto == exact, s"round $round: within-budget path is exact")
+      // genuine budget trip: 4 coarse bins — counts stay exact, the
+      // restricted supremum can only fall, p can only rise
+      val coarse = Quality.groupedKsTestAuto(df, col("v"), col("g"),
+        maxDistinct = 0L, bins = 4)
+        .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(coarse.map(r => (r._1, r._2, r._3)) ==
+        exact.map(r => (r._1, r._2, r._3)),
+        s"round $round: binning must not change group masses")
+      coarse.zip(exact).foreach { case (c, e) =>
+        assert(c._4 <= e._4 + 1e-9,
+          s"round $round ${c._1}: binned D ${c._4} must lower-bound exact ${e._4}")
+        assert(c._5 >= e._5 - 1e-9,
+          s"round $round ${c._1}: binned p ${c._5} must be conservative vs ${e._5}")
+      }
+    }
+  }
+
   test("bhAdjust: textbook step-up, monotone in rank, adj >= p, singleton fixpoint") {
     val ps = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.05), ("t4", 0.2))
       .toDF("k", "p")
