@@ -1534,6 +1534,19 @@ object SparkEntry {
           (bp(col("p_adj")) <= 1000L).as("reject"))
     }),
 
+    "q235_w1_screen" -> ((s, dir) => {
+      // the magnitude companion to q232's KS screen: per-source
+      // 1-Wasserstein distance of the token-count distribution from the
+      // rest of the corpus — q232 says WHICH source drifted, this says
+      // how much the drift costs in token units (q222's transport
+      // distance, asked once per source against its complement)
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.groupedW1(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
     "q230_brown_forsythe" -> ((s, dir) => {
       // Brown-Forsythe robust variance-homogeneity: did the token-count
       // SPREAD change across sources where q229 asked about the mean?
@@ -4516,6 +4529,38 @@ object SparkEntry {
         "CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) AS p_adj_bp, " +
         "(CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) <= 1000) AS reject " +
         "FROM bh JOIN kr ON kr.g = bh.test_key"),
+
+    "q235_w1_screen" ->
+      // q232's per-group spine (groups x pooled values, per-group window
+      // cumsum, HUGEINT cross-masses vs the complement) with q222's
+      // next-value gap and per-gap floor(term*2^20) integer quantization
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "pgv AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM pgv GROUP BY v), " +
+        "gr AS (SELECT g, sum(c) AS ng FROM pgv GROUP BY g), " +
+        "t AS (SELECT sum(cv) AS n, min(v) AS vmin, max(v) AS vmax FROM pv), " +
+        "ca AS (SELECT v, sum(cv) OVER (ORDER BY v) AS cumall, " +
+        "lead(v) OVER (ORDER BY v) AS vn FROM pv), " +
+        "sp AS (SELECT gr.g, gr.ng, ca.v, ca.vn, ca.cumall FROM gr, ca), " +
+        "jj AS (SELECT sp.g, sp.ng, sp.v, sp.vn, sp.cumall, COALESCE(pgv.c, 0) AS c " +
+        "FROM sp LEFT JOIN pgv ON pgv.g = sp.g AND pgv.v = sp.v), " +
+        "w AS (SELECT g, ng, v, vn, cumall, " +
+        "sum(c) OVER (PARTITION BY g ORDER BY v) AS cumg FROM jj), " +
+        "q AS (SELECT g, ng, " +
+        "CAST(floor(CAST(abs(CAST(cumg AS HUGEINT) * (CAST(n AS HUGEINT) - CAST(ng AS HUGEINT)) - " +
+        "(CAST(cumall AS HUGEINT) - CAST(cumg AS HUGEINT)) * CAST(ng AS HUGEINT)) AS DOUBLE) * " +
+        "(vn - v) / (CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)) * 1048576) AS BIGINT) AS qq " +
+        "FROM w, t WHERE vn IS NOT NULL), " +
+        "f AS (SELECT g, max(ng) AS ng, COALESCE(sum(qq), 0) AS s2 FROM q GROUP BY g) " +
+        "SELECT f.g AS group_key, CAST(f.ng AS BIGINT) AS n_g, " +
+        "CAST(n AS BIGINT) - CAST(f.ng AS BIGINT) AS n_rest, " +
+        "floor(CAST(s2 AS DOUBLE) / 1048576 * 10000 + 0.5) / 10000 AS w1, " +
+        "CASE WHEN vmax > vmin THEN " +
+        "CAST(floor(CAST(s2 AS DOUBLE) / 1048576 / (vmax - vmin) * 10000 + 0.5) AS BIGINT) END AS w1_norm_bp " +
+        "FROM f, t"),
 
     "q230_brown_forsythe" ->
       // quantile_cont == the exact grouped order statistic (q205/q215

@@ -272,6 +272,33 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  test("groupedW1 row == wassersteinDistance(group, complement), every group (8 rounds)") {
+    val gGen = Gen.oneOf("a", "b", "c")
+    for (round <- 0 until 8) {
+      val rows = draw(Gen.listOfN(60, Gen.zip(gGen, Gen.choose(0L, 25L))), 27000L + round)
+      val df = rows.toDF("g", "v")
+      val screen = Quality.groupedW1(df, col("v"), col("g"))
+        .as[(String, Long, Long, Double, Option[Long])].collect()
+        .map(r => r._1 -> r).toMap
+      rows.map(_._1).distinct.foreach { g =>
+        val pair = Quality.wassersteinDistance(
+          df.filter(col("g") === g), df.filter(col("g") =!= g), "v")
+          .as[(Long, Long, Double, Option[Long])].head()
+        val row = screen(g)
+        assert((row._2, row._3, row._4, row._5) == pair,
+          s"round $round group $g: screen row $row must equal the pairwise distance $pair")
+      }
+    }
+  }
+
+  test("groupedW1: single-distinct-value corpus still reports every group with zero distance") {
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "v")
+    val got = Quality.groupedW1(df, col("v"), col("g"))
+      .as[(String, Long, Long, Double, Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 2L, 1L, 0.0, None), ("b", 1L, 2L, 0.0, None)),
+      s"degenerate corpus must keep all groups, got ${got.toSeq}")
+  }
+
   test("bhAdjust: textbook step-up, monotone in rank, adj >= p, singleton fixpoint") {
     val ps = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.05), ("t4", 0.2))
       .toDF("k", "p")

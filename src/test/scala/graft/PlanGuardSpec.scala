@@ -97,6 +97,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(...)): two ONE-ROW conditional aggregates (one per slice) meeting in the one-row comparison (the q200 discipline)",
     "q232_fdr_screen" ->
       "crossJoin(broadcast(groups)) building the bounded groups x values KS spine (the q186 bounded-dimension discipline — a value absent from a group still moves its complement's CDF) + the one-row totals broadcast (q220's discipline)",
+    "q235_w1_screen" ->
+      "q232's crossJoin(broadcast(groups)) spine + the one-row totals broadcast, twice (per-gap term needs n; displays need vmin/vmax after the group roll-up)",
     "q234_kruskal_wallis" ->
       "crossJoin(broadcast(ties)): the single-row tie-mass scalar beside the one-row group roll-up (q220's totals discipline)",
     "q211_psi" ->
