@@ -1547,6 +1547,26 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q236_substr_pairs" -> ((s, dir) => {
+      // Lee et al. 2022 ExactSubstr pair evidence: for every doc pair
+      // sharing a token run >= 6, the longest shared run and the count of
+      // maximal shared runs — capped shingle postings + diagonal islands,
+      // the "who shares the span with whom" report upstream of q107's
+      // removal pass. All-integer output.
+      operators.CorpusAnalytics.exactSubstringPairs(Tables(s, dir, "documents"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q237_long_passage_removal" -> ((s, dir) => {
+      // the length-gated removal Lee et al. actually ship: strip only
+      // positions inside cross-doc duplicated runs >= 20 tokens (scaled
+      // from the paper's 50 to this corpus's ~54-token docs) — q107's
+      // strip-everything pass is the minRun = n special case
+      operators.CorpusAnalytics
+        .removeLongDuplicatedPassages(Tables(s, dir, "documents"), minRun = 20)
+        .orderBy(col("doc_id"))
+    }),
+
     "q230_brown_forsythe" -> ((s, dir) => {
       // Brown-Forsythe robust variance-homogeneity: did the token-count
       // SPREAD change across sources where q229 asked about the mean?
@@ -4561,6 +4581,52 @@ object SparkEntry {
         "CASE WHEN vmax > vmin THEN " +
         "CAST(floor(CAST(s2 AS DOUBLE) / 1048576 / (vmax - vmin) * 10000 + 0.5) AS BIGINT) END AS w1_norm_bp " +
         "FROM f, t"),
+
+    "q236_substr_pairs" ->
+      // full-postings ground truth: q107's positional-gram CTE, the same
+      // 2..128 occurrence gate, a raw gram self-join where the engine
+      // expands capped postings in-array, then q114's islands trick over
+      // covered TOKEN positions per (pair, diagonal) — run length is the
+      // island's token count (the engine merges the same token intervals)
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "grams AS (SELECT doc_id, i AS pos, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS gram " +
+        "FROM toks, UNNEST(range(len(ts) - 2)) AS t(i) WHERE len(ts) >= 3), " +
+        "keep AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) BETWEEN 2 AND 128), " +
+        "m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS apos, a.pos - b.pos AS diag " +
+        "FROM grams a JOIN keep USING (gram) JOIN grams b USING (gram) " +
+        "WHERE a.doc_id < b.doc_id), " +
+        "cov AS (SELECT DISTINCT a_id, b_id, diag, apos + o AS tpos " +
+        "FROM m, UNNEST([0,1,2]) AS u(o)), " +
+        "isl AS (SELECT a_id, b_id, diag, " +
+        "tpos - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY tpos) AS grp FROM cov), " +
+        "runs AS (SELECT a_id, b_id, count(*) AS run_len " +
+        "FROM isl GROUP BY a_id, b_id, diag, grp) " +
+        "SELECT a_id, b_id, CAST(max(run_len) AS BIGINT) AS max_run, " +
+        "CAST(sum(CASE WHEN run_len >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans " +
+        "FROM runs GROUP BY a_id, b_id HAVING max(run_len) >= 6 ORDER BY a_id, b_id"),
+
+    "q237_long_passage_removal" ->
+      // q107's coverage CTE + q114's islands, gated at run_len >= 20,
+      // re-expanded to positions, q107's string_agg reconstruction
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+        "grams AS (SELECT doc_id, i AS pos, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS gram " +
+        "FROM toks, UNNEST(range(len(ts) - 2)) AS t(i) WHERE len(ts) >= 3), " +
+        "dup AS (SELECT gram FROM grams GROUP BY gram HAVING min(doc_id) <> max(doc_id)), " +
+        "covered AS (SELECT DISTINCT g.doc_id, g.pos + o AS tpos " +
+        "FROM grams g JOIN dup USING (gram), UNNEST([0,1,2]) AS u(o)), " +
+        "runs AS (SELECT doc_id, tpos, " +
+        "tpos - row_number() OVER (PARTITION BY doc_id ORDER BY tpos) AS grp FROM covered), " +
+        "longcov AS (SELECT doc_id, tpos FROM (SELECT doc_id, tpos, " +
+        "count(*) OVER (PARTITION BY doc_id, grp) AS run_len FROM runs) WHERE run_len >= 20), " +
+        "kept AS (SELECT t.doc_id, i AS tpos, ts[i+1] AS tok " +
+        "FROM toks t, UNNEST(range(len(ts))) AS x(i) " +
+        "WHERE NOT EXISTS (SELECT 1 FROM longcov c WHERE c.doc_id = t.doc_id AND c.tpos = i)) " +
+        "SELECT toks.doc_id, len(ts) AS n_tokens, " +
+        "len(ts) - coalesce(k.cnt, 0) AS n_removed, coalesce(k.txt, '') AS clean_text " +
+        "FROM toks LEFT JOIN (SELECT doc_id, count(*) AS cnt, " +
+        "string_agg(tok, ' ' ORDER BY tpos) AS txt FROM kept GROUP BY doc_id) k USING (doc_id) " +
+        "ORDER BY toks.doc_id"),
 
     "q230_brown_forsythe" ->
       // quantile_cont == the exact grouped order statistic (q205/q215

@@ -1522,6 +1522,183 @@ object CorpusAnalytics {
         coalesce(col("longest_run"), lit(0L)).as("longest_run"))
   }
 
+  /** Cross-document exact-substring SPAN evidence (Lee et al. 2022,
+    * arXiv:2107.06499, "Deduplicating Training Data Makes Language Models
+    * Better" — the ExactSubstr family): for every document PAIR sharing a
+    * token run of at least `minRun` tokens, the length of the longest
+    * shared run and the count of maximal shared runs ≥ `minRun`. Where
+    * [[removeDuplicatedPassages]] answers "which of MY positions are
+    * duplicated somewhere" and [[longestDuplicatedRun]] sizes the longest
+    * such block per doc, this is the PAIR report — who shares the span
+    * with whom — the evidence a dedup pass consults before deciding which
+    * side keeps the canonical copy.
+    *
+    * Lee et al. build a corpus suffix array; the distributed analog is
+    * n-token shingle POSTINGS with run extension along match diagonals:
+    * two docs sharing a run of L ≥ n tokens share exactly L − n + 1
+    * consecutive positional n-grams at one constant position offset
+    * (apos − bpos), so maximal shared runs are the merged token intervals
+    * [apos, apos + n − 1] of the matches per (pair, diagonal) — recovered
+    * with in-array folds, no window over match rows. Each (pair,
+    * diagonal) run is one ALIGNMENT: a span
+    * doc b repeats twice against one copy in doc a counts as two spans
+    * (two diagonals) — occurrence-pair semantics, matching what a removal
+    * pass must strip.
+    *
+    * Bound: grams with more than `dfCap` total occurrences are excluded
+    * from matching (the q108 rarest-prefix discipline — pair fan-out
+    * through a gram is quadratic in its posting length). A span whose
+    * grams are ALL above the cap is corpus boilerplate duplicated across
+    * more than ~dfCap docs — cluster-scale dedup territory
+    * ([[graft.operators.Dedup]]), not a pairwise report; a span with
+    * sub-cap grams still seeds its pair, and because runs are merged on
+    * TOKEN coverage (below) up to n − 1 consecutive over-cap interior
+    * grams cannot split one: a run splits only where ≥ n consecutive
+    * grams vanish — i.e. where some token truly has no sub-cap match
+    * evidence. The oracle mirrors the cap exactly.
+    *
+    * Plan shape: one positional-gram generator (8-byte xxhash64 keys), a
+    * per-gram count agg (map-side combine) that gates postings to
+    * 2..dfCap BEFORE any list materializes, a join-back on the same
+    * 8-byte key, one bounded collect per gram (≤ dfCap entries), in-array
+    * i<j pair expansion, one (a, b, diag) agg folding sorted positions to
+    * island sizes in-array, one (a, b) rollup. Every shuffle key is
+    * fixed-width, no window, no self-join: the gram cross product never
+    * forms past dfCap² per gram.
+    */
+  def exactSubstringPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      minRun: Int = 6,
+      dfCap: Int = 128): DataFrame = {
+    require(n >= 1 && minRun >= n && dfCap >= 2,
+      s"need n >= 1, minRun >= n, dfCap >= 2 (got n=$n minRun=$minRun dfCap=$dfCap)")
+    // same lossless literal-separator split as removeDuplicatedPassages:
+    // span lengths must count real tokens of the original text
+    val toks = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ", -1).as("ts"))
+    val grams = toks
+      .filter(size(col("ts")) >= n)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("ts")) - n),
+        i => struct(i.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(n)))).as("gram")))).as("pg"))
+      .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    // count gate FIRST (cheap: partial agg collapses map-side), postings
+    // collect SECOND — so no list ever holds more than dfCap occurrences
+    val keep = grams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2 && col("_c") <= dfCap)
+      .select(col("gram"))
+    val posted = grams
+      .join(keep, "gram")
+      .groupBy(col("gram"))
+      .agg(collect_list(struct(col("id"), col("pos"))).as("os"))
+    // i<j expansion oriented a_id < b_id; same-doc matches are q114's
+    // within-doc domain, dropped here (cross-doc pair evidence only)
+    val matches = posted
+      .select(explode(filter(
+        flatten(transform(
+          sequence(lit(0), size(col("os")) - 2),
+          i => transform(
+            sequence(i + 1, size(col("os")) - 1),
+            j => {
+              val a = element_at(col("os"), i + 1)
+              val b = element_at(col("os"), j + 1)
+              when(a("id") < b("id"), struct(
+                a("id").as("a_id"), b("id").as("b_id"),
+                a("pos").as("apos"), (a("pos") - b("pos")).as("diag")))
+                .when(a("id") > b("id"), struct(
+                  b("id").as("a_id"), a("id").as("b_id"),
+                  b("pos").as("apos"), (b("pos") - a("pos")).as("diag")))
+                .otherwise(lit(null))
+            }))),
+        m => m.isNotNull)).as("m"))
+      .select(col("m.a_id"), col("m.b_id"), col("m.apos"), col("m.diag"))
+    // (a_id, apos) determines the gram and, per diagonal, b's position —
+    // so gram positions are unique per (pair, diagonal). A matching gram
+    // at apos covers tokens [apos, apos + n - 1]; maximal shared TOKEN
+    // runs are the merged intervals of the sorted gram positions (next
+    // gram extends the run iff apos' <= apos + n — token coverage stays
+    // contiguous even when an interior gram is missing, e.g. dropped by
+    // the df cap), run length = last - first + n. Islands over gram
+    // positions alone would split such runs; token intervals do not.
+    val zeroInts = array().cast("array<int>")
+    val runsPerDiag = matches
+      .groupBy(col("a_id"), col("b_id"), col("diag"))
+      .agg(sort_array(collect_list(col("apos"))).as("ps"))
+      .select(col("a_id"), col("b_id"),
+        aggregate(
+          col("ps"),
+          struct(lit(0).as("first"), lit(-2 * n).as("prev"), zeroInts.as("acc")),
+          (st, x) => when(x <= st("prev") + n,
+            struct(st("first").as("first"), x.as("prev"), st("acc").as("acc")))
+            .otherwise(struct(x.as("first"), x.as("prev"),
+              when(st("prev") >= 0,
+                concat(st("acc"), array(st("prev") - st("first") + n)))
+                .otherwise(st("acc")).as("acc"))),
+          st => concat(st("acc"), array(st("prev") - st("first") + n))).as("isl"))
+    runsPerDiag
+      .select(col("a_id"), col("b_id"),
+        array_max(col("isl")).as("_mx"),
+        size(filter(col("isl"), r => r >= minRun)).as("_nq"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("_mx")).cast("long").as("max_run"),
+        sum(col("_nq")).cast("long").as("n_spans"))
+      .filter(col("max_run") >= minRun)
+  }
+
+  /** Length-gated duplicated-passage removal — the REMOVAL semantic Lee
+    * et al. 2022 actually ship (arXiv:2107.06499 §4: only duplicated
+    * substrings of at least ~50 tokens are removed; short incidental
+    * repeats stay): strip a token position iff it lies in a maximal
+    * consecutive run of cross-doc-duplicated coverage at least `minRun`
+    * tokens long. [[removeDuplicatedPassages]] is the strict special case
+    * minRun = n — it deletes every covered token, which on natural text
+    * also deletes idioms and collocations; the length gate is what makes
+    * the pass safe to run over a training corpus.
+    *
+    * Shape: the shared [[duplicatedCoverage]] kernel, q114's islands
+    * aggregation per (doc, run) with the `count >= minRun` gate, one
+    * in-plan `sequence` re-expansion of the surviving runs, and q107's
+    * map-side indexed rebuild. Same three fixed-width-key exchanges as
+    * the strip-both pass plus one doc-keyed run agg — nothing new scales
+    * past it. Same lossless-tokenization caveat: removal reconstructs the
+    * surviving original text.
+    */
+  def removeLongDuplicatedPassages(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      minRun: Int = 50): DataFrame = {
+    require(minRun >= n, s"minRun ($minRun) must be >= n ($n)")
+    val (toks, covered) = duplicatedCoverage(docs, textCol, idCol, n)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tpos"))
+    val longRuns = covered.distinct()
+      .withColumn("_grp", col("tpos") - row_number().over(w))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("tpos")).as("_s"), count(lit(1)).cast("int").as("_c"))
+      .filter(col("_c") >= minRun)
+    val coveredPerDoc = longRuns
+      .select(col(idCol), explode(sequence(col("_s"), col("_s") + col("_c") - 1)).as("tpos"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("tpos")).as("cov"))
+    toks
+      .join(coveredPerDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("ts"),
+          (t, i) => !coalesce(array_contains(col("cov"), i), lit(false))))
+          .as("clean_text"))
+  }
+
   /** CCNet's perplexity band split (arXiv:1911.00359 §4.3): rank every
     * document by its LM cross-entropy under the corpus's own bigram model
     * ([[bigramCrossEntropy]]) and cut the corpus into head / middle / tail

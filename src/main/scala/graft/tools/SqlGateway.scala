@@ -21,6 +21,22 @@ import org.apache.spark.sql.SparkSession
   */
 object SqlGateway {
 
+  /** Audit-shelf views served to the BI consumer: the governance card and
+    * the drift/calibration/fairness tables behind it, named the way a
+    * dashboard reads them. Each view is the registered query's LOGICAL
+    * plan (no materialization here — the gateway session computes it per
+    * request, so a dashboard always reads the data as of its own query;
+    * a deployment that prefers snapshots caches or CTAS-es the views).
+    */
+  val auditViews: Map[String, String] = Map(
+    "governance_card" -> "q217_governance_card",
+    "calibration" -> "q216_grouped_calibration",
+    "fairness_audit" -> "q213_fairness_audit",
+    "psi_drift" -> "q211_psi",
+    "score_drift" -> "q215_score_drift",
+    "ks_screen" -> "q232_fdr_screen",
+    "w1_screen" -> "q235_w1_screen")
+
   /** Register every test table plus the graft function surface on the
     * session, then start a Thrift endpoint on `port`. Returns after the
     * server is up (callers block themselves — the spec stops it, `main`
@@ -29,6 +45,9 @@ object SqlGateway {
   def start(spark: SparkSession, sfDir: String, port: Int): AutoCloseable = {
     Tables.names.foreach { t =>
       Tables(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+    auditViews.foreach { case (view, q) =>
+      graft.SparkEntry.queries(q)(spark, sfDir).createOrReplaceTempView(view)
     }
     GraftSqlFunctions.register(spark)
     spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)

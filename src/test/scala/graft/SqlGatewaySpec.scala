@@ -45,6 +45,15 @@ class SqlGatewaySpec extends SparkSpec {
             "JOIN region r ON n.n_regionkey = r.r_regionkey " +
             "GROUP BY r.r_name ORDER BY r.r_name LIMIT 3")
         assert(rs3.next() && rs3.getLong(2) > 0)
+        // the audit shelf is served as named views: the r13/r14 drift
+        // screen read over JDBC, the way a governance dashboard reads it
+        val rs4 = st.executeQuery(
+          "SELECT count(*) AS n, sum(CASE WHEN reject THEN 1 ELSE 0 END) AS k " +
+            "FROM ks_screen")
+        assert(rs4.next() && rs4.getLong(1) > 0)
+        val rs5 = st.executeQuery("SELECT * FROM governance_card")
+        assert(rs5.next(), "governance_card view returned no row")
+        assert(rs5.getMetaData.getColumnCount > 5)
       } finally conn.close()
     } finally {
       server.close()
