@@ -1558,13 +1558,17 @@ object CorpusAnalytics {
     * evidence. The oracle mirrors the cap exactly.
     *
     * Plan shape: one positional-gram generator (8-byte xxhash64 keys), a
-    * per-gram count agg (map-side combine) that gates postings to
-    * 2..dfCap BEFORE any list materializes, a join-back on the same
-    * 8-byte key, one bounded collect per gram (≤ dfCap entries), in-array
-    * i<j pair expansion, one (a, b, diag) agg folding sorted positions to
-    * island sizes in-array, one (a, b) rollup. Every shuffle key is
-    * fixed-width, no window, no self-join: the gram cross product never
-    * forms past dfCap² per gram.
+    * per-gram count agg (map-side combine) that gates occurrences to
+    * 2..dfCap BEFORE pair generation, then a PERSISTED capped-postings
+    * frame self-equi-joined on the 8-byte gram key (the q155 winnowing-
+    * overlap discipline: the InMemoryRelation feeds both join sides, and
+    * whole-stage codegen keeps the a_id < b_id pair projection out of
+    * interpreted lambda land — measured 4x over an in-array i<j
+    * expansion, whose higher-order functions Spark evaluates
+    * interpreted); one (a, b, diag) agg folding sorted positions to
+    * merged token intervals in-array, one (a, b) rollup. Every shuffle
+    * key is fixed-width, no window, and pair fan-out is bounded at
+    * dfCap² per gram — the uncapped gram cross product never forms.
     */
   def exactSubstringPairs(
       docs: DataFrame,
@@ -1587,38 +1591,24 @@ object CorpusAnalytics {
         i => struct(i.as("pos"),
           xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(n)))).as("gram")))).as("pg"))
       .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
-    // count gate FIRST (cheap: partial agg collapses map-side), postings
-    // collect SECOND — so no list ever holds more than dfCap occurrences
+    // count gate FIRST (cheap: partial agg collapses map-side) — only
+    // occurrences of grams with 2..dfCap total occurrences enter pair
+    // generation. The gated frame persists so the self-join's two sides
+    // share one materialization (q155's postings discipline).
     val keep = grams
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2 && col("_c") <= dfCap)
       .select(col("gram"))
-    val posted = grams
-      .join(keep, "gram")
-      .groupBy(col("gram"))
-      .agg(collect_list(struct(col("id"), col("pos"))).as("os"))
-    // i<j expansion oriented a_id < b_id; same-doc matches are q114's
-    // within-doc domain, dropped here (cross-doc pair evidence only)
-    val matches = posted
-      .select(explode(filter(
-        flatten(transform(
-          sequence(lit(0), size(col("os")) - 2),
-          i => transform(
-            sequence(i + 1, size(col("os")) - 1),
-            j => {
-              val a = element_at(col("os"), i + 1)
-              val b = element_at(col("os"), j + 1)
-              when(a("id") < b("id"), struct(
-                a("id").as("a_id"), b("id").as("b_id"),
-                a("pos").as("apos"), (a("pos") - b("pos")).as("diag")))
-                .when(a("id") > b("id"), struct(
-                  b("id").as("a_id"), a("id").as("b_id"),
-                  b("pos").as("apos"), (b("pos") - a("pos")).as("diag")))
-                .otherwise(lit(null))
-            }))),
-        m => m.isNotNull)).as("m"))
-      .select(col("m.a_id"), col("m.b_id"), col("m.apos"), col("m.diag"))
+    val kept = grams.join(keep, "gram").persist()
+    // a_id < b_id orients each cross-doc match exactly once; same-doc
+    // matches are q114's within-doc domain, dropped here
+    val matches = kept
+      .join(kept.select(col("gram"), col("id").as("_bid"), col("pos").as("_bpos")),
+        Seq("gram"))
+      .filter(col("id") < col("_bid"))
+      .select(col("id").as("a_id"), col("_bid").as("b_id"),
+        col("pos").as("apos"), (col("pos") - col("_bpos")).as("diag"))
     // (a_id, apos) determines the gram and, per diagonal, b's position —
     // so gram positions are unique per (pair, diagonal). A matching gram
     // at apos covers tokens [apos, apos + n - 1]; maximal shared TOKEN

@@ -54,7 +54,21 @@ emb_sql = " UNION ALL ".join(
     for k in range(3))
 con.execute(f"COPY ({emb_sql}) TO '{out}/embeddings.parquet' (FORMAT parquet)")
 
-for t in ("region nation customer supplier part orders lineitem events").split():
+# customer triples too (q160's Ed-Join input): per-replica name suffixes
+# whose PAIRWISE length gaps exceed tau ('', 'qq', 'qqqq') keep every
+# within-replica edit distance unchanged while pushing every cross-replica
+# distance past tau=1 — 3x volume at identical match density (suffix
+# lengths 0/1/2 left adjacent replicas at distance 1 and manufactured
+# 30k cross-replica matches; measured before this comment existed)
+cust_sql = " UNION ALL ".join(
+    f"SELECT c_custkey + {k * 1000000} AS c_custkey, "
+    f"c_name || '{'q' * (2 * k)}' AS c_name, "
+    "c_nationkey, c_acctbal, c_mktsegment "
+    f"FROM read_parquet('{src}/customer.parquet')"
+    for k in range(3))
+con.execute(f"COPY ({cust_sql}) TO '{out}/customer.parquet' (FORMAT parquet)")
+
+for t in ("region nation supplier part orders lineitem events").split():
     con.execute(
         f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
         f"TO '{out}/{t}.parquet' (FORMAT parquet)")
