@@ -1534,6 +1534,60 @@ object SparkEntry {
           (bp(col("p_adj")) <= 1000L).as("reject"))
     }),
 
+    "q238_cvm_test" -> ((s, dir) => {
+      // two-sample Cramér-von Mises over q220's even/odd event-value
+      // split — the L2 leg that completes the pairwise drift triad on
+      // this input: KS (q220) is the sup-norm, W1 (q222) the transport
+      // cost, CvM the squared-gap integral that weights SUSTAINED
+      // separation over a single spike. Integer cross-mass numerators,
+      // per-class floor(term*2^30) quantization, bp display
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.cramerVonMises(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
+    "q239_ad_ksample" -> ((s, dir) => {
+      // Scholz-Stephens k-sample Anderson-Darling over token counts by
+      // source — the tail-sensitive omnibus beside the k-group family:
+      // q229 sees mean shifts, q230 spread shifts, q234 location by
+      // rank; the AD weight 1/(H(1-H)) sees the short-doc spikes and
+      // truncation tails they all discount
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.andersonDarlingK(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
+    "q240_effect_sizes" -> ((s, dir) => {
+      // standardized effect sizes over q220's even/odd event-value split
+      // — the scale-free "how big?" panel beside the triad's tests:
+      // Cliff's delta (ordinal dominance = 2*AUC-1, from the exact
+      // doubled-midrank integer kernel), Cohen's d and Hedges' g
+      // (standardized mean difference, moments as 2^-20-grain exact
+      // integer sums). All displays signed BIGINT basis points
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.effectSizes(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
+    "q241_delta_screen" -> ((s, dir) => {
+      // the effect-size member completing the per-source drift-screen
+      // triad on the shared token-count histogram: q232 says WHICH
+      // source drifted (KS + FDR), q235 what it COSTS (W1 transport),
+      // this how directionally DOMINANT each source is (Cliff's delta
+      // vs the complement, with the probability-of-superiority AUC twin)
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.groupedCliffsDelta(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
     "q235_w1_screen" -> ((s, dir) => {
       // the magnitude companion to q232's KS screen: per-source
       // 1-Wasserstein distance of the token-count distribution from the
@@ -4549,6 +4603,139 @@ object SparkEntry {
         "CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) AS p_adj_bp, " +
         "(CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) <= 1000) AS reject " +
         "FROM bh JOIN kr ON kr.g = bh.test_key"),
+
+    "q238_cvm_test" ->
+      // q220's per-value masses and inclusive cumulative sums, the same
+      // HUGEINT cross-mass numerator per value class, the per-class
+      // floor(term*2^30) quantization (order-free integer sum), and the
+      // final T chain spelled left-associated exactly as Spark's
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "c AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) AS cuma, " +
+        "sum(cb) OVER (ORDER BY v) AS cumb FROM pv), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv), " +
+        "q AS (SELECT CAST(floor(CAST(ca + cb AS DOUBLE) * " +
+        "(CAST(abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT) - " +
+        "CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT)) AS DOUBLE) / " +
+        "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * " +
+        "(CAST(abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT) - " +
+        "CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT)) AS DOUBLE) / " +
+        "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 1073741824) AS BIGINT) AS qq " +
+        "FROM c, t), " +
+        "f AS (SELECT COALESCE(sum(qq), 0) AS s2 FROM q) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
+        "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / " +
+        "(CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
+        "END AS t_bp FROM f, t"),
+
+    "q239_ad_ksample" ->
+      // q232's per-group spine (groups x pooled values, per-group window
+      // cumsum) with the Scholz-Stephens doubled-midrank integer cores
+      // inum/iden in HUGEINT and the per-cell floor(term*2^30)
+      // quantization, left-associated exactly as Spark's float sequence
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "pgv AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM pgv GROUP BY v), " +
+        "gr AS (SELECT g, sum(c) AS ng FROM pgv GROUP BY g), " +
+        "t AS (SELECT sum(cv) AS n, count(*) AS m FROM pv), " +
+        "kt AS (SELECT count(*) AS k FROM gr), " +
+        "ca AS (SELECT v, cv, sum(cv) OVER (ORDER BY v) AS cumall FROM pv), " +
+        "sp AS (SELECT gr.g, gr.ng, ca.v, ca.cv, ca.cumall FROM gr, ca), " +
+        "jj AS (SELECT sp.g, sp.ng, sp.v, sp.cv, sp.cumall, COALESCE(pgv.c, 0) AS c " +
+        "FROM sp LEFT JOIN pgv ON pgv.g = sp.g AND pgv.v = sp.v), " +
+        "w AS (SELECT g, ng, v, cv, cumall, c, " +
+        "sum(c) OVER (PARTITION BY g ORDER BY v) AS cumg FROM jj), " +
+        "x AS (SELECT cv, ng, " +
+        "CAST(n AS HUGEINT) * (2 * CAST(cumg AS HUGEINT) - CAST(c AS HUGEINT)) - " +
+        "CAST(ng AS HUGEINT) * (2 * CAST(cumall AS HUGEINT) - CAST(cv AS HUGEINT)) AS inum, " +
+        "(2 * CAST(cumall AS HUGEINT) - CAST(cv AS HUGEINT)) * " +
+        "(2 * CAST(n AS HUGEINT) - (2 * CAST(cumall AS HUGEINT) - CAST(cv AS HUGEINT))) - " +
+        "CAST(n AS HUGEINT) * CAST(cv AS HUGEINT) AS iden, n FROM w, t), " +
+        "q AS (SELECT CASE WHEN iden > 0 THEN " +
+        "CAST(floor(CAST(inum AS DOUBLE) * CAST(inum AS DOUBLE) / CAST(iden AS DOUBLE) * " +
+        "(CAST(cv AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(ng AS DOUBLE) * 1073741824) AS BIGINT) " +
+        "END AS qq FROM x), " +
+        "f AS (SELECT COALESCE(sum(qq), 0) AS s2 FROM q) " +
+        "SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, " +
+        "CASE WHEN m > 1 THEN " +
+        "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
+        "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
+        "END AS a2_bp FROM f, t, kt"),
+
+    "q240_effect_sizes" ->
+      // q221's midrank kernel for the exact doubled U, plus 2^-20-grain
+      // HUGEINT moment sums per distinct value; the cliff/d/g double
+      // chains spelled left-associated exactly as Spark's expressions
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "m AS (SELECT v, ca, cb, ca + cb AS ct, " +
+        "2 * (sum(ca + cb) OVER (ORDER BY v) - (ca + cb)) + (ca + cb) + 1 AS m2 FROM pv), " +
+        "a AS (SELECT COALESCE(sum(ca), 0) AS na, COALESCE(sum(cb), 0) AS nb, " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * CAST(m2 AS HUGEINT)), 0) AS r2, " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * CAST(floor(v * 1048576.0) AS HUGEINT)), 0) AS s1a, " +
+        "COALESCE(sum(CAST(cb AS HUGEINT) * CAST(floor(v * 1048576.0) AS HUGEINT)), 0) AS s1b, " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * CAST(floor(v * v * 1048576.0) AS HUGEINT)), 0) AS s2a, " +
+        "COALESCE(sum(CAST(cb AS HUGEINT) * CAST(floor(v * v * 1048576.0) AS HUGEINT)), 0) AS s2b FROM m), " +
+        "f AS (SELECT na, nb, r2 - CAST(na AS HUGEINT) * (CAST(na AS HUGEINT) + 1) AS u2, " +
+        "s1a, s1b, s2a, s2b, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd FROM a), " +
+        "g AS (SELECT na, nb, nad, nbd, " +
+        "CAST(u2 AS DOUBLE) / (nad * nbd) - 1 AS cliff, " +
+        "CAST(s1a AS DOUBLE) / 1048576.0 / nad AS m1a, " +
+        "CAST(s1b AS DOUBLE) / 1048576.0 / nbd AS m1b, " +
+        "CAST(s2a AS DOUBLE) / 1048576.0 AS ds2a, " +
+        "CAST(s2b AS DOUBLE) / 1048576.0 AS ds2b FROM f), " +
+        "h AS (SELECT na, nb, nad, nbd, cliff, m1a, m1b, " +
+        "((ds2a - nad * m1a * m1a) + (ds2b - nbd * m1b * m1b)) / (nad + nbd - 2) AS sp2 FROM g), " +
+        "i AS (SELECT na, nb, nad, nbd, cliff, sp2, " +
+        "(m1a - m1b) / sqrt(sp2) AS d, " +
+        "1.0 - 3.0 / (4.0 * (nad + nbd) - 9) AS j FROM h) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor(cliff * 10000 + 0.5) AS BIGINT) END AS cliff_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND na + nb > 2 AND sp2 > 0 THEN " +
+        "CAST(floor(d * 10000 + 0.5) AS BIGINT) END AS d_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND na + nb > 2 AND sp2 > 0 THEN " +
+        "CAST(floor(j * d * 10000 + 0.5) AS BIGINT) END AS g_bp FROM i"),
+
+    "q241_delta_screen" ->
+      // q232's per-group spine; the complement's strictly-below and tied
+      // masses at each pooled value form the exact HUGEINT doubled
+      // one-sided count u2_g = sum(c*(2*below + tie)), then ONE float
+      // division per group for delta and the AUC twin
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "pgv AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM pgv GROUP BY v), " +
+        "gr AS (SELECT g, sum(c) AS ng FROM pgv GROUP BY g), " +
+        "t AS (SELECT sum(cv) AS n FROM pv), " +
+        "ca AS (SELECT v, cv, sum(cv) OVER (ORDER BY v) AS cumall FROM pv), " +
+        "sp AS (SELECT gr.g, gr.ng, ca.v, ca.cv, ca.cumall FROM gr, ca), " +
+        "jj AS (SELECT sp.g, sp.ng, sp.v, sp.cv, sp.cumall, COALESCE(pgv.c, 0) AS c " +
+        "FROM sp LEFT JOIN pgv ON pgv.g = sp.g AND pgv.v = sp.v), " +
+        "w AS (SELECT g, ng, v, cv, cumall, c, " +
+        "sum(c) OVER (PARTITION BY g ORDER BY v) AS cumg FROM jj), " +
+        "q AS (SELECT g, max(ng) AS ng, COALESCE(sum(CAST(c AS HUGEINT) * " +
+        "(2 * ((CAST(cumall AS HUGEINT) - CAST(cv AS HUGEINT)) - " +
+        "(CAST(cumg AS HUGEINT) - CAST(c AS HUGEINT))) + " +
+        "(CAST(cv AS HUGEINT) - CAST(c AS HUGEINT)))), 0) AS u2 FROM w GROUP BY g) " +
+        "SELECT q.g AS group_key, CAST(q.ng AS BIGINT) AS n_g, " +
+        "CAST(n AS BIGINT) - CAST(q.ng AS BIGINT) AS n_rest, " +
+        "CASE WHEN n > q.ng THEN " +
+        "CAST(floor(CAST(u2 AS DOUBLE) / (2 * CAST(q.ng AS DOUBLE) * CAST(n - q.ng AS DOUBLE)) * 10000 + 0.5) AS BIGINT) END AS auc_bp, " +
+        "CASE WHEN n > q.ng THEN " +
+        "CAST(floor((CAST(u2 AS DOUBLE) / (CAST(q.ng AS DOUBLE) * CAST(n - q.ng AS DOUBLE)) - 1) * 10000 + 0.5) AS BIGINT) END AS cliff_bp " +
+        "FROM q, t"),
 
     "q235_w1_screen" ->
       // q232's per-group spine (groups x pooled values, per-group window

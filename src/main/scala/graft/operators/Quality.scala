@@ -2174,4 +2174,353 @@ object Quality {
         bp(col("_b").cast("double") /
           (col("n").cast("double") * 1048576.0)).as("brier_bp"))
   }
+
+  /** Two-sample Cramér–von Mises criterion, ECDF functional form with
+    * ties (Anderson 1962, "On the distribution of the two-sample
+    * Cramér-von Mises criterion", Ann. Math. Statist. 33):
+    * T = n_a·n_b/N² · Σ_z (F_a(z) − F_b(z))² over the N pooled
+    * observations z — the L2 member of the two-sample drift family the
+    * board already carries: KS ([[ksTest]]) is the sup-norm (one bad
+    * gap anywhere trips it), W₁ ([[wassersteinDistance]]) the L1
+    * transport cost, T the L2 that weights SUSTAINED separation over a
+    * single spike. Ties are first-class: the sum runs value-class by
+    * value-class weighted by the pooled class count h_v, with both
+    * ECDFs right-continuous (evaluated AT the class). One row:
+    * (n_a, n_b, t_bp).
+    *
+    * Exactness discipline (the q222/q235 per-term quantization): at
+    * each distinct value the CDF-gap numerator
+    * dnum = |cum_a·n_b − cum_b·n_a| is an exact DECIMAL(38,0) integer
+    * (the [[ksTest]] cross-mass — no float CDF accumulates along the
+    * value axis); the per-class term h·(dnum/(n_a·n_b))² floors to
+    * ⌊term·2³⁰⌋ LONG, so the cross-class sum is an ORDER-FREE integer
+    * sum both engines replay bit-for-bit (double addition of raw terms
+    * would make the total depend on association). Squaring happens in
+    * doubles AFTER the exact integer numerator forms — deterministic
+    * IEEE both sides — and T renders as BIGINT basis points (the q200
+    * integer-display discipline, day one).
+    *
+    * Scale shape: one union + one value-keyed hash agg (the only
+    * corpus-wide exchange carries distinct values), two bounded
+    * prefix-sum passes over the value table, one single-row integer
+    * aggregate — the ksTest plan with a different final fold.
+    */
+  def cramerVonMises(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val perValue = sided(a, 0).unionAll(sided(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
+    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+      .select(col("_ca"), col("_cb"),
+        (col("_xa") + col("_ca")).as("_cuma"),
+        (col("_xb") + col("_cb")).as("_cumb"))
+    val totals = perValue.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
+      coalesce(sum(col("_cb")), lit(0L)).as("_nb"))
+    val dnum = abs(col("_cuma").cast(dec) * col("_nb").cast(dec) -
+      col("_cumb").cast(dec) * col("_na").cast(dec))
+    val nad = col("_na").cast("double")
+    val nbd = col("_nb").cast("double")
+    val nnd = (col("_na") + col("_nb")).cast("double")
+    // the verbatim float sequence the oracle replays: gap = dnum/(na·nb)
+    // twice (NOT gap² via pow), h·gap·gap, floor to 2^-30 grains
+    val gap = dnum.cast("double") / (nad * nbd)
+    val term = floor((col("_ca") + col("_cb")).cast("double") *
+      gap * gap * lit(1073741824.0)).cast("long")
+    val t = col("_s").cast("double") / 1073741824.0 *
+      (nad * nbd) / (nnd * nnd)
+    // aggregate ONLY the quantized mass here, then crossJoin the totals
+    // row AFTER (the r14-advisor wassersteinDistance pattern): with an
+    // empty or one-sided input the term frame is empty and a first(_na)
+    // over zero rows would report NULL counts while the totals row holds
+    // the real ones
+    cums
+      .crossJoin(broadcast(totals))
+      .agg(coalesce(sum(term), lit(0L)).as("_s"))
+      .crossJoin(broadcast(totals))
+      .select(col("_na").as("n_a"), col("_nb").as("n_b"),
+        when(col("_na") > 0 && col("_nb") > 0,
+          floor(t * 10000 + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("t_bp"))
+  }
+
+  /** k-sample Anderson–Darling test, tie-adjusted midrank form (Scholz
+    * & Stephens 1987, "K-Sample Anderson-Darling Tests", JASA 82, their
+    * A²akN — the discrete/midrank variant every reference
+    * implementation ships for tied data): the omnibus "did ANY source's
+    * distribution drift?" with the AD weight 1/(H(1−H)) that makes it
+    * TAIL-SENSITIVE where [[kruskalWallis]] sees location and
+    * [[groupedKsTest]] the single worst gap — short-document spikes and
+    * truncation-length shifts live in the tails this statistic was
+    * built for. One row: (k, n, a2_bp).
+    *
+    * A²akN = (N−1)/N · Σ_i 1/n_i · Σ_j h_j/N ·
+    * (N·M_ij − n_i·B_j)² / (B_j(N−B_j) − N·h_j/4), with B_j the pooled
+    * cumulative minus h_j/2 and M_ij sample i's cumulative minus
+    * h_ij/2 (midranks). Doubling clears the halves: 2B = 2·cum − h and
+    * 2M = 2·cum_i − c are exact integers, the squared numerator is
+    * (N·2M − n_i·2B)²/4 and the denominator (2B·(2N−2B) − N·h)/4, so
+    * the ratio's integer core inum = N·2M − n_i·2B and
+    * iden = 2B·(2N−2B) − N·h form in DECIMAL(38,0) with no float
+    * before the per-cell term. Each term then floors to ⌊term·2³⁰⌋
+    * LONG (the q222/q235 order-free-integer-sum discipline — a raw
+    * double Σ over groups × values would be association-dependent),
+    * and A² renders as BIGINT basis points. iden vanishes only when a
+    * single value class holds the whole pool (all values tied) — the
+    * degenerate input reports NULL.
+    *
+    * Scale shape: [[groupedKsTest]]'s spine verbatim — one
+    * per-(group, value) hash agg is the only corpus-width exchange
+    * (persisted: the pooled histogram, group table, and totals all
+    * derive from it), one bounded prefix-sum pass, the bounded-groups
+    * broadcast cross, a PARTITIONED per-group window, one single-row
+    * integer aggregate.
+    */
+  def andersonDarlingK(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
+    val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val groups = perGV.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
+    val totals = perV.agg(
+      coalesce(sum(col("_cv")), lit(0L)).as("_n"),
+      count(lit(1)).as("_m"))
+    val cumAll = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_xa")
+      .select(col("_v"), col("_cv"), (col("_xa") + col("_cv")).as("_cumall"))
+    val spine = cumAll.crossJoin(broadcast(groups))
+      .join(perGV, Seq("_g", "_v"), "left")
+      .select(col("_g"), col("_ng"), col("_v"), col("_cv"), col("_cumall"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val cumG = sum(col("_c")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_g")).orderBy(col("_v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+    val nDec = col("_n").cast(dec)
+    val b2 = lit(2).cast(dec) * col("_cumall").cast(dec) - col("_cv").cast(dec)
+    val m2 = lit(2).cast(dec) * col("_cumg").cast(dec) - col("_c").cast(dec)
+    val inum = nDec * m2 - col("_ng").cast(dec) * b2
+    val iden = b2 * (lit(2).cast(dec) * nDec - b2) - nDec * col("_cv").cast(dec)
+    val nd = col("_n").cast("double")
+    val ngd = col("_ng").cast("double")
+    // verbatim float sequence (oracle replays it): ratio = (inum/iden)
+    // via inum·inum/iden, scaled by the pooled class weight h/N and the
+    // per-sample 1/n_i, floored to 2^-30 grains — an order-free LONG sum
+    val term = floor(inum.cast("double") * inum.cast("double") /
+      iden.cast("double") * (col("_cv").cast("double") / nd) / ngd *
+      lit(1073741824.0)).cast("long")
+    val kTab = groups.agg(count(lit(1)).as("k"))
+    // aggregate ONLY the quantized mass, then crossJoin the totals and
+    // group-count rows AFTER (the r14-advisor wassersteinDistance
+    // pattern) so k/n report real counts even on a degenerate spine
+    spine
+      .withColumn("_cumg", cumG)
+      .crossJoin(broadcast(totals))
+      .groupBy()
+      .agg(
+        // iden = 0 ⟺ the single all-tied value class — excluded here,
+        // surfaced as the NULL display below via the _m = 1 gate
+        coalesce(sum(when(iden > lit(0).cast(dec), term)), lit(0L)).as("_s"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(kTab))
+      .select(col("k"), col("_n").as("n"),
+        when(col("_m") > 1,
+          floor(col("_s").cast("double") / 1073741824.0 *
+            ((col("_n") - 1).cast("double") / col("_n").cast("double")) *
+            10000 + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("a2_bp"))
+  }
+
+  /** Two-sample standardized effect sizes — the MAGNITUDE companion the
+    * test shelf was missing: [[ksTest]]/[[mannWhitneyU]]/[[cramerVonMises]]
+    * say whether the sides differ, [[wassersteinDistance]] what the gap
+    * costs in VALUE units; these are the scale-free "how big?" numbers a
+    * report compares across metrics and corpora. One row:
+    * (n_a, n_b, cliff_bp, d_bp, g_bp).
+    *
+    *  - Cliff's delta (Cliff 1993, Psych. Bull. 114): δ = (#(a>b) −
+    *    #(a<b))/(n_a·n_b) ∈ [−1, 1], the ordinal dominance effect — with
+    *    tied mass split, δ = 2U/(n_a·n_b) − 1, i.e. the rank-biserial r
+    *    and exactly 2·AUC − 1 of [[mannWhitneyU]]'s auc. Computed from
+    *    the SAME doubled-midrank integer kernel: u2 = 2U is an exact
+    *    DECIMAL(38,0), so δ has ONE float division.
+    *  - Cohen's d (Cohen 1988): (mean_a − mean_b)/s_pooled with the
+    *    (n−1)-weighted pooled SD — the standardized mean difference.
+    *  - Hedges' g (Hedges 1981, small-sample correction in the standard
+    *    J ≈ 1 − 3/(4N−9) form): g = J·d.
+    *
+    * Exactness discipline: d needs Σv and Σv² — raw double sums are
+    * association-dependent, so each DISTINCT value quantizes once to
+    * q1 = ⌊v·2²⁰⌋, q2 = ⌊v²·2²⁰⌋ LONG grains and the moments are exact
+    * integer sums Σc·q in DECIMAL(38,0) (the q222/q235 grain discipline,
+    * applied to moments instead of gaps: both engines see identical
+    * integers, the d/g double chain then replays bit-for-bit; the ≤2⁻²⁰
+    * grain bias is three decimal orders below the displayed basis
+    * point). Displays are signed BIGINT basis points ⌊x·10⁴ + 0.5⌋.
+    * Degenerates: an empty side nulls every display; a zero pooled
+    * variance (all values equal) nulls d/g but leaves δ = 0 real.
+    *
+    * Scale shape: the [[mannWhitneyU]] plan verbatim — one per-value
+    * union hash agg is the only corpus-width exchange, one bounded
+    * prefix-sum pass, ONE single-row integer aggregate.
+    */
+  def effectSizes(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val perValue = sided(a, 0).unionAll(sided(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+    val withM2 = GlobalRank.weightedPrefixSums(
+        perValue.withColumn("_ct", col("_ca") + col("_cb")),
+        "_v", "_ct", "_pfx")
+      .select(col("_v"), col("_ca"), col("_cb"),
+        (lit(2L) * col("_pfx") + col("_ct") + lit(1L)).as("_m2"))
+    // per-DISTINCT-value moment grains: the only float→integer crossing,
+    // identical on both engines because the same double v feeds the same
+    // product and floor
+    val q1 = floor(col("_v") * lit(1048576.0)).cast(dec)
+    val q2 = floor(col("_v") * col("_v") * lit(1048576.0)).cast(dec)
+    val moments = withM2.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_cb")), lit(0L)).as("n_b"),
+      coalesce(sum(col("_ca").cast(dec) * col("_m2").cast(dec)),
+        lit(0).cast(dec)).as("_r2"),
+      coalesce(sum(col("_ca").cast(dec) * q1), lit(0).cast(dec)).as("_s1a"),
+      coalesce(sum(col("_cb").cast(dec) * q1), lit(0).cast(dec)).as("_s1b"),
+      coalesce(sum(col("_ca").cast(dec) * q2), lit(0).cast(dec)).as("_s2a"),
+      coalesce(sum(col("_cb").cast(dec) * q2), lit(0).cast(dec)).as("_s2b"))
+    val na = col("n_a").cast(dec)
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    // ANSI Spark throws on ANY division by zero, and a `when` guard does
+    // NOT protect divisions reachable from the when CONDITION (conditions
+    // are always evaluated; codegen subexpression elimination also hoists
+    // shared branch terms) — so every divisor on the sp2 path substitutes
+    // 1 exactly when its own display guard already nulls the output. On
+    // non-degenerate inputs the safe divisor IS the raw one, so the
+    // oracle's unguarded replay sees the identical chain
+    val nadS = when(col("n_a") > 0, nad).otherwise(lit(1.0))
+    val nbdS = when(col("n_b") > 0, nbd).otherwise(lit(1.0))
+    val dfS = when(col("n_a") + col("n_b") > 2, nad + nbd - 2)
+      .otherwise(lit(1.0))
+    // 2U exact (the mannWhitneyU kernel), then ONE division for δ
+    val u2 = (col("_r2") - na * (na + lit(1)))
+    val cliff = u2.cast("double") / (nadS * nbdS) - 1
+    // the verbatim double chain the oracle replays: de-grain each moment,
+    // mean, (n−1)-weighted pooled variance, d, the Hedges J factor
+    val m1a = col("_s1a").cast("double") / 1048576.0 / nadS
+    val m1b = col("_s1b").cast("double") / 1048576.0 / nbdS
+    val ssa = col("_s2a").cast("double") / 1048576.0 - nad * m1a * m1a
+    val ssb = col("_s2b").cast("double") / 1048576.0 - nbd * m1b * m1b
+    val sp2 = (ssa + ssb) / dfS
+    val d = (m1a - m1b) / sqrt(sp2)
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (nad + nbd) - 9)
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    moments.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, bp(cliff))
+        .otherwise(lit(null).cast("long")).as("cliff_bp"),
+      when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("n_a") + col("n_b") > 2 && sp2 > 0, bp(d))
+        .otherwise(lit(null).cast("long")).as("d_bp"),
+      when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("n_a") + col("n_b") > 2 && sp2 > 0, bp(j * d))
+        .otherwise(lit(null).cast("long")).as("g_bp"))
+  }
+
+  /** Per-group Cliff's delta against the complement — the effect-size
+    * member that completes the drift-screen triad over one shared
+    * per-(group, value) histogram: [[groupedKsTest]] says WHICH source
+    * drifted (sup-norm + FDR), [[groupedW1]] what the drift COSTS in
+    * value units, this screen how DIRECTIONALLY DOMINANT each source is
+    * (δ > 0: the source's values stochastically exceed the rest's — a
+    * scale-free, outlier-proof ordinal effect a report compares across
+    * metrics). One row per group:
+    * (group_key, n_g, n_rest, auc_bp, cliff_bp).
+    *
+    * Kernel: for group g at pooled value v, the complement's
+    * strictly-below mass is (cumall − cv) − (cumg − c) and its tied mass
+    * cv − c, so the doubled one-sided count u2_g = Σ_v c·(2·below + tie)
+    * is an exact DECIMAL(38,0) integer and
+    * δ_g = u2_g/(n_g·n_rest) − 1 (tied mass split — the
+    * [[mannWhitneyU]]/[[effectSizes]] convention) has ONE float division
+    * per group. auc = u2_g/(2·n_g·n_rest) is the probability-of-
+    * superiority rendering of the same integer.
+    *
+    * Scale shape: [[groupedKsTest]]'s spine verbatim — ONE
+    * per-(group, value) hash agg is the only corpus-width exchange
+    * (persisted; pooled histogram and group table derive from it), one
+    * bounded prefix-sum pass, the bounded-groups broadcast cross, a
+    * PARTITIONED per-group window, one group-keyed integer aggregate.
+    * Groups with an empty complement (a single group in the input)
+    * report NULL displays.
+    */
+  def groupedCliffsDelta(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
+    val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val groups = perGV.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
+    val totals = perV.agg(coalesce(sum(col("_cv")), lit(0L)).as("_n"))
+    val cumAll = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_xa")
+      .select(col("_v"), col("_cv"), (col("_xa") + col("_cv")).as("_cumall"))
+    val spine = cumAll.crossJoin(broadcast(groups))
+      .join(perGV, Seq("_g", "_v"), "left")
+      .select(col("_g"), col("_ng"), col("_v"), col("_cv"), col("_cumall"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val cumG = sum(col("_c")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_g")).orderBy(col("_v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+    // complement masses at v: strictly below and tied — exact integers
+    val below = (col("_cumall") - col("_cv")).cast(dec) -
+      (col("_cumg") - col("_c")).cast(dec)
+    val tie = col("_cv").cast(dec) - col("_c").cast(dec)
+    val u2Mass = spine
+      .withColumn("_cumg", cumG)
+      .groupBy(col("_g"))
+      .agg(coalesce(sum(col("_c").cast(dec) *
+        (lit(2).cast(dec) * below + tie)), lit(0).cast(dec)).as("_u2"))
+    val ngd = col("_ng").cast("double")
+    val nrd = (col("_n") - col("_ng")).cast("double")
+    val aucBp = floor(col("_u2").cast("double") / (lit(2.0) * ngd * nrd) * 10000 +
+      lit(0.5)).cast("long")
+    val cliffBp = floor((col("_u2").cast("double") / (ngd * nrd) - 1) *
+      10000 + lit(0.5)).cast("long")
+    // left from the group table (the groupedW1 degenerate-input fix): a
+    // single-group input leaves every group's complement empty — counts
+    // still report, displays null
+    groups
+      .join(u2Mass, Seq("_g"), "left")
+      .withColumn("_u2", coalesce(col("_u2"), lit(0).cast(dec)))
+      .crossJoin(broadcast(totals))
+      .select(col("_g").as("group_key"), col("_ng").as("n_g"),
+        (col("_n") - col("_ng")).as("n_rest"),
+        when(col("_n") > col("_ng"), aucBp)
+          .otherwise(lit(null).cast("long")).as("auc_bp"),
+        when(col("_n") > col("_ng"), cliffBp)
+          .otherwise(lit(null).cast("long")).as("cliff_bp"))
+  }
 }

@@ -35,7 +35,9 @@ object SqlGateway {
     "psi_drift" -> "q211_psi",
     "score_drift" -> "q215_score_drift",
     "ks_screen" -> "q232_fdr_screen",
-    "w1_screen" -> "q235_w1_screen")
+    "w1_screen" -> "q235_w1_screen",
+    "delta_screen" -> "q241_delta_screen",
+    "ad_omnibus" -> "q239_ad_ksample")
 
   /** Register every test table plus the graft function surface on the
     * session, then start a Thrift endpoint on `port`. Returns after the

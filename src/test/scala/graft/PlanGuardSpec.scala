@@ -99,6 +99,12 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(groups)) building the bounded groups x values KS spine (the q186 bounded-dimension discipline — a value absent from a group still moves its complement's CDF) + the one-row totals broadcast (q220's discipline)",
     "q235_w1_screen" ->
       "q232's crossJoin(broadcast(groups)) spine + the one-row totals broadcast, twice (per-gap term needs n; displays need vmin/vmax after the group roll-up)",
+    "q238_cvm_test" ->
+      "crossJoin(broadcast(totals)): the single-row side totals beside the distinct-value cumulative table, twice (per-class terms need n_a/n_b; the r14-advisor pattern takes the displayed counts from the totals row after the roll-up) — q220's discipline",
+    "q239_ad_ksample" ->
+      "q232's crossJoin(broadcast(groups)) spine + the one-row totals and group-count broadcasts after the roll-up (the r14-advisor pattern: k/n report real counts even on a degenerate spine)",
+    "q241_delta_screen" ->
+      "q232's crossJoin(broadcast(groups)) spine + the one-row totals broadcast after the group roll-up (n_rest needs n; the groupedW1 left-join degenerate discipline keeps counts real when a group's complement is empty)",
     "q234_kruskal_wallis" ->
       "crossJoin(broadcast(ties)): the single-row tie-mass scalar beside the one-row group roll-up (q220's totals discipline)",
     "q211_psi" ->
