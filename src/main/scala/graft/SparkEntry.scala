@@ -1561,6 +1561,18 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q242_jt_trend" -> ((s, dir) => {
+      // Jonckheere-Terpstra ordered trend: does event value trend
+      // monotonically across the ISO week (Mon..Sun as the ordered
+      // groups)? The ordered question q229/q234/q239's unordered
+      // omnibus family cannot ask — JT concentrates power on
+      // "later group => stochastically larger values"
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+      operators.Quality.jonckheereTerpstra(ev,
+        col("value"), weekday(to_date(col("ts"))) + 1)
+    }),
+
     "q240_effect_sizes" -> ((s, dir) => {
       // standardized effect sizes over q220's even/odd event-value split
       // — the scale-free "how big?" panel beside the triad's tests:
@@ -4668,6 +4680,55 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q242_jt_trend" ->
+      // the grouped spine with two windows: per-group value-cumulative,
+      // then the EXCLUSIVE per-value prefix over lower-ordered groups;
+      // 2JT = sum(c*(2A + B)) exact in HUGEINT, H&W tie-corrected var
+      // chain spelled left-associated exactly as Spark's
+      ("WITH u AS (SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS g, " +
+        "CAST(value AS DOUBLE) AS v FROM events " +
+        "WHERE value IS NOT NULL AND ts IS NOT NULL), " +
+        "pgv AS (SELECT g, v, count(*) AS c FROM u GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM pgv GROUP BY v), " +
+        "gr AS (SELECT g, sum(c) AS ng FROM pgv GROUP BY g), " +
+        "sp AS (SELECT gr.g, pv.v, COALESCE(pgv.c, 0) AS c " +
+        "FROM gr CROSS JOIN pv LEFT JOIN pgv ON pgv.g = gr.g AND pgv.v = pv.v), " +
+        "w1 AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS cumg FROM sp), " +
+        "w2 AS (SELECT g, v, c, " +
+        "COALESCE(sum(cumg - c) OVER (PARTITION BY v ORDER BY g " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a, " +
+        "COALESCE(sum(c) OVER (PARTITION BY v ORDER BY g " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b FROM w1), " +
+        "jt AS (SELECT COALESCE(sum(CAST(c AS HUGEINT) * " +
+        "(2 * CAST(a AS HUGEINT) + CAST(b AS HUGEINT))), 0) AS jt2 FROM w2), " +
+        "gs AS (SELECT count(*) AS k, COALESCE(sum(ng), 0) AS n, " +
+        "COALESCE(sum(CAST(ng AS HUGEINT) * CAST(ng AS HUGEINT)), 0) AS sq, " +
+        "COALESCE(sum(CAST(ng AS HUGEINT) * (CAST(ng AS HUGEINT) - 1) * (2 * CAST(ng AS HUGEINT) + 5)), 0) AS g1, " +
+        "COALESCE(sum(CAST(ng AS HUGEINT) * (CAST(ng AS HUGEINT) - 1) * (CAST(ng AS HUGEINT) - 2)), 0) AS g2, " +
+        "COALESCE(sum(CAST(ng AS HUGEINT) * (CAST(ng AS HUGEINT) - 1)), 0) AS g3 FROM gr), " +
+        "ts AS (SELECT " +
+        "COALESCE(sum(CAST(cv AS HUGEINT) * (CAST(cv AS HUGEINT) - 1) * (2 * CAST(cv AS HUGEINT) + 5)), 0) AS t1, " +
+        "COALESCE(sum(CAST(cv AS HUGEINT) * (CAST(cv AS HUGEINT) - 1) * (CAST(cv AS HUGEINT) - 2)), 0) AS t2, " +
+        "COALESCE(sum(CAST(cv AS HUGEINT) * (CAST(cv AS HUGEINT) - 1)), 0) AS t3 FROM pv), " +
+        "f AS (SELECT jt2, k, n, CAST(n AS DOUBLE) AS nd, " +
+        "CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - sq AS p2, g1, g2, g3, t1, t2, t3 " +
+        "FROM jt, gs, ts), " +
+        "h AS (SELECT jt2, k, n, nd, p2, " +
+        "nd * (nd - 1) * (2 * nd + 5) - CAST(g1 AS DOUBLE) - CAST(t1 AS DOUBLE) AS a1, " +
+        "CASE WHEN n > 2 THEN nd * (nd - 1) * (nd - 2) ELSE 1.0 END AS d1s, " +
+        "CASE WHEN n > 1 THEN nd * (nd - 1) ELSE 1.0 END AS d2s, " +
+        "CASE WHEN p2 > 0 THEN CAST(p2 AS DOUBLE) ELSE 1.0 END AS p2s, " +
+        "g2, g3, t2, t3 FROM f), " +
+        "i AS (SELECT jt2, k, n, p2, p2s, " +
+        "a1 / 72 + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE) / (36 * d1s) + " +
+        "CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE) / (8 * d2s) AS varjt, " +
+        "CAST(jt2 AS DOUBLE) / 2 - CAST(p2 AS DOUBLE) / 4 AS num FROM h) " +
+        "SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, " +
+        "CASE WHEN p2 > 0 THEN " +
+        "CAST(floor(CAST(jt2 AS DOUBLE) / p2s * 10000 + 0.5) AS BIGINT) END AS po_bp, " +
+        "CASE WHEN p2 > 0 AND varjt > 0 THEN " +
+        "floor(num / sqrt(varjt) * 10000 + 0.5) / 10000 END AS z FROM i"),
 
     "q240_effect_sizes" ->
       // q221's midrank kernel for the exact doubled U, plus 2^-20-grain

@@ -2445,6 +2445,106 @@ object Quality {
         .otherwise(lit(null).cast("long")).as("g_bp"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternative trend test (Jonckheere 1954
+    * / Terpstra 1952; tie-corrected normal form per Hollander & Wolfe,
+    * Nonparametric Statistical Methods §6.2): "does the metric trend
+    * MONOTONICALLY across the ordered groups?" — the ordered question the
+    * unordered k-group shelf cannot ask ([[kruskalWallis]]/ANOVA/
+    * [[andersonDarlingK]] all test ANY difference; JT concentrates its
+    * power on i < j ⟹ values(i) ≾ values(j), e.g. quality across daily
+    * snapshots or size buckets). One row: (k, n, po_bp, z).
+    *
+    * JT = Σ_{i<j} U_ij with tied pairs counted half. The doubled
+    * statistic is an exact integer: with pre_i(v) the count of group i
+    * strictly below pooled value v,
+    * 2·JT = Σ_{(g,v)} c_g(v)·(2·Σ_{i<g} pre_i(v) + Σ_{i<g} c_i(v)) —
+    * the inner prefix sums over LOWER-ORDERED groups come from one
+    * value-partitioned window over the bounded spine, so every mass is
+    * DECIMAL(38,0) with no float anywhere before the display chain.
+    * Displays: po_bp = the probability-of-ordered-superiority
+    * JT/Σ_{i<j} n_i·n_j = jt2/(N² − Σn²) in basis points (the scale-free
+    * trend strength a report compares), and the tie-corrected z
+    * (E = (N² − Σn²)/4; var per H&W eq. 6.19 with both group- and
+    * tie-mass correction terms, every Σ exact integer).
+    *
+    * Scale shape: [[groupedKsTest]]'s spine — ONE per-(group, value)
+    * hash agg is the only corpus-width exchange (persisted), the
+    * bounded-groups broadcast cross, two PARTITIONED windows over the
+    * bounded spine (per-group value-cumulative, per-value group-prefix),
+    * three one-row aggregates meeting in literal crosses. Degenerates:
+    * a single group or an all-tied pool leaves var = 0 → NULL z; po is
+    * NULL when no cross-group pair exists.
+    */
+  def jonckheereTerpstra(
+      df: DataFrame,
+      valueCol: Column,
+      groupOrderCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupOrderCol.isNotNull)
+      .select(groupOrderCol.cast("long").as("_g"),
+        valueCol.cast("double").as("_v"))
+    val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val groups = perGV.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
+    val spine = perV.select(col("_v")).crossJoin(broadcast(groups))
+      .join(perGV, Seq("_g", "_v"), "left")
+      .select(col("_g"), col("_v"), coalesce(col("_c"), lit(0L)).as("_c"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // lower-ordered groups at the same pooled value: EXCLUSIVE prefix
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_v")).orderBy(col("_g"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withPre = spine
+      .withColumn("_cumg", sum(col("_c")).over(wg))
+      .withColumn("_pre", col("_cumg") - col("_c"))
+      .withColumn("_a", coalesce(sum(col("_pre")).over(wv), lit(0L)))
+      .withColumn("_b", coalesce(sum(col("_c")).over(wv), lit(0L)))
+    val jt = withPre.agg(coalesce(sum(col("_c").cast(dec) *
+      (lit(2).cast(dec) * col("_a").cast(dec) + col("_b").cast(dec))),
+      lit(0).cast(dec)).as("_jt2"))
+    def mass(c: Column, f: Column => Column) = coalesce(sum(f(c.cast(dec))),
+      lit(0).cast(dec))
+    val gStats = groups.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum(col("_ng")), lit(0L)).as("n"),
+      mass(col("_ng"), x => x * x).as("_sq"),
+      mass(col("_ng"), x => x * (x - 1) * (lit(2).cast(dec) * x + 5)).as("_g1"),
+      mass(col("_ng"), x => x * (x - 1) * (x - 2)).as("_g2"),
+      mass(col("_ng"), x => x * (x - 1)).as("_g3"))
+    val tStats = perV.agg(
+      mass(col("_cv"), x => x * (x - 1) * (lit(2).cast(dec) * x + 5)).as("_t1"),
+      mass(col("_cv"), x => x * (x - 1) * (x - 2)).as("_t2"),
+      mass(col("_cv"), x => x * (x - 1)).as("_t3"))
+    val nd = col("n").cast("double")
+    // P2 = N² − Σn² = 2·Σ_{i<j} n_i·n_j, exact and even
+    val p2 = col("n").cast(dec) * col("n").cast(dec) - col("_sq")
+    // ANSI-safe divisors (when-conditions always evaluate): substitute 1
+    // exactly when the display guard already nulls the output
+    val p2S = when(p2 > 0, p2.cast("double")).otherwise(lit(1.0))
+    val d1S = when(col("n") > 2, nd * (nd - 1) * (nd - 2)).otherwise(lit(1.0))
+    val d2S = when(col("n") > 1, nd * (nd - 1)).otherwise(lit(1.0))
+    // the verbatim double chain the oracle replays: H&W tie-corrected var
+    val a1 = nd * (nd - 1) * (lit(2.0) * nd + 5) -
+      col("_g1").cast("double") - col("_t1").cast("double")
+    val varJt = a1 / 72 +
+      col("_g2").cast("double") * col("_t2").cast("double") / (lit(36.0) * d1S) +
+      col("_g3").cast("double") * col("_t3").cast("double") / (lit(8.0) * d2S)
+    val num = col("_jt2").cast("double") / 2 - p2.cast("double") / 4
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    jt.crossJoin(broadcast(gStats))
+      .crossJoin(broadcast(tStats))
+      .select(col("k"), col("n"),
+        when(p2 > 0,
+          floor(col("_jt2").cast("double") / p2S * 10000 + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("po_bp"),
+        when(p2 > 0 && varJt > 0, r4(num / sqrt(varJt)))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Per-group Cliff's delta against the complement — the effect-size
     * member that completes the drift-screen triad over one shared
     * per-(group, value) histogram: [[groupedKsTest]] says WHICH source

@@ -105,6 +105,8 @@ class PlanGuardSpec extends SparkSpec {
       "q232's crossJoin(broadcast(groups)) spine + the one-row totals and group-count broadcasts after the roll-up (the r14-advisor pattern: k/n report real counts even on a degenerate spine)",
     "q241_delta_screen" ->
       "q232's crossJoin(broadcast(groups)) spine + the one-row totals broadcast after the group roll-up (n_rest needs n; the groupedW1 left-join degenerate discipline keeps counts real when a group's complement is empty)",
+    "q242_jt_trend" ->
+      "the values-spine crossJoin(broadcast(groups)) (bounded ordered groups x pooled distinct values — an absent value still moves a group's prefix mass) + the two one-row group/tie-moment broadcasts meeting the one-row JT aggregate in literal crosses",
     "q234_kruskal_wallis" ->
       "crossJoin(broadcast(ties)): the single-row tie-mass scalar beside the one-row group roll-up (q220's totals discipline)",
     "q211_psi" ->

@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Jonckheere–Terpstra ordered-trend test: hand-computed values, an
+  * independent straight-double reference (pair counting, Hollander &
+  * Wolfe tie-corrected variance), the k=2 ≡ Mann-Whitney identity, and
+  * the ordered-alternative behaviors the unordered omnibus family lacks.
+  */
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+
+  private def jt(rows: Seq[(Long, Long)])
+      : (Long, Long, Option[Long], Option[Double]) =
+    Quality.jonckheereTerpstra(rows.toDF("g", "v"), col("v"), col("g"))
+      .as[(Long, Long, Option[Long], Option[Double])].head()
+
+  /** Published form, straight doubles, pairs counted directly. */
+  private def refJt(rows: Seq[(Long, Long)]): (Double, Double) = {
+    val gs = rows.map(_._1).distinct.sorted
+    var s = 0.0
+    for (i <- gs.indices; j <- i + 1 until gs.size) {
+      val xi = rows.filter(_._1 == gs(i)).map(_._2)
+      val xj = rows.filter(_._1 == gs(j)).map(_._2)
+      s += (for (a <- xi; b <- xj)
+        yield if (a < b) 1.0 else if (a == b) 0.5 else 0.0).sum
+    }
+    val n = rows.size.toDouble
+    val ns = gs.map(g => rows.count(_._1 == g).toDouble)
+    val pairs = (n * n - ns.map(x => x * x).sum) / 2
+    val e = pairs / 2
+    val ties = rows.map(_._2).groupBy(identity).values.map(_.size.toDouble)
+    def m(f: Double => Double) = ns.map(f).sum
+    def t(f: Double => Double) = ties.map(f).sum
+    val v = (n * (n - 1) * (2 * n + 5) -
+        m(x => x * (x - 1) * (2 * x + 5)) - t(x => x * (x - 1) * (2 * x + 5))) / 72 +
+      m(x => x * (x - 1) * (x - 2)) * t(x => x * (x - 1) * (x - 2)) /
+        (36 * n * (n - 1) * (n - 2)) +
+      m(x => x * (x - 1)) * t(x => x * (x - 1)) / (8 * n * (n - 1))
+    ((s - e) / math.sqrt(v), s / pairs)
+  }
+
+  test("jt: hand case — perfect ascending trend pins po to 1") {
+    // g1={1,2}, g2={3,4}, g3={5,6}: every cross-group pair ascends
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L), (3L, 6L))
+    val got = jt(rows)
+    assert(got._1 == 3L && got._2 == 6L)
+    assert(got._3 == Some(10000L))
+    // JT = 12, E = (36-12)/4 = 6, var = (6*5*17 - 3*18)/72 = 6.333...,
+    // z = 6/sqrt(6.3333) = 2.3842 after the display r4
+    assert(got._4 == Some(2.3842))
+  }
+
+  test("jt: matches the published tie-corrected form (10 rounds)") {
+    val rowGen = Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 12L))
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(50, rowGen), 45000L + round)
+      val (zWant, poWant) = refJt(rows)
+      val got = jt(rows)
+      assert(got._2 == 50L)
+      assert(math.abs(got._3.get / 10000.0 - poWant) < 1e-4, s"po round $round")
+      assert(math.abs(got._4.get - zWant) < 1e-4, s"z round $round")
+    }
+  }
+
+  test("jt: reversing the group order flips the trend") {
+    val rowGen = Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 9L))
+    val rows = draw(Gen.listOfN(40, rowGen), 46000L)
+    val fwd = jt(rows)
+    val rev = jt(rows.map { case (g, v) => (5L - g, v) })
+    // po_fwd + po_rev = 1 (ties counted half on both sides); z flips sign
+    assert(math.abs((fwd._3.get + rev._3.get) - 10000L) <= 1)
+    assert(math.abs(fwd._4.get + rev._4.get) < 2e-4)
+  }
+
+  test("jt: k=2 reduces to Mann-Whitney (po = AUC of group2 over group1)") {
+    val as = Seq(1L, 4L, 4L, 9L); val bs = Seq(2L, 4L, 10L, 11L)
+    val rows = as.map((1L, _)) ++ bs.map((2L, _))
+    val got = jt(rows)
+    val mwu = Quality.mannWhitneyU(bs.toDF("v"), as.toDF("v"), "v")
+      .select("auc_bp").as[Long].head()
+    assert(got._3.get == mwu)
+  }
+
+  test("jt: exact under any strictly monotone value map (rank statistic)") {
+    val rowGen = Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 9L))
+    val rows = draw(Gen.listOfN(30, rowGen), 47000L)
+    assert(jt(rows.map { case (g, v) => (g, v * v * 3 + 1) }) == jt(rows))
+  }
+
+  test("jt: all values tied — var 0, null z, po at the half point") {
+    val got = jt(Seq((1L, 5L), (1L, 5L), (2L, 5L), (2L, 5L)))
+    assert(got._3 == Some(5000L) && got._4.isEmpty)
+  }
+
+  test("jt: single group reports counts, null displays") {
+    assert(jt(Seq((1L, 1L), (1L, 2L))) == ((1L, 2L, None, None)))
+  }
+
+  test("jt: monotone trend scores higher than the same values shuffled across groups") {
+    val trend = Seq.tabulate(30)(i => (i / 10 + 1L, i.toLong))
+    val mixed = Seq.tabulate(30)(i => (i % 3 + 1L, i.toLong))
+    assert(jt(trend)._4.get > jt(mixed)._4.get)
+  }
+}
