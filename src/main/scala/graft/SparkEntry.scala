@@ -1561,6 +1561,40 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q244_ca_trend" -> ((s, dir) => {
+      // Cochran-Armitage: does the purchase RATE trend across the ISO
+      // week? The binary-outcome sibling of q242's JT (which asks the
+      // same ordered question of a metric) — one bounded hash agg,
+      // integer score sums, one z chain
+      operators.Quality.cochranArmitage(
+        Tables(s, dir, "events").filter(col("ts").isNotNull),
+        (col("event_type") === "purchase").cast("long"),
+        weekday(to_date(col("ts"))) + 1)
+    }),
+
+    "q245_mantel_haenszel" -> ((s, dir) => {
+      // Mantel-Haenszel: are English docs longer AFTER controlling for
+      // source? The confounder-adjusted 2x2 the pooled two-proportion
+      // comparison (q226) gets wrong under Simpson's paradox — one
+      // strata-bounded agg, sorted-stratum in-row folds
+      operators.Quality.mantelHaenszel(
+        Tables(s, dir, "documents")
+          .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+            col("source").isNotNull),
+        col("lang") === "en",
+        col("n_chars") >= 150,
+        col("source"))
+    }),
+
+    "q243_logrank" -> ((s, dir) => {
+      // two-cohort log-rank test: does user-id-parity cohort 0's
+      // retention curve differ from cohort 1's? The significance
+      // companion to q180's Kaplan-Meier curve (same lifetimes, same
+      // churn rule), weighting every event day by its risk set
+      operators.Sessions.logRankTest(Tables(s, dir, "events"),
+        pmod(col("user_id"), lit(2)), churnGapDays = 1)
+    }),
+
     "q242_jt_trend" -> ((s, dir) => {
       // Jonckheere-Terpstra ordered trend: does event value trend
       // monotonically across the ISO week (Mon..Sun as the ordered
@@ -4680,6 +4714,120 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q244_ca_trend" ->
+      // same bounded (score, n, r) masses in HUGEINT, the same pbar /
+      // trend-variance / z double chain left-associated as Spark's
+      ("WITH u AS (SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS s, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events WHERE ts IS NOT NULL), " +
+        "pg AS (SELECT s, count(*) AS n, CAST(sum(y) AS BIGINT) AS r FROM u GROUP BY s), " +
+        "a AS (SELECT count(*) AS k, COALESCE(sum(n), 0) AS n, COALESCE(sum(r), 0) AS npos, " +
+        "COALESCE(sum(CAST(s AS HUGEINT) * CAST(r AS HUGEINT)), 0) AS t, " +
+        "COALESCE(sum(CAST(s AS HUGEINT) * CAST(n AS HUGEINT)), 0) AS s1, " +
+        "COALESCE(sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT) * CAST(n AS HUGEINT)), 0) AS s2 FROM pg), " +
+        "f AS (SELECT k, n, npos, CAST(n AS DOUBLE) AS nd, " +
+        "CASE WHEN n > 0 THEN CAST(n AS DOUBLE) ELSE 1.0 END AS nds, " +
+        "CAST(npos AS DOUBLE) AS rp, CAST(t AS DOUBLE) AS td, " +
+        "CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d FROM a), " +
+        "g AS (SELECT k, n, npos, rp / nds AS pbar, td, s1d, s2d, nds FROM f), " +
+        "h AS (SELECT k, n, npos, " +
+        "pbar * (1.0 - pbar) * (s2d - s1d * s1d / nds) AS vart, " +
+        "td - pbar * s1d AS num FROM g) " +
+        "SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, " +
+        "CAST(npos AS BIGINT) AS n_pos, " +
+        "CASE WHEN n > 0 AND vart > 0 THEN " +
+        "floor(num / sqrt(vart) * 10000 + 0.5) / 10000 END AS z FROM h"),
+
+    "q245_mantel_haenszel" ->
+      // same per-stratum 2x2 integer cells, the same four float folds in
+      // sorted stratum order seeded 0.0, term chains spelled as Spark's
+      ("WITH u AS (SELECT source AS g, " +
+        "CASE WHEN lang = 'en' THEN TRUE ELSE FALSE END AS e, " +
+        "CASE WHEN n_chars >= 150 THEN TRUE ELSE FALSE END AS o " +
+        "FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND source IS NOT NULL), " +
+        "ps AS (SELECT g, " +
+        "CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "FROM u GROUP BY g), " +
+        "o1 AS (SELECT list(struct_pack(g := g, a := a, b := b, c := c, d := d) ORDER BY g) AS h FROM ps), " +
+        "x AS (SELECT len(h) AS k, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h, s -> (s).a + (s).b + (s).c + (s).d)), (p, q) -> p + q) AS n, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h, s -> (s).a)), (p, q) -> p + q) AS suma, " +
+        "list_reduce(list_prepend(0.0, list_transform(h, s -> " +
+        "CAST((s).a AS DOUBLE) * CAST((s).d AS DOUBLE) / " +
+        "(CAST((s).a AS DOUBLE) + CAST((s).b AS DOUBLE) + CAST((s).c AS DOUBLE) + CAST((s).d AS DOUBLE)))), (p, q) -> p + q) AS sumad, " +
+        "list_reduce(list_prepend(0.0, list_transform(h, s -> " +
+        "CAST((s).b AS DOUBLE) * CAST((s).c AS DOUBLE) / " +
+        "(CAST((s).a AS DOUBLE) + CAST((s).b AS DOUBLE) + CAST((s).c AS DOUBLE) + CAST((s).d AS DOUBLE)))), (p, q) -> p + q) AS sumbc, " +
+        "list_reduce(list_prepend(0.0, list_transform(h, s -> " +
+        "(CAST((s).a AS DOUBLE) + CAST((s).b AS DOUBLE)) * (CAST((s).a AS DOUBLE) + CAST((s).c AS DOUBLE)) / " +
+        "(CAST((s).a AS DOUBLE) + CAST((s).b AS DOUBLE) + CAST((s).c AS DOUBLE) + CAST((s).d AS DOUBLE)))), (p, q) -> p + q) AS sume, " +
+        "list_reduce(list_prepend(0.0, list_transform(h, s -> " +
+        "CASE WHEN (CAST((s).a AS DOUBLE) + CAST((s).b AS DOUBLE) + CAST((s).c AS DOUBLE) + CAST((s).d AS DOUBLE)) > 1 THEN " +
+        "(CAST((s).a AS DOUBLE) + CAST((s).b AS DOUBLE)) * (CAST((s).c AS DOUBLE) + CAST((s).d AS DOUBLE)) * " +
+        "(CAST((s).a AS DOUBLE) + CAST((s).c AS DOUBLE)) * (CAST((s).b AS DOUBLE) + CAST((s).d AS DOUBLE)) / " +
+        "((CAST((s).a AS DOUBLE) + CAST((s).b AS DOUBLE) + CAST((s).c AS DOUBLE) + CAST((s).d AS DOUBLE)) * " +
+        "(CAST((s).a AS DOUBLE) + CAST((s).b AS DOUBLE) + CAST((s).c AS DOUBLE) + CAST((s).d AS DOUBLE)) * " +
+        "((CAST((s).a AS DOUBLE) + CAST((s).b AS DOUBLE) + CAST((s).c AS DOUBLE) + CAST((s).d AS DOUBLE)) - 1)) " +
+        "ELSE 0.0 END)), (p, q) -> p + q) AS sumv FROM o1) " +
+        "SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, " +
+        "CASE WHEN sumbc > 0 THEN floor(sumad / sumbc * 10000 + 0.5) / 10000 END AS or_mh, " +
+        "CASE WHEN sumv > 0 THEN " +
+        "floor((CAST(suma AS DOUBLE) - sume) / sqrt(sumv) * 10000 + 0.5) / 10000 END AS z FROM x"),
+
+    "q243_logrank" ->
+      // q180's lifetimes/censoring verbatim, split by user-id parity;
+      // at-risk counts are the same in-row prefix folds, and the
+      // expected/variance sums fold in ascending day order seeded 0.0 —
+      // each term's double chain spelled exactly as Spark's
+      ("WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l, " +
+        "max(user_id % 2) AS c FROM events GROUP BY 1), " +
+        "e AS (SELECT max(epoch_us(ts)) AS endt FROM events), " +
+        "lt AS (SELECT CAST(floor((l - f) / 86400000000) AS BIGINT) AS t_day, " +
+        "CASE WHEN (endt - l) > 1 * 86400000000 THEN 1 ELSE 0 END AS churned, c FROM pu, e), " +
+        "h0 AS (SELECT t_day, " +
+        "CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(sum(CASE WHEN c <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN c = 0 THEN churned ELSE 0 END) AS BIGINT) AS d0, " +
+        "CAST(sum(CASE WHEN c <> 0 THEN churned ELSE 0 END) AS BIGINT) AS d1 " +
+        "FROM lt GROUP BY 1), " +
+        "o AS (SELECT list(struct_pack(t_day := t_day, n0 := n0, n1 := n1, d0 := d0, d1 := d1) " +
+        "ORDER BY t_day) AS h FROM h0), " +
+        "o2 AS (SELECT h, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h, s -> (s).n0)), (a, b) -> a + b) AS BIGINT) AS na, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h, s -> (s).n1)), (a, b) -> a + b) AS BIGINT) AS nb, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(h, s -> (s).d0)), (a, b) -> a + b) AS BIGINT) AS oa FROM o), " +
+        "x AS (SELECT na, nb, oa, " +
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(h) + 1), j -> " +
+        "CAST((h[CAST(j AS INT)]).d0 + (h[CAST(j AS INT)]).d1 AS DOUBLE) * " +
+        "CAST(na - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n0)), (p, q) -> p + q) AS DOUBLE) / " +
+        "(CAST(na - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n0)), (p, q) -> p + q) AS DOUBLE) + " +
+        "CAST(nb - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n1)), (p, q) -> p + q) AS DOUBLE)))), (a, b) -> a + b) AS expa, " +
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(h) + 1), j -> " +
+        "CASE WHEN (CAST(na - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n0)), (p, q) -> p + q) AS DOUBLE) + " +
+        "CAST(nb - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n1)), (p, q) -> p + q) AS DOUBLE)) > 1 THEN " +
+        "CAST((h[CAST(j AS INT)]).d0 + (h[CAST(j AS INT)]).d1 AS DOUBLE) * " +
+        "(CAST(na - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n0)), (p, q) -> p + q) AS DOUBLE) / " +
+        "(CAST(na - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n0)), (p, q) -> p + q) AS DOUBLE) + " +
+        "CAST(nb - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n1)), (p, q) -> p + q) AS DOUBLE))) * " +
+        "(1.0 - CAST(na - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n0)), (p, q) -> p + q) AS DOUBLE) / " +
+        "(CAST(na - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n0)), (p, q) -> p + q) AS DOUBLE) + " +
+        "CAST(nb - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n1)), (p, q) -> p + q) AS DOUBLE))) * " +
+        "((CAST(na - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n0)), (p, q) -> p + q) AS DOUBLE) + " +
+        "CAST(nb - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n1)), (p, q) -> p + q) AS DOUBLE)) - " +
+        "CAST((h[CAST(j AS INT)]).d0 + (h[CAST(j AS INT)]).d1 AS DOUBLE)) / " +
+        "((CAST(na - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n0)), (p, q) -> p + q) AS DOUBLE) + " +
+        "CAST(nb - list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n1)), (p, q) -> p + q) AS DOUBLE)) - 1) " +
+        "ELSE 0.0 END)), (a, b) -> a + b) AS vara FROM o2) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CAST(oa AS BIGINT) AS obs_a, " +
+        "floor(expa * 10000 + 0.5) / 10000 AS exp_a, " +
+        "CASE WHEN na > 0 AND nb > 0 AND vara > 0 THEN " +
+        "floor((CAST(oa AS DOUBLE) - expa) / sqrt(vara) * 10000 + 0.5) / 10000 END AS z " +
+        "FROM x"),
 
     "q242_jt_trend" ->
       // the grouped spine with two windows: per-group value-cumulative,

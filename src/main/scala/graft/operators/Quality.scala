@@ -2545,6 +2545,131 @@ object Quality {
           .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Cochran–Armitage trend test for proportions (Cochran 1954 /
+    * Armitage 1955, equally-spaced scores): "does the PASS RATE trend
+    * monotonically across the ordered groups?" — the binary-outcome
+    * sibling of [[jonckheereTerpstra]] (JT asks it of a metric, this of
+    * a proportion: gate pass rate across snapshots, purchase rate across
+    * the week) and the trend member beside [[proportionDiff]]'s single
+    * comparison. One row: (k, n, n_pos, z).
+    *
+    * With integer scores s_g (the group key itself), T = Σ s_g·r_g,
+    * E[T] = p̄·Σ s_g·n_g, Var[T] = p̄(1−p̄)·(Σ n_g s_g² − (Σ n_g s_g)²/N):
+    * every Σ is an exact DECIMAL(38,0) over the bounded per-group
+    * (n_g, r_g) masses, p̄ = R/N is the first float, and the z chain is
+    * spelled once — both engines replay it bit-for-bit. A degenerate
+    * pool (all-pass, all-fail, or a single group) has Var = 0 → NULL z.
+    *
+    * Scale shape: ONE groups-bounded hash agg over the corpus (map-side
+    * partials — the only exchange), one single-row fold. Nothing else
+    * touches the data.
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      outcomeCol: Column,
+      groupOrderCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perG = df.filter(outcomeCol.isNotNull && groupOrderCol.isNotNull)
+      .select(groupOrderCol.cast("long").as("_s"),
+        outcomeCol.cast("long").as("_y"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_r"))
+    val s = col("_s").cast(dec)
+    val agg = perG.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum(col("_n")), lit(0L)).as("n"),
+      coalesce(sum(col("_r")), lit(0L)).as("n_pos"),
+      coalesce(sum(s * col("_r").cast(dec)), lit(0).cast(dec)).as("_t"),
+      coalesce(sum(s * col("_n").cast(dec)), lit(0).cast(dec)).as("_s1"),
+      coalesce(sum(s * s * col("_n").cast(dec)), lit(0).cast(dec)).as("_s2"))
+    val nd = col("n").cast("double")
+    val ndS = when(col("n") > 0, nd).otherwise(lit(1.0))
+    // the verbatim chain the oracle replays: p̄, centered score mass,
+    // trend variance, z — float enters at p̄ and nowhere earlier
+    val pbar = col("n_pos").cast("double") / ndS
+    val s1d = col("_s1").cast("double")
+    val varT = pbar * (lit(1.0) - pbar) *
+      (col("_s2").cast("double") - s1d * s1d / ndS)
+    val num = col("_t").cast("double") - pbar * s1d
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    agg.select(col("k"), col("n"), col("n_pos"),
+      when(col("n") > 0 && varT > 0, r4(num / sqrt(varT)))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** Mantel–Haenszel stratified 2×2 association (Mantel & Haenszel 1959;
+    * the Cochran-MH chi-square in its signed normal form): "are exposure
+    * and outcome associated AFTER controlling for the stratum?" — the
+    * one confounder-adjusted comparison on the shelf.
+    * [[proportionDiff]] pools blindly and Simpson's paradox flips pooled
+    * rates; MH weights each stratum's 2×2 by its own size. One row:
+    * (k, n, or_mh, z) — the MH common odds ratio and the CMH z
+    * (z² = the CMH chi-square on 1 df, no continuity correction).
+    *
+    * Per stratum i with cells (a, b, c, d) and n_i: OR_MH =
+    * Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i); E_i = (a+b)(a+c)/n_i,
+    * V_i = (a+b)(c+d)(a+c)(b+d)/(n_i²(n_i−1)). Every cell is an exact
+    * integer from ONE strata-bounded hash agg; the four float sums fold
+    * in SORTED stratum order over the collected list (the
+    * [[chiSquareIndependence]] in-row discipline), so both engines
+    * replay term-for-term. Degenerates: Σbc = 0 nulls the ratio
+    * (infinite OR), ΣV = 0 nulls z.
+    *
+    * Scale shape: ONE strata-bounded hash agg over the corpus (map-side
+    * partials — the only exchange), the bounded stratum list collects
+    * into ONE row, O(strata) in-row folds.
+    */
+  def mantelHaenszel(
+      df: DataFrame,
+      exposureCol: Column,
+      outcomeCol: Column,
+      stratumCol: Column): DataFrame = {
+    val perS = df
+      .filter(exposureCol.isNotNull && outcomeCol.isNotNull &&
+        stratumCol.isNotNull)
+      .select(stratumCol.cast("string").as("_g"),
+        exposureCol.cast("boolean").as("_e"), outcomeCol.cast("boolean").as("_o"))
+      .groupBy(col("_g"))
+      .agg(
+        sum(when(col("_e") && col("_o"), 1L).otherwise(0L)).as("_a"),
+        sum(when(col("_e") && !col("_o"), 1L).otherwise(0L)).as("_b"),
+        sum(when(!col("_e") && col("_o"), 1L).otherwise(0L)).as("_c"),
+        sum(when(!col("_e") && !col("_o"), 1L).otherwise(0L)).as("_d"))
+    val one = perS.groupBy().agg(
+      sort_array(collect_list(struct(
+        col("_g"), col("_a"), col("_b"), col("_c"), col("_d")))).as("h"))
+    def f(e: Column, field: String) = e.getField(field).cast("double")
+    def fold(term: Column => Column) = aggregate(col("h"), lit(0.0),
+      (acc, e) => acc + term(e))
+    def foldL(term: Column => Column) = aggregate(col("h"), lit(0L),
+      (acc, e) => acc + term(e))
+    def ni(e: Column) = f(e, "_a") + f(e, "_b") + f(e, "_c") + f(e, "_d")
+    // the verbatim per-stratum chains the oracle replays, folded in
+    // sorted stratum order seeded 0.0
+    val sumAD = fold(e => f(e, "_a") * f(e, "_d") / ni(e))
+    val sumBC = fold(e => f(e, "_b") * f(e, "_c") / ni(e))
+    val sumA = foldL(e => e.getField("_a"))
+    val sumE = fold(e => (f(e, "_a") + f(e, "_b")) *
+      (f(e, "_a") + f(e, "_c")) / ni(e))
+    val sumV = fold(e => {
+      val n = ni(e)
+      when(n > 1,
+        (f(e, "_a") + f(e, "_b")) * (f(e, "_c") + f(e, "_d")) *
+          (f(e, "_a") + f(e, "_c")) * (f(e, "_b") + f(e, "_d")) /
+          (n * n * (n - 1)))
+        .otherwise(lit(0.0))
+    })
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    one.select(
+      size(col("h")).cast("long").as("k"),
+      foldL(e => e.getField("_a") + e.getField("_b") + e.getField("_c") +
+        e.getField("_d")).as("n"),
+      when(sumBC > 0, r4(sumAD / sumBC))
+        .otherwise(lit(null).cast("double")).as("or_mh"),
+      when(sumV > 0, r4((sumA.cast("double") - sumE) / sqrt(sumV)))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Per-group Cliff's delta against the complement — the effect-size
     * member that completes the drift-screen triad over one shared
     * per-(group, value) histogram: [[groupedKsTest]] says WHICH source

@@ -454,6 +454,99 @@ object Sessions {
       .filter(col("n_deaths") > 0)
   }
 
+  /** Two-cohort log-rank test (Mantel 1966 / Peto & Peto 1972 — THE
+    * significance companion to [[kaplanMeier]]: the curve says what each
+    * cohort's retention looks like, this says whether the two curves
+    * DIFFER beyond chance, weighting every event time by its risk set —
+    * the comparison naive "day-30 retention" point reads get wrong under
+    * censoring). Lifetimes and censoring are [[kaplanMeier]]'s exactly;
+    * `cohortCol` must be user-constant and 0/1 (aggregated per user via
+    * max). One row: (n_a, n_b, obs_a, exp_a, z) — cohort 0's observed
+    * vs expected churn count under H₀ and the hypergeometric-variance
+    * normal z (z² is the log-rank chi-square on 1 df).
+    *
+    * At each distinct lifetime day j with d_j total deaths, r_cj at
+    * risk: E contribution d_j·r_0j/r_j, variance contribution
+    * d_j·(r_0j/r_j)·(1 − r_0j/r_j)·(r_j − d_j)/(r_j − 1). All counts
+    * are integers from ONE bounded per-day histogram; at-risk counts
+    * are in-row prefix folds over the day-sorted array (the KM shape —
+    * bounded by the calendar, not rows) and both float sums fold in
+    * fixed day order, so the statistic replays exactly on both engines.
+    *
+    * Scale shape: one per-user agg is the only corpus-width exchange,
+    * a one-row observation-end broadcast, a calendar-bounded histogram
+    * collected to ONE row, O(days²) in-row arithmetic.
+    */
+  def logRankTest(
+      events: DataFrame,
+      cohortCol: Column,
+      churnGapDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("_first"),
+        max(unix_micros(col(tsCol))).as("_last"),
+        max(cohortCol.cast("long")).as("_c"))
+    val end = events.agg(max(unix_micros(col(tsCol))).as("_end"))
+    val dayUs = 86400000000L
+    val lifetimes = perUser
+      .crossJoin(broadcast(end))
+      .select(
+        ((col("_last") - col("_first")) / dayUs).cast("long").as("t_day"),
+        ((col("_end") - col("_last")) > churnGapDays * dayUs)
+          .cast("long").as("churned"),
+        col("_c"))
+    val hist = lifetimes
+      .groupBy(col("t_day"))
+      .agg(
+        sum(when(col("_c") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("_c") =!= 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("_c") === 0, col("churned")).otherwise(0L)).as("d0"),
+        sum(when(col("_c") =!= 0, col("churned")).otherwise(0L)).as("d1"))
+    val one = hist
+      .groupBy()
+      .agg(sort_array(collect_list(struct(
+        col("t_day"), col("n0"), col("n1"), col("d0"), col("d1")))).as("h"))
+    def tot(field: String) = aggregate(col("h"), lit(0L),
+      (a, e) => a + e.getField(field))
+    // at-risk in cohort c just before index j (1-based): total minus the
+    // histogram mass of strictly earlier days — the KM prefix fold
+    def risk(total: Column, field: String, j: Column) =
+      (total - aggregate(slice(col("h"), lit(1), j - 1), lit(0L),
+        (a, e) => a + e.getField(field))).cast("double")
+    val withTotals = one
+      .select(col("h"), tot("n0").as("na"), tot("n1").as("nb"),
+        tot("d0").as("_oa"))
+    def el(j: Column, field: String) =
+      element_at(col("h"), j).getField(field)
+    def dj(j: Column) = (el(j, "d0") + el(j, "d1")).cast("double")
+    // both folds run in ascending day order seeded 0.0 — the fixed
+    // association both engines replay term-for-term
+    val expA = aggregate(
+      transform(sequence(lit(1), size(col("h"))), j =>
+        dj(j) * risk(col("na"), "n0", j) /
+          (risk(col("na"), "n0", j) + risk(col("nb"), "n1", j))),
+      lit(0.0), (a, x) => a + x)
+    val varA = aggregate(
+      transform(sequence(lit(1), size(col("h"))), j => {
+        val r0 = risk(col("na"), "n0", j)
+        val r = risk(col("na"), "n0", j) + risk(col("nb"), "n1", j)
+        when(r > 1,
+          dj(j) * (r0 / r) * (lit(1.0) - r0 / r) * (r - dj(j)) / (r - 1))
+          .otherwise(lit(0.0))
+      }),
+      lit(0.0), (a, x) => a + x)
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    withTotals
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("_oa").as("obs_a"),
+        r4(expA).as("exp_a"),
+        when(col("na") > 0 && col("nb") > 0 && varA > 0,
+          r4((col("_oa").cast("double") - expA) / sqrt(varA)))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Autocorrelation function of the daily count series (Box & Jenkins
     * 1970's ACF, the standard periodicity/seasonality diagnostic —
     * ρ(ℓ) = Σ(x_t−μ)(x_{t+ℓ}−μ) / Σ(x_t−μ)², biased estimator, the one

@@ -65,6 +65,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(totals)) inside the composed mixtureWeights: single-row totals scalar (q92's discipline); the replica decision is a map-side scalar",
     "q180_kaplan_meier" ->
       "crossJoin(broadcast(end)): the single-row observation-end scalar beside the per-user aggregate",
+    "q243_logrank" ->
+      "crossJoin(broadcast(end)): q180's single-row observation-end scalar beside the per-user aggregate (same lifetimes, same censoring rule)",
     "q181_retrieval_metrics" ->
       "crossJoin(broadcast(query set)) on both retrieval sides: exact scoring is O(|corpus|*|Q|) by definition (q93's discipline); shuffles are k-bounded by TopKPairs",
     "q183_windowed_pmi" ->
