@@ -1561,6 +1561,29 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q247_breslow_day" -> ((s, dir) => {
+      // Breslow-Day + Tarone: is q245's common odds ratio actually
+      // CONSTANT across sources? The homogeneity check MH assumes —
+      // same strata/exposure/outcome as q245, grain-quantized sums so
+      // the chain replays with NO bound on stratum count
+      operators.Quality.breslowDay(
+        Tables(s, dir, "documents")
+          .filter(col("lang").isNotNull && col("n_chars").isNotNull &&
+            col("source").isNotNull),
+        col("lang") === "en",
+        col("n_chars") >= 150,
+        col("source"))
+    }),
+
+    "q246_vocab_richness" -> ((s, dir) => {
+      // Good-Turing unseen mass + Chao1 richness bound from the
+      // frequency-of-frequencies table — the closed-form "how much new
+      // vocabulary will the next crawl add?" beside q142's empirical
+      // growth curve and q202's Heaps fit
+      operators.CorpusAnalytics.vocabRichness(
+        Tables(s, dir, "documents").filter(col("text").isNotNull))
+    }),
+
     "q244_ca_trend" -> ((s, dir) => {
       // Cochran-Armitage: does the purchase RATE trend across the ISO
       // week? The binary-outcome sibling of q242's JT (which asks the
@@ -4714,6 +4737,73 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q247_breslow_day" ->
+      // q245's cells; the common OR and all three BD sums ride
+      // floor(term*2^20) HUGEINT grains (order-free), and the fitted-cell
+      // quadratic/variance/chi2 double chains are spelled layer by layer
+      // exactly as Spark's
+      ("WITH u AS (SELECT source AS g, " +
+        "CASE WHEN lang = 'en' THEN TRUE ELSE FALSE END AS e, " +
+        "CASE WHEN n_chars >= 150 THEN TRUE ELSE FALSE END AS o " +
+        "FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND source IS NOT NULL), " +
+        "ps AS (SELECT g, " +
+        "CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d " +
+        "FROM u GROUP BY g), " +
+        "p0 AS (SELECT a, b, c, d, CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd2, " +
+        "CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd2, " +
+        "CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE) + CAST(d AS DOUBLE) AS nn FROM ps), " +
+        "t AS (SELECT count(*) AS k, COALESCE(sum(a + b + c + d), 0) AS n, " +
+        "COALESCE(sum(CAST(floor(ad * dd2 / nn * 1048576.0) AS HUGEINT)), 0) AS adq, " +
+        "COALESCE(sum(CAST(floor(bd2 * cd / nn * 1048576.0) AS HUGEINT)), 0) AS bcq FROM p0), " +
+        "r AS (SELECT k, n, adq, bcq, " +
+        "CASE WHEN bcq > 0 THEN CAST(adq AS DOUBLE) / CAST(bcq AS DOUBLE) ELSE 1.0 END AS rr FROM t), " +
+        "s0 AS (SELECT ad, bd2, cd, dd2, nn, rr, ad + bd2 AS m1, ad + cd AS t1, " +
+        "(ad + bd2) > 0 AND (ad + cd) > 0 AND (cd + dd2) > 0 AND (bd2 + dd2) > 0 AS ok FROM p0, r), " +
+        "s1 AS (SELECT *, 1.0 - rr AS aq, (nn - m1 - t1) + rr * (m1 + t1) AS bq, " +
+        "-rr * m1 * t1 AS cq, greatest(0.0, m1 + t1 - nn) AS lo, least(m1, t1) AS hi FROM s0), " +
+        "s2 AS (SELECT *, sqrt(greatest(bq * bq - 4.0 * aq * cq, 0.0)) AS disc FROM s1), " +
+        "s3 AS (SELECT *, (-bq + disc) / (2.0 * aq) AS x1, (-bq - disc) / (2.0 * aq) AS x2 FROM s2), " +
+        "s4 AS (SELECT *, CASE WHEN NOT ok THEN 0.0 WHEN abs(aq) < 1e-12 THEN m1 * t1 / nn " +
+        "WHEN x1 >= lo - 1e-9 AND x1 <= hi + 1e-9 THEN x1 ELSE x2 END AS x FROM s3), " +
+        "s5 AS (SELECT *, m1 - x AS xb, t1 - x AS xc, nn - m1 - t1 + x AS xd FROM s4), " +
+        "s6 AS (SELECT *, CASE WHEN NOT ok THEN 0.0 WHEN x > 0 AND xb > 0 AND xc > 0 AND xd > 0 THEN " +
+        "1.0 / (1.0 / x + 1.0 / xb + 1.0 / xc + 1.0 / xd) ELSE 0.0 END AS v, ad - x AS dev FROM s5), " +
+        "q AS (SELECT " +
+        "COALESCE(sum(CASE WHEN v > 0 THEN CAST(floor(dev * dev / v * 1048576.0) AS HUGEINT) ELSE 0 END), 0) AS bdq, " +
+        "COALESCE(sum(CASE WHEN v > 0 THEN CAST(floor(dev * 1048576.0) AS HUGEINT) ELSE 0 END), 0) AS devq, " +
+        "COALESCE(sum(CASE WHEN v > 0 THEN CAST(floor(v * 1048576.0) AS HUGEINT) ELSE 0 END), 0) AS vq FROM s6), " +
+        "f AS (SELECT k, n, adq, bcq, rr, bdq, devq, vq, " +
+        "CAST(bdq AS DOUBLE) / 1048576.0 AS bd, " +
+        "CAST(devq AS DOUBLE) / 1048576.0 AS devs, " +
+        "CASE WHEN vq > 0 THEN CAST(vq AS DOUBLE) / 1048576.0 ELSE 1.0 END AS vsums FROM q, r) " +
+        "SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n, " +
+        "CASE WHEN bcq > 0 THEN floor(rr * 10000 + 0.5) / 10000 END AS or_mh, " +
+        "CASE WHEN bcq > 0 AND vq > 0 THEN floor(bd * 10000 + 0.5) / 10000 END AS bd_chi2, " +
+        "CASE WHEN bcq > 0 AND vq > 0 THEN " +
+        "floor((bd - devs * devs / vsums) * 10000 + 0.5) / 10000 END AS tarone_chi2 FROM f"),
+
+    "q246_vocab_richness" ->
+      // q150's token construction, the same two exact roll-ups, and the
+      // two display chains spelled left-associated as Spark's
+      ("WITH tk AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "tf AS (SELECT t, count(*) AS c FROM tk GROUP BY t), " +
+        "fof AS (SELECT c, count(*) AS f FROM tf GROUP BY c), " +
+        "a AS (SELECT COALESCE(sum(f), 0) AS v, COALESCE(sum(c * f), 0) AS n, " +
+        "COALESCE(sum(CASE WHEN c = 1 THEN f END), 0) AS f1, " +
+        "COALESCE(sum(CASE WHEN c = 2 THEN f END), 0) AS f2 FROM fof) " +
+        "SELECT CAST(v AS BIGINT) AS v, CAST(n AS BIGINT) AS n, " +
+        "CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, " +
+        "CASE WHEN n > 0 THEN " +
+        "CAST(floor(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS gt_unseen_bp, " +
+        "CASE WHEN f2 > 0 THEN " +
+        "floor((CAST(v AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE) / (2.0 * CAST(f2 AS DOUBLE))) * 10000 + 0.5) / 10000 " +
+        "ELSE floor((CAST(v AS DOUBLE) + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1) / 2) * 10000 + 0.5) / 10000 " +
+        "END AS chao1 FROM a"),
 
     "q244_ca_trend" ->
       // same bounded (score, n, r) masses in HUGEINT, the same pbar /

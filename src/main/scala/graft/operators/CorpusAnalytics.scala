@@ -2989,4 +2989,51 @@ object CorpusAnalytics {
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
+
+  /** Unseen-vocabulary estimation from the frequency-of-frequencies
+    * table: Good–Turing unseen probability mass (Good 1953: the chance
+    * the NEXT token is a never-seen type is f₁/N) and the Chao1
+    * species-richness lower bound (Chao 1984: total vocabulary ≥
+    * V + f₁²/(2f₂), with the standard f₂ = 0 fallback V + f₁(f₁−1)/2) —
+    * the "how much new vocabulary will the next crawl add?" numbers
+    * [[vocabularyGrowth]]'s empirical curve extrapolates by bucket and
+    * these estimate in closed form from ONE sample. One row:
+    * (v, n, f1, f2, gt_unseen_bp, chao1).
+    *
+    * Everything is integer until two display chains: the
+    * (token → count) aggregate is exact, the frequency-of-frequencies
+    * roll-up is exact, and v/n/f₁/f₂ are LONG sums over it — both
+    * engines replay the two divisions identically. f₁² runs in doubles
+    * (at corpus scale it exceeds LONG; the estimate is a double anyway).
+    *
+    * Scale shape: one token-keyed hash agg with map-side combine (the
+    * [[vocabularyGrowth]]/Zipf exchange — the only corpus-width
+    * shuffle), one count-keyed roll-up (distinct frequencies, tiny),
+    * one single-row fold.
+    */
+  def vocabRichness(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val tf = docs.filter(trim(col(textCol)) =!= "")
+      .select(explode(tokens(col(textCol))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    val fof = tf.groupBy(col("_c")).agg(count(lit(1)).as("_f"))
+    val agg = fof.agg(
+      coalesce(sum(col("_f")), lit(0L)).as("v"),
+      coalesce(sum(col("_c") * col("_f")), lit(0L)).as("n"),
+      coalesce(sum(when(col("_c") === 1, col("_f"))), lit(0L)).as("f1"),
+      coalesce(sum(when(col("_c") === 2, col("_f"))), lit(0L)).as("f2"))
+    val nS = when(col("n") > 0, col("n").cast("double")).otherwise(lit(1.0))
+    val f1d = col("f1").cast("double")
+    val f2d = col("f2").cast("double")
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    agg.select(col("v"), col("n"), col("f1"), col("f2"),
+      when(col("n") > 0,
+        floor(f1d / nS * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("gt_unseen_bp"),
+      when(col("f2") > 0,
+        r4(col("v").cast("double") + f1d * f1d / (lit(2.0) * f2d)))
+        .otherwise(r4(col("v").cast("double") +
+          f1d * (f1d - 1) / 2)).as("chao1"))
+  }
 }

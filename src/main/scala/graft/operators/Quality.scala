@@ -2670,6 +2670,120 @@ object Quality {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Breslow–Day homogeneity test with the Tarone correction (Breslow &
+    * Day 1980 vol. 1 §4.4; Tarone 1985): "is the odds ratio CONSTANT
+    * across strata?" — the question [[mantelHaenszel]] ASSUMES away (MH
+    * estimates one common OR; when the strata genuinely disagree, that
+    * single number misleads, and this test says so). One row:
+    * (k, n, or_mh, bd_chi2, tarone_chi2) — χ² on k−1 df.
+    *
+    * Per stratum with cells (a, b, c, d), margins m1 = a+b, t1 = a+c,
+    * total n, and the common OR R: the fitted cell ã solves
+    * ã·d̃/(b̃·c̃) = R, i.e. the quadratic (1−R)x² + [(n−m1−t1) +
+    * R(m1+t1)]x − R·m1·t1 = 0 — the root inside
+    * [max(0, m1+t1−n), min(m1, t1)] is taken (closed form; R = 1
+    * degenerates to x = m1·t1/n). Ṽ = 1/(1/ã + 1/b̃ + 1/c̃ + 1/d̃),
+    * BD = Σ(a−ã)²/Ṽ, Tarone = BD − (Σ(a−ã))²/ΣṼ. Strata with any zero
+    * margin carry no information and contribute 0 (the standard
+    * convention).
+    *
+    * Exactness discipline: every cross-stratum float sum — the two OR
+    * mass sums AND the three BD sums — quantizes per stratum to
+    * ⌊term·2²⁰⌋ DECIMAL(38,0) grains (the q222/q235 order-free-integer
+    * discipline; DECIMAL, not LONG, so a huge stratum cannot overflow
+    * the grain), so R and the χ² chains see identical integers on both
+    * engines and no fold-order contract is needed. A signed flooring
+    * (dev terms can be negative) keeps the sum exact.
+    *
+    * Scale shape: unlike [[mantelHaenszel]]'s bounded collected list,
+    * this runs with NO driver or in-row bound on strata: one
+    * strata-keyed hash agg, a one-row totals broadcast carrying R back
+    * across the stratum table, one more one-row aggregate — millions of
+    * strata (per-domain, per-shard) stream through.
+    */
+  def breslowDay(
+      df: DataFrame,
+      exposureCol: Column,
+      outcomeCol: Column,
+      stratumCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .filter(exposureCol.isNotNull && outcomeCol.isNotNull &&
+        stratumCol.isNotNull)
+      .select(stratumCol.cast("string").as("_g"),
+        exposureCol.cast("boolean").as("_e"), outcomeCol.cast("boolean").as("_o"))
+      .groupBy(col("_g"))
+      .agg(
+        sum(when(col("_e") && col("_o"), 1L).otherwise(0L)).as("_a"),
+        sum(when(col("_e") && !col("_o"), 1L).otherwise(0L)).as("_b"),
+        sum(when(!col("_e") && col("_o"), 1L).otherwise(0L)).as("_c"),
+        sum(when(!col("_e") && !col("_o"), 1L).otherwise(0L)).as("_d"))
+      .persist()
+    def d(name: String) = col(name).cast("double")
+    val nI = d("_a") + d("_b") + d("_c") + d("_d")
+    def q20(c: Column) = floor(c * lit(1048576.0)).cast(dec)
+    val totals = cells.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum(col("_a") + col("_b") + col("_c") + col("_d")), lit(0L))
+        .as("n"),
+      coalesce(sum(q20(d("_a") * d("_d") / nI)), lit(0).cast(dec)).as("_adq"),
+      coalesce(sum(q20(d("_b") * d("_c") / nI)), lit(0).cast(dec)).as("_bcq"))
+    val rS = when(col("_bcq") > 0,
+      col("_adq").cast("double") / col("_bcq").cast("double"))
+      .otherwise(lit(1.0))
+    // per-stratum fitted cell under the common OR — the closed-form
+    // quadratic root in the feasible interval; every branch condition is
+    // division-free so ANSI never sees an unguarded divide
+    val m1 = d("_a") + d("_b")
+    val t1 = d("_a") + d("_c")
+    val aq = lit(1.0) - col("_r")
+    val bq = (nI - m1 - t1) + col("_r") * (m1 + t1)
+    val cq = -col("_r") * m1 * t1
+    val disc = sqrt(greatest(bq * bq - lit(4.0) * aq * cq, lit(0.0)))
+    val x1 = (-bq + disc) / (lit(2.0) * aq)
+    val x2 = (-bq - disc) / (lit(2.0) * aq)
+    val lo = greatest(lit(0.0), m1 + t1 - nI)
+    val hi = least(m1, t1)
+    val xF = when(abs(aq) < 1e-12, m1 * t1 / nI)
+      .otherwise(when(x1 >= lo - 1e-9 && x1 <= hi + 1e-9, x1).otherwise(x2))
+    val usable = m1 > 0 && t1 > 0 && (d("_c") + d("_d")) > 0 &&
+      (d("_b") + d("_d")) > 0
+    val bb = m1 - col("_x")
+    val cc = t1 - col("_x")
+    val dd = nI - m1 - t1 + col("_x")
+    val vT = when(col("_x") > 0 && bb > 0 && cc > 0 && dd > 0,
+      lit(1.0) / (lit(1.0) / col("_x") + lit(1.0) / bb + lit(1.0) / cc +
+        lit(1.0) / dd)).otherwise(lit(0.0))
+    val dev = d("_a") - col("_x")
+    val sums = cells
+      .crossJoin(broadcast(totals.select(rS.as("_r"))))
+      .withColumn("_x", when(usable, xF).otherwise(lit(0.0)))
+      .withColumn("_v", when(usable, vT).otherwise(lit(0.0)))
+      .agg(
+        coalesce(sum(when(col("_v") > 0,
+          q20(dev * dev / col("_v"))).otherwise(lit(0).cast(dec))),
+          lit(0).cast(dec)).as("_bdq"),
+        coalesce(sum(when(col("_v") > 0, q20(dev))
+          .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).as("_devq"),
+        coalesce(sum(when(col("_v") > 0, q20(col("_v")))
+          .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).as("_vq"))
+    val bd = col("_bdq").cast("double") / 1048576.0
+    val devS = col("_devq").cast("double") / 1048576.0
+    val vSum = col("_vq").cast("double") / 1048576.0
+    val vSumS = when(col("_vq") > 0, vSum).otherwise(lit(1.0))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    sums
+      .crossJoin(broadcast(totals))
+      .select(col("k").cast("long").as("k"), col("n"),
+        when(col("_bcq") > 0, r4(rS))
+          .otherwise(lit(null).cast("double")).as("or_mh"),
+        when(col("_bcq") > 0 && col("_vq") > 0, r4(bd))
+          .otherwise(lit(null).cast("double")).as("bd_chi2"),
+        when(col("_bcq") > 0 && col("_vq") > 0,
+          r4(bd - devS * devS / vSumS))
+          .otherwise(lit(null).cast("double")).as("tarone_chi2"))
+  }
+
   /** Per-group Cliff's delta against the complement — the effect-size
     * member that completes the drift-screen triad over one shared
     * per-(group, value) histogram: [[groupedKsTest]] says WHICH source

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.CorpusAnalytics
+
+/** Good–Turing unseen mass + Chao1 richness: hand-computed
+  * frequency-of-frequencies cases and the estimator's defining
+  * behaviors (saturated corpus → zero unseen mass; heavy singleton
+  * tail → large projected vocabulary).
+  */
+class VocabRichnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vr(texts: Seq[String])
+      : (Long, Long, Long, Long, Option[Long], Double) =
+    CorpusAnalytics.vocabRichness(texts.toDF("text"))
+      .as[(Long, Long, Long, Long, Option[Long], Double)].head()
+
+  test("hand case: counts, GT mass, and Chao1 from the fof table") {
+    // tokens: a a a b b c d -> V=4, N=7, f1={c,d}=2, f2={b}=1
+    val got = vr(Seq("a a a b b", "c d"))
+    assert(got._1 == 4L && got._2 == 7L && got._3 == 2L && got._4 == 1L)
+    // GT unseen = 2/7 = 0.2857 -> 2857 bp
+    assert(got._5 == Some(2857L))
+    // Chao1 = 4 + 2*2/(2*1) = 6
+    assert(got._6 == 6.0)
+  }
+
+  test("saturated corpus: no singletons, zero unseen mass, chao1 = V") {
+    val got = vr(Seq("x x y y", "x y"))
+    assert(got._3 == 0L && got._5 == Some(0L) && got._6 == got._1.toDouble)
+  }
+
+  test("f2 = 0 falls back to the f1(f1-1)/2 correction") {
+    // every token a singleton: V=3, f1=3, f2=0 -> chao1 = 3 + 3*2/2 = 6
+    val got = vr(Seq("p q r"))
+    assert(got._4 == 0L && got._6 == 6.0)
+  }
+
+  test("tokenization matches the corpus shelf: lowercase, whitespace") {
+    val got = vr(Seq("  Foo   fOO\tbar  "))
+    assert(got._1 == 2L && got._2 == 3L) // {foo, bar}, foo twice
+  }
+
+  test("a heavier singleton tail projects a larger vocabulary") {
+    val few = vr(Seq("a a b b c c d"))          // f1 = 1
+    val many = vr(Seq("a a b c d e f"))          // f1 = 5
+    assert(many._6 > few._6)
+    assert(many._5.get > few._5.get)
+  }
+}
