@@ -1561,6 +1561,18 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q248_energy_distance" -> ((s, dir) => {
+      // 1-D energy distance (2x Cramer distance) over the even/odd
+      // event-value split — the L2^2 VALUE-units integral completing the
+      // distance family's geometry beside q222's L1 transport, q220's
+      // sup-norm, and q238's pooled-weighted CvM test statistic
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.energyDistance(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
     "q247_breslow_day" -> ((s, dir) => {
       // Breslow-Day + Tarone: is q245's common odds ratio actually
       // CONSTANT across sources? The homogeneity check MH assumes —
@@ -4737,6 +4749,38 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q248_energy_distance" ->
+      // q222's spine with the CDF gap SQUARED (spelled gap*gap, the q238
+      // no-pow discipline), the same per-gap floor(term*2^20) grains,
+      // final x2 and range normalization as the display chain
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma, " +
+        "sum(cb) OVER (ORDER BY v) AS cumb, " +
+        "lead(v) OVER (ORDER BY v) AS vn FROM pv), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb, " +
+        "min(v) AS vmin, max(v) AS vmax FROM pv), " +
+        "t2 AS (SELECT na, nb, vmin, vmax, " +
+        "CASE WHEN na > 0 THEN CAST(na AS DOUBLE) ELSE 1.0 END AS nads, " +
+        "CASE WHEN nb > 0 THEN CAST(nb AS DOUBLE) ELSE 1.0 END AS nbds FROM t), " +
+        "q AS (SELECT CAST(floor(" +
+        "(CAST(abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT) - " +
+        "CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT)) AS DOUBLE) / " +
+        "(nads * nbds)) * " +
+        "(CAST(abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT) - " +
+        "CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT)) AS DOUBLE) / " +
+        "(nads * nbds)) * " +
+        "(vn - v) * 1048576.0) AS BIGINT) AS qq " +
+        "FROM c, t2 WHERE vn IS NOT NULL), " +
+        "f AS (SELECT COALESCE(sum(qq), 0) AS s2 FROM q) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "floor(2.0 * (CAST(s2 AS DOUBLE) / 1048576.0) * 10000 + 0.5) / 10000 AS energy, " +
+        "CASE WHEN vmax > vmin THEN " +
+        "CAST(floor(2.0 * (CAST(s2 AS DOUBLE) / 1048576.0) / (vmax - vmin) * 10000 + 0.5) AS BIGINT) END AS energy_norm_bp " +
+        "FROM f, t"),
 
     "q247_breslow_day" ->
       // q245's cells; the common OR and all three BD sums ride

@@ -2670,6 +2670,77 @@ object Quality {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** One-dimensional energy distance (Székely & Rizzo 2004; equivalently
+    * twice the Cramér distance, the LEBESGUE-weighted squared-CDF-gap
+    * integral): D² = 2·∫(F_a − F_b)² dz — the member that completes the
+    * two-sample distance family's geometry: [[wassersteinDistance]] is
+    * the L1 transport integral ∫|F_a − F_b| dz, [[ksTest]] the sup-norm,
+    * [[cramerVonMises]] the POOLED-ECDF-weighted L2 sum (a test
+    * statistic, dimensionless); this is the L2² integral in VALUE units
+    * — it prices how far apart the gap lives on the axis AND squares
+    * sustained separation, the metric used by energy-statistics
+    * two-sample tests and the CRPS decomposition. One row:
+    * (n_a, n_b, energy, energy_norm_bp).
+    *
+    * Same exactness discipline as [[wassersteinDistance]] — the SAME
+    * per-gap spine, with the exact integer CDF-gap numerator SQUARED:
+    * term = (dnum/(n_a·n_b))²·(v_next − v), floored to 2⁻²⁰ grains, an
+    * order-free LONG sum; final ×2 and the range normalization are the
+    * display chain. Scale shape identical: one per-value union agg, two
+    * prefix-sum passes, an index equi-join for the successor value, one
+    * single-row integer aggregate.
+    */
+  def energyDistance(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val perValue = sided(a, 0).unionAll(sided(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
+    val withB = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val cums = GlobalRank.weightedPrefixSums(
+        withB.withColumn("_one", lit(1L)), "_v", "_one", "_ix")
+      .select(col("_v"), col("_ix"),
+        (col("_xa") + col("_ca")).as("_cuma"),
+        (col("_xb") + col("_cb")).as("_cumb"))
+    val nxt = cums.select((col("_ix") - 1).as("_ix"), col("_v").as("_vn"))
+    val totals = perValue.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
+      coalesce(sum(col("_cb")), lit(0L)).as("_nb"),
+      min(col("_v")).as("_vmin"), max(col("_v")).as("_vmax"))
+    // ANSI-safe divisors: an empty side zeroes every cross-mass numerator,
+    // so substituting 1 leaves the (all-zero) sum exact while keeping the
+    // eager per-gap division legal
+    val nad = when(col("_na") > 0, col("_na").cast("double")).otherwise(lit(1.0))
+    val nbd = when(col("_nb") > 0, col("_nb").cast("double")).otherwise(lit(1.0))
+    val num = abs(col("_cuma").cast(dec) * col("_nb").cast(dec) -
+      col("_cumb").cast(dec) * col("_na").cast(dec))
+    // the wassersteinDistance term with the gap SQUARED: gap twice (the
+    // q238 no-pow discipline), then the axis measure, then the grain
+    val gap = num.cast("double") / (nad * nbd)
+    val term = floor(gap * gap * (col("_vn") - col("_v")) *
+      lit(1048576.0)).cast("long")
+    val ed = lit(2.0) * (col("_s2").cast("double") / 1048576.0)
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    cums
+      .join(nxt, "_ix")
+      .crossJoin(broadcast(totals))
+      .agg(coalesce(sum(term), lit(0L)).as("_s2"))
+      .crossJoin(broadcast(totals))
+      .select(col("_na").as("n_a"), col("_nb").as("n_b"),
+        r4(ed).as("energy"),
+        when(col("_vmax") > col("_vmin"),
+          floor(ed / (col("_vmax") - col("_vmin")) * 10000 + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("energy_norm_bp"))
+  }
+
   /** Breslow–Day homogeneity test with the Tarone correction (Breslow &
     * Day 1980 vol. 1 §4.4; Tarone 1985): "is the odds ratio CONSTANT
     * across strata?" — the question [[mantelHaenszel]] ASSUMES away (MH

@@ -95,6 +95,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(totals)): the single-row side totals beside the distinct-value cumulative table — the cross-mass needs both totals on every row",
     "q222_wasserstein" ->
       "crossJoin(broadcast(totals)): the single-row side totals + value range beside the distinct-value cumulative table (q220's discipline); the next-value gap is an index equi-join",
+    "q248_energy_distance" ->
+      "crossJoin(broadcast(totals)): q222's single-row side totals + value range beside the gap table, twice (per-gap terms need the side sizes; displays take counts from the totals row after the roll-up)",
     "q226_rate_diff" ->
       "crossJoin(broadcast(...)): two ONE-ROW conditional aggregates (one per slice) meeting in the one-row comparison (the q200 discipline)",
     "q232_fdr_screen" ->
