@@ -1561,6 +1561,18 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q249_drift_card" -> ((s, dir) => {
+      // the screen triad (q232 KS+FDR / q235 W1 / q241 delta) over ONE
+      // shared per-(source, token-count) histogram and ONE group-keyed
+      // aggregate — value-identical to the three standalone screens
+      // (DriftCardSpec pins it), one corpus pass instead of three
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.driftScreenCard(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
     "q248_energy_distance" -> ((s, dir) => {
       // 1-D energy distance (2x Cramer distance) over the even/odd
       // event-value split — the L2^2 VALUE-units integral completing the
@@ -4749,6 +4761,66 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q249_drift_card" ->
+      // ONE spine carrying cv + cumall + the lead() successor value, the
+      // per-group window cumsum, then the three folds (max KS cross-mass,
+      // floor(gap-term*2^20) W1 grains, doubled dominance masses) in one
+      // GROUP BY — and q232's BH list step on the rounded p values
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "pgv AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM pgv GROUP BY v), " +
+        "gr AS (SELECT g, sum(c) AS ng FROM pgv GROUP BY g), " +
+        "t AS (SELECT sum(cv) AS n, min(v) AS vmin, max(v) AS vmax FROM pv), " +
+        "ca AS (SELECT v, cv, sum(cv) OVER (ORDER BY v) AS cumall, " +
+        "lead(v) OVER (ORDER BY v) AS vn FROM pv), " +
+        "sp AS (SELECT gr.g, gr.ng, ca.v, ca.vn, ca.cv, ca.cumall FROM gr, ca), " +
+        "jj AS (SELECT sp.g, sp.ng, sp.v, sp.vn, sp.cv, sp.cumall, COALESCE(pgv.c, 0) AS c " +
+        "FROM sp LEFT JOIN pgv ON pgv.g = sp.g AND pgv.v = sp.v), " +
+        "w AS (SELECT g, ng, v, vn, cv, cumall, c, " +
+        "sum(c) OVER (PARTITION BY g ORDER BY v) AS cumg FROM jj), " +
+        "dd AS (SELECT g, max(ng) AS ng, " +
+        "max(abs(CAST(cumg AS HUGEINT) * (CAST(n AS HUGEINT) - CAST(ng AS HUGEINT)) - " +
+        "(CAST(cumall AS HUGEINT) - CAST(cumg AS HUGEINT)) * CAST(ng AS HUGEINT))) AS dnum, " +
+        "COALESCE(sum(CASE WHEN vn IS NOT NULL THEN " +
+        "CAST(floor(CAST(abs(CAST(cumg AS HUGEINT) * (CAST(n AS HUGEINT) - CAST(ng AS HUGEINT)) - " +
+        "(CAST(cumall AS HUGEINT) - CAST(cumg AS HUGEINT)) * CAST(ng AS HUGEINT)) AS DOUBLE) * " +
+        "(vn - v) / (CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)) * 1048576) AS BIGINT) ELSE 0 END), 0) AS w1q, " +
+        "COALESCE(sum(CAST(c AS HUGEINT) * " +
+        "(2 * ((CAST(cumall AS HUGEINT) - CAST(cv AS HUGEINT)) - " +
+        "(CAST(cumg AS HUGEINT) - CAST(c AS HUGEINT))) + " +
+        "(CAST(cv AS HUGEINT) - CAST(c AS HUGEINT)))), 0) AS u2 " +
+        "FROM w, t GROUP BY g), " +
+        "kr AS (SELECT g, ng, CAST(n AS BIGINT) - ng AS nrest, " +
+        "floor(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)) * 10000 + 0.5) / 10000 AS ks_d, " +
+        "floor(least(1.0, 2.0 * exp(-2.0 * " +
+        "(sqrt(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE) / (CAST(ng AS DOUBLE) + CAST(n - ng AS DOUBLE))) * " +
+        "(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)))) * " +
+        "(sqrt(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE) / (CAST(ng AS DOUBLE) + CAST(n - ng AS DOUBLE))) * " +
+        "(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS p, " +
+        "floor(CAST(w1q AS DOUBLE) / 1048576 * 10000 + 0.5) / 10000 AS w1, " +
+        "CASE WHEN vmax > vmin THEN " +
+        "CAST(floor(CAST(w1q AS DOUBLE) / 1048576 / (vmax - vmin) * 10000 + 0.5) AS BIGINT) END AS w1_norm_bp, " +
+        "CAST(floor(CAST(u2 AS DOUBLE) / (2 * CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS auc_bp, " +
+        "CAST(floor((CAST(u2 AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)) - 1) * 10000 + 0.5) AS BIGINT) AS cliff_bp " +
+        "FROM dd, t), " +
+        "l AS (SELECT list(struct_pack(p := p, k := g) ORDER BY p, g) AS ps, count(*) AS m FROM kr), " +
+        "wsx AS (SELECT ps, m, list_transform(range(1, CAST(m + 1 AS BIGINT)), " +
+        "i -> ps[i].p * CAST(m AS DOUBLE) / CAST(i AS DOUBLE)) AS ws FROM l), " +
+        "ex AS (SELECT unnest(range(1, CAST(m + 1 AS BIGINT))) AS j, ps, ws, m FROM wsx), " +
+        "bh AS (SELECT ps[j].k AS test_key, ps[j].p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
+        "floor(least(1.0, list_min(ws[j:m])) * 10000 + 0.5) / 10000 AS p_adj FROM ex) " +
+        "SELECT bh.test_key, kr.ng AS n_g, kr.nrest AS n_rest, " +
+        "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
+        "CAST(floor(bh.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +
+        "bh.p_rank, " +
+        "CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) AS p_adj_bp, " +
+        "(CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) <= 1000) AS reject, " +
+        "kr.w1, kr.w1_norm_bp, kr.auc_bp, kr.cliff_bp " +
+        "FROM bh JOIN kr ON kr.g = bh.test_key"),
 
     "q248_energy_distance" ->
       // q222's spine with the CDF gap SQUARED (spelled gap*gap, the q238

@@ -2670,6 +2670,120 @@ object Quality {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Per-source drift report card — the screen TRIAD over ONE shared
+    * spine: [[groupedKsTest]]+[[bhAdjust]] say WHICH source drifted
+    * (sup-norm gap, FDR-controlled), [[groupedW1]] what the drift COSTS
+    * in value units, [[groupedCliffsDelta]] how directionally DOMINANT
+    * the source is. Run separately those three scan the corpus three
+    * times and build the same groups × pooled-values spine three times;
+    * the card builds the per-(group, value) histogram ONCE and folds
+    * max(KS numerator), Σ(W₁ gap grains), and Σ(doubled dominance
+    * masses) in ONE group-keyed aggregate — same displays, one corpus
+    * pass. One row per group: (test_key, n_g, n_rest, ks_d_bp, p_bp,
+    * p_rank, p_adj_bp, reject, w1, w1_norm_bp, auc_bp, cliff_bp),
+    * value-identical to the three standalone screens (spec-pinned).
+    *
+    * Scale shape: ONE per-(group, value) hash agg is the only
+    * corpus-width exchange (persisted; histogram, group table, totals
+    * all derive from it), two bounded prefix-sum passes (cumulative +
+    * positional index for the successor-value gap), the bounded-groups
+    * broadcast cross, one PARTITIONED per-group window, one group-keyed
+    * aggregate carrying three folds, then the bounded BH list step.
+    */
+  def driftScreenCard(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column,
+      fdrQ: Double = 0.1): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
+    val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val groups = perGV.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
+    val totals = perV.agg(coalesce(sum(col("_cv")), lit(0L)).as("_n"),
+      min(col("_v")).as("_vmin"), max(col("_v")).as("_vmax"))
+    val cumAll = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_xa")
+      .select(col("_v"), col("_cv"), (col("_xa") + col("_cv")).as("_cumall"))
+    val withIx = GlobalRank.weightedPrefixSums(
+        cumAll.withColumn("_one", lit(1L)), "_v", "_one", "_ix")
+      .select(col("_v"), col("_cv"), col("_cumall"), col("_ix"))
+    val nxt = withIx.select((col("_ix") - 1).as("_ix"), col("_v").as("_vn"))
+    // LEFT on the successor: the last value keeps its row (KS and delta
+    // need it) and contributes a zero W1 gap
+    val spine = withIx.join(nxt, Seq("_ix"), "left")
+      .crossJoin(broadcast(groups))
+      .join(perGV, Seq("_g", "_v"), "left")
+      .select(col("_g"), col("_ng"), col("_v"), col("_vn"), col("_cv"),
+        col("_cumall"), coalesce(col("_c"), lit(0L)).as("_c"))
+    val cumG = sum(col("_c")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_g")).orderBy(col("_v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+    val ngd = col("_ng").cast("double")
+    // ANSI-safe complement size: a single-group input nulls every display
+    // anyway, and on real inputs nrdS IS the raw complement
+    val nrdS = when(col("_n") > col("_ng"),
+      (col("_n") - col("_ng")).cast("double")).otherwise(lit(1.0))
+    // the three per-row masses, each verbatim from its standalone screen
+    val ksNum = abs(col("_cumg").cast(dec) *
+        (col("_n") - col("_ng")).cast(dec) -
+      (col("_cumall") - col("_cumg")).cast(dec) * col("_ng").cast(dec))
+    val w1Term = when(col("_vn").isNotNull,
+      floor(ksNum.cast("double") * (col("_vn") - col("_v")) /
+        (ngd * nrdS) * 1048576).cast("long")).otherwise(lit(0L))
+    val below = (col("_cumall") - col("_cv")).cast(dec) -
+      (col("_cumg") - col("_c")).cast(dec)
+    val tie = col("_cv").cast(dec) - col("_c").cast(dec)
+    val deltaTerm = col("_c").cast(dec) * (lit(2).cast(dec) * below + tie)
+    val perGroup = spine
+      .withColumn("_cumg", cumG)
+      .crossJoin(broadcast(totals))
+      .groupBy(col("_g"), col("_ng"), col("_n"), col("_vmin"), col("_vmax"))
+      .agg(max(ksNum).as("_dnum"),
+        coalesce(sum(w1Term), lit(0L)).as("_w1q"),
+        coalesce(sum(deltaTerm), lit(0).cast(dec)).as("_u2"))
+    val nrd = (col("_n") - col("_ng")).cast("double")
+    val dS = col("_dnum").cast("double") / (ngd * nrdS)
+    val lambda = sqrt(ngd * nrdS / (ngd + nrdS)) * dS
+    val w1d = col("_w1q").cast("double") / 1048576
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    val screens = perGroup.select(
+      col("_g").as("group_key"), col("_ng").as("n_g"),
+      (col("_n") - col("_ng")).as("n_rest"),
+      when(col("_n") > col("_ng"), r4(dS))
+        .otherwise(lit(null).cast("double")).as("ks_d"),
+      when(col("_n") > col("_ng"),
+        r4(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * lambda * lambda))))
+        .otherwise(lit(null).cast("double")).as("p_value"),
+      when(col("_n") > col("_ng"), r4(w1d))
+        .otherwise(lit(null).cast("double")).as("w1"),
+      when(col("_n") > col("_ng") && col("_vmax") > col("_vmin"),
+        floor(w1d / (col("_vmax") - col("_vmin")) * 10000 + lit(0.5))
+          .cast("long"))
+        .otherwise(lit(null).cast("long")).as("w1_norm_bp"),
+      when(col("_n") > col("_ng"),
+        floor(col("_u2").cast("double") / (lit(2.0) * ngd * nrd) * 10000 +
+          lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("auc_bp"),
+      when(col("_n") > col("_ng"),
+        floor((col("_u2").cast("double") / (ngd * nrd) - 1) * 10000 +
+          lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("cliff_bp"))
+      .persist()
+    bhAdjust(screens, col("group_key"), col("p_value"), fdrQ)
+      .join(broadcast(screens.select(col("group_key").as("test_key"),
+        col("n_g"), col("n_rest"), col("ks_d"), col("w1"),
+        col("w1_norm_bp"), col("auc_bp"), col("cliff_bp"))), "test_key")
+      .select(col("test_key"), col("n_g"), col("n_rest"),
+        bp(col("ks_d")).as("ks_d_bp"), bp(col("p_value")).as("p_bp"),
+        col("p_rank"), bp(col("p_adj")).as("p_adj_bp"),
+        (bp(col("p_adj")) <= lit((fdrQ * 10000).round)).as("reject"),
+        col("w1"), col("w1_norm_bp"), col("auc_bp"), col("cliff_bp"))
+  }
+
   /** One-dimensional energy distance (Székely & Rizzo 2004; equivalently
     * twice the Cramér distance, the LEBESGUE-weighted squared-CDF-gap
     * integral): D² = 2·∫(F_a − F_b)² dz — the member that completes the

@@ -37,7 +37,13 @@ object SqlGateway {
     "ks_screen" -> "q232_fdr_screen",
     "w1_screen" -> "q235_w1_screen",
     "delta_screen" -> "q241_delta_screen",
-    "ad_omnibus" -> "q239_ad_ksample")
+    "ad_omnibus" -> "q239_ad_ksample",
+    "effect_sizes" -> "q240_effect_sizes",
+    "weekday_trend" -> "q242_jt_trend",
+    "retention_logrank" -> "q243_logrank",
+    "rate_trend" -> "q244_ca_trend",
+    "adjusted_association" -> "q245_mantel_haenszel",
+    "or_homogeneity" -> "q247_breslow_day")
 
   /** Register every test table plus the graft function surface on the
     * session, then start a Thrift endpoint on `port`. Returns after the

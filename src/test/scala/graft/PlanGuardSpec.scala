@@ -109,6 +109,8 @@ class PlanGuardSpec extends SparkSpec {
       "q232's crossJoin(broadcast(groups)) spine + the one-row totals and group-count broadcasts after the roll-up (the r14-advisor pattern: k/n report real counts even on a degenerate spine)",
     "q241_delta_screen" ->
       "q232's crossJoin(broadcast(groups)) spine + the one-row totals broadcast after the group roll-up (n_rest needs n; the groupedW1 left-join degenerate discipline keeps counts real when a group's complement is empty)",
+    "q249_drift_card" ->
+      "q232's crossJoin(broadcast(groups)) spine + the one-row totals broadcast feeding the fused three-fold aggregate (the card computes KS+W1+delta from ONE spine — the whole point)",
     "q247_breslow_day" ->
       "crossJoin(broadcast(totals)): the one-row common-OR scalar carried back across the stratum table (the fitted-cell quadratic needs R per stratum), plus the one-row totals beside the final grain-sum roll-up",
     "q242_jt_trend" ->
