@@ -1561,6 +1561,26 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q250_friedman" -> ((s, dir) => {
+      // Friedman chi2 + Kendall's W over q228's THREE band raters:
+      // kappa (q228) asks whether the raters AGREE; this asks whether
+      // one scoring rule is SYSTEMATICALLY harsher across documents —
+      // within-doc midranks, exact integer sums, one division
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val num = size(stops).cast("long")
+      val den = size(toks).cast("long")
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.friedmanTest(d, Seq(
+        when(num * 10 < den, 0L).when(num * 5 < den, 1L).otherwise(2L),
+        when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L)))
+    }),
+
     "q249_drift_card" -> ((s, dir) => {
       // the screen triad (q232 KS+FDR / q235 W1 / q241 delta) over ONE
       // shared per-(source, token-count) histogram and ONE group-keyed
@@ -4761,6 +4781,46 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q250_friedman" ->
+      // q228's band CTEs; per-row doubled midranks 2R = 2*less + tied + 2
+      // via the same pairwise CASE comparisons, HUGEINT rank sums, the
+      // one-division chi2/W chain spelled as Spark's
+      ("WITH base AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS den, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "r AS (SELECT " +
+        "CASE WHEN num * 10 < den THEN 0 WHEN num * 5 < den THEN 1 ELSE 2 END AS r0, " +
+        "CASE WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END AS r1, " +
+        "CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS r2 FROM base), " +
+        "rk AS (SELECT " +
+        "2 * (CASE WHEN r1 < r0 THEN 1 ELSE 0 END + CASE WHEN r2 < r0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN r1 = r0 THEN 1 ELSE 0 END + CASE WHEN r2 = r0 THEN 1 ELSE 0 END) + 2 AS d0, " +
+        "2 * (CASE WHEN r0 < r1 THEN 1 ELSE 0 END + CASE WHEN r2 < r1 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN r0 = r1 THEN 1 ELSE 0 END + CASE WHEN r2 = r1 THEN 1 ELSE 0 END) + 2 AS d1, " +
+        "2 * (CASE WHEN r0 < r2 THEN 1 ELSE 0 END + CASE WHEN r1 < r2 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN r0 = r2 THEN 1 ELSE 0 END + CASE WHEN r1 = r2 THEN 1 ELSE 0 END) + 2 AS d2 FROM r), " +
+        "a AS (SELECT count(*) AS b, " +
+        "COALESCE(sum(CAST(d0 AS HUGEINT)), 0) AS s0, " +
+        "COALESCE(sum(CAST(d1 AS HUGEINT)), 0) AS s1, " +
+        "COALESCE(sum(CAST(d2 AS HUGEINT)), 0) AS s2x, " +
+        "COALESCE(sum(CAST(d0 AS HUGEINT) * CAST(d0 AS HUGEINT) + " +
+        "CAST(d1 AS HUGEINT) * CAST(d1 AS HUGEINT) + " +
+        "CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT)), 0) AS a2 FROM rk), " +
+        "f AS (SELECT b, s0 * s0 + s1 * s1 + s2x * s2x AS ss, a2, " +
+        "CAST(b AS HUGEINT) AS bh FROM a), " +
+        "g AS (SELECT b, 2 * (ss - bh * bh * 48) AS numi, a2 - bh * 48 AS deni FROM f), " +
+        "h AS (SELECT b, numi, deni, " +
+        "CASE WHEN deni > 0 THEN CAST(deni AS DOUBLE) ELSE 1.0 END AS dens FROM g), " +
+        "i AS (SELECT b, numi, deni, CAST(numi AS DOUBLE) / dens AS chi2 FROM h) " +
+        "SELECT CAST(b AS BIGINT) AS b, CAST(3 AS BIGINT) AS k, " +
+        "CASE WHEN b > 0 AND deni > 0 THEN floor(chi2 * 10000 + 0.5) / 10000 END AS chi2, " +
+        "CASE WHEN b > 0 AND deni > 0 THEN " +
+        "CAST(floor(chi2 / (CAST(b AS DOUBLE) * 2) * 10000 + 0.5) AS BIGINT) END AS w_bp FROM i"),
 
     "q249_drift_card" ->
       // ONE spine carrying cv + cumall + the lead() successor value, the

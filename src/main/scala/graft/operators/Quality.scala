@@ -2670,6 +2670,72 @@ object Quality {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Friedman rank test for k correlated raters with Kendall's W
+    * (Friedman 1937; tie-corrected form per Conover, Practical
+    * Nonparametric Statistics §5.8; Kendall & Babington Smith 1939):
+    * the within-block rank companion to [[fleissKappa]] — kappa asks
+    * whether the k raters AGREE beyond chance; this asks whether they
+    * differ SYSTEMATICALLY (is one scoring rule consistently harsher
+    * across documents?), which agreement statistics cannot see (two
+    * raters offset by a constant band agree on nothing yet rank
+    * identically). One row: (b, k, chi2, w_bp) — the tie-corrected
+    * Friedman χ² on k−1 df and Kendall's coefficient of concordance
+    * W = χ²/(b(k−1)) ∈ [0, 1].
+    *
+    * Within each block (row) the k values take DOUBLED midranks
+    * 2R = 2·#less + #tied-others + 2 — exact integers, computed by
+    * pairwise comparisons in-row (k is tiny). With S2 = Σ_j(Σ_i 2R_ij)²,
+    * A2 = Σ_ij(2R_ij)², and the constant bk(k+1)²:
+    * χ² = (k−1)·(S2 − b²k(k+1)²)/(A2 − bk(k+1)²) — every Σ an exact
+    * DECIMAL(38,0), ONE division (the doubling cancels; with no ties
+    * this is the textbook 12ΣR²/(bk(k+1)) − 3b(k+1)). A2 = bk(k+1)²
+    * ⟺ every block fully tied — NULL displays.
+    *
+    * Scale shape: ONE single-row aggregate over in-row integer rank
+    * arithmetic — the corpus is touched once, nothing shuffles but the
+    * k+2 partial sums.
+    */
+  def friedmanTest(
+      df: DataFrame,
+      raters: Seq[Column]): DataFrame = {
+    val k = raters.length
+    require(k >= 2, "Friedman needs at least two raters")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r2 = raters.indices.map { j =>
+      val others = raters.indices.filter(_ != j)
+      val less = others.map(o =>
+        when(raters(o) < raters(j), 1L).otherwise(0L)).reduce(_ + _)
+      val tied = others.map(o =>
+        when(raters(o) === raters(j), 1L).otherwise(0L)).reduce(_ + _)
+      (lit(2L) * less + tied + lit(2L)).as(s"_r2_$j")
+    }
+    val rows = df.filter(raters.map(_.isNotNull).reduce(_ && _))
+      .select(r2: _*)
+    val sums = raters.indices.map(j =>
+      coalesce(sum(col(s"_r2_$j").cast(dec)), lit(0).cast(dec)).as(s"_s$j"))
+    val a2 = coalesce(sum(raters.indices.map(j =>
+        col(s"_r2_$j").cast(dec) * col(s"_r2_$j").cast(dec)).reduce(_ + _)),
+      lit(0).cast(dec)).as("_a2")
+    val aggCols = sums :+ a2 :+ count(lit(1)).as("b")
+    val one = rows.agg(aggCols.head, aggCols.tail: _*)
+    val s2 = raters.indices.map(j =>
+      col(s"_s$j") * col(s"_s$j")).reduce(_ + _)
+    val bDec = col("b").cast(dec)
+    val cK = lit(k.toLong * (k + 1) * (k + 1)).cast(dec)
+    val numI = lit((k - 1).toLong).cast(dec) * (s2 - bDec * bDec * cK)
+    val denI = col("_a2") - bDec * cK
+    val denS = when(denI > 0, denI.cast("double")).otherwise(lit(1.0))
+    val chi2 = numI.cast("double") / denS
+    val w = chi2 / (col("b").cast("double") * (k - 1))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    one.select(col("b"), lit(k.toLong).as("k"),
+      when(col("b") > 0 && denI > 0, r4(chi2))
+        .otherwise(lit(null).cast("double")).as("chi2"),
+      when(col("b") > 0 && denI > 0,
+        floor(w * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("w_bp"))
+  }
+
   /** Per-source drift report card — the screen TRIAD over ONE shared
     * spine: [[groupedKsTest]]+[[bhAdjust]] say WHICH source drifted
     * (sup-norm gap, FDR-controlled), [[groupedW1]] what the drift COSTS
