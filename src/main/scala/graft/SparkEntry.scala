@@ -4852,7 +4852,22 @@ object SparkEntry {
         "COALESCE(sum(CAST(c AS HUGEINT) * " +
         "(2 * ((CAST(cumall AS HUGEINT) - CAST(cv AS HUGEINT)) - " +
         "(CAST(cumg AS HUGEINT) - CAST(c AS HUGEINT))) + " +
-        "(CAST(cv AS HUGEINT) - CAST(c AS HUGEINT)))), 0) AS u2 " +
+        "(CAST(cv AS HUGEINT) - CAST(c AS HUGEINT)))), 0) AS u2, " +
+        "COALESCE(sum(CAST(floor(CAST(cv AS DOUBLE) * " +
+        "(CAST(abs(CAST(cumg AS HUGEINT) * (CAST(n AS HUGEINT) - CAST(ng AS HUGEINT)) - " +
+        "(CAST(cumall AS HUGEINT) - CAST(cumg AS HUGEINT)) * CAST(ng AS HUGEINT)) AS DOUBLE) / " +
+        "(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE))) * " +
+        "(CAST(abs(CAST(cumg AS HUGEINT) * (CAST(n AS HUGEINT) - CAST(ng AS HUGEINT)) - " +
+        "(CAST(cumall AS HUGEINT) - CAST(cumg AS HUGEINT)) * CAST(ng AS HUGEINT)) AS DOUBLE) / " +
+        "(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE))) * 1073741824.0) AS HUGEINT)), 0) AS cvmq, " +
+        "COALESCE(sum(CASE WHEN vn IS NOT NULL THEN " +
+        "CAST(floor((CAST(abs(CAST(cumg AS HUGEINT) * (CAST(n AS HUGEINT) - CAST(ng AS HUGEINT)) - " +
+        "(CAST(cumall AS HUGEINT) - CAST(cumg AS HUGEINT)) * CAST(ng AS HUGEINT)) AS DOUBLE) / " +
+        "(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE))) * " +
+        "(CAST(abs(CAST(cumg AS HUGEINT) * (CAST(n AS HUGEINT) - CAST(ng AS HUGEINT)) - " +
+        "(CAST(cumall AS HUGEINT) - CAST(cumg AS HUGEINT)) * CAST(ng AS HUGEINT)) AS DOUBLE) / " +
+        "(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE))) * " +
+        "(vn - v) * 1048576.0) AS HUGEINT) ELSE 0 END), 0) AS enq " +
         "FROM w, t GROUP BY g), " +
         "kr AS (SELECT g, ng, CAST(n AS BIGINT) - ng AS nrest, " +
         "floor(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)) * 10000 + 0.5) / 10000 AS ks_d, " +
@@ -4865,7 +4880,11 @@ object SparkEntry {
         "CASE WHEN vmax > vmin THEN " +
         "CAST(floor(CAST(w1q AS DOUBLE) / 1048576 / (vmax - vmin) * 10000 + 0.5) AS BIGINT) END AS w1_norm_bp, " +
         "CAST(floor(CAST(u2 AS DOUBLE) / (2 * CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS auc_bp, " +
-        "CAST(floor((CAST(u2 AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)) - 1) * 10000 + 0.5) AS BIGINT) AS cliff_bp " +
+        "CAST(floor((CAST(u2 AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)) - 1) * 10000 + 0.5) AS BIGINT) AS cliff_bp, " +
+        "CAST(floor(CAST(cvmq AS DOUBLE) / 1073741824.0 * " +
+        "(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)) / " +
+        "((CAST(ng AS DOUBLE) + CAST(n - ng AS DOUBLE)) * (CAST(ng AS DOUBLE) + CAST(n - ng AS DOUBLE))) * 10000 + 0.5) AS BIGINT) AS cvm_bp, " +
+        "floor(2.0 * (CAST(enq AS DOUBLE) / 1048576.0) * 10000 + 0.5) / 10000 AS energy " +
         "FROM dd, t), " +
         "l AS (SELECT list(struct_pack(p := p, k := g) ORDER BY p, g) AS ps, count(*) AS m FROM kr), " +
         "wsx AS (SELECT ps, m, list_transform(range(1, CAST(m + 1 AS BIGINT)), " +
@@ -4879,7 +4898,7 @@ object SparkEntry {
         "bh.p_rank, " +
         "CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) AS p_adj_bp, " +
         "(CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) <= 1000) AS reject, " +
-        "kr.w1, kr.w1_norm_bp, kr.auc_bp, kr.cliff_bp " +
+        "kr.w1, kr.w1_norm_bp, kr.auc_bp, kr.cliff_bp, kr.cvm_bp, kr.energy " +
         "FROM bh JOIN kr ON kr.g = bh.test_key"),
 
     "q248_energy_distance" ->

@@ -2736,18 +2736,22 @@ object Quality {
         .otherwise(lit(null).cast("long")).as("w_bp"))
   }
 
-  /** Per-source drift report card — the screen TRIAD over ONE shared
-    * spine: [[groupedKsTest]]+[[bhAdjust]] say WHICH source drifted
-    * (sup-norm gap, FDR-controlled), [[groupedW1]] what the drift COSTS
-    * in value units, [[groupedCliffsDelta]] how directionally DOMINANT
-    * the source is. Run separately those three scan the corpus three
-    * times and build the same groups × pooled-values spine three times;
-    * the card builds the per-(group, value) histogram ONCE and folds
-    * max(KS numerator), Σ(W₁ gap grains), and Σ(doubled dominance
-    * masses) in ONE group-keyed aggregate — same displays, one corpus
-    * pass. One row per group: (test_key, n_g, n_rest, ks_d_bp, p_bp,
-    * p_rank, p_adj_bp, reject, w1, w1_norm_bp, auc_bp, cliff_bp),
-    * value-identical to the three standalone screens (spec-pinned).
+  /** Per-source drift report card — FIVE screens over ONE shared spine:
+    * [[groupedKsTest]]+[[bhAdjust]] say WHICH source drifted (sup-norm
+    * gap, FDR-controlled), [[groupedW1]] what the drift COSTS in value
+    * units, [[groupedCliffsDelta]] how directionally DOMINANT the
+    * source is, and the group-vs-complement [[cramerVonMises]] and
+    * [[energyDistance]] members distinguish SUSTAINED separation from a
+    * single spike. Run separately those scan the corpus five times and
+    * build the same groups × pooled-values spine each time; the card
+    * builds the per-(group, value) histogram ONCE and folds max(KS
+    * numerator), Σ(W₁ gap grains), Σ(doubled dominance masses),
+    * Σ(CvM class grains), and Σ(energy gap grains) in ONE group-keyed
+    * aggregate — same displays, one corpus pass. One row per group:
+    * (test_key, n_g, n_rest, ks_d_bp, p_bp, p_rank, p_adj_bp, reject,
+    * w1, w1_norm_bp, auc_bp, cliff_bp, cvm_bp, energy), value-identical
+    * to the standalone screens and to the pairwise two-sample operators
+    * run on (group, complement) (spec-pinned).
     *
     * Scale shape: ONE per-(group, value) hash agg is the only
     * corpus-width exchange (persisted; histogram, group table, totals
@@ -2803,17 +2807,32 @@ object Quality {
       (col("_cumg") - col("_c")).cast(dec)
     val tie = col("_cv").cast(dec) - col("_c").cast(dec)
     val deltaTerm = col("_c").cast(dec) * (lit(2).cast(dec) * below + tie)
+    // the group-vs-complement CvM and energy terms — the SAME exact
+    // cross-mass numerator, so both equal the pairwise two-sample
+    // operators run on (group, rest) verbatim (DriftCardSpec pins it)
+    val gapC = ksNum.cast("double") / (ngd * nrdS)
+    val cvmTerm = floor(col("_cv").cast("double") * gapC * gapC *
+      lit(1073741824.0)).cast("long")
+    val enTerm = when(col("_vn").isNotNull,
+      floor(gapC * gapC * (col("_vn") - col("_v")) *
+        lit(1048576.0)).cast("long")).otherwise(lit(0L))
     val perGroup = spine
       .withColumn("_cumg", cumG)
       .crossJoin(broadcast(totals))
       .groupBy(col("_g"), col("_ng"), col("_n"), col("_vmin"), col("_vmax"))
       .agg(max(ksNum).as("_dnum"),
         coalesce(sum(w1Term), lit(0L)).as("_w1q"),
-        coalesce(sum(deltaTerm), lit(0).cast(dec)).as("_u2"))
+        coalesce(sum(deltaTerm), lit(0).cast(dec)).as("_u2"),
+        coalesce(sum(cvmTerm), lit(0L)).as("_cvmq"),
+        coalesce(sum(enTerm), lit(0L)).as("_enq"))
     val nrd = (col("_n") - col("_ng")).cast("double")
     val dS = col("_dnum").cast("double") / (ngd * nrdS)
     val lambda = sqrt(ngd * nrdS / (ngd + nrdS)) * dS
     val w1d = col("_w1q").cast("double") / 1048576
+    // the pairwise cramerVonMises / energyDistance display chains verbatim
+    val cvmT = col("_cvmq").cast("double") / 1073741824.0 *
+      (ngd * nrd) / ((ngd + nrd) * (ngd + nrd))
+    val enD = lit(2.0) * (col("_enq").cast("double") / 1048576.0)
     def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
     def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
     val screens = perGroup.select(
@@ -2837,17 +2856,23 @@ object Quality {
       when(col("_n") > col("_ng"),
         floor((col("_u2").cast("double") / (ngd * nrd) - 1) * 10000 +
           lit(0.5)).cast("long"))
-        .otherwise(lit(null).cast("long")).as("cliff_bp"))
+        .otherwise(lit(null).cast("long")).as("cliff_bp"),
+      when(col("_n") > col("_ng"), floor(cvmT * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("cvm_bp"),
+      when(col("_n") > col("_ng"), r4(enD))
+        .otherwise(lit(null).cast("double")).as("energy"))
       .persist()
     bhAdjust(screens, col("group_key"), col("p_value"), fdrQ)
       .join(broadcast(screens.select(col("group_key").as("test_key"),
         col("n_g"), col("n_rest"), col("ks_d"), col("w1"),
-        col("w1_norm_bp"), col("auc_bp"), col("cliff_bp"))), "test_key")
+        col("w1_norm_bp"), col("auc_bp"), col("cliff_bp"),
+        col("cvm_bp"), col("energy"))), "test_key")
       .select(col("test_key"), col("n_g"), col("n_rest"),
         bp(col("ks_d")).as("ks_d_bp"), bp(col("p_value")).as("p_bp"),
         col("p_rank"), bp(col("p_adj")).as("p_adj_bp"),
         (bp(col("p_adj")) <= lit((fdrQ * 10000).round)).as("reject"),
-        col("w1"), col("w1_norm_bp"), col("auc_bp"), col("cliff_bp"))
+        col("w1"), col("w1_norm_bp"), col("auc_bp"), col("cliff_bp"),
+        col("cvm_bp"), col("energy"))
   }
 
   /** One-dimensional energy distance (Székely & Rizzo 2004; equivalently

@@ -56,6 +56,19 @@ class DriftCardSpec extends SparkSpec {
       assert(c.getLong(9) == w1(g).getLong(4), s"$g w1_norm_bp")
       assert(c.getLong(10) == delta(g).getLong(3), s"$g auc_bp")
       assert(c.getLong(11) == delta(g).getLong(4), s"$g cliff_bp")
+      // the CvM and energy columns equal the PAIRWISE two-sample
+      // operators run on (group, complement) — a cross-implementation
+      // pin, not a parallel grouped build
+      val mine = d.filter(col("source") === g)
+      val rest = d.filter(col("source") =!= g)
+      val cvmPair = Quality.cramerVonMises(
+        mine.select(tc.as("v")), rest.select(tc.as("v")), "v")
+        .select(col("t_bp")).as[Long].head()
+      val enPair = Quality.energyDistance(
+        mine.select(tc.as("v")), rest.select(tc.as("v")), "v")
+        .select(col("energy")).as[Double].head()
+      assert(c.getLong(12) == cvmPair, s"$g cvm_bp vs pairwise")
+      assert(c.getDouble(13) == enPair, s"$g energy vs pairwise")
     }
   }
 
