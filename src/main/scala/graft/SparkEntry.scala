@@ -1561,6 +1561,15 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q251_mk_trend" -> ((s, dir) => {
+      // Mann-Kendall + Sen's slope per event type over daily counts —
+      // the robust "is this series drifting, and how fast?" pairing
+      // beside EWMA (q175)/CUSUM (q179)/ACF (q189): distribution-free
+      // monotone-trend z and the median-of-pairwise-slopes rate
+      operators.Sessions.mannKendallTrend(
+        Tables(s, dir, "events").filter(col("ts").isNotNull))
+    }),
+
     "q250_friedman" -> ((s, dir) => {
       // Friedman chi2 + Kendall's W over q228's THREE band raters:
       // kappa (q228) asks whether the raters AGREE; this asks whether
@@ -4781,6 +4790,44 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q251_mk_trend" ->
+      // the same day-ordered per-type series; S and the tie mass as
+      // exact integer pair folds, the tie-corrected variance and
+      // continuity-corrected z spelled as Spark's, Sen's slope the exact
+      // middle of the sorted pairwise-slope list (all index arithmetic
+      // integer-valued, so cast rounding conventions never differ)
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, list(struct_pack(day := day, n := n) ORDER BY day) AS cs " +
+        "FROM d GROUP BY 1), " +
+        "x AS (SELECT event_type, cs, len(cs) AS m FROM a), " +
+        "y AS (SELECT event_type, m, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(2, CAST(m + 1 AS BIGINT)), j -> " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, j), i -> " +
+        "CAST(CASE WHEN (cs[CAST(j AS INT)]).n > (cs[CAST(i AS INT)]).n THEN 1 " +
+        "WHEN (cs[CAST(j AS INT)]).n < (cs[CAST(i AS INT)]).n THEN -1 ELSE 0 END AS BIGINT))), " +
+        "(p, q) -> p + q))), (p, q) -> p + q) AS BIGINT) AS s, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, CAST(m + 1 AS BIGINT)), j -> " +
+        "(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, e -> " +
+        "CAST(CASE WHEN (e).n = (cs[CAST(j AS INT)]).n THEN 1 ELSE 0 END AS BIGINT))), (p, q) -> p + q) - 1) * " +
+        "(2 * list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, e -> " +
+        "CAST(CASE WHEN (e).n = (cs[CAST(j AS INT)]).n THEN 1 ELSE 0 END AS BIGINT))), (p, q) -> p + q) + 5))), " +
+        "(p, q) -> p + q) AS BIGINT) AS tau, " +
+        "list_sort(flatten(list_transform(range(2, CAST(m + 1 AS BIGINT)), j -> " +
+        "list_transform(range(1, j), i -> " +
+        "CAST((cs[CAST(j AS INT)]).n - (cs[CAST(i AS INT)]).n AS DOUBLE) / " +
+        "CAST((cs[CAST(j AS INT)]).day - (cs[CAST(i AS INT)]).day AS DOUBLE))))) AS sl FROM x), " +
+        "z0 AS (SELECT event_type, m, s, tau, sl, len(sl) AS p, CAST(m AS DOUBLE) AS md, " +
+        "CAST(s AS DOUBLE) AS sd FROM y), " +
+        "z1 AS (SELECT event_type, m, s, sl, p, sd, " +
+        "(md * (md - 1) * (2.0 * md + 5) - CAST(tau AS DOUBLE)) / 18 AS vars FROM z0) " +
+        "SELECT event_type, CAST(m AS BIGINT) AS n_days, s AS mk_s, " +
+        "CASE WHEN m > 1 AND vars > 0 THEN floor((CASE WHEN s > 0 THEN (sd - 1) / sqrt(vars) " +
+        "WHEN s < 0 THEN (sd + 1) / sqrt(vars) ELSE 0.0 END) * 10000 + 0.5) / 10000 END AS z, " +
+        "CASE WHEN m > 1 THEN floor((CASE WHEN p % 2 = 1 THEN sl[CAST((p + 1) / 2 AS INT)] " +
+        "ELSE (sl[CAST(p / 2 AS INT)] + sl[CAST(p / 2 + 1 AS INT)]) / 2 END) * 10000 + 0.5) / 10000 " +
+        "END AS sen_slope FROM z1"),
 
     "q250_friedman" ->
       // q228's band CTEs; per-row doubled midranks 2R = 2*less + tied + 2

@@ -454,6 +454,87 @@ object Sessions {
       .filter(col("n_deaths") > 0)
   }
 
+  /** Mann–Kendall monotone-trend test with Sen's slope (Mann 1945 /
+    * Kendall's S with the tie-corrected variance; Sen 1968 — the
+    * STANDARD pairing for "is this series drifting, and how fast?" on
+    * data with outliers and no distributional assumptions): the robust
+    * members the time-series shelf's EWMA (level alarms), CUSUM
+    * (sustained shifts), and ACF (periodicity) don't cover — MK asks
+    * whether a MONOTONE trend exists at all (distribution-free,
+    * outlier-proof: one crazy day moves S by at most n−1 sign flips),
+    * Sen's slope is the median of all pairwise slopes (50% breakdown
+    * point where OLS has 0%). One row per event type:
+    * (event_type, n_days, mk_s, z, sen_slope).
+    *
+    * Engine-parity shape ([[cusumDailyCounts]]'s exactly): one
+    * (type, day) agg is the only corpus exchange, the calendar-bounded
+    * series collects in day order, and every statistic is an in-row
+    * fold — S = Σ_{i<j} sign(n_j − n_i) an exact integer, the tie mass
+    * τ = Σ_t t(t−1)(2t+5) via per-element equal-counts (exact), the
+    * variance (n(n−1)(2n+5) − τ)/18 and the ±1-continuity-corrected z
+    * one double chain, and Sen's slope the exact middle (or mean of the
+    * two middles) of the SORTED pairwise-slope array. Types with fewer
+    * than two days report NULL displays.
+    */
+  def mannKendallTrend(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+      .withColumn("m", size(col("cs")))
+    def elN(j: Column) = element_at(col("cs"), j.cast("int")).getField("n")
+    def elD(j: Column) = unix_date(
+      element_at(col("cs"), j.cast("int")).getField("day"))
+    // S: exact integer pair-sign sum, folded j-ascending, i<j inner
+    val s = aggregate(sequence(lit(2), col("m")), lit(0L), (acc, j) =>
+      acc + aggregate(sequence(lit(1), j - 1), lit(0L), (a2, i) =>
+        a2 + when(elN(j) > elN(i), 1L)
+          .when(elN(j) < elN(i), -1L).otherwise(0L)))
+    // tie mass Σ t(t−1)(2t+5) = Σ_j (c_j − 1)(2c_j + 5) with c_j the
+    // count of elements equal to element j — exact integers
+    val tau = aggregate(sequence(lit(1), col("m")), lit(0L), (acc, j) => {
+      val cj = aggregate(col("cs"), lit(0L), (a2, e) =>
+        a2 + when(e.getField("n") === elN(j), 1L).otherwise(0L))
+      acc + (cj - 1) * (lit(2L) * cj + 5)
+    })
+    val md = col("m").cast("double")
+    val varS = (md * (md - 1) * (lit(2.0) * md + 5) -
+      col("_tau").cast("double")) / 18
+    val sd = col("_s").cast("double")
+    val z = when(col("_s") > 0, (sd - 1) / sqrt(varS))
+      .when(col("_s") < 0, (sd + 1) / sqrt(varS))
+      .otherwise(lit(0.0))
+    // Sen: sorted pairwise slopes, exact middle / mean of two middles
+    val slopes = sort_array(flatten(transform(sequence(lit(2), col("m")),
+      j => transform(sequence(lit(1), j - 1), i =>
+        (elN(j) - elN(i)).cast("double") /
+          (elD(j) - elD(i)).cast("double")))))
+    val p = size(col("_sl"))
+    val sen = when(p % 2 === 1,
+      element_at(col("_sl"), ((p + 1) / 2).cast("int")))
+      .otherwise((element_at(col("_sl"), (p / 2).cast("int")) +
+        element_at(col("_sl"), (p / 2 + 1).cast("int"))) / 2)
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    series
+      // sequence(2, 1) would step DOWNWARD (the bhAdjust lesson): a
+      // single-day series must not build pair indices at all
+      .withColumn("_s", when(col("m") > 1, s).otherwise(lit(0L)))
+      .withColumn("_tau", when(col("m") > 1, tau).otherwise(lit(0L)))
+      .withColumn("_sl", when(col("m") > 1, slopes)
+        .otherwise(array().cast("array<double>")))
+      .select(col(typeCol), col("m").cast("long").as("n_days"),
+        col("_s").as("mk_s"),
+        when(col("m") > 1 && varS > 0, r4(z))
+          .otherwise(lit(null).cast("double")).as("z"),
+        when(col("m") > 1, r4(sen))
+          .otherwise(lit(null).cast("double")).as("sen_slope"))
+  }
+
   /** Two-cohort log-rank test (Mantel 1966 / Peto & Peto 1972 — THE
     * significance companion to [[kaplanMeier]]: the curve says what each
     * cohort's retention looks like, this says whether the two curves

@@ -107,4 +107,52 @@ class TrendSpec extends SparkSpec {
     val mixed = Seq.tabulate(30)(i => (i % 3 + 1L, i.toLong))
     assert(jt(trend)._4.get > jt(mixed)._4.get)
   }
+
+  // ---- Mann-Kendall + Sen (the daily-series trend pairing) ----
+
+  private val dayMs = 86400000L
+
+  /** counts per day -> one event row per unit count on that day */
+  private def mk(dailyCounts: Seq[Long], tpe: String = "t")
+      : (String, Long, Long, Option[Double], Option[Double]) =
+    graft.operators.Sessions.mannKendallTrend(
+      dailyCounts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)((tpe, new java.sql.Timestamp(d * dayMs)))
+      }.toDF("event_type", "ts"))
+      .as[(String, Long, Long, Option[Double], Option[Double])].head()
+
+  test("mk: strictly ascending counts — S = m(m-1)/2, Sen = exact slope") {
+    val got = mk(Seq(2L, 4L, 6L, 8L, 10L))
+    assert(got._2 == 5L && got._3 == 10L) // all 10 pairs concordant
+    // no ties: var = 5*4*15/18, z = 9/sqrt(16.666) = 2.2045
+    assert(got._4 == Some(2.2045))
+    assert(got._5 == Some(2.0)) // every pairwise slope is exactly 2
+  }
+
+  test("mk: reversing the series flips S and z; Sen negates") {
+    val up = mk(Seq(1L, 3L, 2L, 7L, 6L, 9L))
+    val dn = mk(Seq(9L, 6L, 7L, 2L, 3L, 1L))
+    assert(up._3 == -dn._3)
+    assert(math.abs(up._4.get + dn._4.get) < 2e-4)
+    assert(math.abs(up._5.get + dn._5.get) < 2e-4)
+  }
+
+  test("mk: a constant series is fully tied — S 0, var 0, null z, Sen 0") {
+    val got = mk(Seq(5L, 5L, 5L, 5L))
+    assert(got._3 == 0L && got._4.isEmpty && got._5 == Some(0.0))
+  }
+
+  test("mk: Sen's slope shrugs off the outlier day that would wreck OLS") {
+    val clean = mk(Seq(10L, 12L, 14L, 16L, 18L, 20L, 22L))
+    val spiked = mk(Seq(10L, 12L, 14L, 500L, 18L, 20L, 22L))
+    assert(clean._5 == Some(2.0))
+    // the median pairwise slope barely moves; an OLS fit would report ~20x
+    assert(math.abs(spiked._5.get - 2.0) < 1.0)
+    assert(spiked._3 > 0L) // the trend call survives too
+  }
+
+  test("mk: single-day type reports counts and null displays") {
+    val got = mk(Seq(7L))
+    assert(got._2 == 1L && got._3 == 0L && got._4.isEmpty && got._5.isEmpty)
+  }
 }
