@@ -1561,6 +1561,15 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q252_pettitt" -> ((s, dir) => {
+      // Pettitt change-point locator per event type — WHERE the daily
+      // series shifted: EWMA (q175) alarms on a day, CUSUM (q179) on a
+      // sustained shift, MK (q251) says whether a trend exists; this
+      // pinpoints the most likely split day with a distribution-free p
+      operators.Sessions.pettittTest(
+        Tables(s, dir, "events").filter(col("ts").isNotNull))
+    }),
+
     "q251_mk_trend" -> ((s, dir) => {
       // Mann-Kendall + Sen's slope per event type over daily counts —
       // the robust "is this series drifting, and how fast?" pairing
@@ -4790,6 +4799,38 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q252_pettitt" ->
+      // same day-ordered series; every U_t an exact integer pair fold,
+      // the earliest-argmax encoded as the SAME |U|*(m+1) - t integer
+      // key (so both engines break ties identically), the p chain
+      // spelled as Spark's
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, list(struct_pack(day := day, n := n) ORDER BY day) AS cs " +
+        "FROM d GROUP BY 1), " +
+        "x AS (SELECT event_type, cs, len(cs) AS m FROM a), " +
+        "y AS (SELECT event_type, cs, m, " +
+        "CASE WHEN m > 1 THEN list_transform(range(1, CAST(m AS BIGINT)), t -> " +
+        "abs(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, t + 1), i -> " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(t + 1, CAST(m + 1 AS BIGINT)), j -> " +
+        "CAST(CASE WHEN (cs[CAST(j AS INT)]).n > (cs[CAST(i AS INT)]).n THEN 1 " +
+        "WHEN (cs[CAST(j AS INT)]).n < (cs[CAST(i AS INT)]).n THEN -1 ELSE 0 END AS BIGINT))), " +
+        "(p, q) -> p + q))), (p, q) -> p + q)) * (CAST(m AS BIGINT) + 1) - t) " +
+        "ELSE [] END AS keys FROM x), " +
+        "z0 AS (SELECT event_type, cs, m, list_max(keys) AS bestkey FROM y), " +
+        "z1 AS (SELECT event_type, cs, m, bestkey, " +
+        "CAST(floor(CAST(bestkey AS DOUBLE) / (CAST(m AS BIGINT) + 1)) AS BIGINT) + " +
+        "CASE WHEN bestkey % (CAST(m AS BIGINT) + 1) <> 0 THEN 1 ELSE 0 END AS k FROM z0), " +
+        "z2 AS (SELECT event_type, cs, m, k, " +
+        "CAST(k * (CAST(m AS BIGINT) + 1) - bestkey AS INT) AS bt, " +
+        "CAST(m AS DOUBLE) AS md, CAST(k AS DOUBLE) AS kd FROM z1) " +
+        "SELECT event_type, CAST(m AS BIGINT) AS n_days, " +
+        "CASE WHEN m > 1 THEN k END AS k_stat, " +
+        "CASE WHEN m > 1 THEN (cs[bt]).day END AS change_day, " +
+        "CASE WHEN m > 1 THEN floor(least(1.0, " +
+        "2.0 * exp(-6.0 * kd * kd / (md * md * md + md * md))) * 10000 + 0.5) / 10000 " +
+        "END AS p_approx FROM z2"),
 
     "q251_mk_trend" ->
       // the same day-ordered per-type series; S and the tie mass as

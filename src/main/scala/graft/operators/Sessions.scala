@@ -535,6 +535,73 @@ object Sessions {
           .otherwise(lit(null).cast("double")).as("sen_slope"))
   }
 
+  /** Pettitt change-point test (Pettitt 1979, the rank-based single
+    * change-point locator): WHERE did the daily series shift? —
+    * completing the time-series shelf's division of labor:
+    * [[ewmaDailyCounts]] alarms on a bad day, [[cusumDailyCounts]] on a
+    * sustained shift, [[mannKendallTrend]] says whether a monotone
+    * trend exists; Pettitt pinpoints the most likely SPLIT DAY and its
+    * significance, distribution-free. One row per event type:
+    * (event_type, n_days, k_stat, change_day, p_approx).
+    *
+    * U_t = Σ_{i≤t} Σ_{j>t} sign(x_j − x_i) for every split t;
+    * K = max_t |U_t| (earliest day on ties — deterministic), and the
+    * standard approximation p ≈ min(1, 2·exp(−6K²/(n³ + n²))). Every
+    * U_t is an exact integer in-row pair fold; only the p chain is
+    * float, spelled once.
+    *
+    * Engine-parity shape ([[cusumDailyCounts]]'s): one (type, day) agg
+    * is the only corpus exchange, the calendar-bounded series collects
+    * in day order, O(days²) in-row arithmetic. Types with fewer than
+    * two days report NULL displays.
+    */
+  def pettittTest(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+      .withColumn("m", size(col("cs")))
+    def elN(j: Column) = element_at(col("cs"), j.cast("int")).getField("n")
+    // U_t per split, exact integers: sign sum over (i <= t) x (j > t)
+    def uAt(t: Column): Column =
+      aggregate(sequence(lit(1), t), lit(0L), (acc, i) =>
+        acc + aggregate(sequence(t + 1, col("m")), lit(0L), (a2, j) =>
+          a2 + when(elN(j) > elN(i), 1L)
+            .when(elN(j) < elN(i), -1L).otherwise(0L)))
+    // (|U_t|, t) pairs; max by |U|, EARLIEST split on ties — encoded as
+    // one integer key |U|·(m+1) − t so array_max is deterministic
+    val keyArr = transform(sequence(lit(1), col("m") - 1), t =>
+      abs(uAt(t)) * (col("m").cast("long") + 1) - t.cast("long"))
+    val bestKey = array_max(col("_keys"))
+    val kStat = floor(bestKey / (col("m").cast("long") + 1)) +
+      when(pmod(bestKey, col("m").cast("long") + 1) =!= 0, 1L).otherwise(0L)
+    val bestT = (kStat * (col("m").cast("long") + 1) - bestKey).cast("int")
+    val md = col("m").cast("double")
+    val kd = col("_k").cast("double")
+    val p = least(lit(1.0),
+      lit(2.0) * exp(lit(-6.0) * kd * kd / (md * md * md + md * md)))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    series
+      // sequence(2, 1) would step DOWNWARD (the bhAdjust lesson): a
+      // single-day series builds no split candidates at all
+      .withColumn("_keys", when(col("m") > 1, keyArr)
+        .otherwise(array().cast("array<long>")))
+      .withColumn("_k", when(col("m") > 1, kStat).otherwise(lit(0L)))
+      .select(col(typeCol), col("m").cast("long").as("n_days"),
+        when(col("m") > 1, col("_k"))
+          .otherwise(lit(null).cast("long")).as("k_stat"),
+        when(col("m") > 1,
+          element_at(col("cs"), bestT).getField("day"))
+          .otherwise(lit(null).cast("date")).as("change_day"),
+        when(col("m") > 1, r4(p))
+          .otherwise(lit(null).cast("double")).as("p_approx"))
+  }
+
   /** Two-cohort log-rank test (Mantel 1966 / Peto & Peto 1972 — THE
     * significance companion to [[kaplanMeier]]: the curve says what each
     * cohort's retention looks like, this says whether the two curves

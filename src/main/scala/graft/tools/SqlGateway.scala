@@ -43,7 +43,9 @@ object SqlGateway {
     "retention_logrank" -> "q243_logrank",
     "rate_trend" -> "q244_ca_trend",
     "adjusted_association" -> "q245_mantel_haenszel",
-    "or_homogeneity" -> "q247_breslow_day")
+    "or_homogeneity" -> "q247_breslow_day",
+    "drift_card" -> "q249_drift_card",
+    "daily_trend" -> "q251_mk_trend")
 
   /** Register every test table plus the graft function surface on the
     * session, then start a Thrift endpoint on `port`. Returns after the

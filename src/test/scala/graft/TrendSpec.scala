@@ -155,4 +155,58 @@ class TrendSpec extends SparkSpec {
     val got = mk(Seq(7L))
     assert(got._2 == 1L && got._3 == 0L && got._4.isEmpty && got._5.isEmpty)
   }
+
+  // ---- Pettitt change-point locator ----
+
+  private def pettitt(dailyCounts: Seq[Long])
+      : (String, Long, Option[Long], Option[java.sql.Date], Option[Double]) =
+    graft.operators.Sessions.pettittTest(
+      dailyCounts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("t", new java.sql.Timestamp(d * dayMs)))
+      }.toDF("event_type", "ts"))
+      .as[(String, Long, Option[Long], Option[java.sql.Date], Option[Double])]
+      .head()
+
+  /** Straight reference: U_t by pair counting, earliest argmax. */
+  private def refPettitt(xs: Seq[Long]): (Long, Int, Double) = {
+    val m = xs.size
+    val us = (1 until m).map { t =>
+      (for (i <- 0 until t; j <- t until m)
+        yield (xs(j) compare xs(i)).sign.toLong).sum
+    }
+    val k = us.map(math.abs).max
+    val t = us.indexWhere(u => math.abs(u) == k) + 1
+    val p = math.min(1.0, 2 * math.exp(-6.0 * k * k /
+      (math.pow(m, 3) + math.pow(m, 2))))
+    (k, t, p)
+  }
+
+  test("pettitt: a level shift is located at the split day") {
+    val series = Seq.fill(6)(10L) ++ Seq.fill(6)(30L)
+    val got = pettitt(series)
+    val (k, t, p) = refPettitt(series)
+    assert(got._3 == Some(k))
+    assert(k == 36L) // 6x6 discordant pairs, all concordant upward
+    assert(got._4.get.getTime / dayMs == t - 1) // split after day index t-1
+    assert(math.abs(got._5.get - math.floor(p * 10000 + 0.5) / 10000) < 1e-9)
+    assert(got._5.get < 0.05)
+  }
+
+  test("pettitt: matches the reference on a mixed series, earliest tie wins") {
+    val series = Seq(4L, 9L, 2L, 8L, 8L, 3L, 12L, 1L, 7L, 7L)
+    val got = pettitt(series)
+    val (k, t, _) = refPettitt(series)
+    assert(got._3 == Some(k))
+    assert(got._4.get.getTime / dayMs == t - 1)
+  }
+
+  test("pettitt: a constant series carries no change point — K 0, p 1") {
+    val got = pettitt(Seq(5L, 5L, 5L, 5L, 5L))
+    assert(got._3 == Some(0L) && got._5 == Some(1.0))
+  }
+
+  test("pettitt: single-day type reports counts and null displays") {
+    val got = pettitt(Seq(7L))
+    assert(got._2 == 1L && got._3.isEmpty && got._4.isEmpty && got._5.isEmpty)
+  }
 }
