@@ -1561,6 +1561,37 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q255_dunn_posthoc" -> ((s, dir) => {
+      // Dunn's tie-corrected pairwise comparisons after q234's
+      // Kruskal-Wallis omnibus: WHICH source pairs differ in token-count
+      // location, on the same pooled midranks — one row per unordered
+      // pair, |z| >= 3.2905 (two-sided alpha ~ 0.001) flags reject
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.dunnPostHoc(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
+    "q254_runs_test" -> ((s, dir) => {
+      // Wald-Wolfowitz runs-about-the-median per event type — the
+      // randomness yes/no the trend shelf lacked: too few above/below
+      // runs = clustering/level shift, too many = alternation; MK
+      // (q251) only sees monotone drift, Ljung-Box (q253) only linear
+      // correlation
+      operators.Sessions.runsTest(
+        Tables(s, dir, "events").filter(col("ts").isNotNull))
+    }),
+
+    "q253_ljung_box" -> ((s, dir) => {
+      // Ljung-Box portmanteau per event type — the yes/no whiteness
+      // question beside ACF's plot (q189): is the daily series white
+      // noise jointly over the first 6 lags? Exact integer m-scaled
+      // autocovariances, closed-form even-dof chi-square survival p
+      operators.Sessions.ljungBox(
+        Tables(s, dir, "events").filter(col("ts").isNotNull))
+    }),
+
     "q252_pettitt" -> ((s, dir) => {
       // Pettitt change-point locator per event type — WHERE the daily
       // series shifted: EWMA (q175) alarms on a day, CUSUM (q179) on a
@@ -4799,6 +4830,112 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q255_dunn_posthoc" ->
+      // q234's midrank CTEs verbatim; pairs by a < b self-join of the
+      // bounded per-group table, the exact HUGEINT rank-difference and
+      // variance numerators, the z chain spelled as Spark's
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "pgv AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM pgv GROUP BY v), " +
+        "m2 AS (SELECT v, 2 * (sum(cv) OVER (ORDER BY v) - cv) + cv + 1 AS m2, " +
+        "CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT) - CAST(cv AS HUGEINT) AS t3 FROM pv), " +
+        "tt AS (SELECT COALESCE(sum(t3), 0) AS tt FROM m2), " +
+        "pg AS (SELECT g, sum(c) AS ng, " +
+        "sum(CAST(c AS HUGEINT) * CAST(m2 AS HUGEINT)) AS r2 " +
+        "FROM pgv JOIN m2 USING (v) GROUP BY g), " +
+        "tot AS (SELECT sum(ng) AS n FROM pg), " +
+        "vv AS (SELECT n, CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) + 1) * " +
+        "(CAST(n AS HUGEINT) - 1) - tt AS ve FROM tot, tt), " +
+        "pr AS (SELECT a.g AS group_a, b.g AS group_b, a.ng AS na, b.ng AS nb, " +
+        "a.r2 * CAST(b.ng AS HUGEINT) - b.r2 * CAST(a.ng AS HUGEINT) AS dnum " +
+        "FROM pg a JOIN pg b ON a.g < b.g), " +
+        "zz AS (SELECT group_a, group_b, na, nb, " +
+        "CASE WHEN n > 1 AND ve > 0 THEN " +
+        "CAST(floor((CAST(dnum AS DOUBLE) / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) / " +
+        "sqrt(CAST(ve AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1)) * " +
+        "(CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / " +
+        "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 10000 + 0.5) AS BIGINT) END AS z_bp " +
+        "FROM pr, vv) " +
+        "SELECT group_a, group_b, CAST(na AS BIGINT) AS n_a, " +
+        "CAST(nb AS BIGINT) AS n_b, z_bp, " +
+        "CASE WHEN z_bp IS NOT NULL THEN abs(z_bp) >= 32905 END AS reject FROM zz"),
+
+    "q254_runs_test" ->
+      // same day-ordered series; doubled-median banding keeps the
+      // above/below split integer-exact, ties drop, runs count by
+      // adjacent-sign compares, the normal z spelled as Spark's
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, list(n ORDER BY day) AS xs FROM d GROUP BY 1), " +
+        "x AS (SELECT event_type, xs, len(xs) AS m, list_sort(xs) AS sv FROM a), " +
+        "y AS (SELECT event_type, m, xs, " +
+        "sv[CAST((m + 1) // 2 AS INT)] + sv[CAST((m + 2) // 2 AS INT)] AS m2 FROM x), " +
+        "s AS (SELECT event_type, m, " +
+        "list_filter(list_transform(xs, e -> " +
+        "CASE WHEN e * 2 > m2 THEN 1 WHEN e * 2 < m2 THEN -1 ELSE 0 END), " +
+        "v -> v <> 0) AS sg FROM y), " +
+        "t AS (SELECT event_type, m, sg, len(sg) AS ln, " +
+        "CAST(len(list_filter(sg, v -> v > 0)) AS BIGINT) AS n1 FROM s), " +
+        "u AS (SELECT event_type, m, n1, CAST(ln AS BIGINT) - n1 AS n2, " +
+        "CASE WHEN ln > 1 THEN 1 + list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(2, CAST(ln + 1 AS BIGINT)), i -> " +
+        "CAST(CASE WHEN sg[CAST(i AS INT)] <> sg[CAST(i - 1 AS INT)] " +
+        "THEN 1 ELSE 0 END AS BIGINT))), (p, q) -> p + q) " +
+        "WHEN ln = 1 THEN 1 ELSE 0 END AS r FROM t), " +
+        "v AS (SELECT event_type, m, n1, n2, r, CAST(n1 AS DOUBLE) AS n1d, " +
+        "CAST(n2 AS DOUBLE) AS n2d, CAST(n1 + n2 AS DOUBLE) AS nd FROM u) " +
+        "SELECT event_type, CAST(m AS BIGINT) AS n_days, n1 AS n_above, " +
+        "n2 AS n_below, CAST(r AS BIGINT) AS n_runs, " +
+        "CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 " +
+        "AND 2 * n1 * n2 > n1 + n2 THEN " +
+        "CAST(floor((CAST(r AS DOUBLE) - (1.0 + 2.0 * n1d * n2d / nd)) / " +
+        "sqrt(2.0 * n1d * n2d * (2.0 * n1d * n2d - nd) / " +
+        "(nd * nd * (nd - 1))) * 10000 + 0.5) AS BIGINT) END AS z_bp FROM v"),
+
+    "q253_ljung_box" ->
+      // same day-ordered series; the m-centered values m*x_i - S and
+      // every lag's autocovariance numerator as exact HUGEINT folds (the
+      // m^2 factors cancel in each rho ratio), the k-ascending Q fold
+      // and the even-dof chi-square survival spelled as Spark's
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, list(n ORDER BY day) AS xs FROM d GROUP BY 1), " +
+        "x0 AS (SELECT event_type, xs, CAST(len(xs) AS HUGEINT) AS mh, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(xs, f -> " +
+        "CAST(f AS HUGEINT))), (p, q) -> p + q) AS s FROM a), " +
+        "x AS (SELECT event_type, CAST(mh AS BIGINT) AS m, " +
+        "list_transform(xs, e -> mh * CAST(e AS HUGEINT) - s) AS cx FROM x0), " +
+        "y AS (SELECT event_type, m, CAST(m AS DOUBLE) AS md, cx, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, m + 1), i -> " +
+        "cx[CAST(i AS INT)] * cx[CAST(i AS INT)])), (p, q) -> p + q) AS den FROM x), " +
+        "z AS (SELECT event_type, m, md, cx, den, " +
+        "CASE WHEN den > 0 THEN CAST(den AS DOUBLE) ELSE 1.0 END AS dens, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, m), i -> " +
+        "cx[CAST(i AS INT)] * cx[CAST(i + 1 AS INT)])), (p, q) -> p + q) AS num1 FROM y), " +
+        "q AS (SELECT event_type, m, den, dens, num1, " +
+        "md * (md + 2) * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(1, 7), k -> " +
+        "(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, m - k + 1), i -> " +
+        "cx[CAST(i AS INT)] * cx[CAST(i + k AS INT)])), (p, q) -> p + q) AS DOUBLE) / dens) * " +
+        "(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, m - k + 1), i -> " +
+        "cx[CAST(i AS INT)] * cx[CAST(i + k AS INT)])), (p, q) -> p + q) AS DOUBLE) / dens) / " +
+        "(md - CAST(k AS DOUBLE)))), (p, q) -> p + q) AS qs FROM z) " +
+        "SELECT event_type, CAST(m AS BIGINT) AS n_days, " +
+        "CASE WHEN m > 6 AND den > 0 THEN " +
+        "CAST(floor((CAST(num1 AS DOUBLE) / dens) * 10000 + 0.5) AS BIGINT) END AS r1_bp, " +
+        "CASE WHEN m > 6 AND den > 0 THEN " +
+        "CAST(floor(qs * 10000 + 0.5) AS BIGINT) END AS q_bp, " +
+        "CASE WHEN m > 6 AND den > 0 THEN " +
+        "CAST(floor(exp(-(qs / 2)) * (1.0 + 1.0 * (qs / 2) + " +
+        "((0.5 * (qs / 2)) * (qs / 2))) * 10000 + 0.5) AS BIGINT) END AS p_bp FROM q"),
 
     "q252_pettitt" ->
       // same day-ordered series; every U_t an exact integer pair fold,

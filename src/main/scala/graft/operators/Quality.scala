@@ -1846,6 +1846,93 @@ object Quality {
         .otherwise(lit(null).cast("double")).as("h_adj"))
   }
 
+  /** Dunn's post-hoc pairwise comparisons (Dunn 1964, tie-corrected —
+    * the follow-up [[kruskalWallis]] owes its readers: the omnibus H
+    * says SOME group differs; this says WHICH PAIRS, on the same pooled
+    * midranks, z_ij = (R̄_i − R̄_j) / √(B·(1/n_i + 1/n_j)) with
+    * B = (N(N+1) − Σ(t³−t)/(N−1))/12). One row per unordered group
+    * pair (group_a < group_b): (group_a, group_b, n_a, n_b, z_bp,
+    * reject) — z signed BIGINT basis points, reject = |z| ≥ `zCrit`
+    * (the caller's per-pair critical value — e.g. 3.2905 for two-sided
+    * α ≈ 0.001; pick it Bonferroni/BH-style for the pair count, the
+    * q232 FDR discipline applies downstream if p-level control is
+    * wanted). All-tied pools (B = 0) report NULL displays; a single
+    * group yields an empty frame.
+    *
+    * Float discipline: the rank-mean difference clears to the exact
+    * DECIMAL(38,0) numerator R2_i·n_j − R2_j·n_i over 2·n_i·n_j (the
+    * doubled-midrank sums R2 are integers), and the variance numerator
+    * N(N+1)(N−1) − Σ(t³−t) is one exact integer — the z chain is three
+    * divisions and one sqrt, spelled once, engine-replayable.
+    *
+    * Scale shape: [[kruskalWallis]]'s exactly — ONE row-level hash agg
+    * to (group, value) cells, one `weightedPrefixSums` pass, a
+    * groups-bounded collect to one row, pairs exploded in-row (k(k−1)/2
+    * rows, k bounded). No window over rows, no row-level self-join.
+    */
+  def dunnPostHoc(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column,
+      zCrit: Double = 3.2905): DataFrame = {
+    require(zCrit >= 0, "zCrit is a two-sided critical value, >= 0")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
+    val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val m2 = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_pfx")
+      .select(col("_v"),
+        (lit(2L) * col("_pfx") + col("_cv") + lit(1L)).as("_m2"),
+        (col("_cv").cast(dec) * col("_cv").cast(dec) * col("_cv").cast(dec) -
+          col("_cv").cast(dec)).as("_t3"))
+    val ties = m2.agg(coalesce(sum(col("_t3")), lit(0).cast(dec)).as("_tt"))
+    val perG = perGV.join(m2.select(col("_v"), col("_m2")), "_v")
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(col("_c").cast(dec) * col("_m2").cast(dec)).as("_r2"))
+    val one = perG.groupBy().agg(
+      sort_array(collect_list(struct(col("_g"), col("_ng"), col("_r2"))))
+        .as("gs"),
+      sum(col("_ng")).as("n"),
+      count(lit(1)).as("k_groups"))
+      .crossJoin(broadcast(ties))
+    // sequence(1, 0) would step DOWNWARD on a single group (the bhAdjust
+    // lesson): pair indices only build past the k > 1 filter
+    val pairs = one.filter(col("k_groups") > 1)
+      .select(col("n"), col("_tt"),
+        explode(flatten(transform(sequence(lit(1), size(col("gs")) - 1),
+          i => transform(sequence(i + 1, size(col("gs"))), j =>
+            struct(element_at(col("gs"), i.cast("int")).as("a"),
+              element_at(col("gs"), j.cast("int")).as("b")))))).as("p"))
+    def side(s: String, f: String) =
+      col("p").getField(s).getField(f)
+    val naD = side("a", "_ng").cast("double")
+    val nbD = side("b", "_ng").cast("double")
+    val nd = col("n").cast("double")
+    // exact integers: rank-mean difference numerator and the variance
+    // numerator N(N+1)(N−1) − Σ(t³−t)
+    val dnum = side("a", "_r2") * side("b", "_ng").cast(dec) -
+      side("b", "_r2") * side("a", "_ng").cast(dec)
+    val vE = col("n").cast(dec) * (col("n").cast(dec) + 1) *
+      (col("n").cast(dec) - 1) - col("_tt")
+    val z = (dnum.cast("double") / (lit(2.0) * naD * nbD)) /
+      sqrt(vE.cast("double") / (lit(12.0) * (nd - 1)) * (naD + nbD) /
+        (naD * nbD))
+    val ok = col("n") > 1 && vE > 0
+    val zcBp = math.floor(zCrit * 10000 + 0.5).toLong
+    val withZ = pairs.withColumn("_zb",
+      when(ok, floor(z * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")))
+    withZ.select(
+      side("a", "_g").as("group_a"), side("b", "_g").as("group_b"),
+      side("a", "_ng").as("n_a"), side("b", "_ng").as("n_b"),
+      col("_zb").as("z_bp"),
+      when(col("_zb").isNotNull, abs(col("_zb")) >= zcBp)
+        .otherwise(lit(null).cast("boolean")).as("reject"))
+  }
+
   /** Uncertainty coefficient (Theil's U, 1970) + mutual information for
     * two categorical columns — the DIRECTIONAL association audit
     * [[chiSquareIndependence]] can't give: U(X|Y) = I(X;Y)/H(X) is the

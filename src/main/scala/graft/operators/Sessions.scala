@@ -738,6 +738,159 @@ object Sessions {
           .otherwise(lit(0.0)), 4).as("acf"))
   }
 
+  /** Ljung–Box portmanteau test (Ljung & Box 1978; the finite-sample
+    * refinement of Box & Pierce 1970 — THE omnibus whiteness test every
+    * stats package ships): [[autocorrelation]] PLOTS ρ(1..L); this asks
+    * the yes/no question "is the daily series white noise at all, jointly
+    * over the first L lags?" — Q = m(m+2)·Σ_{k≤L} ρ̂_k²/(m−k), chi-square
+    * with L dof under H₀. One row per event type:
+    * (event_type, n_days, r1_bp, q_bp, p_bp) — lag-1 autocorrelation,
+    * Q, and the survival p, all BIGINT basis points.
+    *
+    * Float discipline: ρ̂_k's numerator and denominator are EXACT
+    * integers — m²·c_k = Σ_i (m·x_i − S)(m·x_{i+k} − S) in DECIMAL(38,0)
+    * (the m-scaling clears the mean division; the m² factors cancel in
+    * the ratio), so the only floats are one division per lag, the
+    * fixed-order k-ascending Q fold, and the closed-form even-dof
+    * chi-square survival p = exp(−Q/2)·Σ_{j<L/2} (Q/2)^j/j! (why `lags`
+    * must be even — the Pettitt exp precedent; odd dof would need erf).
+    * Displays are BIGINT basis points (the q200 integer-card
+    * discipline). Types with ≤ `lags` days or a constant series
+    * (denominator 0) report NULL displays.
+    *
+    * Engine-parity shape ([[cusumDailyCounts]]'s): one (type, day) agg
+    * is the only corpus exchange, the calendar-bounded series collects
+    * in day order, O(days·lags) in-row arithmetic.
+    */
+  def ljungBox(
+      events: DataFrame,
+      lags: Int = 6,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(lags >= 2 && lags % 2 == 0,
+      "lags must be even and >= 2 (closed-form even-dof chi-square survival)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+      .withColumn("m", size(col("cs")))
+      .withColumn("_s",
+        aggregate(col("cs"), lit(0L), (a, e) => a + e.getField("n")))
+      // m-centered series m·x_i − S: exact integers, the mean division
+      // cleared (m² cancels in every autocorrelation ratio)
+      .withColumn("_cx", transform(col("cs"), e =>
+        col("m").cast(dec) * e.getField("n").cast(dec) -
+          col("_s").cast(dec)))
+    def cx(i: Column) = element_at(col("_cx"), i.cast("int"))
+    // m²·c_k = Σ_{i=1..m−k} cx_i·cx_{i+k}, an exact DECIMAL(38,0) fold
+    def num(k: Column): Column =
+      aggregate(sequence(lit(1), col("m") - k), lit(0).cast(dec),
+        (a, i) => (a + cx(i) * cx(i + k)).cast(dec))
+    val withDen = series.withColumn("_den", num(lit(0)))
+    val md = col("m").cast("double")
+    // guard-protected divisor: the display guard already nulls den = 0
+    // rows, the substitute keeps the division ANSI-safe
+    val denS = when(col("_den") > 0, col("_den").cast("double"))
+      .otherwise(lit(1.0))
+    def rho(k: Column) = num(k).cast("double") / denS
+    val qExpr = md * (md + 2) *
+      aggregate(sequence(lit(1), lit(lags)), lit(0.0), (a, k) =>
+        a + rho(k) * rho(k) / (md - k.cast("double")))
+    val ok = col("m") > lags && col("_den") > 0
+    // sequence(1, m − k) would step DOWNWARD on short series (the
+    // bhAdjust lesson): every fold above only evaluates under `ok`
+    val withQ = withDen.withColumn("_q",
+      when(ok, qExpr).otherwise(lit(null).cast("double")))
+    val h = col("_q") / 2
+    // chi-square survival at even dof = lags: exp(−h)·Σ_{j<lags/2} h^j/j!
+    val pSum = (0 until lags / 2).map { j =>
+      val fact = (1 to j).product.toDouble
+      (0 until j).foldLeft(lit(1.0 / fact): Column)((c, _) => c * h)
+    }.reduce(_ + _)
+    val p = exp(-h) * pSum
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    withQ.select(col(typeCol), col("m").cast("long").as("n_days"),
+      when(ok, bp(rho(lit(1)))).otherwise(lit(null).cast("long"))
+        .as("r1_bp"),
+      when(ok, bp(col("_q"))).otherwise(lit(null).cast("long")).as("q_bp"),
+      when(ok, bp(p)).otherwise(lit(null).cast("long")).as("p_bp"))
+  }
+
+  /** Wald–Wolfowitz runs test (Wald & Wolfowitz 1940, the dichotomized
+    * runs-about-the-median form per Bradley 1968 §12 — the classical
+    * RANDOMNESS check the trend shelf lacks a yes/no for: too FEW runs
+    * of above/below-median days means clustering/level-shift, too MANY
+    * means alternation; [[mannKendallTrend]] only sees the monotone
+    * case, [[ljungBox]] only the linear-correlation case). One row per
+    * event type: (event_type, n_days, n_above, n_below, n_runs, z_bp).
+    *
+    * Median ties drop (the standard practice); the doubled-median
+    * compare 2·x vs sv_⌈m/2⌉ + sv_⌊m/2⌋+1 keeps the banding exact on
+    * integer counts. n_above/n_below/n_runs are exact integers; the
+    * only floats are the normal approximation μ = 1 + 2ab/N,
+    * σ² = 2ab(2ab−N)/(N²(N−1)), z = (R−μ)/σ (no continuity
+    * correction), rendered as BIGINT basis points. Fewer than one day
+    * on either side, or σ² = 0 (a = b = 1), reports NULL z.
+    *
+    * Engine-parity shape ([[cusumDailyCounts]]'s): one (type, day) agg
+    * is the only corpus exchange, the calendar-bounded series collects
+    * in day order, O(days) in-row arithmetic.
+    */
+  def runsTest(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+      .withColumn("m", size(col("cs")))
+      .withColumn("_sv",
+        sort_array(transform(col("cs"), e => e.getField("n"))))
+      // doubled median: middle element twice (odd m) or the two middles
+      // summed (even m) — integer-exact banding, no float median
+      .withColumn("_m2",
+        element_at(col("_sv"), ((col("m") + 1) / 2).cast("int")) +
+          element_at(col("_sv"), ((col("m") + 2) / 2).cast("int")))
+      .withColumn("_sg", filter(transform(col("cs"), e =>
+        when(e.getField("n") * 2 > col("_m2"), 1L)
+          .when(e.getField("n") * 2 < col("_m2"), -1L).otherwise(0L)),
+        s => s =!= 0))
+      .withColumn("_ln", size(col("_sg")))
+      .withColumn("_n1", aggregate(col("_sg"), lit(0L),
+        (a, s) => a + when(s > 0, 1L).otherwise(0L)))
+      .withColumn("_n2", col("_ln").cast("long") - col("_n1"))
+      // sequence(2, 1) would step DOWNWARD on a one-element sign list
+      // (the bhAdjust lesson): the fold only builds when _ln > 1
+      .withColumn("_r",
+        when(col("_ln") > 1, lit(1L) +
+          aggregate(sequence(lit(2), col("_ln")), lit(0L), (a, i) =>
+            a + when(element_at(col("_sg"), i.cast("int")) =!=
+              element_at(col("_sg"), (i - 1).cast("int")), 1L)
+              .otherwise(0L)))
+          .when(col("_ln") === 1, lit(1L)).otherwise(lit(0L)))
+    val n1d = col("_n1").cast("double")
+    val n2d = col("_n2").cast("double")
+    val nd = (col("_n1") + col("_n2")).cast("double")
+    val c = lit(2.0) * n1d * n2d
+    val mu = lit(1.0) + c / nd
+    val varS = c * (c - nd) / (nd * nd * (nd - 1))
+    val z = (col("_r").cast("double") - mu) / sqrt(varS)
+    val ok = col("_n1") > 0 && col("_n2") > 0 &&
+      col("_n1") + col("_n2") > 1 &&
+      lit(2L) * col("_n1") * col("_n2") > col("_n1") + col("_n2")
+    series.select(col(typeCol), col("m").cast("long").as("n_days"),
+      col("_n1").as("n_above"), col("_n2").as("n_below"),
+      col("_r").as("n_runs"),
+      when(ok, floor(z * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_bp"))
+  }
+
   /** RFM segmentation (Hughes 1994 — the classical recency / frequency /
     * monetary customer scoring): per user, recency = last-event time,
     * frequency = event count, monetary = value total; each dimension is

@@ -371,6 +371,89 @@ class AuditPropSpec extends SparkSpec {
     }
   }
 
+  /** Published tie-corrected Dunn form, straight doubles: pooled
+    * midranks, B = N(N+1)/12 − ΣT/(12(N−1)), z per unordered pair.
+    */
+  private def refDunn(rows: Seq[(String, Long)])
+      : Map[(String, String), Double] = {
+    val n = rows.size.toDouble
+    val byV = rows.map(_._2).groupBy(identity)
+    val ranks: Map[Long, Double] = byV.map { case (v, vs) =>
+      v -> (rows.count(_._2 < v) + (vs.size + 1) / 2.0)
+    }
+    val t = byV.values.map(g => math.pow(g.size, 3) - g.size).sum
+    val b = n * (n + 1) / 12 - t / (12 * (n - 1))
+    val gs = rows.groupBy(_._1)
+    val keys = gs.keys.toSeq.sorted
+    (for (a <- keys; c <- keys if a < c) yield {
+      val ra = gs(a).map(r => ranks(r._2)).sum / gs(a).size
+      val rc = gs(c).map(r => ranks(r._2)).sum / gs(c).size
+      (a, c) -> (ra - rc) /
+        math.sqrt(b * (1.0 / gs(a).size + 1.0 / gs(c).size))
+    }).toMap
+  }
+
+  test("dunnPostHoc matches the published tie-corrected form (10 rounds)") {
+    val rowGen = Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.choose(0L, 12L))
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(60, rowGen), 49000L + round)
+      val want = refDunn(rows)
+      val got = Quality.dunnPostHoc(rows.toDF("g", "v"), col("v"), col("g"))
+        .as[(String, String, Long, Long, Option[Long], Option[Boolean])]
+        .collect().map(r => (r._1, r._2) -> r).toMap
+      assert(got.keySet == want.keySet, s"round $round: pair sets")
+      for (((a, c), row) <- got) {
+        assert(row._3 == rows.count(_._1 == a).toLong)
+        assert(row._4 == rows.count(_._1 == c).toLong)
+        assert(math.abs(row._5.get / 10000.0 - want((a, c))) < 2e-4,
+          s"round $round: z($a,$c)")
+      }
+    }
+  }
+
+  test("dunnPostHoc with two groups squares to the KW H_adj (10 rounds)") {
+    val rowGen = Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 15L))
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(50, rowGen), 49500L + round)
+      val df = rows.toDF("g", "v")
+      val dunn = Quality.dunnPostHoc(df, col("v"), col("g"))
+        .as[(String, String, Long, Long, Option[Long], Option[Boolean])]
+        .collect()
+      if (rows.map(_._1).distinct.size == 2) {
+        assert(dunn.length == 1)
+        val hAdj = Quality.kruskalWallis(df, col("v"), col("g"))
+          .as[(Long, Long, Option[Double], Option[Double])].head()._4
+        (dunn.head._5, hAdj) match {
+          case (Some(zb), Some(h)) =>
+            val z = zb / 10000.0
+            assert(math.abs(z * z - h) < 3e-3,
+              s"round $round: z^2 ${z * z} vs H_adj $h")
+          case (a, b) =>
+            assert(a.isEmpty && b.isEmpty, s"round $round: degeneracy")
+        }
+      }
+    }
+  }
+
+  test("dunnPostHoc: all-tied pool nulls, single group empties, zCrit 0 rejects") {
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "v")
+    val gotTied = Quality.dunnPostHoc(tied, col("v"), col("g"))
+      .as[(String, String, Long, Long, Option[Long], Option[Boolean])]
+      .collect()
+    assert(gotTied.length == 1 && gotTied.head._5.isEmpty &&
+      gotTied.head._6.isEmpty)
+    assert(Quality.dunnPostHoc(
+      Seq(("a", 1L), ("a", 2L)).toDF("g", "v"), col("v"), col("g"))
+      .count() == 0L)
+    val loose = Quality.dunnPostHoc(
+      Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v"),
+      col("v"), col("g"), zCrit = 0.0)
+      .as[(String, String, Long, Long, Option[Long], Option[Boolean])]
+      .collect()
+    assert(loose.forall(_._6 == Some(true)))
+  }
+
   test("brownForsythe: translation-invariant, F >= 0, group-constant degenerate (10 rounds)") {
     val gGen = Gen.oneOf("a", "b", "c")
     for (round <- 0 until 10) {

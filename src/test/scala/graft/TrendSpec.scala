@@ -209,4 +209,136 @@ class TrendSpec extends SparkSpec {
     val got = pettitt(Seq(7L))
     assert(got._2 == 1L && got._3.isEmpty && got._4.isEmpty && got._5.isEmpty)
   }
+
+  // ---- Ljung-Box portmanteau (whiteness over the first L lags) ----
+
+  private def lb(dailyCounts: Seq[Long], lags: Int = 6)
+      : (String, Long, Option[Long], Option[Long], Option[Long]) =
+    graft.operators.Sessions.ljungBox(
+      dailyCounts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("t", new java.sql.Timestamp(d * dayMs)))
+      }.toDF("event_type", "ts"), lags = lags)
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])].head()
+
+  /** Published form, straight doubles: biased-ACF Q and the even-dof
+    * chi-square survival.
+    */
+  private def refLb(xs: Seq[Long], lags: Int): (Double, Double, Double) = {
+    val m = xs.size
+    val mu = xs.sum.toDouble / m
+    val den = xs.map(x => (x - mu) * (x - mu)).sum
+    def rho(k: Int) =
+      (0 until m - k).map(i => (xs(i) - mu) * (xs(i + k) - mu)).sum / den
+    val q = m * (m + 2.0) *
+      (1 to lags).map(k => rho(k) * rho(k) / (m - k)).sum
+    val h = q / 2
+    val p = math.exp(-h) * (0 until lags / 2)
+      .map(j => math.pow(h, j) / (1 to j).product).sum
+    (rho(1), q, p)
+  }
+
+  test("lb: matches the published form (10 rounds)") {
+    val gen = Gen.listOfN(25, Gen.choose(1L, 80L))
+    for (round <- 0 until 10) {
+      val xs = draw(gen, 47000L + round)
+      val (r1, q, p) = refLb(xs, 6)
+      val got = lb(xs)
+      assert(got._2 == 25L)
+      assert(math.abs(got._3.get / 10000.0 - r1) < 2e-4, s"r1 round $round")
+      assert(math.abs(got._4.get / 10000.0 - q) < 1e-3, s"q round $round")
+      assert(math.abs(got._5.get / 10000.0 - p) < 2e-4, s"p round $round")
+      assert(got._5.get >= 0L && got._5.get <= 10000L)
+    }
+  }
+
+  test("lb: a strong cycle scores far above the same counts shuffled") {
+    // period-2 alternation: rho(1) ~ -1, rho(2) ~ +1 — Q huge, p ~ 0
+    val cyc = Seq.tabulate(24)(i => if (i % 2 == 0) 10L else 50L)
+    val got = lb(cyc)
+    assert(got._3.get < -8000L) // lag-1 autocorrelation strongly negative
+    assert(got._5.get == 0L)
+    // the same multiset in a fixed quasi-random order scores far lower
+    val mixed = new scala.util.Random(7).shuffle(cyc.toList)
+    assert(got._4.get > lb(mixed)._4.get)
+  }
+
+  test("lb: a constant series has zero denominator — null displays") {
+    val got = lb(Seq.fill(12)(5L))
+    assert(got._2 == 12L && got._3.isEmpty && got._4.isEmpty &&
+      got._5.isEmpty)
+  }
+
+  test("lb: a series no longer than the lag count reports null displays") {
+    val got = lb(Seq(3L, 9L, 4L, 8L, 2L, 7L))
+    assert(got._2 == 6L && got._4.isEmpty)
+  }
+
+  test("lb: odd or non-positive lag counts are refused loudly") {
+    intercept[IllegalArgumentException] { lb(Seq(1L, 2L, 3L), lags = 5) }
+    intercept[IllegalArgumentException] { lb(Seq(1L, 2L, 3L), lags = 0) }
+  }
+
+  // ---- Wald-Wolfowitz runs test (randomness about the median) ----
+
+  private def runs(dailyCounts: Seq[Long])
+      : (String, Long, Long, Long, Long, Option[Long]) =
+    graft.operators.Sessions.runsTest(
+      dailyCounts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("t", new java.sql.Timestamp(d * dayMs)))
+      }.toDF("event_type", "ts"))
+      .as[(String, Long, Long, Long, Long, Option[Long])].head()
+
+  /** Published form, straight doubles: drop median ties, count runs,
+    * normal approximation without continuity correction.
+    */
+  private def refRuns(xs: Seq[Long]): (Long, Long, Long, Double) = {
+    val sorted = xs.sorted
+    val m2 = sorted((xs.size - 1) / 2) + sorted(xs.size / 2)
+    val sg = xs.map(x => (2 * x) compare m2).filter(_ != 0)
+    val n1 = sg.count(_ > 0).toLong
+    val n2 = sg.count(_ < 0).toLong
+    val r = if (sg.isEmpty) 0L
+      else 1L + sg.sliding(2).count(w => w.size == 2 && w(0) != w(1))
+    val n = (n1 + n2).toDouble
+    val c = 2.0 * n1 * n2
+    val z = (r - (1.0 + c / n)) / math.sqrt(c * (c - n) / (n * n * (n - 1)))
+    (n1, n2, r, z)
+  }
+
+  test("runs: perfect alternation maximizes runs — z large positive") {
+    val xs = Seq.tabulate(20)(i => if (i % 2 == 0) 1L else 9L)
+    val got = runs(xs)
+    assert(got._3 == 10L && got._4 == 10L && got._5 == 20L)
+    assert(got._6.get > 30000L)
+  }
+
+  test("runs: two level blocks give exactly 2 runs — z large negative") {
+    val xs = Seq.fill(10)(2L) ++ Seq.fill(10)(40L)
+    val got = runs(xs)
+    assert(got._5 == 2L)
+    assert(got._6.get < -30000L)
+  }
+
+  test("runs: matches the published form, ties dropped (10 rounds)") {
+    val gen = Gen.listOfN(24, Gen.choose(1L, 30L))
+    for (round <- 0 until 10) {
+      val xs = draw(gen, 48000L + round)
+      val (n1, n2, r, z) = refRuns(xs)
+      val got = runs(xs)
+      assert((got._3, got._4, got._5) == ((n1, n2, r)), s"counts round $round")
+      if (n1 > 0 && n2 > 0 && n1 + n2 > 1 && 2 * n1 * n2 > n1 + n2)
+        assert(math.abs(got._6.get / 10000.0 - z) < 2e-4, s"z round $round")
+    }
+  }
+
+  test("runs: a constant series is all median ties — zero sides, null z") {
+    val got = runs(Seq.fill(8)(5L))
+    assert(got._3 == 0L && got._4 == 0L && got._5 == 0L && got._6.isEmpty)
+  }
+
+  test("runs: one day on each side has zero variance — null z") {
+    // m2 = 1 + 9; the sides are one day each, sigma^2 = 0
+    val got = runs(Seq(1L, 9L))
+    assert(got._3 == 1L && got._4 == 1L && got._5 == 2L && got._6.isEmpty)
+  }
 }
