@@ -1561,6 +1561,71 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q260_composition" -> ((s, dir) => {
+      // corpus composition concentration card — HHI, unbiased Simpson,
+      // Shannon H, and Hill's effective source count ("mixes like X
+      // equal sources"): the audit read before any source re-weighting
+      operators.CorpusAnalytics.compositionDiversity(
+        Tables(s, dir, "documents"))
+    }),
+
+    "q259_weighted_kappa" -> ((s, dir) => {
+      // quadratically weighted kappa between q228's token band and char
+      // band — the ORDINAL agreement unweighted kappa can't express:
+      // confusing band 0 with band 2 costs 4x an adjacent-band miss
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Normalize.weightedKappa(
+        d.select(
+          when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L).as("ra"),
+          when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+            .otherwise(2L).as("rb")),
+        "ra", "rb")
+    }),
+
+    "q258_holm_screen" -> ((s, dir) => {
+      // q232's KS-vs-rest screen under Holm step-down instead of BH:
+      // FWER control for the quarantine decision (one false alarm is
+      // expensive) where q232's FDR is the screening-report knob
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val ks = operators.Quality.groupedKsTest(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source")).persist()
+      def bp(c: org.apache.spark.sql.Column) =
+        floor(c * 10000 + lit(0.5)).cast("long")
+      operators.Quality.holmAdjust(ks, col("group_key"), col("p_value"))
+        .join(broadcast(ks.select(col("group_key").as("test_key"),
+          col("n_g"), col("ks_d"))), "test_key")
+        .select(col("test_key"), col("n_g"),
+          bp(col("ks_d")).as("ks_d_bp"), bp(col("p_value")).as("p_bp"),
+          col("p_rank"), bp(col("p_adj")).as("p_adj_bp"),
+          (bp(col("p_adj")) <= 500L).as("reject"))
+    }),
+
+    "q257_jarque_bera" -> ((s, dir) => {
+      // Jarque-Bera normality screen of token count per source — which
+      // source is so skewed/heavy-tailed that mean+-sigma monitoring is
+      // the wrong tool? closed-form chi2(2) survival p
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.jarqueBera(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
+    "q256_bartlett" -> ((s, dir) => {
+      // Bartlett's variance-homogeneity T across sources — the
+      // parametric sibling of q230's Brown-Forsythe; disagreement
+      // between the two is itself a heavy-tail diagnostic
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.bartlettTest(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
     "q255_dunn_posthoc" -> ((s, dir) => {
       // Dunn's tie-corrected pairwise comparisons after q234's
       // Kruskal-Wallis omnibus: WHICH source pairs differ in token-count
@@ -4830,6 +4895,165 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q260_composition" ->
+      // the bounded per-source count list in sorted group order; HHI and
+      // Simpson as exact HUGEINT ratios (one division each), Shannon as
+      // the same fixed-order fold, Hill = exp(H)
+      ("WITH pg AS (SELECT source AS g, count(*) AS n FROM documents " +
+        "WHERE source IS NOT NULL GROUP BY 1), " +
+        "one AS (SELECT list(struct_pack(g := g, n := n) ORDER BY g) AS gs, " +
+        "COALESCE(sum(n), 0) AS n, count(*) AS k, " +
+        "COALESCE(sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)), 0) AS sq, " +
+        "COALESCE(sum(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1)), 0) AS pp, " +
+        "COALESCE(max(n), 0) AS top FROM pg), " +
+        "f AS (SELECT n, k, sq, pp, top, CAST(n AS DOUBLE) AS nd, " +
+        "-list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "(CAST((e).n AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "ln(CAST((e).n AS DOUBLE) / CAST(n AS DOUBLE)))), (a, b) -> a + b) AS h " +
+        "FROM one) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups, " +
+        "CASE WHEN n > 0 THEN CAST(floor(CAST(top AS DOUBLE) / nd * 10000 + 0.5) AS BIGINT) END AS top_share_bp, " +
+        "CASE WHEN n > 0 THEN CAST(floor(CAST(sq AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS hhi_bp, " +
+        "CASE WHEN n > 1 THEN CAST(floor(CAST(pp AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS simpson_bp, " +
+        "CASE WHEN n > 0 THEN CAST(floor(h * 10000 + 0.5) AS BIGINT) END AS shannon_bp, " +
+        "CASE WHEN n > 0 THEN CAST(floor(exp(h) * 10000 + 0.5) AS BIGINT) END AS hill1_bp FROM f"),
+
+    "q259_weighted_kappa" ->
+      // q228's band CTEs; the observed weighted mass and the margin
+      // cross rewritten as the cell-pair double fold, both exact
+      // HUGEINT, ONE division
+      ("WITH base AS (SELECT " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "r AS (SELECT CASE WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END AS a, " +
+        "CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS b FROM base), " +
+        "ct AS (SELECT a, b, count(*) AS c FROM r GROUP BY a, b), " +
+        "one AS (SELECT list(struct_pack(a := a, b := b, c := c) ORDER BY a, b) AS cs, " +
+        "sum(c) AS n, " +
+        "COALESCE(sum(CAST(c AS HUGEINT) * CAST((a - b) * (a - b) AS HUGEINT)), 0) AS onum, " +
+        "count(DISTINCT a) AS k_a, count(DISTINCT b) AS k_b FROM ct), " +
+        "e AS (SELECT n, onum, k_a, k_b, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(cs, e1 -> " +
+        "CAST((e1).c AS HUGEINT) * list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(cs, e2 -> CAST((e2).c AS HUGEINT) * " +
+        "CAST(((e1).a - (e2).b) * ((e1).a - (e2).b) AS HUGEINT))), " +
+        "(p, q) -> p + q))), (p, q) -> p + q) AS esum FROM one) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k_a AS BIGINT) AS k_a, " +
+        "CAST(k_b AS BIGINT) AS k_b, " +
+        "CASE WHEN esum > 0 THEN CAST(floor((1.0 - CAST(n AS DOUBLE) * " +
+        "CAST(onum AS DOUBLE) / CAST(esum AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
+        "END AS kappa_w_bp FROM e"),
+
+    "q258_holm_screen" ->
+      // q232's per-group KS spine verbatim; the Holm step-down swaps
+      // BH's suffix-min of p*m/i for the prefix-max of p*(m-i+1)
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "pgv AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM pgv GROUP BY v), " +
+        "gr AS (SELECT g, sum(c) AS ng FROM pgv GROUP BY g), " +
+        "t AS (SELECT sum(cv) AS n FROM pv), " +
+        "ca AS (SELECT v, sum(cv) OVER (ORDER BY v) AS cumall FROM pv), " +
+        "sp AS (SELECT gr.g, gr.ng, ca.v, ca.cumall FROM gr, ca), " +
+        "jj AS (SELECT sp.g, sp.ng, sp.v, sp.cumall, COALESCE(pgv.c, 0) AS c " +
+        "FROM sp LEFT JOIN pgv ON pgv.g = sp.g AND pgv.v = sp.v), " +
+        "w AS (SELECT g, ng, cumall, " +
+        "sum(c) OVER (PARTITION BY g ORDER BY v) AS cumg FROM jj), " +
+        "dd AS (SELECT g, max(ng) AS ng, " +
+        "max(abs(CAST(cumg AS HUGEINT) * (CAST(n AS HUGEINT) - CAST(ng AS HUGEINT)) - " +
+        "(CAST(cumall AS HUGEINT) - CAST(cumg AS HUGEINT)) * CAST(ng AS HUGEINT))) AS dnum " +
+        "FROM w, t GROUP BY g), " +
+        "ks AS (SELECT g, ng, CAST(n AS BIGINT) - ng AS nrest, dnum FROM dd, t), " +
+        "kr AS (SELECT g, ng, nrest, " +
+        "floor(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)) * 10000 + 0.5) / 10000 AS ks_d, " +
+        "floor(least(1.0, 2.0 * exp(-2.0 * " +
+        "(sqrt(CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE) / (CAST(ng AS DOUBLE) + CAST(nrest AS DOUBLE))) * " +
+        "(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)))) * " +
+        "(sqrt(CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE) / (CAST(ng AS DOUBLE) + CAST(nrest AS DOUBLE))) * " +
+        "(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS p " +
+        "FROM ks), " +
+        "l AS (SELECT list(struct_pack(p := p, k := g) ORDER BY p, g) AS ps, count(*) AS m FROM kr), " +
+        "wsx AS (SELECT ps, m, list_transform(range(1, CAST(m + 1 AS BIGINT)), " +
+        "i -> ps[i].p * (CAST(m AS DOUBLE) - CAST(i AS DOUBLE) + 1)) AS ws FROM l), " +
+        "ex AS (SELECT unnest(range(1, CAST(m + 1 AS BIGINT))) AS j, ps, ws, m FROM wsx), " +
+        "hm AS (SELECT ps[j].k AS test_key, ps[j].p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
+        "floor(least(1.0, list_max(ws[1:j])) * 10000 + 0.5) / 10000 AS p_adj FROM ex) " +
+        "SELECT hm.test_key, kr.ng AS n_g, " +
+        "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
+        "CAST(floor(hm.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +
+        "hm.p_rank, " +
+        "CAST(floor(hm.p_adj * 10000 + 0.5) AS BIGINT) AS p_adj_bp, " +
+        "(CAST(floor(hm.p_adj * 10000 + 0.5) AS BIGINT) <= 500) AS reject " +
+        "FROM hm JOIN kr ON kr.g = hm.test_key"),
+
+    "q257_jarque_bera" ->
+      // the per-(source, value) histogram in sorted value order; mu one
+      // division, each central moment a fixed-order fold, the JB chain
+      // and the closed-form chi2(2) survival spelled as Spark's
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "cells AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pg AS (SELECT g, list(struct_pack(v := v, c := c) ORDER BY v) AS cs, " +
+        "sum(c) AS n FROM cells GROUP BY g), " +
+        "f AS (SELECT g, n, cs, CAST(n AS DOUBLE) AS nd, " +
+        "list_reduce(list_prepend(0.0, list_transform(cs, e -> " +
+        "CAST((e).c AS DOUBLE) * (e).v)), (a, b) -> a + b) / CAST(n AS DOUBLE) AS mu FROM pg), " +
+        "m AS (SELECT g, n, nd, " +
+        "list_reduce(list_prepend(0.0, list_transform(cs, e -> " +
+        "CAST((e).c AS DOUBLE) * (((e).v - mu) * ((e).v - mu)))), (a, b) -> a + b) / nd AS m2, " +
+        "list_reduce(list_prepend(0.0, list_transform(cs, e -> " +
+        "CAST((e).c AS DOUBLE) * ((((e).v - mu) * ((e).v - mu)) * ((e).v - mu)))), (a, b) -> a + b) / nd AS m3, " +
+        "list_reduce(list_prepend(0.0, list_transform(cs, e -> " +
+        "CAST((e).c AS DOUBLE) * (((((e).v - mu) * ((e).v - mu)) * ((e).v - mu)) * ((e).v - mu)))), (a, b) -> a + b) / nd AS m4 " +
+        "FROM f), " +
+        "s AS (SELECT g, n, nd, m2, " +
+        "m3 / ((sqrt(m2) * sqrt(m2)) * sqrt(m2)) AS skew, " +
+        "m4 / (m2 * m2) - 3 AS kurt FROM m), " +
+        "jb AS (SELECT g, n, m2, skew, kurt, " +
+        "nd / 6 * (skew * skew + kurt * kurt / 4) AS jbv FROM s) " +
+        "SELECT g AS group_key, CAST(n AS BIGINT) AS n_g, " +
+        "CASE WHEN n > 1 AND m2 > 0 THEN CAST(floor(skew * 10000 + 0.5) AS BIGINT) END AS skew_bp, " +
+        "CASE WHEN n > 1 AND m2 > 0 THEN CAST(floor(kurt * 10000 + 0.5) AS BIGINT) END AS kurt_bp, " +
+        "CASE WHEN n > 1 AND m2 > 0 THEN CAST(floor(jbv * 10000 + 0.5) AS BIGINT) END AS jb_bp, " +
+        "CASE WHEN n > 1 AND m2 > 0 THEN CAST(floor(exp(-(jbv / 2)) * 10000 + 0.5) AS BIGINT) END AS p_bp FROM jb"),
+
+    "q256_bartlett" ->
+      // per-source integer variance numerators c2 = n*S2 - S1^2, the
+      // pooled sum as one division per group over the sorted group list,
+      // ln folds in fixed order, the T/C chain spelled as Spark's
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "pg AS (SELECT g, count(*) AS n, sum(CAST(v AS HUGEINT)) AS s1, " +
+        "sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2 FROM v GROUP BY g), " +
+        "pc AS (SELECT g, n, CAST(n AS HUGEINT) * s2 - s1 * s1 AS c2 " +
+        "FROM pg WHERE n >= 2), " +
+        "one AS (SELECT list(struct_pack(g := g, n := n, c2 := c2) ORDER BY g) AS gs, " +
+        "sum(n) AS n, count(*) AS k FROM pc), " +
+        "f AS (SELECT n, k, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).c2 AS DOUBLE) / CAST((e).n AS DOUBLE))), (a, b) -> a + b) AS pooled, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "(CAST((e).n AS DOUBLE) - 1) * ln(CAST((e).c2 AS DOUBLE) / " +
+        "(CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))))), (a, b) -> a + b) AS lnsum, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "1.0 / (CAST((e).n AS DOUBLE) - 1))), (a, b) -> a + b) AS invsum, " +
+        "list_min(list_transform(gs, e -> (e).c2)) AS minc2 FROM one) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups, " +
+        "CASE WHEN k > 1 THEN CAST(k - 1 AS BIGINT) END AS df_t, " +
+        "CASE WHEN k > 1 AND minc2 > 0 THEN " +
+        "CAST(floor(((nd - kd) * ln(pooled / (nd - kd)) - lnsum) / " +
+        "(1.0 + (invsum - 1.0 / (nd - kd)) / (3.0 * (kd - 1))) * 10000 + 0.5) AS BIGINT) " +
+        "END AS t_bp FROM f"),
 
     "q255_dunn_posthoc" ->
       // q234's midrank CTEs verbatim; pairs by a < b self-join of the

@@ -3036,4 +3036,59 @@ object CorpusAnalytics {
         .otherwise(r4(col("v").cast("double") +
           f1d * (f1d - 1) / 2)).as("chao1"))
   }
+
+  /** Corpus composition concentration card — the curation audit run
+    * before any source-mixing decision: how concentrated is the corpus
+    * across sources/domains? One row: (n, k_groups, top_share_bp,
+    * hhi_bp, simpson_bp, shannon_bp, hill1_bp) —
+    * HHI = Σ(n_g/N)² (Herfindahl & Hirschman, the antitrust
+    * concentration index), the unbiased Simpson/Hunter–Gaston
+    * λ = Σn_g(n_g−1)/(N(N−1)), Shannon H in nats, and Hill's effective
+    * source count ¹D = e^H (Hill 1973 — "this 20-source corpus mixes
+    * like X equally-sized sources", the number mixing boards actually
+    * read; Σ shares·10⁴ quantities go out as BIGINT basis points,
+    * hill1_bp is ¹D·10⁴).
+    *
+    * Float discipline: HHI and Simpson clear to exact DECIMAL(38,0)
+    * ratios (Σn_g² / N², Σn_g(n_g−1) / N(N−1)) — one division each;
+    * Shannon folds (n_g/N)·ln(n_g/N) in SORTED group order (the
+    * uncertaintyCoefficient discipline) and e^H is one exp.
+    *
+    * Scale shape: ONE groups-bounded hash agg with map-side partials is
+    * the only exchange; the card is a one-row fold.
+    */
+  def compositionDiversity(
+      docs: DataFrame,
+      groupCol: String = "source"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perG = docs.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val one = perG.groupBy().agg(
+      sort_array(collect_list(struct(col(groupCol).as("_g"), col("_n"))))
+        .as("gs"),
+      coalesce(sum(col("_n")), lit(0L)).as("n"),
+      count(lit(1)).as("k_groups"),
+      coalesce(sum(col("_n").cast(dec) * col("_n").cast(dec)),
+        lit(0).cast(dec)).as("_sq"),
+      coalesce(sum(col("_n").cast(dec) * (col("_n").cast(dec) - 1)),
+        lit(0).cast(dec)).as("_pp"),
+      coalesce(max(col("_n")), lit(0L)).as("_top"))
+    val nD = col("n").cast(dec)
+    val nd = col("n").cast("double")
+    val hhi = col("_sq").cast("double") / (nD * nD).cast("double")
+    val simpson = col("_pp").cast("double") / (nD * (nD - 1)).cast("double")
+    val shannon = -aggregate(col("gs"), lit(0.0), (a, e) => {
+      val sh = e.getField("_n").cast("double") / nd
+      a + sh * log(sh)
+    })
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    def guard(cond: Column, c: Column) =
+      when(cond, bp(c)).otherwise(lit(null).cast("long"))
+    one.select(col("n"), col("k_groups"),
+      guard(col("n") > 0, col("_top").cast("double") / nd).as("top_share_bp"),
+      guard(col("n") > 0, hhi).as("hhi_bp"),
+      guard(col("n") > 1, simpson).as("simpson_bp"),
+      guard(col("n") > 0, shannon).as("shannon_bp"),
+      guard(col("n") > 0, exp(shannon)).as("hill1_bp"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -251,5 +251,59 @@ object Normalize {
         round(pev, 4).as("pe"),
         when(lit(1.0) - pev === 0, lit(1.0))
           .otherwise(round((po - pev) / (lit(1.0) - pev), 4)).as("kappa"))
+  }
+
+  /** Quadratically weighted kappa (Cohen 1968, Fleiss–Cohen weights
+    * w_ab = (a−b)² — the ORDINAL form of [[cohenKappa]]: on banded
+    * raters, confusing band 0 with band 2 should cost more than
+    * confusing adjacent bands, which unweighted kappa cannot express;
+    * quadratic weights make kappa_w interpretable as an ICC analog and
+    * it is the standard inter-rater metric for ordinal scales). Labels
+    * must be integer-ordinal. One row: (n, k_a, k_b, kappa_w_bp) with
+    * κ_w = 1 − Σ O_ab·w_ab / Σ E_ab·w_ab, E_ab = r_a·c_b/n.
+    *
+    * Exactness: clearing E's 1/n leaves κ_w = 1 − n·ΣO_ab w_ab / Σ
+    * r_a c_b w_ab — ONE division of two exact DECIMAL(38,0) integers.
+    * The margin cross Σ_a Σ_b r_a c_b (a−b)² rewrites as the cell-pair
+    * double sum Σ_{e1,e2} c_{e1} c_{e2} (a_{e1} − b_{e2})², a nested
+    * in-row fold over ONE sorted collected cell list (classes² cells —
+    * bounded by label arity, not rows). All-diagonal-degenerate margins
+    * (weighted E mass 0) report NULL (unanimity carries no chance
+    * correction, the cochranQ convention).
+    *
+    * Scale shape: ONE (a, b) contingency hash agg with map-side
+    * partials is the only exchange; the rest is a one-row fold.
+    */
+  def weightedKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ct = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("long").as("_a"), col(colB).cast("long").as("_b"))
+      .agg(count(lit(1)).as("c"))
+    val one = ct.agg(
+      sort_array(collect_list(struct(col("_a"), col("_b"), col("c"))))
+        .as("cs"),
+      sum(col("c")).as("n"),
+      sum(col("c").cast(dec) *
+        ((col("_a") - col("_b")) * (col("_a") - col("_b"))).cast(dec))
+        .as("onum"),
+      countDistinct(col("_a")).as("k_a"),
+      countDistinct(col("_b")).as("k_b"))
+    def aE(e: Column) = e.getField("_a")
+    def bE(e: Column) = e.getField("_b")
+    def cE(e: Column) = e.getField("c").cast(dec)
+    val esum = aggregate(col("cs"), lit(0).cast(dec), (acc, e1) =>
+      (acc + cE(e1) * aggregate(col("cs"), lit(0).cast(dec), (a2, e2) =>
+        (a2 + cE(e2) *
+          ((aE(e1) - bE(e2)) * (aE(e1) - bE(e2))).cast(dec)).cast(dec)))
+        .cast(dec))
+    val kw = lit(1.0) -
+      col("n").cast("double") * col("onum").cast("double") /
+        col("_esum").cast("double")
+    one.withColumn("_esum", esum)
+      .select(col("n"), col("k_a"), col("k_b"),
+        when(col("_esum") > 0,
+          floor(kw * 10000 + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("kappa_w_bp"))
   }
 }

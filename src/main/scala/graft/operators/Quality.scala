@@ -1666,6 +1666,57 @@ object Quality {
         (r4(col("e.adj")) <= fdrQ).as("reject"))
   }
 
+  /** Holm step-down adjustment (Holm 1979 — the FWER companion to
+    * [[bhAdjust]]: BH controls the expected FALSE FRACTION among the
+    * alarms (fine for a screening report), Holm controls the chance of
+    * even ONE false alarm — the right knob when a single reject triggers
+    * an expensive action, e.g. quarantining a source. Uniformly more
+    * powerful than plain Bonferroni, no independence assumption). Same
+    * shape as [[bhAdjust]]: one row per input test,
+    * (test_key, p_value, p_rank, p_adj, reject) with
+    * adj_(j) = min(1, max_{i≤j} (m−i+1)·p_(i)) and reject = adj ≤ `alpha`.
+    *
+    * The input is a screening report (bounded by construction), so the
+    * sort, the (m−i+1)·p transform, and the prefix-max all run as in-row
+    * folds over one collected sorted list (bhAdjust's discipline, with
+    * the suffix-min swapped for a prefix-max) and explode back to rows.
+    */
+  def holmAdjust(
+      df: DataFrame,
+      keyCol: Column,
+      pCol: Column,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, "FWER level must be in (0, 1)")
+    val v = df.filter(keyCol.isNotNull && pCol.isNotNull)
+      .select(pCol.cast("double").as("_p"), keyCol.as("_k"))
+    val one = v.groupBy().agg(
+      sort_array(collect_list(struct(col("_p"), col("_k")))).as("ps"),
+      count(lit(1)).as("m"))
+    val md = col("m").cast("double")
+    // w_i = p_(i)·(m−i+1) in sorted order, 1-based — the same element_at
+    // chain the oracle spells with list indexing
+    val ws = transform(sequence(lit(1L), col("m")),
+      i => element_at(col("ps"), i.cast("int")).getField("_p") *
+        (md - i.cast("double") + 1))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    val entries = transform(sequence(lit(1L), col("m")), j => struct(
+      j.as("rnk"),
+      element_at(col("ps"), j.cast("int")).getField("_k").as("k"),
+      element_at(col("ps"), j.cast("int")).getField("_p").as("p"),
+      least(lit(1.0), array_max(slice(col("ws"), lit(1), j.cast("int"))))
+        .as("adj")))
+    one
+      // sequence(1, 0) would step DOWNWARD — an empty report must yield
+      // an empty frame, not an element_at(0) throw
+      .filter(col("m") > 0)
+      .select(col("m"), col("ps"), ws.as("ws"))
+      .select(explode(entries).as("e"))
+      .select(col("e.k").as("test_key"), col("e.p").as("p_value"),
+        col("e.rnk").as("p_rank"),
+        r4(col("e.adj")).as("p_adj"),
+        (r4(col("e.adj")) <= alpha).as("reject"))
+  }
+
   /** Brown-Forsythe variance-homogeneity test (Brown & Forsythe 1974 —
     * Levene's test with the MEDIAN center, the robust form): "did the
     * SPREAD change across groups?" where [[anovaF]] asks about the mean
@@ -1695,6 +1746,131 @@ object Quality {
       .select(col("_g"),
         abs(lit(2L) * col("_v") - (col("_m") * 2).cast("long")).as("_d"))
     anovaF(dev, col("_d"), col("_g"))
+  }
+
+  /** Bartlett's variance-homogeneity test (Bartlett 1937 — the
+    * parametric sibling of [[brownForsythe]]: BF's median-centered F is
+    * the robust default, Bartlett is the textbook likelihood-ratio form
+    * with the well-known normality sensitivity — the pair every stats
+    * package ships side by side, and disagreement between them is itself
+    * diagnostic: heavy tails inflate Bartlett but not BF). One row:
+    * (n, k_groups, df_t, t_bp) with
+    * T = [(N−k)·ln s²_p − Σ(n_i−1)·ln s²_i] / C,
+    * C = 1 + (Σ1/(n_i−1) − 1/(N−k)) / (3(k−1)), χ²_{k−1} under H₀
+    * (T is reported without p — k−1 is odd for even group counts, the
+    * [[kruskalWallis]] H-without-p precedent).
+    *
+    * Float discipline: each group's variance numerator clears to the
+    * exact integer c2 = n·Σx² − (Σx)² (the cronbachAlpha moment trick);
+    * (n_i−1)s²_i = c2_i/n_i, so the pooled sum folds ONE division per
+    * group over the SORTED bounded group list, and every ln enters a
+    * fixed-order fold — the whole chain replays on both engines.
+    * Groups with n < 2 drop before the statistic (their s² is
+    * undefined); any zero-variance group (c2 = 0) nulls the displays
+    * (ln 0 = −∞ — Bartlett is undefined there, BF is the robust
+    * fallback).
+    *
+    * Scale shape: ONE groups-bounded hash agg with map-side partials is
+    * the only exchange; everything after is a one-row in-row fold.
+    */
+  def bartlettTest(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+    val perG = v.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_v").cast(dec)).as("_s1"),
+        sum(col("_v").cast(dec) * col("_v").cast(dec)).as("_s2"))
+      .select(col("_g"), col("_n"),
+        (col("_n").cast(dec) * col("_s2") - col("_s1") * col("_s1"))
+          .as("_c2"))
+      .filter(col("_n") >= 2)
+    val one = perG.groupBy().agg(
+      sort_array(collect_list(struct(col("_g"), col("_n"), col("_c2"))))
+        .as("gs"),
+      sum(col("_n")).as("n"),
+      count(lit(1)).as("k_groups"))
+    def nE(e: Column) = e.getField("_n").cast("double")
+    def c2E(e: Column) = e.getField("_c2").cast("double")
+    val nd = col("n").cast("double")
+    val kd = col("k_groups").cast("double")
+    // (n_i − 1)·s²_i = c2_i / n_i exactly — one division per group
+    val pooled = aggregate(col("gs"), lit(0.0), (a, e) => a + c2E(e) / nE(e))
+    val s2p = pooled / (nd - kd)
+    val lnSum = aggregate(col("gs"), lit(0.0), (a, e) =>
+      a + (nE(e) - 1) * log(c2E(e) / (nE(e) * (nE(e) - 1))))
+    val invSum = aggregate(col("gs"), lit(0.0), (a, e) =>
+      a + lit(1.0) / (nE(e) - 1))
+    val tNum = (nd - kd) * log(s2p) - lnSum
+    val cFac = lit(1.0) + (invSum - lit(1.0) / (nd - kd)) / (lit(3.0) * (kd - 1))
+    val minC2 = array_min(transform(col("gs"), e => e.getField("_c2")))
+    val ok = col("k_groups") > 1 && minC2 > 0
+    one.select(col("n"), col("k_groups"),
+      when(col("k_groups") > 1, col("k_groups") - 1)
+        .otherwise(lit(null).cast("long")).as("df_t"),
+      when(ok, floor(tNum / cFac * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("t_bp"))
+  }
+
+  /** Jarque–Bera normality screen per group (Jarque & Bera 1980 — the
+    * moment-based omnibus every econometrics package ships:
+    * JB = n/6·(g₁² + g₂²/4) from sample skewness g₁ = m₃/m₂^{3/2} and
+    * excess kurtosis g₂ = m₄/m₂² − 3, χ²₂ under normality — dof 2 is
+    * even, so the survival p = exp(−JB/2) is CLOSED FORM, the cleanest
+    * member of the chi-square family). The practical question on a
+    * corpus: which source's metric distribution is so skewed or
+    * heavy-tailed that mean±σ monitoring (EWMA bands, z-fences) is the
+    * wrong tool for it? One row per group:
+    * (group_key, n_g, skew_bp, kurt_bp, jb_bp, p_bp) — skew/kurtosis
+    * signed BIGINT basis points. Groups with n < 2 or zero variance
+    * report NULL displays.
+    *
+    * Float discipline: the per-(group, value) histogram (bounded by
+    * distinct values — integral metrics, the [[groupedKsTest]] caveat)
+    * collects to a sorted in-row array; μ is one division and each
+    * central moment folds in sorted-value order — the
+    * uncertaintyCoefficient sorted-fold discipline, engine-replayable.
+    *
+    * Scale shape: ONE (group, value) hash agg with map-side partials is
+    * the only exchange; moments are in-row folds per group row.
+    */
+  def jarqueBera(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
+    val cells = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    val perG = cells.groupBy(col("_g"))
+      .agg(sort_array(collect_list(struct(col("_v"), col("_c")))).as("cs"),
+        sum(col("_c")).as("n_g"))
+    def vE(e: Column) = e.getField("_v")
+    def cE(e: Column) = e.getField("_c").cast("double")
+    val nd = col("n_g").cast("double")
+    val mu = aggregate(col("cs"), lit(0.0), (a, e) => a + cE(e) * vE(e)) / nd
+    def moment(p: Int): Column =
+      aggregate(col("cs"), lit(0.0), (a, e) => {
+        val d = vE(e) - mu
+        a + cE(e) * Seq.fill(p)(d).reduce(_ * _)
+      }) / nd
+    val m2 = moment(2)
+    val m3 = moment(3)
+    val m4 = moment(4)
+    val s = sqrt(m2)
+    val skew = m3 / (s * s * s)
+    val kurt = m4 / (m2 * m2) - 3
+    val jb = nd / 6 * (skew * skew + kurt * kurt / 4)
+    val p = exp(-(jb / 2))
+    val ok = col("n_g") > 1 && m2 > 0
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    def guard(c: Column) =
+      when(ok, bp(c)).otherwise(lit(null).cast("long"))
+    perG.select(col("_g").as("group_key"), col("n_g"),
+      guard(skew).as("skew_bp"), guard(kurt).as("kurt_bp"),
+      guard(jb).as("jb_bp"), guard(p).as("p_bp"))
   }
 
   /** Cronbach's alpha (Cronbach 1951) — internal consistency of k

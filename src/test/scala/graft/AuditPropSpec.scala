@@ -319,6 +319,137 @@ class AuditPropSpec extends SparkSpec {
       "a single test adjusts to itself")
   }
 
+  test("holmAdjust: textbook step-down, Bonferroni bound, rejects within BH's") {
+    val ps = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.04), ("t4", 0.5))
+      .toDF("k", "p")
+    val got = Quality.holmAdjust(ps, col("k"), col("p"), alpha = 0.05)
+      .as[(String, Double, Long, Double, Boolean)].collect().sortBy(_._3)
+    // w = [.04, .06, .08, .5]; prefix maxes = [.04, .06, .08, .5]
+    assert(got.map(r => (r._1, r._4, r._5)).toSeq == Seq(
+      ("t1", 0.04, true), ("t2", 0.06, false),
+      ("t3", 0.08, false), ("t4", 0.5, false)))
+    val adj = got.map(_._4)
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b },
+      "adjusted p must be non-decreasing in rank")
+    assert(got.forall(r => r._4 >= r._2 - 1e-9), "adjustment never helps")
+    // random screens: Holm <= Bonferroni everywhere, and Holm's reject
+    // set sits inside BH's at the same level (FWER is the stricter knob)
+    for (round <- 0 until 10) {
+      val raw = draw(Gen.listOfN(12, Gen.choose(0, 2000)), 52000L + round)
+        .zipWithIndex.map { case (p, i) => (s"t$i", p / 2000.0) }
+      val df = raw.toDF("k", "p")
+      val holm = Quality.holmAdjust(df, col("k"), col("p"), alpha = 0.05)
+        .as[(String, Double, Long, Double, Boolean)].collect()
+      val bh = Quality.bhAdjust(df, col("k"), col("p"), fdrQ = 0.05)
+        .as[(String, Double, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      for (h <- holm) {
+        assert(h._4 <= math.min(1.0, 12 * h._2) + 1.0001e-4,
+          s"round $round: Holm must not exceed Bonferroni")
+        assert(h._4 >= bh(h._1)._4 - 1.0001e-4,
+          s"round $round: Holm adj >= BH adj")
+        if (h._5) assert(bh(h._1)._5,
+          s"round $round: a Holm reject must also be a BH reject")
+      }
+    }
+    // empty screen yields an empty frame, not a throw
+    assert(Quality.holmAdjust(
+      Seq.empty[(String, Double)].toDF("k", "p"), col("k"), col("p"))
+      .count() == 0L)
+  }
+
+  /** Published Bartlett form, straight doubles; None when undefined. */
+  private def refBartlett(rows: Seq[(String, Long)]): Option[Double] = {
+    val gs = rows.groupBy(_._1).filter(_._2.size >= 2)
+    val k = gs.size
+    if (k < 2) return None
+    val n = gs.values.map(_.size).sum.toDouble
+    val s2 = gs.map { case (g, r) =>
+      val m = r.map(_._2).sum.toDouble / r.size
+      g -> r.map(x => (x._2 - m) * (x._2 - m)).sum / (r.size - 1)
+    }
+    if (s2.values.exists(_ == 0)) return None
+    val sp = gs.map { case (g, r) => (r.size - 1) * s2(g) }.sum / (n - k)
+    val t = (n - k) * math.log(sp) -
+      gs.map { case (g, r) => (r.size - 1) * math.log(s2(g)) }.sum
+    val c = 1 + (gs.values.map(r => 1.0 / (r.size - 1)).sum - 1 / (n - k)) /
+      (3 * (k - 1))
+    Some(t / c)
+  }
+
+  test("bartlettTest: published form, exact translation invariance, degenerates (10 rounds)") {
+    val rowGen = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 40L))
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(45, rowGen), 53000L + round)
+      val got = Quality.bartlettTest(rows.toDF("g", "v"), col("v"), col("g"))
+        .as[(Long, Long, Option[Long], Option[Long])].head()
+      (got._4, refBartlett(rows)) match {
+        case (Some(t), Some(w)) =>
+          assert(math.abs(t / 10000.0 - w) < 1e-3, s"round $round: T")
+        case (a, b) => assert(a.isEmpty && b.isEmpty, s"round $round")
+      }
+      // variance numerators are translation-invariant in exact integers:
+      // shifting every value leaves T bit-identical
+      val shifted = Quality.bartlettTest(
+        rows.map { case (g, v) => (g, v + 1000L) }.toDF("g", "v"),
+        col("v"), col("g"))
+        .as[(Long, Long, Option[Long], Option[Long])].head()
+      assert(shifted._4 == got._4, s"round $round: shift invariance")
+    }
+    // a zero-variance group nulls the statistic (ln 0)
+    val zv = Seq(("a", 5L), ("a", 5L), ("b", 1L), ("b", 9L)).toDF("g", "v")
+    assert(Quality.bartlettTest(zv, col("v"), col("g"))
+      .as[(Long, Long, Option[Long], Option[Long])].head()._4.isEmpty)
+    // groups below two observations drop before the statistic
+    val drop = Seq(("a", 1L), ("a", 5L), ("b", 2L), ("b", 7L), ("c", 3L))
+    val gd = Quality.bartlettTest(drop.toDF("g", "v"), col("v"), col("g"))
+      .as[(Long, Long, Option[Long], Option[Long])].head()
+    assert(gd._1 == 4L && gd._2 == 2L)
+  }
+
+  /** Published JB form, straight doubles. */
+  private def refJb(xs: Seq[Long]): (Double, Double, Double) = {
+    val n = xs.size.toDouble
+    val mu = xs.sum / n
+    def m(p: Int) = xs.map(x => math.pow(x - mu, p)).sum / n
+    val skew = m(3) / math.pow(m(2), 1.5)
+    val kurt = m(4) / (m(2) * m(2)) - 3
+    (skew, kurt, n / 6 * (skew * skew + kurt * kurt / 4))
+  }
+
+  test("jarqueBera: published form per group, skew direction, degenerates (10 rounds)") {
+    for (round <- 0 until 10) {
+      val xs = draw(Gen.listOfN(50, Gen.choose(0L, 25L)), 54000L + round)
+      val got = Quality.jarqueBera(
+        xs.map(("a", _)).toDF("g", "v"), col("v"), col("g"))
+        .as[(String, Long, Option[Long], Option[Long], Option[Long],
+          Option[Long])].head()
+      val (skew, kurt, jb) = refJb(xs)
+      assert(got._2 == 50L)
+      assert(math.abs(got._3.get / 10000.0 - skew) < 2e-4, s"round $round skew")
+      assert(math.abs(got._4.get / 10000.0 - kurt) < 2e-4, s"round $round kurt")
+      assert(math.abs(got._5.get / 10000.0 - jb) < 1e-3, s"round $round jb")
+      assert(got._6.get >= 0L && got._6.get <= 10000L)
+    }
+    // a right-skewed group reports positive skew, a mirrored one negative,
+    // and both carry the same JB (the statistic squares the moments)
+    val right = Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 10L)
+    val left = right.map(11L - _)
+    val two = (right.map(("r", _)) ++ left.map(("l", _))).toDF("g", "v")
+    val rows = Quality.jarqueBera(two, col("v"), col("g"))
+      .as[(String, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(rows("r")._3.get > 0L && rows("l")._3.get < 0L)
+    assert(math.abs(rows("r")._5.get - rows("l")._5.get) <= 1L)
+    // constant group: zero variance, null displays
+    val const = Quality.jarqueBera(
+      Seq(("c", 7L), ("c", 7L), ("c", 7L)).toDF("g", "v"),
+      col("v"), col("g"))
+      .as[(String, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long])].head()
+    assert(const._3.isEmpty && const._6.isEmpty)
+  }
+
   test("cochranQ with two rules equals McNemar's uncorrected chi2 (10 rounds)") {
     val pGen = Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))
     for (round <- 0 until 10) {

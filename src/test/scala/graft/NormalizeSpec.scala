@@ -78,4 +78,64 @@ class NormalizeSpec extends SparkSpec {
       .as[(Long, Double, Double, Double)].head()
     assert(d._2 == 0.0 && d._3 == 0.0 && d._4 == 0.0)
   }
+
+  /** Published quadratic-weight form, straight doubles. */
+  private def refWeightedKappa(rows: Seq[(Long, Long)]): Option[Double] = {
+    val n = rows.size.toDouble
+    val obs = rows.groupBy(identity).map { case ((a, b), g) =>
+      g.size * (a - b) * (a - b).toDouble }.sum
+    val ra = rows.groupBy(_._1).map { case (k, g) => k -> g.size }
+    val cb = rows.groupBy(_._2).map { case (k, g) => k -> g.size }
+    val exp = (for ((a, x) <- ra; (b, y) <- cb)
+      yield x.toDouble * y * (a - b) * (a - b)).sum / n
+    if (exp == 0) None else Some(1.0 - obs / exp)
+  }
+
+  test("weightedKappa: hand case, binary reduces to unweighted, degenerates") {
+    // perfect agreement: every cell diagonal, observed weighted mass 0
+    val same = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("x", "y")
+    assert(Normalize.weightedKappa(same, "x", "y")
+      .as[(Long, Long, Long, Option[Long])].head()._4 == Some(10000L))
+    // far confusion (0 vs 2) must cost more than adjacent (0 vs 1):
+    // same disagreement COUNT, different weighted kappa
+    val adj = Seq((0L, 0L), (2L, 2L), (0L, 1L), (2L, 1L)).toDF("x", "y")
+    val far = Seq((0L, 0L), (2L, 2L), (0L, 2L), (2L, 0L)).toDF("x", "y")
+    val kAdj = Normalize.weightedKappa(adj, "x", "y")
+      .as[(Long, Long, Long, Option[Long])].head()._4.get
+    val kFar = Normalize.weightedKappa(far, "x", "y")
+      .as[(Long, Long, Long, Option[Long])].head()._4.get
+    assert(kAdj > kFar)
+    // binary labels: quadratic weights are flat off-diagonal, so
+    // weighted == unweighted kappa (the textbook reduction)
+    val bin = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 1L), (1L, 0L),
+      (0L, 0L), (1L, 1L), (0L, 0L)).toDF("x", "y")
+    val kw = Normalize.weightedKappa(bin, "x", "y")
+      .as[(Long, Long, Long, Option[Long])].head()._4.get
+    val ku = Normalize.cohenKappa(bin, "x", "y")
+      .as[(Long, Double, Double, Double)].head()._4
+    assert(math.abs(kw / 10000.0 - ku) < 1.001e-4)
+    // single shared category: chance weighted mass 0 -> null
+    assert(Normalize.weightedKappa(
+      Seq((1L, 1L), (1L, 1L)).toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long, Option[Long])].head()._4.isEmpty)
+  }
+
+  test("weightedKappa matches the published form (10 rounds)") {
+    val gen = org.scalacheck.Gen.listOfN(40,
+      org.scalacheck.Gen.zip(
+        org.scalacheck.Gen.choose(0L, 3L), org.scalacheck.Gen.choose(0L, 3L)))
+    for (round <- 0 until 10) {
+      val rows = gen(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(51000L + round)).get
+      val want = refWeightedKappa(rows)
+      val got = Normalize.weightedKappa(rows.toDF("x", "y"), "x", "y")
+        .as[(Long, Long, Long, Option[Long])].head()
+      assert(got._1 == 40L)
+      (got._4, want) match {
+        case (Some(g), Some(w)) =>
+          assert(math.abs(g / 10000.0 - w) < 2e-4, s"round $round")
+        case (a, b) => assert(a.isEmpty && b.isEmpty, s"round $round")
+      }
+    }
+  }
 }

@@ -47,4 +47,40 @@ class VocabRichnessSpec extends SparkSpec {
     assert(many._6 > few._6)
     assert(many._5.get > few._5.get)
   }
+
+  // ---- composition concentration card ----
+
+  private def comp(sources: Seq[String])
+      : (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long],
+        Option[Long]) =
+    CorpusAnalytics.compositionDiversity(sources.toDF("source"))
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long])].head()
+
+  test("composition: uniform mix — HHI 1/k, Hill recovers k exactly") {
+    val got = comp(Seq.fill(10)("a") ++ Seq.fill(10)("b") ++
+      Seq.fill(10)("c") ++ Seq.fill(10)("d"))
+    assert(got._1 == 40L && got._2 == 4L)
+    assert(got._3 == Some(2500L)) // top share 1/4
+    assert(got._4 == Some(2500L)) // HHI 1/4
+    // unbiased Simpson for equal groups: k*m(m-1)/(N(N-1)) = 4*90/1560
+    assert(got._5 == Some(math.floor(360.0 / 1560 * 10000 + 0.5).toLong))
+    assert(got._6 == Some(math.floor(math.log(4.0) * 10000 + 0.5).toLong))
+    assert(got._7 == Some(40000L)) // e^{ln 4} = 4 effective sources
+  }
+
+  test("composition: a single source is maximally concentrated") {
+    val got = comp(Seq.fill(7)("only"))
+    assert(got._2 == 1L && got._3 == Some(10000L) && got._4 == Some(10000L))
+    assert(got._5 == Some(10000L) && got._6 == Some(0L) &&
+      got._7 == Some(10000L))
+  }
+
+  test("composition: skewing the mix raises HHI and lowers Hill") {
+    val even = comp(Seq.fill(15)("a") ++ Seq.fill(15)("b"))
+    val skew = comp(Seq.fill(27)("a") ++ Seq.fill(3)("b"))
+    assert(skew._4.get > even._4.get)
+    assert(skew._7.get < even._7.get)
+    assert(even._7 == Some(20000L)) // 50/50 mixes like exactly 2 sources
+  }
 }
