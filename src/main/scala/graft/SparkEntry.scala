@@ -1561,6 +1561,62 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q264_krippendorff" -> ((s, dir) => {
+      // Krippendorff's interval alpha over q228's THREE band raters —
+      // the distance-weighted, pooled-chance agreement coefficient
+      // annotation QA standardized on; kappa (q228) treats a 0-vs-2
+      // miss like an adjacent one
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val num = size(stops).cast("long")
+      val den = size(toks).cast("long")
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.krippendorffAlpha(d, Seq(
+        when(num * 10 < den, 0L).when(num * 5 < den, 1L).otherwise(2L),
+        when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L)))
+    }),
+
+    "q263_distinct_n" -> ((s, dir) => {
+      // corpus-level distinct-1/2/3 diversity — the read per-doc
+      // repetition gates (q17's family) cannot give: a corpus of
+      // mutually-near-identical documents passes every per-doc gate
+      operators.CorpusAnalytics.distinctNgrams(
+        Tables(s, dir, "documents"))
+    }),
+
+    "q262_bowker" -> ((s, dir) => {
+      // Bowker's symmetry chi2 between the token band and the char band
+      // — the cell-level question beside q261's margins: is every
+      // off-diagonal confusion balanced, or does the banding trade
+      // 0->2 for 2->0 systematically?
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.bowkerTest(d,
+        when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L))
+    }),
+
+    "q261_stuart_maxwell" -> ((s, dir) => {
+      // Stuart-Maxwell marginal homogeneity between the token band and
+      // the char band — McNemar (q237) generalized to the 3-band case:
+      // did the band DISTRIBUTION shift between the two rules? closed
+      // form 2x2 inverse, chi2(2), closed-form p
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.stuartMaxwell(d,
+        when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L))
+    }),
+
     "q260_composition" -> ((s, dir) => {
       // corpus composition concentration card — HHI, unbiased Simpson,
       // Shannon H, and Hill's effective source count ("mixes like X
@@ -4895,6 +4951,128 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q264_krippendorff" ->
+      // q228's band CTEs; the per-row ordered-pair disagreement and the
+      // pooled-histogram pair fold both exact HUGEINT, alpha ONE division
+      ("WITH base AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS den, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "r AS (SELECT " +
+        "CASE WHEN num * 10 < den THEN 0 WHEN num * 5 < den THEN 1 ELSE 2 END AS r0, " +
+        "CASE WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END AS r1, " +
+        "CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS r2 FROM base), " +
+        "one AS (SELECT count(*) AS n, COALESCE(sum(CAST(2 * " +
+        "(((r0 - r1) * (r0 - r1)) + ((r0 - r2) * (r0 - r2)) + " +
+        "((r1 - r2) * (r1 - r2))) AS HUGEINT)), 0) AS onum FROM r), " +
+        "pool AS (SELECT v, count(*) AS c FROM " +
+        "(SELECT r0 AS v FROM r UNION ALL SELECT r1 FROM r " +
+        "UNION ALL SELECT r2 FROM r) GROUP BY v), " +
+        "pl AS (SELECT list(struct_pack(v := v, c := c) ORDER BY v) AS vs, " +
+        "count(*) AS k FROM pool), " +
+        "e AS (SELECT n, onum, k, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(vs, e1 -> " +
+        "CAST((e1).c AS HUGEINT) * list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(vs, e2 -> CAST((e2).c AS HUGEINT) * " +
+        "CAST(((e1).v - (e2).v) * ((e1).v - (e2).v) AS HUGEINT))), " +
+        "(p, q) -> p + q))), (p, q) -> p + q) AS esum FROM one, pl) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS m_raters, " +
+        "CAST(k AS BIGINT) AS k_vals, " +
+        "CASE WHEN n > 0 AND esum > 0 THEN " +
+        "CAST(floor((1.0 - CAST(onum * (CAST(n AS HUGEINT) * 3) * " +
+        "(CAST(n AS HUGEINT) * 3 - 1) AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * 6 * esum AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
+        "END AS alpha_bp FROM e"),
+
+    "q263_distinct_n" ->
+      // the same whitespace tokenizer; n-grams by in-list slices, one
+      // grouped exact distinct per order, the ratio ONE division
+      ("WITH d AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "u AS (SELECT 1 AS n, unnest(t) AS g FROM d " +
+        "UNION ALL SELECT 2 AS n, unnest(CASE WHEN len(t) >= 2 THEN " +
+        "list_transform(range(1, len(t)), i -> " +
+        "array_to_string(list_slice(t, i, i + 1), ' ')) ELSE [] END) AS g FROM d " +
+        "UNION ALL SELECT 3 AS n, unnest(CASE WHEN len(t) >= 3 THEN " +
+        "list_transform(range(1, len(t) - 1), i -> " +
+        "array_to_string(list_slice(t, i, i + 2), ' ')) ELSE [] END) AS g FROM d) " +
+        "SELECT CAST(n AS BIGINT) AS n, count(*) AS total_ngrams, " +
+        "count(DISTINCT g) AS distinct_ngrams, " +
+        "CAST(floor(CAST(count(DISTINCT g) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS distinct_bp " +
+        "FROM u GROUP BY n"),
+
+    "q262_bowker" ->
+      // the (tok band, char band) contingency by conditional sums; the
+      // three ascending-pair terms folded in the engine's spelled order
+      ("WITH base AS (SELECT " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "r AS (SELECT CASE WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END AS a, " +
+        "CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS b FROM base), " +
+        "m AS (SELECT COALESCE(count(*), 0) AS n, " +
+        "COALESCE(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END), 0) AS n01, " +
+        "COALESCE(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END), 0) AS n10, " +
+        "COALESCE(sum(CASE WHEN a = 0 AND b = 2 THEN 1 ELSE 0 END), 0) AS n02, " +
+        "COALESCE(sum(CASE WHEN a = 2 AND b = 0 THEN 1 ELSE 0 END), 0) AS n20, " +
+        "COALESCE(sum(CASE WHEN a = 1 AND b = 2 THEN 1 ELSE 0 END), 0) AS n12, " +
+        "COALESCE(sum(CASE WHEN a = 2 AND b = 1 THEN 1 ELSE 0 END), 0) AS n21 FROM r), " +
+        "f AS (SELECT n, " +
+        "(CASE WHEN n01 + n10 > 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN n02 + n20 > 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN n12 + n21 > 0 THEN 1 ELSE 0 END) AS dfb, " +
+        "(CASE WHEN n01 + n10 > 0 THEN CAST((n01 - n10) * (n01 - n10) AS DOUBLE) / " +
+        "CAST(n01 + n10 AS DOUBLE) ELSE 0.0 END) + " +
+        "(CASE WHEN n02 + n20 > 0 THEN CAST((n02 - n20) * (n02 - n20) AS DOUBLE) / " +
+        "CAST(n02 + n20 AS DOUBLE) ELSE 0.0 END) + " +
+        "(CASE WHEN n12 + n21 > 0 THEN CAST((n12 - n21) * (n12 - n21) AS DOUBLE) / " +
+        "CAST(n12 + n21 AS DOUBLE) ELSE 0.0 END) AS chi2 FROM m) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_cats, " +
+        "CASE WHEN dfb > 0 THEN CAST(dfb AS BIGINT) END AS df_b, " +
+        "CASE WHEN dfb > 0 THEN CAST(floor(chi2 * 10000 + 0.5) AS BIGINT) " +
+        "END AS chi2_bp FROM f"),
+
+    "q261_stuart_maxwell" ->
+      // the same contingency by conditional sums; the closed-form 2x2
+      // inverse gives chi2 as ONE division of exact HUGEINT integers,
+      // p = exp(-chi2/2) on the even dof 2
+      ("WITH base AS (SELECT " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "r AS (SELECT CASE WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END AS a, " +
+        "CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS b FROM base), " +
+        "m AS (SELECT COALESCE(count(*), 0) AS n, " +
+        "COALESCE(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END), 0) AS r1, " +
+        "COALESCE(sum(CASE WHEN a = 2 THEN 1 ELSE 0 END), 0) AS r2, " +
+        "COALESCE(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END), 0) AS c1, " +
+        "COALESCE(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END), 0) AS c2, " +
+        "COALESCE(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END), 0) AS n11, " +
+        "COALESCE(sum(CASE WHEN a = 2 AND b = 2 THEN 1 ELSE 0 END), 0) AS n22, " +
+        "COALESCE(sum(CASE WHEN a = 1 AND b = 2 THEN 1 ELSE 0 END), 0) AS n12, " +
+        "COALESCE(sum(CASE WHEN a = 2 AND b = 1 THEN 1 ELSE 0 END), 0) AS n21 FROM r), " +
+        "s AS (SELECT n, r1 - c1 AS d1, r2 - c2 AS d2, " +
+        "CAST(r1 + c1 - 2 * n11 AS HUGEINT) AS s11, " +
+        "CAST(r2 + c2 - 2 * n22 AS HUGEINT) AS s22, " +
+        "CAST(-(n12 + n21) AS HUGEINT) AS s12 FROM m), " +
+        "f AS (SELECT n, d1, d2, " +
+        "CAST(d1 AS HUGEINT) * CAST(d1 AS HUGEINT) * s22 - " +
+        "2 * CAST(d1 AS HUGEINT) * CAST(d2 AS HUGEINT) * s12 + " +
+        "CAST(d2 AS HUGEINT) * CAST(d2 AS HUGEINT) * s11 AS num, " +
+        "s11 * s22 - s12 * s12 AS den FROM s) " +
+        "SELECT CAST(n AS BIGINT) AS n, " +
+        "CASE WHEN n > 0 THEN CAST(d1 AS BIGINT) END AS d1, " +
+        "CASE WHEN n > 0 THEN CAST(d2 AS BIGINT) END AS d2, " +
+        "CASE WHEN n > 0 AND den > 0 THEN " +
+        "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS chi2_bp, " +
+        "CASE WHEN n > 0 AND den > 0 THEN " +
+        "CAST(floor(exp(-((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) / 2)) * 10000 + 0.5) AS BIGINT) " +
+        "END AS p_bp FROM f"),
 
     "q260_composition" ->
       // the bounded per-source count list in sorted group order; HHI and

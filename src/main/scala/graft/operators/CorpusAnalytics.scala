@@ -3037,6 +3037,51 @@ object CorpusAnalytics {
           f1d * (f1d - 1) / 2)).as("chao1"))
   }
 
+  /** Corpus-level distinct-n diversity (Li et al. 2016, "A Diversity-
+    * Promoting Objective" — distinct-n = unique n-grams / total n-grams,
+    * THE standard corpus diversity read beside the per-doc repetition
+    * gates ([[repetitionRatio]] flags one repetitive document; a corpus
+    * of mutually-near-identical documents passes every per-doc gate and
+    * only distinct-n sees it). One row per n in `ns`:
+    * (n, total_ngrams, distinct_ngrams, distinct_bp).
+    *
+    * Exactness: counts are integers and the ratio is ONE division.
+    * Empty-after-trim documents are excluded on both engines (the
+    * tokenizer would otherwise mint a phantom empty token).
+    *
+    * Scale shape: ONE corpus scan — n-grams generate map-side from
+    * in-array slices (no positions self-join), and the (n, gram)
+    * aggregate carries partial counts. The exact distinct count is the
+    * honest gate-scale metric; at 100 TB the drop-in scale twin is
+    * `approx_count_distinct` on the same exploded frame (same plan
+    * shape, sketch exchange), which the gate deliberately does not pin.
+    */
+  def distinctNgrams(
+      docs: DataFrame,
+      textCol: String = "text",
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "n-gram orders must be >= 1")
+    val toksC = split(lower(trim(col(textCol))), "\\s+")
+    val pairs = flatten(array(ns.map { n =>
+      when(size(col("_t")) >= n,
+        transform(sequence(lit(1), size(col("_t")) - n + 1), i =>
+          struct(lit(n).as("n"),
+            concat_ws(" ", slice(col("_t"), i, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    }: _*))
+    docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(toksC.as("_t"))
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.n").cast("long").as("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("p.g")).as("distinct_ngrams"))
+      .select(col("n"), col("total_ngrams"), col("distinct_ngrams"),
+        floor(col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double") * 10000 + lit(0.5))
+          .cast("long").as("distinct_bp"))
+  }
+
   /** Corpus composition concentration card — the curation audit run
     * before any source-mixing decision: how concentrated is the corpus
     * across sources/domains? One row: (n, k_groups, top_share_bp,

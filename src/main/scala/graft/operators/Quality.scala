@@ -1292,6 +1292,132 @@ object Quality {
           .otherwise(lit(null).cast("double")).as("chi2_cc"))
   }
 
+  /** Stuart–Maxwell marginal-homogeneity test for 3 ordinal categories
+    * (Stuart 1955 / Maxwell 1970 — [[mcnemarTest]] generalized past 2×2:
+    * two banded raters/runs disagree document by document; did the BAND
+    * DISTRIBUTION itself shift between them? — the audit for swapping
+    * one banding rule for another, where per-band proportion tests throw
+    * away the pairing). One row: (n, d1, d2, chi2_bp, p_bp) with
+    * d_i = row_i − col_i for categories 1 and 2 (Σd = 0 makes the third
+    * redundant; the statistic is invariant to the dropped category),
+    * χ² = d'S⁻¹d on 2 dof — and dof 2 is EVEN, so p = exp(−χ²/2) is
+    * closed form (the jarqueBera precedent).
+    *
+    * Exactness: for k = 3 the 2×2 covariance inverse is closed form, so
+    * χ² = (d₁²·S₂₂ − 2d₁d₂·S₁₂ + d₂²·S₁₁) / (S₁₁S₂₂ − S₁₂²) with
+    * S_ii = r_i + c_i − 2n_ii and S₁₂ = −(n₁₂ + n₂₁) — every term an
+    * exact DECIMAL(38,0) integer, ONE division. Categories must be
+    * integer-coded 0/1/2; a singular covariance (det ≤ 0 — e.g. a band
+    * absent from both raters) reports NULL displays.
+    *
+    * Scale shape: ONE (a, b) contingency hash agg (≤ 9 keys) collapses
+    * the corpus map-side; the rest is a one-row fold.
+    */
+  def stuartMaxwell(df: DataFrame, colA: Column, colB: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ct = df.filter(colA.isNotNull && colB.isNotNull)
+      .groupBy(colA.cast("long").as("_a"), colB.cast("long").as("_b"))
+      .agg(count(lit(1)).as("c"))
+    val one = ct.agg(
+      sort_array(collect_list(struct(col("_a"), col("_b"), col("c"))))
+        .as("cs"),
+      coalesce(sum(col("c")), lit(0L)).as("n"),
+      coalesce(max(greatest(col("_a"), col("_b"))), lit(0L)).as("_mx"),
+      coalesce(min(least(col("_a"), col("_b"))), lit(0L)).as("_mn"))
+    def mass(p: Column => Column): Column =
+      aggregate(col("cs"), lit(0L), (a, e) => a + p(e))
+    def cell(i: Int, j: Int): Column = mass(e =>
+      when(e.getField("_a") === i && e.getField("_b") === j,
+        e.getField("c")).otherwise(lit(0L)))
+    def row(i: Int): Column = mass(e =>
+      when(e.getField("_a") === i, e.getField("c")).otherwise(lit(0L)))
+    def colM(i: Int): Column = mass(e =>
+      when(e.getField("_b") === i, e.getField("c")).otherwise(lit(0L)))
+    val d1 = row(1) - colM(1)
+    val d2 = row(2) - colM(2)
+    val s11 = (row(1) + colM(1) - lit(2L) * cell(1, 1)).cast(dec)
+    val s22 = (row(2) + colM(2) - lit(2L) * cell(2, 2)).cast(dec)
+    val s12 = (-(cell(1, 2) + cell(2, 1))).cast(dec)
+    val num = d1.cast(dec) * d1.cast(dec) * s22 -
+      lit(2).cast(dec) * d1.cast(dec) * d2.cast(dec) * s12 +
+      d2.cast(dec) * d2.cast(dec) * s11
+    val den = s11 * s22 - s12 * s12
+    val chi2 = num.cast("double") / den.cast("double")
+    val p = exp(-(chi2 / 2))
+    val ok = col("n") > 0 && col("_mx") <= 2 && col("_mn") >= 0 && den > 0
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    one.select(col("n"),
+      when(col("n") > 0, d1).otherwise(lit(null).cast("long")).as("d1"),
+      when(col("n") > 0, d2).otherwise(lit(null).cast("long")).as("d2"),
+      when(ok, bp(chi2)).otherwise(lit(null).cast("long")).as("chi2_bp"),
+      when(ok, bp(p)).otherwise(lit(null).cast("long")).as("p_bp"))
+  }
+
+  /** Bowker's symmetry test (Bowker 1948 — the OTHER k×k McNemar
+    * generalization: [[stuartMaxwell]] asks whether the two MARGINS
+    * agree, Bowker asks the stronger cell-level question — is every
+    * off-diagonal confusion balanced, n_ij ≈ n_ji? A banding swap can
+    * hold the margins while systematically trading band-0↔2 for 2↔0;
+    * only symmetry sees it). One row: (n, k_cats, df_b, chi2_bp) with
+    * χ² = Σ_{i<j} (n_ij−n_ji)²/(n_ij+n_ji) over pairs with mass, df_b
+    * the number of contributing pairs (zero-mass pairs contribute no
+    * information — the standard convention; df may be odd, so the
+    * statistic ships without p, the kruskalWallis precedent).
+    *
+    * Every term is a rational of exact integers folded in ascending
+    * (i, j) pair order over the observed category list — engine-
+    * replayable. Categories are integer codes (any arity).
+    *
+    * Scale shape: ONE (a, b) contingency hash agg (classes² keys)
+    * collapses the corpus map-side; the rest is a one-row fold.
+    */
+  def bowkerTest(df: DataFrame, colA: Column, colB: Column): DataFrame = {
+    val ct = df.filter(colA.isNotNull && colB.isNotNull)
+      .groupBy(colA.cast("long").as("_a"), colB.cast("long").as("_b"))
+      .agg(count(lit(1)).as("c"))
+    val one = ct.agg(
+      sort_array(collect_list(struct(col("_a"), col("_b"), col("c"))))
+        .as("cs"),
+      coalesce(sum(col("c")), lit(0L)).as("n"))
+      .withColumn("_cats", sort_array(array_distinct(concat(
+        transform(col("cs"), e => e.getField("_a")),
+        transform(col("cs"), e => e.getField("_b"))))))
+      .withColumn("_k", size(col("_cats")))
+    def cellAt(i: Column, j: Column): Column =
+      aggregate(col("cs"), lit(0L), (a, e) =>
+        a + when(e.getField("_a") === i && e.getField("_b") === j,
+          e.getField("c")).otherwise(lit(0L)))
+    def catAt(i: Column) = element_at(col("_cats"), i.cast("int"))
+    // ascending (i, j) pair walk over the observed category list: the
+    // fold order is the spelled order on both engines
+    val pairs = flatten(transform(sequence(lit(1), col("_k") - 1), i =>
+      transform(sequence(i + 1, col("_k")), j =>
+        struct(catAt(i).as("ci"), catAt(j).as("cj")))))
+    val terms = transform(pairs, p => {
+      val nij = cellAt(p.getField("ci"), p.getField("cj"))
+      val nji = cellAt(p.getField("cj"), p.getField("ci"))
+      struct((nij + nji).as("s"),
+        ((nij - nji) * (nij - nji)).as("q"))
+    })
+    val chi2 = aggregate(col("_terms"), lit(0.0), (a, t) =>
+      a + when(t.getField("s") > 0,
+        t.getField("q").cast("double") / t.getField("s").cast("double"))
+        .otherwise(lit(0.0)))
+    val dfB = aggregate(col("_terms"), lit(0L), (a, t) =>
+      a + when(t.getField("s") > 0, 1L).otherwise(0L))
+    val withT = one.withColumn("_terms",
+      // sequence(1, 0) would step DOWNWARD on a single category (the
+      // bhAdjust lesson)
+      when(col("_k") > 1, terms)
+        .otherwise(array().cast("array<struct<s:bigint,q:bigint>>")))
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    withT.select(col("n"), col("_k").cast("long").as("k_cats"),
+      when(col("_k") > 1 && dfB > 0, dfB)
+        .otherwise(lit(null).cast("long")).as("df_b"),
+      when(col("_k") > 1 && dfB > 0, bp(chi2))
+        .otherwise(lit(null).cast("long")).as("chi2_bp"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for MORE
     * THAN TWO raters over a shared category space, what
     * [[graft.operators.Normalize.cohenKappa]] (pairwise) can't report:
@@ -1352,6 +1478,67 @@ object Quality {
         ce =!= col("n").cast(dec) * lit(k) * (col("n").cast(dec) * lit(k)),
         r4((pbar - pe) / (lit(1.0) - pe)))
         .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
+  /** Krippendorff's alpha, interval metric, complete ratings
+    * (Krippendorff 1970/2004, δ(c,c') = (c−c')² — the agreement
+    * coefficient annotation QA standardized on: [[fleissKappa]] treats
+    * band 0-vs-2 like an adjacent miss and assumes its own chance model;
+    * alpha weights misses by DISTANCE and its chance term comes from the
+    * pooled value distribution, making it comparable across studies.
+    * This is the complete-data form — every unit rated by the same m
+    * raters, the shape the banded-rater audits produce; Krippendorff's
+    * missing-data machinery is not needed there). One row:
+    * (n, m_raters, k_vals, alpha_bp) with
+    * α = 1 − D_o/D_e = 1 − N(N−1)·Σ_u Σ_{r≠r'}δ / (n·m(m−1)·Σ_{c,c'} n_c n_{c'} δ),
+    * N = n·m pooled ratings.
+    *
+    * Exactness: the observed disagreement is a map-side integer per row
+    * (2·Σ_{r<r'}(x_r−x_r')²), the expected term is the pooled-histogram
+    * pair fold (the weightedKappa esum discipline), and α is ONE
+    * division of two exact DECIMAL(38,0) integers. Unanimous-constant
+    * corpora (D_e = 0) report NULL.
+    *
+    * Scale shape: one single-row conditional aggregate + one m-wide
+    * explode into a values-bounded histogram — two corpus passes, no
+    * join, no window.
+    */
+  def krippendorffAlpha(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, "alpha needs at least 2 raters")
+    val m = raters.size
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(raters.map(_.isNotNull).reduce(_ && _))
+      .select(raters.zipWithIndex.map { case (c, i) =>
+        c.cast("long").as(s"_x$i") }: _*)
+    // ordered-pair disagreement per unit: 2·Σ_{r<r'} (x_r − x_r')²
+    val pd = lit(2L) * (for (i <- 0 until m; j <- i + 1 until m) yield {
+      val d = col(s"_x$i") - col(s"_x$j")
+      d * d
+    }).reduce(_ + _)
+    val agg1 = v.agg(count(lit(1)).as("n"),
+      coalesce(sum(pd.cast(dec)), lit(0).cast(dec)).as("_onum"))
+    val pooled = v
+      .select(explode(array((0 until m).map(i => col(s"_x$i")): _*)).as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+      .agg(sort_array(collect_list(struct(col("_v"), col("_c")))).as("vs"),
+        count(lit(1)).as("k_vals"))
+    def vE(e: Column) = e.getField("_v")
+    def cE(e: Column) = e.getField("_c").cast(dec)
+    val esum = aggregate(col("vs"), lit(0).cast(dec), (acc, e1) =>
+      (acc + cE(e1) * aggregate(col("vs"), lit(0).cast(dec), (a2, e2) =>
+        (a2 + cE(e2) *
+          ((vE(e1) - vE(e2)) * (vE(e1) - vE(e2))).cast(dec)).cast(dec)))
+        .cast(dec))
+    val bigN = col("n").cast(dec) * lit(m).cast(dec)
+    val num2 = col("_onum") * bigN * (bigN - 1)
+    val den2 = col("n").cast(dec) * lit(m.toLong * (m - 1)).cast(dec) *
+      col("_esum")
+    val alpha = lit(1.0) - num2.cast("double") / den2.cast("double")
+    agg1.crossJoin(broadcast(pooled)).withColumn("_esum", esum)
+      .select(col("n"), lit(m.toLong).as("m_raters"), col("k_vals"),
+        when(col("n") > 0 && col("_esum") > 0,
+          floor(alpha * 10000 + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("alpha_bp"))
   }
 
   /** One-way ANOVA F + eta² over an INTEGRAL measure (Fisher 1925) —

@@ -450,6 +450,142 @@ class AuditPropSpec extends SparkSpec {
     assert(const._3.isEmpty && const._6.isEmpty)
   }
 
+  /** Published Stuart–Maxwell form dropping category `drop` (the
+    * statistic is invariant to the choice — the spec exploits that).
+    */
+  private def refStuart(rows: Seq[(Long, Long)], drop: Long)
+      : Option[Double] = {
+    val cats = Seq(0L, 1L, 2L).filter(_ != drop)
+    val (i, j) = (cats(0), cats(1))
+    def cell(a: Long, b: Long) = rows.count(r => r._1 == a && r._2 == b)
+    def row(a: Long) = rows.count(_._1 == a)
+    def colC(b: Long) = rows.count(_._2 == b)
+    val d1 = row(i) - colC(i)
+    val d2 = row(j) - colC(j)
+    val s11 = row(i) + colC(i) - 2.0 * cell(i, i)
+    val s22 = row(j) + colC(j) - 2.0 * cell(j, j)
+    val s12 = -(cell(i, j) + cell(j, i)).toDouble
+    val den = s11 * s22 - s12 * s12
+    if (den <= 0) None
+    else Some((d1 * d1 * s22 - 2.0 * d1 * d2 * s12 + d2 * d2 * s11) / den)
+  }
+
+  test("stuartMaxwell: published form, drop-category invariance, degenerates (10 rounds)") {
+    val rowGen = Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 2L))
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(60, rowGen), 55000L + round)
+      val got = Quality.stuartMaxwell(rows.toDF("a", "b"), col("a"), col("b"))
+        .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+        .head()
+      assert(got._1 == 60L)
+      (got._4, refStuart(rows, drop = 0L)) match {
+        case (Some(c), Some(w)) =>
+          assert(math.abs(c / 10000.0 - w) < 1e-3, s"round $round: chi2")
+          // the statistic must not depend on which category is dropped
+          val alt = refStuart(rows, drop = 1L).get
+          assert(math.abs(w - alt) < 1e-9, s"round $round: drop invariance")
+        case (a, b) => assert(a.isEmpty && b.isEmpty, s"round $round")
+      }
+    }
+    // a symmetric confusion has equal margins: chi2 = 0, p = 1
+    val sym = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L),
+      (2L, 0L), (1L, 1L)).toDF("a", "b")
+    val s = Quality.stuartMaxwell(sym, col("a"), col("b"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .head()
+    assert(s._2 == Some(0L) && s._4 == Some(0L) && s._5 == Some(10000L))
+    // perfect agreement: zero-variance covariance, null displays
+    val diag = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(Quality.stuartMaxwell(diag, col("a"), col("b"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .head()._4.isEmpty)
+  }
+
+  test("bowkerTest: published form, McNemar reduction, zero-pair dof (10 rounds)") {
+    def refBowker(rows: Seq[(Long, Long)]): (Long, Double) = {
+      val cats = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+      val ps = for (i <- cats.indices; j <- i + 1 until cats.size) yield {
+        val nij = rows.count(r => r._1 == cats(i) && r._2 == cats(j))
+        val nji = rows.count(r => r._1 == cats(j) && r._2 == cats(i))
+        (nij, nji)
+      }
+      val live = ps.filter(p => p._1 + p._2 > 0)
+      (live.size.toLong, live.map { case (x, y) =>
+        (x - y).toDouble * (x - y) / (x + y) }.sum)
+    }
+    val rowGen = Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 2L))
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(50, rowGen), 56000L + round)
+      val got = Quality.bowkerTest(rows.toDF("a", "b"), col("a"), col("b"))
+        .as[(Long, Long, Option[Long], Option[Long])].head()
+      val (dfw, chiw) = refBowker(rows)
+      if (dfw > 0) {
+        assert(got._3 == Some(dfw), s"round $round: df")
+        assert(math.abs(got._4.get / 10000.0 - chiw) < 1e-3, s"round $round")
+      } else assert(got._4.isEmpty)
+    }
+    // two categories: Bowker degenerates to McNemar's uncorrected chi2
+    val binGen = Gen.zip(Gen.oneOf(0L, 1L), Gen.oneOf(0L, 1L))
+    val bin = draw(Gen.listOfN(40, binGen), 56500L)
+    val bk = Quality.bowkerTest(bin.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Option[Long], Option[Long])].head()
+    val mc = Quality.mcnemarTest(
+      bin.map { case (a, b) => (a == 1L, b == 1L) }.toDF("a", "b"),
+      col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .head()
+    (bk._4, mc._6) match {
+      case (Some(c), Some(w)) => assert(math.abs(c / 10000.0 - w) <= 1.0001e-4)
+      case (a, b) => assert(a.isEmpty && b.isEmpty)
+    }
+    // perfect agreement: every pair mass 0 — df and chi2 null
+    assert(Quality.bowkerTest(
+      Seq((0L, 0L), (1L, 1L)).toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Option[Long], Option[Long])].head()._4.isEmpty)
+  }
+
+  /** Published interval-metric alpha, complete data, straight doubles. */
+  private def refAlpha(units: Seq[Seq[Long]]): Option[Double] = {
+    val n = units.size
+    val m = units.head.size
+    val dO = units.map(u => (for (i <- 0 until m; j <- 0 until m if i != j)
+      yield ((u(i) - u(j)) * (u(i) - u(j))).toDouble).sum).sum /
+      (n.toDouble * m * (m - 1))
+    val pool = units.flatten
+    val bigN = pool.size
+    val dE = (for (a <- pool; b <- pool) yield ((a - b) * (a - b)).toDouble)
+      .sum / (bigN.toDouble * (bigN - 1))
+    if (dE == 0) None else Some(1.0 - dO / dE)
+  }
+
+  test("krippendorffAlpha: published form, perfect agreement, degenerates (10 rounds)") {
+    val unitGen = Gen.listOfN(3, Gen.choose(0L, 2L))
+    for (round <- 0 until 10) {
+      val units = draw(Gen.listOfN(40, unitGen), 57000L + round)
+      val df = units.map(u => (u(0), u(1), u(2))).toDF("r0", "r1", "r2")
+      val got = Quality.krippendorffAlpha(df,
+        Seq(col("r0"), col("r1"), col("r2")))
+        .as[(Long, Long, Long, Option[Long])].head()
+      assert(got._1 == 40L && got._2 == 3L)
+      (got._4, refAlpha(units)) match {
+        case (Some(a), Some(w)) =>
+          assert(math.abs(a / 10000.0 - w) < 2e-4, s"round $round")
+        case (a, b) => assert(a.isEmpty && b.isEmpty, s"round $round")
+      }
+    }
+    // unanimous raters with VARIED values: alpha exactly 1
+    val perfect = Seq((0L, 0L, 0L), (1L, 1L, 1L), (2L, 2L, 2L))
+      .toDF("r0", "r1", "r2")
+    assert(Quality.krippendorffAlpha(perfect,
+      Seq(col("r0"), col("r1"), col("r2")))
+      .as[(Long, Long, Long, Option[Long])].head()._4 == Some(10000L))
+    // constant corpus: no expected disagreement to correct against
+    val const = Seq((1L, 1L, 1L), (1L, 1L, 1L)).toDF("r0", "r1", "r2")
+    assert(Quality.krippendorffAlpha(const,
+      Seq(col("r0"), col("r1"), col("r2")))
+      .as[(Long, Long, Long, Option[Long])].head()._4.isEmpty)
+  }
+
   test("cochranQ with two rules equals McNemar's uncorrected chi2 (10 rounds)") {
     val pGen = Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))
     for (round <- 0 until 10) {

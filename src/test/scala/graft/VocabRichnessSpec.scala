@@ -48,6 +48,39 @@ class VocabRichnessSpec extends SparkSpec {
     assert(many._5.get > few._5.get)
   }
 
+  // ---- corpus distinct-n diversity ----
+
+  private def dn(texts: Seq[String]): Map[Long, (Long, Long, Long)] =
+    CorpusAnalytics.distinctNgrams(texts.toDF("text"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("distinct-n: hand case across the three orders") {
+    // "a b a b": unigrams a,b,a,b; bigrams "a b","b a","a b"; trigrams
+    // "a b a","b a b". "a b" adds 2 unigrams + 1 bigram.
+    val got = dn(Seq("a b a b", "a b"))
+    assert(got(1L) == ((6L, 2L, 3333L)))
+    assert(got(2L) == ((4L, 2L, 5000L)))
+    assert(got(3L) == ((2L, 2L, 10000L)))
+  }
+
+  test("distinct-n: a copy-paste corpus scores far below a varied one") {
+    val copied = dn(Seq.fill(8)("the quick brown fox jumps"))
+    val varied = dn(Seq("the quick brown fox", "a slow red dog",
+      "some other words here", "yet more new tokens", "all fresh again ok",
+      "never a repeat here", "final unique line now", "done with this set"))
+    assert(copied(2L)._3 < varied(2L)._3)
+    // every bigram in the copied corpus is one of 4 distinct strings
+    assert(copied(2L)._2 == 4L)
+  }
+
+  test("distinct-n: docs shorter than n contribute nothing; empty text drops") {
+    val got = dn(Seq("solo", "  ", "two words"))
+    assert(got(1L)._1 == 3L)       // "solo", "two", "words" — blank doc out
+    assert(got(2L)._1 == 1L)       // only "two words"
+    assert(!got.contains(3L) || got(3L)._1 == 0L)
+  }
+
   // ---- composition concentration card ----
 
   private def comp(sources: Seq[String])
