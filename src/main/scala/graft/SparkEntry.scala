@@ -1561,6 +1561,27 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q266_auc_ci" -> ((s, dir) => {
+      // DeLong confidence interval on q207's AUC — the same stopword
+      // signal vs the src0 label, now with the structural-components
+      // SE an AUC point estimate owes threshold decisions
+      operators.Ranking.delongAucCi(
+        Tables(s, dir, "documents").filter(col("text").isNotNull),
+        functions.TextAnalysis.stopwordRatio(col("text")),
+        col("source") === "src0")
+    }),
+
+    "q265_assoc_card" -> ((s, dir) => {
+      // association card source x token band: chi2, the LR G-test, and
+      // Cramer's V effect size in one pass — "is doc length banded
+      // differently by source, and by how much?"
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.associationCard(d, col("source"),
+        when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L))
+    }),
+
     "q264_krippendorff" -> ((s, dir) => {
       // Krippendorff's interval alpha over q228's THREE band raters —
       // the distance-weighted, pooled-chance agreement coefficient
@@ -4951,6 +4972,93 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q266_auc_ci" ->
+      // q207's score/label CTE collapsed to the per-score histogram; the
+      // doubled placements 2*negBelow + negTied are exact HUGEINT per
+      // class, both variances clear to integer numerators, the AUC/SE
+      // chain spelled as Spark's
+      ("WITH v AS (SELECT doc_id AS id, " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS DOUBLE) / " +
+        "len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s, " +
+        "(source = 'src0') AS l FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "h AS (SELECT s, count(*) AS hc, " +
+        "sum(CASE WHEN l THEN 1 ELSE 0 END) AS hp FROM v GROUP BY s), " +
+        "w AS (SELECT s, hc, hp, sum(hc) OVER (ORDER BY s) - hc AS pfa, " +
+        "sum(hp) OVER (ORDER BY s) - hp AS pfp FROM h), " +
+        "t0 AS (SELECT CAST(sum(hp) AS BIGINT) AS p, " +
+        "CAST(sum(hc - hp) AS BIGINT) AS ng, " +
+        "sum(CAST(hp AS HUGEINT) * CAST(2 * (pfa - pfp) + (hc - hp) AS HUGEINT)) AS s1, " +
+        "sum(CAST(hp AS HUGEINT) * CAST(2 * (pfa - pfp) + (hc - hp) AS HUGEINT) * " +
+        "CAST(2 * (pfa - pfp) + (hc - hp) AS HUGEINT)) AS q1 FROM w), " +
+        "t1 AS (SELECT p, ng, s1, q1, " +
+        "sum(CAST(hc - hp AS HUGEINT) * CAST(2 * p - 2 * pfp - hp AS HUGEINT)) AS s0, " +
+        "sum(CAST(hc - hp AS HUGEINT) * CAST(2 * p - 2 * pfp - hp AS HUGEINT) * " +
+        "CAST(2 * p - 2 * pfp - hp AS HUGEINT)) AS q0 " +
+        "FROM w, t0 GROUP BY p, ng, s1, q1), " +
+        "f AS (SELECT p, ng, " +
+        "CAST(s1 AS DOUBLE) / (2.0 * CAST(ng AS DOUBLE) * CAST(p AS DOUBLE)) AS auc, " +
+        "CAST(CAST(p AS HUGEINT) * q1 - s1 * s1 AS DOUBLE) / " +
+        "(CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) - 1)) / " +
+        "(4.0 * CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE)) AS s10, " +
+        "CAST(CAST(ng AS HUGEINT) * q0 - s0 * s0 AS DOUBLE) / " +
+        "(CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1)) / " +
+        "(4.0 * CAST(p AS DOUBLE) * CAST(p AS DOUBLE)) AS s01 FROM t1), " +
+        "z AS (SELECT p, ng, auc, " +
+        "sqrt(s10 / CAST(p AS DOUBLE) + s01 / CAST(ng AS DOUBLE)) AS se FROM f) " +
+        "SELECT p AS n_pos, ng AS n_neg, " +
+        "CASE WHEN p > 0 AND ng > 0 THEN CAST(floor(auc * 10000 + 0.5) AS BIGINT) END AS auc_bp, " +
+        "CASE WHEN p > 1 AND ng > 1 THEN CAST(floor(se * 10000 + 0.5) AS BIGINT) END AS se_bp, " +
+        "CASE WHEN p > 1 AND ng > 1 THEN " +
+        "CAST(floor(greatest(0.0, auc - 1.96 * se) * 10000 + 0.5) AS BIGINT) END AS lo_bp, " +
+        "CASE WHEN p > 1 AND ng > 1 THEN " +
+        "CAST(floor(least(1.0, auc + 1.96 * se) * 10000 + 0.5) AS BIGINT) END AS hi_bp FROM z"),
+
+    "q265_assoc_card" ->
+      // the densified source x band cross with integer margins attached,
+      // folded in ascending (a, b) order; chi2/G/V chains spelled as
+      // Spark's, G skipping observed-zero cells
+      ("WITH base AS (SELECT source AS a, " +
+        "CASE WHEN CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) < 40 THEN 0 " +
+        "WHEN CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) < 70 THEN 1 " +
+        "ELSE 2 END AS b FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "obs AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b), " +
+        "cr AS (SELECT ca.a, cb.b FROM (SELECT DISTINCT a FROM obs) ca, " +
+        "(SELECT DISTINCT b FROM obs) cb), " +
+        "cells AS (SELECT cr.a, cr.b, COALESCE(obs.o, 0) AS o FROM cr " +
+        "LEFT JOIN obs ON obs.a = cr.a AND obs.b = cr.b), " +
+        "ma AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a), " +
+        "mb AS (SELECT b, sum(o) AS cb2 FROM cells GROUP BY b), " +
+        "one AS (SELECT list(struct_pack(a := c.a, b := c.b, o := c.o, " +
+        "ra := ma.ra, cb := mb.cb2) ORDER BY c.a, c.b) AS cs, " +
+        "COALESCE(sum(c.o), 0) AS n, count(DISTINCT c.a) AS ka, " +
+        "count(DISTINCT c.b) AS kb " +
+        "FROM cells c JOIN ma ON ma.a = c.a JOIN mb ON mb.b = c.b), " +
+        "f AS (SELECT n, ka, kb, CAST(n AS DOUBLE) AS nn, " +
+        "list_reduce(list_prepend(0.0, list_transform(cs, e -> " +
+        "(CAST((e).ra AS DOUBLE) * CAST((e).cb AS DOUBLE) / CAST(n AS DOUBLE) - CAST((e).o AS DOUBLE)) * " +
+        "(CAST((e).ra AS DOUBLE) * CAST((e).cb AS DOUBLE) / CAST(n AS DOUBLE) - CAST((e).o AS DOUBLE)) / " +
+        "(CAST((e).ra AS DOUBLE) * CAST((e).cb AS DOUBLE) / CAST(n AS DOUBLE)))), (p, q) -> p + q) AS chi2, " +
+        "2.0 * list_reduce(list_prepend(0.0, list_transform(cs, e -> " +
+        "CASE WHEN (e).o > 0 THEN CAST((e).o AS DOUBLE) * ln(CAST((e).o AS DOUBLE) / " +
+        "(CAST((e).ra AS DOUBLE) * CAST((e).cb AS DOUBLE) / CAST(n AS DOUBLE))) " +
+        "ELSE 0.0 END)), (p, q) -> p + q) AS g FROM one) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS k_a, " +
+        "CAST(kb AS BIGINT) AS k_b, " +
+        "CASE WHEN n > 0 AND ka > 1 AND kb > 1 THEN " +
+        "CAST((ka - 1) * (kb - 1) AS BIGINT) END AS dof, " +
+        "CASE WHEN n > 0 AND ka > 1 AND kb > 1 THEN " +
+        "CAST(floor(chi2 * 10000 + 0.5) AS BIGINT) END AS chi2_bp, " +
+        "CASE WHEN n > 0 AND ka > 1 AND kb > 1 THEN " +
+        "CAST(floor(g * 10000 + 0.5) AS BIGINT) END AS g_bp, " +
+        "CASE WHEN n > 0 AND ka > 1 AND kb > 1 THEN " +
+        "CAST(floor(sqrt(chi2 / (nn * (CAST(least(ka, kb) AS DOUBLE) - 1))) * 10000 + 0.5) AS BIGINT) " +
+        "END AS cramers_v_bp FROM f"),
 
     "q264_krippendorff" ->
       // q228's band CTEs; the per-row ordered-pair disagreement and the

@@ -1292,6 +1292,69 @@ object Quality {
           .otherwise(lit(null).cast("double")).as("chi2_cc"))
   }
 
+  /** Categorical association card — chi-square, the G-test, and
+    * Cramér's V in one pass ([[chiSquareIndependence]] reports the raw
+    * χ² per cell; this is the summary the mixing decision actually
+    * reads: G = 2Σ O·ln(O/E) is the likelihood-ratio twin (additive
+    * across partitions, the better-behaved statistic on sparse tables —
+    * Sokal & Rohlf §17.2), and Cramér's V = √(χ²/(n·(min(k_a,k_b)−1)))
+    * (Cramér 1946) is the [0, 1] effect size that makes association
+    * magnitudes comparable across tables where raw χ² scales with n).
+    * One row: (n, k_a, k_b, dof, chi2_bp, g_bp, cramers_v_bp).
+    *
+    * Float discipline: the densified A×B cell list (absent cells carry
+    * observed 0 but positive expected mass — they MUST contribute to
+    * χ², the chiSquareIndependence lesson) collects sorted WITH integer
+    * margins attached (the uncertaintyCoefficient shape), so every χ²/G
+    * term folds in ascending (a, b) order from exact integer inputs;
+    * G's o·ln(o/e) terms skip o = 0 cells (lim x·ln x = 0).
+    *
+    * Scale shape: one contingency hash agg (bounded by label arities),
+    * two margin aggregates re-entering as broadcasts, one single-row
+    * fold. No row-level window or join.
+    */
+  def associationCard(
+      df: DataFrame,
+      aCol: Column,
+      bCol: Column): DataFrame = {
+    val observed = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.as("_a"), bCol.as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val cells = observed.select(col("_a")).distinct()
+      .crossJoin(observed.select(col("_b")).distinct())
+      .join(observed, Seq("_a", "_b"), "left")
+      .select(col("_a"), col("_b"), coalesce(col("_o"), lit(0L)).as("_o"))
+    val ma = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val mb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val one = cells
+      .join(broadcast(ma), "_a").join(broadcast(mb), "_b")
+      .groupBy()
+      .agg(sort_array(collect_list(struct(
+        col("_a"), col("_b"), col("_o"), col("_ra"), col("_cb")))).as("cs"),
+        coalesce(sum(col("_o")), lit(0L)).as("n"),
+        countDistinct(col("_a")).as("k_a"),
+        countDistinct(col("_b")).as("k_b"))
+    val nn = col("n").cast("double")
+    def oE(e: Column) = e.getField("_o").cast("double")
+    def expE(e: Column) =
+      e.getField("_ra").cast("double") * e.getField("_cb").cast("double") / nn
+    val chi2 = aggregate(col("cs"), lit(0.0), (a, e) =>
+      a + (expE(e) - oE(e)) * (expE(e) - oE(e)) / expE(e))
+    val g = lit(2.0) * aggregate(col("cs"), lit(0.0), (a, e) =>
+      a + when(e.getField("_o") > 0, oE(e) * log(oE(e) / expE(e)))
+        .otherwise(lit(0.0)))
+    val minK = least(col("k_a"), col("k_b")).cast("double")
+    val vC = sqrt(chi2 / (nn * (minK - 1)))
+    val dof = (col("k_a") - 1) * (col("k_b") - 1)
+    val ok = col("n") > 0 && col("k_a") > 1 && col("k_b") > 1
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    def guard(c: Column) = when(ok, bp(c)).otherwise(lit(null).cast("long"))
+    one.select(col("n"), col("k_a"), col("k_b"),
+      when(ok, dof).otherwise(lit(null).cast("long")).as("dof"),
+      guard(chi2).as("chi2_bp"), guard(g).as("g_bp"),
+      guard(vC).as("cramers_v_bp"))
+  }
+
   /** Stuart–Maxwell marginal-homogeneity test for 3 ordinal categories
     * (Stuart 1955 / Maxwell 1970 — [[mcnemarTest]] generalized past 2×2:
     * two banded raters/runs disagree document by document; did the BAND

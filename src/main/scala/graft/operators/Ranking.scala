@@ -162,6 +162,88 @@ object Ranking {
           (np * nn)) * 10000 + lit(0.5)) / 10000).as("auc"))
   }
 
+  /** DeLong confidence interval for the ROC AUC (DeLong, DeLong &
+    * Clarke-Pearson 1988 — the audit [[scoreAuc]]'s point estimate owes
+    * its readers: an AUC of 0.64 on 50 positives and on 50,000 positives
+    * are different findings, and threshold decisions hang on which. The
+    * nonparametric structural-components variance: per-positive
+    * placement V₁₀ = P(score beats a random negative), per-negative V₀₁
+    * mirrored; SE² = S₁₀/n⁺ + S₀₁/n⁻). One row:
+    * (n_pos, n_neg, auc_bp, se_bp, lo_bp, hi_bp) with the two-sided
+    * `zCrit`·SE interval clamped to [0, 1].
+    *
+    * Float discipline: the doubled placement a₁₀ = 2·negBelow + negTied
+    * is an exact integer per score class (a₁₀ = 2n⁻·V₁₀), so every
+    * moment (Σhp·a₁₀, Σhp·a₁₀²) is an exact DECIMAL(38,0) sum from ONE
+    * histogram — the variances clear to integer numerators
+    * (P·Q − S²)/(P(P−1)·4n⁻²) with divisions once, and the AUC itself
+    * is S₁/(2n⁻P), identical to [[scoreAuc]]'s midrank form (the spec
+    * pins them equal). Fewer than 2 on either side nulls the interval.
+    *
+    * Scale shape: [[scoreAuc]]'s exactly — one row-level hash agg to
+    * the per-score histogram, TWO `weightedPrefixSums` passes over the
+    * distinct-score frame (counts and positives), one moment aggregate.
+    */
+  def delongAucCi(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column,
+      zCrit: Double = 1.96): DataFrame = {
+    require(zCrit > 0, "zCrit is a two-sided normal quantile, > 0")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(scoreCol.cast("double").as("_s"), labelCol.as("_l"))
+    val hist = v.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_hc"),
+        sum(when(col("_l"), 1L).otherwise(0L)).as("_hp"))
+    val p1 = GlobalRank.weightedPrefixSums(hist, "_s", "_hc", "_pfa")
+    val p2 = GlobalRank.weightedPrefixSums(
+      p1.select(col("_s"), col("_hc"), col("_hp"), col("_pfa")),
+      "_s", "_hp", "_pfp")
+    val agg = p2.agg(
+      sum(col("_hp")).as("p"),
+      sum(col("_hc") - col("_hp")).as("ng"),
+      // a10 = 2·negBelow + negTied (per score class), exact integers
+      sum(col("_hp").cast(dec) *
+        (lit(2L) * (col("_pfa") - col("_pfp")) +
+          (col("_hc") - col("_hp"))).cast(dec)).as("_s1"),
+      sum(col("_hp").cast(dec) *
+        (lit(2L) * (col("_pfa") - col("_pfp")) +
+          (col("_hc") - col("_hp"))).cast(dec) *
+        (lit(2L) * (col("_pfa") - col("_pfp")) +
+          (col("_hc") - col("_hp"))).cast(dec)).as("_q1"))
+    // a01 needs the positive total P: one more pass over the same
+    // histogram against the broadcast one-row totals
+    val tot = agg.select(col("p"), col("ng"), col("_s1"), col("_q1"))
+    val a01 = lit(2L) * col("p") - lit(2L) * col("_pfp") - col("_hp")
+    val agg0 = p2.crossJoin(broadcast(tot)).agg(
+      first(col("p")).as("p"), first(col("ng")).as("ng"),
+      first(col("_s1")).as("_s1"), first(col("_q1")).as("_q1"),
+      sum((col("_hc") - col("_hp")).cast(dec) * a01.cast(dec)).as("_s0"),
+      sum((col("_hc") - col("_hp")).cast(dec) * a01.cast(dec) *
+        a01.cast(dec)).as("_q0"))
+    val pd = col("p").cast("double")
+    val nd = col("ng").cast("double")
+    val auc = col("_s1").cast("double") / (lit(2.0) * nd * pd)
+    def variance(qc: Column, sc: Column, cnt: Column, other: Column) =
+      (cnt.cast(dec) * qc - sc * sc).cast("double") /
+        (cnt.cast("double") * (cnt.cast("double") - 1)) /
+        (lit(4.0) * other.cast("double") * other.cast("double"))
+    val s10 = variance(col("_q1"), col("_s1"), col("p"), col("ng"))
+    val s01 = variance(col("_q0"), col("_s0"), col("ng"), col("p"))
+    val se = sqrt(s10 / pd + s01 / nd)
+    val okAuc = col("p") > 0 && col("ng") > 0
+    val okCi = col("p") > 1 && col("ng") > 1
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    def guard(cond: Column, c: Column) =
+      when(cond, bp(c)).otherwise(lit(null).cast("long"))
+    agg0.select(col("p").as("n_pos"), col("ng").as("n_neg"),
+      guard(okAuc, auc).as("auc_bp"),
+      guard(okCi, se).as("se_bp"),
+      guard(okCi, greatest(lit(0.0), auc - lit(zCrit) * se)).as("lo_bp"),
+      guard(okCi, least(lit(1.0), auc + lit(zCrit) * se)).as("hi_bp"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
     * ranked retrieval lists — the standard hybrid-search combiner for a
     * sparse (BM25) and a dense (embedding top-k) ranking:
