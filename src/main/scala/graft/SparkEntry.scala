@@ -1561,6 +1561,33 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q268_signed_rank" -> ((s, dir) => {
+      // Wilcoxon signed-rank on the per-user weekend-vs-weekday rate
+      // difference 5*weekend - 2*weekday (zero-mean under a uniform
+      // rate) — the PAIRED rank test beside q221's unpaired MWU
+      val e = Tables(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      val wk = when(dayofweek(col("ts")) === 1 || dayofweek(col("ts")) === 7,
+        1L).otherwise(0L)
+      val perUser = e.groupBy(col("user_id"))
+        .agg(sum(wk).as("_we"), sum(lit(1L) - wk).as("_wd"))
+      operators.Quality.wilcoxonSignedRank(perUser,
+        lit(5L) * col("_we") - lit(2L) * col("_wd"))
+    }),
+
+    "q267_welch" -> ((s, dir) => {
+      // Welch's unequal-variance t for mean token count, src0 vs the
+      // rest — the parametric mean companion to the drift family's
+      // group-vs-complement screens, no equal-variance assumption
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.welchTTest(
+        d.filter(col("source") === "src0").select(tok.as("v")),
+        d.filter(col("source") =!= "src0").select(tok.as("v")),
+        "v")
+    }),
+
     "q266_auc_ci" -> ((s, dir) => {
       // DeLong confidence interval on q207's AUC — the same stopword
       // signal vs the src0 label, now with the structural-components
@@ -4972,6 +4999,64 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q268_signed_rank" ->
+      // the per-user integer difference, the |d| histogram with doubled
+      // midranks by window prefix, exact HUGEINT 2W+ and tie mass, the
+      // z chain spelled as Spark's
+      ("WITH e AS (SELECT user_id, " +
+        "CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS wk " +
+        "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), " +
+        "u AS (SELECT user_id, 5 * sum(wk) - 2 * sum(1 - wk) AS d " +
+        "FROM e GROUP BY user_id), " +
+        "n0 AS (SELECT count(*) AS n_units FROM u), " +
+        "h AS (SELECT abs(d) AS ad, count(*) AS c, " +
+        "sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS cp FROM u " +
+        "WHERE d <> 0 GROUP BY abs(d)), " +
+        "w AS (SELECT c, cp, 2 * (sum(c) OVER (ORDER BY ad) - c) + c + 1 AS m2 FROM h), " +
+        "a AS (SELECT COALESCE(sum(c), 0) AS nz, COALESCE(sum(cp), 0) AS np, " +
+        "COALESCE(sum(CAST(cp AS HUGEINT) * CAST(m2 AS HUGEINT)), 0) AS w2, " +
+        "COALESCE(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT) - " +
+        "CAST(c AS HUGEINT)), 0) AS tt FROM w), " +
+        "f AS (SELECT n_units, nz, np, w2, tt, CAST(nz AS DOUBLE) AS nd FROM n0, a) " +
+        "SELECT CAST(n_units AS BIGINT) AS n_units, CAST(nz AS BIGINT) AS n_nonzero, " +
+        "CAST(np AS BIGINT) AS n_pos, CAST(nz - np AS BIGINT) AS n_neg, " +
+        "CASE WHEN nz > 0 AND " +
+        "nd * (nd + 1) * (2.0 * nd + 1) / 6 - CAST(tt AS DOUBLE) / 12 > 0 THEN " +
+        "CAST(floor((CAST(w2 AS DOUBLE) - nd * (nd + 1) / 2) / " +
+        "sqrt(nd * (nd + 1) * (2.0 * nd + 1) / 6 - CAST(tt AS DOUBLE) / 12) * 10000 + 0.5) AS BIGINT) " +
+        "END AS z_bp FROM f"),
+
+    "q267_welch" ->
+      // per-side integer moment sums; c2 = n*S2 - S1^2 exact, the t and
+      // Welch-Satterthwaite dof chains spelled as Spark's
+      ("WITH v AS (SELECT source, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "a AS (SELECT count(*) AS na, COALESCE(sum(CAST(v AS HUGEINT)), 0) AS sa, " +
+        "COALESCE(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS qa " +
+        "FROM v WHERE source = 'src0'), " +
+        "b AS (SELECT count(*) AS nb, COALESCE(sum(CAST(v AS HUGEINT)), 0) AS sb, " +
+        "COALESCE(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS qb " +
+        "FROM v WHERE source <> 'src0'), " +
+        "f AS (SELECT na, nb, sa, sb, " +
+        "CAST(na AS HUGEINT) * qa - sa * sa AS c2a, " +
+        "CAST(nb AS HUGEINT) * qb - sb * sb AS c2b, " +
+        "CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd FROM a, b), " +
+        "g AS (SELECT na, nb, c2a, c2b, nad, nbd, " +
+        "CAST(sa AS DOUBLE) / nad AS ma, CAST(sb AS DOUBLE) / nbd AS mb, " +
+        "CAST(c2a AS DOUBLE) / (nad * nad * (nad - 1)) AS va, " +
+        "CAST(c2b AS DOUBLE) / (nbd * nbd * (nbd - 1)) AS vb FROM f) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CASE WHEN na > 0 THEN CAST(floor(ma * 10000 + 0.5) AS BIGINT) END AS mean_a_bp, " +
+        "CASE WHEN nb > 0 THEN CAST(floor(mb * 10000 + 0.5) AS BIGINT) END AS mean_b_bp, " +
+        "CASE WHEN na > 1 AND nb > 1 AND (c2a > 0 OR c2b > 0) THEN " +
+        "CAST(floor((ma - mb) / sqrt(va + vb) * 10000 + 0.5) AS BIGINT) END AS t_bp, " +
+        "CASE WHEN na > 1 AND nb > 1 AND (c2a > 0 OR c2b > 0) THEN " +
+        "CAST(floor((va + vb) * (va + vb) / " +
+        "(va * va / (nad - 1) + vb * vb / (nbd - 1)) * 10000 + 0.5) AS BIGINT) " +
+        "END AS df_bp FROM g"),
 
     "q266_auc_ci" ->
       // q207's score/label CTE collapsed to the per-score histogram; the

@@ -944,6 +944,115 @@ object Quality {
     * prefix-sum pass, one single-row moment aggregate — the ksTest plan
     * with a different final formula.
     */
+  /** Welch's unequal-variance t test (Welch 1947 — the two-sample mean
+    * comparison practice actually defaults to: [[anovaF]] assumes one
+    * shared variance and [[mannWhitneyU]] answers the rank question;
+    * Welch asks about the MEAN difference without the equal-variance
+    * assumption, with the Welch–Satterthwaite effective dof). One row:
+    * (n_a, n_b, mean_a_bp, mean_b_bp, t_bp, df_bp) — the t statistic
+    * and the fractional dof as signed BIGINT basis points (no p: the t
+    * CDF has no closed form, the kruskalWallis stat-without-p
+    * precedent; at the dof this test runs at, |t| reads against the
+    * normal quantiles).
+    *
+    * Exactness: each side's variance numerator clears to the exact
+    * integer c2 = n·Σx² − (Σx)² (the cronbachAlpha moment trick) and
+    * the means are exact rationals — the t and dof chains are spelled
+    * once from integer inputs. A side with n < 2 or both variances
+    * zero nulls the displays.
+    *
+    * Scale shape: two single-row moment aggregates (map-side partials),
+    * one broadcast cross — the corpora are each touched once.
+    */
+  def welchTTest(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def side(d: DataFrame, n: String, s1: String, s2: String) = d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as(n),
+        coalesce(sum(col("_v").cast(dec)), lit(0).cast(dec)).as(s1),
+        coalesce(sum(col("_v").cast(dec) * col("_v").cast(dec)),
+          lit(0).cast(dec)).as(s2))
+    val one = side(a, "n_a", "_sa", "_qa")
+      .crossJoin(broadcast(side(b, "n_b", "_sb", "_qb")))
+    def c2(n: Column, s: Column, q: Column) = n.cast(dec) * q - s * s
+    val c2a = c2(col("n_a"), col("_sa"), col("_qa"))
+    val c2b = c2(col("n_b"), col("_sb"), col("_qb"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val meanA = col("_sa").cast("double") / nad
+    val meanB = col("_sb").cast("double") / nbd
+    // s²/n per side: c2/(n²(n−1)) — one division from exact integers
+    val va = c2a.cast("double") / (nad * nad * (nad - 1))
+    val vb = c2b.cast("double") / (nbd * nbd * (nbd - 1))
+    val t = (meanA - meanB) / sqrt(va + vb)
+    val dfW = (va + vb) * (va + vb) /
+      (va * va / (nad - 1) + vb * vb / (nbd - 1))
+    val ok = col("n_a") > 1 && col("n_b") > 1 &&
+      (c2a > 0 || c2b > 0)
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    def guard(cond: Column, c: Column) =
+      when(cond, bp(c)).otherwise(lit(null).cast("long"))
+    one.select(col("n_a"), col("n_b"),
+      guard(col("n_a") > 0, meanA).as("mean_a_bp"),
+      guard(col("n_b") > 0, meanB).as("mean_b_bp"),
+      guard(ok, t).as("t_bp"),
+      guard(ok, dfW).as("df_bp"))
+  }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945, the PAIRED rank test —
+    * the gap beside [[mannWhitneyU]]'s unpaired form: per-unit paired
+    * differences, zeros dropped (Wilcoxon's convention), |d| midranks,
+    * normal approximation with the exact tie correction). The caller
+    * supplies the integer difference column; one row:
+    * (n_units, n_nonzero, n_pos, n_neg, z_bp).
+    *
+    * Float discipline: the |d| histogram gives doubled midranks
+    * m2 = 2·prefix + count + 1 via ONE [[GlobalRank.weightedPrefixSums]]
+    * pass (the scoreAuc shape), so 2W⁺ = Σ pos·m2 and the tie mass
+    * Σ(t³−t) are exact DECIMAL(38,0); the z chain
+    * (2W⁺ − n(n+1)/2) / √(n(n+1)(2n+1)/6 − T/12) is spelled once.
+    * All-zero differences (n_nonzero = 0) or zero variance null the
+    * display.
+    *
+    * Scale shape: one row-level hash agg to the |d| histogram, one
+    * prefix pass over the distinct-|d| frame, one moment aggregate.
+    */
+  def wilcoxonSignedRank(df: DataFrame, diffCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(diffCol.isNotNull)
+      .select(diffCol.cast("long").as("_d"))
+    val nAll = v.agg(count(lit(1)).as("n_units"))
+    val hist = v.filter(col("_d") =!= 0)
+      .groupBy(abs(col("_d")).as("_ad"))
+      .agg(count(lit(1)).as("_c"),
+        sum(when(col("_d") > 0, 1L).otherwise(0L)).as("_cp"))
+    val withM2 = GlobalRank.weightedPrefixSums(hist, "_ad", "_c", "_pfx")
+      .select(col("_c"), col("_cp"),
+        (lit(2L) * col("_pfx") + col("_c") + lit(1L)).as("_m2"))
+    val agg = withM2.agg(
+      coalesce(sum(col("_c")), lit(0L)).as("n_nonzero"),
+      coalesce(sum(col("_cp")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("_cp").cast(dec) * col("_m2").cast(dec)),
+        lit(0).cast(dec)).as("_w2"),
+      coalesce(sum(col("_c").cast(dec) * col("_c").cast(dec) *
+        col("_c").cast(dec) - col("_c").cast(dec)), lit(0).cast(dec))
+        .as("_tt"))
+    val nd = col("n_nonzero").cast("double")
+    val varW = nd * (nd + 1) * (lit(2.0) * nd + 1) / 6 -
+      col("_tt").cast("double") / 12
+    val z = (col("_w2").cast("double") - nd * (nd + 1) / 2) / sqrt(varW)
+    val ok = col("n_nonzero") > 0 && varW > 0
+    nAll.crossJoin(broadcast(agg)).select(
+      col("n_units"), col("n_nonzero"), col("n_pos"),
+      (col("n_nonzero") - col("n_pos")).as("n_neg"),
+      when(ok, floor(z * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_bp"))
+  }
+
   def mannWhitneyU(
       a: DataFrame,
       b: DataFrame,

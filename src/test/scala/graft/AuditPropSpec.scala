@@ -450,6 +450,99 @@ class AuditPropSpec extends SparkSpec {
     assert(const._3.isEmpty && const._6.isEmpty)
   }
 
+  /** Published Welch form, straight doubles. */
+  private def refWelch(as: Seq[Long], bs: Seq[Long]): (Double, Double) = {
+    def mv(xs: Seq[Long]) = {
+      val m = xs.sum.toDouble / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1) / xs.size)
+    }
+    val (ma, va) = mv(as); val (mb, vb) = mv(bs)
+    val t = (ma - mb) / math.sqrt(va + vb)
+    val df = (va + vb) * (va + vb) /
+      (va * va / (as.size - 1) + vb * vb / (bs.size - 1))
+    (t, df)
+  }
+
+  test("welchTTest: published form, exact shift invariance, degenerates (10 rounds)") {
+    for (round <- 0 until 10) {
+      val as = draw(Gen.listOfN(25, Gen.choose(0L, 40L)), 60000L + round)
+      val bs = draw(Gen.listOfN(35, Gen.choose(10L, 80L)), 60500L + round)
+      val got = Quality.welchTTest(as.toDF("v"), bs.toDF("v"), "v")
+        .as[(Long, Long, Option[Long], Option[Long], Option[Long],
+          Option[Long])].head()
+      val (t, df) = refWelch(as, bs)
+      assert(got._1 == 25L && got._2 == 35L)
+      assert(math.abs(got._5.get / 10000.0 - t) < 2e-4, s"round $round t")
+      assert(math.abs(got._6.get / 10000.0 - df) < 1e-2, s"round $round df")
+      // integer moments are translation-invariant exactly: shifting both
+      // sides leaves t and df bit-identical
+      val shifted = Quality.welchTTest(
+        as.map(_ + 500L).toDF("v"), bs.map(_ + 500L).toDF("v"), "v")
+        .as[(Long, Long, Option[Long], Option[Long], Option[Long],
+          Option[Long])].head()
+      assert(shifted._5 == got._5 && shifted._6 == got._6, s"round $round")
+    }
+    // one observation on a side, or both sides constant: null displays
+    assert(Quality.welchTTest(Seq(5L).toDF("v"), Seq(1L, 2L).toDF("v"), "v")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long])].head()._5.isEmpty)
+    assert(Quality.welchTTest(
+      Seq(5L, 5L).toDF("v"), Seq(3L, 3L).toDF("v"), "v")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long])].head()._5.isEmpty)
+  }
+
+  /** Published signed-rank form, straight doubles, zeros dropped. */
+  private def refWilcoxon(ds: Seq[Long]): Option[Double] = {
+    val nz = ds.filter(_ != 0)
+    if (nz.isEmpty) return None
+    val n = nz.size
+    val ranked = nz.map(math.abs).sorted.zipWithIndex
+      .groupBy(_._1).map { case (v, xs) =>
+        v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+    val wPlus = nz.filter(_ > 0).map(d => ranked(math.abs(d))).sum
+    val ties = nz.map(math.abs).groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val varW = n * (n + 1) * (2.0 * n + 1) / 24 - ties / 48
+    if (varW <= 0) return None
+    Some((wPlus - n * (n + 1) / 4.0) / math.sqrt(varW))
+  }
+
+  test("wilcoxonSignedRank: published form, antisymmetry, zeros drop (10 rounds)") {
+    for (round <- 0 until 10) {
+      val ds = draw(Gen.listOfN(40, Gen.choose(-12L, 15L)), 61000L + round)
+      val df = ds.toDF("d")
+      val got = Quality.wilcoxonSignedRank(df, col("d"))
+        .as[(Long, Long, Long, Long, Option[Long])].head()
+      assert(got._1 == 40L)
+      assert(got._2 == ds.count(_ != 0).toLong)
+      assert(got._3 == ds.count(_ > 0).toLong)
+      (got._5, refWilcoxon(ds)) match {
+        case (Some(z), Some(w)) =>
+          assert(math.abs(z / 10000.0 - w) < 2e-4, s"round $round z")
+        case (a, b) => assert(a.isEmpty && b.isEmpty, s"round $round")
+      }
+      // negating every difference flips z exactly (2W+ reflects around
+      // the exact integer rank total)
+      val neg = Quality.wilcoxonSignedRank(
+        ds.map(-_).toDF("d"), col("d"))
+        .as[(Long, Long, Long, Long, Option[Long])].head()
+      (got._5, neg._5) match {
+        case (Some(z1), Some(z2)) => assert(math.abs(z1 + z2) <= 1L)
+        case (a, b) => assert(a.isEmpty && b.isEmpty)
+      }
+    }
+    // a one-sided shift scores a large positive z
+    val up = Quality.wilcoxonSignedRank(
+      (1L to 20L).toDF("d"), col("d"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(up._5.get > 30000L)
+    // all zeros: nothing to rank
+    assert(Quality.wilcoxonSignedRank(
+      Seq(0L, 0L, 0L).toDF("d"), col("d"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()._5.isEmpty)
+  }
+
   /** Published Stuart–Maxwell form dropping category `drop` (the
     * statistic is invariant to the choice — the spec exploits that).
     */
