@@ -1561,6 +1561,16 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q269_two_by_two" -> ((s, dir) => {
+      // the weekend x purchase 2x2: odds and risk ratios with Woolf/
+      // Katz intervals — the single-table everyday read beside q245's
+      // stratified Mantel-Haenszel common OR
+      val e = Tables(s, dir, "events").filter(col("ts").isNotNull)
+      operators.Quality.twoByTwoCard(e,
+        dayofweek(col("ts")) === 1 || dayofweek(col("ts")) === 7,
+        col("event_type") === "purchase")
+    }),
+
     "q268_signed_rank" -> ((s, dir) => {
       // Wilcoxon signed-rank on the per-user weekend-vs-weekday rate
       // difference 5*weekend - 2*weekday (zero-mean under a uniform
@@ -4999,6 +5009,40 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q269_two_by_two" ->
+      // the four masses by one conditional aggregate; OR/RR exact-ratio
+      // divisions, the Woolf/Katz log-scale interval chains spelled as
+      // Spark's
+      ("WITH v AS (SELECT (isodow(CAST(ts AS DATE)) >= 6) AS x, " +
+        "(event_type = 'purchase') AS y FROM events WHERE ts IS NOT NULL), " +
+        "m AS (SELECT " +
+        "COALESCE(sum(CASE WHEN x AND y THEN 1 ELSE 0 END), 0) AS n11, " +
+        "COALESCE(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END), 0) AS n10, " +
+        "COALESCE(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END), 0) AS n01, " +
+        "COALESCE(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END), 0) AS n00 FROM v), " +
+        "f AS (SELECT n11, n10, n01, n00, " +
+        "CAST(n11 AS DOUBLE) AS a, CAST(n10 AS DOUBLE) AS b, " +
+        "CAST(n01 AS DOUBLE) AS c, CAST(n00 AS DOUBLE) AS d FROM m), " +
+        "g AS (SELECT n11, n10, n01, n00, a, b, c, d, " +
+        "a * d / (b * c) AS orr, " +
+        "sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS seor, " +
+        "(a / (a + b)) / (c / (c + d)) AS rr, " +
+        "sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d)) AS serr FROM f) " +
+        "SELECT CAST(n11 AS BIGINT) AS n_11, CAST(n10 AS BIGINT) AS n_10, " +
+        "CAST(n01 AS BIGINT) AS n_01, CAST(n00 AS BIGINT) AS n_00, " +
+        "CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 THEN " +
+        "CAST(floor(orr * 10000 + 0.5) AS BIGINT) END AS or_bp, " +
+        "CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 THEN " +
+        "CAST(floor(exp(ln(orr) - 1.96 * seor) * 10000 + 0.5) AS BIGINT) END AS or_lo_bp, " +
+        "CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 THEN " +
+        "CAST(floor(exp(ln(orr) + 1.96 * seor) * 10000 + 0.5) AS BIGINT) END AS or_hi_bp, " +
+        "CASE WHEN n11 > 0 AND n01 > 0 THEN " +
+        "CAST(floor(rr * 10000 + 0.5) AS BIGINT) END AS rr_bp, " +
+        "CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 THEN " +
+        "CAST(floor(exp(ln(rr) - 1.96 * serr) * 10000 + 0.5) AS BIGINT) END AS rr_lo_bp, " +
+        "CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 THEN " +
+        "CAST(floor(exp(ln(rr) + 1.96 * serr) * 10000 + 0.5) AS BIGINT) END AS rr_hi_bp FROM g"),
 
     "q268_signed_rank" ->
       // the per-user integer difference, the |d| histogram with doubled

@@ -1464,6 +1464,69 @@ object Quality {
       guard(vC).as("cramers_v_bp"))
   }
 
+  /** 2×2 association card — odds ratio and risk ratio with Woolf/Katz
+    * log-scale confidence intervals (Woolf 1955; Katz et al. 1978 — the
+    * everyday exposure-outcome read beside [[mantelHaenszel]]'s
+    * STRATIFIED common OR: one table, both effect measures, and the
+    * interval that says whether "weekend purchases are 1.3× likelier"
+    * is evidence or noise). One row: (n_11, n_10, n_01, n_00, or_bp,
+    * or_lo_bp, or_hi_bp, rr_bp, rr_lo_bp, rr_hi_bp) with
+    * OR = ad/bc, RR = (a/(a+b))/(c/(c+d)), CI = exp(ln R ± z·SE),
+    * SE_lnOR = √(1/a+1/b+1/c+1/d), SE_lnRR = √(1/a − 1/(a+b) + 1/c −
+    * 1/(c+d)).
+    *
+    * Exactness: the four masses are one conditional aggregate; OR and
+    * RR are single divisions of exact integers, and each CI chain is
+    * spelled once (exp/ln/√ on both engines). Any empty margin or zero
+    * cell nulls the affected displays (the classical card refuses to
+    * continuity-fudge — callers who want Haldane-Anscombe +0.5 can add
+    * it upstream, visibly).
+    *
+    * Scale shape: ONE single-row conditional aggregate (four map-side
+    * counters); everything after is scalar arithmetic.
+    */
+  def twoByTwoCard(
+      df: DataFrame,
+      exposureCol: Column,
+      outcomeCol: Column,
+      zCrit: Double = 1.96): DataFrame = {
+    require(zCrit > 0, "zCrit is a two-sided normal quantile, > 0")
+    val v = df.filter(exposureCol.isNotNull && outcomeCol.isNotNull)
+      .select(exposureCol.as("_x"), outcomeCol.as("_y"))
+    val one = v.agg(
+      coalesce(sum(when(col("_x") && col("_y"), 1L).otherwise(0L)), lit(0L))
+        .as("n_11"),
+      coalesce(sum(when(col("_x") && !col("_y"), 1L).otherwise(0L)), lit(0L))
+        .as("n_10"),
+      coalesce(sum(when(!col("_x") && col("_y"), 1L).otherwise(0L)), lit(0L))
+        .as("n_01"),
+      coalesce(sum(when(!col("_x") && !col("_y"), 1L).otherwise(0L)),
+        lit(0L)).as("n_00"))
+    val a = col("n_11").cast("double")
+    val b = col("n_10").cast("double")
+    val c = col("n_01").cast("double")
+    val d = col("n_00").cast("double")
+    val orR = a * d / (b * c)
+    val seOr = sqrt(lit(1.0) / a + lit(1.0) / b + lit(1.0) / c +
+      lit(1.0) / d)
+    val rr = (a / (a + b)) / (c / (c + d))
+    val seRr = sqrt(lit(1.0) / a - lit(1.0) / (a + b) + lit(1.0) / c -
+      lit(1.0) / (c + d))
+    val okOr = col("n_11") > 0 && col("n_10") > 0 && col("n_01") > 0 &&
+      col("n_00") > 0
+    val okRr = col("n_11") > 0 && col("n_01") > 0
+    def bp(e: Column) = floor(e * 10000 + lit(0.5)).cast("long")
+    def guard(cond: Column, e: Column) =
+      when(cond, bp(e)).otherwise(lit(null).cast("long"))
+    one.select(col("n_11"), col("n_10"), col("n_01"), col("n_00"),
+      guard(okOr, orR).as("or_bp"),
+      guard(okOr, exp(log(orR) - lit(zCrit) * seOr)).as("or_lo_bp"),
+      guard(okOr, exp(log(orR) + lit(zCrit) * seOr)).as("or_hi_bp"),
+      guard(okRr, rr).as("rr_bp"),
+      guard(okOr, exp(log(rr) - lit(zCrit) * seRr)).as("rr_lo_bp"),
+      guard(okOr, exp(log(rr) + lit(zCrit) * seRr)).as("rr_hi_bp"))
+  }
+
   /** Stuart–Maxwell marginal-homogeneity test for 3 ordinal categories
     * (Stuart 1955 / Maxwell 1970 — [[mcnemarTest]] generalized past 2×2:
     * two banded raters/runs disagree document by document; did the BAND

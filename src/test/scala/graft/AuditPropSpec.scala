@@ -450,6 +450,53 @@ class AuditPropSpec extends SparkSpec {
     assert(const._3.isEmpty && const._6.isEmpty)
   }
 
+  private def card22(rows: Seq[(Boolean, Boolean)])
+      : (Long, Long, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long]) =
+    Quality.twoByTwoCard(rows.toDF("x", "y"), col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])].head()
+
+  test("twoByTwoCard: hand ratios, Woolf/Katz intervals, degenerates (10 rounds)") {
+    // a=20 b=10 c=10 d=20: OR = 4, RR = 2
+    val hand = Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(20)((false, false))
+    val h = card22(hand)
+    assert(h._5 == Some(40000L) && h._8 == Some(20000L))
+    assert(h._6.get < 40000L && h._7.get > 40000L)
+    // proportional table: both ratios exactly 1
+    val ind = Seq.fill(8)((true, true)) ++ Seq.fill(8)((true, false)) ++
+      Seq.fill(4)((false, true)) ++ Seq.fill(4)((false, false))
+    val gi = card22(ind)
+    assert(gi._5 == Some(10000L) && gi._8 == Some(10000L))
+    // published CI replay
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(80,
+        Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))),
+        62000L + round)
+      val got = card22(rows)
+      val a = rows.count(r => r._1 && r._2).toDouble
+      val b = rows.count(r => r._1 && !r._2).toDouble
+      val c = rows.count(r => !r._1 && r._2).toDouble
+      val d = rows.count(r => !r._1 && !r._2).toDouble
+      if (a > 0 && b > 0 && c > 0 && d > 0) {
+        val orW = a * d / (b * c)
+        val lo = math.exp(math.log(orW) -
+          1.96 * math.sqrt(1 / a + 1 / b + 1 / c + 1 / d))
+        assert(math.abs(got._5.get / 10000.0 - orW) < 2e-4, s"round $round")
+        assert(math.abs(got._6.get / 10000.0 - lo) < 2e-4, s"round $round")
+        val rrW = (a / (a + b)) / (c / (c + d))
+        val rhi = math.exp(math.log(rrW) + 1.96 *
+          math.sqrt(1 / a - 1 / (a + b) + 1 / c - 1 / (c + d)))
+        assert(math.abs(got._8.get / 10000.0 - rrW) < 2e-4, s"round $round")
+        assert(math.abs(got._10.get / 10000.0 - rhi) < 2e-4, s"round $round")
+      }
+    }
+    // a zero cell nulls the odds ratio (no continuity fudge)
+    val zc = card22(Seq((true, true), (false, true), (false, false)))
+    assert(zc._5.isEmpty)
+  }
+
   /** Published Welch form, straight doubles. */
   private def refWelch(as: Seq[Long], bs: Seq[Long]): (Double, Double) = {
     def mv(xs: Seq[Long]) = {
