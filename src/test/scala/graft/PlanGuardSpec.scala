@@ -158,7 +158,21 @@ class PlanGuardSpec extends SparkSpec {
     "q206_conformal_interval" ->
       "crossJoin(broadcast(...)) of ONE-ROW frames only: the OLS fit and the k-th-residual threshold beside the scored stream",
     "q208_ols_crossval" ->
-      "crossJoin(broadcast(global moments)): the single-row global-moment frame beside the k-row fold-moment table"
+      "crossJoin(broadcast(global moments)): the single-row global-moment frame beside the k-row fold-moment table",
+    "q255_dunn_posthoc" ->
+      "crossJoin(broadcast(ties)): the single-row tie-mass scalar beside the single-row collected group list",
+    "q258_holm_screen" ->
+      "q232's groupedKsTest spine: crossJoin(broadcast(groups)) of the bounded group table against the distinct-value spine (a value absent from a group still moves its complement's CDF)",
+    "q264_krippendorff" ->
+      "crossJoin(broadcast(pooled)): the single-row pooled-histogram list beside the single-row observed-disagreement moments",
+    "q265_assoc_card" ->
+      "crossJoin of the two DISTINCT label sets (bounded-by-arity x bounded-by-arity) to densify absent cells — the chiSquareIndependence discipline; margins re-enter as broadcasts",
+    "q266_auc_ci" ->
+      "crossJoin(broadcast(totals)): the single-row positive-count scalar beside the distinct-score histogram (a01 needs P)",
+    "q267_welch" ->
+      "crossJoin(broadcast(side B moments)): two SINGLE-ROW moment frames",
+    "q268_signed_rank" ->
+      "crossJoin(broadcast(moment agg)): the single-row unit count beside the single-row rank moments"
   )
 
   /** One shared physical-plan pass for every rule in this suite (plan
