@@ -45,7 +45,17 @@ object SqlGateway {
     "adjusted_association" -> "q245_mantel_haenszel",
     "or_homogeneity" -> "q247_breslow_day",
     "drift_card" -> "q249_drift_card",
-    "daily_trend" -> "q251_mk_trend")
+    "daily_trend" -> "q251_mk_trend",
+    "change_point" -> "q252_pettitt",
+    "whiteness" -> "q253_ljung_box",
+    "randomness" -> "q254_runs_test",
+    "posthoc_pairs" -> "q255_dunn_posthoc",
+    "normality_screen" -> "q257_jarque_bera",
+    "holm_screen" -> "q258_holm_screen",
+    "composition" -> "q260_composition",
+    "association" -> "q265_assoc_card",
+    "auc_interval" -> "q266_auc_ci",
+    "weekend_lift" -> "q269_two_by_two")
 
   /** Register every test table plus the graft function surface on the
     * session, then start a Thrift endpoint on `port`. Returns after the

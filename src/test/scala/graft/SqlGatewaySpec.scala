@@ -54,6 +54,15 @@ class SqlGatewaySpec extends SparkSpec {
         val rs5 = st.executeQuery("SELECT * FROM governance_card")
         assert(rs5.next(), "governance_card view returned no row")
         assert(rs5.getMetaData.getColumnCount > 5)
+        // the session-15 shelf: the composition card and the Holm screen
+        // read over the same wire
+        val rs6 = st.executeQuery(
+          "SELECT k_groups, hhi_bp FROM composition")
+        assert(rs6.next() && rs6.getLong(1) > 1 && rs6.getLong(2) > 0)
+        val rs7 = st.executeQuery(
+          "SELECT count(*), sum(CASE WHEN reject THEN 1 ELSE 0 END) " +
+            "FROM holm_screen")
+        assert(rs7.next() && rs7.getLong(1) > 0)
       } finally conn.close()
     } finally {
       server.close()
