@@ -1561,6 +1561,36 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q271_gwet_ac1" -> ((s, dir) => {
+      // Gwet's AC1 between the token band and the char band — the
+      // kappa-paradox-robust agreement read beside q136/q259: its
+      // pooled-prevalence chance term stays interpretable on prevalent
+      // categories where kappa collapses
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.gwetAc1(d,
+        when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L))
+    }),
+
+    "q270_cohens_h" -> ((s, dir) => {
+      // Cohen's h on q226's two-proportion comparison — the arcsine
+      // effect size whose small/medium/large conventions transfer
+      // across rates; q226's z says whether, this says how big
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val pass = size(stops).cast("long") * 20 >= size(toks).cast("long") * 3
+      operators.Quality.cohensH(
+        d.filter(col("source") === "src0"),
+        d.filter(col("source") === "src1"),
+        pass)
+    }),
+
     "q269_two_by_two" -> ((s, dir) => {
       // the weekend x purchase 2x2: odds and risk ratios with Woolf/
       // Katz intervals — the single-table everyday read beside q245's
@@ -5009,6 +5039,60 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q271_gwet_ac1" ->
+      // the band contingency; po and the pooled prevalences are exact
+      // integer rationals, pe folds pi(1-pi) in sorted category order,
+      // the AC1 chain spelled as Spark's
+      ("WITH base AS (SELECT " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "r AS (SELECT CASE WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END AS a, " +
+        "CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS b FROM base), " +
+        "ct AS (SELECT a, b, count(*) AS c FROM r GROUP BY a, b), " +
+        "one AS (SELECT COALESCE(sum(c), 0) AS n, " +
+        "COALESCE(sum(CASE WHEN a = b THEN c ELSE 0 END), 0) AS agree FROM ct), " +
+        "cats AS (SELECT DISTINCT v FROM " +
+        "(SELECT a AS v FROM ct UNION SELECT b AS v FROM ct)), " +
+        "m AS (SELECT v, COALESCE((SELECT sum(c) FROM ct WHERE a = v), 0) + " +
+        "COALESCE((SELECT sum(c) FROM ct WHERE b = v), 0) AS mm FROM cats), " +
+        "l AS (SELECT list(struct_pack(v := v, mm := mm) ORDER BY v) AS ms, " +
+        "count(*) AS k FROM m), " +
+        "f AS (SELECT n, agree, k, " +
+        "list_reduce(list_prepend(0.0, list_transform(ms, e -> " +
+        "(CAST((e).mm AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) * " +
+        "(1.0 - CAST((e).mm AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))))), " +
+        "(p, q) -> p + q) / (CAST(k AS DOUBLE) - 1) AS pe, " +
+        "CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po FROM one, l) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_cats, " +
+        "CASE WHEN n > 0 THEN CAST(floor(po * 10000 + 0.5) AS BIGINT) END AS po_bp, " +
+        "CASE WHEN n > 0 AND k > 1 THEN CAST(floor(pe * 10000 + 0.5) AS BIGINT) END AS pe_bp, " +
+        "CASE WHEN n > 0 AND k > 1 THEN " +
+        "CAST(floor((po - pe) / (1.0 - pe) * 10000 + 0.5) AS BIGINT) END AS ac1_bp FROM f"),
+
+    "q270_cohens_h" ->
+      // q226's pass masses per side; the rates are exact-integer
+      // divisions and the arcsine chain is spelled as Spark's
+      ("WITH d AS (SELECT source, " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) * 20 >= " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) * 3 AS pass " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "a AS (SELECT count(*) AS na, COALESCE(sum(CASE WHEN pass THEN 1 ELSE 0 END), 0) AS ka " +
+        "FROM d WHERE source = 'src0'), " +
+        "b AS (SELECT count(*) AS nb, COALESCE(sum(CASE WHEN pass THEN 1 ELSE 0 END), 0) AS kb " +
+        "FROM d WHERE source = 'src1'), " +
+        "f AS (SELECT na, nb, ka, kb, " +
+        "CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) AS pa, " +
+        "CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb FROM a, b) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CAST(ka AS BIGINT) AS k_a, CAST(kb AS BIGINT) AS k_b, " +
+        "CASE WHEN na > 0 THEN CAST(floor(pa * 10000 + 0.5) AS BIGINT) END AS rate_a_bp, " +
+        "CASE WHEN nb > 0 THEN CAST(floor(pb * 10000 + 0.5) AS BIGINT) END AS rate_b_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor((2.0 * asin(sqrt(pa)) - 2.0 * asin(sqrt(pb))) * 10000 + 0.5) AS BIGINT) " +
+        "END AS h_bp FROM f"),
 
     "q269_two_by_two" ->
       // the four masses by one conditional aggregate; OR/RR exact-ratio

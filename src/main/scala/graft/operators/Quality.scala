@@ -1329,6 +1329,97 @@ object Quality {
     * one broadcast meet. Every displayed number derives from the four
     * integer masses in one double chain.
     */
+  /** Cohen's h — the effect size for two proportions (Cohen 1988 §6:
+    * h = 2·arcsin√p₁ − 2·arcsin√p₂, the arcsine-stabilized difference
+    * whose 0.2/0.5/0.8 small/medium/large conventions transfer across
+    * rates the raw difference can't — a 2-point gap at 50% and at 2%
+    * are different effects, and [[proportionDiff]]'s z only says
+    * whether, not how big; the proportion sibling of the X257
+    * effect-size layer). One row:
+    * (n_a, n_b, k_a, k_b, rate_a_bp, rate_b_bp, h_bp) — h signed
+    * BIGINT basis points.
+    *
+    * Rates are single divisions of exact integer masses; the h chain
+    * (two asin, one subtraction) is spelled once on both engines.
+    * Empty sides null the displays.
+    *
+    * Scale shape: [[proportionDiff]]'s — two single-row conditional
+    * aggregates and one broadcast cross.
+    */
+  def cohensH(
+      a: DataFrame,
+      b: DataFrame,
+      passCol: Column): DataFrame = {
+    def side(d: DataFrame, n: String, k: String) = d
+      .agg(count(lit(1)).as(n),
+        coalesce(sum(when(passCol, 1L).otherwise(0L)), lit(0L)).as(k))
+    val one = side(a, "n_a", "k_a").crossJoin(broadcast(side(b, "n_b", "k_b")))
+    val pa = col("k_a").cast("double") / col("n_a").cast("double")
+    val pb = col("k_b").cast("double") / col("n_b").cast("double")
+    val h = lit(2.0) * asin(sqrt(pa)) - lit(2.0) * asin(sqrt(pb))
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    def guard(cond: Column, c: Column) =
+      when(cond, bp(c)).otherwise(lit(null).cast("long"))
+    one.select(col("n_a"), col("n_b"), col("k_a"), col("k_b"),
+      guard(col("n_a") > 0, pa).as("rate_a_bp"),
+      guard(col("n_b") > 0, pb).as("rate_b_bp"),
+      guard(col("n_a") > 0 && col("n_b") > 0, h).as("h_bp"))
+  }
+
+  /** Gwet's AC1 agreement coefficient (Gwet 2008, "Computing inter-rater
+    * reliability and its variance in the presence of high agreement" —
+    * the kappa-paradox-robust alternative: on prevalent categories
+    * Cohen's kappa collapses toward 0 under near-perfect raw agreement
+    * because its chance term inherits the margins; AC1's chance term
+    * Σπ_c(1−π_c)/(k−1) uses only the POOLED prevalence, so it stays
+    * interpretable exactly where kappa misleads — the two are reported
+    * side by side in annotation QA). Two raters, categorical. One row:
+    * (n, k_cats, po_bp, pe_bp, ac1_bp).
+    *
+    * po and each pooled prevalence are exact integer rationals; pe folds
+    * π(1−π) in sorted category order (bounded list, the house sorted-
+    * fold discipline), and AC1 = (po − pe)/(1 − pe) is one chain.
+    * pe = 1 (single shared category) nulls.
+    *
+    * Scale shape: ONE (a, b) contingency hash agg (classes² keys)
+    * collapses the corpus map-side; the rest is a one-row fold.
+    */
+  def gwetAc1(df: DataFrame, colA: Column, colB: Column): DataFrame = {
+    val v = df.filter(colA.isNotNull && colB.isNotNull)
+      .select(colA.as("_a"), colB.as("_b"))
+    val ct = v.groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("c"))
+    val one = ct.agg(
+      sort_array(collect_list(struct(col("_a"), col("_b"), col("c"))))
+        .as("cs"),
+      coalesce(sum(col("c")), lit(0L)).as("n"),
+      coalesce(sum(when(col("_a") === col("_b"), col("c"))
+        .otherwise(lit(0L))), lit(0L)).as("_agree"))
+      .withColumn("_cats", sort_array(array_distinct(concat(
+        transform(col("cs"), e => e.getField("_a")),
+        transform(col("cs"), e => e.getField("_b"))))))
+      .withColumn("_k", size(col("_cats")))
+    val nd = col("n").cast("double")
+    // pooled prevalence of category c: (row mass + column mass) / 2n
+    def mass(keyField: String, key: Column): Column =
+      aggregate(col("cs"), lit(0L), (acc, e) =>
+        acc + when(e.getField(keyField) === key, e.getField("c"))
+          .otherwise(lit(0L)))
+    val pe = aggregate(col("_cats"), lit(0.0), (acc, cat) => {
+      val pi = (mass("_a", cat) + mass("_b", cat)).cast("double") /
+        (lit(2.0) * nd)
+      acc + pi * (lit(1.0) - pi)
+    }) / (col("_k").cast("double") - 1)
+    val po = col("_agree").cast("double") / nd
+    val ac1 = (po - pe) / (lit(1.0) - pe)
+    val ok = col("n") > 0 && col("_k") > 1
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    one.select(col("n"), col("_k").cast("long").as("k_cats"),
+      when(col("n") > 0, bp(po)).otherwise(lit(null).cast("long"))
+        .as("po_bp"),
+      when(ok, bp(pe)).otherwise(lit(null).cast("long")).as("pe_bp"),
+      when(ok, bp(ac1)).otherwise(lit(null).cast("long")).as("ac1_bp"))
+  }
+
   def proportionDiff(
       a: DataFrame,
       b: DataFrame,

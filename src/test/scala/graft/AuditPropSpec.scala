@@ -450,6 +450,69 @@ class AuditPropSpec extends SparkSpec {
     assert(const._3.isEmpty && const._6.isEmpty)
   }
 
+  test("cohensH: bounds, transfer across base rates, published form (10 rounds)") {
+    def h(aPass: Seq[Boolean], bPass: Seq[Boolean]) =
+      Quality.cohensH(aPass.toDF("p"), bPass.toDF("p"), col("p"))
+        .as[(Long, Long, Long, Long, Option[Long], Option[Long],
+          Option[Long])].head()
+    // identical rates: h = 0; total separation: h = pi
+    assert(h(Seq(true, false), Seq(true, false))._7 == Some(0L))
+    assert(h(Seq(true, true), Seq(false, false))._7 ==
+      Some(math.floor(math.Pi * 10000 + 0.5).toLong))
+    // the transfer property: a 2-point gap at a 2% base is a BIGGER
+    // effect than the same gap at 50%
+    val lowBase = h(Seq.fill(4)(true) ++ Seq.fill(96)(false),
+      Seq.fill(2)(true) ++ Seq.fill(98)(false))
+    val midBase = h(Seq.fill(52)(true) ++ Seq.fill(48)(false),
+      Seq.fill(50)(true) ++ Seq.fill(50)(false))
+    assert(lowBase._7.get > midBase._7.get)
+    for (round <- 0 until 10) {
+      val ka = draw(Gen.choose(0, 30), 63000L + round)
+      val kb = draw(Gen.choose(0, 40), 63500L + round)
+      val got = h(Seq.fill(ka)(true) ++ Seq.fill(30 - ka)(false),
+        Seq.fill(kb)(true) ++ Seq.fill(40 - kb)(false))
+      val want = 2 * math.asin(math.sqrt(ka / 30.0)) -
+        2 * math.asin(math.sqrt(kb / 40.0))
+      assert(math.abs(got._7.get / 10000.0 - want) < 1.001e-4,
+        s"round $round")
+    }
+  }
+
+  test("gwetAc1: kappa-paradox robustness, perfect agreement, published form (10 rounds)") {
+    def ac1(rows: Seq[(Long, Long)]) =
+      Quality.gwetAc1(rows.toDF("a", "b"), col("a"), col("b"))
+        .as[(Long, Long, Option[Long], Option[Long], Option[Long])].head()
+    // the textbook paradox table: 90% of mass on one category, raw
+    // agreement 0.9 — kappa collapses toward 0, AC1 stays high
+    val paradox = Seq.fill(85)((0L, 0L)) ++ Seq.fill(5)((1L, 1L)) ++
+      Seq.fill(5)((0L, 1L)) ++ Seq.fill(5)((1L, 0L))
+    val gp = ac1(paradox)
+    val kappa = graft.operators.Normalize.cohenKappa(
+      paradox.toDF("a", "b"), "a", "b")
+      .as[(Long, Double, Double, Double)].head()._4
+    assert(gp._5.get / 10000.0 > kappa + 0.3,
+      s"AC1 ${gp._5.get / 10000.0} must beat kappa $kappa on the paradox table")
+    // unanimity on varied categories: AC1 exactly 1
+    assert(ac1(Seq((0L, 0L), (1L, 1L), (2L, 2L)))._5 == Some(10000L))
+    // single shared category: chance term degenerate
+    assert(ac1(Seq((1L, 1L), (1L, 1L)))._5.isEmpty)
+    // published form, straight doubles
+    for (round <- 0 until 10) {
+      val rows = draw(Gen.listOfN(50,
+        Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 2L))), 64000L + round)
+      val got = ac1(rows)
+      val n = rows.size.toDouble
+      val po = rows.count(r => r._1 == r._2) / n
+      val cats = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+      val pe = cats.map { c =>
+        val pi = (rows.count(_._1 == c) + rows.count(_._2 == c)) / (2 * n)
+        pi * (1 - pi)
+      }.sum / (cats.size - 1)
+      val want = (po - pe) / (1 - pe)
+      assert(math.abs(got._5.get / 10000.0 - want) < 2e-4, s"round $round")
+    }
+  }
+
   private def card22(rows: Seq[(Boolean, Boolean)])
       : (Long, Long, Long, Long, Option[Long], Option[Long], Option[Long],
         Option[Long], Option[Long], Option[Long]) =
