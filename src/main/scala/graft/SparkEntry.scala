@@ -1561,6 +1561,28 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q273_sign_test" -> ((s, dir) => {
+      // the sign test on q268's per-user weekend-vs-weekday difference —
+      // the median-only paired question, maximally robust where the
+      // signed-rank assumes a symmetric difference scale
+      val e = Tables(s, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      val wk = when(dayofweek(col("ts")) === 1 || dayofweek(col("ts")) === 7,
+        1L).otherwise(0L)
+      val perUser = e.groupBy(col("user_id"))
+        .agg(sum(wk).as("_we"), sum(lit(1L) - wk).as("_wd"))
+      operators.Quality.signTest(perUser,
+        lit(5L) * col("_we") - lit(2L) * col("_wd"))
+    }),
+
+    "q272_durbin_watson" -> ((s, dir) => {
+      // Durbin-Watson lag-1 serial-correlation diagnostic per event
+      // type — d = Sum(dx)^2/Sum((x-xbar)^2) as ONE division of exact
+      // integers; reads beside q253's Ljung-Box via d ~ 2(1 - rho1)
+      operators.Sessions.durbinWatson(
+        Tables(s, dir, "events").filter(col("ts").isNotNull))
+    }),
+
     "q271_gwet_ac1" -> ((s, dir) => {
       // Gwet's AC1 between the token band and the char band — the
       // kappa-paradox-robust agreement read beside q136/q259: its
@@ -5039,6 +5061,48 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q273_sign_test" ->
+      // q268's per-user difference; every mass one conditional sum, the
+      // z chain spelled as Spark's
+      ("WITH e AS (SELECT user_id, " +
+        "CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS wk " +
+        "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), " +
+        "u AS (SELECT user_id, 5 * sum(wk) - 2 * sum(1 - wk) AS d " +
+        "FROM e GROUP BY user_id), " +
+        "a AS (SELECT count(*) AS n_units, " +
+        "COALESCE(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END), 0) AS nz, " +
+        "COALESCE(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END), 0) AS np FROM u) " +
+        "SELECT CAST(n_units AS BIGINT) AS n_units, " +
+        "CAST(nz AS BIGINT) AS n_nonzero, CAST(np AS BIGINT) AS n_pos, " +
+        "CAST(nz - np AS BIGINT) AS n_neg, " +
+        "CASE WHEN nz > 0 THEN " +
+        "CAST(floor((2.0 * CAST(np AS DOUBLE) - CAST(nz AS DOUBLE)) / " +
+        "sqrt(CAST(nz AS DOUBLE)) * 10000 + 0.5) AS BIGINT) END AS z_bp FROM a"),
+
+    "q272_durbin_watson" ->
+      // same day-ordered series; Sum(dx)^2 and the m-scaled centered
+      // denominator are exact HUGEINT folds, d ONE division
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, list(n ORDER BY day) AS xs FROM d GROUP BY 1), " +
+        "x0 AS (SELECT event_type, xs, CAST(len(xs) AS HUGEINT) AS mh, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(xs, f -> " +
+        "CAST(f AS HUGEINT))), (p, q) -> p + q) AS s FROM a), " +
+        "x AS (SELECT event_type, CAST(mh AS BIGINT) AS m, mh, " +
+        "CASE WHEN len(xs) > 1 THEN " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(2, CAST(len(xs) + 1 AS BIGINT)), j -> " +
+        "CAST((xs[CAST(j AS INT)] - xs[CAST(j - 1 AS INT)]) * " +
+        "(xs[CAST(j AS INT)] - xs[CAST(j - 1 AS INT)]) AS HUGEINT))), " +
+        "(p, q) -> p + q) ELSE CAST(0 AS HUGEINT) END AS dn, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(xs, e -> " +
+        "(mh * CAST(e AS HUGEINT) - s) * (mh * CAST(e AS HUGEINT) - s))), " +
+        "(p, q) -> p + q) AS c2 FROM x0) " +
+        "SELECT event_type, CAST(m AS BIGINT) AS n_days, " +
+        "CASE WHEN m > 1 AND c2 > 0 THEN " +
+        "CAST(floor(CAST(mh * mh * dn AS DOUBLE) / CAST(c2 AS DOUBLE) * 10000 + 0.5) AS BIGINT) " +
+        "END AS d_bp FROM x"),
 
     "q271_gwet_ac1" ->
       // the band contingency; po and the pooled prevalences are exact

@@ -1021,6 +1021,35 @@ object Quality {
     * Scale shape: one row-level hash agg to the |d| histogram, one
     * prefix pass over the distinct-|d| frame, one moment aggregate.
     */
+  /** Sign test (Arbuthnott 1710 / the modern normal-approximation form,
+    * e.g. Conover §3.4 — the third member of the paired family:
+    * [[wilcoxonSignedRank]] weights moves by magnitude and assumes a
+    * symmetric difference distribution; the sign test asks ONLY whether
+    * the median difference is zero — maximally robust, the right call
+    * when the difference scale is untrustworthy). Zeros drop
+    * (Wilcoxon's convention); z = (2S − n)/√n with S the positive
+    * count. One row: (n_units, n_nonzero, n_pos, n_neg, z_bp).
+    *
+    * Everything before the one z chain is an exact integer from a
+    * single conditional aggregate.
+    */
+  def signTest(df: DataFrame, diffCol: Column): DataFrame = {
+    val v = df.filter(diffCol.isNotNull)
+      .select(diffCol.cast("long").as("_d"))
+    val one = v.agg(count(lit(1)).as("n_units"),
+      coalesce(sum(when(col("_d") =!= 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_nonzero"),
+      coalesce(sum(when(col("_d") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_pos"))
+    val nd = col("n_nonzero").cast("double")
+    val z = (lit(2.0) * col("n_pos").cast("double") - nd) / sqrt(nd)
+    one.select(col("n_units"), col("n_nonzero"), col("n_pos"),
+      (col("n_nonzero") - col("n_pos")).as("n_neg"),
+      when(col("n_nonzero") > 0,
+        floor(z * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_bp"))
+  }
+
   def wilcoxonSignedRank(df: DataFrame, diffCol: Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = df.filter(diffCol.isNotNull)

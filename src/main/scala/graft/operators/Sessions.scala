@@ -819,6 +819,61 @@ object Sessions {
       when(ok, bp(p)).otherwise(lit(null).cast("long")).as("p_bp"))
   }
 
+  /** Durbin–Watson statistic (Durbin & Watson 1950 — THE lag-1
+    * serial-correlation diagnostic regression practice reads first:
+    * d = Σ(Δx)²/Σ(x−x̄)² ∈ [0, 4], 2 = white, → 0 positive
+    * autocorrelation, → 4 negative; related to [[ljungBox]]'s ρ̂₁ by
+    * d ≈ 2(1−ρ̂₁) — the spec pins that identity as a cross-
+    * implementation contract, and the pair is reported side by side
+    * the way the packages do). One row per event type:
+    * (event_type, n_days, d_bp).
+    *
+    * Exactness: Σ(Δx)² is an exact integer and the m-scaled denominator
+    * Σ(m·x−S)² = m²·Σ(x−x̄)² is the ljungBox c2 — so
+    * d = m²·Σ(Δx)²/c2 is ONE division of exact DECIMAL(38,0) integers.
+    * Constant series (c2 = 0) or single-day types report NULL.
+    *
+    * Engine-parity shape ([[cusumDailyCounts]]'s): one (type, day) agg,
+    * O(days) in-row arithmetic.
+    */
+  def durbinWatson(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+      .withColumn("m", size(col("cs")))
+      .withColumn("_s",
+        aggregate(col("cs"), lit(0L), (a, e) => a + e.getField("n")))
+    def elN(j: Column) = element_at(col("cs"), j.cast("int")).getField("n")
+    // Σ(Δx)²: exact integers, no centering needed (differences kill it)
+    val dnum = aggregate(sequence(lit(2), col("m")), lit(0).cast(dec),
+      (a, j) => (a + ((elN(j) - elN(j - 1)) * (elN(j) - elN(j - 1)))
+        .cast(dec)).cast(dec))
+    // m²·Σ(x−x̄)² = Σ(m·x − S)², the ljungBox c2
+    val c2 = aggregate(col("cs"), lit(0).cast(dec), (a, e) => {
+      val cx = col("m").cast(dec) * e.getField("n").cast(dec) -
+        col("_s").cast(dec)
+      (a + cx * cx).cast(dec)
+    })
+    val withD = series
+      // sequence(2, 1) would step DOWNWARD on a single-day series (the
+      // bhAdjust lesson)
+      .withColumn("_dn", when(col("m") > 1, dnum).otherwise(lit(0).cast(dec)))
+      .withColumn("_c2", c2)
+    val d = col("m").cast(dec).*(col("m").cast(dec)).*(col("_dn"))
+      .cast("double") / col("_c2").cast("double")
+    val ok = col("m") > 1 && col("_c2") > 0
+    withD.select(col(typeCol), col("m").cast("long").as("n_days"),
+      when(ok, floor(d * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("d_bp"))
+  }
+
   /** Wald–Wolfowitz runs test (Wald & Wolfowitz 1940, the dichotomized
     * runs-about-the-median form per Bradley 1968 §12 — the classical
     * RANDOMNESS check the trend shelf lacks a yes/no for: too FEW runs

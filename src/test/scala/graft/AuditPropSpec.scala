@@ -602,6 +602,22 @@ class AuditPropSpec extends SparkSpec {
         Option[Long])].head()._5.isEmpty)
   }
 
+  test("signTest: masses, z, zeros drop, agreement with the signed-rank direction") {
+    def st(ds: Seq[Long]) = Quality.signTest(ds.toDF("d"), col("d"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    // 12 positive of 16 nonzero (plus 4 zeros): z = (24-16)/4 = 2
+    val got = st(Seq.fill(12)(3L) ++ Seq.fill(4)(-1L) ++ Seq.fill(4)(0L))
+    assert(got == ((20L, 16L, 12L, 4L, Some(20000L))))
+    // the two paired tests agree in direction on a one-sided shift
+    val ds = (1L to 15L) :+ -2L
+    val s = st(ds)._5.get
+    val w = Quality.wilcoxonSignedRank(ds.toDF("d"), col("d"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()._5.get
+    assert(s > 0 && w > 0)
+    // all zeros: nothing to test
+    assert(st(Seq(0L, 0L))._5.isEmpty)
+  }
+
   /** Published signed-rank form, straight doubles, zeros dropped. */
   private def refWilcoxon(ds: Seq[Long]): Option[Double] = {
     val nz = ds.filter(_ != 0)

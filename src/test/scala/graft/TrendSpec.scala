@@ -331,6 +331,45 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  // ---- Durbin-Watson lag-1 serial-correlation diagnostic ----
+
+  private def dw(dailyCounts: Seq[Long]): (String, Long, Option[Long]) =
+    graft.operators.Sessions.durbinWatson(
+      dailyCounts.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("t", new java.sql.Timestamp(d * dayMs)))
+      }.toDF("event_type", "ts"))
+      .as[(String, Long, Option[Long])].head()
+
+  test("dw: matches the published ratio; smooth vs alternating separate (10 rounds)") {
+    for (round <- 0 until 10) {
+      val xs = draw(Gen.listOfN(25, Gen.choose(1L, 60L)), 65000L + round)
+      val got = dw(xs)
+      val mu = xs.sum.toDouble / xs.size
+      val want = xs.sliding(2).map(w => math.pow(w(1) - w(0), 2)).sum /
+        xs.map(x => (x - mu) * (x - mu)).sum
+      assert(math.abs(got._3.get / 10000.0 - want) < 1e-3, s"round $round")
+    }
+    // a smooth ramp hugs d ~ 0 (positive autocorrelation); a period-2
+    // alternation pushes d toward 4
+    val ramp = dw((1L to 20L).toSeq)
+    val alt = dw(Seq.tabulate(20)(i => if (i % 2 == 0) 5L else 50L))
+    assert(ramp._3.get < 10000L && alt._3.get > 30000L)
+  }
+
+  test("dw: reads beside Ljung-Box as d ~ 2(1 - rho1), within end effects") {
+    val xs = draw(Gen.listOfN(30, Gen.choose(1L, 40L)), 65900L)
+    val d = dw(xs)._3.get / 10000.0
+    val r1 = lb(xs)._3.get / 10000.0
+    // the identity is exact up to the two end terms (each bounded by
+    // max-deviation^2 / denominator) — generous but directional
+    assert(math.abs(d - 2 * (1 - r1)) < 0.5)
+  }
+
+  test("dw: constant and single-day series report null") {
+    assert(dw(Seq.fill(10)(7L))._3.isEmpty)
+    assert(dw(Seq(7L))._3.isEmpty)
+  }
+
   test("runs: a constant series is all median ties — zero sides, null z") {
     val got = runs(Seq.fill(8)(5L))
     assert(got._3 == 0L && got._4 == 0L && got._5 == 0L && got._6.isEmpty)
