@@ -172,7 +172,9 @@ class PlanGuardSpec extends SparkSpec {
     "q267_welch" ->
       "crossJoin(broadcast(side B moments)): two SINGLE-ROW moment frames",
     "q268_signed_rank" ->
-      "crossJoin(broadcast(moment agg)): the single-row unit count beside the single-row rank moments"
+      "crossJoin(broadcast(moment agg)): the single-row unit count beside the single-row rank moments",
+    "q270_cohens_h" ->
+      "crossJoin(broadcast(side B masses)): two SINGLE-ROW conditional aggregates (proportionDiff's shape)"
   )
 
   /** One shared physical-plan pass for every rule in this suite (plan
