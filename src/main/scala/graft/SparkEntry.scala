@@ -1561,6 +1561,27 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q274_by_screen" -> ((s, dir) => {
+      // q232's KS screen under Benjamini-Yekutieli — FDR under ARBITRARY
+      // dependence, the honest knob for this screen: every source's
+      // complement overlaps every other's, so BH's independence
+      // assumption is structurally false here
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val ks = operators.Quality.groupedKsTest(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source")).persist()
+      def bp(c: org.apache.spark.sql.Column) =
+        floor(c * 10000 + lit(0.5)).cast("long")
+      operators.Quality.byAdjust(ks, col("group_key"), col("p_value"))
+        .join(broadcast(ks.select(col("group_key").as("test_key"),
+          col("n_g"), col("ks_d"))), "test_key")
+        .select(col("test_key"), col("n_g"),
+          bp(col("ks_d")).as("ks_d_bp"), bp(col("p_value")).as("p_bp"),
+          col("p_rank"), bp(col("p_adj")).as("p_adj_bp"),
+          (bp(col("p_adj")) <= 1000L).as("reject"))
+    }),
+
     "q273_sign_test" -> ((s, dir) => {
       // the sign test on q268's per-user weekend-vs-weekday difference —
       // the median-only paired question, maximally robust where the
@@ -5061,6 +5082,53 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q274_by_screen" ->
+      // q232's per-group KS spine verbatim; the BY step inflates the
+      // step-up weights with the ascending-order harmonic factor
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "pgv AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM pgv GROUP BY v), " +
+        "gr AS (SELECT g, sum(c) AS ng FROM pgv GROUP BY g), " +
+        "t AS (SELECT sum(cv) AS n FROM pv), " +
+        "ca AS (SELECT v, sum(cv) OVER (ORDER BY v) AS cumall FROM pv), " +
+        "sp AS (SELECT gr.g, gr.ng, ca.v, ca.cumall FROM gr, ca), " +
+        "jj AS (SELECT sp.g, sp.ng, sp.v, sp.cumall, COALESCE(pgv.c, 0) AS c " +
+        "FROM sp LEFT JOIN pgv ON pgv.g = sp.g AND pgv.v = sp.v), " +
+        "w AS (SELECT g, ng, cumall, " +
+        "sum(c) OVER (PARTITION BY g ORDER BY v) AS cumg FROM jj), " +
+        "dd AS (SELECT g, max(ng) AS ng, " +
+        "max(abs(CAST(cumg AS HUGEINT) * (CAST(n AS HUGEINT) - CAST(ng AS HUGEINT)) - " +
+        "(CAST(cumall AS HUGEINT) - CAST(cumg AS HUGEINT)) * CAST(ng AS HUGEINT))) AS dnum " +
+        "FROM w, t GROUP BY g), " +
+        "ks AS (SELECT g, ng, CAST(n AS BIGINT) - ng AS nrest, dnum FROM dd, t), " +
+        "kr AS (SELECT g, ng, nrest, " +
+        "floor(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)) * 10000 + 0.5) / 10000 AS ks_d, " +
+        "floor(least(1.0, 2.0 * exp(-2.0 * " +
+        "(sqrt(CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE) / (CAST(ng AS DOUBLE) + CAST(nrest AS DOUBLE))) * " +
+        "(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)))) * " +
+        "(sqrt(CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE) / (CAST(ng AS DOUBLE) + CAST(nrest AS DOUBLE))) * " +
+        "(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS p " +
+        "FROM ks), " +
+        "l AS (SELECT list(struct_pack(p := p, k := g) ORDER BY p, g) AS ps, count(*) AS m FROM kr), " +
+        "cmx AS (SELECT ps, m, " +
+        "list_reduce(list_prepend(0.0, list_transform(range(1, CAST(m + 1 AS BIGINT)), " +
+        "i -> 1.0 / CAST(i AS DOUBLE))), (p, q) -> p + q) AS cm FROM l), " +
+        "wsx AS (SELECT ps, m, list_transform(range(1, CAST(m + 1 AS BIGINT)), " +
+        "i -> ps[i].p * cm * CAST(m AS DOUBLE) / CAST(i AS DOUBLE)) AS ws FROM cmx), " +
+        "ex AS (SELECT unnest(range(1, CAST(m + 1 AS BIGINT))) AS j, ps, ws, m FROM wsx), " +
+        "bh AS (SELECT ps[j].k AS test_key, ps[j].p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
+        "floor(least(1.0, list_min(ws[j:m])) * 10000 + 0.5) / 10000 AS p_adj FROM ex) " +
+        "SELECT bh.test_key, kr.ng AS n_g, " +
+        "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
+        "CAST(floor(bh.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +
+        "bh.p_rank, " +
+        "CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) AS p_adj_bp, " +
+        "(CAST(floor(bh.p_adj * 10000 + 0.5) AS BIGINT) <= 1000) AS reject " +
+        "FROM bh JOIN kr ON kr.g = bh.test_key"),
 
     "q273_sign_test" ->
       // q268's per-user difference; every mass one conditional sum, the

@@ -2259,6 +2259,58 @@ object Quality {
         (r4(col("e.adj")) <= alpha).as("reject"))
   }
 
+  /** Benjamini–Yekutieli adjustment (Benjamini & Yekutieli 2001 — the
+    * third multiplicity knob beside [[bhAdjust]] and [[holmAdjust]]: BH
+    * controls FDR under independence/PRDS, BY under ARBITRARY
+    * dependence by inflating the step-up weights with the harmonic
+    * factor c(m) = Σ1/i — the conservative choice when the screen's
+    * tests share data, as per-source-vs-complement screens do by
+    * construction: every test's complement overlaps every other's).
+    * Same shape as [[bhAdjust]]: (test_key, p_value, p_rank, p_adj,
+    * reject), adj_(j) = min(1, min_{i≥j} c(m)·m/i·p_(i)), reject =
+    * adj ≤ `fdrQ`.
+    *
+    * c(m) is an exact compile-time-independent fold the ORACLE can
+    * replay: the 1-based harmonic sum in ascending i order, spelled
+    * identically on both engines.
+    */
+  def byAdjust(
+      df: DataFrame,
+      keyCol: Column,
+      pCol: Column,
+      fdrQ: Double = 0.1): DataFrame = {
+    require(fdrQ > 0 && fdrQ < 1, "FDR level must be in (0, 1)")
+    val v = df.filter(keyCol.isNotNull && pCol.isNotNull)
+      .select(pCol.cast("double").as("_p"), keyCol.as("_k"))
+    val one = v.groupBy().agg(
+      sort_array(collect_list(struct(col("_p"), col("_k")))).as("ps"),
+      count(lit(1)).as("m"))
+    val md = col("m").cast("double")
+    // harmonic factor in ascending-i order — both engines fold the same
+    val cm = aggregate(sequence(lit(1L), col("m")), lit(0.0),
+      (a, i) => a + lit(1.0) / i.cast("double"))
+    val ws = transform(sequence(lit(1L), col("m")),
+      i => element_at(col("ps"), i.cast("int")).getField("_p") * cm * md /
+        i.cast("double"))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    val entries = transform(sequence(lit(1L), col("m")), j => struct(
+      j.as("rnk"),
+      element_at(col("ps"), j.cast("int")).getField("_k").as("k"),
+      element_at(col("ps"), j.cast("int")).getField("_p").as("p"),
+      least(lit(1.0), array_min(slice(col("ws"), j.cast("int"),
+        (col("m") - j + 1).cast("int")))).as("adj")))
+    one
+      // sequence(1, 0) would step DOWNWARD — an empty report must yield
+      // an empty frame, not an element_at(0) throw
+      .filter(col("m") > 0)
+      .select(col("m"), col("ps"), ws.as("ws"))
+      .select(explode(entries).as("e"))
+      .select(col("e.k").as("test_key"), col("e.p").as("p_value"),
+        col("e.rnk").as("p_rank"),
+        r4(col("e.adj")).as("p_adj"),
+        (r4(col("e.adj")) <= fdrQ).as("reject"))
+  }
+
   /** Brown-Forsythe variance-homogeneity test (Brown & Forsythe 1974 —
     * Levene's test with the MEDIAN center, the robust form): "did the
     * SPREAD change across groups?" where [[anovaF]] asks about the mean

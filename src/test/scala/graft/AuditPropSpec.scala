@@ -669,6 +669,36 @@ class AuditPropSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Option[Long])].head()._5.isEmpty)
   }
 
+  test("byAdjust: harmonic-inflated step-up, sandwiched between BH and never below it") {
+    val ps = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.04), ("t4", 0.5))
+      .toDF("k", "p")
+    val got = Quality.byAdjust(ps, col("k"), col("p"), fdrQ = 0.1)
+      .as[(String, Double, Long, Double, Boolean)].collect().sortBy(_._3)
+    // c(4) = 25/12; ws = [.0833, .0833, .1111, 1.0417]; suffix mins
+    assert(got.map(r => (r._1, r._4, r._5)).toSeq == Seq(
+      ("t1", 0.0833, true), ("t2", 0.0833, true),
+      ("t3", 0.1111, false), ("t4", 1.0, false)))
+    for (round <- 0 until 10) {
+      val raw = draw(Gen.listOfN(12, Gen.choose(0, 2000)), 66000L + round)
+        .zipWithIndex.map { case (p, i) => (s"t$i", p / 2000.0) }
+      val df = raw.toDF("k", "p")
+      val by = Quality.byAdjust(df, col("k"), col("p"), fdrQ = 0.1)
+        .as[(String, Double, Long, Double, Boolean)].collect()
+      val bh = Quality.bhAdjust(df, col("k"), col("p"), fdrQ = 0.1)
+        .as[(String, Double, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      for (r <- by) {
+        assert(r._4 >= bh(r._1)._4 - 1.0001e-4,
+          s"round $round: BY adj >= BH adj")
+        if (r._5) assert(bh(r._1)._5,
+          s"round $round: a BY reject must also be a BH reject")
+      }
+    }
+    assert(Quality.byAdjust(
+      Seq.empty[(String, Double)].toDF("k", "p"), col("k"), col("p"))
+      .count() == 0L)
+  }
+
   /** Published Stuart–Maxwell form dropping category `drop` (the
     * statistic is invariant to the choice — the spec exploits that).
     */

@@ -174,7 +174,9 @@ class PlanGuardSpec extends SparkSpec {
     "q268_signed_rank" ->
       "crossJoin(broadcast(moment agg)): the single-row unit count beside the single-row rank moments",
     "q270_cohens_h" ->
-      "crossJoin(broadcast(side B masses)): two SINGLE-ROW conditional aggregates (proportionDiff's shape)"
+      "crossJoin(broadcast(side B masses)): two SINGLE-ROW conditional aggregates (proportionDiff's shape)",
+    "q274_by_screen" ->
+      "q232's groupedKsTest spine: crossJoin(broadcast(groups)) of the bounded group table against the distinct-value spine"
   )
 
   /** One shared physical-plan pass for every rule in this suite (plan
