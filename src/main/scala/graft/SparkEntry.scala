@@ -1561,6 +1561,21 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q275_hosmer_lemeshow" -> ((s, dir) => {
+      // Hosmer-Lemeshow over q209's reliability bins — the calibration
+      // TEST beside the ECE magnitude: do the bin gaps exceed chance?
+      // chi2 on the 2^20-quantized expected masses, closed-form even-dof
+      // survival
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      operators.Quality.hosmerLemeshow(
+        d, size(stops).cast("long"), size(toks).cast("long"),
+        col("source") === "src0")
+    }),
+
     "q274_by_screen" -> ((s, dir) => {
       // q232's KS screen under Benjamini-Yekutieli — FDR under ARBITRARY
       // dependence, the honest knob for this screen: every source's
@@ -5082,6 +5097,45 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q275_hosmer_lemeshow" ->
+      // q209's bin CTEs (same HUGEINT bin draw and 2^20 quantization);
+      // the HL fold in sorted bin order and the even-dof survival
+      // spelled as Spark's
+      ("WITH v AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS HUGEINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS HUGEINT) AS den, " +
+        "(source = 'src0') AS y FROM documents " +
+        "WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "b AS (SELECT least(9, num * 10 // den) AS bin, " +
+        "num * 1048576 // den AS sq20, " +
+        "CASE WHEN y THEN 1 ELSE 0 END AS pos FROM v), " +
+        "p AS (SELECT bin, count(*) AS n, sum(pos) AS np, sum(sq20) AS s " +
+        "FROM b GROUP BY bin), " +
+        "one AS (SELECT list(struct_pack(bin := bin, n := n, np := np, s := s) " +
+        "ORDER BY bin) AS bs, COALESCE(sum(n), 0) AS n, count(*) AS bu FROM p), " +
+        "f AS (SELECT n, bu, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(bs, e -> " +
+        "CAST(CASE WHEN CAST((e).s AS DOUBLE) / 1048576.0 > 0 AND " +
+        "CAST((e).s AS DOUBLE) / 1048576.0 < CAST((e).n AS DOUBLE) " +
+        "THEN 1 ELSE 0 END AS BIGINT))), (p, q) -> p + q) AS cc, " +
+        "list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
+        "CASE WHEN CAST((e).s AS DOUBLE) / 1048576.0 > 0 AND " +
+        "CAST((e).s AS DOUBLE) / 1048576.0 < CAST((e).n AS DOUBLE) THEN " +
+        "(CAST((e).np AS DOUBLE) - CAST((e).s AS DOUBLE) / 1048576.0) * " +
+        "(CAST((e).np AS DOUBLE) - CAST((e).s AS DOUBLE) / 1048576.0) / " +
+        "((CAST((e).s AS DOUBLE) / 1048576.0) * " +
+        "(1.0 - (CAST((e).s AS DOUBLE) / 1048576.0) / CAST((e).n AS DOUBLE))) " +
+        "ELSE 0.0 END)), (p, q) -> p + q) AS hl FROM one) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(bu AS BIGINT) AS bins_used, " +
+        "CASE WHEN cc > 2 THEN CAST(cc - 2 AS BIGINT) END AS df_hl, " +
+        "CASE WHEN cc > 2 THEN CAST(floor(hl * 10000 + 0.5) AS BIGINT) END AS hl_bp, " +
+        "CASE WHEN cc > 2 AND cc = bu AND bu = 10 THEN " +
+        "CAST(floor(exp(-(hl / 2)) * (1.0 + 1.0 * (hl / 2) + " +
+        "((0.5 * (hl / 2)) * (hl / 2)) + " +
+        "(((0.16666666666666666 * (hl / 2)) * (hl / 2)) * (hl / 2))) * 10000 + 0.5) AS BIGINT) " +
+        "END AS p_bp FROM f"),
 
     "q274_by_screen" ->
       // q232's per-group KS spine verbatim; the BY step inflates the

@@ -792,6 +792,87 @@ object Quality {
           bp(col("n_pos").cast("double") / col("n"))).as("gap_bp"))
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit test (Hosmer & Lemeshow 1980 — the
+    * calibration TEST beside [[calibrationSummary]]'s magnitudes: ECE
+    * says how big the gaps are, HL says whether they exceed chance,
+    * HL = Σ_b (O_b − E_b)²/(E_b(1 − E_b/n_b)) on χ²_{B−2}). One row:
+    * (n, bins_used, df_hl, hl_bp, p_bp).
+    *
+    * E_b is the bin's expected-positive mass from the SAME 2²⁰
+    * fixed-point score quantization the calibration report ships (both
+    * engines replay the identical integral divisions, so the statistic
+    * is defined on the quantized scores — the KS-monitor bin-parity
+    * convention). Bins with degenerate expectation (E ≤ 0 or E ≥ n —
+    * e.g. an all-zero-score bin) drop from the sum with df following;
+    * the closed-form p (even-dof chi-square survival, the jarqueBera
+    * precedent) is emitted only when EVERY present bin contributes and
+    * `bins` − 2 is even — otherwise the statistic ships without p (the
+    * kruskalWallis convention).
+    *
+    * Scale shape: one map-side projection, one B-bounded hash agg, one
+    * single-row fold.
+    */
+  def hosmerLemeshow(
+      df: DataFrame,
+      scoreNum: Column,
+      scoreDen: Column,
+      label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 4 && bins <= 10000, "4 <= bins <= 10000")
+    val rows = df
+      .filter(scoreNum.isNotNull && scoreDen.isNotNull && label.isNotNull &&
+        scoreDen.cast("long") > 0L)
+      .select(
+        greatest(lit(0L), least(scoreNum.cast("long"), scoreDen.cast("long")))
+          .as("_num"),
+        scoreDen.cast("long").as("_den"),
+        label.cast("boolean").as("_y"))
+    val binned = rows.selectExpr(
+      s"least(CAST(${bins - 1} AS BIGINT), " +
+        s"CAST(_num AS DECIMAL(38,0)) * $bins div CAST(_den AS DECIMAL(38,0))) AS bin",
+      "CAST(_num AS DECIMAL(38,0)) * 1048576 div CAST(_den AS DECIMAL(38,0)) AS _sq20",
+      "CASE WHEN _y THEN 1 ELSE 0 END AS _pos")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perBin = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("_n"), sum(col("_pos")).as("_p"),
+        sum(col("_sq20").cast(dec)).cast("long").as("_s"))
+    val one = perBin.agg(
+      sort_array(collect_list(struct(col("bin"), col("_n"), col("_p"),
+        col("_s")))).as("bs"),
+      coalesce(sum(col("_n")), lit(0L)).as("n"),
+      count(lit(1)).as("bins_used"))
+    def nE(e: Column) = e.getField("_n").cast("double")
+    def pE(e: Column) = e.getField("_p").cast("double")
+    def eE(e: Column) = e.getField("_s").cast("double") / 1048576.0
+    def contrib(e: Column) = eE(e) > 0 && eE(e) < nE(e)
+    val cc = aggregate(col("bs"), lit(0L), (a, e) =>
+      a + when(contrib(e), 1L).otherwise(0L))
+    val hl = aggregate(col("bs"), lit(0.0), (a, e) =>
+      a + when(contrib(e),
+        (pE(e) - eE(e)) * (pE(e) - eE(e)) /
+          (eE(e) * (lit(1.0) - eE(e) / nE(e)))).otherwise(lit(0.0)))
+    val h = hl / 2
+    // closed-form even-dof chi-square survival, unrolled for bins − 2
+    val dof = bins - 2
+    val pSum =
+      if (dof % 2 == 0 && dof >= 2)
+        (0 until dof / 2).map { j =>
+          val fact = (1 to j).product.toDouble
+          (0 until j).foldLeft(lit(1.0 / fact): Column)((c, _) => c * h)
+        }.reduce(_ + _)
+      else lit(Double.NaN)
+    val p = exp(-h) * pSum
+    val okHl = col("_cc") > 2
+    val okP = okHl && col("_cc") === col("bins_used") &&
+      col("bins_used") === bins && dof % 2 == 0
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    one.withColumn("_cc", cc).select(col("n"), col("bins_used"),
+      when(okHl, col("_cc") - 2).otherwise(lit(null).cast("long"))
+        .as("df_hl"),
+      when(okHl, bp(hl)).otherwise(lit(null).cast("long")).as("hl_bp"),
+      when(okP, bp(p)).otherwise(lit(null).cast("long")).as("p_bp"))
+  }
+
   /** Per-group calibration — multicalibration-lite (Hébert-Johnson et
     * al. ICML 2018): a scorer calibrated ON AVERAGE can be badly
     * miscalibrated within every subpopulation, so the audit that matters

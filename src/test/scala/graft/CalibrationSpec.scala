@@ -89,4 +89,76 @@ class CalibrationSpec extends SparkSpec {
       .select(col("bin")).as[Long].collect().sorted
     assert(got.toSeq == Seq(2L, 3L)) // 0.5 -> bin 2 of 4; 0.75 -> bin 3
   }
+
+  // ---- Hosmer-Lemeshow goodness-of-fit over the same bins ----
+
+  private def hlRun(rows: Seq[(Long, Long, Boolean)], bins: Int = 10)
+      : (Long, Long, Option[Long], Option[Long], Option[Long]) = {
+    import spark.implicits._
+    graft.operators.Quality.hosmerLemeshow(frame(rows),
+      col("num"), col("den"), col("y"), bins)
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])].head()
+  }
+
+  /** Straight-double reference on the same 2^20-quantized expectations. */
+  private def refHl(rows: Seq[(Long, Long, Boolean)], bins: Int)
+      : (Long, Double) = {
+    val byBin = rows.groupBy { case (num, den, _) =>
+      math.min(bins - 1, num * bins / den) }
+    val terms = byBin.toSeq.sortBy(_._1).map { case (_, rs) =>
+      val n = rs.size.toDouble
+      val o = rs.count(_._3).toDouble
+      val e = rs.map { case (num, den, _) =>
+        num * 1048576L / den }.sum / 1048576.0
+      (e, n, o)
+    }
+    val live = terms.filter(t => t._1 > 0 && t._1 < t._2)
+    (live.size.toLong, live.map { case (e, n, o) =>
+      (o - e) * (o - e) / (e * (1 - e / n)) }.sum)
+  }
+
+  test("hosmerLemeshow: published form on quantized expectations (10 rounds)") {
+    val gen = org.scalacheck.Gen.listOfN(200, for {
+      den <- org.scalacheck.Gen.choose(5L, 40L)
+      num <- org.scalacheck.Gen.choose(0L, den)
+      y <- org.scalacheck.Gen.oneOf(true, false)
+    } yield (num, den, y))
+    for (round <- 0 until 10) {
+      val rows = gen(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(67000L + round)).get
+      val got = hlRun(rows)
+      val (cc, hl) = refHl(rows, 10)
+      if (cc > 2) {
+        assert(got._3 == Some(cc - 2), s"round $round df")
+        assert(math.abs(got._4.get / 10000.0 - hl) < 1e-3, s"round $round hl")
+        if (got._5.isDefined) {
+          val h = hl / 2
+          val p = math.exp(-h) * (1 + h + h * h / 2 + h * h * h / 6)
+          assert(math.abs(got._5.get / 10000.0 - p) < 2e-4, s"round $round p")
+        }
+      } else assert(got._4.isEmpty)
+    }
+  }
+
+  test("hosmerLemeshow: a systematically optimistic scorer scores far above an honest one") {
+    // nine score levels 0.1..0.9, twenty rows each; the honest scorer's
+    // labels arrive at exactly the stated rate, the liar's at 1 - rate
+    val levels = (2L to 18L by 2L)
+    val honest = levels.flatMap(num =>
+      (0 until 20).map(i => (num, 20L, i < num)))
+    val liar = levels.flatMap(num =>
+      (0 until 20).map(i => (num, 20L, i < 20 - num)))
+    val gh = hlRun(honest)
+    val gl = hlRun(liar)
+    assert(gh._3 == Some(7L)) // nine contributing bins
+    assert(gh._4.get < 10000L, s"honest scorer must fit: ${gh._4}")
+    assert(gl._4.get > gh._4.get * 5,
+      s"miscalibration must dominate: ${gl._4} vs ${gh._4}")
+  }
+
+  test("hosmerLemeshow: degenerate expectations drop; all-zero scores null") {
+    val zeros = (0 until 50).map(_ => (0L, 10L, false))
+    val got = hlRun(zeros)
+    assert(got._2 == 1L && got._3.isEmpty && got._4.isEmpty && got._5.isEmpty)
+  }
 }
