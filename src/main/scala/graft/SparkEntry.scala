@@ -1561,6 +1561,26 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q276_icc" -> ((s, dir) => {
+      // ICC(2,1)/(2,k) over q228's three band raters — the two-way
+      // random-effects reliability: how much of the band variance is
+      // the document, not the rater? (2,k) is the averaged-score form a
+      // pipeline actually consumes
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val num = size(stops).cast("long")
+      val den = size(toks).cast("long")
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.intraclassCorrelation(d, Seq(
+        when(num * 10 < den, 0L).when(num * 5 < den, 1L).otherwise(2L),
+        when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L)))
+    }),
+
     "q275_hosmer_lemeshow" -> ((s, dir) => {
       // Hosmer-Lemeshow over q209's reliability bins — the calibration
       // TEST beside the ECE magnitude: do the bin gaps exceed chance?
@@ -5097,6 +5117,46 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q276_icc" ->
+      // q228's band CTEs; the nk-scaled two-way ANOVA sums as exact
+      // HUGEINT integers, the MS and ICC chains spelled as Spark's
+      ("WITH base AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS den, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "r AS (SELECT " +
+        "CASE WHEN num * 10 < den THEN 0 WHEN num * 5 < den THEN 1 ELSE 2 END AS r0, " +
+        "CASE WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END AS r1, " +
+        "CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS r2 FROM base), " +
+        "one AS (SELECT count(*) AS n, " +
+        "COALESCE(sum(CAST(r0 + r1 + r2 AS HUGEINT)), 0) AS g, " +
+        "COALESCE(sum(CAST(r0 + r1 + r2 AS HUGEINT) * CAST(r0 + r1 + r2 AS HUGEINT)), 0) AS tq, " +
+        "COALESCE(sum(CAST(r0 AS HUGEINT) * CAST(r0 AS HUGEINT) + " +
+        "CAST(r1 AS HUGEINT) * CAST(r1 AS HUGEINT) + " +
+        "CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT)), 0) AS xq, " +
+        "COALESCE(sum(CAST(r0 AS HUGEINT)), 0) AS s0, " +
+        "COALESCE(sum(CAST(r1 AS HUGEINT)), 0) AS s1, " +
+        "COALESCE(sum(CAST(r2 AS HUGEINT)), 0) AS s2 FROM r), " +
+        "f AS (SELECT n, " +
+        "CAST(n AS HUGEINT) * tq - g * g AS ssr, " +
+        "3 * (s0 * s0 + s1 * s1 + s2 * s2) - g * g AS ssc, " +
+        "CAST(n AS HUGEINT) * 3 * xq - g * g AS sst FROM one), " +
+        "m AS (SELECT n, CAST(n AS DOUBLE) AS nd, " +
+        "CAST(ssr AS DOUBLE) / (CAST(n AS DOUBLE) - 1) AS msr, " +
+        "CAST(ssc AS DOUBLE) / (3.0 - 1) AS msc, " +
+        "CAST(sst - ssr - ssc AS DOUBLE) / " +
+        "((CAST(n AS DOUBLE) - 1) * (3.0 - 1)) AS mse FROM f) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_raters, " +
+        "CASE WHEN n > 1 AND msr + (3.0 - 1) * mse + 3.0 / nd * (msc - mse) > 0 THEN " +
+        "CAST(floor((msr - mse) / (msr + (3.0 - 1) * mse + 3.0 / nd * (msc - mse)) * 10000 + 0.5) AS BIGINT) " +
+        "END AS icc21_bp, " +
+        "CASE WHEN n > 1 AND msr + (msc - mse) / nd > 0 THEN " +
+        "CAST(floor((msr - mse) / (msr + (msc - mse) / nd) * 10000 + 0.5) AS BIGINT) " +
+        "END AS icc2k_bp FROM m"),
 
     "q275_hosmer_lemeshow" ->
       // q209's bin CTEs (same HUGEINT bin draw and 2^20 quantization);

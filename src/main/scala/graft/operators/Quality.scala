@@ -1916,6 +1916,74 @@ object Quality {
         .otherwise(lit(null).cast("double")).as("kappa"))
   }
 
+  /** Intraclass correlation ICC(2,1) and ICC(2,k) (Shrout & Fleiss 1979
+    * — the CONTINUOUS/interval reliability member the agreement shelf
+    * lacks: kappa/AC1 are categorical, Kendall's W and alpha are
+    * rank/distance forms; ICC is the two-way random-effects "how much
+    * of the score variance is the document, not the rater?" — (2,1)
+    * rates a single rater's score, (2,k) the k-rater average a pipeline
+    * actually consumes). One row: (n, k_raters, icc21_bp, icc2k_bp).
+    *
+    * Exactness: the two-way ANOVA sums clear to exact DECIMAL(38,0)
+    * integers under nk-scaling — nk·SS_rows = n·Σt² − G²,
+    * nk·SS_cols = k·ΣΣ_j s_j² − G², nk·SS_tot = nk·Σx² − G² (t = row
+    * totals, s_j = rater sums, G = grand total) — ONE single-row
+    * aggregate carries k+3 counters; the MS/ICC chains are spelled once
+    * from the integer inputs. Degenerate variance (a constant table)
+    * nulls.
+    *
+    * Scale shape: one single-row aggregate with map-side partials;
+    * nothing else touches the corpus.
+    */
+  def intraclassCorrelation(
+      df: DataFrame,
+      raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, "ICC needs at least 2 raters")
+    val k = raters.size
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(raters.map(_.isNotNull).reduce(_ && _))
+      .select((raters.zipWithIndex.map { case (c, i) =>
+        c.cast("long").as(s"_x$i") } :+
+        raters.map(_.cast("long")).reduce(_ + _).as("_t")): _*)
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("_t").cast(dec)), lit(0).cast(dec)).as("_g"),
+      coalesce(sum(col("_t").cast(dec) * col("_t").cast(dec)),
+        lit(0).cast(dec)).as("_tq"),
+      coalesce(sum((0 until k).map(i =>
+        col(s"_x$i").cast(dec) * col(s"_x$i").cast(dec)).reduce(_ + _)),
+        lit(0).cast(dec)).as("_xq")) ++
+      (0 until k).map(i =>
+        coalesce(sum(col(s"_x$i").cast(dec)), lit(0).cast(dec)).as(s"_s$i"))
+    val one = v.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast(dec)
+    val kD = lit(k).cast(dec)
+    val g2 = col("_g") * col("_g")
+    val sq = (0 until k).map(i => col(s"_s$i") * col(s"_s$i")).reduce(_ + _)
+    // nk-scaled sums of squares: exact integers
+    val ssr = nD * col("_tq") - g2
+    val ssc = kD * sq - g2
+    val sst = nD * kD * col("_xq") - g2
+    val sse = sst - ssr - ssc
+    val nd = col("n").cast("double")
+    val kd = lit(k.toDouble)
+    // the nk scale cancels in every ratio: MS terms carry it uniformly
+    val msr = ssr.cast("double") / (nd - 1)
+    val msc = ssc.cast("double") / (kd - 1)
+    val mse = sse.cast("double") / ((nd - 1) * (kd - 1))
+    val icc21 = (msr - mse) /
+      (msr + (kd - 1) * mse + kd / nd * (msc - mse))
+    val icc2k = (msr - mse) / (msr + (msc - mse) / nd)
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    val den21 = msr + (kd - 1) * mse + kd / nd * (msc - mse)
+    val den2k = msr + (msc - mse) / nd
+    one.select(col("n"), lit(k.toLong).as("k_raters"),
+      when(col("n") > 1 && den21 > 0, bp(icc21))
+        .otherwise(lit(null).cast("long")).as("icc21_bp"),
+      when(col("n") > 1 && den2k > 0, bp(icc2k))
+        .otherwise(lit(null).cast("long")).as("icc2k_bp"))
+  }
+
   /** Krippendorff's alpha, interval metric, complete ratings
     * (Krippendorff 1970/2004, δ(c,c') = (c−c')² — the agreement
     * coefficient annotation QA standardized on: [[fleissKappa]] treats

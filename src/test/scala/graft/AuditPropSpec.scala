@@ -793,6 +793,68 @@ class AuditPropSpec extends SparkSpec {
       .as[(Long, Long, Option[Long], Option[Long])].head()._4.isEmpty)
   }
 
+  /** Published Shrout–Fleiss two-way forms, straight doubles. */
+  private def refIcc(units: Seq[Seq[Long]]): (Double, Double) = {
+    val n = units.size.toDouble
+    val k = units.head.size.toDouble
+    val grand = units.flatten.sum / (n * k)
+    val rowM = units.map(u => u.sum / k)
+    val colM = (0 until units.head.size).map(j => units.map(_(j)).sum / n)
+    val msr = rowM.map(m => (m - grand) * (m - grand)).sum * k / (n - 1)
+    val msc = colM.map(m => (m - grand) * (m - grand)).sum * n / (k - 1)
+    val sse = units.zipWithIndex.flatMap { case (u, i) =>
+      u.zipWithIndex.map { case (x, j) =>
+        val r = x - rowM(i) - colM(j) + grand; r * r } }.sum
+    val mse = sse / ((n - 1) * (k - 1))
+    ((msr - mse) / (msr + (k - 1) * mse + k / n * (msc - mse)),
+      (msr - mse) / (msr + (msc - mse) / n))
+  }
+
+  test("intraclassCorrelation: published forms, perfect agreement, rater-offset penalty (10 rounds)") {
+    val unitGen = Gen.listOfN(3, Gen.choose(0L, 8L))
+    for (round <- 0 until 10) {
+      val units = draw(Gen.listOfN(40, unitGen), 68000L + round)
+      val df = units.map(u => (u(0), u(1), u(2))).toDF("r0", "r1", "r2")
+      val got = Quality.intraclassCorrelation(df,
+        Seq(col("r0"), col("r1"), col("r2")))
+        .as[(Long, Long, Option[Long], Option[Long])].head()
+      val (w21, w2k) = refIcc(units)
+      (got._3, got._4) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a / 10000.0 - w21) < 2e-4, s"round $round icc21")
+          assert(math.abs(b / 10000.0 - w2k) < 2e-4, s"round $round icc2k")
+        case _ => // degenerate draw — both engines nulled consistently
+      }
+    }
+    // unanimous raters on varied documents: both forms exactly 1
+    val perfect = Seq((0L, 0L, 0L), (1L, 1L, 1L), (2L, 2L, 2L),
+      (0L, 0L, 0L)).toDF("r0", "r1", "r2")
+    val gp = Quality.intraclassCorrelation(perfect,
+      Seq(col("r0"), col("r1"), col("r2")))
+      .as[(Long, Long, Option[Long], Option[Long])].head()
+    assert(gp._3 == Some(10000L) && gp._4 == Some(10000L))
+    // shifting ONE rater by a constant hurts absolute agreement (2,1) —
+    // on a base with REAL agreement (a shared document effect plus a
+    // small rater wobble; independent raters have no ICC to dilute)
+    val base = (0 until 40).map(i =>
+      Seq(i % 9L, i % 9L, i % 9L + i % 2L))
+    val clean = Quality.intraclassCorrelation(
+      base.map(u => (u(0), u(1), u(2))).toDF("r0", "r1", "r2"),
+      Seq(col("r0"), col("r1"), col("r2")))
+      .as[(Long, Long, Option[Long], Option[Long])].head()
+    val shifted = Quality.intraclassCorrelation(
+      base.map(u => (u(0) + 5L, u(1), u(2))).toDF("r0", "r1", "r2"),
+      Seq(col("r0"), col("r1"), col("r2")))
+      .as[(Long, Long, Option[Long], Option[Long])].head()
+    assert(shifted._3.get < clean._3.get,
+      "a constant rater offset must lower ICC(2,1)")
+    // a constant table has no variance to apportion
+    val const = Seq((1L, 1L, 1L), (1L, 1L, 1L)).toDF("r0", "r1", "r2")
+    assert(Quality.intraclassCorrelation(const,
+      Seq(col("r0"), col("r1"), col("r2")))
+      .as[(Long, Long, Option[Long], Option[Long])].head()._3.isEmpty)
+  }
+
   /** Published interval-metric alpha, complete data, straight doubles. */
   private def refAlpha(units: Seq[Seq[Long]]): Option[Double] = {
     val n = units.size
