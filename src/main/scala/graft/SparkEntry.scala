@@ -5011,7 +5011,10 @@ object SparkEntry {
     "q232_fdr_screen" ->
       // the per-group KS spine (groups x pooled values, per-group window
       // cumsum, HUGEINT cross-masses vs the complement), q220's display
-      // chains, then the BH step-up as 1-based list arithmetic
+      // chains, then the BH step-up as portable window SQL: row_number
+      // for the 1-based rank and a suffix-min window for the step-up
+      // (dynamic list slicing is version-sensitive across DuckDBs —
+      // the r15 driver-red diagnosis; OraclePortabilitySpec pins this)
       ("WITH v AS (SELECT source AS g, " +
         "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
@@ -5039,12 +5042,14 @@ object SparkEntry {
         "(sqrt(CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE) / (CAST(ng AS DOUBLE) + CAST(nrest AS DOUBLE))) * " +
         "(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS p " +
         "FROM ks), " +
-        "l AS (SELECT list(struct_pack(p := p, k := g) ORDER BY p, g) AS ps, count(*) AS m FROM kr), " +
-        "wsx AS (SELECT ps, m, list_transform(range(1, CAST(m + 1 AS BIGINT)), " +
-        "i -> ps[i].p * CAST(m AS DOUBLE) / CAST(i AS DOUBLE)) AS ws FROM l), " +
-        "ex AS (SELECT unnest(range(1, CAST(m + 1 AS BIGINT))) AS j, ps, ws, m FROM wsx), " +
-        "bh AS (SELECT ps[j].k AS test_key, ps[j].p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
-        "floor(least(1.0, list_min(ws[j:m])) * 10000 + 0.5) / 10000 AS p_adj FROM ex) " +
+        "rk AS (SELECT g, p, row_number() OVER (ORDER BY p, g) AS j, " +
+        "count(*) OVER () AS m FROM kr), " +
+        "wsr AS (SELECT g, p, j, " +
+        "p * CAST(m AS DOUBLE) / CAST(j AS DOUBLE) AS w FROM rk), " +
+        "bh AS (SELECT g AS test_key, p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
+        "floor(least(1.0, min(w) OVER (ORDER BY j DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS p_adj " +
+        "FROM wsr) " +
         "SELECT bh.test_key, kr.ng AS n_g, " +
         "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
         "CAST(floor(bh.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +
@@ -5199,8 +5204,11 @@ object SparkEntry {
 
     "q274_by_screen" ->
       // q232's per-group KS spine verbatim; the BY step inflates the
-      // step-up weights with the ascending-order harmonic factor
-      ("WITH v AS (SELECT source AS g, " +
+      // step-up weights with the ascending-order harmonic factor —
+      // computed by a RECURSIVE CTE so the float fold order (ascending
+      // i, left-associated) is pinned identical to Spark's aggregate()
+      // fold, with no dynamic-list constructs (the r15 portability fix)
+      ("WITH RECURSIVE v AS (SELECT source AS g, " +
         "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
         "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
@@ -5227,15 +5235,19 @@ object SparkEntry {
         "(sqrt(CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE) / (CAST(ng AS DOUBLE) + CAST(nrest AS DOUBLE))) * " +
         "(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS p " +
         "FROM ks), " +
-        "l AS (SELECT list(struct_pack(p := p, k := g) ORDER BY p, g) AS ps, count(*) AS m FROM kr), " +
-        "cmx AS (SELECT ps, m, " +
-        "list_reduce(list_prepend(0.0, list_transform(range(1, CAST(m + 1 AS BIGINT)), " +
-        "i -> 1.0 / CAST(i AS DOUBLE))), (p, q) -> p + q) AS cm FROM l), " +
-        "wsx AS (SELECT ps, m, list_transform(range(1, CAST(m + 1 AS BIGINT)), " +
-        "i -> ps[i].p * cm * CAST(m AS DOUBLE) / CAST(i AS DOUBLE)) AS ws FROM cmx), " +
-        "ex AS (SELECT unnest(range(1, CAST(m + 1 AS BIGINT))) AS j, ps, ws, m FROM wsx), " +
-        "bh AS (SELECT ps[j].k AS test_key, ps[j].p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
-        "floor(least(1.0, list_min(ws[j:m])) * 10000 + 0.5) / 10000 AS p_adj FROM ex) " +
+        "rk AS (SELECT g, p, row_number() OVER (ORDER BY p, g) AS j, " +
+        "count(*) OVER () AS m FROM kr), " +
+        "mm AS (SELECT count(*) AS m FROM kr), " +
+        "h AS (SELECT 1 AS i, CAST(1.0 AS DOUBLE) AS s " +
+        "UNION ALL SELECT i + 1, s + 1.0 / CAST(i + 1 AS DOUBLE) " +
+        "FROM h, mm WHERE i < mm.m), " +
+        "cmx AS (SELECT s AS cm FROM h, mm WHERE h.i = mm.m), " +
+        "wsr AS (SELECT g, p, j, " +
+        "p * cm * CAST(m AS DOUBLE) / CAST(j AS DOUBLE) AS w FROM rk, cmx), " +
+        "bh AS (SELECT g AS test_key, p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
+        "floor(least(1.0, min(w) OVER (ORDER BY j DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS p_adj " +
+        "FROM wsr) " +
         "SELECT bh.test_key, kr.ng AS n_g, " +
         "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
         "CAST(floor(bh.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +
@@ -5369,9 +5381,9 @@ object SparkEntry {
         "CAST(floor(exp(ln(orr) + 1.96 * seor) * 10000 + 0.5) AS BIGINT) END AS or_hi_bp, " +
         "CASE WHEN n11 > 0 AND n01 > 0 THEN " +
         "CAST(floor(rr * 10000 + 0.5) AS BIGINT) END AS rr_bp, " +
-        "CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 THEN " +
+        "CASE WHEN n11 > 0 AND n01 > 0 THEN " +
         "CAST(floor(exp(ln(rr) - 1.96 * serr) * 10000 + 0.5) AS BIGINT) END AS rr_lo_bp, " +
-        "CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 THEN " +
+        "CASE WHEN n11 > 0 AND n01 > 0 THEN " +
         "CAST(floor(exp(ln(rr) + 1.96 * serr) * 10000 + 0.5) AS BIGINT) END AS rr_hi_bp FROM g"),
 
     "q268_signed_rank" ->
@@ -5598,11 +5610,18 @@ object SparkEntry {
         "(CASE WHEN n02 + n20 > 0 THEN CAST((n02 - n20) * (n02 - n20) AS DOUBLE) / " +
         "CAST(n02 + n20 AS DOUBLE) ELSE 0.0 END) + " +
         "(CASE WHEN n12 + n21 > 0 THEN CAST((n12 - n21) * (n12 - n21) AS DOUBLE) / " +
-        "CAST(n12 + n21 AS DOUBLE) ELSE 0.0 END) AS chi2 FROM m) " +
-        "SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k_cats, " +
+        "CAST(n12 + n21 AS DOUBLE) ELSE 0.0 END) AS chi2 FROM m), " +
+        // k_cats from the OBSERVED category union (the q271 AC1 oracle's
+        // discipline) — the engine reports the categories actually seen,
+        // so a hardcoded 3 would fail spuriously on a corpus where one
+        // band is unpopulated (r15 ADVICE); chi2/df_b already agree
+        // because zero-mass pairs drop on both sides
+        "kc AS (SELECT count(*) AS k FROM " +
+        "(SELECT a AS c FROM r UNION SELECT b FROM r) u) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_cats, " +
         "CASE WHEN dfb > 0 THEN CAST(dfb AS BIGINT) END AS df_b, " +
         "CASE WHEN dfb > 0 THEN CAST(floor(chi2 * 10000 + 0.5) AS BIGINT) " +
-        "END AS chi2_bp FROM f"),
+        "END AS chi2_bp FROM f, kc"),
 
     "q261_stuart_maxwell" ->
       // the same contingency by conditional sums; the closed-form 2x2
@@ -5723,12 +5742,14 @@ object SparkEntry {
         "(sqrt(CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE) / (CAST(ng AS DOUBLE) + CAST(nrest AS DOUBLE))) * " +
         "(CAST(dnum AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(nrest AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS p " +
         "FROM ks), " +
-        "l AS (SELECT list(struct_pack(p := p, k := g) ORDER BY p, g) AS ps, count(*) AS m FROM kr), " +
-        "wsx AS (SELECT ps, m, list_transform(range(1, CAST(m + 1 AS BIGINT)), " +
-        "i -> ps[i].p * (CAST(m AS DOUBLE) - CAST(i AS DOUBLE) + 1)) AS ws FROM l), " +
-        "ex AS (SELECT unnest(range(1, CAST(m + 1 AS BIGINT))) AS j, ps, ws, m FROM wsx), " +
-        "hm AS (SELECT ps[j].k AS test_key, ps[j].p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
-        "floor(least(1.0, list_max(ws[1:j])) * 10000 + 0.5) / 10000 AS p_adj FROM ex) " +
+        "rk AS (SELECT g, p, row_number() OVER (ORDER BY p, g) AS j, " +
+        "count(*) OVER () AS m FROM kr), " +
+        "wsr AS (SELECT g, p, j, " +
+        "p * (CAST(m AS DOUBLE) - CAST(j AS DOUBLE) + 1) AS w FROM rk), " +
+        "hm AS (SELECT g AS test_key, p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
+        "floor(least(1.0, max(w) OVER (ORDER BY j " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS p_adj " +
+        "FROM wsr) " +
         "SELECT hm.test_key, kr.ng AS n_g, " +
         "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
         "CAST(floor(hm.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +
@@ -6020,7 +6041,8 @@ object SparkEntry {
       // ONE spine carrying cv + cumall + the lead() successor value, the
       // per-group window cumsum, then the three folds (max KS cross-mass,
       // floor(gap-term*2^20) W1 grains, doubled dominance masses) in one
-      // GROUP BY — and q232's BH list step on the rounded p values
+      // GROUP BY — and q232's portable window-SQL BH step on the rounded
+      // p values (row_number rank + suffix-min window, r15 fix)
       ("WITH v AS (SELECT source AS g, " +
         "CAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS DOUBLE) AS v " +
@@ -6080,12 +6102,14 @@ object SparkEntry {
         "((CAST(ng AS DOUBLE) + CAST(n - ng AS DOUBLE)) * (CAST(ng AS DOUBLE) + CAST(n - ng AS DOUBLE))) * 10000 + 0.5) AS BIGINT) AS cvm_bp, " +
         "floor(2.0 * (CAST(enq AS DOUBLE) / 1048576.0) * 10000 + 0.5) / 10000 AS energy " +
         "FROM dd, t), " +
-        "l AS (SELECT list(struct_pack(p := p, k := g) ORDER BY p, g) AS ps, count(*) AS m FROM kr), " +
-        "wsx AS (SELECT ps, m, list_transform(range(1, CAST(m + 1 AS BIGINT)), " +
-        "i -> ps[i].p * CAST(m AS DOUBLE) / CAST(i AS DOUBLE)) AS ws FROM l), " +
-        "ex AS (SELECT unnest(range(1, CAST(m + 1 AS BIGINT))) AS j, ps, ws, m FROM wsx), " +
-        "bh AS (SELECT ps[j].k AS test_key, ps[j].p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
-        "floor(least(1.0, list_min(ws[j:m])) * 10000 + 0.5) / 10000 AS p_adj FROM ex) " +
+        "rk AS (SELECT g, p, row_number() OVER (ORDER BY p, g) AS j, " +
+        "count(*) OVER () AS m FROM kr), " +
+        "wsr AS (SELECT g, p, j, " +
+        "p * CAST(m AS DOUBLE) / CAST(j AS DOUBLE) AS w FROM rk), " +
+        "bh AS (SELECT g AS test_key, p AS p_value, CAST(j AS BIGINT) AS p_rank, " +
+        "floor(least(1.0, min(w) OVER (ORDER BY j DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS p_adj " +
+        "FROM wsr) " +
         "SELECT bh.test_key, kr.ng AS n_g, kr.nrest AS n_rest, " +
         "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
         "CAST(floor(bh.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +

@@ -1681,7 +1681,10 @@ object Quality {
     * spelled once (exp/ln/√ on both engines). Any empty margin or zero
     * cell nulls the affected displays (the classical card refuses to
     * continuity-fudge — callers who want Haldane-Anscombe +0.5 can add
-    * it upstream, visibly).
+    * it upstream, visibly). The guards are measure-specific: the OR
+    * family (ratio + Woolf interval) needs all four cells positive,
+    * while the RR family (ratio + Katz interval) needs only a > 0 and
+    * c > 0 — b = 0 or d = 0 merely zeroes the Katz SE's terms.
     *
     * Scale shape: ONE single-row conditional aggregate (four map-side
     * counters); everything after is scalar arithmetic.
@@ -1724,8 +1727,13 @@ object Quality {
       guard(okOr, exp(log(orR) - lit(zCrit) * seOr)).as("or_lo_bp"),
       guard(okOr, exp(log(orR) + lit(zCrit) * seOr)).as("or_hi_bp"),
       guard(okRr, rr).as("rr_bp"),
-      guard(okOr, exp(log(rr) - lit(zCrit) * seRr)).as("rr_lo_bp"),
-      guard(okOr, exp(log(rr) + lit(zCrit) * seRr)).as("rr_hi_bp"))
+      // RR-specific interval guard (r15 ADVICE): the Katz SE
+      // √(1/a − 1/(a+b) + 1/c − 1/(c+d)) is finite whenever a > 0 and
+      // c > 0 — b = 0 or d = 0 only zeroes its terms — so the risk
+      // ratio's CI ships under okRr, unlike the odds ratio's Woolf SE
+      // which needs all four cells
+      guard(okRr, exp(log(rr) - lit(zCrit) * seRr)).as("rr_lo_bp"),
+      guard(okRr, exp(log(rr) + lit(zCrit) * seRr)).as("rr_hi_bp"))
   }
 
   /** Stuart–Maxwell marginal-homogeneity test for 3 ordinal categories

@@ -955,12 +955,14 @@ object Sessions {
     *
     * Determinism discipline: monetary sums as DECIMAL(18,2) (association-
     * free — q08's dsum), the 12 cut points are exact distributed-rank
-    * percentiles ([[GlobalRank.percentileValues]] — bit-identical to the
-    * `percentile` aggregate, no user-cardinality aggregation buffer)
-    * over the per-user frame ROUNDED to 4 before banding
+    * percentiles ([[GlobalRank.groupedPercentileTable]] over the
+    * unpivoted (metric, value) per-user frame — bit-identical to the
+    * `percentile` aggregate, no user-cardinality aggregation buffer, ONE
+    * rank pass for all three dimensions) ROUNDED to 4 before banding
     * (q133's rounded-band precedent), and banding is a map-side chain of
-    * `<=` comparisons. Two aggs (per-user, then the one-row cuts) + one
-    * broadcast join; the event table shuffles once on user.
+    * `<=` comparisons. Two aggs (per-user, then the bounded grouped-rank
+    * cut pass) + one broadcast join; the event table shuffles once on
+    * user.
     */
   def rfmSegments(
       events: DataFrame,
@@ -975,20 +977,36 @@ object Sessions {
         sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("monetary"))
       .persist()
-    // the 12 cut points via the distributed rank — three small range
-    // shuffles of the persisted per-user frame instead of three
-    // user-cardinality aggregation buffers in one state (bit-identical
-    // values; rounding stays Spark-side exactly as before)
+    // all 12 cut points in ONE grouped rank pass (r15 VERDICT item 4):
+    // unpivot the persisted per-user frame to (metric, value) and rank
+    // the three dimensions together in [[GlobalRank
+    // .groupedPercentileTable]] (3 groups x shuffle-partitions cells —
+    // deep inside its bounded-driver contract) instead of three
+    // sequential percentileValues jobs. The interpolation chain is the
+    // same Percentile.getPercentile arithmetic in both helpers, so the
+    // cuts are bit-identical (RfmFoldSpec pins this); rounding stays
+    // Spark-side exactly as before
     val probs = Seq(0.2, 0.4, 0.6, 0.8)
-    def cutsArray(valCol: String): Column = {
-      val vs = GlobalRank.percentileValues(perUser, valCol, userCol, probs)
-      array(probs.indices.map(i =>
-        vs.fold(lit(null).cast("double"))(a => lit(a(i)))): _*)
+    val unpivoted = perUser.select(explode(array(
+        struct(lit("r").as("_m"), col("recency_us").cast("double").as("_v")),
+        struct(lit("f").as("_m"), col("frequency").cast("double").as("_v")),
+        struct(lit("m").as("_m"), col("monetary").as("_v")))).as("_e"))
+      .select(col("_e._m").as("_m"), col("_e._v").as("_v"))
+    val cutRows: Map[String, Seq[Option[Double]]] =
+      GlobalRank.groupedPercentileTable(unpivoted, "_m", "_v", probs,
+          probs.indices.map(i => s"_c${i + 1}"))
+        .collect()
+        .map(r => r.getString(0) -> probs.indices.map(i =>
+          if (r.isNullAt(i + 1)) None else Some(r.getDouble(i + 1))))
+        .toMap
+    def cutsArray(metric: String): Column = {
+      val vs = cutRows.getOrElse(metric, probs.map(_ => Option.empty[Double]))
+      array(vs.map(_.fold(lit(null).cast("double"))(lit(_))): _*)
     }
     val cuts = perUser.sparkSession.range(1)
-      .select(cutsArray("recency_us").as("_rc"),
-        cutsArray("frequency").as("_fc"),
-        cutsArray("monetary").as("_mc"))
+      .select(cutsArray("r").as("_rc"),
+        cutsArray("f").as("_fc"),
+        cutsArray("m").as("_mc"))
       .select(
         transform(col("_rc"), c => round(c, 4)).as("_rc"),
         transform(col("_fc"), c => round(c, 4)).as("_fc"),

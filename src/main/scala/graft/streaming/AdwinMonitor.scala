@@ -28,7 +28,18 @@ import java.sql.Timestamp
   *
   * Day rollover within the sorted micro-batch keeps emission
   * deterministic under replay; cross-batch out-of-order days are
-  * trusted to the ingest edge (the CusumMonitor caveat class).
+  * trusted to the ingest edge (the CusumMonitor caveat class). Two
+  * explicit consequences of rollover-only emission (r15 ADVICE): the
+  * last IN-PROGRESS day per type is never emitted — it sits in state
+  * until a later day's first event closes it — so a quiesced stream
+  * holds its final day open indefinitely (slightly more consequential
+  * here than for the fixed-reference monitors, since an unclosed day
+  * also delays ADWIN's adaptive cut decision); and a cross-batch
+  * out-of-order event folds into the CURRENT open day's count rather
+  * than its own. A deployment needing prompt closure should add an
+  * event-time timeout (GroupStateTimeout.EventTimeTimeout) flushing the
+  * open day after a grace period — left out here to keep the whole
+  * monitor family's emission semantics identical and replay-exact.
   */
 object AdwinMonitor {
 
