@@ -1561,6 +1561,89 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q277_ordinal_assoc" -> ((s, dir) => {
+      // gamma / Somers' D (both directions) / Stuart's tau-c over the
+      // q261 token-band x char-band grid — the measures that complete
+      // q224's tau-b: gamma drops ALL ties, Somers' D is the asymmetric
+      // predictor-form, tau-c the non-square rescale
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.ordinalAssociationCard(d,
+        when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L))
+    }),
+
+    "q278_brunner_munzel" -> ((s, dir) => {
+      // Brunner-Munzel over q220's even/odd event-value split — the
+      // rank test that stays valid when the two sides disperse
+      // differently (MWU's z is anticonservative there); studentized
+      // placements with per-sample rank variances, Welch-style dof
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.brunnerMunzel(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
+    "q279_mood_median" -> ((s, dir) => {
+      // Mood's median test of token count across sources — the
+      // minimal-assumption k-group location screen beside q231's
+      // Kruskal-Wallis: dichotomize at the pooled median, chi2 the 2xk
+      // table; robust exactly when group spreads differ wildly
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.moodMedian(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
+    "q280_page_trend" -> ((s, dir) => {
+      // Page's ordered trend across the window's three equal thirds,
+      // blocked by user — the within-block monotone question beside
+      // q242's between-group Jonckheere-Terpstra: does per-user
+      // activity RISE through the observation window?
+      operators.Quality.pageTrend(Tables(s, dir, "events"))
+    }),
+
+    "q281_nelson_aalen" -> ((s, dir) => {
+      // Nelson-Aalen cumulative hazard on q180's lifetimes — the
+      // additive twin of the KM curve: how much churn hazard has
+      // accumulated by day t, with its variance; grain-quantized
+      // increments so the cumulative is an order-free integer sum
+      operators.Sessions.nelsonAalen(Tables(s, dir, "events"),
+        churnGapDays = 1)
+    }),
+
+    "q282_weighted_logrank" -> ((s, dir) => {
+      // the weighted log-rank trio (log-rank / Gehan / Tarone-Ware) on
+      // q243's parity cohorts in ONE histogram pass — Gehan weights the
+      // early days where the cohort still lives, catching an early-
+      // divergence pattern the plain log-rank averages away
+      operators.Sessions.weightedLogRankCard(Tables(s, dir, "events"),
+        pmod(col("user_id"), lit(2)), churnGapDays = 1)
+    }),
+
+    "q283_kuiper_test" -> ((s, dir) => {
+      // two-sample Kuiper V = D+ + D- on q220's even/odd split — the
+      // equal-tail-weight companion to KS: a truncation swap that moves
+      // mass tail-to-tail with the median fixed still registers
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.kuiperTest(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
+    "q284_rmst" -> ((s, dir) => {
+      // restricted mean survival time: area under q180's rounded KM
+      // step curve to a 30-day horizon — "expected active days in the
+      // first 30", the averageable single-number retention summary
+      operators.Sessions.rmst(Tables(s, dir, "events"), tauDays = 30L,
+        churnGapDays = 1)
+    }),
+
     "q276_icc" -> ((s, dir) => {
       // ICC(2,1)/(2,k) over q228's three band raters — the two-way
       // random-effects reliability: how much of the band variance is
@@ -5122,6 +5205,282 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q277_ordinal_assoc" ->
+      // the q261 band grid; C/D/tie masses via the bounded cells
+      // self-cross (q224's exact idiom), every display ONE double chain
+      ("WITH base AS (SELECT " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "v AS (SELECT CASE WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END AS xb, " +
+        "CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS yb FROM base), " +
+        "cells AS (SELECT xb, yb, count(*) AS c FROM v GROUP BY xb, yb), " +
+        "cd AS (SELECT " +
+        "COALESCE(sum(CASE WHEN c2.xb > c1.xb AND c2.yb > c1.yb THEN " +
+        "CAST(c1.c AS HUGEINT) * CAST(c2.c AS HUGEINT) ELSE 0 END), 0) AS cc, " +
+        "COALESCE(sum(CASE WHEN c2.xb > c1.xb AND c2.yb < c1.yb THEN " +
+        "CAST(c1.c AS HUGEINT) * CAST(c2.c AS HUGEINT) ELSE 0 END), 0) AS dd " +
+        "FROM cells c1, cells c2), " +
+        "t AS (SELECT sum(c) AS n, count(DISTINCT xb) AS kx, " +
+        "count(DISTINCT yb) AS ky FROM cells), " +
+        "tx AS (SELECT COALESCE(sum(CAST(s AS HUGEINT) * (CAST(s AS HUGEINT) - 1) // 2), 0) AS n1 " +
+        "FROM (SELECT sum(c) AS s FROM cells GROUP BY xb)), " +
+        "ty AS (SELECT COALESCE(sum(CAST(s AS HUGEINT) * (CAST(s AS HUGEINT) - 1) // 2), 0) AS n2 " +
+        "FROM (SELECT sum(c) AS s FROM cells GROUP BY yb)), " +
+        "f AS (SELECT CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) // 2 AS n0, " +
+        "n, kx, ky, cc, dd, n1, n2, least(kx, ky) AS mm FROM t, cd, tx, ty) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(kx AS BIGINT) AS k_x, " +
+        "CAST(ky AS BIGINT) AS k_y, " +
+        "CASE WHEN cc + dd > 0 THEN floor(CAST(cc - dd AS DOUBLE) / " +
+        "CAST(cc + dd AS DOUBLE) * 10000 + 0.5) / 10000 END AS gamma, " +
+        "CASE WHEN n0 > n1 THEN floor(CAST(cc - dd AS DOUBLE) / " +
+        "CAST(n0 - n1 AS DOUBLE) * 10000 + 0.5) / 10000 END AS somers_d_yx, " +
+        "CASE WHEN n0 > n2 THEN floor(CAST(cc - dd AS DOUBLE) / " +
+        "CAST(n0 - n2 AS DOUBLE) * 10000 + 0.5) / 10000 END AS somers_d_xy, " +
+        "CASE WHEN mm > 1 AND n > 0 THEN floor(2.0 * CAST(mm AS DOUBLE) * " +
+        "CAST(cc - dd AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +
+        "(CAST(mm AS DOUBLE) - 1)) * 10000 + 0.5) / 10000 END AS tau_c FROM f"),
+
+    "q278_brunner_munzel" ->
+      // q220's per-value histogram with exclusive window prefixes; the
+      // doubled placements are exact HUGEINT integers, the per-sample
+      // K/variance/W/df chains spelled layer by layer as Spark's
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "c AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) - ca AS xa, " +
+        "sum(cb) OVER (ORDER BY v) - cb AS xb FROM pv), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv), " +
+        "m AS (SELECT " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * (2 * CAST(xa AS HUGEINT) + 2 * CAST(xb AS HUGEINT) + ca + cb + 1)), 0) AS ra2, " +
+        "COALESCE(sum(CAST(cb AS HUGEINT) * (2 * CAST(xa AS HUGEINT) + 2 * CAST(xb AS HUGEINT) + ca + cb + 1)), 0) AS rb2, " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * (2 * CAST(xb AS HUGEINT) + cb)), 0) AS sa1, " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * (2 * CAST(xb AS HUGEINT) + cb) * (2 * CAST(xb AS HUGEINT) + cb)), 0) AS sa2, " +
+        "COALESCE(sum(CAST(cb AS HUGEINT) * (2 * CAST(xa AS HUGEINT) + ca)), 0) AS sb1, " +
+        "COALESCE(sum(CAST(cb AS HUGEINT) * (2 * CAST(xa AS HUGEINT) + ca) * (2 * CAST(xa AS HUGEINT) + ca)), 0) AS sb2 " +
+        "FROM c), " +
+        "f AS (SELECT na, nb, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd, " +
+        "CAST(ra2 AS DOUBLE) AS ra2d, CAST(rb2 AS DOUBLE) AS rb2d, " +
+        "CAST(sa1 AS DOUBLE) AS sa1d, CAST(sa2 AS DOUBLE) AS sa2d, " +
+        "CAST(sb1 AS DOUBLE) AS sb1d, CAST(sb2 AS DOUBLE) AS sb2d FROM m, t), " +
+        "k AS (SELECT *, ra2d / nad - (nad + 1.0) AS ka, " +
+        "rb2d / nbd - (nbd + 1.0) AS kb FROM f), " +
+        "vv AS (SELECT *, " +
+        "(sa2d - 2.0 * ka * sa1d + nad * ka * ka) / 4.0 / (nad - 1.0) AS va, " +
+        "(sb2d - 2.0 * kb * sb1d + nbd * kb * kb) / 4.0 / (nbd - 1.0) AS vb FROM k), " +
+        "p AS (SELECT *, nad * va + nbd * vb AS pooled FROM vv) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor((rb2d / nbd - nbd - 1.0) / (2.0 * nad) * 10000 + 0.5) AS BIGINT) END AS p_hat_bp, " +
+        "CASE WHEN na >= 2 AND nb >= 2 AND pooled > 0 THEN " +
+        "CAST(floor(nad * nbd * (rb2d / (2.0 * nbd) - ra2d / (2.0 * nad)) / " +
+        "(nad + nbd) / sqrt(pooled) * 10000 + 0.5) AS BIGINT) END AS w_bp, " +
+        "CASE WHEN na >= 2 AND nb >= 2 AND pooled > 0 THEN " +
+        "CAST(floor(pooled * pooled / ((nad * va) * (nad * va) / (nad - 1.0) + " +
+        "(nbd * vb) * (nbd * vb) / (nbd - 1.0)) * 10000 + 0.5) AS BIGINT) END AS df_bp " +
+        "FROM p"),
+
+    "q279_mood_median" ->
+      // the shared per-(group, value) cell agg; pooled LOWER median by
+      // doubled inclusive cumulative, per-group chi2 terms as
+      // floor(term*2^30) grains (order-free integer sum)
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "cells AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM cells GROUP BY v), " +
+        "cum AS (SELECT v, cv, sum(cv) OVER (ORDER BY v) AS ci FROM pv), " +
+        "t AS (SELECT sum(cv) AS n FROM pv), " +
+        "md AS (SELECT min(v) AS m FROM cum, t WHERE ci * 2 >= n), " +
+        "grp AS (SELECT g, sum(CASE WHEN v > m THEN c ELSE 0 END) AS hi, " +
+        "sum(c) AS ng FROM cells, md GROUP BY g), " +
+        "tot AS (SELECT COALESCE(sum(hi), 0) AS ta, COALESCE(sum(ng), 0) AS tn, " +
+        "count(*) AS k FROM grp), " +
+        "q AS (SELECT CASE WHEN ta > 0 AND ta < tn THEN " +
+        "CAST(floor(((CAST(hi AS DOUBLE) - CAST(ng AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(tn AS DOUBLE)) * " +
+        "(CAST(hi AS DOUBLE) - CAST(ng AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(tn AS DOUBLE)) / " +
+        "(CAST(ng AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(tn AS DOUBLE)) + " +
+        "((CAST(ng AS DOUBLE) - CAST(hi AS DOUBLE)) - CAST(ng AS DOUBLE) * (CAST(tn AS DOUBLE) - CAST(ta AS DOUBLE)) / CAST(tn AS DOUBLE)) * " +
+        "((CAST(ng AS DOUBLE) - CAST(hi AS DOUBLE)) - CAST(ng AS DOUBLE) * (CAST(tn AS DOUBLE) - CAST(ta AS DOUBLE)) / CAST(tn AS DOUBLE)) / " +
+        "(CAST(ng AS DOUBLE) * (CAST(tn AS DOUBLE) - CAST(ta AS DOUBLE)) / CAST(tn AS DOUBLE))) * 1073741824) AS BIGINT) " +
+        "ELSE 0 END AS qq FROM grp, tot), " +
+        "f AS (SELECT COALESCE(sum(qq), 0) AS q2 FROM q) " +
+        "SELECT CAST(tn AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups, " +
+        "m AS median_v, " +
+        "CASE WHEN k > 1 AND ta > 0 AND ta < tn THEN " +
+        "CAST(floor(CAST(q2 AS DOUBLE) / 1073741824 * 10000 + 0.5) AS BIGINT) END AS chi2_bp, " +
+        "CASE WHEN k > 1 AND ta > 0 AND ta < tn THEN CAST(k - 1 AS BIGINT) END AS dof " +
+        "FROM f, tot, md"),
+
+    "q280_page_trend" ->
+      // exact integer-microsecond tercile boundaries from a one-row
+      // window; per-user doubled midranks of the 3 period counts as
+      // CASE integer sums; z chain spelled as Spark's
+      ("WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events " +
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL), " +
+        "w AS (SELECT min(us) AS t0, max(us) AS t1 FROM e), " +
+        "p AS (SELECT u, least(2, CAST(floor(CAST((us - t0) * 3 AS DOUBLE) / " +
+        "CAST(t1 - t0 + 1 AS DOUBLE)) AS BIGINT)) AS p FROM e, w), " +
+        "pu AS (SELECT u, sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS x0, " +
+        "sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS x1, " +
+        "sum(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS x2 FROM p GROUP BY u), " +
+        "dr AS (SELECT " +
+        "2 + (CASE WHEN x1 < x0 THEN 2 ELSE 0 END) + (CASE WHEN x2 < x0 THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN x1 = x0 THEN 1 ELSE 0 END) + (CASE WHEN x2 = x0 THEN 1 ELSE 0 END) AS d0, " +
+        "2 + (CASE WHEN x0 < x1 THEN 2 ELSE 0 END) + (CASE WHEN x2 < x1 THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN x0 = x1 THEN 1 ELSE 0 END) + (CASE WHEN x2 = x1 THEN 1 ELSE 0 END) AS d1, " +
+        "2 + (CASE WHEN x0 < x2 THEN 2 ELSE 0 END) + (CASE WHEN x1 < x2 THEN 2 ELSE 0 END) + " +
+        "(CASE WHEN x0 = x2 THEN 1 ELSE 0 END) + (CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS d2 " +
+        "FROM pu), " +
+        "f AS (SELECT count(*) AS m, " +
+        "COALESCE(sum(1 * d0 + 2 * d1 + 3 * d2), 0) AS l2 FROM dr) " +
+        "SELECT CAST(m AS BIGINT) AS n_blocks, CAST(3 AS BIGINT) AS k_periods, " +
+        "CAST(l2 AS BIGINT) AS l2, " +
+        "CASE WHEN m > 0 THEN " +
+        "CAST(floor((CAST(l2 AS DOUBLE) - 24.0 * CAST(m AS DOUBLE)) / " +
+        "(2.0 * sqrt(2.0 * CAST(m AS DOUBLE))) * 10000 + 0.5) AS BIGINT) END AS z_bp FROM f"),
+
+    "q281_nelson_aalen" ->
+      // q180's lifetime spine; suffix risks by window prefix, per-day
+      // hazard/variance increments as floor(term*2^30) grains with
+      // window cumulative sums (order-free integers)
+      ("WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS f, " +
+        "max(epoch_us(ts)) AS l FROM events GROUP BY 1), " +
+        "e AS (SELECT max(epoch_us(ts)) AS endt FROM events), " +
+        "lt AS (SELECT CAST(floor((l - f) / 86400000000) AS BIGINT) AS t_day, " +
+        "CASE WHEN (endt - l) > 1 * 86400000000 THEN 1 ELSE 0 END AS churned " +
+        "FROM pu, e), " +
+        "h0 AS (SELECT t_day, count(*) AS nt, CAST(sum(churned) AS BIGINT) AS d " +
+        "FROM lt GROUP BY 1), " +
+        "t AS (SELECT sum(nt) AS nu FROM h0), " +
+        "w AS (SELECT t_day, nt, d, " +
+        "nu - (sum(nt) OVER (ORDER BY t_day) - nt) AS risk FROM h0, t), " +
+        "g AS (SELECT t_day, risk, d, " +
+        "CAST(floor(CAST(d AS DOUBLE) / CAST(risk AS DOUBLE) * 1073741824) AS BIGINT) AS hg, " +
+        "CAST(floor(CAST(d AS DOUBLE) / (CAST(risk AS DOUBLE) * CAST(risk AS DOUBLE)) * 1073741824) AS BIGINT) AS vg " +
+        "FROM w), " +
+        "c AS (SELECT t_day, risk, d, sum(hg) OVER (ORDER BY t_day) AS ch, " +
+        "sum(vg) OVER (ORDER BY t_day) AS cv FROM g) " +
+        "SELECT t_day, CAST(risk AS BIGINT) AS n_risk, d AS n_deaths, " +
+        "CAST(floor(CAST(ch AS DOUBLE) / 1073741824 * 10000 + 0.5) AS BIGINT) AS h_bp, " +
+        "CAST(floor(sqrt(CAST(cv AS DOUBLE) / 1073741824) * 10000 + 0.5) AS BIGINT) AS se_bp " +
+        "FROM c WHERE d > 0"),
+
+    "q282_weighted_logrank" ->
+      // q243's cohort lifetime spine; suffix risks by window prefix,
+      // each weight's per-day numerator/variance terms as signed
+      // floor(term*2^20) grains, z a two-division display chain; the
+      // Tarone weight enters as sqrt*sqrt exactly as Spark spells it
+      ("WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS f, " +
+        "max(epoch_us(ts)) AS l, max(user_id % 2) AS c FROM events GROUP BY 1), " +
+        "e AS (SELECT max(epoch_us(ts)) AS endt FROM events), " +
+        "lt AS (SELECT CAST(floor((l - f) / 86400000000) AS BIGINT) AS t_day, " +
+        "CASE WHEN (endt - l) > 1 * 86400000000 THEN 1 ELSE 0 END AS churned, c " +
+        "FROM pu, e), " +
+        "h0 AS (SELECT t_day, " +
+        "CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(sum(CASE WHEN c <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN c = 0 THEN churned ELSE 0 END) AS BIGINT) AS d0, " +
+        "CAST(sum(CASE WHEN c <> 0 THEN churned ELSE 0 END) AS BIGINT) AS d1 " +
+        "FROM lt GROUP BY 1), " +
+        "t AS (SELECT sum(n0) AS na, sum(n1) AS nb, sum(d0) AS oa FROM h0), " +
+        "w AS (SELECT t_day, d0, d1, na, nb, " +
+        "na - (sum(n0) OVER (ORDER BY t_day) - n0) AS r0, " +
+        "nb - (sum(n1) OVER (ORDER BY t_day) - n1) AS r1 FROM h0, t), " +
+        "x AS (SELECT CAST(d0 AS DOUBLE) AS d0d, CAST(d0 + d1 AS DOUBLE) AS dd, " +
+        "CAST(r0 AS DOUBLE) AS r0d, CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE) AS rd, " +
+        "(CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE)) / CAST(na + nb AS DOUBLE) AS rf " +
+        "FROM w), " +
+        "g AS (SELECT " +
+        "CAST(floor(1.0 * (d0d - dd * r0d / rd) * 1048576) AS BIGINT) AS n1g, " +
+        "CASE WHEN rd > 1 THEN CAST(floor(1.0 * 1.0 * " +
+        "(dd * (r0d / rd) * (1.0 - r0d / rd) * (rd - dd) / (rd - 1)) * 1048576) AS BIGINT) ELSE 0 END AS v1g, " +
+        "CAST(floor(rf * (d0d - dd * r0d / rd) * 1048576) AS BIGINT) AS n2g, " +
+        "CASE WHEN rd > 1 THEN CAST(floor(rf * rf * " +
+        "(dd * (r0d / rd) * (1.0 - r0d / rd) * (rd - dd) / (rd - 1)) * 1048576) AS BIGINT) ELSE 0 END AS v2g, " +
+        "CAST(floor(sqrt(rf) * (d0d - dd * r0d / rd) * 1048576) AS BIGINT) AS n3g, " +
+        "CASE WHEN rd > 1 THEN CAST(floor(sqrt(rf) * sqrt(rf) * " +
+        "(dd * (r0d / rd) * (1.0 - r0d / rd) * (rd - dd) / (rd - 1)) * 1048576) AS BIGINT) ELSE 0 END AS v3g " +
+        "FROM x), " +
+        "f AS (SELECT COALESCE(sum(n1g), 0) AS s1n, COALESCE(sum(v1g), 0) AS s1v, " +
+        "COALESCE(sum(n2g), 0) AS s2n, COALESCE(sum(v2g), 0) AS s2v, " +
+        "COALESCE(sum(n3g), 0) AS s3n, COALESCE(sum(v3g), 0) AS s3v FROM g) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CAST(oa AS BIGINT) AS obs_a, " +
+        "CASE WHEN na > 0 AND nb > 0 AND s1v > 0 THEN " +
+        "CAST(floor((CAST(s1n AS DOUBLE) / 1048576) / sqrt(CAST(s1v AS DOUBLE) / 1048576) * 10000 + 0.5) AS BIGINT) END AS z_logrank_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND s2v > 0 THEN " +
+        "CAST(floor((CAST(s2n AS DOUBLE) / 1048576) / sqrt(CAST(s2v AS DOUBLE) / 1048576) * 10000 + 0.5) AS BIGINT) END AS z_gehan_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND s3v > 0 THEN " +
+        "CAST(floor((CAST(s3n AS DOUBLE) / 1048576) / sqrt(CAST(s3v AS DOUBLE) / 1048576) * 10000 + 0.5) AS BIGINT) END AS z_tarone_bp " +
+        "FROM f, t"),
+
+    "q283_kuiper_test" ->
+      // q220's spine with SIGNED integer gap numerators: both one-sided
+      // suprema are HUGEINT maxes clamped at zero, one division per
+      // display
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "c AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma, " +
+        "sum(cb) OVER (ORDER BY v) AS cumb FROM pv), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv), " +
+        "m AS (SELECT " +
+        "greatest(COALESCE(max(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT) - " +
+        "CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT)), 0), 0) AS dp, " +
+        "greatest(COALESCE(max(CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT) - " +
+        "CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT)), 0), 0) AS dm FROM c, t) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor(CAST(dp AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 10000 + 0.5) AS BIGINT) END AS d_plus_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor(CAST(dm AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 10000 + 0.5) AS BIGINT) END AS d_minus_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor(CAST(dp + dm AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 10000 + 0.5) AS BIGINT) END AS v_bp " +
+        "FROM m, t"),
+
+    "q284_rmst" ->
+      // q180's KM chain verbatim through the rounded step curve, then
+      // the area fold to the 30-day horizon as floor(s*gap*2^20) grains
+      ("WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS f, " +
+        "max(epoch_us(ts)) AS l FROM events GROUP BY 1), " +
+        "e AS (SELECT max(epoch_us(ts)) AS endt FROM events), " +
+        "lt AS (SELECT CAST(floor((l - f) / 86400000000) AS BIGINT) AS t_day, " +
+        "CASE WHEN (endt - l) > 1 * 86400000000 THEN 1 ELSE 0 END AS churned " +
+        "FROM pu, e), " +
+        "h0 AS (SELECT t_day, count(*) AS n_total, " +
+        "CAST(sum(churned) AS BIGINT) AS n_deaths FROM lt GROUP BY 1), " +
+        "o AS (SELECT list(struct_pack(t_day := t_day, n_total := n_total, " +
+        "n_deaths := n_deaths) ORDER BY t_day) AS h FROM h0), " +
+        "o2 AS (SELECT h, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(h, s -> (s).n_total)), (a, b) -> a + b) AS BIGINT) AS n_users FROM o), " +
+        "x AS (SELECT h, n_users, unnest(h) AS ee, generate_subscripts(h, 1) AS i FROM o2), " +
+        "km AS (SELECT (ee).t_day AS td, " +
+        "round(list_reduce(list_prepend(1.0, list_transform(range(1, i + 1), " +
+        "j -> 1.0 - CAST((h[CAST(j AS INT)]).n_deaths AS DOUBLE) / " +
+        "CAST(n_users - list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_slice(h, 1, CAST(j - 1 AS INT)), s -> (s).n_total)), " +
+        "(a, b) -> a + b) AS DOUBLE))), (a, b) -> a * b), 4) AS s " +
+        "FROM x WHERE (ee).n_deaths > 0), " +
+        "ka AS (SELECT list(struct_pack(td := td, s := s) ORDER BY td) AS ks FROM km), " +
+        "nu AS (SELECT count(*) AS n_users FROM pu), " +
+        "a AS (SELECT ks, len(ks) AS m FROM ka), " +
+        "r AS (SELECT m, " +
+        "CASE WHEN m > 0 THEN least((ks[1]).td, 30) ELSE 30 END AS w0, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, m + 1), j -> " +
+        "CAST(floor((ks[CAST(j AS INT)]).s * CAST(greatest(0, " +
+        "(CASE WHEN j < m THEN least((ks[CAST(j + 1 AS INT)]).td, 30) ELSE 30 END) - " +
+        "least((ks[CAST(j AS INT)]).td, 30)) AS DOUBLE) * 1048576) AS BIGINT))), " +
+        "(a, b) -> a + b) AS BIGINT) AS grains FROM a) " +
+        "SELECT CAST(30 AS BIGINT) AS tau_day, CAST(n_users AS BIGINT) AS n_users, " +
+        "CAST(m AS BIGINT) AS n_curve_days, " +
+        "CAST(floor((CAST(w0 AS DOUBLE) + CAST(grains AS DOUBLE) / 1048576) * 10000 + 0.5) AS BIGINT) AS rmst_bp " +
+        "FROM r, nu"),
 
     "q276_icc" ->
       // q228's band CTEs; the nk-scaled two-way ANOVA sums as exact

@@ -999,6 +999,295 @@ object Quality {
           .as("p_value"))
   }
 
+  /** Two-sample Kuiper test (Kuiper 1960): V = D⁺ + D⁻, the sum of the
+    * two ONE-SIDED CDF excursions — the rotation-invariant companion to
+    * [[ksTest]]'s sup-norm D = max(D⁺, D⁻). KS is most sensitive to a
+    * shift near the median and loses power in the tails; V weights both
+    * excursions equally, so a distribution that gains mass in one tail
+    * while losing it in the other (net median unmoved — a truncation
+    * swap KS discounts) still registers. One row:
+    * (n_a, n_b, d_plus_bp, d_minus_bp, v_bp) — statistic without p (the
+    * Kuiper null is an infinite series with no closed form — the
+    * kruskalWallis stat-without-p precedent; V reads against the same
+    * √(n_a·n_b/(n_a+n_b)) scaling as D).
+    *
+    * Exactness: at every distinct value the SIGNED gap numerator
+    * cum_a·n_b − cum_b·n_a is an exact DECIMAL(38,0) integer, so both
+    * one-sided suprema are integer maxes (clamped at 0: an excursion
+    * that never goes positive contributes nothing) and division happens
+    * once per display. Same plan as ksTest: one union + one value-keyed
+    * hash agg, one bounded prefix-sum pass, one single-row max
+    * aggregate.
+    */
+  def kuiperTest(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val perValue = sided(a, 0).unionAll(sided(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
+    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+      .select(
+        (col("_xa") + col("_ca")).as("_cuma"),
+        (col("_xb") + col("_cb")).as("_cumb"))
+    val totals = perValue.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
+      coalesce(sum(col("_cb")), lit(0L)).as("_nb"))
+    val gap = col("_cuma").cast(dec) * col("_nb").cast(dec) -
+      col("_cumb").cast(dec) * col("_na").cast(dec)
+    val na = col("_na").cast("double")
+    val nb = col("_nb").cast("double")
+    // null displays when a side is empty: n_a·n_b = 0 would drive the
+    // division to ±Inf and the ANSI long cast would throw
+    def bp(num: Column) = when(col("_na") > 0 && col("_nb") > 0,
+      floor(num.cast("double") / (na * nb) * 10000 + lit(0.5)).cast("long"))
+      .otherwise(lit(null).cast("long"))
+    cums
+      .crossJoin(broadcast(totals))
+      .agg(
+        first(col("_na")).as("_na"),
+        first(col("_nb")).as("_nb"),
+        greatest(max(gap), lit(0).cast(dec)).as("_dplus"),
+        greatest(max(-gap), lit(0).cast(dec)).as("_dminus"))
+      .select(col("_na").as("n_a"), col("_nb").as("n_b"),
+        bp(col("_dplus")).as("d_plus_bp"),
+        bp(col("_dminus")).as("d_minus_bp"),
+        bp(col("_dplus") + col("_dminus")).as("v_bp"))
+  }
+
+  /** Brunner–Munzel test (Brunner & Munzel 2000 — the two-sample rank
+    * test modern practice reaches for when [[mannWhitneyU]]'s
+    * equal-variance-under-H0 assumption is wrong: MWU tests the same
+    * stochastic-dominance null but its z is anticonservative under
+    * unequal spreads/shapes; BM studentizes the placement statistic with
+    * PER-SAMPLE rank variances and a Welch–Satterthwaite dof, staying
+    * valid for the "did the new source shift the metric?" question even
+    * when the two sides disperse differently). One row:
+    * (n_a, n_b, p_hat_bp, w_bp, df_bp) — p̂ = P(A < B) + ½P(A = B) (the
+    * common-language effect, ties half), the studentized W, and the
+    * fractional dof as signed BIGINT basis points (no p: the t CDF has
+    * no closed form — the welchTTest precedent).
+    *
+    * Exactness: per-value (c_a, c_b) masses come from one value-keyed
+    * hash aggregate; doubled midranks — combined M2 = 2·(x_a + x_b) +
+    * (c_a + c_b) + 1 and within-sample A2/B2 — derive from TWO
+    * [[GlobalRank.weightedPrefixSums]] passes, so every placement
+    * D = M2 − A2 = 2·x_b + c_b is an exact integer and the variance
+    * moments ΣcD, ΣcD² are exact DECIMAL(38,0) sums. Each S_i² expands
+    * as (ΣcD² − 2K·ΣcD + n·K²)/4/(n−1) with K = ΣcM2/n − (n+1) the ONE
+    * division per sample — the spelled chain both engines replay.
+    *
+    * Scale shape: the ksTest plan — one union + one value-keyed hash agg
+    * (the only corpus-wide exchange carries distinct values), one
+    * bounded prefix-sum pass, one single-row moment aggregate.
+    */
+  def brunnerMunzel(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val perValue = sided(a, 0).unionAll(sided(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
+    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    // doubled combined midrank and doubled placements (all integers)
+    val m2 = lit(2L) * (col("_xa") + col("_xb")) + col("_ca") + col("_cb") +
+      lit(1L)
+    val dA = lit(2L) * col("_xb") + col("_cb") // M2 - A2 for sample a
+    val dB = lit(2L) * col("_xa") + col("_ca") // M2 - B2 for sample b
+    // cast to DECIMAL(38,0) BEFORE multiplying (the ksTest discipline):
+    // c·D² in raw longs would overflow at corpus scale
+    def dsum(c: Column) = coalesce(sum(c), lit(0).cast(dec))
+    val caD = col("_ca").cast(dec)
+    val cbD = col("_cb").cast(dec)
+    val m2D = m2.cast(dec)
+    val dAD = dA.cast(dec)
+    val dBD = dB.cast(dec)
+    val one = cums.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
+      coalesce(sum(col("_cb")), lit(0L)).as("_nb"),
+      dsum(caD * m2D).as("_ra2"),
+      dsum(cbD * m2D).as("_rb2"),
+      dsum(caD * dAD).as("_sa1"),
+      dsum(caD * dAD * dAD).as("_sa2"),
+      dsum(cbD * dBD).as("_sb1"),
+      dsum(cbD * dBD * dBD).as("_sb2"))
+    val na = col("_na").cast("double")
+    val nb = col("_nb").cast("double")
+    // K_i = 2·mean combined rank − (n_i + 1), one division per sample
+    val ka = col("_ra2").cast("double") / na - (na + lit(1.0))
+    val kb = col("_rb2").cast("double") / nb - (nb + lit(1.0))
+    // 4·Σ(dev²) = ΣcD² − 2K·ΣcD + n·K²; S² divides by 4(n−1)
+    val va = (col("_sa2").cast("double") - lit(2.0) * ka * col("_sa1").cast("double") +
+      na * ka * ka) / lit(4.0) / (na - lit(1.0))
+    val vb = (col("_sb2").cast("double") - lit(2.0) * kb * col("_sb1").cast("double") +
+      nb * kb * kb) / lit(4.0) / (nb - lit(1.0))
+    val pooled = na * va + nb * vb
+    // W = n_a·n_b·(R̄_b − R̄_a) / ((n_a + n_b)·√(n_a·S_a² + n_b·S_b²))
+    val w = na * nb * (col("_rb2").cast("double") / (lit(2.0) * nb) -
+      col("_ra2").cast("double") / (lit(2.0) * na)) /
+      (na + nb) / sqrt(pooled)
+    val dfW = pooled * pooled /
+      ((na * va) * (na * va) / (na - lit(1.0)) +
+        (nb * vb) * (nb * vb) / (nb - lit(1.0)))
+    val pHat = (col("_rb2").cast("double") / nb - nb - lit(1.0)) /
+      (lit(2.0) * na)
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    val ok = col("_na") >= 2 && col("_nb") >= 2
+    def guard(cond: Column, e: Column) =
+      when(cond, bp(e)).otherwise(lit(null).cast("long"))
+    one.select(col("_na").as("n_a"), col("_nb").as("n_b"),
+      guard(col("_na") > 0 && col("_nb") > 0, pHat).as("p_hat_bp"),
+      guard(ok && pooled > 0, w).as("w_bp"),
+      guard(ok && pooled > 0, dfW).as("df_bp"))
+  }
+
+  /** Mood's median test (Mood 1950 §16.4; Brown & Mood 1951) — the
+    * k-group location test with the MINIMAL assumption set: dichotomize
+    * every value at the POOLED median and χ² the resulting 2×k table.
+    * Where [[kruskalWallis]] uses full rank information (more power,
+    * but sensitive to spread differences between groups), Mood's test
+    * asks only "does each source put the expected half of its mass
+    * above the corpus median?" — the robust screen when group
+    * dispersions differ wildly, exactly the regime mixed-source corpora
+    * live in. One row: (n, k_groups, median_v, chi2_bp, dof).
+    *
+    * Exactness: the pooled LOWER median of an integral measure is the
+    * smallest value whose doubled inclusive cumulative reaches n — an
+    * integer selection over one [[GlobalRank.weightedPrefixSums]] pass,
+    * no interpolation; the 2×k cells are integer masses; each group's
+    * χ² contribution quantizes to floor(term·2³⁰) (the q238 grain
+    * discipline — order-free integer summation over the bounded group
+    * dimension). Nulls: chi2 when either pooled half is empty (all
+    * values equal) or k < 2.
+    *
+    * Scale shape: ONE per-(group, value) hash agg is the only
+    * corpus-width exchange; the pooled histogram derives from it, the
+    * median is a one-row broadcast, and the 2×k table is a group-keyed
+    * aggregate of bounded size.
+    */
+  def moodMedian(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+    val cells = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    val pv = cells.groupBy(col("_v"))
+      .agg(sum(col("_c")).as("_cv"))
+    val withX = GlobalRank.weightedPrefixSums(pv, "_v", "_cv", "_x")
+    val totals = pv.agg(coalesce(sum(col("_cv")), lit(0L)).as("_n"))
+    val med = withX.crossJoin(broadcast(totals))
+      .filter((col("_x") + col("_cv")) * 2 >= col("_n"))
+      .agg(min(col("_v")).as("_m"))
+    val grp = cells.crossJoin(broadcast(med))
+      .groupBy(col("_g"))
+      .agg(sum(when(col("_v") > col("_m"), col("_c")).otherwise(0L)).as("_hi"),
+        sum(col("_c")).as("_ng"))
+    val tot = grp.agg(
+      coalesce(sum(col("_hi")), lit(0L)).as("_ta"),
+      coalesce(sum(col("_ng")), lit(0L)).as("_tn"),
+      count(lit(1)).as("_k"))
+    val nd = col("_tn").cast("double")
+    val ad = col("_ta").cast("double")
+    val ngd = col("_ng").cast("double")
+    val hid = col("_hi").cast("double")
+    val e1 = ngd * ad / nd
+    val e2 = ngd * (nd - ad) / nd
+    val term = (hid - e1) * (hid - e1) / e1 +
+      ((ngd - hid) - e2) * ((ngd - hid) - e2) / e2
+    // the grain must stay finite row-by-row even when a pooled half is
+    // empty (e = 0 → term = ∞ → ANSI long-cast throw); the one-row guard
+    // below nulls the display in that case anyway
+    val grain = when(col("_ta") > 0 && col("_ta") < col("_tn"),
+      floor(term * 1073741824).cast("long")).otherwise(lit(0L))
+    val one = grp.crossJoin(broadcast(tot))
+      .groupBy()
+      .agg(first(col("_tn")).as("_n"), first(col("_ta")).as("_a"),
+        first(col("_k")).as("_k"),
+        coalesce(sum(grain), lit(0L)).as("_q"))
+    val ok = col("_k") > 1 && col("_a") > 0 && col("_a") < col("_n")
+    one.crossJoin(broadcast(med))
+      .select(col("_n").as("n"), col("_k").cast("long").as("k_groups"),
+        col("_m").as("median_v"),
+        when(ok, floor(col("_q").cast("double") / 1073741824 * 10000 +
+          lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("chi2_bp"),
+        when(ok, (col("_k") - 1).cast("long"))
+          .otherwise(lit(null).cast("long")).as("dof"))
+  }
+
+  /** Page's trend test (Page 1963) — the ORDERED alternative for
+    * repeated measures: [[friedmanTest]] asks "do the k conditions
+    * differ at all, per block?"; Page asks the sharper monotone
+    * question "does activity RISE across the observation window's
+    * periods, user by user?" — pinning a direction the omnibus wastes
+    * power ignoring (the within-block counterpart of the between-group
+    * Jonckheere–Terpstra). Blocks are users, treatments the k=3 equal
+    * thirds of the corpus time window, the response each user's event
+    * count per third. One row: (n_blocks, k_periods, l2, z_bp) — l2 is
+    * the DOUBLED Page L = Σ_blocks Σ_j j·R_j (doubled midranks keep
+    * ties integer-exact, the established doubled-rank discipline); z
+    * uses the no-tie normal approximation E[L] = m·k(k+1)²/4,
+    * Var[L] = m·k²(k+1)(k²−1)/144 (ties make it conservative —
+    * documented, the classical large-sample treatment).
+    *
+    * Exactness: period boundaries are exact integer-microsecond
+    * arithmetic from a one-row broadcast (no float day math); per-user
+    * doubled midranks of the 3 counts are map-side CASE integer sums;
+    * L2 is one BIGINT aggregate; the z chain is spelled once.
+    *
+    * Scale shape: one per-user hash agg with map-side conditional
+    * partials (the corpus's only exchange), then a single-row sum.
+    */
+  def pageTrend(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val e = events.filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("_u"), unix_micros(col(tsCol)).as("_us"))
+    val win = e.agg(min(col("_us")).as("_t0"), max(col("_us")).as("_t1"))
+    val p = least(lit(2L), floor((col("_us") - col("_t0")) * 3 /
+      (col("_t1") - col("_t0") + 1)).cast("long"))
+    val perUser = e.crossJoin(broadcast(win))
+      .select(col("_u"), p.as("_p"))
+      .groupBy(col("_u"))
+      .agg(sum(when(col("_p") === 0, 1L).otherwise(0L)).as("_x0"),
+        sum(when(col("_p") === 1, 1L).otherwise(0L)).as("_x1"),
+        sum(when(col("_p") === 2, 1L).otherwise(0L)).as("_x2"))
+    // doubled midrank of x_j among {x_0, x_1, x_2}:
+    // 2 + 2·#{i: x_i < x_j} + #{i≠j: x_i = x_j} — pure integer CASEs
+    def dr(j: Column, others: Seq[Column]) =
+      lit(2L) +
+        others.map(o => when(o < j, 2L).otherwise(0L)).reduce(_ + _) +
+        others.map(o => when(o === j, 1L).otherwise(0L)).reduce(_ + _)
+    val l2u =
+      lit(1L) * dr(col("_x0"), Seq(col("_x1"), col("_x2"))) +
+        lit(2L) * dr(col("_x1"), Seq(col("_x0"), col("_x2"))) +
+        lit(3L) * dr(col("_x2"), Seq(col("_x0"), col("_x1")))
+    val one = perUser.agg(count(lit(1)).as("_m"),
+      coalesce(sum(l2u), lit(0L)).as("_l2"))
+    val md = col("_m").cast("double")
+    // k = 3: E[2L] = 2·m·k(k+1)²/4 = 24m, Var[L] = m·k²(k+1)(k²−1)/144 = 2m
+    val z = (col("_l2").cast("double") - lit(24.0) * md) /
+      (lit(2.0) * sqrt(lit(2.0) * md))
+    one.select(col("_m").as("n_blocks"), lit(3L).as("k_periods"),
+      col("_l2").as("l2"),
+      when(col("_m") > 0, floor(z * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_bp"))
+  }
+
   /** Two-sample Mann-Whitney U (Wilcoxon rank-sum) test with exact tie
     * midranks (Mann & Whitney 1947) — the nonparametric "did the values
     * SHIFT between these two snapshots?" location test that completes
@@ -2948,14 +3237,26 @@ object Quality {
     * of pairs — past that, read tau_b, which is computed from the exact
     * BigInt masses regardless).
     */
-  def kendallTauB(
+  /** Exact pairwise-order masses of a bounded ordinal grid — the shared
+    * driver kernel behind [[kendallTauB]] and [[ordinalAssociationCard]]:
+    * the corpus collapses to (x, y) cells in ONE distributed hash
+    * aggregate, then a Fenwick tree over the y axis in ascending x order
+    * yields concordant/discordant pair masses in O(cells·log) with
+    * BigInt exactness. The caller-facing contract (bounded band-space
+    * grid, loud guard past `maxCells`) is documented on the public
+    * entry points.
+    */
+  private final case class OrdinalPairMasses(
+      n: Long, conc: BigInt, disc: BigInt,
+      n0: BigInt, tiesX: BigInt, tiesY: BigInt, kX: Long, kY: Long)
+
+  private def ordinalPairMasses(
       df: DataFrame,
       xCol: Column,
       yCol: Column,
-      maxCells: Int = 10000): DataFrame = {
+      maxCells: Int,
+      caller: String): OrdinalPairMasses = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType}
-    val spark = df.sparkSession
     // collect through limit(maxCells + 1): the guard must fire BEFORE the
     // grid materializes on the driver — a miscall on a continuous
     // (unbucketed) column would otherwise OOM the driver before the
@@ -2967,7 +3268,7 @@ object Quality {
       .limit(maxCells + 1)
       .collect()
     require(cells.length <= maxCells,
-      s"kendallTauB: > $maxCells grid cells — this is the ordinal " +
+      s"$caller: > $maxCells grid cells — this is the ordinal " +
         "(band/decile/rating) pairwise audit; bucket continuous axes first")
     val yRanks = cells.map(_.getLong(1)).distinct.sorted.zipWithIndex.toMap
     val fen = new Array[Long](yRanks.size + 1)
@@ -2998,23 +3299,92 @@ object Quality {
       cells.groupBy(key).values.map { g =>
         val t = BigInt(g.map(_.getLong(2)).sum); t * (t - 1) / 2
       }.sum
-    val n0 = n * (n - 1) / 2
-    val n1 = tiePairs(_.getLong(0))
-    val n2 = tiePairs(_.getLong(1))
+    OrdinalPairMasses(inserted, cBig, dBig, n * (n - 1) / 2,
+      tiePairs(_.getLong(0)), tiePairs(_.getLong(1)),
+      cells.map(_.getLong(0)).distinct.length.toLong,
+      yRanks.size.toLong)
+  }
+
+  def kendallTauB(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      maxCells: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType}
+    val spark = df.sparkSession
+    val m = ordinalPairMasses(df, xCol, yCol, maxCells, "kendallTauB")
     val tau: Any =
-      if (n0 > n1 && n0 > n2) {
-        val t = (cBig - dBig).toDouble /
-          math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+      if (m.n0 > m.tiesX && m.n0 > m.tiesY) {
+        val t = (m.conc - m.disc).toDouble /
+          math.sqrt((m.n0 - m.tiesX).toDouble * (m.n0 - m.tiesY).toDouble)
         math.floor(t * 10000 + 0.5) / 10000
       } else null
     spark.createDataFrame(
       java.util.Arrays.asList(
-        Row(inserted, cBig.toLong, dBig.toLong, tau)),
+        Row(m.n, m.conc.toLong, m.disc.toLong, tau)),
       StructType(Seq(
         StructField("n", LongType, nullable = false),
         StructField("n_concordant", LongType, nullable = false),
         StructField("n_discordant", LongType, nullable = false),
         StructField("tau_b", DoubleType, nullable = true))))
+  }
+
+  /** Ordinal association card — Goodman–Kruskal gamma, Somers' D (both
+    * directions), and Stuart's tau-c in one pass (Goodman & Kruskal
+    * 1954; Somers 1962; Stuart 1953) — the measures that complete
+    * [[kendallTauB]]'s pairwise-order family, each answering a question
+    * tau-b can't: gamma ignores ALL ties (the association among pairs
+    * that actually order — highest magnitude, the classic cross-tab
+    * report number); Somers' D is the ASYMMETRIC form (ties removed only
+    * on the predictor side — "how much does knowing the token band
+    * improve ordering on the length band?", the regression-flavored
+    * read, and the statistic behind the c-index); tau-c rescales for
+    * non-square tables where tau-b cannot reach ±1. One row:
+    * (n, k_x, k_y, gamma, somers_d_yx, somers_d_xy, tau_c).
+    *
+    * Same contract and kernel as [[kendallTauB]]: bounded ordinal grid,
+    * ONE distributed contingency aggregate, the Fenwick driver pass for
+    * BigInt-exact C/D/tie masses, every statistic ONE double chain over
+    * exact integers, floor-rounded to 4 digits. Nulls: gamma when no
+    * pair orders (C+D = 0), each Somers' D when its denominator
+    * degenerates, tau-c when either axis is constant.
+    */
+  def ordinalAssociationCard(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      maxCells: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType}
+    val spark = df.sparkSession
+    val m = ordinalPairMasses(df, xCol, yCol, maxCells, "ordinalAssociationCard")
+    val s = (m.conc - m.disc).toDouble
+    def r4(x: Double): Any = math.floor(x * 10000 + 0.5) / 10000
+    val gamma: Any =
+      if (m.conc + m.disc > 0) r4(s / (m.conc + m.disc).toDouble) else null
+    // D(Y|X): ties on the PREDICTOR x drop from the denominator
+    val dYX: Any =
+      if (m.n0 > m.tiesX) r4(s / (m.n0 - m.tiesX).toDouble) else null
+    val dXY: Any =
+      if (m.n0 > m.tiesY) r4(s / (m.n0 - m.tiesY).toDouble) else null
+    val mm = math.min(m.kX, m.kY)
+    val tauC: Any =
+      if (mm > 1 && m.n > 0)
+        r4(2.0 * mm.toDouble * s /
+          (m.n.toDouble * m.n.toDouble * (mm - 1).toDouble))
+      else null
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(m.n, m.kX, m.kY, gamma, dYX, dXY, tauC)),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("k_x", LongType, nullable = false),
+        StructField("k_y", LongType, nullable = false),
+        StructField("gamma", DoubleType, nullable = true),
+        StructField("somers_d_yx", DoubleType, nullable = true),
+        StructField("somers_d_xy", DoubleType, nullable = true),
+        StructField("tau_c", DoubleType, nullable = true))))
   }
 
   /** Numeric-feature PSI — the form the industry actually monitors

@@ -625,6 +625,80 @@ object Sessions {
     * a one-row observation-end broadcast, a calendar-bounded histogram
     * collected to ONE row, O(days²) in-row arithmetic.
     */
+  /** Nelson–Aalen cumulative-hazard curve (Nelson 1972; Aalen 1978 —
+    * the additive twin of [[kaplanMeier]]'s multiplicative survival:
+    * Ĥ(t) = Σ_{death days ≤ t} d_i/n_i with variance Σ d_i/n_i². Where
+    * KM answers "what fraction survives to t?", NA answers "how much
+    * hazard has accumulated by t?" — the curve hazard-ratio thinking
+    * (and every additive-risk model) starts from, and the
+    * better-behaved estimator in small risk sets where the KM product
+    * amplifies single-day noise). One row per death day:
+    * (t_day, n_risk, n_deaths, h_bp, se_bp).
+    *
+    * Exactness: same lifetime/histogram derivation as [[kaplanMeier]]
+    * (one per-user agg, a one-row observation-end broadcast, the
+    * calendar-bounded day histogram collected to ONE row); each day's
+    * hazard and variance increments quantize to floor(term·2³⁰) longs
+    * (the q238 grain discipline), so the cumulative sums are
+    * order-free integer folds and the displays are single divisions of
+    * one integer — no float accumulates across the day axis.
+    */
+  def nelsonAalen(
+      events: DataFrame,
+      churnGapDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("_first"),
+        max(unix_micros(col(tsCol))).as("_last"))
+    val end = events.agg(max(unix_micros(col(tsCol))).as("_end"))
+    val dayUs = 86400000000L
+    val lifetimes = perUser
+      .crossJoin(broadcast(end))
+      .select(
+        ((col("_last") - col("_first")) / dayUs).cast("long").as("t_day"),
+        ((col("_end") - col("_last")) > churnGapDays * dayUs)
+          .cast("long").as("churned"))
+    val hist = lifetimes
+      .groupBy(col("t_day"))
+      .agg(count(lit(1)).as("n_total"), sum(col("churned")).as("n_deaths"))
+    val one = hist
+      .groupBy()
+      .agg(sort_array(collect_list(
+        struct(col("t_day"), col("n_total"), col("n_deaths")))).as("h"))
+      .select(col("h"),
+        aggregate(col("h"), lit(0L),
+          (a, e) => a + e.getField("n_total")).as("n_users"))
+    def nTot(e: Column): Column = e.getField("n_total")
+    // at-risk just before index j (1-based): users minus earlier mass
+    def risk(j: Column): Column =
+      (col("n_users") - aggregate(slice(col("h"), lit(1), j - 1),
+        lit(0L), (a, e) => a + nTot(e))).cast("double")
+    def dth(j: Column): Column =
+      element_at(col("h"), j).getField("n_deaths").cast("double")
+    // grain folds: each increment floors to an integer BEFORE summing,
+    // so the cumulative is order-free and both engines replay it
+    def cumGrain(i: Column, term: Column => Column): Column =
+      aggregate(transform(sequence(lit(1), i + 1), j =>
+        floor(term(j) * 1073741824).cast("long")), lit(0L), (a, x) => a + x)
+    def bpOf(grains: Column) =
+      floor(grains.cast("double") / 1073741824 * 10000 + lit(0.5))
+        .cast("long")
+    one
+      .select(col("h"), col("n_users"),
+        posexplode(col("h")).as(Seq("_i", "e")))
+      .select(
+        col("e.t_day").as("t_day"),
+        risk(col("_i") + 1).cast("long").as("n_risk"),
+        col("e.n_deaths").as("n_deaths"),
+        bpOf(cumGrain(col("_i"), j => dth(j) / risk(j))).as("h_bp"),
+        floor(sqrt(cumGrain(col("_i"),
+            j => dth(j) / (risk(j) * risk(j))).cast("double") / 1073741824)
+          * 10000 + lit(0.5)).cast("long").as("se_bp"))
+      .filter(col("n_deaths") > 0)
+  }
+
   def logRankTest(
       events: DataFrame,
       cohortCol: Column,
@@ -693,6 +767,171 @@ object Sessions {
         when(col("na") > 0 && col("nb") > 0 && varA > 0,
           r4((col("_oa").cast("double") - expA) / sqrt(varA)))
           .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** Weighted log-rank family in one pass — log-rank, Gehan–Breslow–
+    * Wilcoxon, and Tarone–Ware (Gehan 1965; Breslow 1970; Tarone & Ware
+    * 1977): the classical trio differs only in the day weight w_j
+    * applied to the same (O − E) increments — log-rank w = 1 weights
+    * every death day equally (most powerful under proportional
+    * hazards), Gehan w = r_j/N weights by the at-risk fraction (early
+    * differences — exactly where most of a retention cohort still
+    * lives), Tarone–Ware w = √(r_j/N) sits between. A churn comparison
+    * that only runs [[logRankTest]] misses an early-divergence/late-
+    * convergence pattern Gehan flags; the card reports all three from
+    * ONE histogram pass. One row:
+    * (n_a, n_b, obs_a, z_logrank_bp, z_gehan_bp, z_tarone_bp).
+    *
+    * Weights normalize by N (= n_a + n_b): z is invariant to constant
+    * weight scaling, and r_j/N ∈ (0, 1] keeps every quantized term
+    * magnitude-bounded at any corpus size. Each day's numerator and
+    * variance term quantizes to floor(term·2²⁰) (signed floor — both
+    * engines floor identically), so the day-axis sums are order-free
+    * integer folds and each z is a two-division display chain.
+    *
+    * Scale shape: [[logRankTest]]'s exactly — one per-user agg, one
+    * observation-end broadcast, the calendar-bounded cohort histogram
+    * collected to ONE row, O(days²) in-row arithmetic.
+    */
+  def weightedLogRankCard(
+      events: DataFrame,
+      cohortCol: Column,
+      churnGapDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col(tsCol))).as("_first"),
+        max(unix_micros(col(tsCol))).as("_last"),
+        max(cohortCol.cast("long")).as("_c"))
+    val end = events.agg(max(unix_micros(col(tsCol))).as("_end"))
+    val dayUs = 86400000000L
+    val lifetimes = perUser
+      .crossJoin(broadcast(end))
+      .select(
+        ((col("_last") - col("_first")) / dayUs).cast("long").as("t_day"),
+        ((col("_end") - col("_last")) > churnGapDays * dayUs)
+          .cast("long").as("churned"),
+        col("_c"))
+    val hist = lifetimes
+      .groupBy(col("t_day"))
+      .agg(
+        sum(when(col("_c") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("_c") =!= 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("_c") === 0, col("churned")).otherwise(0L)).as("d0"),
+        sum(when(col("_c") =!= 0, col("churned")).otherwise(0L)).as("d1"))
+    val one = hist
+      .groupBy()
+      .agg(sort_array(collect_list(struct(
+        col("t_day"), col("n0"), col("n1"), col("d0"), col("d1")))).as("h"))
+    def tot(field: String) = aggregate(col("h"), lit(0L),
+      (a, e) => a + e.getField(field))
+    val withTotals = one
+      .select(col("h"), tot("n0").as("na"), tot("n1").as("nb"),
+        tot("d0").as("_oa"))
+    def el(j: Column, field: String) =
+      element_at(col("h"), j).getField(field)
+    def riskL(totalCol: Column, field: String, j: Column) =
+      (totalCol - aggregate(slice(col("h"), lit(1), j - 1), lit(0L),
+        (a, e) => a + e.getField(field))).cast("double")
+    val nTotD = (col("na") + col("nb")).cast("double")
+    // per-day pieces, each referenced once per weight via the shared
+    // spelled chain (both engines replay the identical float sequence
+    // INSIDE each floored grain; across days only integers add)
+    def grainSum(term: Column => Column): Column =
+      aggregate(transform(sequence(lit(1), size(col("h"))), j =>
+        floor(term(j) * 1048576).cast("long")), lit(0L), (a, x) => a + x)
+    def numTerm(w: Column => Column)(j: Column): Column = {
+      val r0 = riskL(col("na"), "n0", j)
+      val r = riskL(col("na"), "n0", j) + riskL(col("nb"), "n1", j)
+      val d = (el(j, "d0") + el(j, "d1")).cast("double")
+      w(j) * (el(j, "d0").cast("double") - d * r0 / r)
+    }
+    def varTerm(w: Column => Column)(j: Column): Column = {
+      val r0 = riskL(col("na"), "n0", j)
+      val r = riskL(col("na"), "n0", j) + riskL(col("nb"), "n1", j)
+      val d = (el(j, "d0") + el(j, "d1")).cast("double")
+      when(r > 1,
+        w(j) * w(j) * (d * (r0 / r) * (lit(1.0) - r0 / r) * (r - d) / (r - 1)))
+        .otherwise(lit(0.0))
+    }
+    def rFrac(j: Column): Column =
+      (riskL(col("na"), "n0", j) + riskL(col("nb"), "n1", j)) / nTotD
+    val wOne = (_: Column) => lit(1.0)
+    val wGehan = (j: Column) => rFrac(j)
+    val wTarone = (j: Column) => sqrt(rFrac(j))
+    def zOf(num: Column, den: Column): Column =
+      when(col("na") > 0 && col("nb") > 0 && den > 0,
+        floor((num.cast("double") / 1048576) /
+          sqrt(den.cast("double") / 1048576) * 10000 + lit(0.5))
+          .cast("long"))
+        .otherwise(lit(null).cast("long"))
+    withTotals.select(
+      col("na").as("n_a"), col("nb").as("n_b"), col("_oa").as("obs_a"),
+      zOf(grainSum(numTerm(wOne)), grainSum(varTerm(wOne)))
+        .as("z_logrank_bp"),
+      zOf(grainSum(numTerm(wGehan)), grainSum(varTerm(wGehan)))
+        .as("z_gehan_bp"),
+      zOf(grainSum(numTerm(wTarone)), grainSum(varTerm(wTarone)))
+        .as("z_tarone_bp"))
+  }
+
+  /** Restricted mean survival time (Irwin 1949; Royston & Parmar 2013
+    * made it the reporting standard) — the area under the
+    * [[kaplanMeier]] curve up to horizon τ: "expected active days in
+    * the first τ", the single-number summary a retention comparison
+    * can average and difference where median survival may not even
+    * exist (curves that never cross 0.5) and hazard ratios assume
+    * proportionality. One row: (tau_day, n_users, n_curve_days,
+    * rmst_bp).
+    *
+    * Contract: the integral is DEFINED over the 4-digit-rounded KM step
+    * curve (the published display — so the number is consistent with
+    * the curve a dashboard shows, and both engines replay the identical
+    * step heights); each step's area quantizes to floor(s·Δt·2²⁰) (the
+    * grain discipline — order-free integer summation over the bounded
+    * day axis), and the display is one division.
+    *
+    * Scale shape: [[kaplanMeier]]'s plan plus one one-row fold — the
+    * curve is calendar-bounded, so the area fold is in-row arithmetic
+    * over a physically bounded array.
+    */
+  def rmst(
+      events: DataFrame,
+      tauDays: Long = 30L,
+      churnGapDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(tauDays > 0, "the horizon must be positive")
+    val km = kaplanMeier(events, churnGapDays, userCol, tsCol)
+      .select(col("t_day"), col("survival"))
+    val nUsers = events
+      .groupBy(col(userCol)).agg(count(lit(1)).as("_one"))
+      .agg(count(lit(1)).as("_nu"))
+    val one = km.groupBy()
+      .agg(sort_array(collect_list(struct(col("t_day"), col("survival"))))
+        .as("ks"))
+    val tau = lit(tauDays)
+    def dayAt(j: Column) = element_at(col("ks"), j).getField("t_day")
+    def survAt(j: Column) = element_at(col("ks"), j).getField("survival")
+    val m = size(col("ks"))
+    // step j covers [t_j, min(t_{j+1}, tau)) at height s_j; the initial
+    // [0, min(t_1, tau)) segment rides at exactly 1.0 so its area is the
+    // exact integer grain width·2^20
+    val width0 = when(m > 0, least(dayAt(lit(1)), tau)).otherwise(tau)
+    // sequence(1, 0) would step DOWNWARD on an empty curve (the bhAdjust
+    // lesson) — a death-free cohort must yield area tau, not a throw
+    val grains = when(m > 0,
+      aggregate(transform(sequence(lit(1), m), j => {
+        val tEnd = when(j < m, least(dayAt(j + 1), tau)).otherwise(tau)
+        val w = greatest(lit(0L), tEnd - least(dayAt(j), tau))
+        floor(survAt(j) * w.cast("double") * 1048576).cast("long")
+      }), lit(0L), (a, x) => a + x)).otherwise(lit(0L))
+    one.crossJoin(broadcast(nUsers))
+      .select(tau.as("tau_day"), col("_nu").as("n_users"),
+        m.cast("long").as("n_curve_days"),
+        floor((width0.cast("double") + grains.cast("double") / 1048576) *
+          10000 + lit(0.5)).cast("long").as("rmst_bp"))
   }
 
   /** Autocorrelation function of the daily count series (Box & Jenkins

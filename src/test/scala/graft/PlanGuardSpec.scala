@@ -67,6 +67,18 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(end)): the single-row observation-end scalar beside the per-user aggregate",
     "q243_logrank" ->
       "crossJoin(broadcast(end)): q180's single-row observation-end scalar beside the per-user aggregate (same lifetimes, same censoring rule)",
+    "q279_mood_median" ->
+      "crossJoin(broadcast(median)) + crossJoin(broadcast(totals)): single-row pooled-median and margin scalars beside the bounded group table",
+    "q280_page_trend" ->
+      "crossJoin(broadcast(window)): the single-row (t_min, t_max) tercile-boundary scalar; period assignment is a map-side integer comparison",
+    "q281_nelson_aalen" ->
+      "crossJoin(broadcast(end)): q180's single-row observation-end scalar beside the per-user aggregate",
+    "q282_weighted_logrank" ->
+      "crossJoin(broadcast(end)): q243's single-row observation-end scalar beside the per-user aggregate (same lifetimes, same censoring rule)",
+    "q283_kuiper_test" ->
+      "crossJoin(broadcast(totals)): the ksTest discipline — single-row (n_a, n_b) scalars beside the distinct-value spine",
+    "q284_rmst" ->
+      "crossJoin(broadcast(end)) inside the composed kaplanMeier + crossJoin(broadcast(n_users)): both single-row scalars beside bounded frames",
     "q181_retrieval_metrics" ->
       "crossJoin(broadcast(query set)) on both retrieval sides: exact scoring is O(|corpus|*|Q|) by definition (q93's discipline); shuffles are k-bounded by TopKPairs",
     "q183_windowed_pmi" ->
