@@ -1644,6 +1644,62 @@ object SparkEntry {
         churnGapDays = 1)
     }),
 
+    "q285_cucconi" -> ((s, dir) => {
+      // Cucconi location-scale on q220's even/odd split — ONE rank test
+      // for "did the distribution move OR spread?", with the closed-form
+      // Exponential(1) p = exp(-C)
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.cucconiTest(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
+    "q286_ansari_bradley" -> ((s, dir) => {
+      // Ansari-Bradley rank spread test on the same split — does one
+      // side take the middle of the pooled ordering while the other
+      // takes the extremes? (exact midrank-score convention)
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.ansariBradley(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
+    "q287_lepage" -> ((s, dir) => {
+      // Lepage L = z_W^2 + z_AB^2 on the same split — the classical
+      // named-parts alternative to q285's Cucconi, p = exp(-L/2) on the
+      // even dof 2
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.lepageTest(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
+    "q288_dagostino_k2" -> ((s, dir) => {
+      // D'Agostino K^2 omnibus normality of token counts — the
+      // separately-normalized-Z's test beside q257's raw Jarque-Bera
+      // statistic (JB's chi2(2) is anticonservative at practical n)
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      operators.Quality.dagostinoK2(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"))
+    }),
+
+    "q289_cox_stuart" -> ((s, dir) => {
+      // Cox-Stuart paired-halves trend sign test on the daily series —
+      // the maximal-robustness screen beside q251's Mann-Kendall: one
+      // wild day flips at most ONE pair
+      operators.Sessions.coxStuartTrend(Tables(s, dir, "events"))
+    }),
+
+    "q290_kpss" -> ((s, dir) => {
+      // KPSS level-stationarity with the Bartlett window at lag 4 —
+      // the trend shelf's null REVERSAL: stationarity as the thing
+      // being tested, the claim a "metric is stable" dashboard makes
+      operators.Sessions.kpssTest(Tables(s, dir, "events"))
+    }),
+
     "q276_icc" -> ((s, dir) => {
       // ICC(2,1)/(2,k) over q228's three band raters — the two-way
       // random-effects reliability: how much of the band variance is
@@ -5205,6 +5261,243 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q285_cucconi" ->
+      // q278's per-value spine; the two squared-rank moments are exact
+      // HUGEINT sums (contrary-rank moments derive algebraically from
+      // the same two), U/V/rho/C chains spelled as Spark's, p = exp(-C)
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "c AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) - ca AS xa, " +
+        "sum(cb) OVER (ORDER BY v) - cb AS xb FROM pv), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv), " +
+        "m AS (SELECT " +
+        "COALESCE(sum(CAST(cb AS HUGEINT) * (2 * CAST(xa AS HUGEINT) + 2 * CAST(xb AS HUGEINT) + ca + cb + 1)), 0) AS r2, " +
+        "COALESCE(sum(CAST(cb AS HUGEINT) * (2 * CAST(xa AS HUGEINT) + 2 * CAST(xb AS HUGEINT) + ca + cb + 1) * " +
+        "(2 * CAST(xa AS HUGEINT) + 2 * CAST(xb AS HUGEINT) + ca + cb + 1)), 0) AS r4 FROM c), " +
+        "f AS (SELECT na, nb, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd, " +
+        "CAST(na + nb AS DOUBLE) AS nd, CAST(na + nb AS DOUBLE) + 1.0 AS np1, " +
+        "CAST(r2 AS DOUBLE) AS r2d, CAST(r4 AS DOUBLE) AS r4d FROM m, t), " +
+        "g AS (SELECT *, r4d / 4.0 AS sr2, " +
+        "(4.0 * np1 * np1 * nbd - 4.0 * np1 * r2d + r4d) / 4.0 AS sq2, " +
+        "sqrt(nad * nbd * np1 * (2.0 * nd + 1) * (8.0 * nd + 11) / 5.0) AS den, " +
+        "2.0 * (nd * nd - 4) / ((2.0 * nd + 1) * (8.0 * nd + 11)) - 1.0 AS rho FROM f), " +
+        "h AS (SELECT *, (6.0 * sr2 - nbd * np1 * (2.0 * nd + 1)) / den AS uu, " +
+        "(6.0 * sq2 - nbd * np1 * (2.0 * nd + 1)) / den AS vv FROM g), " +
+        "k AS (SELECT *, (uu * uu + vv * vv - 2.0 * rho * uu * vv) / " +
+        "(2.0 * (1.0 - rho * rho)) AS cst FROM h) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CASE WHEN na > 0 AND nb > 0 AND (1.0 - rho * rho) > 0 THEN " +
+        "CAST(floor(uu * 10000 + 0.5) AS BIGINT) END AS u_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND (1.0 - rho * rho) > 0 THEN " +
+        "CAST(floor(vv * 10000 + 0.5) AS BIGINT) END AS v_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND (1.0 - rho * rho) > 0 THEN " +
+        "CAST(floor(cst * 10000 + 0.5) AS BIGINT) END AS c_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND (1.0 - rho * rho) > 0 THEN " +
+        "CAST(floor(exp(-cst) * 10000 + 0.5) AS BIGINT) END AS p_bp FROM k"),
+
+    "q286_ansari_bradley" ->
+      // the same spine with the doubled midrank-score
+      // s2 = min(m2, 2(n+1) - m2); T, its mean and variance exact
+      // HUGEINT moments, z one spelled chain
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "c AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) - ca AS xa, " +
+        "sum(cb) OVER (ORDER BY v) - cb AS xb FROM pv), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb, sum(ca + cb) AS n FROM pv), " +
+        "sc AS (SELECT ca, cb, " +
+        "least(2 * xa + 2 * xb + ca + cb + 1, " +
+        "2 * (n + 1) - (2 * xa + 2 * xb + ca + cb + 1)) AS s2 FROM c, t), " +
+        "m AS (SELECT " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * s2), 0) AS t2a, " +
+        "COALESCE(sum(CAST(ca + cb AS HUGEINT) * s2), 0) AS sc1, " +
+        "COALESCE(sum(CAST(ca + cb AS HUGEINT) * s2 * s2), 0) AS sc2 FROM sc), " +
+        "f AS (SELECT na, nb, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd, " +
+        "CAST(na + nb AS DOUBLE) AS nd, CAST(t2a AS DOUBLE) AS t2ad, " +
+        "CAST(sc1 AS DOUBLE) AS sc1d, CAST(sc2 AS DOUBLE) AS sc2d FROM m, t), " +
+        "g AS (SELECT *, nad * sc1d / nd AS e2, " +
+        "nad * nbd * (nd * sc2d - sc1d * sc1d) / (nd * nd * (nd - 1.0)) AS vart FROM f) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 AND vart > 0 THEN " +
+        "CAST(floor((t2ad - e2) / sqrt(vart) * 10000 + 0.5) AS BIGINT) END AS z_bp FROM g"),
+
+    "q287_lepage" ->
+      // one spine pass feeding BOTH component z's: the Wilcoxon rank
+      // sum with the exact tie correction and q286's AB midrank-score
+      // moments; L = zw^2 + zab^2, p = exp(-L/2) on the even dof 2
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "c AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) - ca AS xa, " +
+        "sum(cb) OVER (ORDER BY v) - cb AS xb FROM pv), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb, sum(ca + cb) AS n FROM pv), " +
+        "sc AS (SELECT ca, cb, ca + cb AS cv, " +
+        "2 * xa + 2 * xb + ca + cb + 1 AS m2, " +
+        "least(2 * xa + 2 * xb + ca + cb + 1, " +
+        "2 * (n + 1) - (2 * xa + 2 * xb + ca + cb + 1)) AS s2 FROM c, t), " +
+        "m AS (SELECT " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * m2), 0) AS ra2, " +
+        "COALESCE(sum(CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT) - CAST(cv AS HUGEINT)), 0) AS tt, " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * s2), 0) AS t2a, " +
+        "COALESCE(sum(CAST(cv AS HUGEINT) * s2), 0) AS sc1, " +
+        "COALESCE(sum(CAST(cv AS HUGEINT) * s2 * s2), 0) AS sc2 FROM sc), " +
+        "f AS (SELECT na, nb, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd, " +
+        "CAST(na + nb AS DOUBLE) AS nd, CAST(ra2 AS DOUBLE) AS ra2d, " +
+        "CAST(tt AS DOUBLE) AS ttd, CAST(t2a AS DOUBLE) AS t2ad, " +
+        "CAST(sc1 AS DOUBLE) AS sc1d, CAST(sc2 AS DOUBLE) AS sc2d FROM m, t), " +
+        "g AS (SELECT *, ra2d - nad * (nad + 1.0) AS u2, " +
+        "nad * nbd / 12.0 * ((nd + 1.0) - ttd / (nd * (nd - 1.0))) AS varu, " +
+        "nad * sc1d / nd AS e2, " +
+        "nad * nbd * (nd * sc2d - sc1d * sc1d) / (nd * nd * (nd - 1.0)) AS vart FROM f), " +
+        "h AS (SELECT *, (u2 - nad * nbd) / (2.0 * sqrt(varu)) AS zw, " +
+        "(t2ad - e2) / sqrt(vart) AS zab FROM g), " +
+        "k AS (SELECT *, zw * zw + zab * zab AS l FROM h) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 AND varu > 0 AND vart > 0 THEN " +
+        "CAST(floor(zw * 10000 + 0.5) AS BIGINT) END AS zw_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 AND varu > 0 AND vart > 0 THEN " +
+        "CAST(floor(zab * 10000 + 0.5) AS BIGINT) END AS zab_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 AND varu > 0 AND vart > 0 THEN " +
+        "CAST(floor(l * 10000 + 0.5) AS BIGINT) END AS l_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 AND varu > 0 AND vart > 0 THEN " +
+        "CAST(floor(exp(-(l / 2)) * 10000 + 0.5) AS BIGINT) END AS p_bp FROM k"),
+
+    "q288_dagostino_k2" ->
+      // four exact HUGEINT power sums; the D'Agostino/Anscombe-Glynn
+      // transform chains spelled layer by layer as Spark's, the cube
+      // root through sign*exp(ln|t|/3) (the proven exp/ln class, not
+      // cbrt whose rounding differs across libms), p = exp(-K2/2)
+      ("WITH v AS (SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS x " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "m AS (SELECT count(*) AS n, " +
+        "COALESCE(sum(CAST(x AS HUGEINT)), 0) AS s1, " +
+        "COALESCE(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)), 0) AS s2, " +
+        "COALESCE(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)), 0) AS s3, " +
+        "COALESCE(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT) * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)), 0) AS s4 FROM v), " +
+        "f AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d, " +
+        "CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d, " +
+        "CAST(s4 AS DOUBLE) AS s4d FROM m), " +
+        "g0 AS (SELECT *, s1d / nd AS mu FROM f), " +
+        "g1x AS (SELECT *, s2d / nd - mu * mu AS m2, " +
+        "s3d / nd - 3.0 * mu * (s2d / nd) + 2.0 * mu * mu * mu AS m3, " +
+        "s4d / nd - 4.0 * mu * (s3d / nd) + 6.0 * mu * mu * (s2d / nd) - 3.0 * mu * mu * mu * mu AS m4 FROM g0), " +
+        "g2x AS (SELECT *, m3 / ((sqrt(m2) * sqrt(m2)) * sqrt(m2)) AS g1, " +
+        "m4 / (m2 * m2) - 3.0 AS g2 FROM g1x), " +
+        "sk AS (SELECT *, g1 * sqrt((nd + 1) * (nd + 3) / (6.0 * (nd - 2))) AS y, " +
+        "3.0 * (nd * nd + 27.0 * nd - 70) * (nd + 1) * (nd + 3) / " +
+        "((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9)) AS b2 FROM g2x), " +
+        "sk2 AS (SELECT *, sqrt(2.0 * (b2 - 1)) - 1.0 AS w2 FROM sk), " +
+        "sk3 AS (SELECT *, 1.0 / sqrt(ln(sqrt(w2))) AS delta, " +
+        "sqrt(2.0 / (w2 - 1)) AS alpha FROM sk2), " +
+        "sk4 AS (SELECT *, delta * ln(y / alpha + sqrt((y / alpha) * (y / alpha) + 1)) AS z1 FROM sk3), " +
+        "ku AS (SELECT *, 3.0 * (nd - 1) / (nd + 1) AS eb2, " +
+        "24.0 * nd * (nd - 2) * (nd - 3) / ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5)) AS vb2 FROM sk4), " +
+        "ku2 AS (SELECT *, (g2 + 3.0 - eb2) / sqrt(vb2) AS xx, " +
+        "6.0 * (nd * nd - 5.0 * nd + 2) / ((nd + 7) * (nd + 9)) * " +
+        "sqrt(6.0 * (nd + 3) * (nd + 5) / (nd * (nd - 2) * (nd - 3))) AS beta FROM ku), " +
+        "ku3 AS (SELECT *, 6.0 + 8.0 / beta * (2.0 / beta + sqrt(1.0 + 4.0 / (beta * beta))) AS aa FROM ku2), " +
+        "ku4 AS (SELECT *, (1.0 - 2.0 / aa) / (1.0 + xx * sqrt(2.0 / (aa - 4))) AS t FROM ku3), " +
+        "ku5 AS (SELECT *, (CASE WHEN t < 0 THEN -1.0 WHEN t > 0 THEN 1.0 ELSE 0.0 END) * " +
+        "exp(ln(abs(t)) / 3) AS cbrtt FROM ku4), " +
+        "ku6 AS (SELECT *, ((1.0 - 2.0 / (9.0 * aa)) - cbrtt) / sqrt(2.0 / (9.0 * aa)) AS z2 FROM ku5), " +
+        "k2x AS (SELECT *, z1 * z1 + z2 * z2 AS k2 FROM ku6) " +
+        "SELECT CAST(n AS BIGINT) AS n, " +
+        "CASE WHEN n >= 20 AND m2 > 0 AND w2 > 1 AND t <> 0 THEN " +
+        "CAST(floor(g1 * 10000 + 0.5) AS BIGINT) END AS skew_bp, " +
+        "CASE WHEN n >= 20 AND m2 > 0 AND w2 > 1 AND t <> 0 THEN " +
+        "CAST(floor(g2 * 10000 + 0.5) AS BIGINT) END AS kurt_bp, " +
+        "CASE WHEN n >= 20 AND m2 > 0 AND w2 > 1 AND t <> 0 THEN " +
+        "CAST(floor(z1 * 10000 + 0.5) AS BIGINT) END AS z1_bp, " +
+        "CASE WHEN n >= 20 AND m2 > 0 AND w2 > 1 AND t <> 0 THEN " +
+        "CAST(floor(z2 * 10000 + 0.5) AS BIGINT) END AS z2_bp, " +
+        "CASE WHEN n >= 20 AND m2 > 0 AND w2 > 1 AND t <> 0 THEN " +
+        "CAST(floor(k2 * 10000 + 0.5) AS BIGINT) END AS k2_bp, " +
+        "CASE WHEN n >= 20 AND m2 > 0 AND w2 > 1 AND t <> 0 THEN " +
+        "CAST(floor(exp(-(k2 / 2)) * 10000 + 0.5) AS BIGINT) END AS p_bp FROM k2x"),
+
+    "q289_cox_stuart" ->
+      // the day-ordered series per type (q272's spine); the paired-
+      // halves sign fold in exact integers, z the plain sign chain
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, list(n ORDER BY day) AS xs FROM d GROUP BY 1), " +
+        "b AS (SELECT event_type, xs, len(xs) AS m, " +
+        "CAST((len(xs) + 1) // 2 AS INT) AS c, " +
+        "CAST(len(xs) // 2 AS INT) AS half FROM a), " +
+        "f AS (SELECT event_type, m, " +
+        "CASE WHEN m > 1 THEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, half + 1), i -> " +
+        "CASE WHEN xs[CAST(i + c AS INT)] > xs[CAST(i AS INT)] THEN CAST(1 AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b) ELSE 0 END AS pos, " +
+        "CASE WHEN m > 1 THEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, half + 1), i -> " +
+        "CASE WHEN xs[CAST(i + c AS INT)] < xs[CAST(i AS INT)] THEN CAST(1 AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b) ELSE 0 END AS neg FROM b) " +
+        "SELECT event_type, CAST(m AS BIGINT) AS n_days, " +
+        "CAST(pos + neg AS BIGINT) AS n_pairs, CAST(pos AS BIGINT) AS n_pos, " +
+        "CASE WHEN pos + neg > 0 THEN " +
+        "CAST(floor((2.0 * CAST(pos AS DOUBLE) - CAST(pos + neg AS DOUBLE)) / " +
+        "sqrt(CAST(pos + neg AS DOUBLE)) * 10000 + 0.5) AS BIGINT) END AS z_bp FROM f"),
+
+    "q290_kpss" ->
+      // the same series; D_t = m*x_t - S, partial sums P_t, and the
+      // lag-4 Bartlett autocovariance cores are ALL exact HUGEINT
+      // integers, eta ONE division; reject from the rounded display
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, list(n ORDER BY day) AS xs FROM d GROUP BY 1), " +
+        "b AS (SELECT event_type, xs, len(xs) AS m, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(xs, x -> CAST(x AS BIGINT))), (a, b) -> a + b) AS s FROM a), " +
+        "f AS (SELECT event_type, m, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, m + 1), t -> " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(list_slice(xs, 1, CAST(t AS INT)), x -> " +
+        "CAST(m AS HUGEINT) * CAST(x AS HUGEINT) - CAST(s AS HUGEINT))), (p, q) -> p + q) * " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(list_slice(xs, 1, CAST(t AS INT)), x -> " +
+        "CAST(m AS HUGEINT) * CAST(x AS HUGEINT) - CAST(s AS HUGEINT))), (p, q) -> p + q))), " +
+        "(p, q) -> p + q) AS sump2, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, m + 1), t -> " +
+        "(CAST(m AS HUGEINT) * CAST(xs[CAST(t AS INT)] AS HUGEINT) - CAST(s AS HUGEINT)) * " +
+        "(CAST(m AS HUGEINT) * CAST(xs[CAST(t AS INT)] AS HUGEINT) - CAST(s AS HUGEINT)))), " +
+        "(p, q) -> p + q) AS g0, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, m - 1 + 1), t -> " +
+        "(CAST(m AS HUGEINT) * CAST(xs[CAST(t AS INT)] AS HUGEINT) - CAST(s AS HUGEINT)) * " +
+        "(CAST(m AS HUGEINT) * CAST(xs[CAST(t + 1 AS INT)] AS HUGEINT) - CAST(s AS HUGEINT)))), " +
+        "(p, q) -> p + q) AS g1, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, m - 2 + 1), t -> " +
+        "(CAST(m AS HUGEINT) * CAST(xs[CAST(t AS INT)] AS HUGEINT) - CAST(s AS HUGEINT)) * " +
+        "(CAST(m AS HUGEINT) * CAST(xs[CAST(t + 2 AS INT)] AS HUGEINT) - CAST(s AS HUGEINT)))), " +
+        "(p, q) -> p + q) AS g2, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, m - 3 + 1), t -> " +
+        "(CAST(m AS HUGEINT) * CAST(xs[CAST(t AS INT)] AS HUGEINT) - CAST(s AS HUGEINT)) * " +
+        "(CAST(m AS HUGEINT) * CAST(xs[CAST(t + 3 AS INT)] AS HUGEINT) - CAST(s AS HUGEINT)))), " +
+        "(p, q) -> p + q) AS g3, " +
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(1, m - 4 + 1), t -> " +
+        "(CAST(m AS HUGEINT) * CAST(xs[CAST(t AS INT)] AS HUGEINT) - CAST(s AS HUGEINT)) * " +
+        "(CAST(m AS HUGEINT) * CAST(xs[CAST(t + 4 AS INT)] AS HUGEINT) - CAST(s AS HUGEINT)))), " +
+        "(p, q) -> p + q) AS g4 FROM b), " +
+        "k AS (SELECT event_type, m, 5 * sump2 AS num, " +
+        "CAST(m AS HUGEINT) * (5 * g0 + 2 * 4 * g1 + 2 * 3 * g2 + 2 * 2 * g3 + 2 * 1 * g4) AS den FROM f) " +
+        "SELECT event_type, CAST(m AS BIGINT) AS n_days, " +
+        "CASE WHEN m > 1 AND den > 0 THEN " +
+        "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS eta_bp, " +
+        "CASE WHEN m > 1 AND den > 0 THEN " +
+        "CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 10000 + 0.5) AS BIGINT) > 4630 END AS reject_5pct " +
+        "FROM k"),
 
     "q277_ordinal_assoc" ->
       // the q261 band grid; C/D/tie masses via the bounded cells

@@ -1153,6 +1153,296 @@ object Quality {
       guard(ok && pooled > 0, dfW).as("df_bp"))
   }
 
+  /** Cucconi location-scale test (Cucconi 1968; Marozzi 2009 revived
+    * it) — ONE rank test for "did the distribution move OR spread?":
+    * the location tests ([[mannWhitneyU]], [[brunnerMunzel]]) miss a
+    * pure variance change and the spread tests miss a pure shift; the
+    * practical drift question is almost always the union. Cucconi
+    * combines the squared-rank sum U and the squared-CONTRARY-rank sum
+    * V of one sample into C = (U² + V² − 2ρUV)/(2(1−ρ²)), whose
+    * asymptotic null is Exponential(1), so p = exp(−C) is CLOSED FORM
+    * (the even-dof luck the chi-square family only sometimes gets).
+    * One row: (n_a, n_b, u_bp, v_bp, c_bp, p_bp), ties by midranks
+    * (the standard practical adaptation).
+    *
+    * Exactness: with doubled midranks m2 the squared-rank sums clear to
+    * the exact DECIMAL(38,0) moments ΣcB·m2 and ΣcB·m2² (contrary-rank
+    * moments derive algebraically from the same two — no second pass),
+    * and the U/V/ρ/C chains are spelled once. Scale shape: the ksTest
+    * plan — one union hash agg on distinct values, one bounded
+    * prefix-sum pass, one single-row moment aggregate.
+    */
+  def cucconiTest(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val perValue = sided(a, 0).unionAll(sided(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
+    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val m2 = (lit(2L) * (col("_xa") + col("_xb")) + col("_ca") + col("_cb") +
+      lit(1L)).cast(dec)
+    val cbD = col("_cb").cast(dec)
+    val one = cums.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
+      coalesce(sum(col("_cb")), lit(0L)).as("_nb"),
+      coalesce(sum(cbD * m2), lit(0).cast(dec)).as("_r2"),
+      coalesce(sum(cbD * m2 * m2), lit(0).cast(dec)).as("_r4"))
+    val na = col("_na").cast("double")
+    val nb = col("_nb").cast("double")
+    val nd = (col("_na") + col("_nb")).cast("double")
+    val np1 = nd + lit(1.0)
+    val r2d = col("_r2").cast("double")
+    val r4d = col("_r4").cast("double")
+    // ΣR² = ΣcB·m2²/4; contrary ranks n+1−R give
+    // ΣQ² = ((2(n+1))²·n_b − 4(n+1)·ΣcB·m2 + ΣcB·m2²)/4
+    val sr2 = r4d / lit(4.0)
+    val sq2 = (lit(4.0) * np1 * np1 * nb - lit(4.0) * np1 * r2d + r4d) /
+      lit(4.0)
+    val den = sqrt(na * nb * np1 * (lit(2.0) * nd + 1) *
+      (lit(8.0) * nd + 11) / lit(5.0))
+    val u = (lit(6.0) * sr2 - nb * np1 * (lit(2.0) * nd + 1)) / den
+    val v = (lit(6.0) * sq2 - nb * np1 * (lit(2.0) * nd + 1)) / den
+    val rho = lit(2.0) * (nd * nd - 4) /
+      ((lit(2.0) * nd + 1) * (lit(8.0) * nd + 11)) - lit(1.0)
+    val cStat = (u * u + v * v - lit(2.0) * rho * u * v) /
+      (lit(2.0) * (lit(1.0) - rho * rho))
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    val ok = col("_na") > 0 && col("_nb") > 0 &&
+      (lit(1.0) - rho * rho) > 0
+    def guard(e: Column) = when(ok, bp(e)).otherwise(lit(null).cast("long"))
+    one.select(col("_na").as("n_a"), col("_nb").as("n_b"),
+      guard(u).as("u_bp"), guard(v).as("v_bp"),
+      guard(cStat).as("c_bp"), guard(exp(-cStat)).as("p_bp"))
+  }
+
+  /** Ansari–Bradley two-sample SPREAD test (Ansari & Bradley 1960) —
+    * the rank member the dispersion shelf lacked: [[bartlettTest]] and
+    * [[brownForsythe]] are k-group tests on raw values (moment-based,
+    * outlier-sensitive); AB asks the rank question "does one sample
+    * concentrate in the middle of the pooled ordering while the other
+    * takes the extremes?" with scores a(r) = min(r, n+1−r) from both
+    * ends. One row: (n_a, n_b, z_bp).
+    *
+    * Tie convention, explicit: scores are evaluated AT the class
+    * midrank (a(midrank), DOUBLED so everything stays integer) rather
+    * than averaged over the class's rank range (R's ansari.test mean-
+    * score convention). The two differ only when a tie class straddles
+    * the pooled center; the spec pins a no-straddle case where both
+    * conventions coincide. The gain is exactness at any scale: every
+    * score, the statistic T, its mean and its variance clear to
+    * DECIMAL(38,0) integers with ONE division layer in the z chain —
+    * no per-class rational and no float accumulation over the value
+    * axis. Scale shape: the ksTest plan (union hash agg + prefix pass
+    * + one single-row moment aggregate over a broadcast total).
+    */
+  def ansariBradley(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val perValue = sided(a, 0).unionAll(sided(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
+    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    // doubled midrank and doubled score 2·a = min(m2, 2(n+1) − m2)
+    val m2 = lit(2L) * (col("_xa") + col("_xb")) + col("_ca") + col("_cb") +
+      lit(1L)
+    val one = cums
+      .crossJoin(broadcast(perValue.agg(
+        coalesce(sum(col("_ca") + col("_cb")), lit(0L)).as("_n"))))
+      .select(col("_ca"), col("_cb"),
+        least(m2, lit(2L) * (col("_n") + 1) - m2).cast(dec).as("_s2"))
+      .agg(
+        coalesce(sum(col("_ca")), lit(0L)).as("_na"),
+        coalesce(sum(col("_cb")), lit(0L)).as("_nb"),
+        coalesce(sum(col("_ca").cast(dec) * col("_s2")), lit(0).cast(dec))
+          .as("_t2a"),
+        coalesce(sum((col("_ca") + col("_cb")).cast(dec) * col("_s2")),
+          lit(0).cast(dec)).as("_sc1"),
+        coalesce(sum((col("_ca") + col("_cb")).cast(dec) * col("_s2") *
+          col("_s2")), lit(0).cast(dec)).as("_sc2"))
+    val na = col("_na").cast("double")
+    val nb = col("_nb").cast("double")
+    val nd = (col("_na") + col("_nb")).cast("double")
+    val e2 = na * col("_sc1").cast("double") / nd
+    val varT = na * nb *
+      (nd * col("_sc2").cast("double") -
+        col("_sc1").cast("double") * col("_sc1").cast("double")) /
+      (nd * nd * (nd - lit(1.0)))
+    val z = (col("_t2a").cast("double") - e2) / sqrt(varT)
+    val ok = col("_na") > 0 && col("_nb") > 0 &&
+      (col("_na") + col("_nb")) > 1 && varT > 0
+    one.select(col("_na").as("n_a"), col("_nb").as("n_b"),
+      when(ok, floor(z * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_bp"))
+  }
+
+  /** Lepage combined location-scale test (Lepage 1971) — the classical
+    * alternative to [[cucconiTest]] for the same union question, built
+    * from named parts a reviewer already knows: L = z_W² + z_AB², the
+    * squared Wilcoxon location z plus the squared [[ansariBradley]]
+    * spread z. dof 2 is EVEN, so p = exp(−L/2) is closed form (the
+    * jarqueBera precedent). One row:
+    * (n_a, n_b, zw_bp, zab_bp, l_bp, p_bp).
+    *
+    * Both component z's compute from ONE histogram pass: the doubled
+    * midranks feed the Wilcoxon rank sum (with the exact Σ(t³−t) tie
+    * correction) and the doubled AB midrank-scores (the ansariBradley
+    * tie convention, documented there) — every moment an exact
+    * DECIMAL(38,0) integer, each z one spelled chain. Scale shape: the
+    * ksTest plan.
+    */
+  def lepageTest(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val perValue = sided(a, 0).unionAll(sided(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
+    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val m2 = lit(2L) * (col("_xa") + col("_xb")) + col("_ca") + col("_cb") +
+      lit(1L)
+    val cv = col("_ca") + col("_cb")
+    val one = cums
+      .crossJoin(broadcast(perValue.agg(
+        coalesce(sum(col("_ca") + col("_cb")), lit(0L)).as("_n"))))
+      .select(col("_ca"), col("_cb"), cv.as("_cv"), m2.cast(dec).as("_m2"),
+        least(m2, lit(2L) * (col("_n") + 1) - m2).cast(dec).as("_s2"))
+      .agg(
+        coalesce(sum(col("_ca")), lit(0L)).as("_na"),
+        coalesce(sum(col("_cb")), lit(0L)).as("_nb"),
+        coalesce(sum(col("_ca").cast(dec) * col("_m2")), lit(0).cast(dec))
+          .as("_ra2"),
+        coalesce(sum(col("_cv").cast(dec) * col("_cv").cast(dec) *
+          col("_cv").cast(dec) - col("_cv").cast(dec)), lit(0).cast(dec))
+          .as("_tt"),
+        coalesce(sum(col("_ca").cast(dec) * col("_s2")), lit(0).cast(dec))
+          .as("_t2a"),
+        coalesce(sum(col("_cv").cast(dec) * col("_s2")), lit(0).cast(dec))
+          .as("_sc1"),
+        coalesce(sum(col("_cv").cast(dec) * col("_s2") * col("_s2")),
+          lit(0).cast(dec)).as("_sc2"))
+    val na = col("_na").cast("double")
+    val nb = col("_nb").cast("double")
+    val nd = (col("_na") + col("_nb")).cast("double")
+    // Wilcoxon: 2U = 2R_a − n_a(n_a+1); E[2U] = n_a·n_b;
+    // Var[U] = n_a·n_b/12·((n+1) − ΣT/(n(n−1)))
+    val u2 = col("_ra2").cast("double") - na * (na + lit(1.0))
+    val varU = na * nb / lit(12.0) *
+      ((nd + lit(1.0)) - col("_tt").cast("double") / (nd * (nd - lit(1.0))))
+    val zw = (u2 - na * nb) / (lit(2.0) * sqrt(varU))
+    val e2 = na * col("_sc1").cast("double") / nd
+    val varT = na * nb *
+      (nd * col("_sc2").cast("double") -
+        col("_sc1").cast("double") * col("_sc1").cast("double")) /
+      (nd * nd * (nd - lit(1.0)))
+    val zab = (col("_t2a").cast("double") - e2) / sqrt(varT)
+    val lStat = zw * zw + zab * zab
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    val ok = col("_na") > 0 && col("_nb") > 0 &&
+      (col("_na") + col("_nb")) > 1 && varU > 0 && varT > 0
+    def guard(e: Column) = when(ok, bp(e)).otherwise(lit(null).cast("long"))
+    one.select(col("_na").as("n_a"), col("_nb").as("n_b"),
+      guard(zw).as("zw_bp"), guard(zab).as("zab_bp"),
+      guard(lStat).as("l_bp"), guard(exp(-(lStat / 2))).as("p_bp"))
+  }
+
+  /** D'Agostino's K² omnibus normality test (D'Agostino 1970 for the
+    * skewness transform; Anscombe & Glynn 1983 for kurtosis;
+    * D'Agostino, Belanger & D'Agostino 1990 for the combination) — the
+    * normality TEST the moment shelf lacked beside [[jarqueBera]]'s
+    * statistic: JB's χ²(2) approximation is notoriously slow to
+    * converge (anticonservative below n ≈ 2000), while K² transforms
+    * g1 and g2 to separately-normalized Z's first, keeping the test
+    * honest at practical sample sizes. dof 2 is EVEN → p = exp(−K²/2)
+    * closed form. One row over an integral measure:
+    * (n, skew_bp, kurt_bp, z1_bp, z2_bp, k2_bp, p_bp).
+    *
+    * Exactness: the four power sums are exact DECIMAL(38,0) integers
+    * in ONE single-row aggregate; every transform chain (the inverse
+    * sinh for Z1, the Wilson–Hilferty cube root for Z2 — spelled as
+    * sign·exp(ln|t|/3), the proven exp/ln function class, NOT cbrt
+    * whose rounding differs across libms) is written once and replayed
+    * verbatim by the oracle. Nulls when n < 20 (below the transforms'
+    * validity, D'Agostino's own floor) or the variance degenerates.
+    */
+  def dagostinoK2(
+      df: DataFrame,
+      valueCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull)
+      .select(valueCol.cast("long").as("_x"))
+    val xD = col("_x").cast(dec)
+    val one = v.agg(
+      count(lit(1)).as("_n"),
+      coalesce(sum(xD), lit(0).cast(dec)).as("_s1"),
+      coalesce(sum(xD * xD), lit(0).cast(dec)).as("_s2"),
+      coalesce(sum(xD * xD * xD), lit(0).cast(dec)).as("_s3"),
+      coalesce(sum(xD * xD * xD * xD), lit(0).cast(dec)).as("_s4"))
+    val nd = col("_n").cast("double")
+    val mu = col("_s1").cast("double") / nd
+    val m2 = col("_s2").cast("double") / nd - mu * mu
+    val m3 = col("_s3").cast("double") / nd -
+      lit(3.0) * mu * (col("_s2").cast("double") / nd) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("_s4").cast("double") / nd -
+      lit(4.0) * mu * (col("_s3").cast("double") / nd) +
+      lit(6.0) * mu * mu * (col("_s2").cast("double") / nd) -
+      lit(3.0) * mu * mu * mu * mu
+    val g1 = m3 / ((sqrt(m2) * sqrt(m2)) * sqrt(m2))
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    // D'Agostino 1970 skewness transform (inverse sinh)
+    val y = g1 * sqrt((nd + 1) * (nd + 3) / (lit(6.0) * (nd - 2)))
+    val b2 = lit(3.0) * (nd * nd + lit(27.0) * nd - 70) * (nd + 1) *
+      (nd + 3) / ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9))
+    val w2 = sqrt(lit(2.0) * (b2 - 1)) - lit(1.0)
+    val delta = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alpha = sqrt(lit(2.0) / (w2 - 1))
+    val z1 = delta * log(y / alpha + sqrt((y / alpha) * (y / alpha) + 1))
+    // Anscombe–Glynn kurtosis transform (Wilson–Hilferty cube root,
+    // spelled through exp/ln so both engines round identically)
+    val eb2 = lit(3.0) * (nd - 1) / (nd + 1)
+    val vb2 = lit(24.0) * nd * (nd - 2) * (nd - 3) /
+      ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5))
+    val x = (g2 + lit(3.0) - eb2) / sqrt(vb2)
+    val beta = lit(6.0) * (nd * nd - lit(5.0) * nd + 2) /
+      ((nd + 7) * (nd + 9)) *
+      sqrt(lit(6.0) * (nd + 3) * (nd + 5) / (nd * (nd - 2) * (nd - 3)))
+    val aA = lit(6.0) + lit(8.0) / beta *
+      (lit(2.0) / beta + sqrt(lit(1.0) + lit(4.0) / (beta * beta)))
+    val t = (lit(1.0) - lit(2.0) / aA) /
+      (lit(1.0) + x * sqrt(lit(2.0) / (aA - 4)))
+    val cbrtT = signum(t) * exp(log(abs(t)) / 3)
+    val z2 = ((lit(1.0) - lit(2.0) / (lit(9.0) * aA)) - cbrtT) /
+      sqrt(lit(2.0) / (lit(9.0) * aA))
+    val k2 = z1 * z1 + z2 * z2
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    val ok = col("_n") >= 20 && m2 > 0 && w2 > 1 && t =!= 0.0
+    def guard(e: Column) = when(ok, bp(e)).otherwise(lit(null).cast("long"))
+    one.select(col("_n").as("n"),
+      guard(g1).as("skew_bp"), guard(g2).as("kurt_bp"),
+      guard(z1).as("z1_bp"), guard(z2).as("z2_bp"),
+      guard(k2).as("k2_bp"), guard(exp(-(k2 / 2))).as("p_bp"))
+  }
+
   /** Mood's median test (Mood 1950 §16.4; Brown & Mood 1951) — the
     * k-group location test with the MINIMAL assumption set: dichotomize
     * every value at the POOLED median and χ² the resulting 2×k table.

@@ -1113,6 +1113,130 @@ object Sessions {
         .otherwise(lit(null).cast("long")).as("d_bp"))
   }
 
+  /** Cox–Stuart trend test (Cox & Stuart 1955) — the sign test for
+    * trend: pair each day in the series' first half with its opposite
+    * number in the second half and count rises vs falls. Beside
+    * [[mannKendallTrend]] (all-pairs S, more power) this is the
+    * maximal-robustness screen — one wild day flips at most ONE pair,
+    * where MK moves by n−1 sign flips — and its null is the exact
+    * binomial(½), so the z is the plain sign-test chain the paired
+    * shelf already trusts. One row per event type:
+    * (event_type, n_days, n_pairs, n_pos, z_bp), ties dropped (the
+    * signTest convention), z null when no untied pair remains.
+    *
+    * Engine-parity shape ([[durbinWatson]]'s): one (type, day) agg is
+    * the only corpus exchange, the calendar-bounded series collects in
+    * day order, the pair fold is in-row integer arithmetic, the z one
+    * spelled chain.
+    */
+  def coxStuartTrend(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+      .withColumn("m", size(col("cs")))
+    def elN(j: Column) = element_at(col("cs"), j.cast("int")).getField("n")
+    // offset c = ceil(m/2); pairs (x_i, x_{i+c}) for i = 1..floor(m/2)
+    // (Column `/` is double division — cast back to the integer index
+    // domain explicitly, truncation = the intended floor on positives)
+    val c = ((col("m") + 1) / 2).cast("int")
+    val half = (col("m") / 2).cast("int")
+    def fold(cond: (Column, Column) => Column) =
+      when(col("m") > 1,
+        aggregate(transform(sequence(lit(1), half), i =>
+          when(cond(elN(i), elN(i + c)), 1L).otherwise(0L)),
+          lit(0L), (a, x) => a + x))
+        .otherwise(lit(0L))
+    val pos = fold((lo, hi) => hi > lo)
+    val neg = fold((lo, hi) => hi < lo)
+    val withC = series
+      .withColumn("_p", pos)
+      .withColumn("_m2", pos + neg)
+    val z = (lit(2.0) * col("_p").cast("double") -
+      col("_m2").cast("double")) / sqrt(col("_m2").cast("double"))
+    withC.select(col(typeCol), col("m").cast("long").as("n_days"),
+      col("_m2").as("n_pairs"), col("_p").as("n_pos"),
+      when(col("_m2") > 0, floor(z * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_bp"))
+  }
+
+  /** KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt &
+    * Shin 1992) — the trend shelf's missing NULL-reversal: every other
+    * member ([[mannKendallTrend]], [[coxStuartTrend]], the runs test)
+    * takes stationarity as the null and hunts for trend; KPSS takes
+    * STATIONARITY as the alternative — η small means the series really
+    * is level, which is the claim a "this metric is stable" dashboard
+    * actually makes. η = m⁻²ΣS_t²/s²(l) with the Bartlett-window
+    * long-run variance at fixed lag l = 4 (documented constant — the
+    * common small-sample default). One row per event type:
+    * (event_type, n_days, eta_bp, reject_5pct) — reject from the
+    * ROUNDED display against the published 0.463 critical value (the
+    * band-from-rounded discipline); no p (the KPSS null distribution
+    * has no closed form — the kruskalWallis precedent).
+    *
+    * Exactness: with centered values scaled by m (D_t = m·x_t − S, an
+    * exact integer), the numerator ΣP_t² (P = partial sums of D) and
+    * every autocovariance numerator G_j = ΣD_tD_{t+j} are exact
+    * DECIMAL(38,0) integers, and multiplying the Bartlett weights
+    * (l+1−j)/(l+1) through leaves η = (l+1)·ΣP² / (m·((l+1)·G₀ +
+    * 2·Σ(l+1−j)·G_j)) — ONE division of exact integers. Engine-parity
+    * shape: [[durbinWatson]]'s exactly.
+    */
+  def kpssTest(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      lag: Int = 4): DataFrame = {
+    require(lag >= 0, "the Bartlett window lag must be non-negative")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+      .withColumn("m", size(col("cs")))
+      .withColumn("_s",
+        aggregate(col("cs"), lit(0L), (a, e) => a + e.getField("n")))
+    // D_t = m·x_t − S (integer); P_t = Σ_{i≤t} D_i; G_j = Σ D_t·D_{t+j}
+    def dAt(j: Column): Column =
+      (col("m").cast(dec) *
+        element_at(col("cs"), j.cast("int")).getField("n").cast(dec) -
+        col("_s").cast(dec)).cast(dec)
+    def pAt(t: Column): Column =
+      aggregate(transform(sequence(lit(1), t), i => dAt(i)),
+        lit(0).cast(dec), (a, x) => (a + x).cast(dec))
+    val sumP2 = aggregate(transform(sequence(lit(1), col("m")), t => pAt(t)),
+      lit(0).cast(dec), (a, p) => (a + p * p).cast(dec))
+    def gAt(j: Int): Column =
+      when(col("m") > j,
+        aggregate(transform(sequence(lit(1), col("m") - j), t =>
+          (dAt(t) * dAt(t + j)).cast(dec)),
+          lit(0).cast(dec), (a, x) => (a + x).cast(dec)))
+        .otherwise(lit(0).cast(dec))
+    val lw = lit(lag + 1).cast(dec)
+    val denomCore = (1 to lag).map(j =>
+      (lit(2).cast(dec) * lit(lag + 1 - j).cast(dec) * gAt(j)).cast(dec))
+      .foldLeft((lw * gAt(0)).cast(dec))((a, x) => (a + x).cast(dec))
+    val withK = series
+      .withColumn("_num", (lw * sumP2).cast(dec))
+      .withColumn("_den", (col("m").cast(dec) * denomCore).cast(dec))
+    val eta = col("_num").cast("double") / col("_den").cast("double")
+    val etaBp = floor(eta * 10000 + lit(0.5)).cast("long")
+    val ok = col("m") > 1 && col("_den") > 0
+    withK.select(col(typeCol), col("m").cast("long").as("n_days"),
+      when(ok, etaBp).otherwise(lit(null).cast("long")).as("eta_bp"),
+      when(ok, etaBp > 4630).otherwise(lit(null).cast("boolean"))
+        .as("reject_5pct"))
+  }
+
   /** Wald–Wolfowitz runs test (Wald & Wolfowitz 1940, the dichotomized
     * runs-about-the-median form per Bradley 1968 §12 — the classical
     * RANDOMNESS check the trend shelf lacks a yes/no for: too FEW runs

@@ -77,6 +77,10 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(end)): q243's single-row observation-end scalar beside the per-user aggregate (same lifetimes, same censoring rule)",
     "q283_kuiper_test" ->
       "crossJoin(broadcast(totals)): the ksTest discipline — single-row (n_a, n_b) scalars beside the distinct-value spine",
+    "q286_ansari_bradley" ->
+      "crossJoin(broadcast(n)): the single-row pooled-total scalar the doubled midrank-score needs per value row",
+    "q287_lepage" ->
+      "crossJoin(broadcast(n)): q286's single-row pooled-total scalar (the AB score leg shares the spine)",
     "q284_rmst" ->
       "crossJoin(broadcast(end)) inside the composed kaplanMeier + crossJoin(broadcast(n_users)): both single-row scalars beside bounded frames",
     "q181_retrieval_metrics" ->
