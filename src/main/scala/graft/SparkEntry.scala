@@ -1700,6 +1700,26 @@ object SparkEntry {
       operators.Sessions.kpssTest(Tables(s, dir, "events"))
     }),
 
+    "q291_watson_u2" -> ((s, dir) => {
+      // Watson U^2 on q220's even/odd split — the rotation-invariant L2
+      // companion to q283's Kuiper sup: the CvM integral about the MEAN
+      // gap, algebraically exact from two integer moments
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.watsonU2(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
+    "q292_grubbs" -> ((s, dir) => {
+      // Grubbs' extreme-deviation test on token counts — "is the single
+      // most extreme document an outlier against the normal model?",
+      // the sharp single-point question beside q113's MAD fence counts
+      val d = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      operators.Quality.grubbsTest(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"))
+    }),
+
     "q276_icc" -> ((s, dir) => {
       // ICC(2,1)/(2,k) over q228's three band raters — the two-way
       // random-effects reliability: how much of the band variance is
@@ -5261,6 +5281,56 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q291_watson_u2" ->
+      // q220's spine; signed integer gap numerators clear the whole
+      // statistic to TWO HUGEINT moments, U^2 = (n*W2 - W1^2)/(n^3*na*nb)
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "c AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) AS cuma, " +
+        "sum(cb) OVER (ORDER BY v) AS cumb FROM pv), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv), " +
+        "m AS (SELECT " +
+        "COALESCE(sum(CAST(ca + cb AS HUGEINT) * " +
+        "(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT) - CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT))), 0) AS w1, " +
+        "COALESCE(sum(CAST(ca + cb AS HUGEINT) * " +
+        "(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT) - CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT)) * " +
+        "(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT) - CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT))), 0) AS w2 " +
+        "FROM c, t), " +
+        "f AS (SELECT na, nb, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd, " +
+        "CAST(na + nb AS DOUBLE) AS nd, CAST(w1 AS DOUBLE) AS w1d, " +
+        "CAST(w2 AS DOUBLE) AS w2d FROM m, t) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor((nd * w2d - w1d * w1d) / (nd * nd * nd * nad * nbd) * 10000 + 0.5) AS BIGINT) " +
+        "END AS u2_bp FROM f"),
+
+    "q292_grubbs" ->
+      // one conditional aggregate: scaled deviations and the variance
+      // core c2 = n*S2 - S1^2 exact HUGEINT, the G chains spelled as
+      // Spark's
+      ("WITH v AS (SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS x " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "m AS (SELECT count(*) AS n, " +
+        "COALESCE(sum(CAST(x AS HUGEINT)), 0) AS s1, " +
+        "COALESCE(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)), 0) AS s2, " +
+        "min(x) AS mn, max(x) AS mx FROM v), " +
+        "f AS (SELECT n, mn, mx, CAST(n AS DOUBLE) AS nd, " +
+        "CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d FROM m), " +
+        "g AS (SELECT *, nd * s2d - s1d * s1d AS c2 FROM f), " +
+        "h AS (SELECT *, sqrt(c2 / (nd * (nd - 1.0))) AS s FROM g), " +
+        "k AS (SELECT *, (nd * CAST(mx AS DOUBLE) - s1d) / nd / s AS gmax, " +
+        "(s1d - nd * CAST(mn AS DOUBLE)) / nd / s AS gmin FROM h) " +
+        "SELECT CAST(n AS BIGINT) AS n, mn AS min_v, mx AS max_v, " +
+        "CASE WHEN n >= 3 AND c2 > 0 THEN " +
+        "CAST(floor(gmax * 10000 + 0.5) AS BIGINT) END AS g_max_bp, " +
+        "CASE WHEN n >= 3 AND c2 > 0 THEN " +
+        "CAST(floor(gmin * 10000 + 0.5) AS BIGINT) END AS g_min_bp, " +
+        "CASE WHEN n >= 3 AND c2 > 0 THEN " +
+        "CAST(floor(greatest(gmax, gmin) * 10000 + 0.5) AS BIGINT) END AS g_bp FROM k"),
 
     "q285_cucconi" ->
       // q278's per-value spine; the two squared-rank moments are exact

@@ -1061,6 +1061,107 @@ object Quality {
         bp(col("_dplus") + col("_dminus")).as("v_bp"))
   }
 
+  /** Two-sample Watson U² (Watson 1962) — the ROTATION-INVARIANT L2
+    * companion completing the circular pair with [[kuiperTest]]: Kuiper
+    * is the sup-norm form (D⁺ + D⁻), Watson the integrated form — the
+    * CvM statistic computed about the MEAN CDF gap instead of zero, so
+    * a constant phase offset (the tail-to-tail mass shift both circular
+    * statistics exist for) doesn't dominate the integral. One row:
+    * (n_a, n_b, u2_bp).
+    *
+    * Exactness: with the signed integer gap numerator
+    * A_v = cum_a·n_b − cum_b·n_a per distinct value, the whole
+    * statistic clears to TWO exact DECIMAL(38,0) moments
+    * W1 = Σc·A and W2 = Σc·A², via U² = (n·W2 − W1²)/(n³·n_a·n_b) —
+    * one spelled chain, no per-value float at all (tighter than even
+    * the CvM grain sum: the centering is algebraic). Scale shape: the
+    * ksTest plan.
+    */
+  def watsonU2(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val perValue = sided(a, 0).unionAll(sided(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
+    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val totals = perValue.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
+      coalesce(sum(col("_cb")), lit(0L)).as("_nb"))
+    val gap = (col("_xa") + col("_ca")).cast(dec) * col("_nb").cast(dec) -
+      (col("_xb") + col("_cb")).cast(dec) * col("_na").cast(dec)
+    val cv = (col("_ca") + col("_cb")).cast(dec)
+    val one = cums
+      .crossJoin(broadcast(totals))
+      .agg(
+        first(col("_na")).as("_na"),
+        first(col("_nb")).as("_nb"),
+        coalesce(sum(cv * gap), lit(0).cast(dec)).as("_w1"),
+        coalesce(sum(cv * gap * gap), lit(0).cast(dec)).as("_w2"))
+    val na = col("_na").cast("double")
+    val nb = col("_nb").cast("double")
+    val nd = (col("_na") + col("_nb")).cast("double")
+    val u2 = (nd * col("_w2").cast("double") -
+      col("_w1").cast("double") * col("_w1").cast("double")) /
+      (nd * nd * nd * na * nb)
+    one.select(col("_na").as("n_a"), col("_nb").as("n_b"),
+      when(col("_na") > 0 && col("_nb") > 0,
+        floor(u2 * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("u2_bp"))
+  }
+
+  /** Grubbs' extreme-deviation test (Grubbs 1950) — "is the single most
+    * extreme value an outlier?": the MAD fences ([[madOutliers]] via
+    * q113's machinery) COUNT outliers against a robust spread; Grubbs
+    * asks the sharper single-point question against the NORMAL model —
+    * the statistic a data-quality triage quotes before deleting the one
+    * crazy row. One row: (n, min_v, max_v, g_max_bp, g_min_bp, g_bp) —
+    * both one-sided deviations and their max, as statistics without p
+    * (the critical value is a t-quantile — the kruskalWallis
+    * stat-without-p precedent; at the n this runs at, G reads against
+    * √n·(n−1)/√n ≈ √n).
+    *
+    * Exactness over an integral measure: the scaled deviations
+    * n·max − S₁ and S₁ − n·min and the variance core
+    * c2 = n·Σx² − S₁² are exact DECIMAL(38,0) integers in ONE
+    * single-row aggregate; G = (dev/n)/√(c2/(n(n−1))) is one spelled
+    * chain. Null when n < 3 or the sample is constant.
+    */
+  def grubbsTest(
+      df: DataFrame,
+      valueCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull)
+      .select(valueCol.cast("long").as("_x"))
+    val xD = col("_x").cast(dec)
+    val one = v.agg(
+      count(lit(1)).as("_n"),
+      coalesce(sum(xD), lit(0).cast(dec)).as("_s1"),
+      coalesce(sum(xD * xD), lit(0).cast(dec)).as("_s2"),
+      min(col("_x")).as("_min"),
+      max(col("_x")).as("_max"))
+    val nd = col("_n").cast("double")
+    val s1d = col("_s1").cast("double")
+    val c2 = nd * col("_s2").cast("double") - s1d * s1d
+    // s² = (Σx² − S₁²/n)/(n−1) = c2/(n(n−1))
+    val s = sqrt(c2 / (nd * (nd - lit(1.0))))
+    val gMax = (nd * col("_max").cast("double") - s1d) / nd / s
+    val gMin = (s1d - nd * col("_min").cast("double")) / nd / s
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    val ok = col("_n") >= 3 && c2 > 0
+    def guard(e: Column) = when(ok, bp(e)).otherwise(lit(null).cast("long"))
+    one.select(col("_n").as("n"), col("_min").as("min_v"),
+      col("_max").as("max_v"),
+      guard(gMax).as("g_max_bp"), guard(gMin).as("g_min_bp"),
+      guard(greatest(gMax, gMin)).as("g_bp"))
+  }
+
   /** Brunner–Munzel test (Brunner & Munzel 2000 — the two-sample rank
     * test modern practice reaches for when [[mannWhitneyU]]'s
     * equal-variance-under-H0 assumption is wrong: MWU tests the same

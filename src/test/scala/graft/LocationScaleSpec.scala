@@ -157,6 +157,60 @@ class LocationScaleSpec extends SparkSpec {
     assert(out.getLong(6) < 100L, "uniform must reject normality")
   }
 
+  // ---------------------------------------------------------- Watson U²
+
+  test("Watson U2 matches the per-element reference and zeroes on identity") {
+    val rnd = new scala.util.Random(41)
+    val a = Seq.fill(40)(rnd.nextInt(10).toDouble)
+    val b = Seq.fill(50)(rnd.nextInt(10).toDouble + 1)
+    val out = Quality.watsonU2(a.toDF("value"), b.toDF("value"), "value").head()
+    // reference: d_t = F_a - F_b after each pooled obs (value order)
+    val (na, nb) = (a.length.toDouble, b.length.toDouble)
+    val n = na + nb
+    val values = (a ++ b).distinct.sorted
+    var (cuma, cumb) = (0, 0)
+    val steps = values.map { v =>
+      cuma += a.count(_ == v); cumb += b.count(_ == v)
+      (a.count(_ == v) + b.count(_ == v), cuma / na - cumb / nb)
+    }
+    val dbar = steps.map { case (c, d) => c * d }.sum / n
+    val u2 = na * nb / (n * n) *
+      steps.map { case (c, d) => c * (d - dbar) * (d - dbar) }.sum
+    assert(math.abs(out.getLong(2) - math.floor(u2 * 10000 + 0.5).toLong) <= 1)
+    val same = Quality.watsonU2(a.toDF("value"), a.toDF("value"), "value").head()
+    assert(same.getLong(2) == 0L)
+  }
+
+  test("Watson U2 registers the tail-to-tail swap Kuiper exists for") {
+    val a = Seq.fill(50)(1.0) ++ Seq.fill(50)(10.0)
+    val b = Seq.fill(50)(4.0) ++ Seq.fill(50)(6.0)
+    val out = Quality.watsonU2(a.toDF("value"), b.toDF("value"), "value").head()
+    assert(out.getLong(2) > 500L, s"u2_bp = ${out.getLong(2)}")
+  }
+
+  // ------------------------------------------------------------- Grubbs
+
+  test("Grubbs hand case: one planted outlier dominates") {
+    val xs = (Seq.fill(20)(50L) ++ Seq.fill(20)(52L)) :+ 500L
+    val out = Quality.grubbsTest(xs.toDF("x"), col("x")).head()
+    val n = xs.length.toDouble
+    val s1 = xs.sum.toDouble
+    val c2 = n * xs.map(x => x.toDouble * x).sum - s1 * s1
+    val s = math.sqrt(c2 / (n * (n - 1)))
+    val gMax = (n * 500 - s1) / n / s
+    val gMin = (s1 - n * 50) / n / s
+    def bp(v: Double) = math.floor(v * 10000 + 0.5).toLong
+    assert(out.getLong(0) == 41L && out.getLong(1) == 50L && out.getLong(2) == 500L)
+    assert(out.getLong(3) == bp(gMax) && out.getLong(4) == bp(gMin))
+    assert(out.getLong(5) == bp(math.max(gMax, gMin)))
+    assert(out.getLong(3) > 60000L, "planted outlier gives G >> sqrt(n)")
+  }
+
+  test("Grubbs: constant sample nulls") {
+    val out = Quality.grubbsTest(Seq(5L, 5L, 5L, 5L).toDF("x"), col("x")).head()
+    assert(out.isNullAt(3) && out.isNullAt(5))
+  }
+
   // --------------------------------------------------------- Cox–Stuart
 
   private def tsAt(dayI: Int) = new java.sql.Timestamp(dayI * 86400000L)
