@@ -1700,6 +1700,19 @@ object SparkEntry {
       operators.Sessions.kpssTest(Tables(s, dir, "events"))
     }),
 
+    "q293_two_sample_card" -> ((s, dir) => {
+      // the ENTIRE two-sample battery in ONE corpus pass over q220's
+      // even/odd split: KS + Kuiper + Watson + CvM + MWU/AUC + BM +
+      // Cucconi + AB + Lepage — at 100 TB the scan is the cost, so the
+      // drift review that wants all nine pays it once (q249's fused-
+      // card discipline on the two-sample axis)
+      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+      operators.Quality.twoSampleCard(
+        ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        "value")
+    }),
+
     "q291_watson_u2" -> ((s, dir) => {
       // Watson U^2 on q220's even/odd split — the rotation-invariant L2
       // companion to q283's Kuiper sup: the CvM integral about the MEAN
@@ -5281,6 +5294,109 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q293_two_sample_card" ->
+      // ONE shared spine (per-value masses + exclusive window prefixes +
+      // the signed HUGEINT gap), a single 14-moment aggregate, then each
+      // leg's display chain spelled exactly as its standalone oracle
+      ("WITH u AS (SELECT CAST(value AS DOUBLE) AS v, event_id % 2 AS s " +
+        "FROM events WHERE value IS NOT NULL), " +
+        "pv AS (SELECT v, sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb FROM u GROUP BY v), " +
+        "c AS (SELECT ca, cb, sum(ca) OVER (ORDER BY v) - ca AS xa, " +
+        "sum(cb) OVER (ORDER BY v) - cb AS xb FROM pv), " +
+        "t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv), " +
+        "sc AS (SELECT ca, cb, xa, xb, ca + cb AS cv, " +
+        "2 * xa + 2 * xb + ca + cb + 1 AS m2, " +
+        "least(2 * xa + 2 * xb + ca + cb + 1, " +
+        "2 * (na + nb + 1) - (2 * xa + 2 * xb + ca + cb + 1)) AS s2, " +
+        "CAST(xa + ca AS HUGEINT) * CAST(nb AS HUGEINT) - " +
+        "CAST(xb + cb AS HUGEINT) * CAST(na AS HUGEINT) AS g FROM c, t), " +
+        "m AS (SELECT " +
+        "COALESCE(max(abs(g)), 0) AS dnum, " +
+        "greatest(COALESCE(max(g), 0), 0) AS dp, " +
+        "greatest(COALESCE(max(-g), 0), 0) AS dm, " +
+        "COALESCE(sum(CAST(cv AS HUGEINT) * g), 0) AS w1, " +
+        "COALESCE(sum(CAST(cv AS HUGEINT) * g * g), 0) AS w2, " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * m2), 0) AS ra2, " +
+        "COALESCE(sum(CAST(cb AS HUGEINT) * m2), 0) AS rb2, " +
+        "COALESCE(sum(CAST(cb AS HUGEINT) * m2 * m2), 0) AS rbm4, " +
+        "COALESCE(sum(CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT) - CAST(cv AS HUGEINT)), 0) AS t3, " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * (2 * CAST(xb AS HUGEINT) + cb)), 0) AS sa1, " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * (2 * CAST(xb AS HUGEINT) + cb) * (2 * CAST(xb AS HUGEINT) + cb)), 0) AS sa2, " +
+        "COALESCE(sum(CAST(cb AS HUGEINT) * (2 * CAST(xa AS HUGEINT) + ca)), 0) AS sb1, " +
+        "COALESCE(sum(CAST(cb AS HUGEINT) * (2 * CAST(xa AS HUGEINT) + ca) * (2 * CAST(xa AS HUGEINT) + ca)), 0) AS sb2, " +
+        "COALESCE(sum(CAST(ca AS HUGEINT) * s2), 0) AS t2a, " +
+        "COALESCE(sum(CAST(cv AS HUGEINT) * s2), 0) AS sc1, " +
+        "COALESCE(sum(CAST(cv AS HUGEINT) * s2 * s2), 0) AS sc2 FROM sc), " +
+        "f AS (SELECT na, nb, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd, " +
+        "CAST(na + nb AS DOUBLE) AS nd, CAST(na + nb AS DOUBLE) + 1.0 AS np1, " +
+        "CAST(dnum AS DOUBLE) AS dnumd, dp, dm, " +
+        "CAST(w1 AS DOUBLE) AS w1d, CAST(w2 AS DOUBLE) AS w2d, " +
+        "CAST(ra2 AS DOUBLE) AS ra2d, CAST(rb2 AS DOUBLE) AS rb2d, " +
+        "CAST(rbm4 AS DOUBLE) AS rbm4d, CAST(t3 AS DOUBLE) AS t3d, " +
+        "CAST(sa1 AS DOUBLE) AS sa1d, CAST(sa2 AS DOUBLE) AS sa2d, " +
+        "CAST(sb1 AS DOUBLE) AS sb1d, CAST(sb2 AS DOUBLE) AS sb2d, " +
+        "CAST(ra2 - CAST(na AS HUGEINT) * (CAST(na AS HUGEINT) + 1) AS DOUBLE) AS u2d, " +
+        "CAST(t2a AS DOUBLE) AS t2ad, CAST(sc1 AS DOUBLE) AS sc1d, " +
+        "CAST(sc2 AS DOUBLE) AS sc2d FROM m, t), " +
+        "g1 AS (SELECT *, dnumd / (nad * nbd) AS ksd, " +
+        "nad * nbd / 12 * ((nd + 1) - t3d / (nd * (nd - 1))) AS sigma2, " +
+        "u2d / 2 AS ud, " +
+        "ra2d / nad - (nad + 1.0) AS ka, rb2d / nbd - (nbd + 1.0) AS kb, " +
+        "rbm4d / 4.0 AS sr2, " +
+        "(4.0 * np1 * np1 * nbd - 4.0 * np1 * rb2d + rbm4d) / 4.0 AS sq2, " +
+        "sqrt(nad * nbd * np1 * (2.0 * nd + 1) * (8.0 * nd + 11) / 5.0) AS cden, " +
+        "2.0 * (nd * nd - 4) / ((2.0 * nd + 1) * (8.0 * nd + 11)) - 1.0 AS rho, " +
+        "nad * sc1d / nd AS e2, " +
+        "nad * nbd * (nd * sc2d - sc1d * sc1d) / (nd * nd * (nd - 1.0)) AS vart, " +
+        "ra2d - nad * (nad + 1.0) AS lpu2, " +
+        "nad * nbd / 12.0 * ((nd + 1.0) - t3d / (nd * (nd - 1.0))) AS varu FROM f), " +
+        "g2 AS (SELECT *, sqrt(nad * nbd / (nad + nbd)) * ksd AS lambda, " +
+        "(sa2d - 2.0 * ka * sa1d + nad * ka * ka) / 4.0 / (nad - 1.0) AS va, " +
+        "(sb2d - 2.0 * kb * sb1d + nbd * kb * kb) / 4.0 / (nbd - 1.0) AS vb, " +
+        "(6.0 * sr2 - nbd * np1 * (2.0 * nd + 1)) / cden AS cu, " +
+        "(6.0 * sq2 - nbd * np1 * (2.0 * nd + 1)) / cden AS cvv, " +
+        "(t2ad - e2) / sqrt(vart) AS abz, " +
+        "(lpu2 - nad * nbd) / (2.0 * sqrt(varu)) AS zw FROM g1), " +
+        "g3 AS (SELECT *, nad * va + nbd * vb AS pooled, " +
+        "(cu * cu + cvv * cvv - 2.0 * rho * cu * cvv) / " +
+        "(2.0 * (1.0 - rho * rho)) AS cst, " +
+        "zw * zw + abz * abz AS l FROM g2) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor(ksd * 10000 + 0.5) AS BIGINT) END AS ks_d_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor(least(1.0, 2.0 * exp(-2.0 * lambda * lambda)) * 10000 + 0.5) AS BIGINT) END AS ks_p_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor(CAST(dp + dm AS DOUBLE) / (nad * nbd) * 10000 + 0.5) AS BIGINT) END AS kuiper_v_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor((nd * w2d - w1d * w1d) / (nd * nd * nd * nad * nbd) * 10000 + 0.5) AS BIGINT) END AS watson_u2_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor(w2d / (nd * nd * nad * nbd) * 10000 + 0.5) AS BIGINT) END AS cvm_t_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor(ud / (nad * nbd) * 10000 + 0.5) AS BIGINT) END AS auc_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND sigma2 > 0 THEN " +
+        "CAST(floor((ud - nad * nbd / 2) / sqrt(sigma2) * 10000 + 0.5) AS BIGINT) END AS mwu_z_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN " +
+        "CAST(floor((rb2d / nbd - nbd - 1.0) / (2.0 * nad) * 10000 + 0.5) AS BIGINT) END AS bm_p_hat_bp, " +
+        "CASE WHEN na >= 2 AND nb >= 2 AND pooled > 0 THEN " +
+        "CAST(floor(nad * nbd * (rb2d / (2.0 * nbd) - ra2d / (2.0 * nad)) / " +
+        "(nad + nbd) / sqrt(pooled) * 10000 + 0.5) AS BIGINT) END AS bm_w_bp, " +
+        "CASE WHEN na >= 2 AND nb >= 2 AND pooled > 0 THEN " +
+        "CAST(floor(pooled * pooled / ((nad * va) * (nad * va) / (nad - 1.0) + " +
+        "(nbd * vb) * (nbd * vb) / (nbd - 1.0)) * 10000 + 0.5) AS BIGINT) END AS bm_df_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND (1.0 - rho * rho) > 0 THEN " +
+        "CAST(floor(cst * 10000 + 0.5) AS BIGINT) END AS cucconi_c_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND (1.0 - rho * rho) > 0 THEN " +
+        "CAST(floor(exp(-cst) * 10000 + 0.5) AS BIGINT) END AS cucconi_p_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 AND vart > 0 THEN " +
+        "CAST(floor(abz * 10000 + 0.5) AS BIGINT) END AS ab_z_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 AND varu > 0 AND vart > 0 THEN " +
+        "CAST(floor(l * 10000 + 0.5) AS BIGINT) END AS lepage_l_bp, " +
+        "CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 AND varu > 0 AND vart > 0 THEN " +
+        "CAST(floor(exp(-(l / 2)) * 10000 + 0.5) AS BIGINT) END AS lepage_p_bp " +
+        "FROM g3"),
 
     "q291_watson_u2" ->
       // q220's spine; signed integer gap numerators clear the whole

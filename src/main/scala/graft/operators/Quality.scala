@@ -1116,6 +1116,175 @@ object Quality {
         .otherwise(lit(null).cast("long")).as("u2_bp"))
   }
 
+  /** Fused two-sample drift card — the ENTIRE two-sample shelf in ONE
+    * corpus pass: KS (sup-norm) + Kuiper (both one-sided excursions) +
+    * Watson U² (rotation-invariant L2) + Cramér–von Mises (plain L2) +
+    * Mann–Whitney (location, with AUC) + Brunner–Munzel (location under
+    * unequal spreads) + Cucconi and Lepage (location-scale unions) +
+    * Ansari–Bradley (spread). The separated queries each re-scan and
+    * re-aggregate the same per-value histogram; at 100 TB the scan IS
+    * the cost, so a drift review that wants the whole battery should
+    * pay it once — the q249 fused-card discipline applied to the
+    * two-sample axis. One row, 18 columns of bp displays.
+    *
+    * Every leg's display chain is spelled EXACTLY as its standalone
+    * operator spells it (TwoSampleCardSpec cross-pins column-for-column
+    * equality against the standalone queries; CvM is the one deliberate
+    * exception — the card uses the exact-moment algebra
+    * T = W2/(n²·n_a·n_b) where the standalone predates it and sums
+    * floor(term·2³⁰) grains, so those two agree only to the display
+    * grain, pinned within 1 bp). All moments are exact DECIMAL(38,0)
+    * sums over the shared doubled-midrank/gap spine.
+    *
+    * Scale shape: ONE union + ONE per-value hash agg (the only
+    * corpus-width exchange), two bounded prefix-sum passes, one
+    * broadcast totals row, ONE single-row 14-moment aggregate.
+    */
+  def twoSampleCard(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sided = (d: DataFrame, side: Int) => d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
+    val perValue = sided(a, 0).unionAll(sided(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
+    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val totals = perValue.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("_tna"),
+      coalesce(sum(col("_cb")), lit(0L)).as("_tnb"))
+    val rows = cums.crossJoin(broadcast(totals))
+    val m2 = lit(2L) * (col("_xa") + col("_xb")) + col("_ca") + col("_cb") +
+      lit(1L)
+    val s2ab = least(m2,
+      lit(2L) * (col("_tna") + col("_tnb") + 1) - m2)
+    val gap = (col("_xa") + col("_ca")).cast(dec) * col("_tnb").cast(dec) -
+      (col("_xb") + col("_cb")).cast(dec) * col("_tna").cast(dec)
+    val cvD = (col("_ca") + col("_cb")).cast(dec)
+    val caD = col("_ca").cast(dec)
+    val cbD = col("_cb").cast(dec)
+    val m2D = m2.cast(dec)
+    val dAD = (lit(2L) * col("_xb") + col("_cb")).cast(dec)
+    val dBD = (lit(2L) * col("_xa") + col("_ca")).cast(dec)
+    val s2D = s2ab.cast(dec)
+    def dsum(c: Column) = coalesce(sum(c), lit(0).cast(dec))
+    val one = rows.agg(
+      first(col("_tna")).as("_na"),
+      first(col("_tnb")).as("_nb"),
+      coalesce(max(abs(gap)), lit(0).cast(dec)).as("_dnum"),
+      greatest(max(gap), lit(0).cast(dec)).as("_dplus"),
+      greatest(max(-gap), lit(0).cast(dec)).as("_dminus"),
+      dsum(cvD * gap).as("_w1"),
+      dsum(cvD * gap * gap).as("_w2"),
+      dsum(caD * m2D).as("_ra2"),
+      dsum(cbD * m2D).as("_rb2"),
+      dsum(cbD * m2D * m2D).as("_rbm4"),
+      dsum(cvD * cvD * cvD - cvD).as("_t3"),
+      dsum(caD * dAD).as("_sa1"),
+      dsum(caD * dAD * dAD).as("_sa2"),
+      dsum(cbD * dBD).as("_sb1"),
+      dsum(cbD * dBD * dBD).as("_sb2"),
+      dsum(caD * s2D).as("_t2a"),
+      dsum(cvD * s2D).as("_sc1"),
+      dsum(cvD * s2D * s2D).as("_sc2"))
+    // ---- display chains, each spelled as its standalone operator ----
+    val na = col("_na").cast("double")
+    val nb = col("_nb").cast("double")
+    val nd = (col("_na") + col("_nb")).cast("double")
+    val bothPos = col("_na") > 0 && col("_nb") > 0
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    def guard(cond: Column, e: Column) =
+      when(cond, bp(e)).otherwise(lit(null).cast("long"))
+    // KS (ksTest's chain)
+    val ksD = col("_dnum").cast("double") / (na * nb)
+    val lambda = sqrt(na * nb / (na + nb)) * ksD
+    val ksP = least(lit(1.0), lit(2.0) * exp(lit(-2.0) * lambda * lambda))
+    // Kuiper (kuiperTest's chain)
+    def kbp(num: Column) = guard(bothPos,
+      num.cast("double") / (na * nb))
+    // Watson (watsonU2's chain)
+    val wu2 = (nd * col("_w2").cast("double") -
+      col("_w1").cast("double") * col("_w1").cast("double")) /
+      (nd * nd * nd * na * nb)
+    // CvM, exact-moment algebra (documented deviation from q238's grains)
+    val cvmT = col("_w2").cast("double") / (nd * nd * na * nb)
+    // MWU (mannWhitneyU's chain)
+    val u2d = (col("_ra2") - col("_na").cast(dec) *
+      (col("_na").cast(dec) + lit(1))).cast("double")
+    val ud = u2d / 2
+    val sigma2 = na * nb / 12 *
+      ((nd + 1) - col("_t3").cast("double") / (nd * (nd - 1)))
+    val mwuZ = (ud - na * nb / 2) / sqrt(sigma2)
+    // BM (brunnerMunzel's chain)
+    val ka = col("_ra2").cast("double") / na - (na + lit(1.0))
+    val kb = col("_rb2").cast("double") / nb - (nb + lit(1.0))
+    val va = (col("_sa2").cast("double") - lit(2.0) * ka * col("_sa1").cast("double") +
+      na * ka * ka) / lit(4.0) / (na - lit(1.0))
+    val vb = (col("_sb2").cast("double") - lit(2.0) * kb * col("_sb1").cast("double") +
+      nb * kb * kb) / lit(4.0) / (nb - lit(1.0))
+    val pooled = na * va + nb * vb
+    val bmW = na * nb * (col("_rb2").cast("double") / (lit(2.0) * nb) -
+      col("_ra2").cast("double") / (lit(2.0) * na)) /
+      (na + nb) / sqrt(pooled)
+    val bmDf = pooled * pooled /
+      ((na * va) * (na * va) / (na - lit(1.0)) +
+        (nb * vb) * (nb * vb) / (nb - lit(1.0)))
+    val bmPHat = (col("_rb2").cast("double") / nb - nb - lit(1.0)) /
+      (lit(2.0) * na)
+    // Cucconi (cucconiTest's chain; _rb2/_rbm4 are its r2/r4)
+    val np1 = nd + lit(1.0)
+    val sr2 = col("_rbm4").cast("double") / lit(4.0)
+    val sq2 = (lit(4.0) * np1 * np1 * nb - lit(4.0) * np1 *
+      col("_rb2").cast("double") + col("_rbm4").cast("double")) / lit(4.0)
+    val cDen = sqrt(na * nb * np1 * (lit(2.0) * nd + 1) *
+      (lit(8.0) * nd + 11) / lit(5.0))
+    val cU = (lit(6.0) * sr2 - nb * np1 * (lit(2.0) * nd + 1)) / cDen
+    val cV = (lit(6.0) * sq2 - nb * np1 * (lit(2.0) * nd + 1)) / cDen
+    val rho = lit(2.0) * (nd * nd - 4) /
+      ((lit(2.0) * nd + 1) * (lit(8.0) * nd + 11)) - lit(1.0)
+    val cStat = (cU * cU + cV * cV - lit(2.0) * rho * cU * cV) /
+      (lit(2.0) * (lit(1.0) - rho * rho))
+    // AB + Lepage (their chains)
+    val e2 = na * col("_sc1").cast("double") / nd
+    val varT = na * nb *
+      (nd * col("_sc2").cast("double") -
+        col("_sc1").cast("double") * col("_sc1").cast("double")) /
+      (nd * nd * (nd - lit(1.0)))
+    val abZ = (col("_t2a").cast("double") - e2) / sqrt(varT)
+    val lpU2 = col("_ra2").cast("double") - na * (na + lit(1.0))
+    val varU = na * nb / lit(12.0) *
+      ((nd + lit(1.0)) - col("_t3").cast("double") / (nd * (nd - lit(1.0))))
+    val zw = (lpU2 - na * nb) / (lit(2.0) * sqrt(varU))
+    val lStat = zw * zw + abZ * abZ
+    val okRank = bothPos && (col("_na") + col("_nb")) > 1
+    one.select(
+      col("_na").as("n_a"), col("_nb").as("n_b"),
+      guard(bothPos, ksD).as("ks_d_bp"),
+      guard(bothPos, ksP).as("ks_p_bp"),
+      kbp(col("_dplus") + col("_dminus")).as("kuiper_v_bp"),
+      guard(bothPos, wu2).as("watson_u2_bp"),
+      guard(bothPos, cvmT).as("cvm_t_bp"),
+      guard(bothPos, ud / (na * nb)).as("auc_bp"),
+      guard(bothPos && sigma2 > 0, mwuZ).as("mwu_z_bp"),
+      guard(bothPos, bmPHat).as("bm_p_hat_bp"),
+      guard(col("_na") >= 2 && col("_nb") >= 2 && pooled > 0, bmW)
+        .as("bm_w_bp"),
+      guard(col("_na") >= 2 && col("_nb") >= 2 && pooled > 0, bmDf)
+        .as("bm_df_bp"),
+      guard(bothPos && (lit(1.0) - rho * rho) > 0, cStat)
+        .as("cucconi_c_bp"),
+      guard(bothPos && (lit(1.0) - rho * rho) > 0, exp(-cStat))
+        .as("cucconi_p_bp"),
+      guard(okRank && varT > 0, abZ).as("ab_z_bp"),
+      guard(okRank && varU > 0 && varT > 0, lStat).as("lepage_l_bp"),
+      guard(okRank && varU > 0 && varT > 0, exp(-(lStat / 2)))
+        .as("lepage_p_bp"))
+  }
+
   /** Grubbs' extreme-deviation test (Grubbs 1950) — "is the single most
     * extreme value an outlier?": the MAD fences ([[madOutliers]] via
     * q113's machinery) COUNT outliers against a robust spread; Grubbs

@@ -81,6 +81,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(n)): the single-row pooled-total scalar the doubled midrank-score needs per value row",
     "q291_watson_u2" ->
       "crossJoin(broadcast(totals)): the ksTest discipline — single-row (n_a, n_b) scalars beside the distinct-value spine",
+    "q293_two_sample_card" ->
+      "crossJoin(broadcast(totals)): the ksTest discipline — the fused card's single-row (n_a, n_b) scalars beside the shared spine",
     "q287_lepage" ->
       "crossJoin(broadcast(n)): q286's single-row pooled-total scalar (the AB score leg shares the spine)",
     "q284_rmst" ->
