@@ -1700,6 +1700,18 @@ object SparkEntry {
       operators.Sessions.kpssTest(Tables(s, dir, "events"))
     }),
 
+    "q294_kgroup_card" -> ((s, dir) => {
+      // the k-group omnibus trio (ANOVA means + Kruskal-Wallis ranks +
+      // Mood's median) from ONE (source, token-count) cell aggregate —
+      // q293's fused-card economics on the k-group axis: three location
+      // readings for one corpus scan
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.kGroupCard(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
     "q293_two_sample_card" -> ((s, dir) => {
       // the ENTIRE two-sample battery in ONE corpus pass over q220's
       // even/odd split: KS + Kuiper + Watson + CvM + MWU/AUC + BM +
@@ -5294,6 +5306,64 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q294_kgroup_card" ->
+      // ONE (group, value) cell agg; the ANOVA moments (q229's chains),
+      // the pooled doubled midranks (q234's), and the pooled-median
+      // split with grain chi2 (q279's) are all bounded derivations —
+      // each display chain verbatim from its standalone oracle
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "pgv AS (SELECT g, v, count(*) AS c FROM v GROUP BY g, v), " +
+        "pv AS (SELECT v, sum(c) AS cv FROM pgv GROUP BY v), " +
+        "m2 AS (SELECT v, cv, sum(cv) OVER (ORDER BY v) - cv AS pfx, " +
+        "2 * (sum(cv) OVER (ORDER BY v) - cv) + cv + 1 AS m2, " +
+        "CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT) - CAST(cv AS HUGEINT) AS t3 FROM pv), " +
+        "tt AS (SELECT COALESCE(sum(t3), 0) AS tt FROM m2), " +
+        "t AS (SELECT sum(cv) AS n FROM pv), " +
+        "md AS (SELECT min(v) AS m FROM m2, t WHERE (pfx + cv) * 2 >= n), " +
+        "pg AS (SELECT g, sum(c) AS ng, " +
+        "sum(CAST(c AS HUGEINT) * CAST(pgv.v AS HUGEINT)) AS s, " +
+        "sum(CAST(c AS HUGEINT) * CAST(pgv.v AS HUGEINT) * CAST(pgv.v AS HUGEINT)) AS q, " +
+        "sum(CAST(c AS HUGEINT) * CAST(m2.m2 AS HUGEINT)) AS r2, " +
+        "sum(CASE WHEN pgv.v > m THEN c ELSE 0 END) AS hi " +
+        "FROM pgv JOIN m2 ON pgv.v = m2.v CROSS JOIN md GROUP BY g), " +
+        "one AS (SELECT list(struct_pack(g := g, ng := ng, s := s, r2 := r2, hi := hi) ORDER BY g) AS gs, " +
+        "sum(ng) AS n, count(*) AS k, sum(s) AS st, sum(q) AS qt, " +
+        "COALESCE(sum(hi), 0) AS ta FROM pg), " +
+        "fa AS (SELECT n, k, ta, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE) / CAST((e).ng AS DOUBLE))), (a, b) -> a + b) - " +
+        "CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS ssb, " +
+        "CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS sst, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).r2 AS DOUBLE) * CAST((e).r2 AS DOUBLE) / 4 / CAST((e).ng AS DOUBLE))), (a, b) -> a + b) AS fold " +
+        "FROM one), " +
+        "fk AS (SELECT *, " +
+        "12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * fold - 3 * (CAST(n AS DOUBLE) + 1) AS h, " +
+        "1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr " +
+        "FROM fa, tt), " +
+        "mq AS (SELECT COALESCE(sum(CASE WHEN ta > 0 AND ta < n THEN " +
+        "CAST(floor(((CAST(hi AS DOUBLE) - CAST(ng AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(hi AS DOUBLE) - CAST(ng AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "(CAST(ng AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(n AS DOUBLE)) + " +
+        "((CAST(ng AS DOUBLE) - CAST(hi AS DOUBLE)) - CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ta AS DOUBLE)) / CAST(n AS DOUBLE)) * " +
+        "((CAST(ng AS DOUBLE) - CAST(hi AS DOUBLE)) - CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ta AS DOUBLE)) / CAST(n AS DOUBLE)) / " +
+        "(CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(ta AS DOUBLE)) / CAST(n AS DOUBLE))) * 1073741824) AS BIGINT) " +
+        "ELSE 0 END), 0) AS q2 FROM pg, one) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups, " +
+        "CASE WHEN k > 1 AND n > k AND sst - ssb > 0 THEN " +
+        "floor(ssb / (CAST(k AS DOUBLE) - 1) / ((sst - ssb) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) * 10000 + 0.5) / 10000 END AS f, " +
+        "CASE WHEN sst > 0 THEN CAST(floor(ssb / sst * 10000 + 0.5) AS BIGINT) END AS eta2_bp, " +
+        "CASE WHEN k > 1 THEN floor(h * 10000 + 0.5) / 10000 END AS h, " +
+        "CASE WHEN k > 1 AND corr > 0 THEN floor(h / corr * 10000 + 0.5) / 10000 END AS h_adj, " +
+        "m AS median_v, " +
+        "CASE WHEN k > 1 AND ta > 0 AND ta < n THEN " +
+        "CAST(floor(CAST(q2 AS DOUBLE) / 1073741824 * 10000 + 0.5) AS BIGINT) END AS chi2_bp, " +
+        "CASE WHEN k > 1 AND ta > 0 AND ta < n THEN CAST(k - 1 AS BIGINT) END AS dof " +
+        "FROM fk, mq, md"),
 
     "q293_two_sample_card" ->
       // ONE shared spine (per-value masses + exclusive window prefixes +

@@ -3622,6 +3622,121 @@ object Quality {
         .otherwise(lit(null).cast("double")).as("h_adj"))
   }
 
+  /** Fused k-group omnibus card — one-way ANOVA (means), Kruskal–Wallis
+    * (ranks), and Mood's median (robust location) in ONE corpus pass:
+    * the three k-group location readings a mixture review wants
+    * together, each separately paying a full scan + cell aggregate when
+    * run standalone. The fusion point is the shared (group, value) cell
+    * aggregate — the ONLY corpus-width exchange — off which the ANOVA
+    * moments, the pooled doubled midranks, and the pooled-median split
+    * are all bounded derivations (the X313 two-sample-card discipline
+    * applied to the k-group axis). One row:
+    * (n, k_groups, f, eta2_bp, h, h_adj, median_v, chi2_bp, dof).
+    *
+    * Every leg's display chain is spelled EXACTLY as its standalone
+    * operator ([[anovaF]], [[kruskalWallis]], [[moodMedian]] — the
+    * KGroupCardSpec cross-pins column-for-column equality); the only
+    * structural difference is Mood's grain summation folding over the
+    * collected sorted group list instead of a distributed group-keyed
+    * aggregate — integer grains are order-free, so the values are
+    * identical by construction. Contract: an INTEGRAL measure (token
+    * counts, char counts — the anovaF/moodMedian contract).
+    */
+  def kGroupCard(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+    val cells = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val perV = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val pref = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_pfx")
+      .select(col("_v"), col("_cv"), col("_pfx"),
+        (lit(2L) * col("_pfx") + col("_cv") + lit(1L)).as("_m2"),
+        (col("_cv").cast(dec) * col("_cv").cast(dec) * col("_cv").cast(dec) -
+          col("_cv").cast(dec)).as("_t3"))
+    val ties = pref.agg(coalesce(sum(col("_t3")), lit(0).cast(dec)).as("_tt"))
+    val totalsN = perV.agg(coalesce(sum(col("_cv")), lit(0L)).as("_tn"))
+    val med = pref.crossJoin(broadcast(totalsN))
+      .filter((col("_pfx") + col("_cv")) * 2 >= col("_tn"))
+      .agg(min(col("_v")).as("_m"))
+    val perG = cells
+      .join(pref.select(col("_v"), col("_m2")), "_v")
+      .crossJoin(broadcast(med))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(col("_c").cast(dec) * col("_v").cast(dec)).as("_s"),
+        sum(col("_c").cast(dec) * col("_v").cast(dec) * col("_v").cast(dec))
+          .as("_q"),
+        sum(col("_c").cast(dec) * col("_m2").cast(dec)).as("_r2"),
+        sum(when(col("_v") > col("_m"), col("_c")).otherwise(0L)).as("_hi"))
+    val one = perG.groupBy().agg(
+      sort_array(collect_list(struct(col("_g"), col("_ng"), col("_s"),
+        col("_r2"), col("_hi")))).as("gs"),
+      sum(col("_ng")).as("n"),
+      count(lit(1)).as("k_groups"),
+      sum(col("_s")).as("_st"),
+      sum(col("_q")).as("_qt"),
+      coalesce(sum(col("_hi")), lit(0L)).as("_ta"))
+      .crossJoin(broadcast(ties))
+      .crossJoin(broadcast(med))
+    val nd = col("n").cast("double")
+    val kd = col("k_groups").cast("double")
+    val sd = col("_st").cast("double")
+    // ANOVA (anovaF's spelling)
+    val ssb = aggregate(col("gs"), lit(0.0), (a, e) =>
+      a + e.getField("_s").cast("double") * e.getField("_s").cast("double") /
+        e.getField("_ng").cast("double")) - sd * sd / nd
+    val sst = col("_qt").cast("double") - sd * sd / nd
+    val ssw = sst - ssb
+    val f = ssb / (kd - 1) / (ssw / (nd - kd))
+    // KW (kruskalWallis's spelling)
+    val foldH = aggregate(col("gs"), lit(0.0), (a, e) =>
+      a + e.getField("_r2").cast("double") * e.getField("_r2").cast("double") /
+        4 / e.getField("_ng").cast("double"))
+    val h = lit(12.0) / (nd * (nd + 1)) * foldH - lit(3.0) * (nd + 1)
+    val corr = lit(1.0) - col("_tt").cast("double") / (nd * nd * nd - nd)
+    // Mood (moodMedian's spelled per-group term; grains fold in-row —
+    // integer grains are order-free, so the distributed-vs-collected
+    // summation difference cannot move a value)
+    val ad = col("_ta").cast("double")
+    def moodTerm(e: Column): Column = {
+      val ngd = e.getField("_ng").cast("double")
+      val hid = e.getField("_hi").cast("double")
+      val e1 = ngd * ad / nd
+      val e2 = ngd * (nd - ad) / nd
+      (hid - e1) * (hid - e1) / e1 +
+        ((ngd - hid) - e2) * ((ngd - hid) - e2) / e2
+    }
+    val moodQ = when(col("_ta") > 0 && col("_ta") < col("n"),
+      aggregate(col("gs"), lit(0L), (a, e) =>
+        a + floor(moodTerm(e) * 1073741824).cast("long")))
+      .otherwise(lit(0L))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    val okMood = col("k_groups") > 1 && col("_ta") > 0 &&
+      col("_ta") < col("n")
+    one.select(
+      col("n"), col("k_groups"),
+      when(col("k_groups") > 1 && col("n") > col("k_groups") && ssw > 0,
+        r4(f)).otherwise(lit(null).cast("double")).as("f"),
+      when(sst > 0,
+        floor(ssb / sst * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("eta2_bp"),
+      when(col("k_groups") > 1, r4(h))
+        .otherwise(lit(null).cast("double")).as("h"),
+      when(col("k_groups") > 1 && corr > 0, r4(h / corr))
+        .otherwise(lit(null).cast("double")).as("h_adj"),
+      col("_m").as("median_v"),
+      when(okMood,
+        floor(moodQ.cast("double") / 1073741824 * 10000 + lit(0.5))
+          .cast("long"))
+        .otherwise(lit(null).cast("long")).as("chi2_bp"),
+      when(okMood, (col("k_groups") - 1).cast("long"))
+        .otherwise(lit(null).cast("long")).as("dof"))
+  }
+
   /** Dunn's post-hoc pairwise comparisons (Dunn 1964, tie-corrected —
     * the follow-up [[kruskalWallis]] owes its readers: the omnibus H
     * says SOME group differs; this says WHICH PAIRS, on the same pooled

@@ -83,6 +83,8 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(totals)): the ksTest discipline — single-row (n_a, n_b) scalars beside the distinct-value spine",
     "q293_two_sample_card" ->
       "crossJoin(broadcast(totals)): the ksTest discipline — the fused card's single-row (n_a, n_b) scalars beside the shared spine",
+    "q294_kgroup_card" ->
+      "crossJoin(broadcast(median/totals/ties)): q279's single-row pooled-median and moment scalars beside the bounded group table",
     "q287_lepage" ->
       "crossJoin(broadcast(n)): q286's single-row pooled-total scalar (the AB score leg shares the spine)",
     "q284_rmst" ->
