@@ -2461,43 +2461,54 @@ object SparkEntry {
       // (the q200 integer-card discipline; PSI enters as
       // floor(psi*1e4+0.5) of the already-rounded statistic). Each
       // column is BISECTABLE BY CONSTRUCTION: it is exactly one already
-      // hash-green standalone query's value (q210 / q214 / q211), so a
-      // red here localizes without dedicated a/b/c/d twins.
-      val d = Tables(s, dir, "documents")
-        .filter(col("text").isNotNull && col("source").isNotNull)
+      // hash-green standalone query's value (q210 / q214 / q211 / q220 /
+      // q218), so a red here localizes without dedicated a/b/c/d twins.
+      //
+      // FUSED (r16 VERDICT item 4, the q293/q294 shared-aggregate
+      // discipline): the r16 shape recomputed its five legs from the
+      // corpus — four documents scans (three of them re-tokenizing) and
+      // two events scans. Now ONE cached per-doc projection (integer
+      // token masses + the q218 signal pair, tokenized once) feeds the
+      // calibration, fairness, and Spearman legs through the SAME
+      // operator functions as the standalone queries, and the drift/KS
+      // legs fuse their even/odd sides into single scans via
+      // psiStabilitySided / ksTestSided — code paths the standalone
+      // forms now delegate to, so fused and standalone cannot drift.
+      // GovernanceCardSpec pins column-for-column equality with the r16
+      // five-leg composition.
       val toks = split(lower(trim(col("text"))), "\\s+")
       val stops = filter(toks, t =>
         t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val base = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(stops).cast("long").as("_stops"),
+          size(toks).cast("long").as("_toks"),
+          functions.TextAnalysis.stopwordRatio(col("text")).as("_swr"),
+          functions.TextAnalysis.tokenCount(col("text")).as("_tc"))
+        .persist()
+      val labeled = base.filter(col("source").isNotNull)
       val cal = operators.Quality.calibrationSummary(
-        d, size(stops).cast("long"), size(toks).cast("long"),
-        col("source") === "src0")
+        labeled, col("_stops"), col("_toks"), col("source") === "src0")
         .select(col("n").as("n_docs"), col("n_pos").as("n_src0"),
           col("ece_bp"), col("brier_bp"))
-      val fair = operators.Quality.fairnessGaps(d, "lang",
-        size(stops).cast("long"), size(toks).cast("long"),
+      val fair = operators.Quality.fairnessGaps(labeled, "lang",
+        col("_stops"), col("_toks"),
         col("source") === "src0", thrNum = 3L, thrDen = 20L)
         .select(col("n_groups"), col("parity_gap_bp"), col("eo_gap_bp"))
-      val docs = Tables(s, dir, "documents")
-      val drift = operators.CorpusAnalytics.psiStability(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      val drift = operators.CorpusAnalytics.psiStabilitySided(
+        Tables(s, dir, "documents")
+          .withColumn("_side", pmod(col("doc_id"), lit(2)).cast("int")),
+        "_side")
         .select(floor(col("psi") * 10000 + lit(0.5)).cast("long").as("psi_bp"))
-      // r14: the two newest audits join the card, same bisects-by-
-      // construction contract — ks_d_bp is exactly q220's ks_d and
-      // spearman_bp exactly q218's rho, both as floor(x*1e4+0.5) of the
-      // already-rounded statistic (the psi_bp idiom)
-      val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
-      val ks = operators.Quality.ksTest(
-        ev.filter(pmod(col("event_id"), lit(2)) === 0),
-        ev.filter(pmod(col("event_id"), lit(2)) === 1),
-        "value")
+      val ks = operators.Quality.ksTestSided(
+        Tables(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("_side", pmod(col("event_id"), lit(2)).cast("int")),
+        "value", "_side")
         .select(floor(col("ks_d") * 10000 + lit(0.5)).cast("long")
           .as("ks_d_bp"))
-      val dsp = Tables(s, dir, "documents").filter(col("text").isNotNull)
-      val sp = operators.Quality.spearmanCorrelation(dsp,
-        functions.TextAnalysis.stopwordRatio(col("text")),
-        functions.TextAnalysis.tokenCount(col("text")),
-        "doc_id")
+      val sp = operators.Quality.spearmanCorrelation(base,
+        col("_swr"), col("_tc"), "doc_id")
         .select(floor(col("rho") * 10000 + lit(0.5)).cast("long")
           .as("spearman_bp"))
       cal.crossJoin(broadcast(fair)).crossJoin(broadcast(drift))
@@ -5234,7 +5245,7 @@ object SparkEntry {
         "floor(least(1.0, min(w) OVER (ORDER BY j DESC " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS p_adj " +
         "FROM wsr) " +
-        "SELECT bh.test_key, kr.ng AS n_g, " +
+        "SELECT bh.test_key, CAST(kr.ng AS BIGINT) AS n_g, " +
         "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
         "CAST(floor(bh.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +
         "bh.p_rank, " +
@@ -6156,7 +6167,7 @@ object SparkEntry {
         "floor(least(1.0, min(w) OVER (ORDER BY j DESC " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS p_adj " +
         "FROM wsr) " +
-        "SELECT bh.test_key, kr.ng AS n_g, " +
+        "SELECT bh.test_key, CAST(kr.ng AS BIGINT) AS n_g, " +
         "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
         "CAST(floor(bh.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +
         "bh.p_rank, " +
@@ -6658,7 +6669,7 @@ object SparkEntry {
         "floor(least(1.0, max(w) OVER (ORDER BY j " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS p_adj " +
         "FROM wsr) " +
-        "SELECT hm.test_key, kr.ng AS n_g, " +
+        "SELECT hm.test_key, CAST(kr.ng AS BIGINT) AS n_g, " +
         "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
         "CAST(floor(hm.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +
         "hm.p_rank, " +
@@ -7018,7 +7029,7 @@ object SparkEntry {
         "floor(least(1.0, min(w) OVER (ORDER BY j DESC " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS p_adj " +
         "FROM wsr) " +
-        "SELECT bh.test_key, kr.ng AS n_g, kr.nrest AS n_rest, " +
+        "SELECT bh.test_key, CAST(kr.ng AS BIGINT) AS n_g, CAST(kr.nrest AS BIGINT) AS n_rest, " +
         "CAST(floor(kr.ks_d * 10000 + 0.5) AS BIGINT) AS ks_d_bp, " +
         "CAST(floor(bh.p_value * 10000 + 0.5) AS BIGINT) AS p_bp, " +
         "bh.p_rank, " +

@@ -1295,23 +1295,48 @@ object CorpusAnalytics {
       corpusA: DataFrame,
       corpusB: DataFrame,
       textCol: String = "text",
+      buckets: Int = 1024): DataFrame =
+    psiStabilitySided(
+      corpusA.select(col(textCol), lit(0).as("_psi_side")).unionAll(
+        corpusB.select(col(textCol), lit(1).as("_psi_side"))),
+      "_psi_side", textCol, buckets)
+
+  /** [[psiStability]] over a SINGLE frame whose rows already carry their
+    * side (0 = a, 1 = b) in `sideCol` — for the "both snapshots are
+    * slices of one table" case (q211/q217's even/odd doc-id split),
+    * where the two-DataFrame form costs one tokenize-explode-aggregate
+    * pass PER SIDE over the same parquet. One explode + one bucket-keyed
+    * conditional aggregate carries both sides; the spine/smoothing/psi
+    * chain is the standalone one verbatim ([[psiStability]] now
+    * delegates here, so the forms can't drift). Bucket counts are exact
+    * longs either way; the only shape difference is that an entirely
+    * empty side reads n=0 here where two separate aggregates read null —
+    * a degenerate input no caller splits into.
+    */
+  def psiStabilitySided(
+      df: DataFrame,
+      sideCol: String,
+      textCol: String = "text",
       buckets: Int = 1024): DataFrame = {
     require(buckets > 1, "need at least 2 hash buckets")
-    val bucketed = (d: DataFrame) => d
+    val bucketed = df
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(explode(tokens(col(textCol))).as("tok"))
-      .select((conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
-        .cast("long") % buckets).as("b"))
-    val ca = bucketed(corpusA).groupBy(col("b")).agg(count(lit(1)).as("ca"))
-    val cb = bucketed(corpusB).groupBy(col("b")).agg(count(lit(1)).as("cb"))
-    val totals = ca.agg(sum(col("ca")).as("na"))
-      .crossJoin(cb.agg(sum(col("cb")).as("nb")))
-    val spine = corpusA.sparkSession.range(buckets).select(col("id").as("b"))
+      .select(col(sideCol).cast("int").as("_s"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("_s"),
+        (conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("b"))
+    val counts = bucketed.groupBy(col("b")).agg(
+      sum(when(col("_s") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("_s") === 1, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(
+      coalesce(sum(col("ca")), lit(0L)).as("na"),
+      coalesce(sum(col("cb")), lit(0L)).as("nb"))
+    val spine = df.sparkSession.range(buckets).select(col("id").as("b"))
     val pa = (coalesce(col("ca"), lit(0L)) + 1.0) / (col("na") + buckets)
     val pb = (coalesce(col("cb"), lit(0L)) + 1.0) / (col("nb") + buckets)
     spine
-      .join(ca, Seq("b"), "left")
-      .join(cb, Seq("b"), "left")
+      .join(counts, Seq("b"), "left")
       .crossJoin(broadcast(totals))
       .agg(
         first(col("na")).as("n_tokens_a"),

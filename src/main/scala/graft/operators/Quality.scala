@@ -963,11 +963,32 @@ object Quality {
       a: DataFrame,
       b: DataFrame,
       valueCol: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val sided = (d: DataFrame, side: Int) => d
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
-    val perValue = sided(a, 0).unionAll(sided(b, 1))
+    ksTestCore(sided(a, 0).unionAll(sided(b, 1)))
+  }
+
+  /** [[ksTest]] over a SINGLE frame whose rows already carry their side
+    * (0 = a, 1 = b) in `sideCol` — for the common "both samples are
+    * slices of one table" case (q217/q220's even/odd event-id split),
+    * where the two-DataFrame form makes Spark scan the table once per
+    * side. Delegates to the same core as [[ksTest]], so the two forms
+    * are value-identical by construction (counts are exact longs; the
+    * D numerator is an exact DECIMAL integer max).
+    */
+  def ksTestSided(
+      df: DataFrame,
+      valueCol: String,
+      sideCol: String): DataFrame =
+    ksTestCore(df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_v"),
+        col(sideCol).cast("int").as("_s")))
+
+  private def ksTestCore(sidedRows: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perValue = sidedRows
       .groupBy(col("_v"))
       .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))

@@ -52,6 +52,76 @@ class OraclePortabilitySpec extends AnyFunSuite {
         offenders.mkString("\n  "))
   }
 
+  // --- r16 item 2: pin oracle output TYPES, not just values ---------------
+  //
+  // The r16 red set (q232/q249/q258/q274) was caused by an oracle output
+  // column typed HUGEINT (un-cast DuckDB `sum()`), invisible to both the
+  // driver's row-count/name-schema checks and our string-canonicalized
+  // value replays. tools/oracle_types.py runs `DESCRIBE <sql>` for every
+  // registered oracle against sf0.001 views and flags HUGEINT / UHUGEINT /
+  // DECIMAL output columns. We shell out to it because DuckDB only exists
+  // on this box as a python package — if python3+duckdb or the testdata
+  // directory is missing, the test cancels rather than fails.
+
+  private def duckdbAvailable: Boolean =
+    try {
+      val p = new ProcessBuilder("python3", "-c", "import duckdb").start()
+      p.waitFor() == 0
+    } catch { case _: Exception => false }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Dump a name->sql map as JSON and run the DESCRIBE sweep over it.
+    * Returns (exitCode, stdout). */
+  private def describeSweep(oracles: Map[String, String]): (Int, String) = {
+    val json = oracles.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${jsonEscape(k)}": "${jsonEscape(v)}"""" }
+      .mkString("{", ", ", "}")
+    val f = java.io.File.createTempFile("oracle_sql", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
+    val pb = new ProcessBuilder(
+      "python3", "tools/oracle_types.py", "/root/testdata/sf0.001",
+      f.getAbsolutePath)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    (p.waitFor(), out)
+  }
+
+  test("no registered oracle emits a HUGEINT/UHUGEINT/DECIMAL output column") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    assume(new java.io.File("/root/testdata/sf0.001/region.parquet").exists(),
+      "sf0.001 testdata missing")
+    val (rc, out) = describeSweep(SparkEntry.oracleSql)
+    assert(rc == 0,
+      "oracle output columns with un-pinned types (CAST them in the " +
+        "final select — the r16 red-set root cause):\n" + out)
+  }
+
+  test("the DESCRIBE sweep actually catches an un-cast sum(c) AS n") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    assume(new java.io.File("/root/testdata/sf0.001/region.parquet").exists(),
+      "sf0.001 testdata missing")
+    val (rc, out) = describeSweep(Map(
+      "self_test_uncast" -> "SELECT sum(r_regionkey) AS n FROM region"))
+    assert(rc == 1 && out.contains("self_test_uncast") &&
+      out.toUpperCase.contains("HUGEINT"),
+      s"type guard no longer catches un-cast sum(): rc=$rc out=$out")
+  }
+
   test("the guard regexes actually catch the r15 red construct family") {
     // self-test on the literal tails that were red in r15, so a regex
     // typo can't silently disarm the guard
