@@ -1712,6 +1712,51 @@ object SparkEntry {
         col("source"))
     }),
 
+    "q297_scale_card" -> ((s, dir) => {
+      // the heteroscedasticity review in ONE corpus pass: Brown-Forsythe
+      // robust spread W (q230) + Bartlett's parametric T (q256, whose
+      // disagreement with BF flags heavy tails) + Welch's W* location
+      // answer (q295) — all from one (source, token-count) cell
+      // aggregate, display chains verbatim (ScaleCardSpec pins equality)
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.scaleCard(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
+    "q295_welch_anova" -> ((s, dir) => {
+      // the location answer that survives what q295 checks for: Welch's
+      // heteroscedastic W* on the same (source, token-count) frame —
+      // n/s^2-weighted group means + Satterthwaite denominator dof,
+      // valid where q229's classic F is anticonservative
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      operators.Quality.welchAnova(d,
+        functions.TextAnalysis.tokenCount(col("text")).cast("long"),
+        col("source"))
+    }),
+
+    "q296_quade" -> ((s, dir) => {
+      // q250's Friedman question with discriminating blocks weighted up:
+      // a document where the three band raters disagree WIDELY carries
+      // the rank of its range as weight — Quade beats Friedman in power
+      // at small k (Conover 5.8.3), the right default for 3 raters
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val stops = filter(toks, t =>
+        t.isin(functions.TextAnalysis.DefaultStopwords.map(lit(_)): _*))
+      val num = size(stops).cast("long")
+      val den = size(toks).cast("long")
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.quadeTest(d, Seq(
+        when(num * 10 < den, 0L).when(num * 5 < den, 1L).otherwise(2L),
+        when(tok < 40, 0L).when(tok < 70, 1L).otherwise(2L),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 380, 1L)
+          .otherwise(2L)))
+    }),
+
     "q293_two_sample_card" -> ((s, dir) => {
       // the ENTIRE two-sample battery in ONE corpus pass over q220's
       // even/odd split: KS + Kuiper + Watson + CvM + MWU/AUC + BM +
@@ -5317,6 +5362,156 @@ object SparkEntry {
         "CAST(floor(CAST(s2 AS DOUBLE) / 1073741824 * " +
         "(CAST(n - 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT) " +
         "END AS a2_bp FROM f, t, kt"),
+
+    "q297_scale_card" ->
+      // the three standalone chains (q230's quantile_cont + doubled-
+      // deviation ANOVA, q256's n>=2 ln folds, q295's weighted folds)
+      // off ONE shared v CTE, cross-joined as one-row CTEs — names
+      // matching the card's columns
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "med AS (SELECT g, CAST(quantile_cont(tok, 0.5) * 2 AS BIGINT) AS m2 FROM v GROUP BY g), " +
+        "dd AS (SELECT v.g AS g, abs(2 * tok - m2) AS u FROM v JOIN med ON v.g = med.g), " +
+        "bgrp AS (SELECT g, count(*) AS n, sum(CAST(u AS HUGEINT)) AS s, " +
+        "sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS q FROM dd GROUP BY g), " +
+        "bone AS (SELECT list(struct_pack(n := n, s := s) ORDER BY g) AS gs, " +
+        "sum(n) AS n, count(*) AS k, sum(s) AS st, sum(q) AS qt FROM bgrp), " +
+        "bff AS (SELECT n, k, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE) / CAST((e).n AS DOUBLE))), (a, b) -> a + b) - " +
+        "CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS ssb, " +
+        "CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS sst " +
+        "FROM bone), " +
+        "bfr AS (SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups, " +
+        "CASE WHEN k > 1 AND n > k AND sst - ssb > 0 THEN " +
+        "floor(ssb / (CAST(k AS DOUBLE) - 1) / ((sst - ssb) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) * 10000 + 0.5) / 10000 END AS bf_w, " +
+        "CASE WHEN sst > 0 THEN CAST(floor(ssb / sst * 10000 + 0.5) AS BIGINT) END AS bf_eta2_bp " +
+        "FROM bff), " +
+        "pg AS (SELECT g, count(*) AS n, sum(CAST(tok AS HUGEINT)) AS s1, " +
+        "sum(CAST(tok AS HUGEINT) * CAST(tok AS HUGEINT)) AS s2 FROM v GROUP BY g), " +
+        "pc AS (SELECT g, n, CAST(n AS HUGEINT) * s2 - s1 * s1 AS c2 " +
+        "FROM pg WHERE n >= 2), " +
+        "btone AS (SELECT list(struct_pack(g := g, n := n, c2 := c2) ORDER BY g) AS gs, " +
+        "sum(n) AS n, count(*) AS k FROM pc), " +
+        "btf AS (SELECT n, k, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).c2 AS DOUBLE) / CAST((e).n AS DOUBLE))), (a, b) -> a + b) AS pooled, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "(CAST((e).n AS DOUBLE) - 1) * ln(CAST((e).c2 AS DOUBLE) / " +
+        "(CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))))), (a, b) -> a + b) AS lnsum, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "1.0 / (CAST((e).n AS DOUBLE) - 1))), (a, b) -> a + b) AS invsum, " +
+        "list_min(list_transform(gs, e -> (e).c2)) AS minc2 FROM btone), " +
+        "btr AS (SELECT " +
+        "CASE WHEN k > 1 THEN CAST(k - 1 AS BIGINT) END AS bart_df_t, " +
+        "CASE WHEN k > 1 AND minc2 > 0 THEN " +
+        "CAST(floor(((nd - kd) * ln(pooled / (nd - kd)) - lnsum) / " +
+        "(1.0 + (invsum - 1.0 / (nd - kd)) / (3.0 * (kd - 1))) * 10000 + 0.5) AS BIGINT) " +
+        "END AS bart_t_bp FROM btf), " +
+        "wone AS (SELECT list(struct_pack(n := n, s := s1, q := s2) ORDER BY g) AS gs, " +
+        "count(*) AS k FROM pg), " +
+        "wf1 AS (SELECT k, gs, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).n AS DOUBLE) / ((CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))))), (a, b) -> a + b) AS wsum, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).n AS DOUBLE) / ((CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))) * (CAST((e).s AS DOUBLE) / CAST((e).n AS DOUBLE)))), (a, b) -> a + b) AS wmsum, " +
+        "list_min(list_transform(gs, e -> (e).n)) AS minn, " +
+        "list_min(list_transform(gs, e -> (CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1)))) AS mins2 " +
+        "FROM wone), " +
+        "wf2 AS (SELECT k, minn, mins2, wsum, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).n AS DOUBLE) / ((CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))) * (CAST((e).s AS DOUBLE) / CAST((e).n AS DOUBLE) - wmsum / wsum) * (CAST((e).s AS DOUBLE) / CAST((e).n AS DOUBLE) - wmsum / wsum))), (a, b) -> a + b) / (CAST(k AS DOUBLE) - 1) AS num, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "(1.0 - CAST((e).n AS DOUBLE) / ((CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))) / wsum) * " +
+        "(1.0 - CAST((e).n AS DOUBLE) / ((CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))) / wsum) / (CAST((e).n AS DOUBLE) - 1))), (a, b) -> a + b) AS lam " +
+        "FROM wf1), " +
+        "wr AS (SELECT " +
+        "CASE WHEN k > 1 AND minn > 1 AND mins2 > 0 AND lam > 0 THEN " +
+        "floor(num / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2) / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1) * lam) * 10000 + 0.5) / 10000 END AS w_star, " +
+        "CASE WHEN k > 1 AND minn > 1 AND mins2 > 0 AND lam > 0 THEN " +
+        "CAST(floor((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1) / (3.0 * lam) * 10000 + 0.5) AS BIGINT) END AS df2_bp " +
+        "FROM wf2) " +
+        "SELECT bfr.n, bfr.k_groups, bfr.bf_w, bfr.bf_eta2_bp, " +
+        "btr.bart_df_t, btr.bart_t_bp, wr.w_star, wr.df2_bp " +
+        "FROM bfr, btr, wr"),
+
+    "q295_welch_anova" ->
+      // q229's per-group exact integer moments; the four cross-group
+      // sums fold in ORDER BY g (the engine's sorted-group association);
+      // every per-group double (mean, variance, weight) one spelled chain
+      ("WITH v AS (SELECT source AS g, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS x " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "grp AS (SELECT g, count(*) AS n, sum(CAST(x AS HUGEINT)) AS s, " +
+        "sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q FROM v GROUP BY g), " +
+        "one AS (SELECT list(struct_pack(n := n, s := s, q := q) ORDER BY g) AS gs, " +
+        "sum(n) AS n, count(*) AS k FROM grp), " +
+        "f1 AS (SELECT n, k, gs, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).n AS DOUBLE) / ((CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))))), (a, b) -> a + b) AS wsum, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).n AS DOUBLE) / ((CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))) * (CAST((e).s AS DOUBLE) / CAST((e).n AS DOUBLE)))), (a, b) -> a + b) AS wmsum, " +
+        "list_min(list_transform(gs, e -> (e).n)) AS minn, " +
+        "list_min(list_transform(gs, e -> (CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1)))) AS mins2 " +
+        "FROM one), " +
+        "f2 AS (SELECT n, k, minn, mins2, wsum, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "CAST((e).n AS DOUBLE) / ((CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))) * (CAST((e).s AS DOUBLE) / CAST((e).n AS DOUBLE) - wmsum / wsum) * (CAST((e).s AS DOUBLE) / CAST((e).n AS DOUBLE) - wmsum / wsum))), (a, b) -> a + b) / (CAST(k AS DOUBLE) - 1) AS num, " +
+        "list_reduce(list_prepend(0.0, list_transform(gs, e -> " +
+        "(1.0 - CAST((e).n AS DOUBLE) / ((CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))) / wsum) * " +
+        "(1.0 - CAST((e).n AS DOUBLE) / ((CAST((e).n AS DOUBLE) * CAST((e).q AS DOUBLE) - CAST((e).s AS DOUBLE) * CAST((e).s AS DOUBLE)) / (CAST((e).n AS DOUBLE) * (CAST((e).n AS DOUBLE) - 1))) / wsum) / (CAST((e).n AS DOUBLE) - 1))), (a, b) -> a + b) AS lam " +
+        "FROM f1) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups, " +
+        "CASE WHEN k > 1 AND minn > 1 AND mins2 > 0 AND lam > 0 THEN " +
+        "floor(num / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2) / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1) * lam) * 10000 + 0.5) / 10000 END AS w_star, " +
+        "CASE WHEN k > 1 AND minn > 1 AND mins2 > 0 AND lam > 0 THEN " +
+        "CAST(floor((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1) / (3.0 * lam) * 10000 + 0.5) AS BIGINT) END AS df2_bp " +
+        "FROM f2"),
+
+    "q296_quade" ->
+      // q250's band CTEs and doubled within-block midranks; the doubled
+      // range midrank 2Q = 2*mass-below + tied + 1 from the range
+      // histogram window; the one-division W chain spelled as Spark's
+      ("WITH base AS (SELECT " +
+        "CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        s"t -> list_contains($duckStopwords, t))) AS BIGINT) AS num, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS den, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok, " +
+        "n_chars FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL), " +
+        "r AS (SELECT " +
+        "CASE WHEN num * 10 < den THEN 0 WHEN num * 5 < den THEN 1 ELSE 2 END AS r0, " +
+        "CASE WHEN tok < 40 THEN 0 WHEN tok < 70 THEN 1 ELSE 2 END AS r1, " +
+        "CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 380 THEN 1 ELSE 2 END AS r2 FROM base), " +
+        "rk AS (SELECT " +
+        "2 * (CASE WHEN r1 < r0 THEN 1 ELSE 0 END + CASE WHEN r2 < r0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN r1 = r0 THEN 1 ELSE 0 END + CASE WHEN r2 = r0 THEN 1 ELSE 0 END) + 2 AS d0, " +
+        "2 * (CASE WHEN r0 < r1 THEN 1 ELSE 0 END + CASE WHEN r2 < r1 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN r0 = r1 THEN 1 ELSE 0 END + CASE WHEN r2 = r1 THEN 1 ELSE 0 END) + 2 AS d1, " +
+        "2 * (CASE WHEN r0 < r2 THEN 1 ELSE 0 END + CASE WHEN r1 < r2 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN r0 = r2 THEN 1 ELSE 0 END + CASE WHEN r1 = r2 THEN 1 ELSE 0 END) + 2 AS d2, " +
+        "greatest(r0, r1, r2) - least(r0, r1, r2) AS rng FROM r), " +
+        "hist AS (SELECT rng, count(*) AS hc FROM rk GROUP BY rng), " +
+        "pre AS (SELECT rng, 2 * (sum(hc) OVER (ORDER BY rng " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - hc) + hc + 1 AS q2 FROM hist), " +
+        "sc AS (SELECT q2, d0, d1, d2 FROM rk JOIN pre ON rk.rng = pre.rng), " +
+        "a AS (SELECT count(*) AS b, " +
+        "COALESCE(sum(CAST(q2 AS HUGEINT) * (CAST(d0 AS HUGEINT) - 4)), 0) AS t0, " +
+        "COALESCE(sum(CAST(q2 AS HUGEINT) * (CAST(d1 AS HUGEINT) - 4)), 0) AS t1, " +
+        "COALESCE(sum(CAST(q2 AS HUGEINT) * (CAST(d2 AS HUGEINT) - 4)), 0) AS t2, " +
+        "COALESCE(sum(CAST(q2 AS HUGEINT) * (CAST(d0 AS HUGEINT) - 4) * CAST(q2 AS HUGEINT) * (CAST(d0 AS HUGEINT) - 4) + " +
+        "CAST(q2 AS HUGEINT) * (CAST(d1 AS HUGEINT) - 4) * CAST(q2 AS HUGEINT) * (CAST(d1 AS HUGEINT) - 4) + " +
+        "CAST(q2 AS HUGEINT) * (CAST(d2 AS HUGEINT) - 4) * CAST(q2 AS HUGEINT) * (CAST(d2 AS HUGEINT) - 4)), 0) AS sa FROM sc), " +
+        "f AS (SELECT b, t0 * t0 + t1 * t1 + t2 * t2 AS sb, sa, " +
+        "CAST(b AS HUGEINT) AS bh FROM a), " +
+        "g AS (SELECT b, sb, bh * sa - sb AS deni FROM f) " +
+        "SELECT CAST(b AS BIGINT) AS b, CAST(3 AS BIGINT) AS k, " +
+        "CASE WHEN b > 1 AND deni > 0 THEN " +
+        "floor((CAST(b AS DOUBLE) - 1) * CAST(sb AS DOUBLE) / CAST(deni AS DOUBLE) * 10000 + 0.5) / 10000 END AS w " +
+        "FROM g"),
 
     "q294_kgroup_card" ->
       // ONE (group, value) cell agg; the ANOVA moments (q229's chains),

@@ -2978,6 +2978,235 @@ object Quality {
         .otherwise(lit(null).cast("long")).as("eta2_bp"))
   }
 
+  /** Welch's heteroscedastic one-way ANOVA (Welch 1951) — the k-group
+    * location test that stays valid when [[brownForsythe]] says the
+    * spreads DIFFER: classic F assumes one pooled variance and is
+    * anticonservative when large groups are tight and small groups
+    * loose (the mixed-source corpus default); W* weights each group by
+    * n_g/s_g² and Satterthwaite-corrects the denominator dof — the
+    * k-group sibling of [[welchTTest]]. One row:
+    * (n, k_groups, w_star, df2_bp) — W* floor-rounded to 4 decimals,
+    * df1 = k−1 implicit, the fractional denominator dof as BIGINT basis
+    * points (the brunnerMunzel df_bp precedent; no closed-form p — the
+    * F CDF is incomplete-beta, the kruskalWallis stat-without-p
+    * precedent).
+    *
+    * Exactness: per-group (n, Σx, Σx²) are exact DECIMAL(38,0) integer
+    * moments in ONE group-keyed aggregate; every per-group double
+    * (mean, variance, weight) is one spelled chain from those integers,
+    * and the four cross-group sums (Σw, Σw·m, Σw(m−m̃)², Λ) fold in
+    * sorted group order over the k-bounded collected list — the anovaF
+    * association, replayed verbatim by the oracle's ORDER BY group
+    * list_reduce. Nulls when any group is degenerate (n_g < 2 or zero
+    * variance) or k < 2.
+    *
+    * Scale shape: ONE (group)-keyed hash aggregate with map-side
+    * partials is the only corpus-width reduction; everything after is
+    * a k-row in-row fold.
+    */
+  def welchAnova(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.cast("string").as("_g"), valueCol.cast("long").as("_v"))
+    val groups = v.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_v").cast(dec)).as("_s"),
+        sum(col("_v").cast(dec) * col("_v").cast(dec)).as("_q"))
+    val one = groups.groupBy().agg(
+      sort_array(collect_list(struct(col("_g"), col("_n"), col("_s"),
+        col("_q")))).as("gs"),
+      sum(col("_n")).as("n"),
+      count(lit(1)).as("k_groups"))
+    def fD(e: Column, fld: String) = e.getField(fld).cast("double")
+    def nG(e: Column) = fD(e, "_n")
+    def mG(e: Column) = fD(e, "_s") / nG(e)
+    def s2G(e: Column) = (nG(e) * fD(e, "_q") - fD(e, "_s") * fD(e, "_s")) /
+      (nG(e) * (nG(e) - 1))
+    def wG(e: Column) = nG(e) / s2G(e)
+    def fold(term: Column => Column) =
+      aggregate(col("gs"), lit(0.0), (a, e) => a + term(e))
+    val kd = col("k_groups").cast("double")
+    val wSum = fold(wG)
+    val wmSum = fold(e => wG(e) * mG(e))
+    val mTilde = wmSum / wSum
+    val num = fold(e => wG(e) * (mG(e) - mTilde) * (mG(e) - mTilde)) /
+      (kd - 1)
+    val lam = fold(e => (lit(1.0) - wG(e) / wSum) *
+      (lit(1.0) - wG(e) / wSum) / (nG(e) - 1))
+    val wStar = num / (lit(1.0) + lit(2.0) * (kd - 2) / (kd * kd - 1) * lam)
+    val df2 = (kd * kd - 1) / (lit(3.0) * lam)
+    // degeneracy folds: the smallest group size and variance across
+    // groups — any n_g < 2 or s2_g <= 0 nulls every display
+    val minN = aggregate(col("gs"), lit(Long.MaxValue),
+      (a, e) => least(a, e.getField("_n")))
+    val minS2 = aggregate(col("gs"), lit(Double.MaxValue),
+      (a, e) => least(a, s2G(e)))
+    val ok = col("k_groups") > 1 && minN > 1 && minS2 > 0 && lam > 0
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    one.select(col("n"), col("k_groups"),
+      when(ok, r4(wStar)).otherwise(lit(null).cast("double")).as("w_star"),
+      when(ok, floor(df2 * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("df2_bp"))
+  }
+
+  /** Fused k-group SCALE card — [[brownForsythe]] + [[bartlettTest]] +
+    * [[welchAnova]] in ONE corpus pass (the kGroupCard fusion on the
+    * spread axis): the three readings a heteroscedasticity review wants
+    * together — the robust spread-homogeneity W, the parametric
+    * likelihood-ratio T whose DISAGREEMENT with W is itself diagnostic
+    * (heavy tails inflate Bartlett but not BF), and the location answer
+    * that remains valid if both say the variances differ. Run standalone
+    * each is a full scan; the card pays the scan once. One row:
+    * (n, k_groups, bf_w, bf_eta2_bp, bart_df_t, bart_t_bp, w_star,
+    * df2_bp) — every display chain spelled exactly as its standalone
+    * operator (ScaleCardSpec pins column-for-column equality).
+    *
+    * Exactness: the shared per-(group, value) cell aggregate is exact
+    * integer multiplicities; each group's interpolated median — the
+    * [[GlobalRank.groupedPercentileTable]] (n−1)/2 definition — selects
+    * its two central order statistics from the per-group cell
+    * cumulative, so the doubled center 2·med = v_lo + v_hi is an exact
+    * integer and the BF deviations, the Welch/Bartlett moments, and all
+    * three sorted-group folds replay the standalones' DECIMAL(38,0)
+    * arithmetic verbatim. Bartlett's leg filters its group list to
+    * n ≥ 2 exactly as the standalone does.
+    *
+    * Scale shape: ONE (group, value) hash aggregate is the only
+    * corpus-width exchange (persisted; every leg derives from it); the
+    * median selection is a PARTITIONED per-group window over the
+    * bounded cell table; the three final folds are k-row in-row work
+    * cross-joined as one-row broadcasts.
+    */
+  def scaleCard(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+    val cells = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val perG = cells.groupBy(col("_g")).agg(
+      sum(col("_c")).as("_ng"),
+      sum(col("_c").cast(dec) * col("_v").cast(dec)).as("_s1"),
+      sum(col("_c").cast(dec) * col("_v").cast(dec) * col("_v").cast(dec))
+        .as("_s2"))
+    // per-group interpolated median (the groupedPercentileTable (n−1)/2
+    // chain) selected from the cell cumulative: 2·med = v_lo + v_hi
+    val wsp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = cells
+      .withColumn("_pfx", coalesce(sum(col("_c")).over(wsp), lit(0L)))
+      .join(perG.select(col("_g"), col("_ng")), Seq("_g"))
+    val lo = floor((col("_ng") - 1) / lit(2.0)).cast("long")
+    val hi = floor(col("_ng") / lit(2.0)).cast("long")
+    val vLo = cum.filter(col("_pfx") <= lo && lo < col("_pfx") + col("_c"))
+      .select(col("_g"), col("_v").as("_vlo"))
+    val vHi = cum.filter(col("_pfx") <= hi && hi < col("_pfx") + col("_c"))
+      .select(col("_g"), col("_v").as("_vhi"))
+    val medT = vLo.join(vHi, Seq("_g"))
+      .select(col("_g"), (col("_vlo") + col("_vhi")).as("_m2"))
+    // --- Brown–Forsythe leg: anovaF's chain on |2v − 2·med| ------------
+    val u = abs(lit(2L) * col("_v") - col("_m2"))
+    val devG = cells.join(broadcast(medT), Seq("_g"))
+      .groupBy(col("_g")).agg(
+        sum(col("_c")).as("_dn"),
+        sum(col("_c").cast(dec) * u.cast(dec)).as("_ds"),
+        sum(col("_c").cast(dec) * u.cast(dec) * u.cast(dec)).as("_dq"))
+    val bfOne = devG.groupBy().agg(
+      sort_array(collect_list(struct(col("_g"), col("_dn"), col("_ds"))))
+        .as("gs"),
+      sum(col("_dn")).as("n"),
+      count(lit(1)).as("k_groups"),
+      sum(col("_ds")).as("_st"),
+      sum(col("_dq")).as("_qt"))
+    val bfN = col("n").cast("double")
+    val bfK = col("k_groups").cast("double")
+    val bfS = col("_st").cast("double")
+    val bfSsb = aggregate(col("gs"), lit(0.0), (a, e) =>
+      a + e.getField("_ds").cast("double") * e.getField("_ds").cast("double") /
+        e.getField("_dn").cast("double")) - bfS * bfS / bfN
+    val bfSst = col("_qt").cast("double") - bfS * bfS / bfN
+    val bfSsw = bfSst - bfSsb
+    val bfF = bfSsb / (bfK - 1) / (bfSsw / (bfN - bfK))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    val bf = bfOne.select(
+      col("n"), col("k_groups"),
+      when(col("k_groups") > 1 && col("n") > col("k_groups") && bfSsw > 0,
+        r4(bfF)).otherwise(lit(null).cast("double")).as("bf_w"),
+      when(bfSst > 0,
+        floor(bfSsb / bfSst * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("bf_eta2_bp"))
+    // --- Bartlett leg: the standalone chain over the n ≥ 2 group list --
+    val pc = perG
+      .select(col("_g"), col("_ng").as("_n"),
+        (col("_ng").cast(dec) * col("_s2") - col("_s1") * col("_s1"))
+          .as("_c2"))
+      .filter(col("_n") >= 2)
+    val btOne = pc.groupBy().agg(
+      sort_array(collect_list(struct(col("_g"), col("_n"), col("_c2"))))
+        .as("gs"),
+      sum(col("_n")).as("_bn"),
+      count(lit(1)).as("_bk"))
+    def nE(e: Column) = e.getField("_n").cast("double")
+    def c2E(e: Column) = e.getField("_c2").cast("double")
+    val btN = col("_bn").cast("double")
+    val btK = col("_bk").cast("double")
+    val pooled = aggregate(col("gs"), lit(0.0), (a, e) => a + c2E(e) / nE(e))
+    val s2p = pooled / (btN - btK)
+    val lnSum = aggregate(col("gs"), lit(0.0), (a, e) =>
+      a + (nE(e) - 1) * log(c2E(e) / (nE(e) * (nE(e) - 1))))
+    val invSum = aggregate(col("gs"), lit(0.0), (a, e) =>
+      a + lit(1.0) / (nE(e) - 1))
+    val tNum = (btN - btK) * log(s2p) - lnSum
+    val cFac = lit(1.0) +
+      (invSum - lit(1.0) / (btN - btK)) / (lit(3.0) * (btK - 1))
+    val minC2 = array_min(transform(col("gs"), e => e.getField("_c2")))
+    val btOk = col("_bk") > 1 && minC2 > 0
+    val bart = btOne.select(
+      when(col("_bk") > 1, col("_bk") - 1)
+        .otherwise(lit(null).cast("long")).as("bart_df_t"),
+      when(btOk, floor(tNum / cFac * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("bart_t_bp"))
+    // --- Welch leg: welchAnova's chain from the shared group moments ---
+    val wOne = perG.groupBy().agg(
+      sort_array(collect_list(struct(col("_g"), col("_ng").as("_n"),
+        col("_s1").as("_s"), col("_s2").as("_q")))).as("gs"),
+      count(lit(1)).as("_wk"))
+    def fD(e: Column, fld: String) = e.getField(fld).cast("double")
+    def nG(e: Column) = fD(e, "_n")
+    def mG(e: Column) = fD(e, "_s") / nG(e)
+    def s2G(e: Column) = (nG(e) * fD(e, "_q") - fD(e, "_s") * fD(e, "_s")) /
+      (nG(e) * (nG(e) - 1))
+    def wG(e: Column) = nG(e) / s2G(e)
+    def fold(term: Column => Column) =
+      aggregate(col("gs"), lit(0.0), (a, e) => a + term(e))
+    val wk = col("_wk").cast("double")
+    val wSum = fold(wG)
+    val wmSum = fold(e => wG(e) * mG(e))
+    val mTilde = wmSum / wSum
+    val wNum = fold(e => wG(e) * (mG(e) - mTilde) * (mG(e) - mTilde)) /
+      (wk - 1)
+    val lam = fold(e => (lit(1.0) - wG(e) / wSum) *
+      (lit(1.0) - wG(e) / wSum) / (nG(e) - 1))
+    val wStar = wNum / (lit(1.0) + lit(2.0) * (wk - 2) / (wk * wk - 1) * lam)
+    val wDf2 = (wk * wk - 1) / (lit(3.0) * lam)
+    val minN = aggregate(col("gs"), lit(Long.MaxValue),
+      (a, e) => least(a, e.getField("_n")))
+    val minS2 = aggregate(col("gs"), lit(Double.MaxValue),
+      (a, e) => least(a, s2G(e)))
+    val wOk = col("_wk") > 1 && minN > 1 && minS2 > 0 && lam > 0
+    val welch = wOne.select(
+      when(wOk, r4(wStar)).otherwise(lit(null).cast("double")).as("w_star"),
+      when(wOk, floor(wDf2 * 10000 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("df2_bp"))
+    bf.crossJoin(broadcast(bart)).crossJoin(broadcast(welch))
+  }
+
   /** Per-group two-sample KS screen — [[ksTest]] asked once PER GROUP
     * against the group's complement: "WHICH source's value distribution
     * deviates from the rest of the corpus?" — the fan-out form that
@@ -4814,6 +5043,76 @@ object Quality {
       when(col("b") > 0 && denI > 0,
         floor(w * 10000 + lit(0.5)).cast("long"))
         .otherwise(lit(null).cast("long")).as("w_bp"))
+  }
+
+  /** Quade test (Quade 1979) — [[friedmanTest]] with blocks WEIGHTED by
+    * how much they discriminate: each block's within-block ranks are
+    * scaled by the rank of the block's RANGE across all blocks, so a
+    * document where the k scoring rules disagree wildly counts more
+    * than one where they nearly tie. For small k (≤ 4–5) Quade
+    * dominates Friedman in power (Conover §5.8.3) — the right default
+    * for the 3-rater band question. One row: (b, k, w) — the Quade W
+    * statistic (reads against F(k−1, (b−1)(k−1)); no closed-form p,
+    * the kruskalWallis precedent), floor-rounded to 4 decimals.
+    *
+    * Exactness: within-block DOUBLED midranks 2R_ij (friedmanTest's
+    * in-row pairwise chains verbatim) and the DOUBLED cross-block
+    * range midrank 2Q_i = 2·#less + #tied + 1 (one histogram +
+    * [[GlobalRank.weightedPrefixSums]] pass over block ranges) make
+    * every scaled score 4S_ij = 2Q_i·(2R_ij − (k+1)) an exact integer;
+    * with SA = Σᵢⱼ(4S_ij)² and SB = Σⱼ(Σᵢ4S_ij)² — exact DECIMAL(38,0)
+    * sums — the statistic clears to ONE division
+    * W = (b−1)·SB / (b·SA − SB) (the 16s cancel). b·SA = SB ⟺ every
+    * block fully tied — NULL display.
+    *
+    * Scale shape: one map-side rank/range projection, one range-keyed
+    * histogram aggregate + bounded prefix pass, one value-keyed
+    * broadcast-size join back, one single-row (k+2)-sum aggregate —
+    * blocks never sort globally and nothing driver-side scales with b.
+    */
+  def quadeTest(
+      df: DataFrame,
+      raters: Seq[Column]): DataFrame = {
+    val k = raters.length
+    require(k >= 2, "Quade needs at least two raters")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r2 = raters.indices.map { j =>
+      val others = raters.indices.filter(_ != j)
+      val less = others.map(o =>
+        when(raters(o) < raters(j), 1L).otherwise(0L)).reduce(_ + _)
+      val tied = others.map(o =>
+        when(raters(o) === raters(j), 1L).otherwise(0L)).reduce(_ + _)
+      (lit(2L) * less + tied + lit(2L)).as(s"_r2_$j")
+    }
+    val longs = raters.map(_.cast("long"))
+    val rng = (greatest(longs: _*) - least(longs: _*)).as("_rng")
+    val rows = df.filter(raters.map(_.isNotNull).reduce(_ && _))
+      .select(r2 :+ rng: _*)
+    val hist = rows.groupBy(col("_rng")).agg(count(lit(1)).as("_hc"))
+    val q2 = GlobalRank.weightedPrefixSums(hist, "_rng", "_hc", "_hp")
+      .select(col("_rng"),
+        (lit(2L) * col("_hp") + col("_hc") + lit(1L)).as("_q2"))
+    val scored = rows.join(q2, Seq("_rng"))
+    // 4S_ij = 2Q_i·(2R_ij − (k+1)) — exact integers per cell
+    def s4(j: Int) =
+      col("_q2").cast(dec) * (col(s"_r2_$j").cast(dec) - lit(k + 1L).cast(dec))
+    val tSums = raters.indices.map(j =>
+      coalesce(sum(s4(j)), lit(0).cast(dec)).as(s"_t$j"))
+    val sa = coalesce(
+      sum(raters.indices.map(j => s4(j) * s4(j)).reduce(_ + _)),
+      lit(0).cast(dec)).as("_sa")
+    val aggCols = tSums :+ sa :+ count(lit(1)).as("b")
+    val one = scored.agg(aggCols.head, aggCols.tail: _*)
+    val sb = raters.indices.map(j => col(s"_t$j") * col(s"_t$j"))
+      .reduce(_ + _)
+    val bDec = col("b").cast(dec)
+    val denI = bDec * col("_sa") - sb
+    val w = (col("b").cast("double") - 1) * sb.cast("double") /
+      when(denI > 0, denI.cast("double")).otherwise(lit(1.0))
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    one.select(col("b"), lit(k.toLong).as("k"),
+      when(col("b") > 1 && denI > 0, r4(w))
+        .otherwise(lit(null).cast("double")).as("w"))
   }
 
   /** Per-source drift report card — FIVE screens over ONE shared spine:
