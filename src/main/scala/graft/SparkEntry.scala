@@ -1922,6 +1922,22 @@ object SparkEntry {
         lit(5L) * col("_we") - lit(2L) * col("_wd"))
     }),
 
+    "q298_variance_ratio" -> ((s, dir) => {
+      // the parametric two-sample scale question beside q286's Ansari-
+      // Bradley ranks: is src0's token-count VARIANCE different from the
+      // rest of the corpus? q267's src0-vs-rest framing with the
+      // classical F ratio — exact integer moments per side, one division
+      // each, stat-without-p. Also the batch calibration source for the
+      // streaming SpreadMonitor twin.
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.varianceRatioTest(
+        d.filter(col("source") === "src0").select(tok.as("v")),
+        d.filter(col("source") =!= "src0").select(tok.as("v")),
+        "v")
+    }),
+
     "q267_welch" -> ((s, dir) => {
       // Welch's unequal-variance t for mean token count, src0 vs the
       // rest — the parametric mean companion to the drift family's
@@ -7920,6 +7936,34 @@ object SparkEntry {
         "CASE WHEN vmax > vmin THEN " +
         "CAST(floor(CAST(s2 AS DOUBLE) / 1048576 / (vmax - vmin) * 10000 + 0.5) AS BIGINT) END AS w1_norm_bp " +
         "FROM f, t"),
+
+    "q298_variance_ratio" ->
+      // per-side exact HUGEINT moments (the q267 welch idiom), integer
+      // variance numerators c2 = n*S2 - S1^2, the two-division chain
+      // s2a/s2b spelled exactly as the engine's
+      ("WITH d AS (SELECT source, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "a AS (SELECT count(*) AS na, COALESCE(sum(CAST(v AS HUGEINT)), 0) AS sa, " +
+        "COALESCE(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS qa " +
+        "FROM d WHERE source = 'src0'), " +
+        "b AS (SELECT count(*) AS nb, COALESCE(sum(CAST(v AS HUGEINT)), 0) AS sb, " +
+        "COALESCE(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS qb " +
+        "FROM d WHERE source <> 'src0'), " +
+        "f AS (SELECT na, nb, " +
+        "CAST(na AS HUGEINT) * qa - sa * sa AS c2a, " +
+        "CAST(nb AS HUGEINT) * qb - sb * sb AS c2b, " +
+        "CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd FROM a, b), " +
+        "g AS (SELECT na, nb, c2a, c2b, " +
+        "CAST(c2a AS DOUBLE) / (nad * (nad - 1)) AS va, " +
+        "CAST(c2b AS DOUBLE) / (nbd * (nbd - 1)) AS vb FROM f) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CASE WHEN na > 1 THEN CAST(floor(va * 10000 + 0.5) AS BIGINT) END AS var_a_bp, " +
+        "CASE WHEN nb > 1 THEN CAST(floor(vb * 10000 + 0.5) AS BIGINT) END AS var_b_bp, " +
+        "CASE WHEN na > 1 AND nb > 1 AND c2b > 0 THEN " +
+        "floor(va / vb * 10000 + 0.5) / 10000 END AS f " +
+        "FROM g"),
 
     "q221_mann_whitney" ->
       // same per-value masses as q220, histogram midranks spelled

@@ -1954,6 +1954,64 @@ object Quality {
       guard(ok, dfW).as("df_bp"))
   }
 
+  /** Two-sample variance-ratio F test (the classical F test for equality
+    * of variances; Snedecor & Cochran §6.11) — the PARAMETRIC two-sample
+    * member of the scale family: [[ansariBradley]] asks the rank
+    * question, [[brownForsythe]]/[[bartlettTest]] the k-group one, and
+    * this is the sharp two-sample "did the variance CHANGE between
+    * snapshots?" a capacity/SLO review quotes (with the textbook
+    * normality caveat — AB is the robust sibling). One row:
+    * (n_a, n_b, var_a_bp, var_b_bp, f) — sample variances and their
+    * ratio s²_a/s²_b, F floor-rounded to 4 decimals, stat-without-p
+    * (the F CDF is incomplete-beta — the kruskalWallis precedent; F
+    * reads against F(n_a−1, n_b−1)).
+    *
+    * Exactness: per-side (n, Σx, Σx²) over the INTEGRAL measure are
+    * exact DECIMAL(38,0) moments (the welchTTest discipline); each
+    * variance numerator clears to the integer c2 = n·Σx² − (Σx)², and
+    * both displays and the ratio are single spelled chains
+    * s² = c2/(n(n−1)), F = (c2_a·n_b·(n_b−1)) / (c2_b·n_a·(n_a−1))
+    * evaluated as the two-division form s²_a/s²_b so the oracle replays
+    * the identical IEEE sequence. Nulls when a side has n < 2 or the
+    * denominator variance is zero.
+    *
+    * Scale shape: one single-row moment aggregate per side (map-side
+    * partials — three counters cross the shuffle), one broadcast cross.
+    * This is also the batch calibration source for the streaming
+    * [[graft.streaming.SpreadMonitor]] twin.
+    */
+  def varianceRatioTest(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def side(d: DataFrame, n: String, s1: String, s2: String) = d
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as(n),
+        coalesce(sum(col("_v").cast(dec)), lit(0).cast(dec)).as(s1),
+        coalesce(sum(col("_v").cast(dec) * col("_v").cast(dec)),
+          lit(0).cast(dec)).as(s2))
+    val one = side(a, "n_a", "_sa", "_qa")
+      .crossJoin(broadcast(side(b, "n_b", "_sb", "_qb")))
+    def c2(n: Column, s: Column, q: Column) = n.cast(dec) * q - s * s
+    val c2a = c2(col("n_a"), col("_sa"), col("_qa"))
+    val c2b = c2(col("n_b"), col("_sb"), col("_qb"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val va = c2a.cast("double") / (nad * (nad - 1))
+    val vb = c2b.cast("double") / (nbd * (nbd - 1))
+    val ok = col("n_a") > 1 && col("n_b") > 1 && c2b > 0
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    one.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 1, bp(va)).otherwise(lit(null).cast("long"))
+        .as("var_a_bp"),
+      when(col("n_b") > 1, bp(vb)).otherwise(lit(null).cast("long"))
+        .as("var_b_bp"),
+      when(ok, r4(va / vb)).otherwise(lit(null).cast("double")).as("f"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945, the PAIRED rank test —
     * the gap beside [[mannWhitneyU]]'s unpaired form: per-unit paired
     * differences, zeros dropped (Wilcoxon's convention), |d| midranks,
