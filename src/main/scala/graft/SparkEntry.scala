@@ -1922,6 +1922,21 @@ object SparkEntry {
         lit(5L) * col("_we") - lit(2L) * col("_wd"))
     }),
 
+    "q299_yuen_trimmed" -> ((s, dir) => {
+      // the robust location answer in VALUE units beside q267's raw
+      // Welch t and q278's Brunner-Munzel dominance: 20%-trimmed mean
+      // difference with winsorized variances on the same src0-vs-rest
+      // token-count split — the estimator heavy-tailed length
+      // distributions actually call for
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && col("source").isNotNull)
+      val tok = functions.TextAnalysis.tokenCount(col("text")).cast("long")
+      operators.Quality.yuenTrimmedT(
+        d.filter(col("source") === "src0").select(tok.as("v")),
+        d.filter(col("source") =!= "src0").select(tok.as("v")),
+        "v")
+    }),
+
     "q298_variance_ratio" -> ((s, dir) => {
       // the parametric two-sample scale question beside q286's Ansari-
       // Bradley ranks: is src0's token-count VARIANCE different from the
@@ -7936,6 +7951,61 @@ object SparkEntry {
         "CASE WHEN vmax > vmin THEN " +
         "CAST(floor(CAST(s2 AS DOUBLE) / 1048576 / (vmax - vmin) * 10000 + 0.5) AS BIGINT) END AS w1_norm_bp " +
         "FROM f, t"),
+
+    "q299_yuen_trimmed" ->
+      // per-side value histogram + inclusive-window prefix (the q221
+      // idiom), integer-division trim counts, clamped retained masses,
+      // winsorized HUGEINT sums, and the t/dof double chains spelled as
+      // the engine's
+      ("WITH d AS (SELECT source, " +
+        "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS v " +
+        "FROM documents WHERE text IS NOT NULL AND source IS NOT NULL), " +
+        "hca AS (SELECT v, count(*) AS c FROM d WHERE source = 'src0' GROUP BY v), " +
+        "pa AS (SELECT v, c, sum(c) OVER (ORDER BY v) - c AS pfx FROM hca), " +
+        "tta AS (SELECT COALESCE(sum(c), 0) AS nn FROM hca), " +
+        "wa AS (SELECT v, c, pfx, nn, nn * 1 // 5 AS g FROM pa, tta), " +
+        "sa AS (SELECT max(nn) AS na, max(g) AS ga, " +
+        "min(CASE WHEN pfx <= g AND g < pfx + c THEN v END) AS loa, " +
+        "min(CASE WHEN pfx <= nn - g - 1 AND nn - g - 1 < pfx + c THEN v END) AS hia, " +
+        "COALESCE(sum(CAST(greatest(0, least(pfx + c, nn - g) - greatest(pfx, g)) AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS t1a, " +
+        "COALESCE(sum(CAST(greatest(0, least(pfx + c, nn - g) - greatest(pfx, g)) AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS t2a " +
+        "FROM wa), " +
+        "hcb AS (SELECT v, count(*) AS c FROM d WHERE source <> 'src0' GROUP BY v), " +
+        "pb AS (SELECT v, c, sum(c) OVER (ORDER BY v) - c AS pfx FROM hcb), " +
+        "ttb AS (SELECT COALESCE(sum(c), 0) AS nn FROM hcb), " +
+        "wb AS (SELECT v, c, pfx, nn, nn * 1 // 5 AS g FROM pb, ttb), " +
+        "sb AS (SELECT max(nn) AS nb, max(g) AS gb, " +
+        "min(CASE WHEN pfx <= g AND g < pfx + c THEN v END) AS lob, " +
+        "min(CASE WHEN pfx <= nn - g - 1 AND nn - g - 1 < pfx + c THEN v END) AS hib, " +
+        "COALESCE(sum(CAST(greatest(0, least(pfx + c, nn - g) - greatest(pfx, g)) AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS t1b, " +
+        "COALESCE(sum(CAST(greatest(0, least(pfx + c, nn - g) - greatest(pfx, g)) AS HUGEINT) * CAST(v AS HUGEINT) * CAST(v AS HUGEINT)), 0) AS t2b " +
+        "FROM wb), " +
+        "f AS (SELECT na, nb, ga, gb, na - 2 * ga AS hha, nb - 2 * gb AS hhb, " +
+        "t1a, t1b, " +
+        "t1a + CAST(ga AS HUGEINT) * (CAST(loa AS HUGEINT) + CAST(hia AS HUGEINT)) AS w1a, " +
+        "t2a + CAST(ga AS HUGEINT) * (CAST(loa AS HUGEINT) * CAST(loa AS HUGEINT) + CAST(hia AS HUGEINT) * CAST(hia AS HUGEINT)) AS w2a, " +
+        "t1b + CAST(gb AS HUGEINT) * (CAST(lob AS HUGEINT) + CAST(hib AS HUGEINT)) AS w1b, " +
+        "t2b + CAST(gb AS HUGEINT) * (CAST(lob AS HUGEINT) * CAST(lob AS HUGEINT) + CAST(hib AS HUGEINT) * CAST(hib AS HUGEINT)) AS w2b " +
+        "FROM sa, sb), " +
+        "g2 AS (SELECT na, nb, hha, hhb, t1a, t1b, " +
+        "CAST(na AS HUGEINT) * w2a - w1a * w1a AS c2a, " +
+        "CAST(nb AS HUGEINT) * w2b - w1b * w1b AS c2b FROM f), " +
+        "g3 AS (SELECT na, nb, hha, hhb, c2a, c2b, " +
+        "CAST(t1a AS DOUBLE) / CAST(hha AS DOUBLE) AS tma, " +
+        "CAST(t1b AS DOUBLE) / CAST(hhb AS DOUBLE) AS tmb, " +
+        "CAST(c2a AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(hha AS DOUBLE) * (CAST(hha AS DOUBLE) - 1)) AS da, " +
+        "CAST(c2b AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(hhb AS DOUBLE) * (CAST(hhb AS DOUBLE) - 1)) AS db " +
+        "FROM g2) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CAST(hha AS BIGINT) AS h_a, CAST(hhb AS BIGINT) AS h_b, " +
+        "CASE WHEN hha > 0 THEN CAST(floor(tma * 10000 + 0.5) AS BIGINT) END AS tmean_a_bp, " +
+        "CASE WHEN hhb > 0 THEN CAST(floor(tmb * 10000 + 0.5) AS BIGINT) END AS tmean_b_bp, " +
+        "CASE WHEN hha > 1 AND hhb > 1 AND (c2a > 0 OR c2b > 0) THEN " +
+        "CAST(floor((tma - tmb) / sqrt(da + db) * 10000 + 0.5) AS BIGINT) END AS t_bp, " +
+        "CASE WHEN hha > 1 AND hhb > 1 AND (c2a > 0 OR c2b > 0) THEN " +
+        "CAST(floor((da + db) * (da + db) / (da * da / (CAST(hha AS DOUBLE) - 1) + db * db / (CAST(hhb AS DOUBLE) - 1)) * 10000 + 0.5) AS BIGINT) END AS df_bp " +
+        "FROM g3"),
 
     "q298_variance_ratio" ->
       // per-side exact HUGEINT moments (the q267 welch idiom), integer

@@ -2012,6 +2012,104 @@ object Quality {
       when(ok, r4(va / vb)).otherwise(lit(null).cast("double")).as("f"))
   }
 
+  /** Yuen's trimmed-mean t test (Yuen 1974; Wilcox, Robust Estimation &
+    * Hypothesis Testing §5.3) — the robust LOCATION two-sample member
+    * the rank family brackets but never states in value units:
+    * [[brunnerMunzel]] answers stochastic dominance and [[welchTTest]]
+    * the raw-mean difference, while Yuen compares γ-TRIMMED means with
+    * winsorized variances — the estimator that keeps value units and a
+    * Welch-style dof yet shrugs off the heavy tails doc-length
+    * distributions carry. One row: (n_a, n_b, h_a, h_b, tmean_a_bp,
+    * tmean_b_bp, t_bp, df_bp) — trimmed counts h = n − 2g, trimmed
+    * means, the studentized t and Welch–Satterthwaite dof as signed
+    * BIGINT basis points (no closed-form p — the welchTTest precedent).
+    *
+    * Exactness: over an INTEGRAL measure every trimmed/winsorized
+    * quantity is an exact integer — g = ⌊n·γ⌋ by integer division
+    * (γ = `trimNum`/`trimDen` rational), the retained mass per value
+    * class is a clamp of exact prefix sums, the cut values x_(g+1) and
+    * x_(n−g) select from the same cumulative, and the winsorized sums
+    * W1 = T1 + g·(x_lo + x_hi), W2 = T2 + g·(x_lo² + x_hi²) are
+    * DECIMAL(38,0); the winsorized variance clears to the integer
+    * numerator c2w = n·W2 − W1², so d = c2w/(n·h·(h−1)) and the t/dof
+    * chains are each one spelled double sequence the oracle replays.
+    * Nulls when either side has h < 2 or both winsorized variances
+    * vanish.
+    *
+    * Scale shape: per side ONE value-keyed histogram aggregate (the
+    * only corpus-width exchange), one bounded prefix-sum pass, then a
+    * single-row conditional aggregate — the ksTest cost with a
+    * different final fold; the two one-row sides meet in a broadcast
+    * cross.
+    */
+  def yuenTrimmedT(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      trimNum: Long = 1L,
+      trimDen: Long = 5L): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && 2 * trimNum < trimDen,
+      "trim fraction must be in [0, 0.5)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def side(d: DataFrame, tag: String): DataFrame = {
+      val hist = d.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("long").as("_v"))
+        .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+      val pre = GlobalRank.weightedPrefixSums(hist, "_v", "_c", "_pfx")
+      val tot = pre.agg(coalesce(sum(col("_c")), lit(0L)).as("_nn"))
+      val w = pre.crossJoin(broadcast(tot))
+        .withColumn("_g", expr(s"_nn * $trimNum div $trimDen"))
+      val keep = greatest(lit(0L),
+        least(col("_pfx") + col("_c"), col("_nn") - col("_g")) -
+          greatest(col("_pfx"), col("_g")))
+      val atLo = col("_pfx") <= col("_g") &&
+        col("_g") < col("_pfx") + col("_c")
+      val atHi = col("_pfx") <= col("_nn") - col("_g") - 1 &&
+        col("_nn") - col("_g") - 1 < col("_pfx") + col("_c")
+      w.agg(
+        first(col("_nn")).as(s"n_$tag"),
+        first(col("_g")).as(s"_g$tag"),
+        min(when(atLo, col("_v"))).as(s"_lo$tag"),
+        min(when(atHi, col("_v"))).as(s"_hi$tag"),
+        coalesce(sum(keep.cast(dec) * col("_v").cast(dec)),
+          lit(0).cast(dec)).as(s"_t1$tag"),
+        coalesce(sum(keep.cast(dec) * col("_v").cast(dec) *
+          col("_v").cast(dec)), lit(0).cast(dec)).as(s"_t2$tag"))
+    }
+    val one = side(a, "a").crossJoin(broadcast(side(b, "b")))
+    def chains(tag: String): (Column, Column, Column, Column) = {
+      val n = col(s"n_$tag")
+      val g = col(s"_g$tag")
+      val h = n - lit(2L) * g
+      val w1 = col(s"_t1$tag") + g.cast(dec) *
+        (col(s"_lo$tag").cast(dec) + col(s"_hi$tag").cast(dec))
+      val w2 = col(s"_t2$tag") + g.cast(dec) *
+        (col(s"_lo$tag").cast(dec) * col(s"_lo$tag").cast(dec) +
+          col(s"_hi$tag").cast(dec) * col(s"_hi$tag").cast(dec))
+      val c2w = n.cast(dec) * w2 - w1 * w1
+      val hd = h.cast("double")
+      val nd = n.cast("double")
+      val dTerm = c2w.cast("double") / (nd * hd * (hd - 1))
+      val tMean = col(s"_t1$tag").cast("double") / hd
+      (h, tMean, dTerm, c2w)
+    }
+    val (ha, tma, da, c2a) = chains("a")
+    val (hb, tmb, db, c2b) = chains("b")
+    val t = (tma - tmb) / sqrt(da + db)
+    val dfW = (da + db) * (da + db) /
+      (da * da / (ha.cast("double") - 1) + db * db / (hb.cast("double") - 1))
+    val ok = ha > 1 && hb > 1 && (c2a > 0 || c2b > 0)
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
+    def guard(cond: Column, c: Column) =
+      when(cond, bp(c)).otherwise(lit(null).cast("long"))
+    one.select(col("n_a"), col("n_b"),
+      ha.as("h_a"), hb.as("h_b"),
+      guard(ha > 0, tma).as("tmean_a_bp"),
+      guard(hb > 0, tmb).as("tmean_b_bp"),
+      guard(ok, t).as("t_bp"),
+      guard(ok, dfW).as("df_bp"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945, the PAIRED rank test —
     * the gap beside [[mannWhitneyU]]'s unpaired form: per-unit paired
     * differences, zeros dropped (Wilcoxon's convention), |d| midranks,

@@ -145,6 +145,54 @@ class KGroupRobustSpec extends SparkSpec {
     }
   }
 
+  /** Direct Yuen reference using the operator's exact integer algebra
+    * (winsorized sums, c2w = n·W2 − W1²) so the comparison is
+    * bit-for-bit, not merely close. */
+  private def bruteYuenSide(xs: Seq[Long]): (Long, Long, Double, Double) = {
+    val n = xs.length
+    val g = n / 5
+    val h = n - 2 * g
+    val s = xs.sorted
+    val trimmed = s.slice(g, n - g)
+    val t1 = trimmed.map(BigInt(_)).sum
+    val lo = BigInt(s(g)); val hi = BigInt(s(n - g - 1))
+    val w1 = t1 + g * (lo + hi)
+    val w2 = trimmed.map(x => BigInt(x) * x).sum + g * (lo * lo + hi * hi)
+    val c2w = BigInt(n) * w2 - w1 * w1
+    val d = c2w.toDouble / (n.toDouble * h.toDouble * (h.toDouble - 1))
+    (n.toLong, h.toLong, t1.toDouble / h, d)
+  }
+
+  test("Yuen trimmed t matches the exact-algebra reference on random sides") {
+    val rnd = new scala.util.Random(61)
+    for (trial <- 1 to 3) {
+      val a = Seq.fill(120 + trial)(rnd.nextInt(60).toLong)
+      // heavy-tail contamination on b — the regime Yuen exists for
+      val b = Seq.fill(140)(rnd.nextInt(50).toLong + 8) ++
+        Seq.fill(6)(5000L + rnd.nextInt(100))
+      val out = Quality.yuenTrimmedT(a.toDF("v"), b.toDF("v"), "v").head()
+      val (na, ha, tma, da) = bruteYuenSide(a)
+      val (nb, hb, tmb, db) = bruteYuenSide(b)
+      def bp(v: Double) = math.floor(v * 10000 + 0.5).toLong
+      assert(out.getLong(0) == na && out.getLong(1) == nb, "n")
+      assert(out.getLong(2) == ha && out.getLong(3) == hb, "h")
+      assert(out.getLong(4) == bp(tma) && out.getLong(5) == bp(tmb), "tmeans")
+      assert(out.getLong(6) == bp((tma - tmb) / math.sqrt(da + db)), "t")
+      assert(out.getLong(7) == bp((da + db) * (da + db) /
+        (da * da / (ha - 1) + db * db / (hb - 1))), "df")
+    }
+  }
+
+  test("Yuen shrugs off tail contamination that flips the raw-mean t") {
+    // identical cores; b carries outliers that drag its RAW mean far
+    // above a's — the trimmed means must stay put
+    val a = (0 until 100).map(i => (i % 50).toLong)
+    val b = (0 until 95).map(i => (i % 50).toLong) ++ Seq.fill(5)(100000L)
+    val out = Quality.yuenTrimmedT(a.toDF("v"), b.toDF("v"), "v").head()
+    assert(math.abs(out.getLong(4) - out.getLong(5)) < 20000,
+      "trimmed means differ by < 2 tokens despite 100k outliers")
+  }
+
   test("Quade nulls when every block is fully tied") {
     val df = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L)).toDF("a", "b", "c")
     val out = Quality.quadeTest(df, Seq(col("a"), col("b"), col("c"))).head()
