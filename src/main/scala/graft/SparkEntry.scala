@@ -2148,6 +2148,17 @@ object SparkEntry {
         Tables(s, dir, "events").filter(col("ts").isNotNull))
     }),
 
+    "q300_trend_card" -> ((s, dir) => {
+      // the whole trend review in ONE events pass: Mann-Kendall z +
+      // Sen's slope (q251), the Cox-Stuart paired-halves sign (q289),
+      // and the null-reversed KPSS stationarity reading (q290) — all
+      // three standalones rebuild the same (type, day) daily aggregate,
+      // the card builds it once; display chains verbatim, oracle
+      // composed from the standalones' own SQL (TrendCardSpec pins it)
+      operators.Sessions.trendCard(Tables(s, dir, "events"))
+        .orderBy(col("event_type"))
+    }),
+
     "q251_mk_trend" -> ((s, dir) => {
       // Mann-Kendall + Sen's slope per event type over daily counts —
       // the robust "is this series drifting, and how fast?" pairing
@@ -4185,9 +4196,23 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
-    base ++ heavySub3Twins.map { case (b, twin) =>
-      twin -> subsampleRewrite(b, base(b), twin)
-    }
+    // the fused trend-card oracle is composed VERBATIM from its three
+    // standalone oracles (q251/q289/q290), so the card's DuckDB contract
+    // cannot drift from theirs: the Spark side copies the standalones'
+    // display chains (TrendCardSpec pins the equality), the oracle
+    // reuses their very text
+    val trendCard = "SELECT mk.event_type, mk.n_days, mk.mk_s, mk.z, " +
+      "mk.sen_slope, cx.n_pairs, cx.n_pos, cx.z_bp AS cs_z_bp, " +
+      "kp.eta_bp, kp.reject_5pct " +
+      "FROM (" + base("q251_mk_trend") + ") mk " +
+      "JOIN (" + base("q289_cox_stuart") + ") cx " +
+      "ON mk.event_type = cx.event_type " +
+      "JOIN (" + base("q290_kpss") + ") kp " +
+      "ON mk.event_type = kp.event_type"
+    base + ("q300_trend_card" -> trendCard) ++
+      heavySub3Twins.map { case (b, twin) =>
+        twin -> subsampleRewrite(b, base(b), twin)
+      }
   }
 
   /** A base oracle with every `FROM documents` swapped for the doc_id%3

@@ -1391,4 +1391,129 @@ object Sessions {
         concat(col("r_score").cast("string"), col("f_score").cast("string"),
           col("m_score").cast("string")))
   }
+
+  /** Fused trend card — [[mannKendallTrend]] + [[coxStuartTrend]] +
+    * [[kpssTest]] in ONE corpus pass (the kGroupCard/scaleCard fusion on
+    * the time axis): the daily (type, day) count aggregate is the only
+    * corpus-width work all three tests do, and run standalone each pays
+    * it again. One row per event type: (event_type, n_days, mk_s, z,
+    * sen_slope, n_pairs, n_pos, cs_z_bp, eta_bp, reject_5pct) — the
+    * monotone-trend reading (MK's tie-corrected z + Sen's slope), the
+    * maximal-robustness paired-halves sign reading, and the
+    * null-REVERSED stationarity reading (KPSS: small η means "really is
+    * level", the claim a stability dashboard makes) — every display
+    * chain spelled exactly as its standalone operator (TrendCardSpec
+    * pins row-for-row equality).
+    *
+    * Scale shape: one (type, day) hash aggregate with map-side partials
+    * is the only exchange that sees events; each type's day-ordered
+    * series is a bounded in-row array (days are a bounded dimension)
+    * and all three statistics are in-row integer folds over it — the
+    * card adds zero exchanges over any single standalone.
+    */
+  def trendCard(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      lag: Int = 4): DataFrame = {
+    require(lag >= 0, "the Bartlett window lag must be non-negative")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("cs"))
+      .withColumn("m", size(col("cs")))
+    def elN(j: Column) = element_at(col("cs"), j.cast("int")).getField("n")
+    def elD(j: Column) = unix_date(
+      element_at(col("cs"), j.cast("int")).getField("day"))
+    // --- Mann–Kendall chains (mannKendallTrend verbatim) ---------------
+    val mkS = aggregate(sequence(lit(2), col("m")), lit(0L), (acc, j) =>
+      acc + aggregate(sequence(lit(1), j - 1), lit(0L), (a2, i) =>
+        a2 + when(elN(j) > elN(i), 1L)
+          .when(elN(j) < elN(i), -1L).otherwise(0L)))
+    val mkTau = aggregate(sequence(lit(1), col("m")), lit(0L), (acc, j) => {
+      val cj = aggregate(col("cs"), lit(0L), (a2, e) =>
+        a2 + when(e.getField("n") === elN(j), 1L).otherwise(0L))
+      acc + (cj - 1) * (lit(2L) * cj + 5)
+    })
+    val md = col("m").cast("double")
+    val varS = (md * (md - 1) * (lit(2.0) * md + 5) -
+      col("_mtau").cast("double")) / 18
+    val sd = col("_ms").cast("double")
+    val mkZ = when(col("_ms") > 0, (sd - 1) / sqrt(varS))
+      .when(col("_ms") < 0, (sd + 1) / sqrt(varS))
+      .otherwise(lit(0.0))
+    val slopes = sort_array(flatten(transform(sequence(lit(2), col("m")),
+      j => transform(sequence(lit(1), j - 1), i =>
+        (elN(j) - elN(i)).cast("double") /
+          (elD(j) - elD(i)).cast("double")))))
+    val p = size(col("_msl"))
+    val sen = when(p % 2 === 1,
+      element_at(col("_msl"), ((p + 1) / 2).cast("int")))
+      .otherwise((element_at(col("_msl"), (p / 2).cast("int")) +
+        element_at(col("_msl"), (p / 2 + 1).cast("int"))) / 2)
+    // --- Cox–Stuart chains (coxStuartTrend verbatim) --------------------
+    val csC = ((col("m") + 1) / 2).cast("int")
+    val csHalf = (col("m") / 2).cast("int")
+    def csFold(cond: (Column, Column) => Column) =
+      when(col("m") > 1,
+        aggregate(transform(sequence(lit(1), csHalf), i =>
+          when(cond(elN(i), elN(i + csC)), 1L).otherwise(0L)),
+          lit(0L), (a, x) => a + x))
+        .otherwise(lit(0L))
+    val csPos = csFold((lo, hi) => hi > lo)
+    val csNeg = csFold((lo, hi) => hi < lo)
+    val csZ = (lit(2.0) * col("_cp").cast("double") -
+      col("_cm2").cast("double")) / sqrt(col("_cm2").cast("double"))
+    // --- KPSS chains (kpssTest verbatim, lag-parameterized) -------------
+    val kSum = aggregate(col("cs"), lit(0L), (a, e) => a + e.getField("n"))
+    def dAt(j: Column): Column =
+      (col("m").cast(dec) *
+        element_at(col("cs"), j.cast("int")).getField("n").cast(dec) -
+        col("_ks").cast(dec)).cast(dec)
+    def pAt(t: Column): Column =
+      aggregate(transform(sequence(lit(1), t), i => dAt(i)),
+        lit(0).cast(dec), (a, x) => (a + x).cast(dec))
+    val sumP2 = aggregate(transform(sequence(lit(1), col("m")), t => pAt(t)),
+      lit(0).cast(dec), (a, pp) => (a + pp * pp).cast(dec))
+    def gAt(j: Int): Column =
+      when(col("m") > j,
+        aggregate(transform(sequence(lit(1), col("m") - j), t =>
+          (dAt(t) * dAt(t + j)).cast(dec)),
+          lit(0).cast(dec), (a, x) => (a + x).cast(dec)))
+        .otherwise(lit(0).cast(dec))
+    val lw = lit(lag + 1).cast(dec)
+    val denomCore = (1 to lag).map(j =>
+      (lit(2).cast(dec) * lit(lag + 1 - j).cast(dec) * gAt(j)).cast(dec))
+      .foldLeft((lw * gAt(0)).cast(dec))((a, x) => (a + x).cast(dec))
+    val eta = col("_knum").cast("double") / col("_kden").cast("double")
+    val etaBp = floor(eta * 10000 + lit(0.5)).cast("long")
+    val kOk = col("m") > 1 && col("_kden") > 0
+    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
+    series
+      .withColumn("_ms", when(col("m") > 1, mkS).otherwise(lit(0L)))
+      .withColumn("_mtau", when(col("m") > 1, mkTau).otherwise(lit(0L)))
+      .withColumn("_msl", when(col("m") > 1, slopes)
+        .otherwise(array().cast("array<double>")))
+      .withColumn("_cp", csPos)
+      .withColumn("_cm2", csPos + csNeg)
+      .withColumn("_ks", kSum)
+      .withColumn("_knum", (lw * sumP2).cast(dec))
+      .withColumn("_kden", (col("m").cast(dec) * denomCore).cast(dec))
+      .select(col(typeCol), col("m").cast("long").as("n_days"),
+        col("_ms").as("mk_s"),
+        when(col("m") > 1 && varS > 0, r4(mkZ))
+          .otherwise(lit(null).cast("double")).as("z"),
+        when(col("m") > 1, r4(sen))
+          .otherwise(lit(null).cast("double")).as("sen_slope"),
+        col("_cm2").as("n_pairs"), col("_cp").as("n_pos"),
+        when(col("_cm2") > 0, floor(csZ * 10000 + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("cs_z_bp"),
+        when(kOk, etaBp).otherwise(lit(null).cast("long")).as("eta_bp"),
+        when(kOk, etaBp > 4630).otherwise(lit(null).cast("boolean"))
+          .as("reject_5pct"))
+  }
 }
