@@ -87,6 +87,12 @@ class PlanGuardSpec extends SparkSpec {
       "crossJoin(broadcast(median/totals/ties)): q279's single-row pooled-median and moment scalars beside the bounded group table",
     "q287_lepage" ->
       "crossJoin(broadcast(n)): q286's single-row pooled-total scalar (the AB score leg shares the spine)",
+    "q297_scale_card" ->
+      "crossJoin(broadcast(bartlett/welch one-row legs)) + crossJoin(broadcast(totals)): the q294 fused-card discipline — every cross is a one-row audited aggregate beside the bounded group table",
+    "q298_variance_ratio" ->
+      "crossJoin(broadcast(side b)): the welchTTest discipline — two single-row moment aggregates meet in a one-row broadcast cross",
+    "q299_yuen_trimmed" ->
+      "crossJoin(broadcast(totals)) per side + crossJoin(broadcast(side b)): the ksTest/welchTTest disciplines — single-row trim-count scalars beside each value spine, then two one-row sides cross",
     "q284_rmst" ->
       "crossJoin(broadcast(end)) inside the composed kaplanMeier + crossJoin(broadcast(n_users)): both single-row scalars beside bounded frames",
     "q181_retrieval_metrics" ->
