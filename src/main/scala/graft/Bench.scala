@@ -172,7 +172,11 @@ object Bench {
     val alwaysIsolate = Seq("q53_json_contains")
     val top10 = results.filter(_._2.head >= 0)
       .sortBy { case (_, p) => -p(p.length / 2) }.take(10).map(_._1)
-    val isolated = (top10 ++ alwaysIsolate.filter(passMedian.contains)).distinct
+    // a FAILED query (sentinel -1 median) must never reach the isolated
+    // column — re-timing its exception path would ship a bogus positive
+    // time next to its own entry in `failed`
+    val isolated = (top10 ++
+      alwaysIsolate.filter(k => passMedian.get(k).exists(_ >= 0))).distinct
       .map { name =>
         val m1 = isoMedian(byName(name))
         // inversion guard (r15 VERDICT item 3): the isolated re-time

@@ -4206,9 +4206,12 @@ object SparkEntry {
       "kp.eta_bp, kp.reject_5pct " +
       "FROM (" + base("q251_mk_trend") + ") mk " +
       "JOIN (" + base("q289_cox_stuart") + ") cx " +
-      "ON mk.event_type = cx.event_type " +
+      // null-safe meet: a NULL event_type group (none in the current
+      // generator, but GROUP BY would emit one on both engines) must
+      // survive the composition exactly as it survives each standalone
+      "ON mk.event_type IS NOT DISTINCT FROM cx.event_type " +
       "JOIN (" + base("q290_kpss") + ") kp " +
-      "ON mk.event_type = kp.event_type"
+      "ON mk.event_type IS NOT DISTINCT FROM kp.event_type"
     base + ("q300_trend_card" -> trendCard) ++
       heavySub3Twins.map { case (b, twin) =>
         twin -> subsampleRewrite(b, base(b), twin)

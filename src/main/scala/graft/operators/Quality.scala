@@ -3108,6 +3108,17 @@ object Quality {
       .agg(count(lit(1)).as("_n"),
         sum(col("_v").cast(dec)).as("_s"),
         sum(col("_v").cast(dec) * col("_v").cast(dec)).as("_q"))
+    anovaFCore(groups)
+  }
+
+  /** [[anovaF]]'s fold-and-display chain over an already-built per-group
+    * moment frame (_g, _n, _s, _q) — extracted so the fused
+    * [[scaleCard]]'s Brown–Forsythe leg consumes the SAME code path as
+    * the standalone (the ksTestCore delegation discipline). The caller's
+    * _g type sets the sorted-group fold order, exactly as it does for
+    * the standalone's groupCol.
+    */
+  private def anovaFCore(groups: DataFrame): DataFrame = {
     val one = groups.groupBy().agg(
       sort_array(collect_list(struct(col("_g"), col("_n"), col("_s"))))
         .as("gs"),
@@ -3171,6 +3182,18 @@ object Quality {
       .agg(count(lit(1)).as("_n"),
         sum(col("_v").cast(dec)).as("_s"),
         sum(col("_v").cast(dec) * col("_v").cast(dec)).as("_q"))
+    welchAnovaCore(groups)
+  }
+
+  /** [[welchAnova]]'s fold-and-display chain over an already-built
+    * per-group moment frame (_g string, _n, _s, _q) — extracted so the
+    * fused [[scaleCard]] consumes the SAME code path instead of a copy
+    * (the ksTestCore delegation discipline): fold order, guards, and
+    * displays cannot drift between the standalone and the card. The _g
+    * column must already be string-typed — the sorted-group fold order
+    * is part of the replayed contract (the oracle's ORDER BY g).
+    */
+  private def welchAnovaCore(groups: DataFrame): DataFrame = {
     val one = groups.groupBy().agg(
       sort_array(collect_list(struct(col("_g"), col("_n"), col("_s"),
         col("_q")))).as("gs"),
@@ -3266,100 +3289,33 @@ object Quality {
       .select(col("_g"), col("_v").as("_vhi"))
     val medT = vLo.join(vHi, Seq("_g"))
       .select(col("_g"), (col("_vlo") + col("_vhi")).as("_m2"))
-    // --- Brown–Forsythe leg: anovaF's chain on |2v − 2·med| ------------
+    // --- Brown–Forsythe leg: anovaFCore on |2v − 2·med| (the standalone
+    // brownForsythe delegates to anovaF over the same moments — one code
+    // path, so card and standalone cannot drift) ------------------------
     val u = abs(lit(2L) * col("_v") - col("_m2"))
     val devG = cells.join(broadcast(medT), Seq("_g"))
       .groupBy(col("_g")).agg(
-        sum(col("_c")).as("_dn"),
-        sum(col("_c").cast(dec) * u.cast(dec)).as("_ds"),
-        sum(col("_c").cast(dec) * u.cast(dec) * u.cast(dec)).as("_dq"))
-    val bfOne = devG.groupBy().agg(
-      sort_array(collect_list(struct(col("_g"), col("_dn"), col("_ds"))))
-        .as("gs"),
-      sum(col("_dn")).as("n"),
-      count(lit(1)).as("k_groups"),
-      sum(col("_ds")).as("_st"),
-      sum(col("_dq")).as("_qt"))
-    val bfN = col("n").cast("double")
-    val bfK = col("k_groups").cast("double")
-    val bfS = col("_st").cast("double")
-    val bfSsb = aggregate(col("gs"), lit(0.0), (a, e) =>
-      a + e.getField("_ds").cast("double") * e.getField("_ds").cast("double") /
-        e.getField("_dn").cast("double")) - bfS * bfS / bfN
-    val bfSst = col("_qt").cast("double") - bfS * bfS / bfN
-    val bfSsw = bfSst - bfSsb
-    val bfF = bfSsb / (bfK - 1) / (bfSsw / (bfN - bfK))
-    def r4(c: Column) = floor(c * 10000 + lit(0.5)) / 10000
-    val bf = bfOne.select(
-      col("n"), col("k_groups"),
-      when(col("k_groups") > 1 && col("n") > col("k_groups") && bfSsw > 0,
-        r4(bfF)).otherwise(lit(null).cast("double")).as("bf_w"),
-      when(bfSst > 0,
-        floor(bfSsb / bfSst * 10000 + lit(0.5)).cast("long"))
-        .otherwise(lit(null).cast("long")).as("bf_eta2_bp"))
-    // --- Bartlett leg: the standalone chain over the n ≥ 2 group list --
+        sum(col("_c")).as("_n"),
+        sum(col("_c").cast(dec) * u.cast(dec)).as("_s"),
+        sum(col("_c").cast(dec) * u.cast(dec) * u.cast(dec)).as("_q"))
+    val bf = anovaFCore(devG)
+      .select(col("n"), col("k_groups"),
+        col("f").as("bf_w"), col("eta2_bp").as("bf_eta2_bp"))
+    // --- Bartlett leg: bartlettCore over the n ≥ 2 group list ----------
     val pc = perG
       .select(col("_g"), col("_ng").as("_n"),
         (col("_ng").cast(dec) * col("_s2") - col("_s1") * col("_s1"))
           .as("_c2"))
       .filter(col("_n") >= 2)
-    val btOne = pc.groupBy().agg(
-      sort_array(collect_list(struct(col("_g"), col("_n"), col("_c2"))))
-        .as("gs"),
-      sum(col("_n")).as("_bn"),
-      count(lit(1)).as("_bk"))
-    def nE(e: Column) = e.getField("_n").cast("double")
-    def c2E(e: Column) = e.getField("_c2").cast("double")
-    val btN = col("_bn").cast("double")
-    val btK = col("_bk").cast("double")
-    val pooled = aggregate(col("gs"), lit(0.0), (a, e) => a + c2E(e) / nE(e))
-    val s2p = pooled / (btN - btK)
-    val lnSum = aggregate(col("gs"), lit(0.0), (a, e) =>
-      a + (nE(e) - 1) * log(c2E(e) / (nE(e) * (nE(e) - 1))))
-    val invSum = aggregate(col("gs"), lit(0.0), (a, e) =>
-      a + lit(1.0) / (nE(e) - 1))
-    val tNum = (btN - btK) * log(s2p) - lnSum
-    val cFac = lit(1.0) +
-      (invSum - lit(1.0) / (btN - btK)) / (lit(3.0) * (btK - 1))
-    val minC2 = array_min(transform(col("gs"), e => e.getField("_c2")))
-    val btOk = col("_bk") > 1 && minC2 > 0
-    val bart = btOne.select(
-      when(col("_bk") > 1, col("_bk") - 1)
-        .otherwise(lit(null).cast("long")).as("bart_df_t"),
-      when(btOk, floor(tNum / cFac * 10000 + lit(0.5)).cast("long"))
-        .otherwise(lit(null).cast("long")).as("bart_t_bp"))
-    // --- Welch leg: welchAnova's chain from the shared group moments ---
-    val wOne = perG.groupBy().agg(
-      sort_array(collect_list(struct(col("_g"), col("_ng").as("_n"),
-        col("_s1").as("_s"), col("_s2").as("_q")))).as("gs"),
-      count(lit(1)).as("_wk"))
-    def fD(e: Column, fld: String) = e.getField(fld).cast("double")
-    def nG(e: Column) = fD(e, "_n")
-    def mG(e: Column) = fD(e, "_s") / nG(e)
-    def s2G(e: Column) = (nG(e) * fD(e, "_q") - fD(e, "_s") * fD(e, "_s")) /
-      (nG(e) * (nG(e) - 1))
-    def wG(e: Column) = nG(e) / s2G(e)
-    def fold(term: Column => Column) =
-      aggregate(col("gs"), lit(0.0), (a, e) => a + term(e))
-    val wk = col("_wk").cast("double")
-    val wSum = fold(wG)
-    val wmSum = fold(e => wG(e) * mG(e))
-    val mTilde = wmSum / wSum
-    val wNum = fold(e => wG(e) * (mG(e) - mTilde) * (mG(e) - mTilde)) /
-      (wk - 1)
-    val lam = fold(e => (lit(1.0) - wG(e) / wSum) *
-      (lit(1.0) - wG(e) / wSum) / (nG(e) - 1))
-    val wStar = wNum / (lit(1.0) + lit(2.0) * (wk - 2) / (wk * wk - 1) * lam)
-    val wDf2 = (wk * wk - 1) / (lit(3.0) * lam)
-    val minN = aggregate(col("gs"), lit(Long.MaxValue),
-      (a, e) => least(a, e.getField("_n")))
-    val minS2 = aggregate(col("gs"), lit(Double.MaxValue),
-      (a, e) => least(a, s2G(e)))
-    val wOk = col("_wk") > 1 && minN > 1 && minS2 > 0 && lam > 0
-    val welch = wOne.select(
-      when(wOk, r4(wStar)).otherwise(lit(null).cast("double")).as("w_star"),
-      when(wOk, floor(wDf2 * 10000 + lit(0.5)).cast("long"))
-        .otherwise(lit(null).cast("long")).as("df2_bp"))
+    val bart = bartlettCore(pc)
+      .select(col("df_t").as("bart_df_t"), col("t_bp").as("bart_t_bp"))
+    // --- Welch leg: welchAnovaCore from the shared group moments; _g
+    // casts to string exactly as the standalone's input projection does,
+    // so the sorted-group fold order matches for ANY group type ---------
+    val welch = welchAnovaCore(perG.select(
+      col("_g").cast("string").as("_g"), col("_ng").as("_n"),
+      col("_s1").as("_s"), col("_s2").as("_q")))
+      .select(col("w_star"), col("df2_bp"))
     bf.crossJoin(broadcast(bart)).crossJoin(broadcast(welch))
   }
 
@@ -3794,6 +3750,15 @@ object Quality {
         (col("_n").cast(dec) * col("_s2") - col("_s1") * col("_s1"))
           .as("_c2"))
       .filter(col("_n") >= 2)
+    bartlettCore(perG)
+  }
+
+  /** [[bartlettTest]]'s fold-and-display chain over an already-built
+    * n ≥ 2 per-group frame (_g, _n, _c2) — extracted so the fused
+    * [[scaleCard]]'s Bartlett leg consumes the SAME code path as the
+    * standalone (the ksTestCore delegation discipline).
+    */
+  private def bartlettCore(perG: DataFrame): DataFrame = {
     val one = perG.groupBy().agg(
       sort_array(collect_list(struct(col("_g"), col("_n"), col("_c2"))))
         .as("gs"),
@@ -5248,7 +5213,10 @@ object Quality {
     val q2 = GlobalRank.weightedPrefixSums(hist, "_rng", "_hc", "_hp")
       .select(col("_rng"),
         (lit(2L) * col("_hp") + col("_hc") + lit(1L)).as("_q2"))
-    val scored = rows.join(q2, Seq("_rng"))
+    // q2 is range-cardinality-bounded (distinct block ranges, ≤ k·maxVal
+    // values) — broadcast it so the corpus-wide rows frame never shuffles
+    // on the near-constant range key
+    val scored = rows.join(broadcast(q2), Seq("_rng"))
     // 4S_ij = 2Q_i·(2R_ij − (k+1)) — exact integers per cell
     def s4(j: Int) =
       col("_q2").cast(dec) * (col(s"_r2_$j").cast(dec) - lit(k + 1L).cast(dec))
