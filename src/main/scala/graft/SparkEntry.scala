@@ -2168,6 +2168,34 @@ object SparkEntry {
         Tables(s, dir, "events").filter(col("ts").isNotNull))
     }),
 
+    // ---- streaming-monitor batch replays (r17 VERDICT item 4): the
+    // REAL flatMapGroupsWithState operators driven deterministically
+    // over the events table (7-day calibration prefix fits the
+    // reference, the remainder streams through one micro-batch), each
+    // hash-pinned by a DuckDB oracle replaying the whole composition —
+    // window rollover, cumulative blend, reference handoff included ----
+
+    "q302_ph_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.pageHinkleyReplay(s, dir)),
+
+    "q303_spread_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.spreadReplay(s, dir)),
+
+    "q304_kuiper_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.kuiperReplay(s, dir)),
+
+    "q305_cvm_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.cvmReplay(s, dir)),
+
+    "q306_ks_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.ksReplay(s, dir)),
+
+    "q307_w1_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.w1Replay(s, dir)),
+
+    "q308_cusum_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.cusumReplay(s, dir)),
+
     "q250_friedman" -> ((s, dir) => {
       // Friedman chi2 + Kendall's W over q228's THREE band raters:
       // kappa (q228) asks whether the raters AGREE; this asks whether
@@ -3496,6 +3524,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q301_training_pipeline" -> ((s, dir) => {
+      // the FULL corpus->training-set composition (r17 VERDICT item 5):
+      // q105's gate -> exact-dedup -> decontaminate chain, then q56's
+      // deterministic md5 split and q91's per-lang 512-token packing of
+      // the train split — ONE declarative plan, so schema or fingerprint
+      // drift BETWEEN stages (which each stage oracle is blind to)
+      // hash-fails here. Per-doc output; pack columns NULL on test rows
+      // (null-safe left join). The near-dup tier is deliberately absent:
+      // LSH stages are approximate (rows-only), and a hash-green
+      // pipeline needs every stage exact — the near-dup family is pinned
+      // separately by its contract twins (q84/q85).
+      // Scale: gate predicates evaluate map-side, dedup winners and
+      // contamination hits reduce to compact aggregates joined back
+      // (q105's audited plan), the split label is a map-side md5, and
+      // packing's per-lang running sum is q91's partitioned window (the
+      // distributed bucket-prefix form is q147 — composition keeps the
+      // oracled operator).
+      val docs = Tables(s, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val evalD = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val gate = operators.CorpusAnalytics
+        .qualityGate(train, minTokens = 15, minAlpha = 0.81, maxRepetition = 0.05)
+        .filter(col("passes")).select(col("doc_id"), col("n_tokens"))
+      val gated = train.join(gate, Seq("doc_id"))
+      val winners = gated
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val deduped = gated.join(winners, Seq("doc_id"))
+      val clean = operators.CorpusAnalytics.decontaminate(deduped, evalD)
+        .filter(!col("contaminated")).select(col("doc_id"))
+      val surv = deduped.join(clean, Seq("doc_id"))
+        .withColumn("split", operators.Sampling.splitLabel(col("doc_id"), 90))
+      val packed = operators.CorpusAnalytics.packSequences(
+        surv.filter(col("split") === "train"), "lang", "doc_id",
+        windowTokens = 512L)
+        .select(col("doc_id"), col("window_id"), col("window_offset"))
+      surv.select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"), col("split"))
+        .join(packed, Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scalar breadth: edit distance + array higher-order funcs ----
 
     "q68_levenshtein" -> ((s, dir) => {
@@ -4212,7 +4283,25 @@ object SparkEntry {
       "ON mk.event_type IS NOT DISTINCT FROM cx.event_type " +
       "JOIN (" + base("q290_kpss") + ") kp " +
       "ON mk.event_type IS NOT DISTINCT FROM kp.event_type"
-    base + ("q300_trend_card" -> trendCard) ++
+    // q301 composes the WHOLE corpus->training-set chain from the stage
+    // oracles' own text (the trendCard technique): q105's gate->dedup->
+    // decontaminate SQL verbatim as the survivor subquery, q56's md5
+    // split expression, q91's running-sum packing — so the composed
+    // contract cannot drift from the stages'. Pack columns are NULL on
+    // test rows on both engines (left join).
+    val trainingPipeline = "WITH surv AS (SELECT doc_id, lang, source, n_tokens, " +
+      "CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 90 " +
+      "THEN 'train' ELSE 'test' END AS split " +
+      "FROM (" + base("q105_curation_pipeline") + ")), " +
+      "pk AS (SELECT doc_id, CAST(seq_start // 512 AS BIGINT) AS window_id, " +
+      "CAST(seq_start % 512 AS BIGINT) AS window_offset FROM (" +
+      "SELECT doc_id, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS seq_start " +
+      "FROM surv WHERE split = 'train')) " +
+      "SELECT s.doc_id, s.lang, s.source, CAST(s.n_tokens AS BIGINT) AS n_tokens, s.split, " +
+      "pk.window_id, pk.window_offset " +
+      "FROM surv s LEFT JOIN pk ON s.doc_id = pk.doc_id ORDER BY s.doc_id"
+    base + ("q300_trend_card" -> trendCard) +
+      ("q301_training_pipeline" -> trainingPipeline) ++
       heavySub3Twins.map { case (b, twin) =>
         twin -> subsampleRewrite(b, base(b), twin)
       }
@@ -10008,6 +10097,258 @@ object SparkEntry {
         "JOIN evsh USING (g)) " +
         "SELECT doc_id, lang, source, CAST(ntok AS BIGINT) AS n_tokens " +
         "FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id"),
+
+    // ---- streaming-monitor replay oracles (r17 VERDICT item 4): each
+    // replays the ENTIRE replay composition in SQL — the 7-day
+    // calibration split, the reference fit, per-day state windows, the
+    // cumulative blend, and the monitor's emit-time arithmetic spelled
+    // term-for-term (every emitted day = every day but each source's
+    // last, the close-on-rollover contract) ----
+
+    "q302_ph_replay" ->
+      // Page-Hinkley on daily counts: mu integral (floor of the
+      // calibration week's per-(day,type) mean), delta=1, lambda=100 —
+      // every PH sum is an exact integer-valued double, so the window
+      // cumulative is association-free
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "fit AS (SELECT floor(CAST(count(*) AS DOUBLE) / (7.0 * count(DISTINCT source))) AS mu FROM ev, c WHERE d < cutd), " +
+        "daily AS (SELECT source, d, count(*) AS n FROM ev, c WHERE d >= cutd GROUP BY 1, 2), " +
+        "seq AS (SELECT source, d, n, " +
+        "sum(n - mu - 1) OVER (PARTITION BY source ORDER BY d) AS m_up, " +
+        "sum(mu - n - 1) OVER (PARTITION BY source ORDER BY d) AS m_dn, " +
+        "max(d) OVER (PARTITION BY source) AS maxd FROM daily, fit), " +
+        "ph AS (SELECT source, d, n, maxd, " +
+        "m_up - least(0, min(m_up) OVER (PARTITION BY source ORDER BY d)) AS pu, " +
+        "m_dn - least(0, min(m_dn) OVER (PARTITION BY source ORDER BY d)) AS pd FROM seq) " +
+        "SELECT source AS event_type, CAST(d AS BIGINT) AS day, CAST(n AS BIGINT) AS n, " +
+        "CAST(pu AS DOUBLE) AS ph_up, CAST(pd AS DOUBLE) AS ph_down, " +
+        "(pu > 100.0 OR pd > 100.0) AS alarm " +
+        "FROM ph WHERE d < maxd ORDER BY event_type, day"),
+
+    "q303_spread_replay" ->
+      // variance-ratio on integral values (floor(value+0.5)): reference
+      // moments from the calibration week, daily windows, the monitor's
+      // exact c2 = n*S2 - S1^2 numerators (all < 2^53 — exact doubles)
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "CAST(floor(value + 0.5) AS BIGINT) AS v " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "fit AS (SELECT CAST(count(*) AS BIGINT) AS rn, CAST(sum(v) AS BIGINT) AS rs1, " +
+        "CAST(sum(v*v) AS BIGINT) AS rs2 FROM ev, c WHERE d < cutd), " +
+        "win AS (SELECT source, d, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s1, " +
+        "CAST(sum(v*v) AS BIGINT) AS s2 FROM ev, c WHERE d >= cutd GROUP BY 1, 2), " +
+        "cum AS (SELECT source, d, n, s1, s2, " +
+        "CAST(sum(n) OVER w AS BIGINT) AS cn, CAST(sum(s1) OVER w AS BIGINT) AS cs1, " +
+        "CAST(sum(s2) OVER w AS BIGINT) AS cs2, max(d) OVER (PARTITION BY source) AS maxd " +
+        "FROM win WINDOW w AS (PARTITION BY source ORDER BY d)), " +
+        "r AS (SELECT source, d, n, cn, maxd, " +
+        "floor(CAST(n*s2 - s1*s1 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / vref * 10000 + 0.5) / 10000 AS vr, " +
+        "floor(CAST(cn*cs2 - cs1*cs1 AS DOUBLE) / (CAST(cn AS DOUBLE) * (CAST(cn AS DOUBLE) - 1)) / vref * 10000 + 0.5) / 10000 AS cvr " +
+        "FROM cum, (SELECT CAST(rn*rs2 - rs1*rs1 AS DOUBLE) / (CAST(rn AS DOUBLE) * (CAST(rn AS DOUBLE) - 1)) AS vref FROM fit)) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, CAST(n AS BIGINT) AS n_events, " +
+        "CAST(vr AS DOUBLE) AS var_ratio, CAST(cvr AS DOUBLE) AS cum_var_ratio, " +
+        "(vr > 4.0 OR vr * 4.0 < 1.0) AS alarm " +
+        "FROM r WHERE d < maxd AND n >= 2 AND cn >= 2 ORDER BY source, window_start"),
+
+    "q304_kuiper_replay" ->
+      // Kuiper V on the literal 7-bin plan: reference histogram from the
+      // calibration week, signed integer cross-masses at every bin
+      // boundary, both one-sided maxes clamped at zero, ONE division
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "(CASE WHEN value >= 5 THEN 1 ELSE 0 END + CASE WHEN value >= 10 THEN 1 ELSE 0 END + " +
+        "CASE WHEN value >= 20 THEN 1 ELSE 0 END + CASE WHEN value >= 50 THEN 1 ELSE 0 END + " +
+        "CASE WHEN value >= 100 THEN 1 ELSE 0 END + CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS b " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(7)), " +
+        "refh AS (SELECT bins.b, coalesce(rc.cnt, 0) AS rc FROM bins LEFT JOIN " +
+        "(SELECT b, count(*) AS cnt FROM ev, c WHERE d < cutd GROUP BY 1) rc ON bins.b = rc.b), " +
+        "reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nref FROM refh), " +
+        "refc AS (SELECT b, CAST(sum(rc) OVER (ORDER BY b) AS BIGINT) AS cref FROM refh), " +
+        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
+        "cnts AS (SELECT source, d, b, count(*) AS cnt FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), " +
+        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.cnt, 0) AS cnt " +
+        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
+        "cc AS (SELECT source, d, b, cnt, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, b ORDER BY d) AS BIGINT) AS cumb FROM cell), " +
+        "bd AS (SELECT source, d, b, cnt, cumb, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS wcum, " +
+        "CAST(sum(cumb) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS ccum, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, d) AS BIGINT) AS wn, " +
+        "CAST(sum(cumb) OVER (PARTITION BY source, d) AS BIGINT) AS cn, " +
+        "max(d) OVER (PARTITION BY source) AS maxd FROM cc), " +
+        "stat AS (SELECT source, d, wn, cn, maxd, nref, " +
+        "greatest(0, max(cref * wn - wcum * nref)) + greatest(0, max(wcum * nref - cref * wn)) AS vnum, " +
+        "greatest(0, max(cref * cn - ccum * nref)) + greatest(0, max(ccum * nref - cref * cn)) AS cnum " +
+        "FROM bd JOIN refc USING (b), reft GROUP BY source, d, wn, cn, maxd, nref), " +
+        "disp AS (SELECT source, d, wn, maxd, " +
+        "floor(CAST(vnum AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) * 10000 + 0.5) / 10000 AS v, " +
+        "floor(CAST(cnum AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) * 10000 + 0.5) / 10000 AS cv " +
+        "FROM stat) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, CAST(wn AS BIGINT) AS n_events, " +
+        "CAST(v AS DOUBLE) AS kuiper_v, CAST(cv AS DOUBLE) AS cum_kuiper_v, (v > 0.2) AS alarm " +
+        "FROM disp WHERE d < maxd ORDER BY source, window_start"),
+
+    "q305_cvm_replay" ->
+      // CvM on the same bin plan: per-bin floor(h*gap^2*2^30) LONG grains
+      // summed per window (the batch operator's order-free-integer
+      // discipline), one final scale, basis-point display
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "(CASE WHEN value >= 5 THEN 1 ELSE 0 END + CASE WHEN value >= 10 THEN 1 ELSE 0 END + " +
+        "CASE WHEN value >= 20 THEN 1 ELSE 0 END + CASE WHEN value >= 50 THEN 1 ELSE 0 END + " +
+        "CASE WHEN value >= 100 THEN 1 ELSE 0 END + CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS b " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(7)), " +
+        "refh AS (SELECT bins.b, coalesce(rc.cnt, 0) AS rc FROM bins LEFT JOIN " +
+        "(SELECT b, count(*) AS cnt FROM ev, c WHERE d < cutd GROUP BY 1) rc ON bins.b = rc.b), " +
+        "reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nref FROM refh), " +
+        "refc AS (SELECT b, CAST(sum(rc) OVER (ORDER BY b) AS BIGINT) AS cref FROM refh), " +
+        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
+        "cnts AS (SELECT source, d, b, count(*) AS cnt FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), " +
+        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.cnt, 0) AS cnt " +
+        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
+        "cc AS (SELECT source, d, b, cnt, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, b ORDER BY d) AS BIGINT) AS cumb FROM cell), " +
+        "bd AS (SELECT source, d, b, cnt, cumb, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS wcum, " +
+        "CAST(sum(cumb) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS ccum, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, d) AS BIGINT) AS wn, " +
+        "CAST(sum(cumb) OVER (PARTITION BY source, d) AS BIGINT) AS cn, " +
+        "max(d) OVER (PARTITION BY source) AS maxd FROM cc), " +
+        "g AS (SELECT source, d, b, cnt, cumb, wn, cn, maxd, nref, rc, " +
+        "CAST(abs(cref * wn - wcum * nref) AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) AS gapw, " +
+        "CAST(abs(cref * cn - ccum * nref) AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) AS gapc " +
+        "FROM bd JOIN refc USING (b) JOIN refh USING (b), reft), " +
+        "s AS (SELECT source, d, wn, cn, maxd, nref, " +
+        "CAST(sum(CAST(floor(CAST(rc + cnt AS DOUBLE) * gapw * gapw * 1073741824.0) AS BIGINT)) AS BIGINT) AS sw, " +
+        "CAST(sum(CAST(floor(CAST(rc + cumb AS DOUBLE) * gapc * gapc * 1073741824.0) AS BIGINT)) AS BIGINT) AS sc " +
+        "FROM g GROUP BY source, d, wn, cn, maxd, nref), " +
+        "disp AS (SELECT source, d, wn, maxd, " +
+        "CAST(floor(CAST(sw AS DOUBLE) / 1073741824.0 * (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) / " +
+        "((CAST(nref AS DOUBLE) + CAST(wn AS DOUBLE)) * (CAST(nref AS DOUBLE) + CAST(wn AS DOUBLE))) * 10000 + 0.5) AS BIGINT) AS bp, " +
+        "CAST(floor(CAST(sc AS DOUBLE) / 1073741824.0 * (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) / " +
+        "((CAST(nref AS DOUBLE) + CAST(cn AS DOUBLE)) * (CAST(nref AS DOUBLE) + CAST(cn AS DOUBLE))) * 10000 + 0.5) AS BIGINT) AS cbp " +
+        "FROM s) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, CAST(wn AS BIGINT) AS n_events, " +
+        "bp AS cvm_bp, cbp AS cum_cvm_bp, (bp > 500) AS alarm " +
+        "FROM disp WHERE d < maxd ORDER BY source, window_start"),
+
+    "q306_ks_replay" ->
+      // KS on the shared bin plan: the single max abs cross-mass at any
+      // bin boundary (Kuiper's two clamped one-sided maxes collapse to
+      // one), ONE division, floor-1e4 display
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "(CASE WHEN value >= 5 THEN 1 ELSE 0 END + CASE WHEN value >= 10 THEN 1 ELSE 0 END + " +
+        "CASE WHEN value >= 20 THEN 1 ELSE 0 END + CASE WHEN value >= 50 THEN 1 ELSE 0 END + " +
+        "CASE WHEN value >= 100 THEN 1 ELSE 0 END + CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS b " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(7)), " +
+        "refh AS (SELECT bins.b, coalesce(rc.cnt, 0) AS rc FROM bins LEFT JOIN " +
+        "(SELECT b, count(*) AS cnt FROM ev, c WHERE d < cutd GROUP BY 1) rc ON bins.b = rc.b), " +
+        "reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nref FROM refh), " +
+        "refc AS (SELECT b, CAST(sum(rc) OVER (ORDER BY b) AS BIGINT) AS cref FROM refh), " +
+        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
+        "cnts AS (SELECT source, d, b, count(*) AS cnt FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), " +
+        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.cnt, 0) AS cnt " +
+        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
+        "cc AS (SELECT source, d, b, cnt, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, b ORDER BY d) AS BIGINT) AS cumb FROM cell), " +
+        "bd AS (SELECT source, d, b, cnt, cumb, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS wcum, " +
+        "CAST(sum(cumb) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS ccum, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, d) AS BIGINT) AS wn, " +
+        "CAST(sum(cumb) OVER (PARTITION BY source, d) AS BIGINT) AS cn, " +
+        "max(d) OVER (PARTITION BY source) AS maxd FROM cc), " +
+        "stat AS (SELECT source, d, wn, cn, maxd, nref, " +
+        "max(abs(cref * wn - wcum * nref)) AS dnum, " +
+        "max(abs(cref * cn - ccum * nref)) AS cnum " +
+        "FROM bd JOIN refc USING (b), reft GROUP BY source, d, wn, cn, maxd, nref), " +
+        "disp AS (SELECT source, d, wn, maxd, " +
+        "floor(CAST(dnum AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) * 10000 + 0.5) / 10000 AS ks, " +
+        "floor(CAST(cnum AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) * 10000 + 0.5) / 10000 AS cks " +
+        "FROM stat) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, CAST(wn AS BIGINT) AS n_events, " +
+        "CAST(ks AS DOUBLE) AS ks_d, CAST(cks AS DOUBLE) AS cum_ks_d, (ks > 0.15) AS alarm " +
+        "FROM disp WHERE d < maxd ORDER BY source, window_start"),
+
+    "q307_w1_replay" ->
+      // W1 on the shared bin plan: cross-mass gaps at MASS bin
+      // boundaries weighted by bin-index distance, folded as the
+      // monitor's exact floor(term*2^20) integer grains per window —
+      // the window and cumulative legs walk their OWN mass axes
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "(CASE WHEN value >= 5 THEN 1 ELSE 0 END + CASE WHEN value >= 10 THEN 1 ELSE 0 END + " +
+        "CASE WHEN value >= 20 THEN 1 ELSE 0 END + CASE WHEN value >= 50 THEN 1 ELSE 0 END + " +
+        "CASE WHEN value >= 100 THEN 1 ELSE 0 END + CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS b " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(7)), " +
+        "refh AS (SELECT bins.b, coalesce(rc.cnt, 0) AS rc FROM bins LEFT JOIN " +
+        "(SELECT b, count(*) AS cnt FROM ev, c WHERE d < cutd GROUP BY 1) rc ON bins.b = rc.b), " +
+        "reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nref FROM refh), " +
+        "refc AS (SELECT b, CAST(sum(rc) OVER (ORDER BY b) AS BIGINT) AS cref FROM refh), " +
+        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
+        "cnts AS (SELECT source, d, b, count(*) AS cnt FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), " +
+        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.cnt, 0) AS cnt " +
+        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
+        "cc AS (SELECT source, d, b, cnt, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, b ORDER BY d) AS BIGINT) AS cumb FROM cell), " +
+        "bd AS (SELECT source, d, b, cnt, cumb, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS wcum, " +
+        "CAST(sum(cumb) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS ccum, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, d) AS BIGINT) AS wn, " +
+        "CAST(sum(cumb) OVER (PARTITION BY source, d) AS BIGINT) AS cn, " +
+        "max(d) OVER (PARTITION BY source) AS maxd FROM cc), " +
+        "jb AS (SELECT bd.*, refc.cref, refh.rc, reft.nref FROM bd " +
+        "JOIN refc USING (b) JOIN refh USING (b), reft), " +
+        "gw AS (SELECT source, d, b, wn, maxd, nref, abs(cref * wn - wcum * nref) AS num, " +
+        "lag(abs(cref * wn - wcum * nref)) OVER (PARTITION BY source, d ORDER BY b) AS lnum, " +
+        "lag(b) OVER (PARTITION BY source, d ORDER BY b) AS lb " +
+        "FROM jb WHERE rc + cnt > 0), " +
+        "tw AS (SELECT source, d, wn, maxd, nref, " +
+        "CAST(sum(CASE WHEN lb IS NULL THEN 0 ELSE CAST(floor(CAST(lnum AS DOUBLE) * (b - lb) / " +
+        "(CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) * 1048576.0) AS BIGINT) END) AS BIGINT) AS s2 " +
+        "FROM gw GROUP BY source, d, wn, maxd, nref), " +
+        "gc AS (SELECT source, d, b, cn, abs(cref * cn - ccum * nref) AS num, " +
+        "lag(abs(cref * cn - ccum * nref)) OVER (PARTITION BY source, d ORDER BY b) AS lnum, " +
+        "lag(b) OVER (PARTITION BY source, d ORDER BY b) AS lb " +
+        "FROM jb WHERE rc + cumb > 0), " +
+        "tc AS (SELECT source, d, cn, " +
+        "CAST(sum(CASE WHEN lb IS NULL THEN 0 ELSE CAST(floor(CAST(lnum AS DOUBLE) * (b - lb) / " +
+        "(CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) * 1048576.0) AS BIGINT) END) AS BIGINT) AS s2 " +
+        "FROM gc, reft GROUP BY source, d, cn), " +
+        "disp AS (SELECT tw.source, tw.d, tw.wn, tw.maxd, " +
+        "floor(CAST(tw.s2 AS DOUBLE) / 1048576.0 * 10000 + 0.5) / 10000 AS w1, " +
+        "floor(CAST(tc.s2 AS DOUBLE) / 1048576.0 * 10000 + 0.5) / 10000 AS cw1 " +
+        "FROM tw JOIN tc ON tw.source = tc.source AND tw.d = tc.d) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, CAST(wn AS BIGINT) AS n_events, " +
+        "CAST(w1 AS DOUBLE) AS w1, CAST(cw1 AS DOUBLE) AS cum_w1, (w1 > 1.0) AS alarm " +
+        "FROM disp WHERE d < maxd ORDER BY source, window_start"),
+
+    "q308_cusum_replay" ->
+      // CUSUM daily counts: the same prefix-sum/running-min identity as
+      // q302 (S+ = m - min(0, running min m)) at slack 2 / threshold 50
+      // — mu integral, so every sum is an exact integer-valued double
+      ("WITH ev AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "fit AS (SELECT floor(CAST(count(*) AS DOUBLE) / (7.0 * count(DISTINCT event_type))) AS mu FROM ev, c WHERE d < cutd), " +
+        "daily AS (SELECT event_type, d, count(*) AS n FROM ev, c WHERE d >= cutd GROUP BY 1, 2), " +
+        "seq AS (SELECT event_type, d, n, " +
+        "sum(n - mu - 2) OVER (PARTITION BY event_type ORDER BY d) AS m_up, " +
+        "sum(mu - n - 2) OVER (PARTITION BY event_type ORDER BY d) AS m_dn, " +
+        "max(d) OVER (PARTITION BY event_type) AS maxd FROM daily, fit), " +
+        "cs AS (SELECT event_type, d, n, maxd, " +
+        "m_up - least(0, min(m_up) OVER (PARTITION BY event_type ORDER BY d)) AS su, " +
+        "m_dn - least(0, min(m_dn) OVER (PARTITION BY event_type ORDER BY d)) AS sd FROM seq) " +
+        "SELECT event_type, CAST(d AS BIGINT) AS day, CAST(n AS BIGINT) AS n, " +
+        "CAST(su AS DOUBLE) AS s_up, CAST(sd AS DOUBLE) AS s_down, " +
+        "(su > 50.0 OR sd > 50.0) AS alarm " +
+        "FROM cs WHERE d < maxd ORDER BY event_type, day"),
 
     "q68_levenshtein" ->
       ("WITH t AS (SELECT DISTINCT event_type FROM events) " +

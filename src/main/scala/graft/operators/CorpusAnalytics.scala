@@ -1309,9 +1309,10 @@ object CorpusAnalytics {
     * conditional aggregate carries both sides; the spine/smoothing/psi
     * chain is the standalone one verbatim ([[psiStability]] now
     * delegates here, so the forms can't drift). Bucket counts are exact
-    * longs either way; the only shape difference is that an entirely
-    * empty side reads n=0 here where two separate aggregates read null —
-    * a degenerate input no caller splits into.
+    * longs either way, and an entirely empty side yields NULL psi/band
+    * in BOTH forms (a finite PSI of pure smoothing would read "stable"
+    * on no data) — the token totals still report so the caller can see
+    * WHICH side was empty.
     */
   def psiStabilitySided(
       df: DataFrame,
@@ -1341,9 +1342,15 @@ object CorpusAnalytics {
       .agg(
         first(col("na")).as("n_tokens_a"),
         first(col("nb")).as("n_tokens_b"),
-        round(sum((pa - pb) * log(pa / pb)), 4).as("psi"))
+        // an entirely empty side has no distribution — a finite PSI made
+        // of pure add-1 smoothing would read "stable" on no data. NULL
+        // psi/band there restores the two-frame form's historical
+        // empty-side contract in BOTH forms (ADVICE r17)
+        when(first(col("na")) > 0 && first(col("nb")) > 0,
+          round(sum((pa - pb) * log(pa / pb)), 4)).as("psi"))
       .select(col("n_tokens_a"), col("n_tokens_b"), col("psi"),
-        when(col("psi") < 0.1, lit("stable"))
+        when(col("psi").isNull, lit(null).cast("string"))
+          .when(col("psi") < 0.1, lit("stable"))
           .when(col("psi") < 0.25, lit("moderate"))
           .otherwise(lit("major")).as("band"))
   }

@@ -3266,6 +3266,10 @@ object Quality {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
       .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+    // the cell aggregate stays persisted after the card materializes
+    // (caller-visible lifecycle, the dedup-family discipline: unpersist
+    // via spark.catalog.clearCache between cards — Bench does; a library
+    // caller running many cards in one session should too) — ADVICE r17
     val cells = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
       .persist()
     val perG = cells.groupBy(col("_g")).agg(

@@ -480,7 +480,12 @@ object Sessions {
       events: DataFrame,
       typeCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
+    // null-ts rows are dropped HERE, not at call sites, so all four trend
+    // operators (MK / Cox–Stuart / KPSS / trendCard) share the same input
+    // contract — previously only caller-side pre-filters kept a spurious
+    // null-day point out of the standalone MK series (ADVICE r17)
     val daily = events
+      .filter(col(tsCol).isNotNull)
       .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
     val series = daily

@@ -68,10 +68,25 @@ cust_sql = " UNION ALL ".join(
     for k in range(3))
 con.execute(f"COPY ({cust_sql}) TO '{out}/customer.parquet' (FORMAT parquet)")
 
-for t in ("region nation supplier part orders lineitem events").split():
+for t in ("region nation supplier part orders lineitem").split():
     con.execute(
         f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
         f"TO '{out}/{t}.parquet' (FORMAT parquet)")
+
+# events triples for the grouped-statistic cards (r17 VERDICT item 3:
+# q293/q300/q249-family probes were blind on a passthrough copy):
+# replica K suffixes event_type (3x sources, each with sf0.1's exact
+# per-source daily/value structure — the linear null hypothesis for
+# group-keyed cards) and offsets event_id by an EVEN constant so
+# q220/q293's even/odd event_id split is preserved within each replica.
+# ts/value/user_id pass through: same days, same distributions.
+ev_sql = " UNION ALL ".join(
+    f"SELECT event_id + {k * 2000000} AS event_id, ts, user_id, "
+    f"event_type || '{'' if k == 0 else f'_r{k}'}' AS event_type, "
+    "value, props "
+    f"FROM read_parquet('{src}/events.parquet')"
+    for k in range(3))
+con.execute(f"COPY ({ev_sql}) TO '{out}/events.parquet' (FORMAT parquet)")
 
 for t in ("documents", "embeddings"):
     n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
