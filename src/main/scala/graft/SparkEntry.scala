@@ -2196,6 +2196,33 @@ object SparkEntry {
     "q308_cusum_replay" -> ((s, dir) =>
       streaming.MonitorReplay.cusumReplay(s, dir)),
 
+    "q309_conformal_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.conformalReplay(s, dir)),
+
+    "q310_precision_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.precisionReplay(s, dir)),
+
+    "q311_auc_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.aucReplay(s, dir)),
+
+    "q312_calibration_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.calibrationReplay(s, dir)),
+
+    "q313_psi_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.scoreDriftReplay(s, dir)),
+
+    "q314_sprt_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.sprtReplay(s, dir)),
+
+    "q315_parity_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.parityReplay(s, dir)),
+
+    "q316_js_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.jsDriftReplay(s, dir)),
+
+    "q317_quality_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.qualityReplay(s, dir)),
+
     "q250_friedman" -> ((s, dir) => {
       // Friedman chi2 + Kendall's W over q228's THREE band raters:
       // kappa (q228) asks whether the raters AGREE; this asks whether
@@ -10349,6 +10376,344 @@ object SparkEntry {
         "CAST(su AS DOUBLE) AS s_up, CAST(sd AS DOUBLE) AS s_down, " +
         "(su > 50.0 OR sd > 50.0) AS alarm " +
         "FROM cs WHERE d < maxd ORDER BY event_type, day"),
+
+    "q309_conformal_replay" ->
+      // conformal coverage: the |y - (10 + 2x)| <= 60 hit predicate is
+      // bit-identical on both engines (2x and 10 + 2x are exact), the
+      // coverage a raw IEEE division; alarm bound written as the SAME
+      // 0.8 - 0.05 subtraction the monitor computes
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "CAST(user_id % 97 AS DOUBLE) AS x, value AS y " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "m AS (SELECT source, d, count(*) AS n, " +
+        "sum(CASE WHEN abs(y - (10.0 + 2.0 * x)) <= 60.0 THEN 1 ELSE 0 END) AS cov " +
+        "FROM ev, c WHERE d >= cutd GROUP BY 1, 2), " +
+        "w AS (SELECT source, d, n, cov, " +
+        "CAST(sum(n) OVER pw AS BIGINT) AS cn, CAST(sum(cov) OVER pw AS BIGINT) AS ccov, " +
+        "max(d) OVER (PARTITION BY source) AS maxd FROM m " +
+        "WINDOW pw AS (PARTITION BY source ORDER BY d)) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, " +
+        "CAST(n AS BIGINT) AS n_eval, CAST(cov AS BIGINT) AS covered, " +
+        "CAST(cov AS DOUBLE) / CAST(n AS DOUBLE) AS coverage, " +
+        "CAST(ccov AS DOUBLE) / CAST(cn AS DOUBLE) AS cum_coverage, " +
+        "(CAST(cov AS DOUBLE) / CAST(n AS DOUBLE) < (0.8 - 0.05)) AS alarm " +
+        "FROM w WHERE d < maxd ORDER BY source, window_start"),
+
+    "q310_precision_replay" ->
+      // precision/recall/F1 at threshold bin 1 of 10 over the clamped
+      // rational floor(value)/200: confusion cells are integer counts,
+      // bp displays the floor-form chain, NULL when a denominator is 0
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "greatest(0, least(CAST(floor(value) AS BIGINT), 200)) AS n0, " +
+        "(user_id % 3 = 0) AS label " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "m AS (SELECT source, d, count(*) AS n, " +
+        "sum(CASE WHEN least(9, n0 * 10 // 200) >= 1 AND label THEN 1 ELSE 0 END) AS tp, " +
+        "sum(CASE WHEN least(9, n0 * 10 // 200) >= 1 AND NOT label THEN 1 ELSE 0 END) AS fp, " +
+        "sum(CASE WHEN least(9, n0 * 10 // 200) < 1 AND label THEN 1 ELSE 0 END) AS fn " +
+        "FROM ev, c WHERE d >= cutd GROUP BY 1, 2), " +
+        "w AS (SELECT source, d, n, tp, fp, fn, " +
+        "max(d) OVER (PARTITION BY source) AS maxd FROM m), " +
+        "disp AS (SELECT source, d, n, tp, fp, fn, maxd, " +
+        "CASE WHEN tp + fp > 0 THEN CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS pbp, " +
+        "CASE WHEN tp + fn > 0 THEN CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS rbp, " +
+        "CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(floor(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS fbp " +
+        "FROM w) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, " +
+        "CAST(n AS BIGINT) AS n_events, CAST(tp AS BIGINT) AS tp, " +
+        "CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn, " +
+        "pbp AS precision_bp, rbp AS recall_bp, fbp AS f1_bp, " +
+        "((pbp IS NOT NULL AND pbp < 5000) OR (rbp IS NOT NULL AND rbp < 5000)) AS alarm " +
+        "FROM disp WHERE d < maxd ORDER BY source, window_start"),
+
+    "q311_auc_replay" ->
+      // binned rank AUC on 10 bins over [0, 250): the rank numerator is
+      // the exact half-integer sum doubled into one BIGINT
+      // (pos_b·(2·negBelow + neg_b)), halved back in DOUBLE (exact),
+      // one division, floor-form display; single-class windows read NaN
+      // on both engines and never alarm
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "least(9, greatest(0, CAST(floor(value / 25.0) AS BIGINT))) AS b, " +
+        "(user_id % 3 = 0) AS label " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(10)), " +
+        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
+        "cnts AS (SELECT source, d, b, " +
+        "sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos, " +
+        "sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS neg " +
+        "FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), " +
+        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.pos, 0) AS pos, coalesce(cnts.neg, 0) AS neg " +
+        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
+        "cc AS (SELECT source, d, b, pos, neg, " +
+        "CAST(sum(pos) OVER pb AS BIGINT) AS cpos, CAST(sum(neg) OVER pb AS BIGINT) AS cneg " +
+        "FROM cell WINDOW pb AS (PARTITION BY source, b ORDER BY d)), " +
+        "bd AS (SELECT source, d, b, pos, neg, cpos, cneg, " +
+        "coalesce(CAST(sum(neg) OVER (PARTITION BY source, d ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS negbelow, " +
+        "coalesce(CAST(sum(cneg) OVER (PARTITION BY source, d ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cnegbelow, " +
+        "max(d) OVER (PARTITION BY source) AS maxd FROM cc), " +
+        "s AS (SELECT source, d, maxd, " +
+        "CAST(sum(pos) AS BIGINT) AS p, CAST(sum(neg) AS BIGINT) AS n, " +
+        "CAST(sum(pos * (2 * negbelow + neg)) AS BIGINT) AS num2, " +
+        "CAST(sum(cpos) AS BIGINT) AS cp, CAST(sum(cneg) AS BIGINT) AS cn, " +
+        "CAST(sum(cpos * (2 * cnegbelow + cneg)) AS BIGINT) AS cnum2 " +
+        "FROM bd GROUP BY source, d, maxd), " +
+        "disp AS (SELECT source, d, p, n, maxd, " +
+        "CASE WHEN p > 0 AND n > 0 THEN floor(CAST(num2 AS DOUBLE) / 2.0 / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000 " +
+        "ELSE CAST('nan' AS DOUBLE) END AS auc, " +
+        "CASE WHEN cp > 0 AND cn > 0 THEN floor(CAST(cnum2 AS DOUBLE) / 2.0 / (CAST(cp AS DOUBLE) * CAST(cn AS DOUBLE)) * 10000 + 0.5) / 10000 " +
+        "ELSE CAST('nan' AS DOUBLE) END AS cauc FROM s) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, " +
+        "CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg, " +
+        "CAST(auc AS DOUBLE) AS auc, CAST(cauc AS DOUBLE) AS cum_auc, " +
+        "(NOT isnan(auc) AND auc < 0.6) AS alarm " +
+        "FROM disp WHERE d < maxd ORDER BY source, window_start"),
+
+    "q312_calibration_replay" ->
+      // ECE/Brier over the clamped rational floor(value)/200, 10 bins:
+      // per-row (bin, score, Brier) terms are exact 2^20 integer grains,
+      // the ECE fold replays q210's sorted-bin list_reduce chain per
+      // (source, window) on both the window and cumulative ledgers
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "greatest(0, least(CAST(floor(value) AS BIGINT), 200)) AS n0, " +
+        "(user_id % 2 = 0) AS label " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "rows_ AS (SELECT source, d, least(9, n0 * 10 // 200) AS b, " +
+        "n0 * 1048576 // 200 AS s20, " +
+        "(n0 - CASE WHEN label THEN 200 ELSE 0 END) * (n0 - CASE WHEN label THEN 200 ELSE 0 END) * 1048576 // 40000 AS b20, " +
+        "CASE WHEN label THEN 1 ELSE 0 END AS pos FROM ev, c WHERE d >= cutd), " +
+        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(10)), " +
+        "sd AS (SELECT DISTINCT source, d FROM rows_), " +
+        "cnts AS (SELECT source, d, b, count(*) AS n, sum(pos) AS np, " +
+        "sum(s20) AS ssum, sum(b20) AS bsum FROM rows_ GROUP BY 1, 2, 3), " +
+        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.n, 0) AS n, " +
+        "coalesce(cnts.np, 0) AS np, coalesce(cnts.ssum, 0) AS ssum, coalesce(cnts.bsum, 0) AS bsum " +
+        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
+        "cc AS (SELECT source, d, b, n, np, ssum, bsum, " +
+        "CAST(sum(n) OVER pb AS BIGINT) AS cn, CAST(sum(np) OVER pb AS BIGINT) AS cnp, " +
+        "CAST(sum(ssum) OVER pb AS BIGINT) AS cssum " +
+        "FROM cell WINDOW pb AS (PARTITION BY source, b ORDER BY d)), " +
+        "o AS (SELECT source, d, " +
+        "list(struct_pack(b := b, n := n, np := np, s := ssum) ORDER BY b) FILTER (WHERE n > 0) AS bs, " +
+        "list(struct_pack(b := b, n := cn, np := cnp, s := cssum) ORDER BY b) FILTER (WHERE cn > 0) AS cbs, " +
+        "CAST(sum(n) AS BIGINT) AS tot, CAST(sum(np) AS BIGINT) AS npos, " +
+        "CAST(sum(bsum) AS BIGINT) AS btot, CAST(sum(cn) AS BIGINT) AS ctot " +
+        "FROM cc GROUP BY source, d), " +
+        "w AS (SELECT source, d, tot, npos, btot, ctot, bs, cbs, " +
+        "max(d) OVER (PARTITION BY source) AS maxd FROM o) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, " +
+        "tot AS n, npos AS n_pos, " +
+        "CAST(floor(list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
+        "CAST((e).n AS DOUBLE) / CAST(tot AS DOUBLE) * " +
+        "abs(CAST((e).s AS DOUBLE) / (CAST((e).n AS DOUBLE) * 1048576.0) - " +
+        "CAST((e).np AS DOUBLE) / CAST((e).n AS DOUBLE)))), " +
+        "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
+        "CAST(floor(CAST(btot AS DOUBLE) / (CAST(tot AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp, " +
+        "CAST(floor(list_reduce(list_prepend(0.0, list_transform(cbs, e -> " +
+        "CAST((e).n AS DOUBLE) / CAST(ctot AS DOUBLE) * " +
+        "abs(CAST((e).s AS DOUBLE) / (CAST((e).n AS DOUBLE) * 1048576.0) - " +
+        "CAST((e).np AS DOUBLE) / CAST((e).n AS DOUBLE)))), " +
+        "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS cum_ece_bp, " +
+        "(CAST(floor(list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
+        "CAST((e).n AS DOUBLE) / CAST(tot AS DOUBLE) * " +
+        "abs(CAST((e).s AS DOUBLE) / (CAST((e).n AS DOUBLE) * 1048576.0) - " +
+        "CAST((e).np AS DOUBLE) / CAST((e).n AS DOUBLE)))), " +
+        "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) >= 1000) AS alarm " +
+        "FROM w WHERE d < maxd ORDER BY source, window_start"),
+
+    "q313_psi_replay" ->
+      // add-1-smoothed PSI on the shared 7-bin plan, sorted-bin fold via
+      // the q210 list_reduce idiom over ALL bins (smoothing gives zero
+      // bins mass), display round(s, 4) — the q220 HALF_UP pairing
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "(CASE WHEN value >= 5 THEN 1 ELSE 0 END + CASE WHEN value >= 10 THEN 1 ELSE 0 END + " +
+        "CASE WHEN value >= 20 THEN 1 ELSE 0 END + CASE WHEN value >= 50 THEN 1 ELSE 0 END + " +
+        "CASE WHEN value >= 100 THEN 1 ELSE 0 END + CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS b " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(7)), " +
+        "refh AS (SELECT bins.b, coalesce(rc.cnt, 0) AS rc FROM bins LEFT JOIN " +
+        "(SELECT b, count(*) AS cnt FROM ev, c WHERE d < cutd GROUP BY 1) rc ON bins.b = rc.b), " +
+        "reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nref FROM refh), " +
+        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
+        "cnts AS (SELECT source, d, b, count(*) AS cnt FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), " +
+        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.cnt, 0) AS cnt " +
+        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
+        "cc AS (SELECT source, d, b, cnt, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, b ORDER BY d) AS BIGINT) AS cumb FROM cell), " +
+        "o AS (SELECT cc.source, cc.d, " +
+        "list(struct_pack(b := cc.b, cnt := cc.cnt, cum := cc.cumb, rc := refh.rc) ORDER BY cc.b) AS bs, " +
+        "CAST(sum(cc.cnt) AS BIGINT) AS wn, CAST(sum(cc.cumb) AS BIGINT) AS cn " +
+        "FROM cc JOIN refh ON cc.b = refh.b GROUP BY cc.source, cc.d), " +
+        "w AS (SELECT source, d, wn, cn, bs, max(d) OVER (PARTITION BY source) AS maxd, nref FROM o, reft), " +
+        "disp AS (SELECT source, d, wn, maxd, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
+        "((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 7) - (CAST((e).cnt AS DOUBLE) + 1.0) / (CAST(wn AS DOUBLE) + 7)) * " +
+        "ln(((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 7)) / ((CAST((e).cnt AS DOUBLE) + 1.0) / (CAST(wn AS DOUBLE) + 7))))), " +
+        "(x, y) -> x + y), 4) AS psi, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
+        "((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 7) - (CAST((e).cum AS DOUBLE) + 1.0) / (CAST(cn AS DOUBLE) + 7)) * " +
+        "ln(((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 7)) / ((CAST((e).cum AS DOUBLE) + 1.0) / (CAST(cn AS DOUBLE) + 7))))), " +
+        "(x, y) -> x + y), 4) AS cpsi FROM w) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, " +
+        "CAST(wn AS BIGINT) AS n_events, CAST(psi AS DOUBLE) AS psi, " +
+        "CAST(cpsi AS DOUBLE) AS cum_psi, (psi > 0.25) AS alarm " +
+        "FROM disp WHERE d < maxd ORDER BY source, window_start"),
+
+    "q314_sprt_replay" ->
+      // SPRT on pass = (value >= 20) daily trials: the ONLY replay whose
+      // state resets on decision, so the oracle folds the day sequence
+      // per source with WITH RECURSIVE; the log-likelihood weights embed
+      // as Java's own double literals, making k*w1 + (n-k)*w0 bit-exact
+      ("WITH RECURSIVE ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "CASE WHEN value >= 20.0 THEN 1 ELSE 0 END AS pass " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "daily AS (SELECT source, d, count(*) AS n, sum(pass) AS k FROM ev, c WHERE d >= cutd GROUP BY 1, 2), " +
+        "days AS (SELECT source, d, n, k, " +
+        "row_number() OVER (PARTITION BY source ORDER BY d) AS i, " +
+        "count(*) OVER (PARTITION BY source) AS m FROM daily), " +
+        "rec AS (" +
+        "SELECT source, i, d, m, CAST(n AS BIGINT) AS accn, CAST(k AS BIGINT) AS acck FROM days WHERE i = 1 " +
+        "UNION ALL " +
+        "SELECT dy.source, dy.i, dy.d, dy.m, " +
+        s"CASE WHEN r.acck * (${streaming.MonitorReplay.SprtWPass}) + (r.accn - r.acck) * (${streaming.MonitorReplay.SprtWFail}) >= (${streaming.MonitorReplay.SprtUpper}) " +
+        s"OR r.acck * (${streaming.MonitorReplay.SprtWPass}) + (r.accn - r.acck) * (${streaming.MonitorReplay.SprtWFail}) <= (${streaming.MonitorReplay.SprtLower}) " +
+        "THEN 0 ELSE r.accn END + dy.n, " +
+        s"CASE WHEN r.acck * (${streaming.MonitorReplay.SprtWPass}) + (r.accn - r.acck) * (${streaming.MonitorReplay.SprtWFail}) >= (${streaming.MonitorReplay.SprtUpper}) " +
+        s"OR r.acck * (${streaming.MonitorReplay.SprtWPass}) + (r.accn - r.acck) * (${streaming.MonitorReplay.SprtWFail}) <= (${streaming.MonitorReplay.SprtLower}) " +
+        "THEN 0 ELSE r.acck END + dy.k " +
+        "FROM rec r JOIN days dy ON dy.source = r.source AND dy.i = r.i + 1), " +
+        "res AS (SELECT source, i, d, m, accn, acck, " +
+        s"acck * (${streaming.MonitorReplay.SprtWPass}) + (accn - acck) * (${streaming.MonitorReplay.SprtWFail}) AS llr FROM rec) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, " +
+        "CAST(accn AS BIGINT) AS n_trials, CAST(acck AS BIGINT) AS n_pass, " +
+        "CAST(floor(llr * 10000 + 0.5) / 10000 AS DOUBLE) AS llr, " +
+        s"CASE WHEN llr >= (${streaming.MonitorReplay.SprtUpper}) THEN 'reject_h0' " +
+        s"WHEN llr <= (${streaming.MonitorReplay.SprtLower}) THEN 'accept_h0' " +
+        "ELSE 'continue' END AS decision, " +
+        s"(llr >= (${streaming.MonitorReplay.SprtUpper})) AS alarm " +
+        "FROM res WHERE i < m ORDER BY source, window_start"),
+
+    "q315_parity_replay" ->
+      // demographic parity: integer pass counts per (source, day, group
+      // slot), floor-form bp rates, gap = max - min over ACTIVE slots,
+      // tie names resolve to the least (ASCII binary order both engines)
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
+        "CASE WHEN user_id % 4 <= 2 THEN 'g' || CAST(user_id % 4 AS VARCHAR) ELSE '__other__' END AS grp, " +
+        "CASE WHEN value >= 30.0 THEN 1 ELSE 0 END AS pred " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "grps AS (SELECT unnest(['g0', 'g1', 'g2', '__other__']) AS grp), " +
+        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
+        "cells AS (SELECT source, d, grp, count(*) AS n, sum(pred) AS np " +
+        "FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), " +
+        "cell AS (SELECT sd.source, sd.d, grps.grp, coalesce(cells.n, 0) AS n, coalesce(cells.np, 0) AS np " +
+        "FROM sd CROSS JOIN grps LEFT JOIN cells ON sd.source = cells.source AND sd.d = cells.d AND grps.grp = cells.grp), " +
+        "cc AS (SELECT source, d, grp, n, np, " +
+        "CAST(sum(n) OVER pg AS BIGINT) AS cn, CAST(sum(np) OVER pg AS BIGINT) AS cnp " +
+        "FROM cell WINDOW pg AS (PARTITION BY source, grp ORDER BY d)), " +
+        "rates AS (SELECT source, d, grp, n, " +
+        "CASE WHEN n > 0 THEN CAST(floor(CAST(np AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS r, " +
+        "CASE WHEN cn > 0 THEN CAST(floor(CAST(cnp AS DOUBLE) / CAST(cn AS DOUBLE) * 10000 + 0.5) AS BIGINT) END AS cr " +
+        "FROM cc), " +
+        "mm AS (SELECT source, d, CAST(sum(n) AS BIGINT) AS n_events, " +
+        "CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS act, " +
+        "max(r) AS mx, min(r) AS mn, max(cr) AS cmx, min(cr) AS cmn " +
+        "FROM rates GROUP BY 1, 2), " +
+        "nm AS (SELECT r.source, r.d, " +
+        "min(CASE WHEN r.r = mm.mx THEN r.grp END) AS maxg, " +
+        "min(CASE WHEN r.r = mm.mn THEN r.grp END) AS ming " +
+        "FROM rates r JOIN mm ON r.source = mm.source AND r.d = mm.d GROUP BY 1, 2), " +
+        "w AS (SELECT mm.*, nm.maxg, nm.ming, " +
+        "max(mm.d) OVER (PARTITION BY mm.source) AS maxd " +
+        "FROM mm JOIN nm ON mm.source = nm.source AND mm.d = nm.d) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, " +
+        "n_events, act AS n_groups_active, " +
+        "CAST(mx - mn AS BIGINT) AS parity_gap_bp, maxg AS max_group, ming AS min_group, " +
+        "CAST(cmx - cmn AS BIGINT) AS cum_parity_gap_bp, (mx - mn >= 2000) AS alarm " +
+        "FROM w WHERE d < maxd ORDER BY source, window_start"),
+
+    "q316_js_replay" ->
+      // token-mix JS divergence over md5 buckets mod 16: the reference
+      // fit, bucket draw ('0x' || first 8 md5 hex chars — the batch
+      // conv(substring(md5)) value), add-1 smoothing over ALL buckets,
+      // and the two bucket-ordered KL folds (q210 list_reduce idiom)
+      // halved and summed exactly as the monitor accumulates them
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, props " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL), " +
+        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(16)), " +
+        "rtok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(props)), '\\s+'), t -> length(t) > 0)) AS t " +
+        "FROM ev, c WHERE d < cutd), " +
+        "refh AS (SELECT bins.b, coalesce(rc.cnt, 0) AS rc FROM bins LEFT JOIN " +
+        "(SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 16 AS b, count(*) AS cnt FROM rtok GROUP BY 1) rc ON bins.b = rc.b), " +
+        "reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nref FROM refh), " +
+        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
+        "tok AS (SELECT source, d, unnest(list_filter(regexp_split_to_array(lower(trim(props)), '\\s+'), t -> length(t) > 0)) AS t " +
+        "FROM ev, c WHERE d >= cutd), " +
+        "cnts AS (SELECT source, d, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 16 AS b, count(*) AS cnt " +
+        "FROM tok GROUP BY 1, 2, 3), " +
+        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.cnt, 0) AS cnt " +
+        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
+        "cc AS (SELECT source, d, b, cnt, " +
+        "CAST(sum(cnt) OVER (PARTITION BY source, b ORDER BY d) AS BIGINT) AS cumb FROM cell), " +
+        "o AS (SELECT cc.source, cc.d, " +
+        "list(struct_pack(b := cc.b, cnt := cc.cnt, cum := cc.cumb, rc := refh.rc) ORDER BY cc.b) AS bs, " +
+        "CAST(sum(cc.cnt) AS BIGINT) AS wn, CAST(sum(cc.cumb) AS BIGINT) AS cn " +
+        "FROM cc JOIN refh ON cc.b = refh.b GROUP BY cc.source, cc.d), " +
+        "w AS (SELECT source, d, wn, cn, bs, max(d) OVER (PARTITION BY source) AS maxd, nref FROM o, reft), " +
+        "disp AS (SELECT source, d, wn, maxd, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
+        "((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 16)) * " +
+        "ln(((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 16)) / " +
+        "((((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 16)) + ((CAST((e).cnt AS DOUBLE) + 1.0) / (CAST(wn AS DOUBLE) + 16))) / 2.0)))), " +
+        "(x, y) -> x + y) / 2.0 + " +
+        "list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
+        "((CAST((e).cnt AS DOUBLE) + 1.0) / (CAST(wn AS DOUBLE) + 16)) * " +
+        "ln(((CAST((e).cnt AS DOUBLE) + 1.0) / (CAST(wn AS DOUBLE) + 16)) / " +
+        "((((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 16)) + ((CAST((e).cnt AS DOUBLE) + 1.0) / (CAST(wn AS DOUBLE) + 16))) / 2.0)))), " +
+        "(x, y) -> x + y) / 2.0, 4) AS js, " +
+        "round(list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
+        "((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 16)) * " +
+        "ln(((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 16)) / " +
+        "((((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 16)) + ((CAST((e).cum AS DOUBLE) + 1.0) / (CAST(cn AS DOUBLE) + 16))) / 2.0)))), " +
+        "(x, y) -> x + y) / 2.0 + " +
+        "list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
+        "((CAST((e).cum AS DOUBLE) + 1.0) / (CAST(cn AS DOUBLE) + 16)) * " +
+        "ln(((CAST((e).cum AS DOUBLE) + 1.0) / (CAST(cn AS DOUBLE) + 16)) / " +
+        "((((CAST((e).rc AS DOUBLE) + 1.0) / (CAST(nref AS DOUBLE) + 16)) + ((CAST((e).cum AS DOUBLE) + 1.0) / (CAST(cn AS DOUBLE) + 16))) / 2.0)))), " +
+        "(x, y) -> x + y) / 2.0, 4) AS cjs FROM w) " +
+        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, " +
+        "CAST(wn AS BIGINT) AS n_tokens, CAST(js AS DOUBLE) AS js, " +
+        "CAST(cjs AS DOUBLE) AS cum_js, (js > 0.05) AS alarm " +
+        "FROM disp WHERE d < maxd AND wn > 0 ORDER BY source, window_start"),
+
+    "q317_quality_replay" ->
+      // the built-in watermark + windowed-aggregation path: four
+      // row-local constraint violation counts per 1-day window; with
+      // delay 0 the final watermark is max(ts), and every window whose
+      // end it reached emits
+      ("WITH ev AS (SELECT epoch_ms(ts) // 86400000 AS d, epoch_ms(ts) AS tms, " +
+        "event_type, value, props FROM events WHERE ts IS NOT NULL), " +
+        "wm AS (SELECT max(tms) AS w FROM ev), " +
+        "m AS (SELECT d, count(*) AS checked, " +
+        "sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS v0, " +
+        "sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 150.0) THEN 1 ELSE 0 END) AS v1, " +
+        "sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click', 'view', 'signup') THEN 1 ELSE 0 END) AS v2, " +
+        "sum(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\\{\"k\": [0-9]+\\}$') THEN 1 ELSE 0 END) AS v3 " +
+        "FROM ev GROUP BY d), " +
+        "u AS (SELECT d, 'not_null(value)' AS con, v0 AS violations, checked FROM m " +
+        "UNION ALL SELECT d, 'in_range(value)', v1, checked FROM m " +
+        "UNION ALL SELECT d, 'in_set(event_type)', v2, checked FROM m " +
+        "UNION ALL SELECT d, 'matches_regex(props)', v3, checked FROM m) " +
+        "SELECT CAST(d * 86400000 AS BIGINT) AS window_start, con AS \"constraint\", " +
+        "(violations = 0) AS passed, CAST(violations AS BIGINT) AS violations, " +
+        "CAST(checked AS BIGINT) AS checked " +
+        "FROM u, wm WHERE (d + 1) * 86400000 <= w ORDER BY window_start, \"constraint\""),
 
     "q68_levenshtein" ->
       ("WITH t AS (SELECT DISTINCT event_type FROM events) " +

@@ -245,6 +245,299 @@ object MonitorReplay {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** q309: [[ConformalMonitor]] replayed over a deterministic
+    * (x, y) = (user_id mod 97, value) regression frame, daily windows;
+    * the fitted line/quantile are caller-supplied reference parameters
+    * (integral literals, so the coverage predicate is bit-identical on
+    * both engines: 2x and 10 + 2x are exact doubles).
+    */
+  def conformalReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+    val (_, cur) = daySplit(ev)
+    implicit val inEnc = Encoders.product[ConformalMonitor.Pred]
+    implicit val outEnc = Encoders.product[ConformalMonitor.WinRow]
+    val rows = cur.select(col("event_type").as("source"), col("ts"),
+      (col("user_id") % 97).cast("double").as("x"), col("value").as("y"))
+      .orderBy(col("ts"), col("source"), col("x"), col("y"))
+      .as[ConformalMonitor.Pred].collect().toSeq
+    val out = runStream[ConformalMonitor.Pred, ConformalMonitor.WinRow](
+      spark, rows,
+      ds => ConformalMonitor.monitor(ds, slope = 2.0, intercept = 10.0,
+        qHat = 60.0, target = 0.8, windowMs = DayMs, tolerance = 0.05))
+    spark.createDataset(out).toDF()
+      .orderBy(col("source"), col("window_start"))
+  }
+
+  /** q310: [[PrecisionMonitor]] replayed over the rational prediction
+    * (⌊value⌋ / 200, clamped by the monitor) against label
+    * user_id ≡ 0 (mod 3), threshold bin 1 of 10, daily windows — the
+    * whole confusion ledger is integer counts, bp displays floor-form.
+    */
+  def precisionReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+    val (_, cur) = daySplit(ev)
+    implicit val inEnc = Encoders.product[PrecisionMonitor.Scored]
+    implicit val outEnc = Encoders.product[PrecisionMonitor.WinRow]
+    val rows = cur.select(col("event_type").as("source"), col("ts"),
+      floor(col("value")).cast("long").as("num"), lit(200L).as("den"),
+      (col("user_id") % 3 === 0).as("label"))
+      .orderBy(col("ts"), col("source"), col("num"), col("label"))
+      .as[PrecisionMonitor.Scored].collect().toSeq
+    val out = runStream[PrecisionMonitor.Scored, PrecisionMonitor.WinRow](
+      spark, rows,
+      ds => PrecisionMonitor.monitor(ds, thrBin = 1, bins = 10,
+        precisionFloorBp = 5000L, recallFloorBp = 5000L, windowMs = DayMs))
+    spark.createDataset(out).toDF()
+      .orderBy(col("source"), col("window_start"))
+  }
+
+  /** q311: [[AucMonitor]] replayed over (score = value, label =
+    * user_id ≡ 0 (mod 3)), 10 bins on [0, 250), AUC floor 0.6, daily
+    * windows — the rank numerator is a half-integer sum (exact in
+    * binary), one division, floor-form display.
+    */
+  def aucReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+    val (_, cur) = daySplit(ev)
+    implicit val inEnc = Encoders.product[AucMonitor.Scored]
+    implicit val outEnc = Encoders.product[AucMonitor.WinRow]
+    val rows = cur.select(col("event_type").as("source"), col("ts"),
+      col("value").as("score"), (col("user_id") % 3 === 0).as("label"))
+      .orderBy(col("ts"), col("source"), col("score"), col("label"))
+      .as[AucMonitor.Scored].collect().toSeq
+    val out = runStream[AucMonitor.Scored, AucMonitor.WinRow](
+      spark, rows,
+      ds => AucMonitor.monitor(ds, scoreMin = 0.0, scoreMax = 250.0,
+        bins = 10, aucFloor = 0.6, windowMs = DayMs))
+    spark.createDataset(out).toDF()
+      .orderBy(col("source"), col("window_start"))
+  }
+
+  /** q312: [[CalibrationMonitor]] replayed over the rational prediction
+    * (⌊value⌋ / 200) against label user_id ≡ 0 (mod 2), 10 bins, daily
+    * windows — per-row (bin, score, Brier) terms are the batch report's
+    * BigInt 2²⁰ grains; the ECE fold replays q210's sorted-bin chain.
+    */
+  def calibrationReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+    val (_, cur) = daySplit(ev)
+    implicit val inEnc = Encoders.product[CalibrationMonitor.Pred]
+    implicit val outEnc = Encoders.product[CalibrationMonitor.WinRow]
+    val rows = cur.select(col("event_type").as("source"), col("ts"),
+      floor(col("value")).cast("long").as("num"), lit(200L).as("den"),
+      (col("user_id") % 2 === 0).as("label"))
+      .orderBy(col("ts"), col("source"), col("num"), col("label"))
+      .as[CalibrationMonitor.Pred].collect().toSeq
+    val out = runStream[CalibrationMonitor.Pred, CalibrationMonitor.WinRow](
+      spark, rows,
+      ds => CalibrationMonitor.monitor(ds, bins = 10, eceCeilingBp = 1000L,
+        windowMs = DayMs))
+    spark.createDataset(out).toDF()
+      .orderBy(col("source"), col("window_start"))
+  }
+
+  /** q313: [[ScoreDriftMonitor]] replayed over the shared [[Cuts]] bin
+    * plan, daily windows, PSI ceiling 0.25 — the add-1-smoothed PSI
+    * fold in sorted bin order (the q210/q220 list-fold oracle idiom).
+    */
+  def scoreDriftReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+    val (ref, cur) = daySplit(ev)
+    val refCounts = refHistogram(ref)
+    implicit val inEnc = Encoders.product[ScoreDriftMonitor.Scored]
+    implicit val outEnc = Encoders.product[ScoreDriftMonitor.WinRow]
+    val rows = cur.select(col("event_type").as("source"), col("ts"),
+      col("value"))
+      .orderBy(col("ts"), col("source"), col("value"))
+      .as[ScoreDriftMonitor.Scored].collect().toSeq
+    val out = runStream[ScoreDriftMonitor.Scored, ScoreDriftMonitor.WinRow](
+      spark, rows,
+      ds => ScoreDriftMonitor.monitor(ds, Cuts, refCounts,
+        psiCeiling = 0.25, windowMs = DayMs))
+    spark.createDataset(out).toDF()
+      .orderBy(col("source"), col("window_start"))
+  }
+
+  /** The q314 SPRT parameters, shared with the oracle builder so the
+    * log-likelihood weights embed as the SAME Java doubles the monitor
+    * multiplies with (Double.toString round-trips — DuckDB parses the
+    * literal back to the identical bits, making k·w₁ + (n−k)·w₀
+    * bit-exact across engines).
+    */
+  private[graft] val SprtP0 = 0.5
+  private[graft] val SprtP1 = 0.3
+  private[graft] val SprtWPass = math.log(SprtP1 / SprtP0)
+  private[graft] val SprtWFail = math.log((1 - SprtP1) / (1 - SprtP0))
+  private[graft] val SprtUpper = math.log((1 - 0.05) / 0.05)
+  private[graft] val SprtLower = math.log(0.05 / (1 - 0.05))
+
+  /** q314: [[SprtMonitor]] replayed over pass = (value ≥ 20) trials,
+    * daily windows, H₀: p = 0.5 vs H₁: p = 0.3 at α = β = 0.05 — the
+    * only replay whose state RESETS on decision, so the oracle is a
+    * per-source recursive fold over the day sequence (DuckDB
+    * WITH RECURSIVE), not a window function.
+    */
+  def sprtReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+    val (_, cur) = daySplit(ev)
+    implicit val inEnc = Encoders.product[SprtMonitor.Trial]
+    implicit val outEnc = Encoders.product[SprtMonitor.WinRow]
+    val rows = cur.select(col("event_type").as("source"), col("ts"),
+      (col("value") >= 20.0).as("pass"))
+      .orderBy(col("ts"), col("source"), col("pass"))
+      .as[SprtMonitor.Trial].collect().toSeq
+    val out = runStream[SprtMonitor.Trial, SprtMonitor.WinRow](
+      spark, rows,
+      ds => SprtMonitor.monitor(ds, p0 = SprtP0, p1 = SprtP1,
+        alpha = 0.05, beta = 0.05, windowMs = DayMs))
+    spark.createDataset(out).toDF()
+      .orderBy(col("source"), col("window_start"))
+  }
+
+  /** q315: [[ParityMonitor]] replayed over groups g0/g1/g2 (user_id mod
+    * 4; the fourth residue lands in the reserved `__other__` slot) with
+    * pred = (value ≥ 30), gap ceiling 2000 bp, daily windows — the
+    * whole ledger is integer counts, rates floor-form bp, ties resolve
+    * to the least group name on both engines (ASCII binary order).
+    */
+  def parityReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+    val (_, cur) = daySplit(ev)
+    implicit val inEnc = Encoders.product[ParityMonitor.Decision]
+    implicit val outEnc = Encoders.product[ParityMonitor.WinRow]
+    val rows = cur.select(col("event_type").as("source"), col("ts"),
+      when(col("user_id") % 4 <= 2,
+        concat(lit("g"), (col("user_id") % 4).cast("string")))
+        .otherwise(lit("g3_unlisted")).as("group"),
+      (col("value") >= 30.0).as("pred"))
+      .orderBy(col("ts"), col("source"), col("group"), col("pred"))
+      .as[ParityMonitor.Decision].collect().toSeq
+    val out = runStream[ParityMonitor.Decision, ParityMonitor.WinRow](
+      spark, rows,
+      ds => ParityMonitor.monitor(ds, groups = Seq("g0", "g1", "g2"),
+        gapCeilingBp = 2000L, windowMs = DayMs))
+    spark.createDataset(out).toDF()
+      .orderBy(col("source"), col("window_start"))
+  }
+
+  /** q316: [[DriftMonitor]] replayed over the events `props` payloads as
+    * the token stream (whitespace tokens → first-4-md5-bytes buckets mod
+    * 16 — the batch bucket draw, portable to the oracle via DuckDB's
+    * md5), reference histogram fitted from the calibration week with the
+    * batch Spark expression, JS ceiling 0.05, daily windows.
+    */
+  def jsDriftReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Buckets = 16
+    val ev = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+    val (ref, cur) = daySplit(ev)
+    val bucketExpr = pmod(
+      conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10).cast("long"),
+      lit(Buckets.toLong))
+    val got = ref.select(explode(split(lower(trim(col("props"))), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(bucketExpr.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val refCounts = (0 until Buckets).map(b => got.getOrElse(b, 0L))
+    implicit val inEnc = Encoders.product[DriftMonitor.Doc]
+    implicit val outEnc = Encoders.product[DriftMonitor.WinRow]
+    val rows = cur.select(col("event_type").as("source"), col("ts"),
+      col("props").as("text"))
+      .orderBy(col("ts"), col("source"), col("text"))
+      .as[DriftMonitor.Doc].collect().toSeq
+    val out = runStream[DriftMonitor.Doc, DriftMonitor.WinRow](
+      spark, rows,
+      ds => DriftMonitor.monitor(ds, refCounts, jsCeiling = 0.05,
+        windowMs = DayMs))
+    spark.createDataset(out).toDF()
+      .orderBy(col("source"), col("window_start"))
+  }
+
+  private[streaming] final case class QmEv(
+      ts: java.sql.Timestamp, event_type: String,
+      value: Option[Double], props: String)
+
+  /** Drive a DataFrame→DataFrame streaming transform (the built-in
+    * watermark + windowed-aggregation path, not custom state) to
+    * completion over one micro-batch and return the appended rows.
+    */
+  private def runStreamDf[I: org.apache.spark.sql.Encoder](
+      spark: SparkSession,
+      rows: Seq[I],
+      mon: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[I]
+    val name = s"graft_replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = mon(stream.toDS().toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val schema = spark.table(name).schema
+      val data = spark.table(name).collect().toIndexedSeq
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(data).asJava), schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  /** q317: [[QualityMonitor]] replayed over the raw event stream with
+    * four row-local constraints (value non-null, value ∈ [0, 150],
+    * event_type ∈ {click, view, signup}, props matches the k-payload
+    * shape) on 1-day windows at watermark delay 0 — this drives the
+    * OTHER streaming path (built-in watermark + windowed aggregation,
+    * not flatMapGroupsWithState): every window whose end the final
+    * watermark passed emits (constraint, passed, violations, checked).
+    */
+  def qualityReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Quality
+    val ev = Tables(spark, dir, "events").filter(col("ts").isNotNull)
+    implicit val inEnc = Encoders.product[QmEv]
+    val rows = ev.select(col("ts"), col("event_type"), col("value"),
+      col("props"))
+      .orderBy(col("ts"), col("event_type"), col("value"))
+      .as[QmEv].collect().toSeq
+    val out = runStreamDf[QmEv](spark, rows,
+      df => QualityMonitor.monitor(df,
+        Seq(
+          Quality.NotNull("value"),
+          Quality.InRange("value", 0.0, 150.0),
+          Quality.InSet("event_type", Seq("click", "view", "signup")),
+          Quality.MatchesRegex("props", "^\\{\"k\": [0-9]+\\}$")),
+        tsCol = "ts", windowDuration = "1 day",
+        watermarkDelay = "0 seconds"))
+    out.select(unix_millis(col("window_start")).as("window_start"),
+        col("constraint"), col("passed"), col("violations"), col("checked"))
+      .orderBy(col("window_start"), col("constraint"))
+  }
+
   /** q305: [[CvmMonitor]] replayed over the same bin plan, daily
     * windows, criterion ceiling 500 bp.
     */

