@@ -125,7 +125,8 @@ object Bench {
       "q306_ks_replay", "q307_w1_replay", "q308_cusum_replay",
       "q309_conformal_replay", "q310_precision_replay", "q311_auc_replay",
       "q312_calibration_replay", "q313_psi_replay", "q314_sprt_replay",
-      "q315_parity_replay", "q316_js_replay", "q317_quality_replay")
+      "q315_parity_replay", "q316_js_replay", "q317_quality_replay",
+      "q318_transition_replay")
     val Passes = 3
     val results = (SparkEntry.queries.toSeq ++ benchOnly).sortBy(_._1)
       .filterNot(q => contractTwins(q._1)).map { case (name, fn) =>

@@ -2223,6 +2223,10 @@ object SparkEntry {
     "q317_quality_replay" -> ((s, dir) =>
       streaming.MonitorReplay.qualityReplay(s, dir)),
 
+    "q318_transition_replay" -> ((s, dir) =>
+      streaming.MonitorReplay.transitionReplay(s, dir)),
+
+
     "q250_friedman" -> ((s, dir) => {
       // Friedman chi2 + Kendall's W over q228's THREE band raters:
       // kappa (q228) asks whether the raters AGREE; this asks whether
@@ -10714,6 +10718,20 @@ object SparkEntry {
         "(violations = 0) AS passed, CAST(violations AS BIGINT) AS violations, " +
         "CAST(checked AS BIGINT) AS checked " +
         "FROM u, wm WHERE (d + 1) * 86400000 <= w ORDER BY window_start, \"constraint\""),
+
+    "q318_transition_replay" ->
+      // per-user transition pairs in (ts, event_id) total order reduced
+      // to counts — lag() over the SAME order the monitor sorts by; the
+      // Spark side feeds two micro-batches, so a hash match here pins
+      // the cross-batch LastEvent state bridge too
+      ("WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms, event_id, event_type " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL), " +
+        "t AS (SELECT user_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS from_type, " +
+        "event_type AS to_type FROM ev) " +
+        "SELECT user_id, from_type, to_type, CAST(count(*) AS BIGINT) AS n " +
+        "FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2, 3 " +
+        "ORDER BY user_id, from_type, to_type"),
 
     "q68_levenshtein" ->
       ("WITH t AS (SELECT DISTINCT event_type FROM events) " +

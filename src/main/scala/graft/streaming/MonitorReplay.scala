@@ -538,6 +538,65 @@ object MonitorReplay {
       .orderBy(col("window_start"), col("constraint"))
   }
 
+  /** Like [[runStream]], but feeds the rows as MULTIPLE micro-batches
+    * (processAllAvailable between adds) — for replays that must pin
+    * CROSS-BATCH state bridging, not just the within-batch fold.
+    */
+  private def runStreamBatches[I: org.apache.spark.sql.Encoder, O: org.apache.spark.sql.Encoder](
+      spark: SparkSession,
+      batches: Seq[Seq[I]],
+      mon: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.Dataset[O]): Seq[O] = {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[I]
+    val name = s"graft_replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = mon(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { rows =>
+        stream.addData(rows: _*)
+        q.processAllAvailable()
+      }
+      spark.table(name).as[O].collect().toSeq
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  /** q318: [[TransitionMonitor]] replayed over the whole event stream —
+    * per-user (from, to) event-type pairs in (ts, event_id) order,
+    * reduced to deterministic pair counts. The events feed as TWO
+    * micro-batches split at the median day, so the one-LastEvent-per-
+    * user state BRIDGE (the transition spanning the batch boundary) is
+    * on the oracled path, not just the within-batch chain; NoTimeout
+    * keeps eviction (a wall-clock effect) out of the deterministic
+    * replay. Oracle: lag() over the same total order.
+    */
+  def transitionReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("user_id").isNotNull && col("event_id").isNotNull)
+      .withColumn("_d", floor(unix_millis(col("ts")) / DayMs).cast("long"))
+    val Seq(lo, hi) = ev.agg(min(col("_d")), max(col("_d"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toSeq
+    val mid = lo + (hi - lo) / 2
+    implicit val inEnc = Encoders.product[TransitionMonitor.Ev]
+    implicit val outEnc = Encoders.product[TransitionMonitor.Transition]
+    def slice(p: org.apache.spark.sql.Column) = ev.filter(p)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[TransitionMonitor.Ev].collect().toSeq
+    val out = runStreamBatches[TransitionMonitor.Ev, TransitionMonitor.Transition](
+      spark, Seq(slice(col("_d") < mid), slice(col("_d") >= mid)),
+      ds => TransitionMonitor.transitions(ds, idleTimeoutMs = None))
+    spark.createDataset(out).toDF()
+      .groupBy(col("user_id"), col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("from_type"), col("to_type"))
+  }
+
   /** q305: [[CvmMonitor]] replayed over the same bin plan, daily
     * windows, criterion ceiling 500 bp.
     */

@@ -257,6 +257,26 @@ class MonitorReplaySpec extends SparkSpec {
     }
   }
 
+  test("transition replay bridges the two-batch split with no lost pair") {
+    val out = SparkEntry.queries("q318_transition_replay")(spark, sf())
+      .collect().toSeq
+    assert(out.nonEmpty)
+    val ev = Tables(spark, sf(), "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("user_id").isNotNull && col("event_id").isNotNull)
+    // every user's N events yield exactly N-1 transitions — if the
+    // LastEvent state failed to bridge the batch boundary, each user
+    // would lose the pair spanning it and this ledger would come up short
+    val perUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairTotals = out.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    perUser.foreach { case (u, n) =>
+      assert(pairTotals.getOrElse(u, 0L) == n - 1,
+        s"user $u: ${pairTotals.getOrElse(u, 0L)} pairs from $n events")
+    }
+  }
+
   test("kuiper and cvm replays agree on emission and n_events") {
     val k = MonitorReplay.kuiperReplay(spark, sf()).collect().toSeq
     val c = MonitorReplay.cvmReplay(spark, sf()).collect().toSeq
