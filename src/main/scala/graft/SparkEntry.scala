@@ -4363,6 +4363,34 @@ object SparkEntry {
         "FROM (SELECT * FROM documents WHERE doc_id % 3 = 0)"))
   }
 
+  /** Shared WITH-prefix of the four histogram-family replay oracles
+    * (q304/q305/q306/q307): the filtered+binned events scan, the 7-day
+    * calibration split, reference histogram/cumulative, and the per-
+    * (source, day) window/cumulative cross-mass spine (`bd`). One
+    * definition so an edit to the shared bin plan cannot silently
+    * desynchronize a subset of the family (r18 review).
+    */
+  private val replayHistCte: String =
+    "WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, (CASE WHEN value >= " +
+    "5 THEN 1 ELSE 0 END + CASE WHEN value >= 10 THEN 1 ELSE 0 END + CASE WHEN value >= 20 THEN " +
+    "1 ELSE 0 END + CASE WHEN value >= 50 THEN 1 ELSE 0 END + CASE WHEN value >= 100 THEN 1 ELSE " +
+    "0 END + CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS b FROM events WHERE ts IS NOT NULL AND " +
+    "event_type IS NOT NULL AND value IS NOT NULL), c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
+    "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(7)), refh AS (SELECT bins.b, " +
+    "coalesce(rc.cnt, 0) AS rc FROM bins LEFT JOIN (SELECT b, count(*) AS cnt FROM ev, c WHERE d " +
+    "< cutd GROUP BY 1) rc ON bins.b = rc.b), reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nref " +
+    "FROM refh), refc AS (SELECT b, CAST(sum(rc) OVER (ORDER BY b) AS BIGINT) AS cref FROM " +
+    "refh), sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), cnts AS (SELECT " +
+    "source, d, b, count(*) AS cnt FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), cell AS (SELECT " +
+    "sd.source, sd.d, bins.b, coalesce(cnts.cnt, 0) AS cnt FROM sd CROSS JOIN bins LEFT JOIN " +
+    "cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), cc AS (SELECT " +
+    "source, d, b, cnt, CAST(sum(cnt) OVER (PARTITION BY source, b ORDER BY d) AS BIGINT) AS " +
+    "cumb FROM cell), bd AS (SELECT source, d, b, cnt, cumb, CAST(sum(cnt) OVER (PARTITION BY " +
+    "source, d ORDER BY b) AS BIGINT) AS wcum, CAST(sum(cumb) OVER (PARTITION BY source, d ORDER " +
+    "BY b) AS BIGINT) AS ccum, CAST(sum(cnt) OVER (PARTITION BY source, d) AS BIGINT) AS wn, " +
+    "CAST(sum(cumb) OVER (PARTITION BY source, d) AS BIGINT) AS cn, max(d) OVER (PARTITION BY " +
+    "source) AS maxd FROM cc),  "
+
   private def oracleSqlBase: Map[String, String] = Map(
     "q01_point_lookup" ->
       "SELECT event_id, event_type, value FROM events WHERE user_id = 7 ORDER BY event_id",
@@ -10187,179 +10215,74 @@ object SparkEntry {
       // Kuiper V on the literal 7-bin plan: reference histogram from the
       // calibration week, signed integer cross-masses at every bin
       // boundary, both one-sided maxes clamped at zero, ONE division
-      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
-        "(CASE WHEN value >= 5 THEN 1 ELSE 0 END + CASE WHEN value >= 10 THEN 1 ELSE 0 END + " +
-        "CASE WHEN value >= 20 THEN 1 ELSE 0 END + CASE WHEN value >= 50 THEN 1 ELSE 0 END + " +
-        "CASE WHEN value >= 100 THEN 1 ELSE 0 END + CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS b " +
-        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
-        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
-        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(7)), " +
-        "refh AS (SELECT bins.b, coalesce(rc.cnt, 0) AS rc FROM bins LEFT JOIN " +
-        "(SELECT b, count(*) AS cnt FROM ev, c WHERE d < cutd GROUP BY 1) rc ON bins.b = rc.b), " +
-        "reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nref FROM refh), " +
-        "refc AS (SELECT b, CAST(sum(rc) OVER (ORDER BY b) AS BIGINT) AS cref FROM refh), " +
-        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
-        "cnts AS (SELECT source, d, b, count(*) AS cnt FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), " +
-        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.cnt, 0) AS cnt " +
-        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
-        "cc AS (SELECT source, d, b, cnt, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, b ORDER BY d) AS BIGINT) AS cumb FROM cell), " +
-        "bd AS (SELECT source, d, b, cnt, cumb, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS wcum, " +
-        "CAST(sum(cumb) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS ccum, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, d) AS BIGINT) AS wn, " +
-        "CAST(sum(cumb) OVER (PARTITION BY source, d) AS BIGINT) AS cn, " +
-        "max(d) OVER (PARTITION BY source) AS maxd FROM cc), " +
-        "stat AS (SELECT source, d, wn, cn, maxd, nref, " +
-        "greatest(0, max(cref * wn - wcum * nref)) + greatest(0, max(wcum * nref - cref * wn)) AS vnum, " +
-        "greatest(0, max(cref * cn - ccum * nref)) + greatest(0, max(ccum * nref - cref * cn)) AS cnum " +
-        "FROM bd JOIN refc USING (b), reft GROUP BY source, d, wn, cn, maxd, nref), " +
-        "disp AS (SELECT source, d, wn, maxd, " +
-        "floor(CAST(vnum AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) * 10000 + 0.5) / 10000 AS v, " +
-        "floor(CAST(cnum AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) * 10000 + 0.5) / 10000 AS cv " +
-        "FROM stat) " +
-        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, CAST(wn AS BIGINT) AS n_events, " +
-        "CAST(v AS DOUBLE) AS kuiper_v, CAST(cv AS DOUBLE) AS cum_kuiper_v, (v > 0.2) AS alarm " +
-        "FROM disp WHERE d < maxd ORDER BY source, window_start"),
-
+      (replayHistCte +
+        "stat AS (SELECT source, d, wn, cn, maxd, nref, greatest(0, max(cref * wn - wcum * nref)) + " +
+        "greatest(0, max(wcum * nref - cref * wn)) AS vnum, greatest(0, max(cref * cn - ccum * " +
+        "nref)) + greatest(0, max(ccum * nref - cref * cn)) AS cnum FROM bd JOIN refc USING (b), " +
+        "reft GROUP BY source, d, wn, cn, maxd, nref), disp AS (SELECT source, d, wn, maxd, " +
+        "floor(CAST(vnum AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) * 10000 + 0.5) / " +
+        "10000 AS v, floor(CAST(cnum AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) * " +
+        "10000 + 0.5) / 10000 AS cv FROM stat) SELECT source, CAST(d * 86400000 AS BIGINT) AS " +
+        "window_start, CAST(wn AS BIGINT) AS n_events, CAST(v AS DOUBLE) AS kuiper_v, CAST(cv AS " +
+        "DOUBLE) AS cum_kuiper_v, (v > 0.2) AS alarm FROM disp WHERE d < maxd ORDER BY source, " +
+        "window_start"),
     "q305_cvm_replay" ->
       // CvM on the same bin plan: per-bin floor(h*gap^2*2^30) LONG grains
       // summed per window (the batch operator's order-free-integer
       // discipline), one final scale, basis-point display
-      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
-        "(CASE WHEN value >= 5 THEN 1 ELSE 0 END + CASE WHEN value >= 10 THEN 1 ELSE 0 END + " +
-        "CASE WHEN value >= 20 THEN 1 ELSE 0 END + CASE WHEN value >= 50 THEN 1 ELSE 0 END + " +
-        "CASE WHEN value >= 100 THEN 1 ELSE 0 END + CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS b " +
-        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
-        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
-        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(7)), " +
-        "refh AS (SELECT bins.b, coalesce(rc.cnt, 0) AS rc FROM bins LEFT JOIN " +
-        "(SELECT b, count(*) AS cnt FROM ev, c WHERE d < cutd GROUP BY 1) rc ON bins.b = rc.b), " +
-        "reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nref FROM refh), " +
-        "refc AS (SELECT b, CAST(sum(rc) OVER (ORDER BY b) AS BIGINT) AS cref FROM refh), " +
-        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
-        "cnts AS (SELECT source, d, b, count(*) AS cnt FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), " +
-        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.cnt, 0) AS cnt " +
-        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
-        "cc AS (SELECT source, d, b, cnt, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, b ORDER BY d) AS BIGINT) AS cumb FROM cell), " +
-        "bd AS (SELECT source, d, b, cnt, cumb, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS wcum, " +
-        "CAST(sum(cumb) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS ccum, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, d) AS BIGINT) AS wn, " +
-        "CAST(sum(cumb) OVER (PARTITION BY source, d) AS BIGINT) AS cn, " +
-        "max(d) OVER (PARTITION BY source) AS maxd FROM cc), " +
-        "g AS (SELECT source, d, b, cnt, cumb, wn, cn, maxd, nref, rc, " +
-        "CAST(abs(cref * wn - wcum * nref) AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) AS gapw, " +
-        "CAST(abs(cref * cn - ccum * nref) AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) AS gapc " +
-        "FROM bd JOIN refc USING (b) JOIN refh USING (b), reft), " +
-        "s AS (SELECT source, d, wn, cn, maxd, nref, " +
-        "CAST(sum(CAST(floor(CAST(rc + cnt AS DOUBLE) * gapw * gapw * 1073741824.0) AS BIGINT)) AS BIGINT) AS sw, " +
-        "CAST(sum(CAST(floor(CAST(rc + cumb AS DOUBLE) * gapc * gapc * 1073741824.0) AS BIGINT)) AS BIGINT) AS sc " +
-        "FROM g GROUP BY source, d, wn, cn, maxd, nref), " +
-        "disp AS (SELECT source, d, wn, maxd, " +
-        "CAST(floor(CAST(sw AS DOUBLE) / 1073741824.0 * (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) / " +
-        "((CAST(nref AS DOUBLE) + CAST(wn AS DOUBLE)) * (CAST(nref AS DOUBLE) + CAST(wn AS DOUBLE))) * 10000 + 0.5) AS BIGINT) AS bp, " +
-        "CAST(floor(CAST(sc AS DOUBLE) / 1073741824.0 * (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) / " +
-        "((CAST(nref AS DOUBLE) + CAST(cn AS DOUBLE)) * (CAST(nref AS DOUBLE) + CAST(cn AS DOUBLE))) * 10000 + 0.5) AS BIGINT) AS cbp " +
-        "FROM s) " +
-        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, CAST(wn AS BIGINT) AS n_events, " +
-        "bp AS cvm_bp, cbp AS cum_cvm_bp, (bp > 500) AS alarm " +
-        "FROM disp WHERE d < maxd ORDER BY source, window_start"),
-
+      (replayHistCte +
+        "g AS (SELECT source, d, b, cnt, cumb, wn, cn, maxd, nref, rc, CAST(abs(cref * wn - wcum * " +
+        "nref) AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) AS gapw, CAST(abs(cref * cn " +
+        "- ccum * nref) AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) AS gapc FROM bd " +
+        "JOIN refc USING (b) JOIN refh USING (b), reft), s AS (SELECT source, d, wn, cn, maxd, nref, " +
+        "CAST(sum(CAST(floor(CAST(rc + cnt AS DOUBLE) * gapw * gapw * 1073741824.0) AS BIGINT)) AS " +
+        "BIGINT) AS sw, CAST(sum(CAST(floor(CAST(rc + cumb AS DOUBLE) * gapc * gapc * 1073741824.0) " +
+        "AS BIGINT)) AS BIGINT) AS sc FROM g GROUP BY source, d, wn, cn, maxd, nref), disp AS " +
+        "(SELECT source, d, wn, maxd, CAST(floor(CAST(sw AS DOUBLE) / 1073741824.0 * (CAST(nref AS " +
+        "DOUBLE) * CAST(wn AS DOUBLE)) / ((CAST(nref AS DOUBLE) + CAST(wn AS DOUBLE)) * (CAST(nref " +
+        "AS DOUBLE) + CAST(wn AS DOUBLE))) * 10000 + 0.5) AS BIGINT) AS bp, CAST(floor(CAST(sc AS " +
+        "DOUBLE) / 1073741824.0 * (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) / ((CAST(nref AS " +
+        "DOUBLE) + CAST(cn AS DOUBLE)) * (CAST(nref AS DOUBLE) + CAST(cn AS DOUBLE))) * 10000 + 0.5) " +
+        "AS BIGINT) AS cbp FROM s) SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, " +
+        "CAST(wn AS BIGINT) AS n_events, bp AS cvm_bp, cbp AS cum_cvm_bp, (bp > 500) AS alarm FROM " +
+        "disp WHERE d < maxd ORDER BY source, window_start"),
     "q306_ks_replay" ->
       // KS on the shared bin plan: the single max abs cross-mass at any
       // bin boundary (Kuiper's two clamped one-sided maxes collapse to
       // one), ONE division, floor-1e4 display
-      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
-        "(CASE WHEN value >= 5 THEN 1 ELSE 0 END + CASE WHEN value >= 10 THEN 1 ELSE 0 END + " +
-        "CASE WHEN value >= 20 THEN 1 ELSE 0 END + CASE WHEN value >= 50 THEN 1 ELSE 0 END + " +
-        "CASE WHEN value >= 100 THEN 1 ELSE 0 END + CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS b " +
-        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
-        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
-        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(7)), " +
-        "refh AS (SELECT bins.b, coalesce(rc.cnt, 0) AS rc FROM bins LEFT JOIN " +
-        "(SELECT b, count(*) AS cnt FROM ev, c WHERE d < cutd GROUP BY 1) rc ON bins.b = rc.b), " +
-        "reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nref FROM refh), " +
-        "refc AS (SELECT b, CAST(sum(rc) OVER (ORDER BY b) AS BIGINT) AS cref FROM refh), " +
-        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
-        "cnts AS (SELECT source, d, b, count(*) AS cnt FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), " +
-        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.cnt, 0) AS cnt " +
-        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
-        "cc AS (SELECT source, d, b, cnt, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, b ORDER BY d) AS BIGINT) AS cumb FROM cell), " +
-        "bd AS (SELECT source, d, b, cnt, cumb, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS wcum, " +
-        "CAST(sum(cumb) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS ccum, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, d) AS BIGINT) AS wn, " +
-        "CAST(sum(cumb) OVER (PARTITION BY source, d) AS BIGINT) AS cn, " +
-        "max(d) OVER (PARTITION BY source) AS maxd FROM cc), " +
-        "stat AS (SELECT source, d, wn, cn, maxd, nref, " +
-        "max(abs(cref * wn - wcum * nref)) AS dnum, " +
-        "max(abs(cref * cn - ccum * nref)) AS cnum " +
-        "FROM bd JOIN refc USING (b), reft GROUP BY source, d, wn, cn, maxd, nref), " +
-        "disp AS (SELECT source, d, wn, maxd, " +
-        "floor(CAST(dnum AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) * 10000 + 0.5) / 10000 AS ks, " +
-        "floor(CAST(cnum AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) * 10000 + 0.5) / 10000 AS cks " +
-        "FROM stat) " +
-        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, CAST(wn AS BIGINT) AS n_events, " +
-        "CAST(ks AS DOUBLE) AS ks_d, CAST(cks AS DOUBLE) AS cum_ks_d, (ks > 0.15) AS alarm " +
-        "FROM disp WHERE d < maxd ORDER BY source, window_start"),
-
+      (replayHistCte +
+        "stat AS (SELECT source, d, wn, cn, maxd, nref, max(abs(cref * wn - wcum * nref)) AS dnum, " +
+        "max(abs(cref * cn - ccum * nref)) AS cnum FROM bd JOIN refc USING (b), reft GROUP BY " +
+        "source, d, wn, cn, maxd, nref), disp AS (SELECT source, d, wn, maxd, floor(CAST(dnum AS " +
+        "DOUBLE) / (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) * 10000 + 0.5) / 10000 AS ks, " +
+        "floor(CAST(cnum AS DOUBLE) / (CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) * 10000 + 0.5) / " +
+        "10000 AS cks FROM stat) SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, " +
+        "CAST(wn AS BIGINT) AS n_events, CAST(ks AS DOUBLE) AS ks_d, CAST(cks AS DOUBLE) AS " +
+        "cum_ks_d, (ks > 0.15) AS alarm FROM disp WHERE d < maxd ORDER BY source, window_start"),
     "q307_w1_replay" ->
       // W1 on the shared bin plan: cross-mass gaps at MASS bin
       // boundaries weighted by bin-index distance, folded as the
       // monitor's exact floor(term*2^20) integer grains per window —
       // the window and cumulative legs walk their OWN mass axes
-      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
-        "(CASE WHEN value >= 5 THEN 1 ELSE 0 END + CASE WHEN value >= 10 THEN 1 ELSE 0 END + " +
-        "CASE WHEN value >= 20 THEN 1 ELSE 0 END + CASE WHEN value >= 50 THEN 1 ELSE 0 END + " +
-        "CASE WHEN value >= 100 THEN 1 ELSE 0 END + CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS b " +
-        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
-        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
-        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(7)), " +
-        "refh AS (SELECT bins.b, coalesce(rc.cnt, 0) AS rc FROM bins LEFT JOIN " +
-        "(SELECT b, count(*) AS cnt FROM ev, c WHERE d < cutd GROUP BY 1) rc ON bins.b = rc.b), " +
-        "reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nref FROM refh), " +
-        "refc AS (SELECT b, CAST(sum(rc) OVER (ORDER BY b) AS BIGINT) AS cref FROM refh), " +
-        "sd AS (SELECT DISTINCT source, d FROM ev, c WHERE d >= cutd), " +
-        "cnts AS (SELECT source, d, b, count(*) AS cnt FROM ev, c WHERE d >= cutd GROUP BY 1, 2, 3), " +
-        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.cnt, 0) AS cnt " +
-        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
-        "cc AS (SELECT source, d, b, cnt, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, b ORDER BY d) AS BIGINT) AS cumb FROM cell), " +
-        "bd AS (SELECT source, d, b, cnt, cumb, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS wcum, " +
-        "CAST(sum(cumb) OVER (PARTITION BY source, d ORDER BY b) AS BIGINT) AS ccum, " +
-        "CAST(sum(cnt) OVER (PARTITION BY source, d) AS BIGINT) AS wn, " +
-        "CAST(sum(cumb) OVER (PARTITION BY source, d) AS BIGINT) AS cn, " +
-        "max(d) OVER (PARTITION BY source) AS maxd FROM cc), " +
-        "jb AS (SELECT bd.*, refc.cref, refh.rc, reft.nref FROM bd " +
-        "JOIN refc USING (b) JOIN refh USING (b), reft), " +
-        "gw AS (SELECT source, d, b, wn, maxd, nref, abs(cref * wn - wcum * nref) AS num, " +
-        "lag(abs(cref * wn - wcum * nref)) OVER (PARTITION BY source, d ORDER BY b) AS lnum, " +
-        "lag(b) OVER (PARTITION BY source, d ORDER BY b) AS lb " +
-        "FROM jb WHERE rc + cnt > 0), " +
-        "tw AS (SELECT source, d, wn, maxd, nref, " +
-        "CAST(sum(CASE WHEN lb IS NULL THEN 0 ELSE CAST(floor(CAST(lnum AS DOUBLE) * (b - lb) / " +
-        "(CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) * 1048576.0) AS BIGINT) END) AS BIGINT) AS s2 " +
-        "FROM gw GROUP BY source, d, wn, maxd, nref), " +
-        "gc AS (SELECT source, d, b, cn, abs(cref * cn - ccum * nref) AS num, " +
-        "lag(abs(cref * cn - ccum * nref)) OVER (PARTITION BY source, d ORDER BY b) AS lnum, " +
-        "lag(b) OVER (PARTITION BY source, d ORDER BY b) AS lb " +
-        "FROM jb WHERE rc + cumb > 0), " +
-        "tc AS (SELECT source, d, cn, " +
+      (replayHistCte +
+        "jb AS (SELECT bd.*, refc.cref, refh.rc, reft.nref FROM bd JOIN refc USING (b) JOIN refh " +
+        "USING (b), reft), gw AS (SELECT source, d, b, wn, maxd, nref, abs(cref * wn - wcum * nref) " +
+        "AS num, lag(abs(cref * wn - wcum * nref)) OVER (PARTITION BY source, d ORDER BY b) AS lnum, " +
+        "lag(b) OVER (PARTITION BY source, d ORDER BY b) AS lb FROM jb WHERE rc + cnt > 0), tw AS " +
+        "(SELECT source, d, wn, maxd, nref, CAST(sum(CASE WHEN lb IS NULL THEN 0 ELSE " +
+        "CAST(floor(CAST(lnum AS DOUBLE) * (b - lb) / (CAST(nref AS DOUBLE) * CAST(wn AS DOUBLE)) * " +
+        "1048576.0) AS BIGINT) END) AS BIGINT) AS s2 FROM gw GROUP BY source, d, wn, maxd, nref), gc " +
+        "AS (SELECT source, d, b, cn, abs(cref * cn - ccum * nref) AS num, lag(abs(cref * cn - ccum " +
+        "* nref)) OVER (PARTITION BY source, d ORDER BY b) AS lnum, lag(b) OVER (PARTITION BY " +
+        "source, d ORDER BY b) AS lb FROM jb WHERE rc + cumb > 0), tc AS (SELECT source, d, cn, " +
         "CAST(sum(CASE WHEN lb IS NULL THEN 0 ELSE CAST(floor(CAST(lnum AS DOUBLE) * (b - lb) / " +
         "(CAST(nref AS DOUBLE) * CAST(cn AS DOUBLE)) * 1048576.0) AS BIGINT) END) AS BIGINT) AS s2 " +
-        "FROM gc, reft GROUP BY source, d, cn), " +
-        "disp AS (SELECT tw.source, tw.d, tw.wn, tw.maxd, " +
-        "floor(CAST(tw.s2 AS DOUBLE) / 1048576.0 * 10000 + 0.5) / 10000 AS w1, " +
-        "floor(CAST(tc.s2 AS DOUBLE) / 1048576.0 * 10000 + 0.5) / 10000 AS cw1 " +
-        "FROM tw JOIN tc ON tw.source = tc.source AND tw.d = tc.d) " +
-        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, CAST(wn AS BIGINT) AS n_events, " +
-        "CAST(w1 AS DOUBLE) AS w1, CAST(cw1 AS DOUBLE) AS cum_w1, (w1 > 1.0) AS alarm " +
-        "FROM disp WHERE d < maxd ORDER BY source, window_start"),
-
+        "FROM gc, reft GROUP BY source, d, cn), disp AS (SELECT tw.source, tw.d, tw.wn, tw.maxd, " +
+        "floor(CAST(tw.s2 AS DOUBLE) / 1048576.0 * 10000 + 0.5) / 10000 AS w1, floor(CAST(tc.s2 AS " +
+        "DOUBLE) / 1048576.0 * 10000 + 0.5) / 10000 AS cw1 FROM tw JOIN tc ON tw.source = tc.source " +
+        "AND tw.d = tc.d) SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, CAST(wn AS " +
+        "BIGINT) AS n_events, CAST(w1 AS DOUBLE) AS w1, CAST(cw1 AS DOUBLE) AS cum_w1, (w1 > 1.0) AS " +
+        "alarm FROM disp WHERE d < maxd ORDER BY source, window_start"),
     "q308_cusum_replay" ->
       // CUSUM daily counts: the same prefix-sum/running-min identity as
       // q302 (S+ = m - min(0, running min m)) at slack 2 / threshold 50
@@ -10480,54 +10403,37 @@ object SparkEntry {
       // per-row (bin, score, Brier) terms are exact 2^20 integer grains,
       // the ECE fold replays q210's sorted-bin list_reduce chain per
       // (source, window) on both the window and cumulative ledgers
-      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, " +
-        "greatest(0, least(CAST(floor(value) AS BIGINT), 200)) AS n0, " +
-        "(user_id % 2 = 0) AS label " +
-        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL), " +
-        "c AS (SELECT min(d) + 7 AS cutd FROM ev), " +
-        "rows_ AS (SELECT source, d, least(9, n0 * 10 // 200) AS b, " +
-        "n0 * 1048576 // 200 AS s20, " +
-        "(n0 - CASE WHEN label THEN 200 ELSE 0 END) * (n0 - CASE WHEN label THEN 200 ELSE 0 END) * 1048576 // 40000 AS b20, " +
-        "CASE WHEN label THEN 1 ELSE 0 END AS pos FROM ev, c WHERE d >= cutd), " +
-        "bins AS (SELECT CAST(range AS BIGINT) AS b FROM range(10)), " +
-        "sd AS (SELECT DISTINCT source, d FROM rows_), " +
-        "cnts AS (SELECT source, d, b, count(*) AS n, sum(pos) AS np, " +
-        "sum(s20) AS ssum, sum(b20) AS bsum FROM rows_ GROUP BY 1, 2, 3), " +
-        "cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.n, 0) AS n, " +
-        "coalesce(cnts.np, 0) AS np, coalesce(cnts.ssum, 0) AS ssum, coalesce(cnts.bsum, 0) AS bsum " +
-        "FROM sd CROSS JOIN bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), " +
-        "cc AS (SELECT source, d, b, n, np, ssum, bsum, " +
-        "CAST(sum(n) OVER pb AS BIGINT) AS cn, CAST(sum(np) OVER pb AS BIGINT) AS cnp, " +
-        "CAST(sum(ssum) OVER pb AS BIGINT) AS cssum " +
-        "FROM cell WINDOW pb AS (PARTITION BY source, b ORDER BY d)), " +
-        "o AS (SELECT source, d, " +
-        "list(struct_pack(b := b, n := n, np := np, s := ssum) ORDER BY b) FILTER (WHERE n > 0) AS bs, " +
-        "list(struct_pack(b := b, n := cn, np := cnp, s := cssum) ORDER BY b) FILTER (WHERE cn > 0) AS cbs, " +
-        "CAST(sum(n) AS BIGINT) AS tot, CAST(sum(np) AS BIGINT) AS npos, " +
-        "CAST(sum(bsum) AS BIGINT) AS btot, CAST(sum(cn) AS BIGINT) AS ctot " +
-        "FROM cc GROUP BY source, d), " +
-        "w AS (SELECT source, d, tot, npos, btot, ctot, bs, cbs, " +
-        "max(d) OVER (PARTITION BY source) AS maxd FROM o) " +
-        "SELECT source, CAST(d * 86400000 AS BIGINT) AS window_start, " +
-        "tot AS n, npos AS n_pos, " +
-        "CAST(floor(list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
-        "CAST((e).n AS DOUBLE) / CAST(tot AS DOUBLE) * " +
-        "abs(CAST((e).s AS DOUBLE) / (CAST((e).n AS DOUBLE) * 1048576.0) - " +
-        "CAST((e).np AS DOUBLE) / CAST((e).n AS DOUBLE)))), " +
-        "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS ece_bp, " +
-        "CAST(floor(CAST(btot AS DOUBLE) / (CAST(tot AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp, " +
-        "CAST(floor(list_reduce(list_prepend(0.0, list_transform(cbs, e -> " +
-        "CAST((e).n AS DOUBLE) / CAST(ctot AS DOUBLE) * " +
-        "abs(CAST((e).s AS DOUBLE) / (CAST((e).n AS DOUBLE) * 1048576.0) - " +
-        "CAST((e).np AS DOUBLE) / CAST((e).n AS DOUBLE)))), " +
-        "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) AS cum_ece_bp, " +
-        "(CAST(floor(list_reduce(list_prepend(0.0, list_transform(bs, e -> " +
-        "CAST((e).n AS DOUBLE) / CAST(tot AS DOUBLE) * " +
-        "abs(CAST((e).s AS DOUBLE) / (CAST((e).n AS DOUBLE) * 1048576.0) - " +
-        "CAST((e).np AS DOUBLE) / CAST((e).n AS DOUBLE)))), " +
-        "(x, y) -> x + y) * 10000 + 0.5) AS BIGINT) >= 1000) AS alarm " +
-        "FROM w WHERE d < maxd ORDER BY source, window_start"),
-
+      ("WITH ev AS (SELECT event_type AS source, epoch_ms(ts) // 86400000 AS d, greatest(0, " +
+        "least(CAST(floor(value) AS BIGINT), 200)) AS n0, (user_id % 2 = 0) AS label FROM events " +
+        "WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL AND user_id IS NOT " +
+        "NULL), c AS (SELECT min(d) + 7 AS cutd FROM ev), rows_ AS (SELECT source, d, least(9, n0 * " +
+        "10 // 200) AS b, n0 * 1048576 // 200 AS s20, (n0 - CASE WHEN label THEN 200 ELSE 0 END) * " +
+        "(n0 - CASE WHEN label THEN 200 ELSE 0 END) * 1048576 // 40000 AS b20, CASE WHEN label THEN " +
+        "1 ELSE 0 END AS pos FROM ev, c WHERE d >= cutd), bins AS (SELECT CAST(range AS BIGINT) AS b " +
+        "FROM range(10)), sd AS (SELECT DISTINCT source, d FROM rows_), cnts AS (SELECT source, d, " +
+        "b, count(*) AS n, sum(pos) AS np, sum(s20) AS ssum, sum(b20) AS bsum FROM rows_ GROUP BY 1, " +
+        "2, 3), cell AS (SELECT sd.source, sd.d, bins.b, coalesce(cnts.n, 0) AS n, coalesce(cnts.np, " +
+        "0) AS np, coalesce(cnts.ssum, 0) AS ssum, coalesce(cnts.bsum, 0) AS bsum FROM sd CROSS JOIN " +
+        "bins LEFT JOIN cnts ON sd.source = cnts.source AND sd.d = cnts.d AND bins.b = cnts.b), cc " +
+        "AS (SELECT source, d, b, n, np, ssum, bsum, CAST(sum(n) OVER pb AS BIGINT) AS cn, " +
+        "CAST(sum(np) OVER pb AS BIGINT) AS cnp, CAST(sum(ssum) OVER pb AS BIGINT) AS cssum FROM " +
+        "cell WINDOW pb AS (PARTITION BY source, b ORDER BY d)), o AS (SELECT source, d, " +
+        "list(struct_pack(b := b, n := n, np := np, s := ssum) ORDER BY b) FILTER (WHERE n > 0) AS " +
+        "bs, list(struct_pack(b := b, n := cn, np := cnp, s := cssum) ORDER BY b) FILTER (WHERE cn > " +
+        "0) AS cbs, CAST(sum(n) AS BIGINT) AS tot, CAST(sum(np) AS BIGINT) AS npos, CAST(sum(bsum) " +
+        "AS BIGINT) AS btot, CAST(sum(cn) AS BIGINT) AS ctot FROM cc GROUP BY source, d), w AS " +
+        "(SELECT source, d, tot, npos, btot, ctot, bs, cbs, max(d) OVER (PARTITION BY source) AS " +
+        "maxd FROM o), disp AS (SELECT source, d, tot, npos, btot, maxd, " +
+        "CAST(floor(list_reduce(list_prepend(0.0, list_transform(bs, e -> CAST((e).n AS DOUBLE) / " +
+        "CAST(tot AS DOUBLE) * abs(CAST((e).s AS DOUBLE) / (CAST((e).n AS DOUBLE) * 1048576.0) - " +
+        "CAST((e).np AS DOUBLE) / CAST((e).n AS DOUBLE)))), (x, y) -> x + y) * 10000 + 0.5) AS " +
+        "BIGINT) AS ece, CAST(floor(list_reduce(list_prepend(0.0, list_transform(cbs, e -> " +
+        "CAST((e).n AS DOUBLE) / CAST(ctot AS DOUBLE) * abs(CAST((e).s AS DOUBLE) / (CAST((e).n AS " +
+        "DOUBLE) * 1048576.0) - CAST((e).np AS DOUBLE) / CAST((e).n AS DOUBLE)))), (x, y) -> x + y) " +
+        "* 10000 + 0.5) AS BIGINT) AS cece FROM w) SELECT source, CAST(d * 86400000 AS BIGINT) AS " +
+        "window_start, tot AS n, npos AS n_pos, ece AS ece_bp, CAST(floor(CAST(btot AS DOUBLE) / " +
+        "(CAST(tot AS DOUBLE) * 1048576.0) * 10000 + 0.5) AS BIGINT) AS brier_bp, cece AS " +
+        "cum_ece_bp, (ece >= 1000) AS alarm FROM disp WHERE d < maxd ORDER BY source, window_start"),
     "q313_psi_replay" ->
       // add-1-smoothed PSI on the shared 7-bin plan, sorted-bin fold via
       // the q210 list_reduce idiom over ALL bins (smoothing gives zero

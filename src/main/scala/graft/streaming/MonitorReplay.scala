@@ -53,29 +53,15 @@ object MonitorReplay {
   }
 
   /** Run one memory-sink streaming query to completion and return its
-    * rows as a fresh local DataFrame (the replay result is bounded:
+    * rows (single micro-batch — delegates to [[runStreamBatches]], the
+    * one harness implementation; the replay result is bounded:
     * sources × days).
     */
   private def runStream[I: org.apache.spark.sql.Encoder, O: org.apache.spark.sql.Encoder](
       spark: SparkSession,
       rows: Seq[I],
-      mon: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.Dataset[O]): Seq[O] = {
-    implicit val sqlCtx = spark.sqlContext
-    val stream = MemoryStream[I]
-    val name = s"graft_replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = mon(stream.toDS())
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try {
-      stream.addData(rows: _*)
-      q.processAllAvailable()
-      val out = spark.table(name).as[O].collect().toSeq
-      out
-    } finally {
-      q.stop()
-      spark.catalog.dropTempView(name)
-    }
-  }
+      mon: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.Dataset[O]): Seq[O] =
+    runStreamBatches(spark, Seq(rows), mon)
 
   /** q302: [[PageHinkleyMonitor]] replayed over daily event-type counts.
     * μ is fitted from the calibration week — ⌊refEvents / (7·types)⌋,

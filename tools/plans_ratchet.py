@@ -42,15 +42,16 @@ def hot_set(path):
 
 def main(plans_path, artifact_paths):
     sections = set(re.findall(r"^## (q\S+)", open(plans_path).read(), re.M))
+    hot = {p: hot_set(p) for p in artifact_paths}  # parse each artifact once
     missing = {}
     for p in artifact_paths:
-        for name, eff in hot_set(p).items():
+        for name, eff in hot[p].items():
             if name not in sections:
                 missing.setdefault(name, []).append((p, round(eff, 2)))
     for name in sorted(missing):
         where = ", ".join(f"{p}={v}s" for p, v in missing[name])
         print(f"  MISSING section: {name} ({where})")
-    n_hot = len({k for p in artifact_paths for k in hot_set(p)})
+    n_hot = len({k for p in artifact_paths for k in hot[p]})
     verdict = "FAIL" if missing else "PASS"
     print(f"{verdict}: {len(missing)} missing / {n_hot} hot queries "
           f"(> {THRESHOLD_SEC}s effective) across {len(artifact_paths)} artifact(s); "
