@@ -2634,29 +2634,43 @@ object SparkEntry {
           functions.TextAnalysis.tokenCount(col("text")).as("_tc"))
         .persist()
       val labeled = base.filter(col("source").isNotNull)
-      val cal = operators.Quality.calibrationSummary(
+      // the five legs are independent until the final one-row crossJoin,
+      // and each one's internal rank/prefix machinery submits bounded
+      // driver-side jobs at CONSTRUCTION time (offset collects, order-
+      // statistic pulls) — built sequentially they serialize ~40 small
+      // jobs. Construct them concurrently (guide §2.6 overlap: later
+      // legs' tasks back-fill executors idled by earlier legs' tails);
+      // the shared persisted `base` is race-safe (BlockManager computes
+      // each cached partition once under its per-block lock). Results
+      // are unchanged: the legs never communicate until the crossJoin.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val calF = Future(operators.Quality.calibrationSummary(
         labeled, col("_stops"), col("_toks"), col("source") === "src0")
         .select(col("n").as("n_docs"), col("n_pos").as("n_src0"),
-          col("ece_bp"), col("brier_bp"))
-      val fair = operators.Quality.fairnessGaps(labeled, "lang",
+          col("ece_bp"), col("brier_bp")))
+      val fairF = Future(operators.Quality.fairnessGaps(labeled, "lang",
         col("_stops"), col("_toks"),
         col("source") === "src0", thrNum = 3L, thrDen = 20L)
-        .select(col("n_groups"), col("parity_gap_bp"), col("eo_gap_bp"))
-      val drift = operators.CorpusAnalytics.psiStabilitySided(
+        .select(col("n_groups"), col("parity_gap_bp"), col("eo_gap_bp")))
+      val driftF = Future(operators.CorpusAnalytics.psiStabilitySided(
         Tables(s, dir, "documents")
           .withColumn("_side", pmod(col("doc_id"), lit(2)).cast("int")),
         "_side")
-        .select(floor(col("psi") * 10000 + lit(0.5)).cast("long").as("psi_bp"))
-      val ks = operators.Quality.ksTestSided(
+        .select(floor(col("psi") * 10000 + lit(0.5)).cast("long").as("psi_bp")))
+      val ksF = Future(operators.Quality.ksTestSided(
         Tables(s, dir, "events").filter(col("value").isNotNull)
           .withColumn("_side", pmod(col("event_id"), lit(2)).cast("int")),
         "value", "_side")
         .select(floor(col("ks_d") * 10000 + lit(0.5)).cast("long")
-          .as("ks_d_bp"))
-      val sp = operators.Quality.spearmanCorrelation(base,
+          .as("ks_d_bp")))
+      val spF = Future(operators.Quality.spearmanCorrelation(base,
         col("_swr"), col("_tc"), "doc_id")
         .select(floor(col("rho") * 10000 + lit(0.5)).cast("long")
-          .as("spearman_bp"))
+          .as("spearman_bp")))
+      val Seq(cal, fair, drift, ks, sp) = Await.result(
+        Future.sequence(Seq(calF, fairF, driftF, ksF, spF)), Duration.Inf)
       cal.crossJoin(broadcast(fair)).crossJoin(broadcast(drift))
         .crossJoin(broadcast(ks)).crossJoin(broadcast(sp))
     }),

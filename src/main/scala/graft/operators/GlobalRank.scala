@@ -118,29 +118,69 @@ private[graft] object GlobalRank {
       df: DataFrame,
       orderCol: String,
       weightCol: String,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    weightedPrefixSumsMulti(df, orderCol, Seq(weightCol -> outCol))._1
+
+  /** N prefix sums over ONE range partitioning — the fused form of
+    * chained [[weightedPrefixSums]] calls on the same order key. Each
+    * chained call pays its own range-sample pass (a full evaluation of
+    * its input subtree), range exchange, pinned persist, bounded offsets
+    * collect, and window pass; when every sum is ordered by the same
+    * column all of that is shared work. One call here computes all
+    * `weights` (weightCol -> outCol) prefix columns from a single
+    * range-partitioned, persisted copy: one sample pass, one exchange,
+    * one offsets collect carrying ALL the per-partition weight sums, and
+    * one WindowExec evaluating the N running sums together (same window
+    * spec => one sort, one pass). Results are bit-identical to the
+    * chained form — prefix sums of longs are order-free exact integers.
+    *
+    * Also returns the GRAND TOTAL of each weight column, read off the
+    * same offsets pass for free — callers that previously re-aggregated
+    * their input for `totals` (a second evaluation of the corpus-width
+    * subtree feeding this) use these instead of re-scanning.
+    */
+  def weightedPrefixSumsMulti(
+      df: DataFrame,
+      orderCol: String,
+      weights: Seq[(String, String)]): (DataFrame, Seq[Long]) = {
+    require(weights.nonEmpty, "need at least one (weightCol, outCol) pair")
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, LongType}
     val spark = df.sparkSession
     val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val vr = df.repartitionByRange(p, col(orderCol))
       .withColumn("_wps_pid", spark_partition_id())
       .persist()
-    var acc = 0L
     // coalesce: a partition whose weights are all null must contribute a
     // zero offset, not a driver-side NPE
+    val offCols = weights.zipWithIndex.map { case ((w, _), i) =>
+      coalesce(sum(col(w)), lit(0L)).as(s"_w$i") }
+    val accs = Array.fill(weights.length)(0L)
     val offRows = vr.groupBy(col("_wps_pid"))
-      .agg(coalesce(sum(col(weightCol)), lit(0L)).as("_w"))
+      .agg(offCols.head, offCols.tail: _*)
       .orderBy(col("_wps_pid")).collect()
-      .map { r => val o = acc; acc += r.getLong(1); (r.getInt(0), o) }
-      .toSeq
-    import spark.implicits._
-    val off = spark.createDataset(offRows).toDF("_wps_pid", "_wps_off")
-    vr.withColumn("_wps_run",
-        coalesce(sum(col(weightCol)).over(
-          Window.partitionBy(col("_wps_pid")).orderBy(col(orderCol))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .map { r =>
+        val os = Array.tabulate(weights.length) { i =>
+          val o = accs(i); accs(i) += r.getLong(i + 1); o
+        }
+        Row.fromSeq(r.getInt(0) +: os.toSeq)
+      }.toSeq
+    val off = spark.createDataFrame(offRows.asJava,
+      StructType(StructField("_wps_pid", IntegerType, nullable = false) +:
+        weights.indices.map(i => StructField(s"_wps_off$i", LongType, nullable = false))))
+    val w = Window.partitionBy(col("_wps_pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runs = weights.zipWithIndex.map { case ((wc, _), i) =>
+      coalesce(sum(col(wc)).over(w), lit(0L)).as(s"_wps_run$i") }
+    val framed = vr.select(vr.columns.map(col) ++ runs: _*)
       .join(broadcast(off), "_wps_pid")
-      .withColumn(outCol, col("_wps_run") + col("_wps_off"))
-      .drop("_wps_pid", "_wps_run", "_wps_off")
+    val outs = weights.zipWithIndex.map { case ((_, oc), i) =>
+      (col(s"_wps_run$i") + col(s"_wps_off$i")).as(oc) }
+    val dropped = framed.select(
+      framed.columns.filterNot(c => c == "_wps_pid" ||
+        c.startsWith("_wps_run") || c.startsWith("_wps_off")).map(col) ++ outs: _*)
+    (dropped, accs.toSeq)
   }
 
   def percentileValues(

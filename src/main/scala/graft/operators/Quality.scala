@@ -986,20 +986,41 @@ object Quality {
       .select(col(valueCol).cast("double").as("_v"),
         col(sideCol).cast("int").as("_s")))
 
-  private def ksTestCore(sidedRows: DataFrame): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+  /** Shared two-sample spine: collapse `(_v, _s)` rows to the per-value
+    * side-count histogram and compute BOTH cumulative prefix masses in
+    * ONE fused [[GlobalRank.weightedPrefixSumsMulti]] pass. Returns the
+    * spine frame (columns `_v, _ca, _cb, _xa, _xb`) plus the exact side
+    * totals (n_a, n_b) read off the same offsets collect — so callers
+    * never re-aggregate the corpus-width subtree for a totals row.
+    * Values are bit-identical to the old chained form (long prefix sums
+    * are order-free exact integers; totals are the same long sums).
+    */
+  private def twoSampleSpine(sidedRows: DataFrame): (DataFrame, Long, Long) = {
     val perValue = sidedRows
       .groupBy(col("_v"))
       .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
-    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
-    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val (cums, tots) = GlobalRank.weightedPrefixSumsMulti(perValue, "_v",
+      Seq("_ca" -> "_xa", "_cb" -> "_xb"))
+    (cums, tots(0), tots(1))
+  }
+
+  /** One-row (\_na, \_nb) totals frame from [[twoSampleSpine]]'s driver
+    * longs — the broadcast-free replacement for the old
+    * `perValue.agg(sum(_ca), sum(_cb))` second corpus pass.
+    */
+  private def totalsRow(spark: org.apache.spark.sql.SparkSession,
+      na: Long, nb: Long): DataFrame =
+    spark.range(1).select(lit(na).as("_na"), lit(nb).as("_nb"))
+
+  private def ksTestCore(sidedRows: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (spine, tna, tnb) = twoSampleSpine(sidedRows)
+    val cums = spine
       .select(
         (col("_xa") + col("_ca")).as("_cuma"),
         (col("_xb") + col("_cb")).as("_cumb"))
-    val totals = perValue.agg(
-      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
-      coalesce(sum(col("_cb")), lit(0L)).as("_nb"))
+    val totals = totalsRow(sidedRows.sparkSession, tna, tnb)
     val na = col("_na").cast("double")
     val nb = col("_nb").cast("double")
     val d = col("_dnum").cast("double") / (na * nb)
@@ -1048,18 +1069,12 @@ object Quality {
     val sided = (d: DataFrame, side: Int) => d
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
-    val perValue = sided(a, 0).unionAll(sided(b, 1))
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
-    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
-    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val (spine, tna, tnb) = twoSampleSpine(sided(a, 0).unionAll(sided(b, 1)))
+    val cums = spine
       .select(
         (col("_xa") + col("_ca")).as("_cuma"),
         (col("_xb") + col("_cb")).as("_cumb"))
-    val totals = perValue.agg(
-      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
-      coalesce(sum(col("_cb")), lit(0L)).as("_nb"))
+    val totals = totalsRow(a.sparkSession, tna, tnb)
     val gap = col("_cuma").cast(dec) * col("_nb").cast(dec) -
       col("_cumb").cast(dec) * col("_na").cast(dec)
     val na = col("_na").cast("double")
@@ -1106,15 +1121,8 @@ object Quality {
     val sided = (d: DataFrame, side: Int) => d
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
-    val perValue = sided(a, 0).unionAll(sided(b, 1))
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
-    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
-    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
-    val totals = perValue.agg(
-      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
-      coalesce(sum(col("_cb")), lit(0L)).as("_nb"))
+    val (cums, tna, tnb) = twoSampleSpine(sided(a, 0).unionAll(sided(b, 1)))
+    val totals = totalsRow(a.sparkSession, tna, tnb)
     val gap = (col("_xa") + col("_ca")).cast(dec) * col("_nb").cast(dec) -
       (col("_xb") + col("_cb")).cast(dec) * col("_na").cast(dec)
     val cv = (col("_ca") + col("_cb")).cast(dec)
@@ -1169,15 +1177,9 @@ object Quality {
     val sided = (d: DataFrame, side: Int) => d
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
-    val perValue = sided(a, 0).unionAll(sided(b, 1))
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
-    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
-    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
-    val totals = perValue.agg(
-      coalesce(sum(col("_ca")), lit(0L)).as("_tna"),
-      coalesce(sum(col("_cb")), lit(0L)).as("_tnb"))
+    val (cums, tna, tnb) = twoSampleSpine(sided(a, 0).unionAll(sided(b, 1)))
+    val totals = a.sparkSession.range(1)
+      .select(lit(tna).as("_tna"), lit(tnb).as("_tnb"))
     val rows = cums.crossJoin(broadcast(totals))
     val m2 = lit(2L) * (col("_xa") + col("_xb")) + col("_ca") + col("_cb") +
       lit(1L)
@@ -1386,12 +1388,7 @@ object Quality {
     val sided = (d: DataFrame, side: Int) => d
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
-    val perValue = sided(a, 0).unionAll(sided(b, 1))
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
-    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
-    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val (cums, _, _) = twoSampleSpine(sided(a, 0).unionAll(sided(b, 1)))
     // doubled combined midrank and doubled placements (all integers)
     val m2 = lit(2L) * (col("_xa") + col("_xb")) + col("_ca") + col("_cb") +
       lit(1L)
@@ -1471,12 +1468,7 @@ object Quality {
     val sided = (d: DataFrame, side: Int) => d
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
-    val perValue = sided(a, 0).unionAll(sided(b, 1))
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
-    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
-    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val (cums, _, _) = twoSampleSpine(sided(a, 0).unionAll(sided(b, 1)))
     val m2 = (lit(2L) * (col("_xa") + col("_xb")) + col("_ca") + col("_cb") +
       lit(1L)).cast(dec)
     val cbD = col("_cb").cast(dec)
@@ -1541,18 +1533,12 @@ object Quality {
     val sided = (d: DataFrame, side: Int) => d
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
-    val perValue = sided(a, 0).unionAll(sided(b, 1))
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
-    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
-    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val (cums, tna, tnb) = twoSampleSpine(sided(a, 0).unionAll(sided(b, 1)))
     // doubled midrank and doubled score 2·a = min(m2, 2(n+1) − m2)
     val m2 = lit(2L) * (col("_xa") + col("_xb")) + col("_ca") + col("_cb") +
       lit(1L)
     val one = cums
-      .crossJoin(broadcast(perValue.agg(
-        coalesce(sum(col("_ca") + col("_cb")), lit(0L)).as("_n"))))
+      .withColumn("_n", lit(tna + tnb))
       .select(col("_ca"), col("_cb"),
         least(m2, lit(2L) * (col("_n") + 1) - m2).cast(dec).as("_s2"))
       .agg(
@@ -1603,18 +1589,12 @@ object Quality {
     val sided = (d: DataFrame, side: Int) => d
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
-    val perValue = sided(a, 0).unionAll(sided(b, 1))
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
-    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
-    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val (cums, tna, tnb) = twoSampleSpine(sided(a, 0).unionAll(sided(b, 1)))
     val m2 = lit(2L) * (col("_xa") + col("_xb")) + col("_ca") + col("_cb") +
       lit(1L)
     val cv = col("_ca") + col("_cb")
     val one = cums
-      .crossJoin(broadcast(perValue.agg(
-        coalesce(sum(col("_ca") + col("_cb")), lit(0L)).as("_n"))))
+      .withColumn("_n", lit(tna + tnb))
       .select(col("_ca"), col("_cb"), cv.as("_cv"), m2.cast(dec).as("_m2"),
         least(m2, lit(2L) * (col("_n") + 1) - m2).cast(dec).as("_s2"))
       .agg(
@@ -2338,22 +2318,23 @@ object Quality {
     val sided = (d: DataFrame, side: Int) => d
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
-    val perValue = sided(a, 0).unionAll(sided(b, 1))
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
-    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
-    val withB = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
-    val cums = GlobalRank.weightedPrefixSums(
-        withB.withColumn("_one", lit(1L)), "_v", "_one", "_ix")
+    val (spineIx, tots) = GlobalRank.weightedPrefixSumsMulti(
+      sided(a, 0).unionAll(sided(b, 1))
+        .groupBy(col("_v"))
+        .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+          sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+        .withColumn("_one", lit(1L)),
+      "_v", Seq("_ca" -> "_xa", "_cb" -> "_xb", "_one" -> "_ix"))
+    val cums = spineIx
       .select(col("_v"), col("_ix"),
         (col("_xa") + col("_ca")).as("_cuma"),
         (col("_xb") + col("_cb")).as("_cumb"))
     val nxt = cums.select((col("_ix") - 1).as("_ix"), col("_v").as("_vn"))
-    val totals = perValue.agg(
-      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
-      coalesce(sum(col("_cb")), lit(0L)).as("_nb"),
-      min(col("_v")).as("_vmin"), max(col("_v")).as("_vmax"))
+    // side totals from the fused offsets pass; min/max re-read the
+    // persisted spine (distinct-value-sized), never the corpus subtree
+    val totals = totalsRow(a.sparkSession, tots(0), tots(1))
+      .crossJoin(spineIx.agg(
+        min(col("_v")).as("_vmin"), max(col("_v")).as("_vmax")))
     val nad = col("_na").cast("double")
     val nbd = col("_nb").cast("double")
     val num = abs(col("_cuma").cast(dec) * col("_nb").cast(dec) -
@@ -3477,11 +3458,10 @@ object Quality {
     val groups = perGV.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
     val totals = perV.agg(coalesce(sum(col("_cv")), lit(0L)).as("_n"),
       min(col("_v")).as("_vmin"), max(col("_v")).as("_vmax"))
-    val cumAll = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_xa")
-      .select(col("_v"), (col("_xa") + col("_cv")).as("_cumall"))
-    val withIx = GlobalRank.weightedPrefixSums(
-        cumAll.withColumn("_one", lit(1L)), "_v", "_one", "_ix")
-      .select(col("_v"), col("_cumall"), col("_ix"))
+    val withIx = GlobalRank.weightedPrefixSumsMulti(
+        perV.withColumn("_one", lit(1L)), "_v",
+        Seq("_cv" -> "_xa", "_one" -> "_ix"))._1
+      .select(col("_v"), (col("_xa") + col("_cv")).as("_cumall"), col("_ix"))
     val nxt = withIx.select((col("_ix") - 1).as("_ix"), col("_v").as("_vn"))
     // inner on the successor index: the last value's CDF gap is zero
     // anyway, and dropping it before the window leaves every remaining
@@ -4647,18 +4627,12 @@ object Quality {
     val sided = (d: DataFrame, side: Int) => d
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
-    val perValue = sided(a, 0).unionAll(sided(b, 1))
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
-    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
-    val cums = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
+    val (spine, tna, tnb) = twoSampleSpine(sided(a, 0).unionAll(sided(b, 1)))
+    val cums = spine
       .select(col("_ca"), col("_cb"),
         (col("_xa") + col("_ca")).as("_cuma"),
         (col("_xb") + col("_cb")).as("_cumb"))
-    val totals = perValue.agg(
-      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
-      coalesce(sum(col("_cb")), lit(0L)).as("_nb"))
+    val totals = totalsRow(a.sparkSession, tna, tnb)
     val dnum = abs(col("_cuma").cast(dec) * col("_nb").cast(dec) -
       col("_cumb").cast(dec) * col("_na").cast(dec))
     val nad = col("_na").cast("double")
@@ -5281,11 +5255,11 @@ object Quality {
     val groups = perGV.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
     val totals = perV.agg(coalesce(sum(col("_cv")), lit(0L)).as("_n"),
       min(col("_v")).as("_vmin"), max(col("_v")).as("_vmax"))
-    val cumAll = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_xa")
-      .select(col("_v"), col("_cv"), (col("_xa") + col("_cv")).as("_cumall"))
-    val withIx = GlobalRank.weightedPrefixSums(
-        cumAll.withColumn("_one", lit(1L)), "_v", "_one", "_ix")
-      .select(col("_v"), col("_cv"), col("_cumall"), col("_ix"))
+    val withIx = GlobalRank.weightedPrefixSumsMulti(
+        perV.withColumn("_one", lit(1L)), "_v",
+        Seq("_cv" -> "_xa", "_one" -> "_ix"))._1
+      .select(col("_v"), col("_cv"), (col("_xa") + col("_cv")).as("_cumall"),
+        col("_ix"))
     val nxt = withIx.select((col("_ix") - 1).as("_ix"), col("_v").as("_vn"))
     // LEFT on the successor: the last value keeps its row (KS and delta
     // need it) and contributes a zero W1 gap
@@ -5410,22 +5384,23 @@ object Quality {
     val sided = (d: DataFrame, side: Int) => d
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_v"), lit(side).as("_s"))
-    val perValue = sided(a, 0).unionAll(sided(b, 1))
-      .groupBy(col("_v"))
-      .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
-        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
-    val withA = GlobalRank.weightedPrefixSums(perValue, "_v", "_ca", "_xa")
-    val withB = GlobalRank.weightedPrefixSums(withA, "_v", "_cb", "_xb")
-    val cums = GlobalRank.weightedPrefixSums(
-        withB.withColumn("_one", lit(1L)), "_v", "_one", "_ix")
+    val (spineIx, tots) = GlobalRank.weightedPrefixSumsMulti(
+      sided(a, 0).unionAll(sided(b, 1))
+        .groupBy(col("_v"))
+        .agg(sum(when(col("_s") === 0, 1L).otherwise(0L)).as("_ca"),
+          sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_cb"))
+        .withColumn("_one", lit(1L)),
+      "_v", Seq("_ca" -> "_xa", "_cb" -> "_xb", "_one" -> "_ix"))
+    val cums = spineIx
       .select(col("_v"), col("_ix"),
         (col("_xa") + col("_ca")).as("_cuma"),
         (col("_xb") + col("_cb")).as("_cumb"))
     val nxt = cums.select((col("_ix") - 1).as("_ix"), col("_v").as("_vn"))
-    val totals = perValue.agg(
-      coalesce(sum(col("_ca")), lit(0L)).as("_na"),
-      coalesce(sum(col("_cb")), lit(0L)).as("_nb"),
-      min(col("_v")).as("_vmin"), max(col("_v")).as("_vmax"))
+    // side totals from the fused offsets pass; min/max re-read the
+    // persisted spine (distinct-value-sized), never the corpus subtree
+    val totals = totalsRow(a.sparkSession, tots(0), tots(1))
+      .crossJoin(spineIx.agg(
+        min(col("_v")).as("_vmin"), max(col("_v")).as("_vmax")))
     // ANSI-safe divisors: an empty side zeroes every cross-mass numerator,
     // so substituting 1 leaves the (all-zero) sum exact while keeping the
     // eager per-gap division legal

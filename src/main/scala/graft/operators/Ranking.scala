@@ -196,10 +196,8 @@ object Ranking {
     val hist = v.groupBy(col("_s"))
       .agg(count(lit(1)).as("_hc"),
         sum(when(col("_l"), 1L).otherwise(0L)).as("_hp"))
-    val p1 = GlobalRank.weightedPrefixSums(hist, "_s", "_hc", "_pfa")
-    val p2 = GlobalRank.weightedPrefixSums(
-      p1.select(col("_s"), col("_hc"), col("_hp"), col("_pfa")),
-      "_s", "_hp", "_pfp")
+    val p2 = GlobalRank.weightedPrefixSumsMulti(hist, "_s",
+      Seq("_hc" -> "_pfa", "_hp" -> "_pfp"))._1
     val agg = p2.agg(
       sum(col("_hp")).as("p"),
       sum(col("_hc") - col("_hp")).as("ng"),
