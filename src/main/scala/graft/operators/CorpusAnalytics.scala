@@ -1104,23 +1104,36 @@ object CorpusAnalytics {
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), hash(col("tok")).as("b"))
-    val rawBuckets = bucketed(docs)
+    // collapse the raw token stream to per-(doc, bucket) counts FIRST and
+    // persist the compact frame: the bucket hash (the operator's dominant
+    // per-row cost) evaluates once per occurrence instead of once on each
+    // of the two raw-side consumers (the count model AND the scoring
+    // probe), and everything downstream — model counts, scoring join,
+    // per-doc fold — carries ≤ min(buckets, doc_tokens) rows per doc
+    // rather than the occurrence stream. The per-doc weight becomes the
+    // count-weighted sum Σ k·ln-ratio — the same real number as the
+    // per-occurrence sum (displays are 4-digit-rounded; the oracle
+    // replays the same collapsed form's values).
+    val rawCells = bucketed(docs)
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("_k"))
+      .persist()
     val targetCounts = bucketed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val rawCounts = rawBuckets.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val rawCounts = rawCells.groupBy(col("b")).agg(sum(col("_k")).as("cr"))
     val totals = targetCounts.agg(sum(col("ct")).as("tt"))
       .crossJoin(rawCounts.agg(sum(col("cr")).as("rt")))
-    val perDoc = rawBuckets
+    val perDoc = rawCells
       .join(rawCounts, "b") // inner: every raw bucket is in the raw counts
       .join(targetCounts, Seq("b"), "left")
       .crossJoin(broadcast(totals))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets)) -
-            log((col("cr") + 1.0) / (col("rt") + buckets))).as("_lw"))
+      .agg(sum(col("_k")).as("n_tokens"),
+        sum(col("_k") *
+          (log((coalesce(col("ct"), lit(0L)) + 1.0) / (col("tt") + buckets)) -
+            log((col("cr") + 1.0) / (col("rt") + buckets)))).as("_lw"))
       // both the median pass and the scoring join consume perDoc — persist
-      // the compact (id, n_tokens, _lw) frame so the token-hash pipeline
-      // (the operator's dominant cost) runs ONCE (intra-query lifecycle,
-      // the GlobalRank discipline: Bench clears caches between queries)
+      // the compact (id, n_tokens, _lw) frame so the scoring pipeline runs
+      // ONCE (intra-query lifecycle, the GlobalRank discipline: Bench
+      // clears caches between queries)
       .persist()
     // exact interpolated median via the distributed rank (bit-identical
     // to the percentile aggregate this replaces, but never buffering the
@@ -3105,9 +3118,15 @@ object CorpusAnalytics {
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(toksC.as("_t"))
       .select(explode(pairs).as("p"))
-      .groupBy(col("p.n").cast("long").as("n"))
-      .agg(count(lit(1)).as("total_ngrams"),
-        countDistinct(col("p.g")).as("distinct_ngrams"))
+      // two-level aggregate instead of count + countDistinct in one agg:
+      // the single-agg form plans an Expand that doubles the gram stream
+      // before the shuffle; grouping by (n, gram) first dedups map-side
+      // and ships each distinct gram once — same exact integers
+      .groupBy(col("p.n").cast("long").as("n"), col("p.g").as("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("n"))
+      .agg(sum(col("_c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
       .select(col("n"), col("total_ngrams"), col("distinct_ngrams"),
         floor(col("distinct_ngrams").cast("double") /
           col("total_ngrams").cast("double") * 10000 + lit(0.5))

@@ -58,29 +58,43 @@ object NaiveBayes {
     // (caller-visible lifecycle, the dedup-family discipline)
     val docGrams = grams.groupBy(col(idCol), col("_lbl"), col("_g"))
       .agg(count(lit(1)).as("_cnt")).persist()
-    val classGrams = docGrams.groupBy(col("_lbl"), col("_g"))
-      .agg(sum(col("_cnt")).as("_n"))
-    // bounded driver stats (k classes + 1 vocab scalar + k priors):
-    val classTotals = classGrams.groupBy(col("_lbl"))
-      .agg(sum(col("_n")).as("_tot")).orderBy(col("_lbl")).collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    require(classTotals.nonEmpty, "langPredict: no labeled documents")
+    // the whole (class, gram) count table is alphabet^n-bounded — the
+    // SAME boundedness that lets the model broadcast to every executor —
+    // so collect it ONCE and derive class totals, vocabulary size, and
+    // the per-gram log-prob vectors on the driver: one job replaces the
+    // classTotals collect + the vocab distinct-count + the pivot shuffle
+    // + the distributed-model broadcast build (the centroid-literal
+    // discipline). Every double is the same IEEE chain the distributed
+    // pivot computed ((n+1.0)/denom then ln), so scores are bit-identical.
+    val classGramRows = docGrams.groupBy(col("_lbl"), col("_g"))
+      .agg(sum(col("_cnt")).as("_n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(classGramRows.nonEmpty, "langPredict: no labeled documents")
+    val classTotals = classGramRows.groupBy(_._1).map { case (l, rs) =>
+      l -> rs.map(_._3).sum }.toSeq.sortBy(_._1)
     val langs = classTotals.map(_._1)
-    val vocab = classGrams.select(col("_g")).distinct().count()
-    val docCounts = base.groupBy(col("_lbl"))
-      .agg(count(lit(1)).as("_d")).collect()
+    val vocab = classGramRows.map(_._2).distinct.length.toLong
+    // per-class doc counts off the cached compact frame (one job)
+    val docCounts = docGrams.groupBy(col("_lbl"))
+      .agg(count_distinct(col(idCol)).as("_d")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val totalDocs = docCounts.values.sum
     val priors = langs.map(l => math.log(docCounts(l).toDouble / totalDocs))
     val denoms = classTotals.map(_._2 + vocab)
-    // model: per gram, the k-vector of Laplace log-probs (pivot over the
-    // driver-known class list; absent (gram, class) pairs smooth to +1)
-    val pivoted = classGrams.groupBy(col("_g"))
-      .pivot("_lbl", langs.toIndexedSeq).agg(first(col("_n")))
-    val lps = array(langs.indices.map { i =>
-      log((coalesce(col(langs(i)), lit(0L)) + lit(1.0)) / lit(denoms(i).toDouble))
-    }: _*)
-    val model = pivoted.select(col("_g"), lps.as("_lps"))
+    val langIx = langs.zipWithIndex.toMap
+    val byGram = classGramRows.groupBy(_._2)
+    val modelRows = byGram.iterator.map { case (g, rs) =>
+      val counts = new Array[Long](langs.length)
+      rs.foreach { case (l, _, n) => counts(langIx(l)) = n }
+      org.apache.spark.sql.Row(g, langs.indices.map(i =>
+        math.log((counts(i) + 1.0) / denoms(i).toDouble)).toSeq)
+    }.toSeq
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StructType, StructField, StringType, ArrayType, DoubleType}
+    val model = docs.sparkSession.createDataFrame(modelRows.asJava,
+      StructType(Seq(StructField("_g", StringType, nullable = false),
+        StructField("_lps", ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
     // unseen grams (scoring data the fit never saw) smooth to ln(1/(n_c+V))
     val fallback = array(langs.indices.map(i =>
       lit(math.log(1.0 / denoms(i)))): _*)

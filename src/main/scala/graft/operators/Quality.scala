@@ -1744,13 +1744,18 @@ object Quality {
       groupCol: Column): DataFrame = {
     val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
       .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
+    // persisted: the median derivation (via the pooled histogram) and
+    // the 2×k table both consume it, and wps's sample pass would
+    // otherwise re-run the corpus-width agg a third time (the scaladoc's
+    // one-corpus-exchange claim was only true per consumer before)
     val cells = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .persist()
     val pv = cells.groupBy(col("_v"))
       .agg(sum(col("_c")).as("_cv"))
-    val withX = GlobalRank.weightedPrefixSums(pv, "_v", "_cv", "_x")
-    val totals = pv.agg(coalesce(sum(col("_cv")), lit(0L)).as("_n"))
-    val med = withX.crossJoin(broadcast(totals))
-      .filter((col("_x") + col("_cv")) * 2 >= col("_n"))
+    val (withX, wTots) = GlobalRank.weightedPrefixSumsMulti(
+      pv, "_v", Seq("_cv" -> "_x"))
+    val med = withX
+      .filter((col("_x") + col("_cv")) * 2 >= lit(wTots.head))
       .agg(min(col("_v")).as("_m"))
     val grp = cells.crossJoin(broadcast(med))
       .groupBy(col("_g"))
@@ -2035,9 +2040,9 @@ object Quality {
       val hist = d.filter(col(valueCol).isNotNull)
         .select(col(valueCol).cast("long").as("_v"))
         .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
-      val pre = GlobalRank.weightedPrefixSums(hist, "_v", "_c", "_pfx")
-      val tot = pre.agg(coalesce(sum(col("_c")), lit(0L)).as("_nn"))
-      val w = pre.crossJoin(broadcast(tot))
+      val (pre, preTots) = GlobalRank.weightedPrefixSumsMulti(
+        hist, "_v", Seq("_c" -> "_pfx"))
+      val w = pre.withColumn("_nn", lit(preTots.head))
         .withColumn("_g", expr(s"_nn * $trimNum div $trimDen"))
       val keep = greatest(lit(0L),
         least(col("_pfx") + col("_c"), col("_nn") - col("_g")) -
@@ -2411,9 +2416,21 @@ object Quality {
         .select(col(valCol),
           (lit(2L) * col("_hp") + col("_hc") + lit(1L)).as(out))
     }
+    // the two marginal midrank tables are independent and each submits
+    // bounded driver jobs at construction (range sample + offsets collect)
+    // — build them concurrently off the shared persisted joint histogram
+    // (guide §2.6 overlap; BlockManager computes each cached partition
+    // once under its per-block lock, so the race is safe)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val mxF = Future(m2Table("_x", "_mx"))
+    val myF = Future(m2Table("_y", "_my"))
+    val Seq(mx, my) = Await.result(
+      Future.sequence(Seq(mxF, myF)), Duration.Inf)
     val joined = joint
-      .join(m2Table("_x", "_mx"), "_x")
-      .join(m2Table("_y", "_my"), "_y")
+      .join(mx, "_x")
+      .join(my, "_y")
     val d = (c: Column) => c.cast("double")
     val cw = col("_c").cast(dec)
     joined.agg(
