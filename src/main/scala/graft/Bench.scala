@@ -56,12 +56,10 @@ object Bench {
       // would use (hashedFeatures' md5 default exists only so the
       // oracle replays bucket ids); same projection as the gate query
       val dim = 256
-      operators.CorpusAnalytics.hashedFeatures(
+      operators.CorpusAnalytics.hashedFeaturesSparse(
         Tables(s, dir, "documents"), dim = dim,
         bucketHash = Some((t: org.apache.spark.sql.Column) =>
           pmod(xxhash64(t), lit(dim.toLong))))
-        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "v")))
-        .filter(col("v") =!= 0)
         .select(col("doc_id"), col("dim").cast("long").as("dim"),
           round(col("v").cast("double"), 4).as("value"))
         .orderBy(col("doc_id"), col("dim"))

@@ -1242,6 +1242,44 @@ object CorpusAnalytics {
           transform(dense, x => (x / col("_nrm")).cast("float"))).as("features"))
   }
 
+  /** [[hashedFeatures]]' nonzero entries WITHOUT the dense detour:
+    * (id, dim, v) rows straight from the (doc, bucket) tf aggregate.
+    * Exactly the rows `posexplode(features)` + `v != 0` yields from the
+    * dense form — a bucket appears iff tf >= 1 there too, docs with no
+    * tokens yield all-zero arrays there and no rows here, and
+    * v = float(double(tf) / nrm) is the same IEEE chain — but the O(dim)
+    * per-doc densify + explode + filter never runs (measured ~1.3 s of
+    * q119's warm pass at sf0.1: 1.28M dense entries built and exploded
+    * to keep 110k). Callers that need the dense vector (the PCA/
+    * whitening family) keep using [[hashedFeatures]].
+    */
+  def hashedFeaturesSparse(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      dim: Int = 256,
+      bucketHash: Option[Column => Column] = None): DataFrame = {
+    require(dim > 1, "need at least 2 dimensions")
+    val hash = bucketHash.getOrElse((t: Column) =>
+      conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % dim)
+    val counts = docs
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), hash(col("tok")).as("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    // same norm discipline as the dense form: from the sparse integer
+    // counts, inside one per-doc aggregate
+    val sparse = counts
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("b"), col("tf"))).as("_e"),
+        sqrt(sum(col("tf") * col("tf")).cast("double")).as("_nrm"))
+    sparse
+      .select(col(idCol), explode(col("_e")).as("p"), col("_nrm"))
+      .select(col(idCol), col("p.b").as("dim"),
+        (col("p.tf").cast("double") / col("_nrm")).cast("float").as("v"))
+  }
+
   /** Corpus-distribution drift between two snapshots — the "did the crawl
     * change under us?" monitor an ingestion pipeline runs between batches:
     * symmetric KL and Jensen-Shannon divergence between the two corpora's
@@ -1629,13 +1667,17 @@ object CorpusAnalytics {
     val toks = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), split(col(textCol), " ", -1).as("ts"))
+    // persisted: the count gate's agg AND the postings join both consume
+    // the gram stream — un-persisted, the tokenizer + generator + hash
+    // run twice (measured ~1.4 s of the warm pass at sf0.1). The frame
+    // is 20 bytes/row (id, pos, 8-byte gram key), never the text
+    // (intra-query lifecycle; Bench/Verify clear caches).
     val grams = toks
       .filter(size(col("ts")) >= n)
-      .select(col("id"), explode(transform(
+      .select(col("id"), posexplode(transform(
         sequence(lit(0), size(col("ts")) - n),
-        i => struct(i.as("pos"),
-          xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(n)))).as("gram")))).as("pg"))
-      .select(col("id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+        i => xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(n)))))).as(Seq("pos", "gram")))
+      .persist()
     // count gate FIRST (cheap: partial agg collapses map-side) — only
     // occurrences of grams with 2..dfCap total occurrences enter pair
     // generation. The gated frame persists so the self-join's two sides
@@ -2331,22 +2373,33 @@ object CorpusAnalytics {
       .orderBy(col("c").desc, col("w"))
       .limit(v)
       .collect().map(_.getString(0))
-    val inVocab = (c: Column) => c.isInCollection(vocab.toSeq)
+    // map every token to its 1-based vocab position ONCE (0 = not in
+    // vocab) and build the shifted-zip window pairs over the int array:
+    // the vocab membership test used to run twice per generated pair
+    // (2·win·T evaluations) and the explode carried string structs into
+    // a string-keyed agg — ints shift the lookup to once per token and
+    // make the pair stream/agg fixed-width (measured ~2.2 -> ~1.3 s on
+    // q187's dominant job at sf0.1). Pair counts are the identical
+    // multiset, re-keyed by vocab position, so every downstream number
+    // (PPMI, Frobenius fold order, eigen) is unchanged.
+    val vocabLit = array(vocab.map(lit(_)): _*)
     // ordered symmetric pairs: both directions of each shifted zip
     val pairCounts = toks.filter(col("n") >= 2)
+      .select(transform(col("ts"), w => array_position(vocabLit, w).cast("int"))
+        .as("is"), col("n"))
       .select(explode(flatten(array((1 to win).flatMap { d =>
-        val l = slice(col("ts"), lit(1), greatest(col("n") - d, lit(0)))
-        val r = slice(col("ts"), lit(1 + d), greatest(col("n") - d, lit(0)))
+        val l = slice(col("is"), lit(1), greatest(col("n") - d, lit(0)))
+        val r = slice(col("is"), lit(1 + d), greatest(col("n") - d, lit(0)))
         Seq(
           zip_with(l, r, (a, b) => struct(a.as("w1"), b.as("w2"))),
           zip_with(r, l, (a, b) => struct(a.as("w1"), b.as("w2"))))
       }: _*))).as("p"))
       .select(col("p.w1"), col("p.w2"))
-      .filter(inVocab(col("w1")) && inVocab(col("w2")))
+      .filter(col("w1") > 0 && col("w2") > 0)
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
       .collect()
-      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .map(r => ((vocab(r.getInt(0) - 1), vocab(r.getInt(1) - 1)), r.getLong(2)))
       .toMap
     val idx = vocab.zipWithIndex.toMap
     val tPairs = pairCounts.valuesIterator.sum
@@ -2663,17 +2716,29 @@ object CorpusAnalytics {
         pmod(conv(substring(md5(
           concat(i.cast("string"), lit("|"), tok).cast("binary")), 1, 8), 16, 10)
           .cast("long"), lit(width.toLong)))
-    val toks = docs
+    // collapse the occurrence stream to per-token counts FIRST (one
+    // vocab-bounded hash agg with map-side partials): the bucket hash —
+    // md5 in the oracle-portable default — then evaluates once per
+    // DISTINCT token instead of once per occurrence×depth, and the
+    // sketch counters become integer sums over the collapsed counts
+    // (bit-identical: CM buckets are additive over equal tokens). The
+    // collapsed frame persists because the sketch, the exact top-k, and
+    // the probe fan-out all consume it (intra-query lifecycle; Bench/
+    // Verify clear caches).
+    val tokCounts = docs
       .filter(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("tok"))
-    val sketch = toks
-      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"), col("tok"))
-      .select(col("i"), bucket(col("i"), col("tok")).as("bucket"))
-      .groupBy(col("i"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val exact = toks
       .groupBy(col("tok"))
-      .agg(count(lit(1)).as("exact_count"))
+      .agg(count(lit(1)).as("_tc"))
+      .persist()
+    val sketch = tokCounts
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"),
+        col("tok"), col("_tc"))
+      .select(col("i"), bucket(col("i"), col("tok")).as("bucket"), col("_tc"))
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("_tc")).as("cnt"))
+    val exact = tokCounts
+      .select(col("tok"), col("_tc").as("exact_count"))
       .orderBy(col("exact_count").desc, col("tok"))
       .limit(topK)
     exact

@@ -455,13 +455,16 @@ object Quality {
       featCols: Seq[String],
       labelCol: String,
       iters: Int = 8,
-      ridge: Double = 1e-8): Array[Double] = {
+      ridge: Double = 1e-8,
+      managePersist: Boolean = true): Array[Double] = {
     require(featCols.nonEmpty && iters >= 1, "features and iterations")
     val d = featCols.length + 1
     def x(i: Int): Column = if (i == 0) lit(1.0) else col(featCols(i - 1))
     val y = col(labelCol).cast("double")
     val beta = Array.fill(d)(0.0)
-    val persisted = df.persist()
+    // managePersist=false: the caller already persists `df` and keeps
+    // using it after the fit — unpersisting here would evict it mid-query
+    val persisted = if (managePersist) df.persist() else df
     try {
       for (_ <- 0 until iters) {
         val eta = (0 until d).map(i => lit(beta(i)) * x(i)).reduce(_ + _)
@@ -482,7 +485,7 @@ object Quality {
         (0 until d).foreach(i => beta(i) += delta(i))
       }
       beta
-    } finally { persisted.unpersist() }
+    } finally { if (managePersist) persisted.unpersist() }
   }
 
   /** Gaussian elimination with partial pivoting on a (small, driver-side)
@@ -537,6 +540,12 @@ object Quality {
       labelExpr: Column,
       textCol: String = "text"): DataFrame = {
     import graft.functions.TextAnalysis
+    // persisted at THIS level: the text-feature extraction (tokenizer +
+    // three ratio kernels) feeds all 8 Newton iterations AND the final
+    // scoring/audit pass — logisticFit's internal persist used to die
+    // with its finally-unpersist, so the scoring pass re-ran the string
+    // work (measured ~0.5 s of q168's warm pass). Intra-query lifecycle;
+    // Bench/Verify clear caches.
     val feats = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(
@@ -545,8 +554,9 @@ object Quality {
         TextAnalysis.meanWordLength(col(textCol)).as("f_mwl"),
         TextAnalysis.alphaRatio(col(textCol)).as("f_alpha"),
         TextAnalysis.stopwordRatio(col(textCol)).as("f_stop"))
+      .persist()
     val featCols = Seq("f_len", "f_mwl", "f_alpha", "f_stop")
-    val beta = logisticFit(feats, featCols, "y")
+    val beta = logisticFit(feats, featCols, "y", managePersist = false)
     val scored = logisticScore(feats, featCols, beta).persist()
     val d = beta.length
     def x(i: Int): Column = if (i == 0) lit(1.0) else col(featCols(i - 1))
