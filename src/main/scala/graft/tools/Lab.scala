@@ -28,48 +28,38 @@ object Lab {
       }
     }
 
-    // ---- q160 stage dissection ----
-    val q = 3; val tau = 1
-    val df = graft.Tables(spark, sfDir, "customer")
-    val base = df.filter(col("c_name").isNotNull)
-      .select(col("c_custkey").as("id"), col("c_name").as("s"))
-      .persist()
-    val grams = base
-      .filter(length(col("s")) >= q)
+    // ---- q236 stage dissection ----
+    val n = 3; val dfCap = 128
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").as("id"), split(col("text"), " ", -1).as("ts"))
+    val grams = toks
+      .filter(size(col("ts")) >= n)
       .select(col("id"), posexplode(transform(
-        sequence(lit(0), length(col("s")) - q),
-        i => col("s").substr(i + 1, lit(q)))).as(Seq("pos", "gram")))
-    val dfreq = grams.select(col("id"), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val prefix = grams
-      .join(dfreq, "gram")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("gram"), col("pos")))).as("gd"))
-      .select(col("id"), explode(slice(col("gd"), 1, q * tau + 1)).as("e"))
-      .select(col("id"), col("e").getField("gram").as("gram"),
-        col("e").getField("pos").as("pos"))
-    val sentinel = base
-      .filter(length(col("s")) - q + 1 <= q * tau)
-      .select(col("id"), lit("").as("gram"), lit(0).as("pos"))
-    val postings = prefix.unionByName(sentinel)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+        sequence(lit(0), size(col("ts")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(n)))))).as(Seq("pos", "gram")))
       .persist()
-    time("postings build+count")(postings.count())
-    val candidates = postings.as("p1")
-      .join(postings.as("p2"),
-        col("p1.gram") === col("p2.gram") && col("p1.id") < col("p2.id") &&
-          abs(col("p1.pos") - col("p2.pos")) <= tau)
-      .select(col("p1.id").as("id1"), col("p2.id").as("id2"))
-    time("candidates count")(candidates.count())
-    val verified = candidates
-      .join(base.select(col("id").as("id1"), col("s").as("s1")), "id1")
-      .join(base.select(col("id").as("id2"), col("s").as("s2")), "id2")
-      .filter(abs(length(col("s1")) - length(col("s2"))) <= tau)
-      .withColumn("dist", levenshtein(col("s1"), col("s2"), tau).cast("long"))
-      .filter(col("dist") >= 0)
-      .select(col("id1"), col("id2"), col("dist"))
-    time("verified (no distinct)")(verified.count())
-    time("verified + distinct")(verified.distinct().count())
+    time("grams count")(grams.count())
+    val keep = grams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2 && col("_c") <= dfCap)
+      .select(col("gram"))
+    time("keep count")(keep.count())
+    val kept = grams.join(keep, "gram").persist()
+    time("kept count")(kept.count())
+    val matches = kept
+      .join(kept.select(col("gram"), col("id").as("_bid"), col("pos").as("_bpos")),
+        Seq("gram"))
+      .filter(col("id") < col("_bid"))
+      .select(col("id").as("a_id"), col("_bid").as("b_id"),
+        col("pos").as("apos"), (col("pos") - col("_bpos")).as("diag"))
+    time("matches count")(matches.count())
+    val runs = matches
+      .groupBy(col("a_id"), col("b_id"), col("diag"))
+      .agg(sort_array(collect_list(col("apos"))).as("ps"))
+    time("runs count")(runs.count())
     spark.stop()
   }
 }
