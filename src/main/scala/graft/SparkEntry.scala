@@ -3612,8 +3612,15 @@ object SparkEntry {
       val deduped = gated.join(winners, Seq("doc_id"))
       val clean = operators.CorpusAnalytics.decontaminate(deduped, evalD)
         .filter(!col("contaminated")).select(col("doc_id"))
+      // persisted: the packing leg AND the final projection both consume
+      // the survivors — un-persisted, the gate/dedup/decontaminate chain
+      // (three joins + the text-feature predicates) ran twice (intra-
+      // query lifecycle; at scale this is the persist-or-recompute trade
+      // every multi-stage pipeline makes, and the survivors are the
+      // SMALLER frame by construction)
       val surv = deduped.join(clean, Seq("doc_id"))
         .withColumn("split", operators.Sampling.splitLabel(col("doc_id"), 90))
+        .persist()
       val packed = operators.CorpusAnalytics.packSequences(
         surv.filter(col("split") === "train"), "lang", "doc_id",
         windowTokens = 512L)

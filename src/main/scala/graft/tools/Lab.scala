@@ -20,46 +20,30 @@ object Lab {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Tables(spark, sfDir, "lineitem").count()
-    def time(label: String)(f: => Long): Unit = {
+    def time(label: String)(f: => Unit): Unit = {
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val n = f
-        println(f"[lab] $label pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n)")
+        f
+        println(f"[lab] $label pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
-
-    // ---- q236 stage dissection ----
-    val n = 3; val dfCap = 128
-    val docs = graft.Tables(spark, sfDir, "documents")
-    val toks = docs
-      .filter(col("text").isNotNull)
-      .select(col("doc_id").as("id"), split(col("text"), " ", -1).as("ts"))
-    val grams = toks
-      .filter(size(col("ts")) >= n)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0), size(col("ts")) - n),
-        i => xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(n)))))).as(Seq("pos", "gram")))
-      .persist()
-    time("grams count")(grams.count())
-    val keep = grams
-      .groupBy(col("gram"))
-      .agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= 2 && col("_c") <= dfCap)
-      .select(col("gram"))
-    time("keep count")(keep.count())
-    val kept = grams.join(keep, "gram").persist()
-    time("kept count")(kept.count())
-    val matches = kept
-      .join(kept.select(col("gram"), col("id").as("_bid"), col("pos").as("_bpos")),
-        Seq("gram"))
-      .filter(col("id") < col("_bid"))
-      .select(col("id").as("a_id"), col("_bid").as("b_id"),
-        col("pos").as("apos"), (col("pos") - col("_bpos")).as("diag"))
-    time("matches count")(matches.count())
-    val runs = matches
-      .groupBy(col("a_id"), col("b_id"), col("diag"))
-      .agg(sort_array(collect_list(col("apos"))).as("ps"))
-    time("runs count")(runs.count())
+    import graft.operators.Similarity
+    val emb = graft.Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10).persist()
+    corpus.count()
+    time("exact topK")(Similarity.topKPerQuery(corpus, queries, 10).count())
+    val t0 = System.nanoTime()
+    val cents = Similarity.kmeansCentroids(corpus, k = 8, iters = 0)
+    println(f"[lab] kmeansCentroids: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val t1 = System.nanoTime()
+    val books = Similarity.pqResidualCodebooks(corpus, cents, m = 8, ksub = 16)
+    println(f"[lab] pqResidualCodebooks: ${(System.nanoTime() - t1) / 1e9}%.3f s")
+    val index = Similarity.ivfPqEncode(corpus, cents, books).persist()
+    time("ivfPqEncode materialize")(index.count())
+    time("ivfPqTopK")(Similarity.ivfPqTopKPerQuery(index, cents, books,
+      queries, 10, nprobe = 4, rerank = 80).count())
     spark.stop()
   }
 }
