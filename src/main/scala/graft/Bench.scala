@@ -47,7 +47,8 @@ object Bench {
         docs, docs.filter(col("lang") === "en"),
         buckets = buckets,
         bucketHash = Some((t: org.apache.spark.sql.Column) =>
-          pmod(xxhash64(t), lit(buckets))))
+          pmod(xxhash64(t), lit(buckets))),
+        targetIsSubset = true)
         .orderBy(col("doc_id"))
     }),
     "q119_hashed_features_xxh" -> ((s: SparkSession, dir: String) => {

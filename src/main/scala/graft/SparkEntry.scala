@@ -1144,7 +1144,10 @@ object SparkEntry {
       // smoothing, so the cut is relative) — booleans oracle-compared
       val docs = Tables(s, dir, "documents")
       operators.CorpusAnalytics
-        .importanceWeights(docs, docs.filter(col("lang") === "en"))
+        .importanceWeights(docs, docs.filter(col("lang") === "en"),
+          // the target IS a docs subset: its bucket counts derive from
+          // the shared per-(doc, bucket) collapse — one token pass, not two
+          targetIsSubset = true)
         .orderBy(col("doc_id"))
     }),
 

@@ -1095,7 +1095,8 @@ object CorpusAnalytics {
       textCol: String = "text",
       idCol: String = "doc_id",
       buckets: Int = 4096,
-      bucketHash: Option[Column => Column] = None): DataFrame = {
+      bucketHash: Option[Column => Column] = None,
+      targetIsSubset: Boolean = false): DataFrame = {
     require(buckets > 1, "need at least 2 hash buckets")
     val hash = bucketHash.getOrElse((t: Column) =>
       conv(substring(md5(t.cast("binary")), 1, 8), 16, 10)
@@ -1117,7 +1118,19 @@ object CorpusAnalytics {
     val rawCells = bucketed(docs)
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("_k"))
       .persist()
-    val targetCounts = bucketed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // targetIsSubset: when the target frame is a row subset of `docs`
+    // (the q116 shape — "weight the corpus against its English slice"),
+    // its per-bucket counts are EXACTLY the sum of the already-collapsed
+    // per-(doc, bucket) cells over the target's ids — so the target side
+    // re-uses the persisted collapse instead of re-exploding and
+    // re-hashing its whole token stream a second time (the bucket hash
+    // is the operator's dominant per-row cost). Same integers by
+    // construction; the general two-corpora form keeps the second pass.
+    val targetCounts =
+      if (targetIsSubset)
+        rawCells.join(target.select(col(idCol)), Seq(idCol))
+          .groupBy(col("b")).agg(sum(col("_k")).as("ct"))
+      else bucketed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val rawCounts = rawCells.groupBy(col("b")).agg(sum(col("_k")).as("cr"))
     val totals = targetCounts.agg(sum(col("ct")).as("tt"))
       .crossJoin(rawCounts.agg(sum(col("cr")).as("rt")))

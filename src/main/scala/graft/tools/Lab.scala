@@ -20,30 +20,52 @@ object Lab {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Tables(spark, sfDir, "lineitem").count()
-    def time(label: String)(f: => Unit): Unit = {
+    def time(label: String)(f: => Long): Unit = {
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        f
-        println(f"[lab] $label pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val n = f
+        println(f"[lab] $label pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n)")
       }
     }
-    import graft.operators.Similarity
-    val emb = graft.Tables(spark, sfDir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding"))
-    val corpus = emb.filter(col("vec_id") >= 10).persist()
-    corpus.count()
-    time("exact topK")(Similarity.topKPerQuery(corpus, queries, 10).count())
-    val t0 = System.nanoTime()
-    val cents = Similarity.kmeansCentroids(corpus, k = 8, iters = 0)
-    println(f"[lab] kmeansCentroids: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    val t1 = System.nanoTime()
-    val books = Similarity.pqResidualCodebooks(corpus, cents, m = 8, ksub = 16)
-    println(f"[lab] pqResidualCodebooks: ${(System.nanoTime() - t1) / 1e9}%.3f s")
-    val index = Similarity.ivfPqEncode(corpus, cents, books).persist()
-    time("ivfPqEncode materialize")(index.count())
-    time("ivfPqTopK")(Similarity.ivfPqTopKPerQuery(index, cents, books,
-      queries, 10, nprobe = 4, rerank = 80).count())
+    // ---- q160: dedup candidates before the attach-joins? ----
+    val q = 3; val tau = 1
+    val df0 = graft.Tables(spark, sfDir, "customer")
+    val base = df0.filter(col("c_name").isNotNull)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      .persist()
+    val grams = base
+      .filter(length(col("s")) >= q)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), length(col("s")) - q),
+        i => col("s").substr(i + 1, lit(q)))).as(Seq("pos", "gram")))
+    val dfreq = grams.select(col("id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val prefix = grams
+      .join(dfreq, "gram")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gram"), col("pos")))).as("gd"))
+      .select(col("id"), explode(slice(col("gd"), 1, q * tau + 1)).as("e"))
+      .select(col("id"), col("e").getField("gram").as("gram"),
+        col("e").getField("pos").as("pos"))
+    val postings = prefix
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .persist()
+    postings.count()
+    val candidates = postings.as("p1")
+      .join(postings.as("p2"),
+        col("p1.gram") === col("p2.gram") && col("p1.id") < col("p2.id") &&
+          abs(col("p1.pos") - col("p2.pos")) <= tau)
+      .select(col("p1.id").as("id1"), col("p2.id").as("id2"))
+    def verify(c: org.apache.spark.sql.DataFrame) = c
+      .join(base.select(col("id").as("id1"), col("s").as("s1")), "id1")
+      .join(base.select(col("id").as("id2"), col("s").as("s2")), "id2")
+      .filter(abs(length(col("s1")) - length(col("s2"))) <= tau)
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), tau).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id1"), col("id2"), col("dist"))
+    time("A: distinct candidates count")(candidates.distinct().count())
+    time("B: verify(distinct cands), no final distinct")(verify(candidates.distinct()).count())
+    time("C: current verify(raw) + distinct")(verify(candidates).distinct().count())
     spark.stop()
   }
 }
