@@ -63,6 +63,12 @@ private[graft] object GlobalRank {
       outCol: String): (DataFrame, Long, DataFrame) = {
     val spark = df.sparkSession
     val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // same input-pin as weightedPrefixSumsMulti: the RangePartitioning
+    // exchange reads its child twice (boundary sample + shuffle map);
+    // hold the input for exactly those two reads, release after the
+    // offsets collect forces both. Caller-persisted inputs stay theirs.
+    val inputOwned = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (inputOwned) df.persist()
     val vr = df.repartitionByRange(p, col(sortCol), col(idCol))
       .withColumn("_grp_pid", spark_partition_id())
       .persist()
@@ -71,6 +77,7 @@ private[graft] object GlobalRank {
       .orderBy(col("_grp_pid")).collect()
       .map { r => val o = acc; acc += r.getLong(1); (r.getInt(0), o) }
       .toSeq
+    if (inputOwned) df.unpersist(false)
     import spark.implicits._
     val off = spark.createDataset(offRows).toDF("_grp_pid", "_grp_off")
     val ranked = vr.withColumn("_grp_lr", (row_number().over(
@@ -149,6 +156,15 @@ private[graft] object GlobalRank {
     import org.apache.spark.sql.types.{StructType, StructField, IntegerType, LongType}
     val spark = df.sparkSession
     val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // the RangePartitioning exchange evaluates its child TWICE — once for
+    // the boundary sample job, once for the shuffle map stage. Every
+    // caller feeds a corpus-width aggregate (the per-value histogram), so
+    // that is a whole extra corpus pass; pin the input for exactly those
+    // two reads and release it as soon as the offsets collect (which
+    // forces both) returns. Callers that already persisted their input
+    // keep ownership — we neither re-persist nor evict theirs.
+    val inputOwned = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (inputOwned) df.persist()
     val vr = df.repartitionByRange(p, col(orderCol))
       .withColumn("_wps_pid", spark_partition_id())
       .persist()
@@ -166,6 +182,9 @@ private[graft] object GlobalRank {
         }
         Row.fromSeq(r.getInt(0) +: os.toSeq)
       }.toSeq
+    // both reads of the input (sample + shuffle map) are done: vr's cache
+    // now carries the data for the window pass and the caller
+    if (inputOwned) df.unpersist(false)
     val off = spark.createDataFrame(offRows.asJava,
       StructType(StructField("_wps_pid", IntegerType, nullable = false) +:
         weights.indices.map(i => StructField(s"_wps_off$i", LongType, nullable = false))))
@@ -266,6 +285,10 @@ private[graft] object GlobalRank {
     // the rank pass must see identical buckets (same discipline as
     // withGlobalIndexCountAndHandle); fully consumed eagerly below, so
     // unpersisted before returning
+    // same input-pin as weightedPrefixSumsMulti: the range exchange reads
+    // its child twice (boundary sample + shuffle map)
+    val inputOwned = v.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (inputOwned) v.persist()
     val vr = v.repartitionByRange(p, col("_gp_g"), col("_gp_v"))
       .withColumn("_gp_pid", spark_partition_id())
       .persist()
@@ -274,6 +297,7 @@ private[graft] object GlobalRank {
     val cells = vr.groupBy(col("_gp_pid"), col("_gp_g"))
       .agg(count(col("_gp_v")).as("_nn"), count(lit(1)).as("_na"))
       .collect()
+    if (inputOwned) v.unpersist(false)
     // loud misuse guard, not a tuning knob: the bounded-driver contract
     // is |partitions| × |groups|. Past ~2M cells the caller is in the
     // high-cardinality-group regime this helper does not serve — per-key
