@@ -89,23 +89,6 @@ private[graft] object GlobalRank {
     (ranked, acc, vr)
   }
 
-  /** Exact interpolated percentiles of `valueCol` (nulls ignored, cast to
-    * double) computed DISTRIBUTED: global-rank the values, pull only the
-    * <= 2·|probs| positional rows to the driver, and interpolate there
-    * with Spark's own `Percentile.getPercentile` arithmetic — position
-    * `(n-1)·p` (Long × Double), then `(higher − pos)·vLo + (pos −
-    * lower)·vHi` with the equal-keys shortcut — so the result is
-    * BIT-IDENTICAL to the `percentile(...)` aggregate it replaces while
-    * never materializing a corpus-cardinality buffer in one aggregation
-    * state (the r10 q116 scale flag; same discipline as this object's
-    * r9 q137 fix). Returns None when the frame has no non-null values
-    * (the aggregate's NULL result).
-    *
-    * Tie-break note: `idCol` only has to be *some* column to complete the
-    * range-partition key — positional VALUES of a sorted multiset are
-    * invariant to how equal values are ordered among themselves, so the
-    * result is deterministic even when ids collide.
-    */
   /** `df` plus a global WEIGHTED prefix sum `outCol`: for each row, the
     * sum of `weightCol` over all rows strictly BEFORE it in `orderCol`
     * order — the distributed form of "cumulative mass below this value"
@@ -150,6 +133,22 @@ private[graft] object GlobalRank {
       df: DataFrame,
       orderCol: String,
       weights: Seq[(String, String)]): (DataFrame, Seq[Long]) = {
+    val (out, tots, _) = weightedPrefixSumsMultiHandle(df, orderCol, weights)
+    (out, tots)
+  }
+
+  /** [[weightedPrefixSumsMulti]] plus the PERSISTED internal frame, for
+    * callers that consume the result EAGERLY (a bounded collect) and can
+    * therefore release the pinned copy themselves — unpersisting the
+    * derived frame is a no-op because the CacheManager matches by plan
+    * sameResult against the repartitioned frame, never its descendant
+    * (the withGlobalIndexCountAndHandle precedent). Callers that hand
+    * the result onward lazily must NOT unpersist.
+    */
+  private[graft] def weightedPrefixSumsMultiHandle(
+      df: DataFrame,
+      orderCol: String,
+      weights: Seq[(String, String)]): (DataFrame, Seq[Long], DataFrame) = {
     require(weights.nonEmpty, "need at least one (weightCol, outCol) pair")
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
@@ -199,9 +198,29 @@ private[graft] object GlobalRank {
     val dropped = framed.select(
       framed.columns.filterNot(c => c == "_wps_pid" ||
         c.startsWith("_wps_run") || c.startsWith("_wps_off")).map(col) ++ outs: _*)
-    (dropped, accs.toSeq)
+    (dropped, accs.toSeq, vr)
   }
 
+  /** Exact interpolated percentiles over the VALUE HISTOGRAM: the
+    * corpus-width rows collapse to (distinct value, multiplicity) in one
+    * map-side-combining hash aggregate BEFORE any global ranking, then
+    * one [[weightedPrefixSumsMulti]] pass over the distinct-value frame
+    * turns each histogram row into its half-open global rank range
+    * [prefix, prefix + count) — the value at 0-based rank ix is the row
+    * whose range covers ix, so only the <= 2·|probs| bracketing rows are
+    * pulled for Spark's own `Percentile.getPercentile` interpolation
+    * arithmetic (pos = (n−1)·p as Long × Double, the equal-keys
+    * shortcut, (higher − pos)·vLo + (pos − lower)·vHi — bit-identical to
+    * the aggregate this replaces). Positional values of a sorted
+    * multiset are what the histogram stores by construction, so the
+    * selection is exactly the old row-level global rank's — but the
+    * range exchange, the pinned cache, and the rank window now touch
+    * distinct values instead of corpus rows (the same collapse-first
+    * discipline the rank statistics ride). `idCol` is retained for
+    * call-site compatibility; the histogram needs no tie-break (equal
+    * values are one row). Returns None when the frame has no non-null
+    * values (the aggregate's NULL result).
+    */
   def percentileValues(
       df: DataFrame,
       valueCol: String,
@@ -209,20 +228,29 @@ private[graft] object GlobalRank {
       probs: Seq[Double]): Option[Array[Double]] = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       "probs must be in [0, 1]")
-    val v = df.filter(col(valueCol).isNotNull)
-      .select(col(valueCol).cast("double").as("_pl_v"), col(idCol).as("_pl_id"))
-    val (ranked, n, pinned) =
-      withGlobalIndexCountAndHandle(v, "_pl_v", "_pl_id", "_pl_ix")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_pl_v"))
+      .groupBy(col("_pl_v")).agg(count(lit(1)).as("_pl_c"))
+    val (cum, tots, pinned) =
+      weightedPrefixSumsMultiHandle(hist, "_pl_v", Seq("_pl_c" -> "_pl_pfx"))
+    val n = tots.head
     if (n == 0) { pinned.unpersist(false); return None }
     val need = probs.flatMap { p =>
       val pos = (n - 1) * p
       Seq(pos.floor.toLong, pos.ceil.toLong)
     }.distinct
-    val at: Map[Long, Double] = ranked
-      .filter(col("_pl_ix").isin(need: _*))
-      .select(col("_pl_ix"), col("_pl_v"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = cum
+      .filter(need.map(ix =>
+        col("_pl_pfx") <= ix && lit(ix) < col("_pl_pfx") + col("_pl_c"))
+        .reduce(_ || _))
+      .select(col("_pl_v"), col("_pl_pfx"), col("_pl_c"))
+      .collect()
     pinned.unpersist(false)
+    val at: Map[Long, Double] = need.map { ix =>
+      val r = rows.find(r => r.getLong(1) <= ix && ix < r.getLong(1) + r.getLong(2))
+        .getOrElse(sys.error(s"percentileValues: no histogram row covers rank $ix"))
+      ix -> r.getDouble(0)
+    }.toMap
     Some(probs.map { p =>
       val pos = (n - 1) * p
       val lower = pos.floor.toLong
