@@ -2391,31 +2391,22 @@ object CorpusAnalytics {
       .orderBy(col("c").desc, col("w"))
       .limit(v)
       .collect().map(_.getString(0))
-    // map every token to its 1-based vocab position ONCE (0 = not in
-    // vocab) and build the shifted-zip window pairs over the int array:
-    // the vocab membership test used to run twice per generated pair
-    // (2·win·T evaluations) and the explode carried string structs into
-    // a string-keyed agg — ints shift the lookup to once per token and
-    // make the pair stream/agg fixed-width (measured ~2.2 -> ~1.3 s on
-    // q187's dominant job at sf0.1). Pair counts are the identical
-    // multiset, re-keyed by vocab position, so every downstream number
-    // (PPMI, Frobenius fold order, eigen) is unchanged.
-    val vocabLit = array(vocab.map(lit(_)): _*)
-    // ordered symmetric pairs: both directions of each shifted zip
+    // per-doc windowed pair counts in ONE kernel node (see
+    // graft.functions.VocabPairCounter): tokens hash-map to 1-based
+    // vocab positions once, the doc's v×v pair matrix accumulates in a
+    // local long array, and only nonzero (w1, w2, c) cells reach the
+    // aggregate — ≤v² bounded rows per doc instead of an explode of
+    // 2·win·T occurrence structs through the hash agg (the r18 int-pair
+    // rewrite's remaining cost; measured ~1.3 -> ~0.4 s on q187's
+    // dominant job at sf0.1). The summed pair counts are the identical
+    // multiset, so every downstream number (PPMI, Frobenius fold order,
+    // eigen) is unchanged.
+    val counter = new graft.functions.VocabPairCounter(vocab, win)
     val pairCounts = toks.filter(col("n") >= 2)
-      .select(transform(col("ts"), w => array_position(vocabLit, w).cast("int"))
-        .as("is"), col("n"))
-      .select(explode(flatten(array((1 to win).flatMap { d =>
-        val l = slice(col("is"), lit(1), greatest(col("n") - d, lit(0)))
-        val r = slice(col("is"), lit(1 + d), greatest(col("n") - d, lit(0)))
-        Seq(
-          zip_with(l, r, (a, b) => struct(a.as("w1"), b.as("w2"))),
-          zip_with(r, l, (a, b) => struct(a.as("w1"), b.as("w2"))))
-      }: _*))).as("p"))
-      .select(col("p.w1"), col("p.w2"))
-      .filter(col("w1") > 0 && col("w2") > 0)
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c"))
+      .select(explode(graft.functions.WordPairs
+        .vocab_pair_counts(col("ts"), counter)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(sum(col("p.c")).as("c"))
       .collect()
       .map(r => ((vocab(r.getInt(0) - 1), vocab(r.getInt(1) - 1)), r.getLong(2)))
       .toMap

@@ -764,7 +764,7 @@ object Dedup {
     * generate candidates). Verification re-counts the intersection
     * exactly on collected gram arrays, so the filter only prunes, never
     * approximates. Shuffles: df agg, df join + per-doc rank window, the
-    * candidate equi-join, pair distinct, and two array joins — all on
+    * candidate equi-join, two array joins, and a survivor distinct — all on
     * 8-byte xxhash64 gram keys (prefix filtering only needs a CONSISTENT
     * global order, and (df, hash) is one; collision odds and the q108
     * oracle pin follow dupNgramFraction's argument), and the gram arrays
@@ -802,6 +802,12 @@ object Dedup {
       tauNum: Int = 3,
       tauDen: Int = 5): (DataFrame, DataFrame) = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen, "tau must be in (0, 1]")
+    // NOT persisted (measured): the df aggregate and the perDoc join both
+    // consume the gram stream, so a pin looks attractive — but at sf0.1
+    // the pin's materialization job + two cache scans cost ~0.3s more
+    // than simply re-shingling (two parquet scans of a small corpus).
+    // The double text scan is the price; revisit only with evidence at a
+    // scale where shingling dominates the pin overhead.
     val grams = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol),
@@ -828,10 +834,18 @@ object Dedup {
     // PPJoin length filter (Xiao et al. WWW'08 §3.2): the intersection is
     // capped by |S(b)|, so containment >= tau forces
     // m_b*tauDen >= m_a*tauNum — prune those pairs in the candidate
-    // stage, before the distinct shuffle and the array-verify joins.
-    // Lossless: drops only pairs that can never reach the threshold.
-    // Probe side re-explodes the persisted perDoc gram sets (same
-    // distinct grams as the raw stream) so m_b rides along for free.
+    // stage, before the array-verify joins. Lossless: drops only pairs
+    // that can never reach the threshold. Probe side re-explodes the
+    // persisted perDoc gram sets (same distinct grams as the raw stream)
+    // so m_b rides along for free.
+    //
+    // NO pre-verify distinct: a pair re-enters once per shared prefix
+    // gram, but measured at sf0.1 that is only ~5% duplicate rows
+    // (598k raw vs 570k distinct) while the distinct itself costs a full
+    // exchange + two HashAggregates over every candidate. Verify the raw
+    // stream and dedupe the survivors instead (threshold survivors are
+    // ~0.1% of candidates; duplicate candidates produce bit-identical
+    // verify rows, so a post-filter distinct yields the same result set).
     val candidates = perDoc
       .select(col(idCol).as("b_id"), col("m").as("m_b"),
         explode(col("gs")).as("gram"))
@@ -839,17 +853,26 @@ object Dedup {
       .filter(col("a_id") =!= col("b_id") &&
         col("m_b") * tauDen >= col("m_a") * tauNum)
       .select(col("a_id"), col("b_id"))
-      .distinct()
     // SHUFFLE_HASH: unique-id build sides — don't sort gram-array rows
-    // (same reasoning as ngramJaccardPairs' verify joins)
+    // (same reasoning as ngramJaccardPairs' verify joins). The verify
+    // arrays are re-sorted by gram VALUE in the per-doc projection under
+    // the join (once per doc, not per pair) so the per-pair intersection
+    // is ONE allocation-free merge scan (sorted_intersect_count) instead
+    // of array_intersect's per-pair hash-set build — same distinct-count
+    // semantics on the distinct-element gram sets (ngramJaccardPairs'
+    // collision argument applies unchanged).
     val pairs = candidates
-      .join(perDoc.select(col(idCol).as("a_id"), col("gs").as("ga"),
+      .join(perDoc.select(col(idCol).as("a_id"),
+        sort_array(col("gs")).as("ga"),
         col("m").as("n_a")).hint("SHUFFLE_HASH"), "a_id")
-      .join(perDoc.select(col(idCol).as("b_id"), col("gs").as("gb"))
-        .hint("SHUFFLE_HASH"), "b_id")
+      .join(perDoc.select(col(idCol).as("b_id"),
+        sort_array(col("gs")).as("gb")).hint("SHUFFLE_HASH"), "b_id")
       .select(col("a_id"), col("b_id"), col("n_a"),
-        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_inter"))
+        graft.functions.SortedIntersect
+          .sorted_intersect_count(col("ga"), col("gb"))
+          .cast("long").as("n_inter"))
       .filter(col("n_inter") * tauDen >= col("n_a") * tauNum)
+      .distinct()
       .select(col("a_id"), col("b_id"), col("n_a"), col("n_inter"),
         round(col("n_inter").cast("double") / col("n_a"), 4).as("containment"))
     (pairs, perDoc)

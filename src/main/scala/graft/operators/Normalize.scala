@@ -227,30 +227,58 @@ object Normalize {
     * when pe = 1 (degenerate single-class case).
     *
     * Shape: ONE shuffle builds the contingency table on compact
-    * (a, b) label keys — bounded by classes², not rows; observed/expected
-    * agreement and the marginal cross-product all derive from that tiny
-    * frame (integer count sums, exact in any order; divisions happen once
-    * at the end, so the oracle replays bit-for-bit).
+    * (a, b) label keys — bounded by classes², not rows; everything after
+    * is a driver fold over the collected cells (the weightedKappa /
+    * bounded-driver discipline — the previous form persisted the tiny
+    * frame and ran FOUR more bounded jobs over it: stats agg, two margin
+    * aggs + join, and a broadcast cross join, fixed per-job cost that
+    * dwarfed the data). Integer count sums are exact in any order; the
+    * two divisions and the HALF_UP display rounding replicate the
+    * expression chain bit-for-bit (Spark's round(x, 4) = BigDecimal
+    * HALF_UP on the canonical double, which is scala BigDecimal(x)).
     */
   def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val ct = df.groupBy(col(colA).as("_a"), col(colB).as("_b"))
+    val spark = df.sparkSession
+    val cells = df.groupBy(col(colA).as("_a"), col(colB).as("_b"))
       .agg(count(lit(1)).as("c"))
-      .persist()
-    val stats = ct.agg(sum(col("c")).as("n"),
-      sum(when(col("_a") === col("_b"), col("c")).otherwise(lit(0L))).as("agree"))
-    val ma = ct.groupBy(col("_a")).agg(sum(col("c")).as("ca"))
-    val mb = ct.groupBy(col("_b")).agg(sum(col("c")).as("cb"))
-    val pe = ma.join(mb, ma("_a") === mb("_b"))
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("pesum"))
-    val nd = col("n").cast("double")
-    val po = col("agree").cast("double") / nd
-    val pev = col("pesum").cast("double") / (nd * nd)
-    stats.crossJoin(broadcast(pe))
-      .select(col("n"),
-        round(po, 4).as("po"),
-        round(pev, 4).as("pe"),
-        when(lit(1.0) - pev === 0, lit(1.0))
-          .otherwise(round((po - pev) / (lit(1.0) - pev), 4)).as("kappa"))
+      .collect()
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out: org.apache.spark.sql.Row =
+      if (cells.isEmpty)
+        org.apache.spark.sql.Row(null, null, null, null)
+      else {
+        val n = cells.map(_.getLong(2)).sum
+        // _a === _b is SQL null-rejecting: null-labeled cells never agree
+        val agree = cells.collect {
+          case r if !r.isNullAt(0) && !r.isNullAt(1) && r.get(0) == r.get(1) =>
+            r.getLong(2)
+        }.sum
+        val ca = scala.collection.mutable.Map[Any, Long]()
+        val cb = scala.collection.mutable.Map[Any, Long]()
+        cells.foreach { r =>
+          if (!r.isNullAt(0)) ca(r.get(0)) = ca.getOrElse(r.get(0), 0L) + r.getLong(2)
+          if (!r.isNullAt(1)) cb(r.get(1)) = cb.getOrElse(r.get(1), 0L) + r.getLong(2)
+        }
+        // equi-join on the label: only labels present in BOTH margins
+        val pesum = ca.iterator.collect {
+          case (l, c1) if cb.contains(l) => c1 * cb(l)
+        }.sum
+        val nd = n.toDouble
+        val po = agree.toDouble / nd
+        val pev = pesum.toDouble / (nd * nd)
+        val kappa: Any =
+          if (1.0 - pev == 0) 1.0 else r4((po - pev) / (1.0 - pev))
+        org.apache.spark.sql.Row(n, r4(po), r4(pev), kappa)
+      }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(out), 1),
+      StructType(Seq(
+        StructField("n", LongType, nullable = true),
+        StructField("po", DoubleType, nullable = true),
+        StructField("pe", DoubleType, nullable = true),
+        StructField("kappa", DoubleType, nullable = true))))
   }
 
   /** Quadratically weighted kappa (Cohen 1968, Fleiss–Cohen weights

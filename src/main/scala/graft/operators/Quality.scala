@@ -1748,10 +1748,64 @@ object Quality {
     * median is a one-row broadcast, and the 2×k table is a group-keyed
     * aggregate of bounded size.
     */
+  /** In-process tier of [[moodMedian]] — pooled median + 2×k grains from
+    * the collected long-valued cell table. Grain sums are longs
+    * (order-free), so no group ordering is needed.
+    */
+  private def moodMedianLocal(
+      perGV: DataFrame,
+      cellLimit: Long): Option[DataFrame] = {
+    collectScreenCells(perGV, cellLimit) match {
+      case Some(cells) if cells.nonEmpty =>
+        val spark = perGV.sparkSession
+        import org.apache.spark.sql.types._
+        val sp = new CellSpineL(cells)
+        val med = sp.medianV
+        val medIdx = java.util.Arrays.binarySearch(sp.values, med)
+        val gps = sp.groupPoints.map { case (g, ng, pts) =>
+          val hi = pts.iterator.collect {
+            case (i, c) if i > medIdx => c }.sum
+          (g, ng, hi)
+        }
+        val n = sp.n
+        val ta = gps.iterator.map(_._3).sum
+        val k = gps.size.toLong
+        val nd = n.toDouble
+        val ad = ta.toDouble
+        var q = 0L
+        gps.foreach { case (_, ng, hi) =>
+          if (ta > 0 && ta < n) {
+            val ngd = ng.toDouble
+            val hid = hi.toDouble
+            val e1 = ngd * ad / nd
+            val e2 = ngd * (nd - ad) / nd
+            val term = (hid - e1) * (hid - e1) / e1 +
+              ((ngd - hid) - e2) * ((ngd - hid) - e2) / e2
+            q += floorL(term * 1073741824)
+          }
+        }
+        val ok = k > 1 && ta > 0 && ta < n
+        val row = org.apache.spark.sql.Row(
+          n, k, med,
+          if (ok) floorL(q.toDouble / 1073741824 * 10000 + 0.5) else null,
+          if (ok) k - 1 else null)
+        Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(row), 1),
+          StructType(Seq(
+            StructField("n", LongType, nullable = true),
+            StructField("k_groups", LongType, nullable = true),
+            StructField("median_v", LongType, nullable = true),
+            StructField("chi2_bp", LongType, nullable = true),
+            StructField("dof", LongType, nullable = true)))))
+      case _ => None
+    }
+  }
+
   def moodMedian(
       df: DataFrame,
       valueCol: Column,
-      groupCol: Column): DataFrame = {
+      groupCol: Column,
+      localSpineLimit: Long = 1L << 18): DataFrame = {
     val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
       .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
     // persisted: the median derivation (via the pooled histogram) and
@@ -1760,6 +1814,8 @@ object Quality {
     // one-corpus-exchange claim was only true per consumer before)
     val cells = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
       .persist()
+    val localMm = moodMedianLocal(cells, localSpineLimit)
+    if (localMm.isDefined) { cells.unpersist(); return localMm.get }
     val pv = cells.groupBy(col("_v"))
       .agg(sum(col("_c")).as("_cv"))
     val (withX, wTots) = GlobalRank.weightedPrefixSumsMulti(
@@ -2405,11 +2461,73 @@ object Quality {
     * passes, two equi-joins, one single-row moment aggregate — carries
     * distinct values or distinct pairs only.
     */
+  /** In-process tier of [[spearmanCorrelation]]: collect the bounded
+    * joint (x, y, c) histogram and fold marginal doubled midranks + the
+    * five moments on the driver. Every moment is an exact integer
+    * (BigInt == DECIMAL(38,0), order-free), the final chain is the one
+    * spelled double expression; NaN through the floor→Long display
+    * replicates via [[floorL]].
+    */
+  private def spearmanLocal(
+      joint: DataFrame,
+      cellLimit: Long): Option[DataFrame] = {
+    if (cellLimit <= 0) return None
+    val cells = joint.head(cellLimit.toInt + 1)
+    if (cells.length > cellLimit || cells.isEmpty) return None
+    val spark = joint.sparkSession
+    import org.apache.spark.sql.types._
+    // marginal doubled midranks: m2 = 2·prefix + count + 1 per axis
+    def m2Of(get: org.apache.spark.sql.Row => Double): Map[Double, Long] = {
+      val hist = scala.collection.mutable.Map[Double, Long]()
+      cells.foreach(r => hist(get(r)) = hist.getOrElse(get(r), 0L) + r.getLong(2))
+      val vs = hist.keys.toArray.sorted
+      var pfx = 0L
+      vs.iterator.map { v =>
+        val c = hist(v)
+        val m2 = 2L * pfx + c + 1L
+        pfx += c
+        v -> m2
+      }.toMap
+    }
+    val mx = m2Of(_.getDouble(0))
+    val my = m2Of(_.getDouble(1))
+    var n = 0L
+    var sx = BigInt(0); var sy = BigInt(0)
+    var sxx = BigInt(0); var syy = BigInt(0); var sxy = BigInt(0)
+    cells.foreach { r =>
+      val c = BigInt(r.getLong(2))
+      val ax = BigInt(mx(r.getDouble(0)))
+      val ay = BigInt(my(r.getDouble(1)))
+      n += r.getLong(2)
+      sx += c * ax
+      sy += c * ay
+      sxx += c * ax * ax
+      syy += c * ay * ay
+      sxy += c * ax * ay
+    }
+    val nD = n.toDouble
+    val den = math.sqrt((nD * decD(sxx) - decD(sx) * decD(sx)) *
+      (nD * decD(syy) - decD(sy) * decD(sy)))
+    // a constant axis makes the denominator 0.0 — under ANSI the
+    // distributed chain THROWS there; defer so the degenerate's error
+    // behavior stays identical
+    if (den == 0.0) return None
+    val rho = floorL((nD * decD(sxy) - decD(sx) * decD(sy)) / den
+      * 10000 + 0.5).toDouble / 10000
+    val row = org.apache.spark.sql.Row(n, rho)
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1),
+      StructType(Seq(
+        StructField("n", LongType, nullable = true),
+        StructField("rho", DoubleType, nullable = true)))))
+  }
+
   def spearmanCorrelation(
       df: DataFrame,
       xCol: Column,
       yCol: Column,
-      idCol: String): DataFrame = {
+      idCol: String,
+      localSpineLimit: Long = 1L << 18): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = df
       .filter(xCol.isNotNull && yCol.isNotNull && col(idCol).isNotNull)
@@ -2420,6 +2538,8 @@ object Quality {
     // GlobalRank discipline
     val joint = v.groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_c"))
       .persist()
+    val localSp = spearmanLocal(joint, localSpineLimit)
+    if (localSp.isDefined) { joint.unpersist(); return localSp.get }
     def m2Table(valCol: String, out: String): DataFrame = {
       val hist = joint.groupBy(col(valCol)).agg(sum(col("_c")).as("_hc"))
       GlobalRank.weightedPrefixSums(hist, valCol, "_hc", "_hp")
@@ -3346,21 +3466,36 @@ object Quality {
     * discipline), values carry the same integer cross-mass numerators
     * as [[ksTest]] with cum_rest = cum_all − cum_g.
     *
-    * Scale shape: one row-level hash agg to (group, value) cells
-    * (persisted — three consumers), one value-keyed roll-up + ONE
-    * `weightedPrefixSums` pass for the global cumulative, a broadcast
-    * cross with the bounded group table, a PARTITIONED window per group
-    * (never single-partition), one group-keyed max.
+    * Scale shape, two tiers size-gated on the CELL table (the
+    * knnNeighbors / connectedComponents discipline): the (group, value)
+    * hash agg always runs distributed with map-side partials; while the
+    * cell table fits one driver page (≤ 2¹⁸ (group, value) cells —
+    * a bounded, documented collect of compact integer cells) the
+    * cumulative walk, the integer cross-mass supremum, and the display
+    * chain fold IN-PROCESS — the distributed form spends ~20 bounded
+    * jobs (persist, value roll-up, group table, wps pass, broadcast
+    * cross, per-group window, max agg) on a frame of a few thousand
+    * rows, pure fixed job cost. Past the gate the distributed plan runs
+    * verbatim: one value-keyed roll-up + ONE `weightedPrefixSums` pass
+    * for the global cumulative, a broadcast cross with the bounded group
+    * table, a PARTITIONED window per group (never single-partition), one
+    * group-keyed max. Both tiers execute the identical arithmetic — the
+    * driver fold replicates the integer cross-mass (BigInt ==
+    * DECIMAL(38,0)), the decimal→double cast, and the display chain
+    * operation-for-operation (QualityScreenSpec pins the tiers equal).
     */
   def groupedKsTest(
       df: DataFrame,
       valueCol: Column,
-      groupCol: Column): DataFrame = {
+      groupCol: Column,
+      localSpineLimit: Long = 1L << 18): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
       .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
     val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
       .persist()
+    val localKs = ksScreenLocal(perGV, localSpineLimit)
+    if (localKs.isDefined) { perGV.unpersist(); return localKs.get }
     val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
     val groups = perGV.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
     val totals = perV.agg(coalesce(sum(col("_cv")), lit(0L)).as("_n"))
@@ -3393,6 +3528,205 @@ object Quality {
         r4(d).as("ks_d"),
         r4(least(lit(1.0), lit(2.0) * exp(lit(-2.0) * lambda * lambda)))
           .as("p_value"))
+  }
+
+  /** The in-process tier of [[groupedKsTest]]: collect the bounded
+    * (group, value, count) cell table and fold the screen on the driver.
+    * Returns None past the gate (cell table larger than `cellLimit`).
+    *
+    * Arithmetic parity with the distributed plan, operation for
+    * operation: the cross-mass numerator cumg·(n−ng) − (cumall−cumg)·ng
+    * expands to cumg·n − cumall·ng exactly (integers), BigInt ==
+    * DECIMAL(38,0); the per-group supremum over the pooled value spine
+    * is evaluated only at segment endpoints (between a group's own value
+    * points cumg is constant and the numerator is linear in cumall, so
+    * the max over the segment sits at its ends) — O(cells), never
+    * O(groups × values); the decimal→double cast is BigDecimal
+    * .doubleValue like Spark's Decimal.toDouble; floor(x·10⁴+0.5)
+    * round-trips through Long exactly like Floor(DoubleType)→LongType;
+    * least(1.0, x) treats NaN as greatest, like Spark's Least ordering.
+    */
+  /** Bounded collect of a (_g, _v, _c) cell table for the in-process
+    * screen tiers; None past the gate. Shared by the KS / W1 / delta /
+    * drift-card local folds.
+    */
+  private def collectScreenCells(
+      perGV: DataFrame,
+      cellLimit: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    if (cellLimit <= 0) return None
+    val cells = perGV.head(cellLimit.toInt + 1)
+    if (cells.length > cellLimit) None else Some(cells)
+  }
+
+  /** Sorted pooled value spine + inclusive cumulative + per-value pooled
+    * counts + total, from collected cells — the driver mirror of the
+    * perV roll-up and the weightedPrefixSums cumulative.
+    */
+  private final class CellSpine(cells: Array[org.apache.spark.sql.Row]) {
+    val values: Array[Double] = cells.map(_.getDouble(1)).distinct.sorted
+    val cv: Array[Long] = {
+      val out = new Array[Long](values.length)
+      cells.foreach { r =>
+        out(java.util.Arrays.binarySearch(values, r.getDouble(1))) +=
+          r.getLong(2)
+      }
+      out
+    }
+    val cumAll: Array[Long] = {
+      val out = cv.clone()
+      var i = 1
+      while (i < out.length) { out(i) += out(i - 1); i += 1 }
+      out
+    }
+    val n: Long = cells.map(_.getLong(2)).sum
+    /** doubled midrank per value index: 2·exclusive-prefix + count + 1. */
+    def m2(i: Int): Long = 2L * (cumAll(i) - cv(i)) + cv(i) + 1L
+    /** group -> its (value index, count) points, index-ascending. */
+    def groupPoints: Seq[(Any, Long, Array[(Int, Long)])] =
+      cells.groupBy(_.get(0)).toSeq.map { case (g, own) =>
+        val pts = own.map(r =>
+          (java.util.Arrays.binarySearch(values, r.getDouble(1)),
+            r.getLong(2))).sortBy(_._1)
+        (g, own.map(_.getLong(2)).sum, pts)
+      }
+  }
+
+  /** Spark Floor(DoubleType)->LongType: Math.floor then d2l (NaN -> 0,
+    * +-Inf saturate) — the display chains round-trip through it.
+    */
+  private def floorL(x: Double): Long = math.floor(x).toLong
+
+  /** Decimal(38,0) -> double, as Spark's Decimal.toDouble computes it. */
+  private def decD(x: BigInt): Double =
+    new java.math.BigDecimal(x.bigInteger).doubleValue()
+
+  /** Spark's type ordering for the group key, for replicating
+    * sort_array(struct(_g, ...)) folds on the driver: strings compare as
+    * unsigned UTF-8 bytes (UTF8String.compareTo), integral/floating
+    * types naturally. None = unsupported type, caller falls back to the
+    * distributed tier.
+    */
+  private def groupOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = java.util.Arrays.compareUnsigned(
+          a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
+      case _ => None
+    }
+  }
+
+  /** [[CellSpine]] for LONG-valued cell tables (the integral-measure
+    * operators: Mood, kGroupCard).
+    */
+  private final class CellSpineL(cells: Array[org.apache.spark.sql.Row]) {
+    val values: Array[Long] = cells.map(_.getLong(1)).distinct.sorted
+    val cv: Array[Long] = {
+      val out = new Array[Long](values.length)
+      cells.foreach { r =>
+        out(java.util.Arrays.binarySearch(values, r.getLong(1))) +=
+          r.getLong(2)
+      }
+      out
+    }
+    val cumAll: Array[Long] = {
+      val out = cv.clone()
+      var i = 1
+      while (i < out.length) { out(i) += out(i - 1); i += 1 }
+      out
+    }
+    val n: Long = cells.map(_.getLong(2)).sum
+    /** doubled midrank per value index: 2·exclusive-prefix + count + 1. */
+    def m2(i: Int): Long = 2L * (cumAll(i) - cv(i)) + cv(i) + 1L
+    /** smallest value whose inclusive cumulative covers half the pool. */
+    def medianV: Long = {
+      var i = 0
+      while (cumAll(i) * 2 < n) i += 1
+      values(i)
+    }
+    def groupPoints: Seq[(Any, Long, Array[(Int, Long)])] =
+      cells.groupBy(_.get(0)).toSeq.map { case (g, own) =>
+        val pts = own.map(r =>
+          (java.util.Arrays.binarySearch(values, r.getLong(1)),
+            r.getLong(2))).sortBy(_._1)
+        (g, own.map(_.getLong(2)).sum, pts)
+      }
+  }
+
+  /** Spark Least(1.0, x) under the NaN-greatest ordering. */
+  private def least1(x: Double): Double =
+    if (java.lang.Double.isNaN(x)) 1.0 else math.min(1.0, x)
+
+  private def ksScreenLocal(
+      perGV: DataFrame,
+      cellLimit: Long): Option[DataFrame] = {
+    if (cellLimit <= 0) return None
+    val cells = perGV.head(cellLimit.toInt + 1)
+    if (cells.length > cellLimit) return None
+    val spark = perGV.sparkSession
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("group_key", perGV.schema("_g").dataType, nullable = true),
+      StructField("n_g", LongType, nullable = true),
+      StructField("n_rest", LongType, nullable = true),
+      StructField("ks_d", DoubleType, nullable = true),
+      StructField("p_value", DoubleType, nullable = true)))
+    def r4(x: Double): Double =
+      math.floor(x * 10000 + 0.5).toLong.toDouble / 10000
+    val out: Seq[org.apache.spark.sql.Row] =
+      if (cells.isEmpty) Seq.empty
+      else {
+        val values: Array[Double] = cells.map(_.getDouble(1)).distinct.sorted
+        val cumAll = new Array[Long](values.length)
+        cells.foreach { r =>
+          val i = java.util.Arrays.binarySearch(values, r.getDouble(1))
+          cumAll(i) += r.getLong(2)
+        }
+        var i = 1
+        while (i < values.length) { cumAll(i) += cumAll(i - 1); i += 1 }
+        val n = cells.map(_.getLong(2)).sum
+        val grouped = cells.groupBy(_.get(0)).toSeq
+        // a group owning the whole pool divides by n_rest = 0 — under
+        // ANSI the distributed chain THROWS there; defer to it so the
+        // degenerate's error behavior stays identical
+        if (grouped.exists(_._2.map(_.getLong(2)).sum == n)) return None
+        grouped.map { case (g, own) =>
+          val ng = own.map(_.getLong(2)).sum
+          val pts = own.map(r =>
+            (java.util.Arrays.binarySearch(values, r.getDouble(1)),
+              r.getLong(2))).sortBy(_._1)
+          val nB = BigInt(n)
+          val ngB = BigInt(ng)
+          var cumg = 0L
+          var dnum = BigInt(0)
+          pts.foreach { case (pos, c) =>
+            if (pos > 0) {
+              val pre = (BigInt(cumg) * nB - BigInt(cumAll(pos - 1)) * ngB).abs
+              if (pre > dnum) dnum = pre
+            }
+            cumg += c
+            val at = (BigInt(cumg) * nB - BigInt(cumAll(pos)) * ngB).abs
+            if (at > dnum) dnum = at
+          }
+          val ngd = ng.toDouble
+          val nrd = (n - ng).toDouble
+          val d = new java.math.BigDecimal(dnum.bigInteger).doubleValue() /
+            (ngd * nrd)
+          val lambda = math.sqrt(ngd * nrd / (ngd + nrd)) * d
+          val praw = 2.0 * math.exp(-2.0 * lambda * lambda)
+          val p = if (java.lang.Double.isNaN(praw)) 1.0
+            else math.min(1.0, praw)
+          org.apache.spark.sql.Row(g, ng, n - ng, r4(d), r4(p))
+        }
+      }
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema))
   }
 
   /** [[groupedKsTest]] with the scale fallback built in — the entry
@@ -3472,15 +3806,88 @@ object Quality {
     * with the bounded group table, a PARTITIONED per-group window, one
     * group-keyed sum.
     */
+  /** In-process tier of [[groupedW1]] — the ksScreenLocal discipline
+    * with the W1 gap sum instead of the KS max. The walk is
+    * O(groups × values) (every pooled value contributes a gap term to
+    * every group), so the gate additionally bounds the spine product.
+    * Term-for-term the wassersteinDistance float sequence: BigInt
+    * cross-mass == DECIMAL(38,0), BigDecimal.doubleValue ==
+    * Decimal.toDouble, floorL == Floor(Double)->Long, left-associative
+    * multiply/divide order preserved verbatim.
+    */
+  private def w1ScreenLocal(
+      perGV: DataFrame,
+      cellLimit: Long): Option[DataFrame] = {
+    collectScreenCells(perGV, cellLimit) match {
+      case None => None
+      case Some(cells) =>
+        val spark = perGV.sparkSession
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("group_key", perGV.schema("_g").dataType, nullable = true),
+          StructField("n_g", LongType, nullable = true),
+          StructField("n_rest", LongType, nullable = true),
+          StructField("w1", DoubleType, nullable = true),
+          StructField("w1_norm_bp", LongType, nullable = true)))
+        def r4(x: Double): Double =
+          math.floor(x * 10000 + 0.5).toLong.toDouble / 10000
+        val out: Seq[org.apache.spark.sql.Row] =
+          if (cells.isEmpty) Seq.empty
+          else {
+            val sp = new CellSpine(cells)
+            val gps = sp.groupPoints
+            if (gps.size.toLong * sp.values.length > (1L << 20)) return None
+            // n_rest = 0 divides in the distributed gap term and THROWS
+            // under ANSI; defer the degenerate to the distributed tier
+            if (gps.exists(_._2 == sp.n)) return None
+            val nB = BigInt(sp.n)
+            val vmin = sp.values.head
+            val vmax = sp.values.last
+            gps.map { case (g, ng, pts) =>
+              val ngB = BigInt(ng)
+              val ngd = ng.toDouble
+              val nrd = (sp.n - ng).toDouble
+              var cumg = 0L
+              var s2 = 0L
+              var pi = 0
+              var i = 0
+              while (i < sp.values.length) {
+                if (pi < pts.length && pts(pi)._1 == i) {
+                  cumg += pts(pi)._2; pi += 1
+                }
+                if (i < sp.values.length - 1) {
+                  val num = (BigInt(cumg) * nB - BigInt(sp.cumAll(i)) * ngB).abs
+                  val numD = new java.math.BigDecimal(num.bigInteger).doubleValue()
+                  s2 += floorL(numD * (sp.values(i + 1) - sp.values(i)) /
+                    (ngd * nrd) * 1048576)
+                }
+                i += 1
+              }
+              val w1d = s2.toDouble / 1048576
+              val norm: Any =
+                if (vmax > vmin)
+                  floorL(w1d / (vmax - vmin) * 10000 + 0.5)
+                else null
+              org.apache.spark.sql.Row(g, ng, sp.n - ng, r4(w1d), norm)
+            }
+          }
+        Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(out, 1), schema))
+    }
+  }
+
   def groupedW1(
       df: DataFrame,
       valueCol: Column,
-      groupCol: Column): DataFrame = {
+      groupCol: Column,
+      localSpineLimit: Long = 1L << 18): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
       .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
     val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
       .persist()
+    val localW1 = w1ScreenLocal(perGV, localSpineLimit)
+    if (localW1.isDefined) { perGV.unpersist(); return localW1.get }
     val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
     val groups = perGV.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
     val totals = perV.agg(coalesce(sum(col("_cv")), lit(0L)).as("_n"),
@@ -3963,15 +4370,66 @@ object Quality {
     * the SORTED collected group list (bounded dimension, the q229
     * idiom), and the division by the tie factor 1 − ΣT/(n³−n).
     */
+  /** In-process tier of [[kruskalWallis]] — the ksScreenLocal discipline
+    * over the doubled-midrank machinery. The H fold is order-dependent
+    * (a double sum over the SORTED group list), so the driver sort
+    * replicates sort_array's type ordering via [[groupOrdering]];
+    * unsupported group-key types fall back to the distributed tier.
+    */
+  private def kruskalWallisLocal(
+      perGV: DataFrame,
+      cellLimit: Long): Option[DataFrame] = {
+    val ord = groupOrdering(perGV.schema("_g").dataType).getOrElse(return None)
+    collectScreenCells(perGV, cellLimit) match {
+      case Some(cells) if cells.nonEmpty =>
+        val spark = perGV.sparkSession
+        import org.apache.spark.sql.types._
+        val sp = new CellSpine(cells)
+        val tt = sp.cv.iterator.map(c =>
+          BigInt(c) * BigInt(c) * BigInt(c) - BigInt(c)).sum
+        val gps = sp.groupPoints.map { case (g, ng, pts) =>
+          val r2 = pts.iterator.map { case (i, c) =>
+            BigInt(c) * BigInt(sp.m2(i)) }.sum
+          (g, ng, r2)
+        }.sortBy(_._1)(ord)
+        val n = sp.n
+        val k = gps.size.toLong
+        val nd = n.toDouble
+        var foldH = 0.0
+        gps.foreach { case (_, ng, r2) =>
+          foldH = foldH + decD(r2) * decD(r2) / 4 / ng.toDouble
+        }
+        val h = 12.0 / (nd * (nd + 1)) * foldH - 3.0 * (nd + 1)
+        val corr = 1.0 - decD(tt) / (nd * nd * nd - nd)
+        def r4(x: Double): Double =
+          math.floor(x * 10000 + 0.5).toLong.toDouble / 10000
+        val row = org.apache.spark.sql.Row(
+          n, k,
+          if (k > 1) r4(h) else null,
+          if (k > 1 && corr > 0) r4(h / corr) else null)
+        Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(row), 1),
+          StructType(Seq(
+            StructField("n", LongType, nullable = true),
+            StructField("k_groups", LongType, nullable = true),
+            StructField("h", DoubleType, nullable = true),
+            StructField("h_adj", DoubleType, nullable = true)))))
+      case _ => None
+    }
+  }
+
   def kruskalWallis(
       df: DataFrame,
       valueCol: Column,
-      groupCol: Column): DataFrame = {
+      groupCol: Column,
+      localSpineLimit: Long = 1L << 18): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
       .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
     val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
       .persist()
+    val localKw = kruskalWallisLocal(perGV, localSpineLimit)
+    if (localKw.isDefined) { perGV.unpersist(); return localKw.get }
     val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
     val m2 = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_pfx")
       .select(col("_v"),
@@ -4024,15 +4482,109 @@ object Quality {
     * identical by construction. Contract: an INTEGRAL measure (token
     * counts, char counts — the anovaF/moodMedian contract).
     */
+  /** In-process tier of [[kGroupCard]] — all three legs (ANOVA moments,
+    * doubled-midrank H, Mood grains) folded from ONE collected cell
+    * table, in the sorted-group order of the distributed
+    * sort_array(struct(_g, ...)) fold ([[groupOrdering]]).
+    */
+  private def kGroupCardLocal(
+      perGV: DataFrame,
+      cellLimit: Long): Option[DataFrame] = {
+    val ord = groupOrdering(perGV.schema("_g").dataType).getOrElse(return None)
+    collectScreenCells(perGV, cellLimit) match {
+      case Some(cells) if cells.nonEmpty =>
+        val spark = perGV.sparkSession
+        import org.apache.spark.sql.types._
+        val sp = new CellSpineL(cells)
+        val tt = sp.cv.iterator.map(c =>
+          BigInt(c) * BigInt(c) * BigInt(c) - BigInt(c)).sum
+        val med = sp.medianV
+        val medIdx = java.util.Arrays.binarySearch(sp.values, med)
+        // per group: ng, Σc·v, Σc·v², Σc·m2, hi — all exact integers
+        val gps = sp.groupPoints.map { case (g, ng, pts) =>
+          var s = BigInt(0); var q = BigInt(0); var r2 = BigInt(0)
+          var hi = 0L
+          pts.foreach { case (i, c) =>
+            val vB = BigInt(sp.values(i))
+            s += BigInt(c) * vB
+            q += BigInt(c) * vB * vB
+            r2 += BigInt(c) * BigInt(sp.m2(i))
+            if (i > medIdx) hi += c
+          }
+          (g, ng, s, q, r2, hi)
+        }.sortBy(_._1)(ord)
+        val n = sp.n
+        val k = gps.size.toLong
+        val st = gps.iterator.map(_._3).sum
+        val qt = gps.iterator.map(_._4).sum
+        val ta = gps.iterator.map(_._6).sum
+        val nd = n.toDouble
+        val kd = k.toDouble
+        val sd = decD(st)
+        var foldS = 0.0
+        var foldH = 0.0
+        var moodQ = 0L
+        val ad = ta.toDouble
+        gps.foreach { case (_, ng, s, _, r2, hi) =>
+          val ngd = ng.toDouble
+          foldS = foldS + decD(s) * decD(s) / ngd
+          foldH = foldH + decD(r2) * decD(r2) / 4 / ngd
+          if (ta > 0 && ta < n) {
+            val hid = hi.toDouble
+            val e1 = ngd * ad / nd
+            val e2 = ngd * (nd - ad) / nd
+            val term = (hid - e1) * (hid - e1) / e1 +
+              ((ngd - hid) - e2) * ((ngd - hid) - e2) / e2
+            moodQ += floorL(term * 1073741824)
+          }
+        }
+        val ssb = foldS - sd * sd / nd
+        val sst = decD(qt) - sd * sd / nd
+        val ssw = sst - ssb
+        val f = ssb / (kd - 1) / (ssw / (nd - kd))
+        val h = 12.0 / (nd * (nd + 1)) * foldH - 3.0 * (nd + 1)
+        val corr = 1.0 - decD(tt) / (nd * nd * nd - nd)
+        def r4(x: Double): Double =
+          math.floor(x * 10000 + 0.5).toLong.toDouble / 10000
+        val okMood = k > 1 && ta > 0 && ta < n
+        val row = org.apache.spark.sql.Row(
+          n, k,
+          if (k > 1 && n > k && ssw > 0) r4(f) else null,
+          if (sst > 0) floorL(ssb / sst * 10000 + 0.5) else null,
+          if (k > 1) r4(h) else null,
+          if (k > 1 && corr > 0) r4(h / corr) else null,
+          med,
+          if (okMood) floorL(moodQ.toDouble / 1073741824 * 10000 + 0.5)
+          else null,
+          if (okMood) k - 1 else null)
+        Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(row), 1),
+          StructType(Seq(
+            StructField("n", LongType, nullable = true),
+            StructField("k_groups", LongType, nullable = true),
+            StructField("f", DoubleType, nullable = true),
+            StructField("eta2_bp", LongType, nullable = true),
+            StructField("h", DoubleType, nullable = true),
+            StructField("h_adj", DoubleType, nullable = true),
+            StructField("median_v", LongType, nullable = true),
+            StructField("chi2_bp", LongType, nullable = true),
+            StructField("dof", LongType, nullable = true)))))
+      case _ => None
+    }
+  }
+
   def kGroupCard(
       df: DataFrame,
       valueCol: Column,
-      groupCol: Column): DataFrame = {
+      groupCol: Column,
+      localSpineLimit: Long = 1L << 18): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
       .select(groupCol.as("_g"), valueCol.cast("long").as("_v"))
     val cells = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
       .persist()
+    val localKg = kGroupCardLocal(cells, localSpineLimit)
+    if (localKg.isDefined) { cells.unpersist(); return localKg.get }
     val perV = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
     val pref = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_pfx")
       .select(col("_v"), col("_cv"), col("_pfx"),
@@ -4143,17 +4695,81 @@ object Quality {
     * groups-bounded collect to one row, pairs exploded in-row (k(k−1)/2
     * rows, k bounded). No window over rows, no row-level self-join.
     */
+  /** In-process tier of [[dunnPostHoc]] — midrank sums + tie mass from
+    * the collected cell table, pairs in sorted-group order (the
+    * distributed form explodes i < j over the sorted collected list, so
+    * pair ORDER and sides replicate via [[groupOrdering]]).
+    */
+  private def dunnPostHocLocal(
+      perGV: DataFrame,
+      cellLimit: Long,
+      zCrit: Double): Option[DataFrame] = {
+    val ord = groupOrdering(perGV.schema("_g").dataType).getOrElse(return None)
+    collectScreenCells(perGV, cellLimit) match {
+      case Some(cells) if cells.nonEmpty =>
+        val spark = perGV.sparkSession
+        import org.apache.spark.sql.types._
+        val sp = new CellSpine(cells)
+        val tt = sp.cv.iterator.map(c =>
+          BigInt(c) * BigInt(c) * BigInt(c) - BigInt(c)).sum
+        val gps = sp.groupPoints.map { case (g, ng, pts) =>
+          val r2 = pts.iterator.map { case (i, c) =>
+            BigInt(c) * BigInt(sp.m2(i)) }.sum
+          (g, ng, r2)
+        }.sortBy(_._1)(ord)
+        val n = sp.n
+        val nB = BigInt(n)
+        val nd = n.toDouble
+        val vE = nB * (nB + 1) * (nB - 1) - tt
+        val ok = n > 1 && vE > 0
+        val zcBp = math.floor(zCrit * 10000 + 0.5).toLong
+        val rows = for {
+          i <- gps.indices
+          j <- (i + 1) until gps.size
+        } yield {
+          val (ga, na, r2a) = gps(i)
+          val (gb, nb, r2b) = gps(j)
+          val naD = na.toDouble
+          val nbD = nb.toDouble
+          val dnum = r2a * BigInt(nb) - r2b * BigInt(na)
+          val z = (decD(dnum) / (2.0 * naD * nbD)) /
+            math.sqrt(decD(vE) / (12.0 * (nd - 1)) * (naD + nbD) /
+              (naD * nbD))
+          val zb: Any = if (ok) floorL(z * 10000 + 0.5) else null
+          val rej: Any = zb match {
+            case l: Long => math.abs(l) >= zcBp
+            case _ => null
+          }
+          org.apache.spark.sql.Row(ga, gb, na, nb, zb, rej)
+        }
+        val gType = perGV.schema("_g").dataType
+        Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(
+            StructField("group_a", gType, nullable = true),
+            StructField("group_b", gType, nullable = true),
+            StructField("n_a", LongType, nullable = true),
+            StructField("n_b", LongType, nullable = true),
+            StructField("z_bp", LongType, nullable = true),
+            StructField("reject", BooleanType, nullable = true)))))
+      case _ => None
+    }
+  }
+
   def dunnPostHoc(
       df: DataFrame,
       valueCol: Column,
       groupCol: Column,
-      zCrit: Double = 3.2905): DataFrame = {
+      zCrit: Double = 3.2905,
+      localSpineLimit: Long = 1L << 18): DataFrame = {
     require(zCrit >= 0, "zCrit is a two-sided critical value, >= 0")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
       .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
     val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
       .persist()
+    val localDp = dunnPostHocLocal(perGV, localSpineLimit, zCrit)
+    if (localDp.isDefined) { perGV.unpersist(); return localDp.get }
     val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
     val m2 = GlobalRank.weightedPrefixSums(perV, "_v", "_cv", "_pfx")
       .select(col("_v"),
@@ -5268,16 +5884,126 @@ object Quality {
     * broadcast cross, one PARTITIONED per-group window, one group-keyed
     * aggregate carrying three folds, then the bounded BH list step.
     */
+  /** In-process tier of [[driftScreenCard]]'s five folds — the
+    * ksScreenLocal / w1ScreenLocal discipline with all five masses
+    * accumulated in ONE O(groups × values) walk (spine-product gated).
+    * Every term replicates the distributed card's float sequence
+    * verbatim, including the nrdS complement guard, the per-term
+    * left-associative multiply/divide order, and the quantization
+    * grains.
+    */
+  private def driftCardScreensLocal(
+      perGV: DataFrame,
+      cellLimit: Long): Option[DataFrame] = {
+    collectScreenCells(perGV, cellLimit) match {
+      case None => None
+      case Some(cells) =>
+        val spark = perGV.sparkSession
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("group_key", perGV.schema("_g").dataType, nullable = true),
+          StructField("n_g", LongType, nullable = true),
+          StructField("n_rest", LongType, nullable = true),
+          StructField("ks_d", DoubleType, nullable = true),
+          StructField("p_value", DoubleType, nullable = true),
+          StructField("w1", DoubleType, nullable = true),
+          StructField("w1_norm_bp", LongType, nullable = true),
+          StructField("auc_bp", LongType, nullable = true),
+          StructField("cliff_bp", LongType, nullable = true),
+          StructField("cvm_bp", LongType, nullable = true),
+          StructField("energy", DoubleType, nullable = true)))
+        def r4(x: Double): Double =
+          math.floor(x * 10000 + 0.5).toLong.toDouble / 10000
+        val out: Seq[org.apache.spark.sql.Row] =
+          if (cells.isEmpty) Seq.empty
+          else {
+            val sp = new CellSpine(cells)
+            val gps = sp.groupPoints
+            if (gps.size.toLong * sp.values.length > (1L << 20)) return None
+            val nB = BigInt(sp.n)
+            val vmin = sp.values.head
+            val vmax = sp.values.last
+            gps.map { case (g, ng, pts) =>
+              val ngB = BigInt(ng)
+              val ngd = ng.toDouble
+              val rest = sp.n > ng
+              val nrdS = if (rest) (sp.n - ng).toDouble else 1.0
+              val nrd = (sp.n - ng).toDouble
+              var cumg = 0L
+              var dnum = BigInt(0)
+              var w1q = 0L
+              var u2 = BigInt(0)
+              var cvmq = 0L
+              var enq = 0L
+              var pi = 0
+              var i = 0
+              while (i < sp.values.length) {
+                if (pi < pts.length && pts(pi)._1 == i) {
+                  val c = pts(pi)._2
+                  cumg += c
+                  val below = BigInt(sp.cumAll(i) - sp.cv(i)) - BigInt(cumg - c)
+                  val tie = BigInt(sp.cv(i) - c)
+                  u2 += BigInt(c) * (BigInt(2) * below + tie)
+                  pi += 1
+                }
+                val num = (BigInt(cumg) * nB - BigInt(sp.cumAll(i)) * ngB).abs
+                if (num > dnum) dnum = num
+                val numD = new java.math.BigDecimal(num.bigInteger).doubleValue()
+                val gapC = numD / (ngd * nrdS)
+                cvmq += floorL(sp.cv(i).toDouble * gapC * gapC * 1073741824.0)
+                if (i < sp.values.length - 1) {
+                  val gap = sp.values(i + 1) - sp.values(i)
+                  w1q += floorL(numD * gap / (ngd * nrdS) * 1048576)
+                  enq += floorL(gapC * gapC * gap * 1048576.0)
+                }
+                i += 1
+              }
+              val dnumD = new java.math.BigDecimal(dnum.bigInteger).doubleValue()
+              val dS = dnumD / (ngd * nrdS)
+              val lambda = math.sqrt(ngd * nrdS / (ngd + nrdS)) * dS
+              val w1d = w1q.toDouble / 1048576
+              val u2D = new java.math.BigDecimal(u2.bigInteger).doubleValue()
+              val cvmT = cvmq.toDouble / 1073741824.0 * (ngd * nrd) /
+                ((ngd + nrd) * (ngd + nrd))
+              val enD = 2.0 * (enq.toDouble / 1048576.0)
+              org.apache.spark.sql.Row(
+                g, ng, sp.n - ng,
+                if (rest) r4(dS) else null,
+                if (rest) r4(least1(2.0 * math.exp(-2.0 * lambda * lambda)))
+                else null,
+                if (rest) r4(w1d) else null,
+                if (rest && vmax > vmin)
+                  floorL(w1d / (vmax - vmin) * 10000 + 0.5)
+                else null,
+                if (rest) floorL(u2D / (2.0 * ngd * nrd) * 10000 + 0.5)
+                else null,
+                if (rest) floorL((u2D / (ngd * nrd) - 1) * 10000 + 0.5)
+                else null,
+                if (rest) floorL(cvmT * 10000 + 0.5) else null,
+                if (rest) r4(enD) else null)
+            }
+          }
+        Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(out, 1), schema))
+    }
+  }
+
   def driftScreenCard(
       df: DataFrame,
       valueCol: Column,
       groupCol: Column,
-      fdrQ: Double = 0.1): DataFrame = {
+      fdrQ: Double = 0.1,
+      localSpineLimit: Long = 1L << 18): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
       .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
     val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
       .persist()
+    val localScreens = driftCardScreensLocal(perGV, localSpineLimit)
+    if (localScreens.isDefined) {
+      perGV.unpersist()
+      return driftCardTail(localScreens.get, fdrQ)
+    }
     val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
     val groups = perGV.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
     val totals = perV.agg(coalesce(sum(col("_cv")), lit(0L)).as("_n"),
@@ -5370,6 +6096,12 @@ object Quality {
       when(col("_n") > col("_ng"), r4(enD))
         .otherwise(lit(null).cast("double")).as("energy"))
       .persist()
+    driftCardTail(screens, fdrQ)
+  }
+
+  /** The BH step + display join shared by both driftScreenCard tiers. */
+  private def driftCardTail(screens: DataFrame, fdrQ: Double): DataFrame = {
+    def bp(c: Column) = floor(c * 10000 + lit(0.5)).cast("long")
     bhAdjust(screens, col("group_key"), col("p_value"), fdrQ)
       .join(broadcast(screens.select(col("group_key").as("test_key"),
         col("n_g"), col("n_rest"), col("ks_d"), col("w1"),
@@ -5596,15 +6328,64 @@ object Quality {
     * Groups with an empty complement (a single group in the input)
     * report NULL displays.
     */
+  /** In-process tier of [[groupedCliffsDelta]] — O(cells): the dominance
+    * mass only accumulates at a group's OWN value points (the term
+    * carries a _c factor, zero elsewhere). BigInt == the DECIMAL(38,0)
+    * chain; display chain verbatim.
+    */
+  private def cliffsDeltaLocal(
+      perGV: DataFrame,
+      cellLimit: Long): Option[DataFrame] = {
+    collectScreenCells(perGV, cellLimit).map { cells =>
+      val spark = perGV.sparkSession
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("group_key", perGV.schema("_g").dataType, nullable = true),
+        StructField("n_g", LongType, nullable = true),
+        StructField("n_rest", LongType, nullable = true),
+        StructField("auc_bp", LongType, nullable = true),
+        StructField("cliff_bp", LongType, nullable = true)))
+      val out: Seq[org.apache.spark.sql.Row] =
+        if (cells.isEmpty) Seq.empty
+        else {
+          val sp = new CellSpine(cells)
+          sp.groupPoints.map { case (g, ng, pts) =>
+            val ngd = ng.toDouble
+            val nrd = (sp.n - ng).toDouble
+            var cumg = 0L
+            var u2 = BigInt(0)
+            pts.foreach { case (pos, c) =>
+              cumg += c
+              val below = BigInt(sp.cumAll(pos) - sp.cv(pos)) - BigInt(cumg - c)
+              val tie = BigInt(sp.cv(pos) - c)
+              u2 += BigInt(c) * (BigInt(2) * below + tie)
+            }
+            val u2D = new java.math.BigDecimal(u2.bigInteger).doubleValue()
+            val auc: Any =
+              if (sp.n > ng) floorL(u2D / (2.0 * ngd * nrd) * 10000 + 0.5)
+              else null
+            val cliff: Any =
+              if (sp.n > ng) floorL((u2D / (ngd * nrd) - 1) * 10000 + 0.5)
+              else null
+            org.apache.spark.sql.Row(g, ng, sp.n - ng, auc, cliff)
+          }
+        }
+      spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+    }
+  }
+
   def groupedCliffsDelta(
       df: DataFrame,
       valueCol: Column,
-      groupCol: Column): DataFrame = {
+      groupCol: Column,
+      localSpineLimit: Long = 1L << 18): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = df.filter(valueCol.isNotNull && groupCol.isNotNull)
       .select(groupCol.as("_g"), valueCol.cast("double").as("_v"))
     val perGV = v.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
       .persist()
+    val localCd = cliffsDeltaLocal(perGV, localSpineLimit)
+    if (localCd.isDefined) { perGV.unpersist(); return localCd.get }
     val perV = perGV.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
     val groups = perGV.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
     val totals = perV.agg(coalesce(sum(col("_cv")), lit(0L)).as("_n"))

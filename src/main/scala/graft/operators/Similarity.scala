@@ -572,9 +572,12 @@ object Similarity {
   }
 
   /** PQ encoding: normalize, slice, and argmin each subvector against its
-    * codebook — all in-plan. argmin(||s - c||^2) = argmin(|c|^2 - 2 s·c),
-    * so each (subspace, centroid) contributes one literal and one
-    * codegen'd sub-dot; ties break to the lowest code via the sort key.
+    * codebook — argmin(||s - c||^2) = argmin(|c|^2 - 2 s·c), ties to the
+    * lowest code. One [[graft.functions.PqOps.pq_codes]] kernel node over
+    * the raw vector (the codebooks ride as an expression reference
+    * object): the previous per-literal struct/sort_array tree (~1.7k
+    * expression nodes) made whole-stage-codegen COMPILATION the dominant
+    * cost of a cold pass; arithmetic is bit-identical (see PqModel).
     * Output: corpus plus `codes` (array<int>, m entries) — the m-byte
     * representation retrieval scans instead of the float vector.
     */
@@ -583,21 +586,9 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks.head.head.length
-    val rawNorm = norm(col(vecCol))
-    val nrm = when(rawNorm === 0, lit(1.0)).otherwise(rawNorm)
-    val unit = transform(col(vecCol), x => x.cast("double") / nrm)
-    val codes = array((0 until m).map { j =>
-      val sub = slice(unit, j * dsub + 1, dsub)
-      val scored = array(codebooks(j).zipWithIndex.map { case (c, ci) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dot(sub, array(c.map(lit(_)): _*))).as("d"),
-          lit(ci).as("i"))
-      }: _*)
-      element_at(sort_array(scored), 1).getField("i")
-    }: _*)
-    corpus.withColumn("codes", codes)
+    val model = graft.functions.PqOps.model(codebooks)
+    corpus.withColumn("codes",
+      graft.functions.PqOps.pq_codes(col(vecCol), model))
   }
 
   /** PQ batch retrieval via asymmetric distance computation with exact
@@ -626,16 +617,11 @@ object Similarity {
       idCol: String = "vec_id",
       queryIdCol: String = "query_id"): DataFrame = {
     val m = codebooks.length
-    val dsub = codebooks.head.head.length
-    val rawNorm = norm(col(vecCol))
-    val nrm = when(rawNorm === 0, lit(1.0)).otherwise(rawNorm)
-    val unit = transform(col(vecCol), x => x.cast("double") / nrm)
-    // per-query LUT: lut[j][c] = q_sub_j · codebook_j[c]
-    val lut = array((0 until m).map { j =>
-      val sub = slice(unit, j * dsub + 1, dsub)
-      array(codebooks(j).map(c => dot(sub, array(c.map(lit(_)): _*))): _*)
-    }: _*)
-    val q = queries.select(col(queryIdCol).as("query_id"), lut.as("_lut"))
+    // per-query LUT: lut[j][c] = q_sub_j · codebook_j[c] — one kernel node
+    // (see pqEncode's codegen-compile rationale; values bit-identical)
+    val model = graft.functions.PqOps.model(codebooks)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      graft.functions.PqOps.pq_lut(col(vecCol), model).as("_lut"))
     val approx = (0 until m).map(j =>
       element_at(element_at(col("_lut"), j + 1), col("codes")(j) + 1))
       .reduce(_ + _)
@@ -706,39 +692,18 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       vecCol: String = "embedding",
       replicas: Int = 2): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks.head.head.length
-    val rawNorm = norm(col(vecCol))
-    val nrm = when(rawNorm === 0, lit(1.0)).otherwise(rawNorm)
-    val unit = transform(col(vecCol), x => x.cast("double") / nrm)
-    val centArr = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dot(col(vecCol), array(c.map(lit(_)): _*)).as("s"), lit(i).as("i"))
-    }: _*)
-    val top = slice(sort_array(scored, asc = false), 1,
-      math.min(replicas, centroids.length))
-    // the residual binds as a COLUMN before the code argmin: the codes
-    // expression references it m·ksub times, and a lambda-embedded
-    // residual would re-run the zip_with per codebook entry (the
-    // winnowing _t lesson; multi-referenced bound columns survive
-    // projection collapse). Measured ~5x on the encode.
-    val residual = zip_with(col("_unit"),
-      element_at(centArr, col("cluster") + 1), (a, b) => a - b)
-    val codes = array((0 until m).map { j =>
-      val sub = slice(col("_res"), j * dsub + 1, dsub)
-      val cb = array(codebooks(j).zipWithIndex.map { case (c, ci) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dot(sub, array(c.map(lit(_)): _*))).as("d"),
-          lit(ci).as("i"))
-      }: _*)
-      element_at(sort_array(cb), 1).getField("i")
-    }: _*)
+    // one kernel node per column (see pqEncode's codegen-compile
+    // rationale): top-R coarse assignment over the raw vector, then
+    // residual codes against THAT list's centroid — the centroid matrix
+    // and codebooks ride as one expression reference object instead of a
+    // k·dim + m·ksub·dsub literal forest; values bit-identical (PqModel)
+    val model = graft.functions.PqOps.model(codebooks, centroids)
     corpus
-      .withColumn("cluster", explode(transform(top, t => t.getField("i"))))
-      .withColumn("_unit", unit)
-      .withColumn("_res", residual)
-      .withColumn("codes", codes)
-      .drop("_unit", "_res")
+      .withColumn("cluster", explode(graft.functions.PqOps
+        .pq_top_cluster_ids(col(vecCol), model,
+          math.min(replicas, centroids.length))))
+      .withColumn("codes", graft.functions.PqOps
+        .pq_residual_codes(col(vecCol), col("cluster"), model))
       .repartition(col("cluster"))
   }
 
@@ -766,22 +731,14 @@ object Similarity {
       idCol: String = "vec_id",
       queryIdCol: String = "query_id"): DataFrame = {
     val m = codebooks.length
-    val dsub = codebooks.head.head.length
-    val rawNorm = norm(col(vecCol))
-    val nrm = when(rawNorm === 0, lit(1.0)).otherwise(rawNorm)
-    val unit = transform(col(vecCol), x => x.cast("double") / nrm)
-    val lut = array((0 until m).map { j =>
-      val sub = slice(unit, j * dsub + 1, dsub)
-      array(codebooks(j).map(c => dot(sub, array(c.map(lit(_)): _*))): _*)
-    }: _*)
-    val scoredC = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dot(col(vecCol), array(c.map(lit(_)): _*)).as("s"), lit(i).as("i"))
-    }: _*)
-    val probesArr = slice(sort_array(scoredC, asc = false), 1,
-      math.min(nprobe, centroids.length))
+    // kernel nodes for the LUT and the probe list (see pqEncode's
+    // codegen-compile rationale; values bit-identical)
+    val model = graft.functions.PqOps.model(codebooks, centroids)
     val probes = queries
-      .select(col(queryIdCol).as("query_id"), lut.as("_lut"),
-        explode(probesArr).as("_p"))
+      .select(col(queryIdCol).as("query_id"),
+        graft.functions.PqOps.pq_lut(col(vecCol), model).as("_lut"),
+        explode(graft.functions.PqOps.pq_top_clusters(col(vecCol), model,
+          math.min(nprobe, centroids.length))).as("_p"))
       .select(col("query_id"), col("_lut"),
         col("_p").getField("i").as("cluster"),
         col("_p").getField("s").as("_qdotc"))

@@ -55,4 +55,33 @@ class NaiveBayesSpec extends SparkSpec {
       (3L, null.asInstanceOf[String], "de")).toDF("doc_id", "text", "lang")
     assert(predict(d).keySet == Set(1L))
   }
+
+  test("priors come from gram-eligible docs only: a zero-gram labeled doc " +
+    "cannot shift any prediction (r18 verdict guard)") {
+    // r18 moved per-class doc counts from `base` to `docGrams`; the two
+    // agree BECAUSE base's length(t) >= n filter guarantees >= 1 gram per
+    // kept doc. Pin it: adding labeled docs that produce zero grams
+    // (too-short text — filtered before gram generation) leaves every
+    // prediction row bit-identical.
+    val core = docs(
+      (1L, "der die das und nicht von sie ist", "de"),
+      (2L, "und das der nicht die von ist sie", "de"),
+      (3L, "the and not from she is of it was", "en"),
+      (4L, "of it was the and not from she is", "en"),
+      (5L, "die von und the was", "de"))
+    val withDegenerate = docs(
+      (1L, "der die das und nicht von sie ist", "de"),
+      (2L, "und das der nicht die von ist sie", "de"),
+      (3L, "the and not from she is of it was", "en"),
+      (4L, "of it was the and not from she is", "en"),
+      (5L, "die von und the was", "de"),
+      (6L, "ab", "en"), // below n=3: zero grams
+      (7L, "", "de"))
+    val a = NaiveBayes.langPredict(core).collect().toSeq
+      .sortBy(_.getLong(0))
+    spark.catalog.clearCache()
+    val b = NaiveBayes.langPredict(withDegenerate).collect().toSeq
+      .sortBy(_.getLong(0))
+    assert(a == b)
+  }
 }
