@@ -225,32 +225,66 @@ private[graft] object GlobalRank {
       df: DataFrame,
       valueCol: String,
       idCol: String,
-      probs: Seq[Double]): Option[Array[Double]] = {
+      probs: Seq[Double],
+      localHistLimit: Long = 1L << 18): Option[Array[Double]] = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       "probs must be in [0, 1]")
     val hist = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("double").as("_pl_v"))
       .groupBy(col("_pl_v")).agg(count(lit(1)).as("_pl_c"))
-    val (cum, tots, pinned) =
-      weightedPrefixSumsMultiHandle(hist, "_pl_v", Seq("_pl_c" -> "_pl_pfx"))
-    val n = tots.head
-    if (n == 0) { pinned.unpersist(false); return None }
-    val need = probs.flatMap { p =>
-      val pos = (n - 1) * p
-      Seq(pos.floor.toLong, pos.ceil.toLong)
-    }.distinct
-    val rows = cum
-      .filter(need.map(ix =>
-        col("_pl_pfx") <= ix && lit(ix) < col("_pl_pfx") + col("_pl_c"))
-        .reduce(_ || _))
-      .select(col("_pl_v"), col("_pl_pfx"), col("_pl_c"))
-      .collect()
-    pinned.unpersist(false)
-    val at: Map[Long, Double] = need.map { ix =>
-      val r = rows.find(r => r.getLong(1) <= ix && ix < r.getLong(1) + r.getLong(2))
-        .getOrElse(sys.error(s"percentileValues: no histogram row covers rank $ix"))
-      ix -> r.getDouble(0)
-    }.toMap
+    // in-process tier (the Quality screen-tier discipline): while the
+    // value histogram fits one driver page, collect it and read the
+    // positional values off a local sorted prefix — the distributed
+    // form pays a full weightedPrefixSums pass (range sample + exchange
+    // + window + offsets collect + pin) to locate 2·|probs| ranks in a
+    // frame of a few thousand rows. Selection and interpolation are the
+    // IDENTICAL code below either way; only the (value, prefix, count)
+    // source differs, and ascending-double order matches the range
+    // partitioning's. Past the gate the distributed pass runs verbatim.
+    val localHist: Option[Array[org.apache.spark.sql.Row]] =
+      if (localHistLimit <= 0) None
+      else {
+        val rows = hist.head(localHistLimit.toInt + 1)
+        if (rows.length <= localHistLimit) Some(rows) else None
+      }
+    val (n, at): (Long, Map[Long, Double]) = localHist match {
+      case Some(hrows) =>
+        if (hrows.isEmpty) return None
+        val sorted = hrows.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+        val nLoc = sorted.iterator.map(_._2).sum
+        val need = probs.flatMap { p =>
+          val pos = (nLoc - 1) * p
+          Seq(pos.floor.toLong, pos.ceil.toLong)
+        }.distinct
+        var pfx = 0L
+        val atB = Map.newBuilder[Long, Double]
+        sorted.foreach { case (v, c) =>
+          need.foreach { ix => if (pfx <= ix && ix < pfx + c) atB += ix -> v }
+          pfx += c
+        }
+        (nLoc, atB.result())
+      case None =>
+        val (cum, tots, pinned) =
+          weightedPrefixSumsMultiHandle(hist, "_pl_v", Seq("_pl_c" -> "_pl_pfx"))
+        val nDist = tots.head
+        if (nDist == 0) { pinned.unpersist(false); return None }
+        val need = probs.flatMap { p =>
+          val pos = (nDist - 1) * p
+          Seq(pos.floor.toLong, pos.ceil.toLong)
+        }.distinct
+        val rows = cum
+          .filter(need.map(ix =>
+            col("_pl_pfx") <= ix && lit(ix) < col("_pl_pfx") + col("_pl_c"))
+            .reduce(_ || _))
+          .select(col("_pl_v"), col("_pl_pfx"), col("_pl_c"))
+          .collect()
+        pinned.unpersist(false)
+        (nDist, need.map { ix =>
+          val r = rows.find(r => r.getLong(1) <= ix && ix < r.getLong(1) + r.getLong(2))
+            .getOrElse(sys.error(s"percentileValues: no histogram row covers rank $ix"))
+          ix -> r.getDouble(0)
+        }.toMap)
+    }
     Some(probs.map { p =>
       val pos = (n - 1) * p
       val lower = pos.floor.toLong
@@ -298,7 +332,8 @@ private[graft] object GlobalRank {
       groupCol: String,
       valueCol: String,
       probs: Seq[Double],
-      outCols: Seq[String]): DataFrame = {
+      outCols: Seq[String],
+      localHistLimit: Long = 1L << 18): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       "probs must be in [0, 1]")
     require(probs.length == outCols.length, "one output column per prob")
@@ -308,6 +343,60 @@ private[graft] object GlobalRank {
     val spark = df.sparkSession
     val v = df.select(col(groupCol).as("_gp_g"), col(valueCol).cast("double").as("_gp_v"))
     val gField = v.schema("_gp_g")
+    // in-process tier (the percentileValues gate, grouped): while the
+    // (group, value) HISTOGRAM fits one driver page, every group's
+    // positional values read off a local sorted prefix — the range-bucket
+    // machinery below (input pin, range exchange, cell collect, per-cell
+    // window, two broadcast joins, positional collect) exists for the
+    // huge-group regime where even the histogram is too wide. Selection
+    // (positional values of a sorted multiset) and the
+    // Percentile.getPercentile interpolation are value-identical; null
+    // values are ignored per group, all-null groups keep their null row,
+    // and a NULL group key keeps its own row, exactly as below.
+    if (localHistLimit > 0) {
+      val hcells = v.groupBy(col("_gp_g"), col("_gp_v"))
+        .agg(count(lit(1)).as("_c"))
+        .head(localHistLimit.toInt + 1)
+      if (hcells.length <= localHistLimit) {
+        val resRows = hcells.groupBy(r => r.get(0)).iterator.map { case (g, cs) =>
+          val sorted = cs.filter(!_.isNullAt(1))
+            .map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+          val n = sorted.iterator.map(_._2).sum
+          val vals: Seq[Any] =
+            if (n == 0) probs.map(_ => null)
+            else {
+              val need = probs.flatMap { pr =>
+                val pos = (n - 1) * pr
+                Seq(pos.floor.toLong, pos.ceil.toLong)
+              }.distinct
+              var pfx = 0L
+              val atB = Map.newBuilder[Long, Double]
+              sorted.foreach { case (value, c) =>
+                need.foreach { ix =>
+                  if (pfx <= ix && ix < pfx + c) atB += ix -> value }
+                pfx += c
+              }
+              val at = atB.result()
+              probs.map { pr =>
+                val pos = (n - 1) * pr
+                val lower = pos.floor.toLong
+                val higher = pos.ceil.toLong
+                val lk = at(lower)
+                if (higher == lower) lk
+                else {
+                  val hk = at(higher)
+                  if (hk == lk) lk
+                  else (higher - pos) * lk + (pos - lower) * hk
+                }
+              }
+            }
+          Row.fromSeq(g +: vals)
+        }.toSeq
+        return spark.createDataFrame(resRows.asJava,
+          StructType(gField.copy(name = groupCol) +:
+            outCols.map(c => StructField(c, DoubleType, nullable = true))))
+      }
+    }
     val p = math.max(1, spark.sessionState.conf.numShufflePartitions)
     // persisted to pin the sampled range boundaries: the count pass and
     // the rank pass must see identical buckets (same discipline as

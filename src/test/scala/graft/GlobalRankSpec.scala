@@ -41,6 +41,11 @@ class GlobalRankSpec extends SparkSpec {
         assert(g == e,
           s"round $round prob ${probs(i)}: got $g expected $e (n=${vs.length})")
       }
+      // the distributed tier (gate forced off) must agree bit-for-bit too
+      val gotDist = GlobalRank.percentileValues(df, "v", "id", probs, 0L).get
+      got.zip(gotDist).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g == e, s"round $round prob ${probs(i)}: tiers diverge")
+      }
     }
   }
 
@@ -120,7 +125,29 @@ class GlobalRankSpec extends SparkSpec {
           assert(a == e, s"round $round group $g prob ${probs(i)}: got $a expected $e")
         }
       }
+      // the range-bucket tier (histogram gate forced off) must agree too
+      val gotDist = GlobalRank.groupedPercentileTable(df, "g", "v", probs,
+        probs.indices.map(i => s"p$i"), 0L)
+        .collect().map(r => r.getString(0) ->
+          probs.indices.map(i => r.getDouble(1 + i))).toMap
+      assert(gotDist == got, s"round $round: tiers diverge")
     }
+  }
+
+  test("groupedPercentileTable tiers agree on null groups/values (gate on and off)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType, true),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType, true)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row("a", 1.0), Row("a", 3.0), Row("b", null), Row("b", null),
+      Row(null, 10.0), Row(null, 20.0)), schema)
+    def run(limit: Long) =
+      GlobalRank.groupedPercentileTable(df, "g", "v", Seq(0.5), Seq("m"), limit)
+        .collect().map(r => Option(r.get(0)) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(run(1L << 18) == run(0L))
   }
 
   test("groupedPercentileTable: all-null group gets a null row; NULL group key ranks") {
