@@ -111,6 +111,37 @@ private[graft] object GlobalRank {
       outCol: String): DataFrame =
     weightedPrefixSumsMulti(df, orderCol, Seq(weightCol -> outCol))._1
 
+  /** Driver ordering that replicates Spark's ascending-nulls-first sort
+    * for the order-key types the histogram callers use (doubles compare
+    * with NaN greatest and -0.0 < 0.0 — group keys are already
+    * Spark-normalized upstream, so no -0.0 survives to disagree); None =
+    * unsupported type, the caller stays on the distributed tier.
+    */
+  private def spineOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    val base: Option[Ordering[Any]] = dt match {
+      case DoubleType => Some(Ordering.by((x: Any) => x.asInstanceOf[Double])(
+        Ordering.Double.TotalOrdering))
+      case FloatType => Some(Ordering.by((x: Any) => x.asInstanceOf[Float])(
+        Ordering.Float.TotalOrdering))
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case ShortType => Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
+      case _ => None
+    }
+    // nulls sort FIRST, like Spark's default Ascending(NullsFirst)
+    base.map { ord =>
+      new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else ord.compare(a, b)
+      }
+    }
+  }
+
   /** N prefix sums over ONE range partitioning — the fused form of
     * chained [[weightedPrefixSums]] calls on the same order key. Each
     * chained call pays its own range-sample pass (a full evaluation of
@@ -148,7 +179,8 @@ private[graft] object GlobalRank {
   private[graft] def weightedPrefixSumsMultiHandle(
       df: DataFrame,
       orderCol: String,
-      weights: Seq[(String, String)]): (DataFrame, Seq[Long], DataFrame) = {
+      weights: Seq[(String, String)],
+      localSpineLimit: Long = 1L << 18): (DataFrame, Seq[Long], DataFrame) = {
     require(weights.nonEmpty, "need at least one (weightCol, outCol) pair")
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
@@ -164,6 +196,42 @@ private[graft] object GlobalRank {
     // keep ownership — we neither re-persist nor evict theirs.
     val inputOwned = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (inputOwned) df.persist()
+    // in-process tier (the percentileValues/screen-tier gate, applied at
+    // the primitive): while the histogram fits one driver page, collect
+    // it, sort by the order key, and fold the N running sums in-process —
+    // prefix sums of longs are order-free exact integers, the driver sort
+    // replicates the range partitioning's ascending-nulls-first order
+    // (orderCol is unique per row by contract, so there is no tie
+    // ambiguity on either tier), and null weights contribute zero exactly
+    // like the window's coalesce(sum(...), 0). The whole range machinery
+    // below (boundary sample + exchange + pinned copy + offsets collect +
+    // WindowExec) exists for histograms too wide to collect; past the
+    // gate it runs verbatim on the UNCHANGED plan.
+    val spineOrd =
+      if (localSpineLimit > 0) spineOrdering(df.schema(orderCol).dataType)
+      else None
+    val localRows = spineOrd.map(_ => df.head(localSpineLimit.toInt + 1))
+    if (localRows.isDefined && localRows.get.length <= localSpineLimit) {
+      if (inputOwned) df.unpersist(false)
+      val rows = localRows.get
+      val ordIx = df.schema.fieldIndex(orderCol)
+      val wIxs = weights.map { case (w, _) => df.schema.fieldIndex(w) }.toArray
+      val sorted = rows.sortBy(_.get(ordIx))(spineOrd.get)
+      val accs = Array.fill(weights.length)(0L)
+      val outRows = sorted.map { r =>
+        val pfx = accs.clone()
+        var i = 0
+        while (i < wIxs.length) {
+          if (!r.isNullAt(wIxs(i))) accs(i) += r.getLong(wIxs(i))
+          i += 1
+        }
+        Row.fromSeq(r.toSeq ++ pfx)
+      }.toSeq
+      val outSchema = StructType(df.schema.fields ++
+        weights.map { case (_, oc) => StructField(oc, LongType, nullable = false) })
+      val out = spark.createDataFrame(outRows.asJava, outSchema)
+      return (out, accs.toSeq, out)
+    }
     val vr = df.repartitionByRange(p, col(orderCol))
       .withColumn("_wps_pid", spark_partition_id())
       .persist()
@@ -264,8 +332,11 @@ private[graft] object GlobalRank {
         }
         (nLoc, atB.result())
       case None =>
+        // this branch only runs past percentileValues' own histogram gate,
+        // so the primitive's inner gate would re-collect and fail — skip it
         val (cum, tots, pinned) =
-          weightedPrefixSumsMultiHandle(hist, "_pl_v", Seq("_pl_c" -> "_pl_pfx"))
+          weightedPrefixSumsMultiHandle(hist, "_pl_v", Seq("_pl_c" -> "_pl_pfx"),
+            localSpineLimit = 0L)
         val nDist = tots.head
         if (nDist == 0) { pinned.unpersist(false); return None }
         val need = probs.flatMap { p =>

@@ -211,4 +211,85 @@ class GlobalRankSpec extends SparkSpec {
     assert(r(0).getDouble(0) == expected.getDouble(0))
     assert(r(0).getDouble(1) == expected.getDouble(1))
   }
+
+  test("weightedPrefixSumsMulti tiers agree row-for-row (randomized, 15 rounds)") {
+    // the r19 local spine gate: while the histogram fits one driver page
+    // the prefix sums fold in-process. Rows, prefix values, and totals
+    // must be IDENTICAL to the distributed range-partition pass — prefix
+    // sums of longs are order-free exact integers, so equality is ==.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val params = Gen.Parameters.default
+    val genHist = for {
+      n <- Gen.choose(1, 250)
+      vs <- Gen.pick(n, (-300 to 300).map(_.toDouble / 7))
+      ws <- Gen.listOfN(n, Gen.oneOf(
+        Gen.const[java.lang.Long](null),
+        Gen.choose(0L, 50L).map(java.lang.Long.valueOf)))
+      w2 <- Gen.listOfN(n, Gen.choose(0L, 9L).map(java.lang.Long.valueOf))
+    } yield vs.toSeq.zip(ws.zip(w2))
+    val schema = StructType(Seq(
+      StructField("v", DoubleType, nullable = true),
+      StructField("w", LongType, nullable = true),
+      StructField("w2", LongType, nullable = true),
+      StructField("payload", StringType, nullable = true)))
+    for (round <- 0 until 15) {
+      val hist = genHist.apply(params, Seed(1000L + round))
+        .getOrElse(sys.error(s"gen failed at $round"))
+      val rows = hist.map { case (v, (w, w2)) =>
+        Row(v, w, java.lang.Long.valueOf(w2), s"p$v")
+      }
+      val df = spark.createDataFrame(rows.asJava, schema)
+      val weights = Seq("w" -> "pw", "w2" -> "pw2")
+      val (loc, locTots, _) =
+        GlobalRank.weightedPrefixSumsMultiHandle(df, "v", weights)
+      val (dist, distTots, pinned) =
+        GlobalRank.weightedPrefixSumsMultiHandle(df, "v", weights,
+          localSpineLimit = 0L)
+      assert(locTots == distTots, s"round $round: totals diverge")
+      def key(r: Row) = r.getDouble(0)
+      val lRows = loc.collect().sortBy(key)
+      val dRows = dist.collect().sortBy(key)
+      assert(lRows.length == dRows.length, s"round $round: row counts diverge")
+      lRows.zip(dRows).foreach { case (l, d) =>
+        assert(l == d, s"round $round: $l != $d")
+      }
+      assert(loc.columns.sameElements(dist.columns),
+        s"round $round: column order diverges")
+      pinned.unpersist(false)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("weightedPrefixSums local tier: null order key sorts first, like the range sort") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("v", DoubleType, nullable = true),
+      StructField("w", LongType, nullable = false)))
+    val rows = Seq(Row(2.0, 5L), Row(null, 3L), Row(1.0, 7L))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val (loc, tots, _) =
+      GlobalRank.weightedPrefixSumsMultiHandle(df, "v", Seq("w" -> "p"))
+    val (dist, dTots, pinned) =
+      GlobalRank.weightedPrefixSumsMultiHandle(df, "v", Seq("w" -> "p"),
+        localSpineLimit = 0L)
+    val l = loc.collect().sortBy(r => Option(r.get(0)).fold(-1e18)(_.asInstanceOf[Double]))
+    val d = dist.collect().sortBy(r => Option(r.get(0)).fold(-1e18)(_.asInstanceOf[Double]))
+    assert(tots == dTots && l.sameElements(d))
+    // null first: its prefix is 0; 1.0 sees the null's weight before it
+    assert(l.find(_.isNullAt(0)).get.getLong(2) == 0L)
+    assert(l.find(r => !r.isNullAt(0) && r.getDouble(0) == 1.0).get.getLong(2) == 3L)
+    pinned.unpersist(false)
+    spark.catalog.clearCache()
+  }
+
+  test("weightedPrefixSums local tier leaves nothing cached") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val df = (1 to 100).map(i => (i.toDouble, 1L)).toDF("v", "w")
+    GlobalRank.weightedPrefixSums(df, "v", "w", "p").collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "wps local tier left a cached frame pinned")
+  }
 }
