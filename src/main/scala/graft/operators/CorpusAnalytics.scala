@@ -3189,12 +3189,20 @@ object CorpusAnalytics {
       ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "n-gram orders must be >= 1")
     val toksC = split(lower(trim(col(textCol))), "\\s+")
+    // grams are keyed by xxhash64 of the token SLICE, not the joined
+    // string: the aggregate only needs gram IDENTITY, so skipping the
+    // concat_ws build and shuffling an 8-byte key instead of the gram
+    // text cuts both the generator and the exchange (guide §2.3 narrower
+    // types). Distinct-count semantics are unchanged up to a 64-bit
+    // cross-gram collision (~|V|²/2⁶⁴, zero in practice — the q22
+    // hashed-shingle verify / q236 gram-key argument; the oracle pins the
+    // counts at three SFs).
     val pairs = flatten(array(ns.map { n =>
       when(size(col("_t")) >= n,
         transform(sequence(lit(1), size(col("_t")) - n + 1), i =>
           struct(lit(n).as("n"),
-            concat_ws(" ", slice(col("_t"), i, lit(n))).as("g"))))
-        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+            xxhash64(slice(col("_t"), i, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:bigint>>"))
     }: _*))
     docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")

@@ -69,6 +69,14 @@ class EditJoinSpec extends SparkSpec {
     assert(out == brute(df, 1))
   }
 
+  test("tau=1 deletion-variant path: empty and single-char strings pair correctly") {
+    // ""/"a" are distance 1 (identity variant of "" == deletion variant of
+    // "a"); ""/"" distance 0; "a"/"b" distance 1 via the shared "" variant
+    val df = Seq(1L -> "", 2L -> "a", 3L -> "", 4L -> "b", 5L -> "xy")
+      .toDF("id", "s")
+    assert(edjoin(df, 2, 1) == brute(df, 1))
+  }
+
   test("tau=0 degenerates to exact duplicate detection") {
     val df = Seq(1L -> "same", 2L -> "same", 3L -> "Same").toDF("id", "s")
     assert(edjoin(df, 2, 0) == Set((1L, 2L, 0L)))
