@@ -109,9 +109,95 @@ case class VocabPairCounts(child: Expression, counter: VocabPairCounter)
     copy(child = c)
 }
 
+/** window_pair_cells(tokens, win) — the OPEN-VOCABULARY sibling of
+  * [[VocabPairCounts]] for q183's windowed PMI: per document, every
+  * token pair at gap 1..win canonicalizes to (least, greatest) by the
+  * binary string order (UTF8String.compareTo — exactly the `least`/
+  * `greatest` the zip_with expression form applied) and accumulates in
+  * a local hash map; the kernel emits the nonzero (w1, w2, c) cells.
+  * Replaces win chained zip_with slices + flatten + explode — all
+  * interpreted higher-order lambdas — with one compiled pass, and the
+  * downstream aggregate sums ≤ pairs-per-doc bounded cells instead of
+  * hashing every occurrence row. The summed counts are the identical
+  * integer multiset (null tokens cannot occur below a split(); skipped
+  * defensively), so the PMI chain is untouched.
+  */
+final class WindowPairCells(val win: Int) extends Serializable {
+  def cells(ts: ArrayData): ArrayData = {
+    val n = ts.numElements()
+    val words = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      // clone: getUTF8String can return a view into a reused unsafe
+      // buffer, and these bytes outlive the input row (map keys + the
+      // emitted cells)
+      words(i) = if (ts.isNullAt(i)) null else ts.getUTF8String(i).clone()
+      i += 1
+    }
+    val m = new java.util.LinkedHashMap[
+      (org.apache.spark.unsafe.types.UTF8String,
+       org.apache.spark.unsafe.types.UTF8String), Array[Long]]()
+    var d = 1
+    while (d <= win) {
+      var j = 0
+      val end = n - d
+      while (j < end) {
+        val a = words(j)
+        val b = words(j + d)
+        if (a != null && b != null) {
+          val k = if (a.compareTo(b) <= 0) (a, b) else (b, a)
+          val c = m.get(k)
+          if (c == null) m.put(k, Array(1L)) else c(0) += 1L
+        }
+        j += 1
+      }
+      d += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var o = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(o) = new GenericInternalRow(
+        Array[Any](e.getKey._1, e.getKey._2, e.getValue()(0)))
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** window_pair_cells(tokens) — array<struct<w1 string, w2 string, c long>>. */
+case class WindowPairCellsExpr(child: Expression, counter: WindowPairCells)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "window_pair_cells"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(ts: Any): Any =
+    counter.cells(ts.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("windowPairCells", counter,
+      classOf[WindowPairCells].getName)
+    nullSafeCodeGen(ctx, ev, ts => s"${ev.value} = ($ref).cells($ts);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object WordPairs {
   import org.apache.spark.sql.GraftBridge
 
   def vocab_pair_counts(tokens: Column, counter: VocabPairCounter): Column =
     GraftBridge.column(VocabPairCounts(GraftBridge.expression(tokens), counter))
+
+  def window_pair_cells(tokens: Column, win: Int): Column =
+    GraftBridge.column(WindowPairCellsExpr(
+      GraftBridge.expression(tokens), new WindowPairCells(win)))
 }

@@ -1685,11 +1685,15 @@ object CorpusAnalytics {
     // run twice (measured ~1.4 s of the warm pass at sf0.1). The frame
     // is 20 bytes/row (id, pos, 8-byte gram key), never the text
     // (intra-query lifecycle; Bench/Verify clear caches).
+    // gram keys hash the token SLICE directly (no concat_ws string build
+    // per gram — the q263 discipline): matching only needs gram IDENTITY,
+    // and xxhash64 over the n-token array is injective up to the same
+    // 64-bit collision odds the joined-string key carried
     val grams = toks
       .filter(size(col("ts")) >= n)
       .select(col("id"), posexplode(transform(
         sequence(lit(0), size(col("ts")) - n),
-        i => xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(n)))))).as(Seq("pos", "gram")))
+        i => xxhash64(slice(col("ts"), i + 1, lit(n))))).as(Seq("pos", "gram")))
       .persist()
     // count gate FIRST (cheap: partial agg collapses map-side) — only
     // occurrences of grams with 2..dfCap total occurrences enter pair
@@ -1727,16 +1731,24 @@ object CorpusAnalytics {
     // 96% singletons) and the fold ran interpreted (higher-order
     // functions don't codegen). Measured 3.8 -> ~0.9 s on the stage;
     // run boundaries, lengths, and the rollup are value-identical.
-    val wDiag = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
-      .orderBy(col("apos"))
-    val newRun = when(col("apos") > lag(col("apos"), 1).over(wDiag) + n, 1)
+    // the window partitions by the PAIR and orders by (diag, apos), with
+    // the new-run flag also firing on every diagonal change: run
+    // boundaries within each (pair, diag) are identical to the
+    // per-diagonal window (the running sum is monotone, so a run id never
+    // collides across diagonals), but hash(a, b) partitioning now
+    // satisfies BOTH downstream groupings — the per-run agg (keys extend
+    // the partition spec) AND the final per-pair rollup — so the runs
+    // frame reaches the rollup without a second exchange (the (a, b,
+    // diag)-keyed form re-shuffled every run row for the (a, b) rollup)
+    val wPair = Window.partitionBy(col("a_id"), col("b_id"))
+      .orderBy(col("diag"), col("apos"))
+    val newRun = when(col("diag") =!= lag(col("diag"), 1).over(wPair) ||
+        col("apos") > lag(col("apos"), 1).over(wPair) + n, 1)
       .otherwise(0)
     val runs = matches
       .withColumn("_nr", newRun)
       .withColumn("_rid", sum(col("_nr")).over(
-        wDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      // grouping keys extend the window's partition keys, so the rows
-      // arrive clustered and no second exchange forms
+        wPair.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("a_id"), col("b_id"), col("diag"), col("_rid"))
       .agg((max(col("apos")) - min(col("apos")) + n).as("_len"))
     runs
@@ -2266,16 +2278,18 @@ object CorpusAnalytics {
       .select(explode(col("ts")).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n_w"))
+    // per-doc pair CELLS from the compiled window_pair_cells kernel
+    // instead of win chained zip_with slices + flatten + explode (all
+    // interpreted higher-order lambdas): the kernel canonicalizes each
+    // gap-1..win pair by the same binary least/greatest order and
+    // pre-sums within the doc, so the aggregate sums bounded cells and
+    // n_ab is the identical integer (CooccurrenceSpec pins the cell sums
+    // against the expression form)
     val pairs = toks.filter(col("n") >= 2)
-      .select(explode(flatten(array((1 to win).map { d =>
-        zip_with(
-          slice(col("ts"), lit(1), greatest(col("n") - d, lit(0))),
-          slice(col("ts"), lit(1 + d), greatest(col("n") - d, lit(0))),
-          (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))
-      }: _*))).as("p"))
-      .select(col("p.w1"), col("p.w2"))
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n_ab"))
+      .select(explode(graft.functions.WordPairs
+        .window_pair_cells(col("ts"), win)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(sum(col("p.c")).as("n_ab"))
       .filter(col("n_ab") >= minCount)
     val num = col("n_ab").cast("double") * col("t_uni") * col("t_uni")
     val den = col("t_pair").cast("double") * col("n_a") * col("n_b")

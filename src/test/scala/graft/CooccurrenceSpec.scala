@@ -66,4 +66,38 @@ class CooccurrenceSpec extends SparkSpec {
     assert(out(("a", "b")) == 4.0)   // 2/8 both, 2/8 each: lift 8*2/(2*2)
     assert(out(("a", "pop")) == 1.0) // independent of the universal item
   }
+
+  test("window_pair_cells == the zip_with expression form (randomized, 12 rounds)") {
+    // the r19 compiled kernel behind windowedPmi: the summed (w1, w2)
+    // cell counts must be the IDENTICAL integer multiset the chained
+    // zip_with slices produced — canonical least/greatest pair order,
+    // every gap 1..win, short docs included
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(1919)
+    for (round <- 1 to 12) {
+      val win = 1 + round % 4
+      val docs = (1 to 30).map { _ =>
+        val n = rnd.nextInt(12) // 0..11 tokens
+        (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString)
+      }
+      val df = docs.toDF("ts").select(col("ts"), size(col("ts")).as("n"))
+      val expected = df.filter(col("n") >= 2)
+        .select(explode(flatten(array((1 to win).map { d =>
+          zip_with(
+            slice(col("ts"), lit(1), greatest(col("n") - d, lit(0))),
+            slice(col("ts"), lit(1 + d), greatest(col("n") - d, lit(0))),
+            (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))
+        }: _*))).as("p"))
+        .groupBy(col("p.w1"), col("p.w2")).agg(count(lit(1)).as("n_ab"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val got = df.filter(col("n") >= 2)
+        .select(explode(graft.functions.WordPairs
+          .window_pair_cells(col("ts"), win)).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(sum(col("p.c")).as("n_ab"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == expected, s"round $round (win=$win): cell sums diverge")
+    }
+  }
 }
